@@ -1,0 +1,44 @@
+"""sla_tpu — TPU-native lossless audio codec framework.
+
+A ground-up JAX/XLA rebuild of the SLA (Solitary Lossless Audio) codec:
+same container format and bit-exact interoperability with the reference C
+implementation, with the per-sample filter stack re-architected as batched
+device scans over a (blocks x channels) grid and the bit-serial entropy
+stage on host.
+"""
+
+import jax as _jax
+
+# The long-term predictor accumulates in 64-bit integers
+# (SLAPredictor.c:1040-1085); enable wide types before any tracing.
+_jax.config.update("jax_enable_x64", True)
+
+from .constants import (  # noqa: E402,F401
+    SLA_FORMAT_VERSION,
+    SLA_VERSION_STRING,
+    BlockDataType,
+    ChannelProcessMethod,
+    WindowFunctionType,
+)
+from .decoder import Decoder, DecoderConfig  # noqa: E402,F401
+from .encoder import Encoder, EncoderConfig  # noqa: E402,F401
+from .errors import ApiResult, SLAError  # noqa: E402,F401
+from .format import (  # noqa: E402,F401
+    EncodeParameter,
+    HeaderInfo,
+    WaveFormat,
+    decode_header,
+    encode_header,
+)
+
+__version__ = SLA_VERSION_STRING
+
+# Encode presets 0..4 (reference: src/main.c:63-70)
+PRESETS = (
+    EncodeParameter(8, 1, 4, ChannelProcessMethod.NONE, WindowFunctionType.RECTANGULAR, 4096),
+    EncodeParameter(8, 1, 8, ChannelProcessMethod.STEREO_MS, WindowFunctionType.SIN, 12288),
+    EncodeParameter(16, 1, 8, ChannelProcessMethod.STEREO_MS, WindowFunctionType.SIN, 12288),
+    EncodeParameter(32, 3, 8, ChannelProcessMethod.STEREO_MS, WindowFunctionType.SIN, 12288),
+    EncodeParameter(32, 3, 8, ChannelProcessMethod.STEREO_MS, WindowFunctionType.SIN, 16384),
+)
+DEFAULT_PRESET = 2

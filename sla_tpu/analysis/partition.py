@@ -1,0 +1,162 @@
+"""Optimal block partitioning (reference: src/SLAPredictor.c:1465-1705).
+
+The reference builds a DAG whose nodes sit every 1024 samples; edge (i, j)
+carries the estimated code length of encoding that span (fresh LPC analysis
+per edge, O(V^2) full autocorrelations), then runs O(V^2) Dijkstra.
+
+Rebuilt data-parallel: all span autocorrelations come from `order+1`
+prefix-sum arrays over the window — R_span(i,j)[k] = P_k[end-k] - P_k[start]
+with P_k[m] = sum_{n<m} x[n] x[n+k] — one O(N*order) vectorized pass instead
+of per-edge recompute. Levinson-Durbin and the code-length estimate then run
+batched over all candidate spans at once. Dijkstra itself (<= 17 nodes) stays
+on host with the reference's exact tie-breaking so partition choices match.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import OPTIMAL_ESTIMATOR_LONGPATH_PENALTY, SLA_SEARCH_BLOCK_NUM_SAMPLES_DELTA
+from ..dsp.lpc import BETA_CONST_FOR_LAPLACE_DIST, levinson_durbin
+
+_BIGWEIGHT = float(1 << 24)
+_ESTIMATE_BLOCK_HEADER_SIZE = 50
+_FLT_MIN = float(np.finfo(np.float32).tiny)
+
+
+def num_nodes_for(num_samples: int, delta: int = SLA_SEARCH_BLOCK_NUM_SAMPLES_DELTA) -> int:
+    return (num_samples + delta - 1) // delta + 1
+
+
+def span_autocorrelations(
+    data: np.ndarray, node_positions: np.ndarray, spans: np.ndarray, order: int
+) -> np.ndarray:
+    """Autocorrelations for many sub-spans of one window via prefix sums.
+
+    data: (C, N) float64; node_positions: (V,) sample offsets;
+    spans: (S, 2) [start_node, end_node] pairs. Returns (S, C, order+1).
+    """
+    C, N = data.shape
+    lags = order + 1
+    # P[k][m] = sum_{n < m} x[n] * x[n+k]   (x zero beyond N)
+    P = np.zeros((C, lags, N + 1), dtype=np.float64)
+    for k in range(lags):
+        prod = data[:, : N - k] * data[:, k:]
+        np.cumsum(prod, axis=-1, out=P[:, k, 1 : N - k + 1])
+        if k > 0:
+            P[:, k, N - k + 1 :] = P[:, k, N - k : N - k + 1]
+    starts = node_positions[spans[:, 0]]
+    ends = node_positions[spans[:, 1]]
+    out = np.empty((len(spans), C, lags), dtype=np.float64)
+    for k in range(lags):
+        e = np.maximum(ends - k, starts)
+        out[:, :, k] = (P[:, k, e] - P[:, k, starts]).T
+    return out
+
+
+def estimate_span_code_lengths(
+    data: np.ndarray,
+    num_samples: int,
+    order: int,
+    bits_per_sample: int,
+    min_block: int,
+    max_block: int,
+    delta: int = SLA_SEARCH_BLOCK_NUM_SAMPLES_DELTA,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Build the Dijkstra adjacency matrix for one search window.
+
+    data: (C, num_samples) float64 (already MS-transformed when applicable).
+    Returns (adjacency (V,V) float64, num_nodes)."""
+    C = data.shape[0]
+    V = num_nodes_for(num_samples, delta)
+    positions = np.minimum(np.arange(V) * delta, num_samples)
+    # enumerate candidate spans (i < j) with valid clipped lengths
+    ii, jj = np.triu_indices(V, k=1)
+    lengths = np.minimum((jj - ii) * delta, num_samples - ii * delta)
+    valid = (lengths >= min_block) & (lengths <= max_block)
+    adj = np.full((V, V), _BIGWEIGHT, dtype=np.float64)
+    if not valid.any():
+        return adj, V
+    spans = np.stack([ii[valid], jj[valid]], axis=1)
+    span_len = lengths[valid].astype(np.float64)
+    R = span_autocorrelations(data[:, :num_samples], positions, spans, order)  # (S,C,p+1)
+    # Levinson-Durbin batched over (S, C); spans shorter than the order get
+    # zero coefficients (silence treatment, SLAPredictor.c:234-239)
+    _, parcor = levinson_durbin(R, order)
+    too_short = span_len[:, None] < order
+    parcor = np.where(too_short[..., None], 0.0, parcor)
+    # code length per sample (bytes), from R[0] as the power sum
+    power = R[..., 0] * (2.0 ** (2 * (bits_per_sample - 1)))
+    silent = np.abs(power) <= _FLT_MIN
+    log2_mean_power = np.log2(np.where(silent, 1.0, power)) - np.log2(span_len)[:, None]
+    k = parcor[..., 1:]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        log2_var_ratio = np.sum(np.log2(np.maximum(1.0 - k * k, 1e-300)), axis=-1)
+    length = (BETA_CONST_FOR_LAPLACE_DIST + 0.5 * (log2_mean_power + log2_var_ratio)) / 8.0
+    length = np.where(length <= 0, 1.0 / 8, length)
+    length = np.where(silent, 0.0, length)
+    cost = (span_len[:, None] * length).sum(axis=-1)
+    cost += _ESTIMATE_BLOCK_HEADER_SIZE + OPTIMAL_ESTIMATOR_LONGPATH_PENALTY
+    adj[spans[:, 0], spans[:, 1]] = cost
+    return adj, V
+
+
+def dijkstra_partition(adj: np.ndarray, num_nodes: int) -> list[int]:
+    """Shortest path 0 -> V-1 with the reference's exact iteration order and
+    tie-breaking (SLAPredictor.c:1521-1581), returning partition sizes in
+    node-delta units (caller scales/clips)."""
+    V = num_nodes
+    used = np.zeros(V, dtype=bool)
+    cost = np.full(V, _BIGWEIGHT, dtype=np.float64)
+    path = np.full(V, -1, dtype=np.int64)
+    cost[0] = 0.0
+    goal = V - 1
+    while True:
+        target = 0
+        best = _BIGWEIGHT
+        for i in range(V):
+            if not used[i] and cost[i] < best:
+                best = cost[i]
+                target = i
+        if target == goal:
+            break
+        relax = adj[target] + cost[target]
+        improve = cost > relax
+        cost = np.where(improve, relax, cost)
+        path = np.where(improve, target, path)
+        used[target] = True
+    # back-walk
+    node = goal
+    hops = []
+    while node != 0:
+        prev = int(path[node])
+        hops.append((prev, node))
+        node = prev
+    hops.reverse()
+    return [j - i for i, j in hops]
+
+
+def search_optimal_partitions(
+    data_double: np.ndarray,
+    num_samples: int,
+    min_block: int,
+    max_block: int,
+    parcor_order: int,
+    bits_per_sample: int,
+    delta: int = SLA_SEARCH_BLOCK_NUM_SAMPLES_DELTA,
+) -> list[int]:
+    """Partition one window into block sample counts.
+
+    data_double: (C, num_samples) float64, already channel-processed."""
+    adj, V = estimate_span_code_lengths(
+        data_double, num_samples, parcor_order, bits_per_sample, min_block, max_block, delta
+    )
+    hops = dijkstra_partition(adj, V)
+    sizes = []
+    pos = 0
+    for h in hops:
+        n = min(h * delta, num_samples - pos)
+        sizes.append(n)
+        pos += n
+    assert pos == num_samples, (pos, num_samples, sizes)
+    return sizes

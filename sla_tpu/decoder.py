@@ -1,0 +1,256 @@
+"""SLA decoder: host entropy stage + TPU-batched synthesis pipeline.
+
+Decode strategy (vs. the strictly sequential reference, SLADecoder.c:660-732):
+
+1. Walk the stream once using each block header's next-block offset field —
+   O(num_blocks) header peeks give every block's byte extent up front.
+2. Entropy-decode all block payloads on host (independent per block — the
+   format byte-aligns and CRC-frames each block).
+3. Run the whole synthesis chain (LMS -> long-term -> lattice -> de-emphasis)
+   as ONE batched device stage over (blocks x channels, L): the reference
+   resets all synthesizers at every block start (SLADecoder.c:637-639), which
+   is exactly what makes blocks independent and batchable.
+4. Inverse MS + final left shift, vectorized.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from . import rice
+from .bitio import BitReader, uint32_to_sint32, zigzag_decode_array
+from .constants import (
+    LONGTERM_PERIOD_NUM_BITS,
+    SLA_BLOCK_CRC16_CALC_START_OFFSET,
+    SLA_BLOCK_SYNC_CODE,
+    SLA_HEADER_SIZE,
+    SLA_MIN_BLOCK_NUM_SAMPLES,
+    BlockDataType,
+    ChannelProcessMethod,
+    parcor_quantize_bit_width,
+)
+from .crc16 import crc16
+from .dsp.channel import ms_to_lr_int32
+from .errors import ApiResult, SLAError
+from .format import EncodeParameter, HeaderInfo, WaveFormat, decode_header
+
+
+@dataclasses.dataclass
+class DecoderConfig:
+    """Create-time capacity maxima (SLADecoder.h:14-25)."""
+
+    max_num_channels: int = 8
+    max_num_block_samples: int = 16384
+    max_parcor_order: int = 48
+    max_longterm_order: int = 5
+    max_lms_order_per_filter: int = 40
+    enable_crc_check: bool = True
+    verbose: bool = False
+
+
+@dataclasses.dataclass
+class _Block:
+    data_offset: int  # byte offset of the block in the stream
+    block_size: int  # total bytes
+    num_samples: int
+    block_type: BlockDataType
+    parcor_coef: np.ndarray | None = None  # (C, p+1) int32
+    pitch: np.ndarray | None = None  # (C,) int32
+    ltm_coef: np.ndarray | None = None  # (C, T) int32 Q31
+    init_rice: list[int] | None = None
+    payload_bit_offset: int = 0  # absolute bit offset of the residual payload
+
+
+class Decoder:
+    def __init__(self, config: DecoderConfig | None = None):
+        self.config = config or DecoderConfig()
+        self._wave_format: WaveFormat | None = None
+        self._encode_param: EncodeParameter | None = None
+
+    def set_wave_format(self, wf: WaveFormat) -> None:
+        if wf.num_channels > self.config.max_num_channels or wf.bit_per_sample > 32:
+            raise SLAError(ApiResult.EXCEED_HANDLE_CAPACITY)
+        self._wave_format = dataclasses.replace(wf)
+
+    def set_encode_parameter(self, ep: EncodeParameter) -> None:
+        c = self.config
+        if (
+            ep.parcor_order > c.max_parcor_order
+            or ep.longterm_order > c.max_longterm_order
+            or ep.lms_order_per_filter > c.max_lms_order_per_filter
+            or ep.max_num_block_samples > c.max_num_block_samples
+            or ep.max_num_block_samples < SLA_MIN_BLOCK_NUM_SAMPLES
+        ):
+            raise SLAError(ApiResult.EXCEED_HANDLE_CAPACITY)
+        self._encode_param = dataclasses.replace(ep)
+
+    def _require_params(self):
+        if self._wave_format is None or self._encode_param is None:
+            raise SLAError(ApiResult.PARAMETER_NOT_SET)
+        if (
+            self._encode_param.ch_process_method == ChannelProcessMethod.STEREO_MS
+            and self._wave_format.num_channels != 2
+        ):
+            raise SLAError(ApiResult.INVALID_CHPROCESSMETHOD)
+
+    # -- block header parsing (SLADecoder.c:309-420) ---------------------------
+    def parse_block_header(self, data: bytes, offset: int) -> _Block:
+        wf, ep = self._wave_format, self._encode_param
+        r = BitReader(data)
+        r.seek_bytes(offset)
+        sync = r.get(16)
+        if sync != SLA_BLOCK_SYNC_CODE:
+            raise SLAError(ApiResult.FAILED_TO_FIND_SYNC_CODE)
+        next_offset = r.get(32)
+        block_size = next_offset + 6
+        stored_crc = r.get(16)
+        if self.config.enable_crc_check and offset + block_size <= len(data):
+            calc = crc16(
+                memoryview(data)[
+                    offset + SLA_BLOCK_CRC16_CALC_START_OFFSET : offset + block_size
+                ]
+            )
+            if calc != stored_crc:
+                raise SLAError(ApiResult.DETECT_DATA_CORRUPTION)
+        num_samples = r.get(16)
+        btype = BlockDataType(r.get(2))
+        blk = _Block(offset, block_size, num_samples, btype)
+        if btype == BlockDataType.COMPRESSDATA:
+            C = wf.num_channels
+            p = ep.parcor_order
+            T = ep.longterm_order
+            coef = np.zeros((C, p + 1), dtype=np.int32)
+            pitch = np.zeros(C, dtype=np.int32)
+            ltm = np.zeros((C, max(T, 1)), dtype=np.int32)
+            init_rice: list[int] = []
+            for ch in range(C):
+                rshift = r.get(4)
+                for ord_ in range(1, p + 1):
+                    qbits = parcor_quantize_bit_width(ord_)
+                    v = uint32_to_sint32(r.get(qbits))
+                    coef[ch, ord_] = (np.int32(v) << (16 - qbits)) >> rshift
+                if r.get(1):
+                    pitch[ch] = r.get(LONGTERM_PERIOD_NUM_BITS)
+                    for t in range(T):
+                        q15 = uint32_to_sint32(r.get(16))
+                        ltm[ch, t] = np.int32(q15) << 16
+                init_rice.append(r.get(wf.bit_per_sample))
+            blk.parcor_coef = coef
+            blk.pitch = pitch
+            blk.ltm_coef = ltm
+            blk.init_rice = init_rice
+        r.flush()
+        blk.payload_bit_offset = r.tell() * 8
+        return blk
+
+    def scan_blocks(self, data: bytes, num_samples: int) -> list[_Block]:
+        """Walk the stream once, collecting every block's header."""
+        blocks: list[_Block] = []
+        offset = SLA_HEADER_SIZE
+        done = 0
+        while done < num_samples:
+            if offset > len(data):
+                raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE)
+            blk = self.parse_block_header(data, offset)
+            if blk.block_size > len(data) - offset:
+                raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE)
+            blocks.append(blk)
+            offset += blk.block_size
+            done += blk.num_samples
+        return blocks
+
+    # -- payload entropy decode ------------------------------------------------
+    def _decode_payload(self, data: bytes, blk: _Block) -> np.ndarray:
+        """Returns (C, n) int32: residual for COMPRESSDATA, samples for
+        RAWDATA, zeros for SILENT."""
+        wf, ep = self._wave_format, self._encode_param
+        C = wf.num_channels
+        n = blk.num_samples
+        if blk.block_type == BlockDataType.SILENT:
+            return np.zeros((C, n), dtype=np.int32)
+        r = BitReader(data, bit_offset=blk.payload_bit_offset)
+        if blk.block_type == BlockDataType.RAWDATA:
+            bits = [wf.bit_per_sample - wf.offset_lshift] * C
+            if ep.ch_process_method == ChannelProcessMethod.STEREO_MS:
+                bits[1] += 1
+            out = np.empty((C, n), dtype=np.int32)
+            for s in range(n):
+                for ch in range(C):
+                    out[ch, s] = uint32_to_sint32(r.get(bits[ch]))
+            return out
+        res = rice.get_data_array(r, blk.init_rice, C, n)
+        return np.stack(res)
+
+    # -- whole-stream decode -----------------------------------------------------
+    def decode_whole(self, data: bytes) -> tuple[HeaderInfo, np.ndarray]:
+        """Returns (header, (C, num_samples) canonical int32 PCM)."""
+        header, status = decode_header(data)
+        if status == ApiResult.DETECT_DATA_CORRUPTION and self.config.enable_crc_check:
+            raise SLAError(ApiResult.DETECT_DATA_CORRUPTION, "header CRC mismatch")
+        self.set_wave_format(header.wave_format)
+        self.set_encode_parameter(header.encode_param)
+        self._require_params()
+        wf, ep = self._wave_format, self._encode_param
+
+        blocks = self.scan_blocks(data, header.num_samples)
+        payloads = [self._decode_payload(data, b) for b in blocks]
+        pcm = self.synthesize_blocks(blocks, payloads)
+        out = np.concatenate(pcm, axis=1)
+        return header, out
+
+    def synthesize_blocks(
+        self, blocks: list[_Block], payloads: list[np.ndarray]
+    ) -> list[np.ndarray]:
+        """Batched synthesis of all blocks; returns per-block (C, n) PCM."""
+        import jax.numpy as jnp
+
+        from .pipeline import decode_stage
+
+        wf, ep = self._wave_format, self._encode_param
+        C = wf.num_channels
+        p = ep.parcor_order
+        T = ep.longterm_order
+        shift = 32 - wf.bit_per_sample + wf.offset_lshift
+
+        comp_idx = [i for i, b in enumerate(blocks) if b.block_type == BlockDataType.COMPRESSDATA]
+        outputs: dict[int, np.ndarray] = {}
+        if comp_idx:
+            L = max(blocks[i].num_samples for i in comp_idx)
+            B = len(comp_idx) * C
+            residual = np.zeros((B, L), dtype=np.int32)
+            coef = np.zeros((B, p), dtype=np.int32)
+            pitch = np.zeros((B,), dtype=np.int32)
+            ltm = np.zeros((B, max(T, 1)), dtype=np.int32)
+            for bi, i in enumerate(comp_idx):
+                blk = blocks[i]
+                residual[bi * C : (bi + 1) * C, : blk.num_samples] = payloads[i]
+                coef[bi * C : (bi + 1) * C] = blk.parcor_coef[:, 1:]
+                pitch[bi * C : (bi + 1) * C] = blk.pitch
+                ltm[bi * C : (bi + 1) * C] = blk.ltm_coef
+            synth = np.asarray(
+                decode_stage(
+                    jnp.asarray(residual),
+                    jnp.asarray(coef),
+                    jnp.asarray(pitch),
+                    jnp.asarray(ltm),
+                    p,
+                    T,
+                    ep.lms_order_per_filter,
+                )
+            )
+            for bi, i in enumerate(comp_idx):
+                blk = blocks[i]
+                outputs[i] = synth[bi * C : (bi + 1) * C, : blk.num_samples]
+
+        result: list[np.ndarray] = []
+        for i, blk in enumerate(blocks):
+            out = outputs.get(i)
+            if out is None:  # SILENT or RAWDATA pass through the filter chain
+                out = payloads[i]
+            if ep.ch_process_method == ChannelProcessMethod.STEREO_MS:
+                left, right = ms_to_lr_int32(out[0], out[1])
+                out = np.stack([left, right])
+            result.append((out.astype(np.int32) << shift).astype(np.int32))
+        return result

@@ -1,0 +1,66 @@
+"""Coefficient quantization with the reference's exact integer semantics.
+
+PARCOR (SLAEncoder.c:567-589): order-dependent width (16 bits below order 4,
+8 bits from order 4 up), round-half-away-from-zero, clip to signed range,
+left-align to 16-bit base, then arithmetic right shift by the per-channel
+`rshift` derived from the data bit width.
+
+Long-term (SLAEncoder.c:634-640): Q15 round then << 16 (Q31 compute scale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import parcor_quantize_bit_width
+
+
+def c_round(x: np.ndarray) -> np.ndarray:
+    """round() as the reference defines it: half away from zero
+    (SLAUtility.c:436-439)."""
+    return np.where(x >= 0.0, np.floor(x + 0.5), -np.floor(-x + 0.5))
+
+
+def rshift_for_sint32(bitwidth: np.ndarray | int) -> np.ndarray | int:
+    """SLAUTILITY_CALC_RSHIFT_FOR_SINT32: max(bitwidth - 16, 0)."""
+    return np.maximum(np.asarray(bitwidth) - 16, 0)
+
+
+def quantize_parcor(
+    parcor: np.ndarray, order: int, rshift: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Quantize PARCOR coefficients.
+
+    parcor: (..., order+1) float64; rshift: (...,) int.
+    Returns (code, coef_int32): `code` is what goes in the bitstream
+    (order-dependent width), `coef_int32` the filter coefficient.
+    Index 0 is always 0.
+    """
+    batch = parcor.shape[:-1]
+    code = np.zeros(batch + (order + 1,), dtype=np.int32)
+    coef = np.zeros(batch + (order + 1,), dtype=np.int32)
+    rs = np.asarray(rshift, dtype=np.int32)
+    for ord_ in range(1, order + 1):
+        qbits = parcor_quantize_bit_width(ord_)
+        c = c_round(parcor[..., ord_] * float(1 << (qbits - 1))).astype(np.int64)
+        c = np.clip(c, -(1 << (qbits - 1)), (1 << (qbits - 1)) - 1)
+        code[..., ord_] = c.astype(np.int32)
+        coef[..., ord_] = (c.astype(np.int32) << (16 - qbits)) >> rs
+    return code, coef
+
+
+def dequantize_parcor(code: np.ndarray, order: int, rshift: np.ndarray) -> np.ndarray:
+    """Decoder-side coefficient reconstruction (SLADecoder.c:379-390)."""
+    batch = code.shape[:-1]
+    coef = np.zeros(batch + (order + 1,), dtype=np.int32)
+    rs = np.asarray(rshift, dtype=np.int32)
+    for ord_ in range(1, order + 1):
+        qbits = parcor_quantize_bit_width(ord_)
+        coef[..., ord_] = (code[..., ord_].astype(np.int32) << (16 - qbits)) >> rs
+    return coef
+
+
+def quantize_longterm(ltm_coef: np.ndarray) -> np.ndarray:
+    """Q15 round then << 16 -> Q31 int32 coefficients."""
+    q15 = c_round(np.asarray(ltm_coef, dtype=np.float64) * float(1 << 15)).astype(np.int32)
+    return q15 << 16

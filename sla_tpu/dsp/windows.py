@@ -1,0 +1,73 @@
+"""Analysis window functions (reference: src/SLAUtility.c:88-216).
+
+All windows are length-N float64 with the x = n/(N-1) convention and the
+window_size==1 guard of the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import WindowFunctionType
+
+
+def _x(n: int) -> np.ndarray:
+    if n == 1:
+        return np.zeros(1)
+    return np.arange(n, dtype=np.float64) / (n - 1)
+
+
+def rectangular(n: int) -> np.ndarray:
+    return np.ones(n, dtype=np.float64)
+
+
+def hann(n: int) -> np.ndarray:
+    if n == 1:
+        return np.ones(1)
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * _x(n))
+
+
+def blackman(n: int) -> np.ndarray:
+    if n == 1:
+        return np.ones(1)
+    x = _x(n)
+    return 0.42 - 0.5 * np.cos(2.0 * np.pi * x) + 0.08 * np.cos(4.0 * np.pi * x)
+
+
+def sin_window(n: int) -> np.ndarray:
+    if n == 1:
+        return np.ones(1)
+    return np.sin(np.pi * _x(n))
+
+
+def vorbis(n: int) -> np.ndarray:
+    if n == 1:
+        return np.ones(1)
+    s = np.sin(np.pi * _x(n))
+    return np.sin((np.pi / 2.0) * s * s)
+
+
+def tukey(n: int, alpha: float) -> np.ndarray:
+    if n == 1:
+        return np.ones(1)
+    x = _x(n)
+    w = np.ones(n, dtype=np.float64)
+    left = x < alpha / 2
+    right = x > (1 - alpha / 2)
+    w[left] = 0.5 * (1.0 + np.cos(np.pi * ((2.0 / alpha) * x[left] - 1)))
+    w[right] = 0.5 * (1.0 + np.cos(np.pi * ((2.0 / alpha) * x[right] - (2.0 / alpha) + 1)))
+    return w
+
+
+def make_window(kind: WindowFunctionType, n: int) -> np.ndarray:
+    if kind == WindowFunctionType.RECTANGULAR:
+        return rectangular(n)
+    if kind == WindowFunctionType.SIN:
+        return sin_window(n)
+    if kind == WindowFunctionType.HANN:
+        return hann(n)
+    if kind == WindowFunctionType.BLACKMAN:
+        return blackman(n)
+    if kind == WindowFunctionType.VORBIS:
+        return vorbis(n)
+    raise ValueError(f"invalid window function type: {kind}")

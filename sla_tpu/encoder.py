@@ -1,0 +1,357 @@
+"""SLA encoder: TPU-batched analysis/filter pipeline + host entropy stage.
+
+API mirrors the reference encoder handle (src/SLAEncoder.c): create with
+capacity config, set wave format / encode parameter, then `encode_whole`.
+
+Orchestration per file (EncodeWhole, SLAEncoder.c:804-932):
+  1. compute the global offset left-shift from the OR-mask of all samples
+  2. walk search windows of max_num_block_samples; per window run the silent
+     fast path or the Dijkstra partition search -> a flat list of blocks
+  3. host float64 analysis for all blocks (windowing, pre-emphasis, LPC,
+     code-length estimate, quantization), grouped by block length
+  4. device stage 1 (pre-emphasis + lattice predict) for ALL blocks at once,
+     host pitch analysis on the PARCOR residual, device stage 2 (long-term +
+     LMS predict) for all blocks at once
+  5. entropy-code each block (host), assemble header + blocks with CRC16
+
+The per-block filter work that the reference runs serially per channel
+(SLAEncoder.c:531) is a single (blocks x channels, L) batch on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from . import rice
+from .analysis.partition import search_optimal_partitions
+from .analysis.pitch import longterm_coef_rows
+from .bitio import BitWriter, zigzag_encode_array
+from .constants import (
+    CODER_NUM_RECURSIVE_RICE_PARAMETER,
+    LONGTERM_MIN_PITCH_THRESHOLD,
+    SLA_BLOCK_CRC16_CALC_START_OFFSET,
+    SLA_BLOCK_SYNC_CODE,
+    SLA_ESTIMATE_CODELENGTH_THRESHOLD,
+    SLA_HEADER_SIZE,
+    SLA_MIN_BLOCK_NUM_SAMPLES,
+    BlockDataType,
+    ChannelProcessMethod,
+    parcor_quantize_bit_width,
+)
+from .crc16 import crc16
+from .dsp import windows as win
+from .dsp.channel import lr_to_ms_double, lr_to_ms_int32
+from .dsp.lpc import calculate_parcor, data_bit_width, estimate_code_length
+from .dsp.quantize import quantize_longterm, quantize_parcor, rshift_for_sint32
+from .errors import ApiResult, SLAError
+from .format import EncodeParameter, HeaderInfo, WaveFormat, encode_header
+
+
+@dataclasses.dataclass
+class EncoderConfig:
+    """Create-time capacity maxima (SLAEncoder.h:14-21)."""
+
+    max_num_channels: int = 8
+    max_num_block_samples: int = 16384
+    max_parcor_order: int = 48
+    max_longterm_order: int = 5
+    max_lms_order_per_filter: int = 40
+    verbose: bool = False
+
+
+@dataclasses.dataclass
+class _BlockPlan:
+    offset: int  # first sample index in the file
+    num_samples: int
+    block_type: BlockDataType = BlockDataType.COMPRESSDATA
+    # analysis results (per channel), filled progressively:
+    parcor_code: np.ndarray | None = None  # (C, p+1) int32 stream codes
+    parcor_coef: np.ndarray | None = None  # (C, p+1) int32 filter coefs
+    parcor_rshift: np.ndarray | None = None  # (C,) int
+    pitch: np.ndarray | None = None  # (C,) int32
+    ltm_coef: np.ndarray | None = None  # (C, T) int32 Q31
+    init_rice: list[int] | None = None  # (C,) initial Rice params
+    residual: np.ndarray | None = None  # (C, n) int32 final residual
+    raw_int32: np.ndarray | None = None  # (C, n) int32 (for RAWDATA blocks)
+
+
+class Encoder:
+    def __init__(self, config: EncoderConfig | None = None):
+        self.config = config or EncoderConfig()
+        self._wave_format: WaveFormat | None = None
+        self._encode_param: EncodeParameter | None = None
+
+    # -- parameter setting (SLAEncoder.c:176-224) ---------------------------
+    def set_wave_format(self, wf: WaveFormat) -> None:
+        if wf.num_channels > self.config.max_num_channels or wf.bit_per_sample > 32:
+            raise SLAError(ApiResult.EXCEED_HANDLE_CAPACITY)
+        self._wave_format = dataclasses.replace(wf)
+
+    def set_encode_parameter(self, ep: EncodeParameter) -> None:
+        c = self.config
+        if (
+            ep.parcor_order > c.max_parcor_order
+            or ep.longterm_order > c.max_longterm_order
+            or ep.lms_order_per_filter > c.max_lms_order_per_filter
+            or ep.max_num_block_samples > c.max_num_block_samples
+            or ep.max_num_block_samples < SLA_MIN_BLOCK_NUM_SAMPLES
+        ):
+            raise SLAError(ApiResult.EXCEED_HANDLE_CAPACITY)
+        if ep.ch_process_method == ChannelProcessMethod.STEREO_MS:
+            if self._wave_format is not None and self._wave_format.num_channels != 2:
+                raise SLAError(ApiResult.INVALID_CHPROCESSMETHOD)
+        self._encode_param = dataclasses.replace(ep)
+
+    # -- helpers -------------------------------------------------------------
+    def _require_params(self):
+        if self._wave_format is None or self._encode_param is None:
+            raise SLAError(ApiResult.PARAMETER_NOT_SET)
+        if (
+            self._encode_param.ch_process_method == ChannelProcessMethod.STEREO_MS
+            and self._wave_format.num_channels != 2
+        ):
+            raise SLAError(ApiResult.INVALID_CHPROCESSMETHOD)
+
+    @staticmethod
+    def calculate_left_shift_offset(data: np.ndarray, bit_per_sample: int) -> int:
+        """Trailing-zero analysis over the OR-mask (SLAEncoder.c:425-455)."""
+        mask = int(np.bitwise_or.reduce(data.view(np.uint32), axis=None)) & 0xFFFFFFFF
+        if mask == 0:
+            return 0
+        ntz = (mask & -mask).bit_length() - 1  # trailing zeros of the OR-mask
+        used_width = 32 - ntz  # dynamic-range bits counted from the top
+        assert bit_per_sample >= used_width
+        return bit_per_sample - used_width
+
+    # -- whole-file encode ----------------------------------------------------
+    def encode_whole(self, data: np.ndarray) -> bytes:
+        """data: (num_channels, num_samples) canonical left-justified int32."""
+        self._require_params()
+        wf, ep = self._wave_format, self._encode_param
+        if data.shape[0] != wf.num_channels:
+            raise SLAError(ApiResult.INVALID_ARGUMENT, "channel count mismatch")
+        data = np.ascontiguousarray(data, dtype=np.int32)
+        num_samples = data.shape[1]
+
+        wf.offset_lshift = self.calculate_left_shift_offset(data, wf.bit_per_sample)
+
+        plans = self._plan_blocks(data, num_samples)
+        self._analyze_blocks(data, plans)
+        self._run_filters(data, plans)
+
+        # entropy-code blocks, track header statistics
+        blobs: list[bytes] = []
+        max_block_size = 0
+        max_bps = 0
+        for plan in plans:
+            blob = self._encode_block_payload(plan)
+            blobs.append(blob)
+            max_block_size = max(max_block_size, len(blob))
+            max_bps = max(max_bps, (8 * len(blob) * wf.sampling_rate) // plan.num_samples)
+
+        header = HeaderInfo(
+            wave_format=wf,
+            encode_param=ep,
+            num_samples=num_samples,
+            num_blocks=len(plans),
+            max_block_size=max_block_size,
+            max_bit_per_second=max_bps,
+        )
+        return encode_header(header) + b"".join(blobs)
+
+    # -- step 2: block planning ----------------------------------------------
+    def _plan_blocks(self, data: np.ndarray, num_samples: int) -> list[_BlockPlan]:
+        wf, ep = self._wave_format, self._encode_param
+        ms = ep.ch_process_method == ChannelProcessMethod.STEREO_MS
+        plans: list[_BlockPlan] = []
+        offset = 0
+        while offset < num_samples:
+            remain = num_samples - offset
+            window_len = min(ep.max_num_block_samples, remain)
+            min_block = min(SLA_MIN_BLOCK_NUM_SAMPLES, remain)
+            chunk = data[:, offset : offset + window_len]
+            # int32 view used for the silence scan (SLAEncoder.c:381-408)
+            int32 = (chunk >> (32 - wf.bit_per_sample)).astype(np.int32)
+            if ms:
+                m, s = lr_to_ms_int32(int32[0], int32[1])
+                int32 = np.stack([m, s])
+            nonzero = np.nonzero(np.any(int32 != 0, axis=0))[0]
+            silent_run = int(nonzero[0]) if nonzero.size else window_len
+            if silent_run >= min_block:
+                plans.append(_BlockPlan(offset, silent_run))
+                offset += silent_run
+                continue
+            dbl = chunk.astype(np.float64) * (2.0 ** -31)
+            if ms:
+                m, s = lr_to_ms_double(dbl[0], dbl[1])
+                dbl = np.stack([m, s])
+            sizes = search_optimal_partitions(
+                dbl,
+                window_len,
+                min_block,
+                window_len,
+                ep.parcor_order,
+                wf.bit_per_sample,
+            )
+            for n in sizes:
+                plans.append(_BlockPlan(offset, n))
+                offset += n
+        return plans
+
+    # -- step 3: per-block float64 analysis -----------------------------------
+    def _analyze_blocks(self, data: np.ndarray, plans: list[_BlockPlan]) -> None:
+        wf, ep = self._wave_format, self._encode_param
+        C = wf.num_channels
+        ms = ep.ch_process_method == ChannelProcessMethod.STEREO_MS
+        shift = 32 - wf.bit_per_sample + wf.offset_lshift
+        p = ep.parcor_order
+
+        # group by block length so windowing/LPC vectorize over same-shape rows
+        by_len: dict[int, list[int]] = {}
+        for i, plan in enumerate(plans):
+            by_len.setdefault(plan.num_samples, []).append(i)
+
+        for n, idxs in by_len.items():
+            window = win.make_window(ep.window_function_type, n)
+            batch_dbl = np.empty((len(idxs), C, n), dtype=np.float64)
+            for row, i in enumerate(idxs):
+                plan = plans[i]
+                chunk = data[:, plan.offset : plan.offset + plan.num_samples]
+                int32 = ((chunk >> shift)).astype(np.int32)
+                dbl = chunk.astype(np.float64) * (2.0 ** -31)
+                if ms:
+                    m, s = lr_to_ms_int32(int32[0], int32[1])
+                    int32 = np.stack([m, s])
+                    md, sd = lr_to_ms_double(dbl[0], dbl[1])
+                    dbl = np.stack([md, sd])
+                plan.raw_int32 = int32
+                if not np.any(int32):
+                    plan.block_type = BlockDataType.SILENT
+                batch_dbl[row] = dbl
+            # windowing + double pre-emphasis (SLAEncoder.c:540-543)
+            batch_dbl *= window
+            coef = (2.0 ** 5 - 1.0) * 2.0 ** -5
+            batch_dbl[..., 1:] -= batch_dbl[..., :-1].copy() * coef
+            parcor = calculate_parcor(batch_dbl, p)  # (Nb, C, p+1)
+            code_len = estimate_code_length(batch_dbl, wf.bit_per_sample, parcor, p)
+            ratio = 8.0 * code_len / wf.bit_per_sample
+            for row, i in enumerate(idxs):
+                plan = plans[i]
+                if plan.block_type == BlockDataType.SILENT:
+                    continue
+                # raw fallback when prediction will not compress
+                # (per-channel check in channel order, SLAEncoder.c:553-565)
+                if np.any(ratio[row] >= SLA_ESTIMATE_CODELENGTH_THRESHOLD):
+                    plan.block_type = BlockDataType.RAWDATA
+                    continue
+                bw = data_bit_width(plan.raw_int32)  # (C,)
+                rshift = rshift_for_sint32(bw)
+                plan.parcor_rshift = np.asarray(rshift, dtype=np.int32)
+                code, coef_i32 = quantize_parcor(parcor[row], p, plan.parcor_rshift)
+                plan.parcor_code = code
+                plan.parcor_coef = coef_i32
+
+    # -- step 4: device filters + pitch analysis ------------------------------
+    def _run_filters(self, data: np.ndarray, plans: list[_BlockPlan]) -> None:
+        import jax.numpy as jnp
+
+        from .pipeline import encode_stage1, encode_stage2
+
+        wf, ep = self._wave_format, self._encode_param
+        C = wf.num_channels
+        p = ep.parcor_order
+        T = ep.longterm_order
+        comp = [pl for pl in plans if pl.block_type == BlockDataType.COMPRESSDATA]
+        if not comp:
+            return
+        L = max(pl.num_samples for pl in comp)
+        B = len(comp) * C
+        batch = np.zeros((B, L), dtype=np.int32)
+        coefs = np.zeros((B, p), dtype=np.int32)
+        for bi, pl in enumerate(comp):
+            batch[bi * C : (bi + 1) * C, : pl.num_samples] = pl.raw_int32
+            coefs[bi * C : (bi + 1) * C] = pl.parcor_coef[:, 1:]
+        residual1 = np.asarray(encode_stage1(jnp.asarray(batch), jnp.asarray(coefs), p))
+
+        # host pitch analysis on the PARCOR residual, per (block, channel)
+        pitches = np.zeros((B,), dtype=np.int32)
+        ltm = np.zeros((B, max(T, 1)), dtype=np.int32)
+        if T > 0:
+            fft_size = 1 << (2 * self.config.max_num_block_samples - 1).bit_length()
+            # group rows by length for the FFT batch
+            rows_by_len: dict[int, list[int]] = {}
+            for bi, pl in enumerate(comp):
+                for ch in range(C):
+                    rows_by_len.setdefault(pl.num_samples, []).append(bi * C + ch)
+            for n, rows in rows_by_len.items():
+                res = longterm_coef_rows(residual1[rows, :n], n, T, fft_size)
+                for r, lt in zip(rows, res):
+                    if lt.pitch_period >= LONGTERM_MIN_PITCH_THRESHOLD:
+                        pitches[r] = lt.pitch_period
+                        ltm[r] = quantize_longterm(lt.coef)
+        residual2 = np.asarray(
+            encode_stage2(
+                jnp.asarray(residual1),
+                jnp.asarray(pitches),
+                jnp.asarray(ltm),
+                T,
+                ep.lms_order_per_filter,
+            )
+        )
+        for bi, pl in enumerate(comp):
+            pl.pitch = pitches[bi * C : (bi + 1) * C]
+            pl.ltm_coef = ltm[bi * C : (bi + 1) * C]
+            pl.residual = residual2[bi * C : (bi + 1) * C, : pl.num_samples]
+            pl.init_rice = rice.calculate_initial_params(list(pl.residual))
+
+    # -- step 5: block serialization (SLAEncoder.c:458-801) -------------------
+    def _encode_block_payload(self, plan: _BlockPlan) -> bytes:
+        wf, ep = self._wave_format, self._encode_param
+        C = wf.num_channels
+        w = BitWriter()
+        w.put(SLA_BLOCK_SYNC_CODE, 16)
+        w.put(0, 32)  # next-block offset placeholder
+        w.put(0, 16)  # CRC16 placeholder
+        w.put(plan.num_samples, 16)
+        w.put(int(plan.block_type), 2)
+        if plan.block_type == BlockDataType.COMPRESSDATA:
+            for ch in range(C):
+                w.put(int(plan.parcor_rshift[ch]), 4)
+                for ord_ in range(1, ep.parcor_order + 1):
+                    w.put(
+                        int(zigzag_encode_array(plan.parcor_code[ch, ord_ : ord_ + 1])[0]),
+                        parcor_quantize_bit_width(ord_),
+                    )
+                if plan.pitch[ch] >= LONGTERM_MIN_PITCH_THRESHOLD:
+                    w.put(1, 1)
+                    w.put(int(plan.pitch[ch]), 10)
+                    for t in range(ep.longterm_order):
+                        q15 = int(plan.ltm_coef[ch, t]) >> 16
+                        w.put(rice.sint32_to_uint32(q15), 16)
+                else:
+                    w.put(0, 1)
+                w.put(plan.init_rice[ch], wf.bit_per_sample)
+        w.flush()
+        if plan.block_type == BlockDataType.RAWDATA:
+            bits = [wf.bit_per_sample - wf.offset_lshift] * C
+            if ep.ch_process_method == ChannelProcessMethod.STEREO_MS:
+                bits[1] += 1
+            zz = [zigzag_encode_array(plan.raw_int32[ch]) for ch in range(C)]
+            for s in range(plan.num_samples):
+                for ch in range(C):
+                    w.put(int(zz[ch][s]), bits[ch])
+        elif plan.block_type == BlockDataType.COMPRESSDATA:
+            rice.put_data_array(w, plan.init_rice, list(plan.residual), plan.num_samples)
+        w.flush()
+        size = w.tell()
+        crc_region = w.getvalue()[SLA_BLOCK_CRC16_CALC_START_OFFSET:]
+        crc = crc16(crc_region)
+        w.write_bytes_at(2, (size - 6).to_bytes(4, "big"))
+        w.write_bytes_at(6, crc.to_bytes(2, "big"))
+        return w.getvalue()
+
+
+def sufficient_output_size(num_channels: int, num_samples: int, bit_per_sample: int) -> int:
+    return SLA_HEADER_SIZE + 2 * num_channels * num_samples * (bit_per_sample // 8) + 1024

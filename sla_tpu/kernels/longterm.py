@@ -1,0 +1,129 @@
+"""Long-term (pitch) prediction filter.
+
+Reference semantics (src/SLAPredictor.c:1031-1130): with pitch period P and
+T taps (odd), max_delay = P + T//2, Q31 coefficients and rounding constant
+1<<30 in a 64-bit accumulator:
+
+    pred[n] = (2^30 + sum_j coef[j] * hist[n - P - T//2 + j]) >> 31
+    predict:    out[n] = in[n] - pred[n],  hist = in
+    synthesize: out[n] = in[n] + pred[n],  hist = out
+    first max_delay samples pass through unchanged (state warmup);
+    pitch 0 = passthrough.
+
+Because encoder coefficients are Q15 values shifted left 16
+(SLAEncoder.c:634-640, SLADecoder.c:400-404), the bottom 16 bits of every
+coefficient are zero, so the Q31 accumulation reduces exactly to
+
+    pred[n] = (sum_j q15[j] * hist[...] + 2^14) >> 15
+
+with q15 = coef >> 16 — one 64-bit dot product of <= 5 terms.
+
+TPU shape: *prediction* history is the input signal, so the whole filter is
+a short FIR — fully vectorized, no scan. *Synthesis* is recurrent (history is
+the output); it runs as a scan carrying a (B, max_delay) ring, with the tap
+pattern pre-scattered into a dense kernel so each step is one masked dot.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import LONGTERM_MAX_PERIOD
+
+_MAX_DELAY = LONGTERM_MAX_PERIOD + 2  # pitch < 256, taps <= 5 -> delay <= 258
+
+
+def _q15(coef: jnp.ndarray) -> jnp.ndarray:
+    return (coef >> 16).astype(jnp.int64)
+
+
+def longterm_predict(
+    data: jnp.ndarray,
+    pitch: jnp.ndarray,
+    coef: jnp.ndarray,
+    num_taps: int,
+    processed: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """FIR residual computation, vectorized over samples.
+
+    data: (B, N) int32; pitch: (B,) int32 (0 = passthrough);
+    coef: (B, T) int32 Q31; processed: (B,) int32 count of samples already
+    seen (for warmup across streaming calls). Returns (residual, new count).
+    """
+    B, N = data.shape
+    q = _q15(coef)  # (B, T)
+    x64 = data.astype(jnp.int64)
+    max_delay = pitch + (num_taps // 2)  # (B,)
+    acc = jnp.zeros((B, N), dtype=jnp.int64)
+    n_idx = jnp.arange(N, dtype=jnp.int32)[None, :]
+    for j in range(num_taps):
+        # hist index: n - pitch - T//2 + j ; realized by per-row dynamic roll
+        delay = max_delay - j  # (B,)
+        shifted = _delay_rows(x64, delay)
+        acc = acc + q[:, j : j + 1] * shifted
+    pred = ((acc + (1 << 14)) >> 15).astype(jnp.int32)
+    pos = processed[:, None] + n_idx  # absolute sample index within the block
+    active = (pitch[:, None] > 0) & (pos >= max_delay[:, None])
+    out = jnp.where(active, data - pred, data)
+    return out, processed + N
+
+
+def _delay_rows(x: jnp.ndarray, delay: jnp.ndarray) -> jnp.ndarray:
+    """Shift each row right by its own delay, zero-filling: out[b, n] =
+    x[b, n - delay[b]] (0 where n < delay[b])."""
+    B, N = x.shape
+    n_idx = jnp.arange(N, dtype=jnp.int32)[None, :]
+    src = n_idx - delay[:, None]
+    valid = src >= 0
+    src = jnp.clip(src, 0, N - 1)
+    return jnp.where(valid, jnp.take_along_axis(x, src.astype(jnp.int32), axis=1), 0)
+
+
+def longterm_synthesize(
+    residual: jnp.ndarray,
+    pitch: jnp.ndarray,
+    coef: jnp.ndarray,
+    num_taps: int,
+    state: tuple[jnp.ndarray, jnp.ndarray],
+) -> tuple[jnp.ndarray, tuple[jnp.ndarray, jnp.ndarray]]:
+    """Recurrent synthesis via scan.
+
+    residual: (B, N) int32; state = (hist, processed): hist (B, _MAX_DELAY)
+    holds the last samples, newest at index -1; processed (B,) int32.
+    """
+    B, N = residual.shape
+    q = _q15(coef)  # (B, T)
+    max_delay = (pitch + (num_taps // 2)).astype(jnp.int32)  # (B,)
+    hist, processed = state
+    D = hist.shape[1]
+    # Dense kernel over history positions: hist[:, D-1-k] is the sample k+1
+    # steps back; tap j reads n - (max_delay - j) -> k+1 = max_delay - j.
+    d_idx = jnp.arange(D, dtype=jnp.int32)[None, :]  # position from the end
+    kern = jnp.zeros((B, D), dtype=jnp.int64)
+    for j in range(num_taps):
+        back = max_delay - j  # samples back (>= 1)
+        pos = D - back  # index into hist
+        kern = kern.at[jnp.arange(B), pos].add(q[:, j])
+    active_row = pitch > 0
+
+    def step(carry, r):
+        h, t = carry  # h: (B, D) int64, t: (B,) int32
+        s = jnp.sum(kern * h, axis=1)
+        pred = ((s + (1 << 14)) >> 15).astype(jnp.int32)
+        use = active_row & (t >= max_delay)
+        out = jnp.where(use, r + pred, r)
+        h = jnp.concatenate([h[:, 1:], out[:, None].astype(jnp.int64)], axis=1)
+        return (h, t + 1), out
+
+    (hist, processed), out_t = jax.lax.scan(
+        step, (hist.astype(jnp.int64), processed), jnp.swapaxes(residual, 0, 1)
+    )
+    return jnp.swapaxes(out_t, 0, 1), (hist.astype(jnp.int32), processed)
+
+
+def longterm_init_state(batch: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    return (
+        jnp.zeros((batch, _MAX_DELAY), dtype=jnp.int32),
+        jnp.zeros((batch,), dtype=jnp.int32),
+    )

@@ -1,0 +1,90 @@
+"""Jitted device pipelines: batched filter stages over a (blocks*channels, L)
+grid.
+
+The reference runs its per-sample filters serially per channel per block
+(SLAEncoder.c:531-672, SLADecoder.c:494-537). Here every block and channel is
+one row of a batch; the three sample-sequential filters (lattice, LMS,
+de-emphasis) run as batched scans, and the non-recursive stages (pre-emphasis,
+long-term prediction) are fully vectorized.
+
+Stage split on the encode side exists because the long-term (pitch) analysis
+is a host-side float64 FFT step that needs the PARCOR residual as input
+(SLAEncoder.c:620):
+
+    stage1: pre-emphasis -> lattice predict              (device)
+    pitch analysis                                        (host, analysis/)
+    stage2: long-term predict -> LMS predict              (device)
+
+Decode is one fused device stage: LMS synth -> long-term synth -> lattice
+synth -> de-emphasis.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .kernels.emphasis import de_emphasis, pre_emphasis
+from .kernels.lattice import lattice_init_state, lattice_predict, lattice_synthesize
+from .kernels.lms import lms_init_state, lms_predict, lms_synthesize
+from .kernels.longterm import longterm_init_state, longterm_predict, longterm_synthesize
+
+
+@functools.partial(jax.jit, static_argnames=("parcor_order",))
+def encode_stage1(data: jnp.ndarray, parcor_coef: jnp.ndarray, parcor_order: int):
+    """data: (B, L) int32, parcor_coef: (B, p) int32 (orders 1..p).
+
+    Returns the PARCOR residual (B, L)."""
+    B = data.shape[0]
+    emphasized, _ = pre_emphasis(data, jnp.zeros((B,), jnp.int32))
+    residual, _ = lattice_predict(emphasized, parcor_coef, lattice_init_state(B, parcor_order))
+    return residual
+
+
+@functools.partial(jax.jit, static_argnames=("num_taps", "lms_order"))
+def encode_stage2(
+    residual: jnp.ndarray,
+    pitch: jnp.ndarray,
+    ltm_coef: jnp.ndarray,
+    num_taps: int,
+    lms_order: int,
+):
+    """residual: (B, L) PARCOR residual; pitch: (B,) int32 (0 disables the
+    long-term stage for that row); ltm_coef: (B, T) int32 Q31.
+
+    Returns the final residual (B, L) handed to the entropy coder."""
+    B = residual.shape[0]
+    if num_taps > 0:
+        lt_res, _ = longterm_predict(
+            residual, pitch, ltm_coef, num_taps, jnp.zeros((B,), jnp.int32)
+        )
+        # rows with pitch < minimum threshold skip the long-term stage
+        residual = jnp.where((pitch > 0)[:, None], lt_res, residual)
+    out, _ = lms_predict(residual, lms_init_state(B, lms_order), lms_order)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("parcor_order", "num_taps", "lms_order"))
+def decode_stage(
+    residual: jnp.ndarray,
+    parcor_coef: jnp.ndarray,
+    pitch: jnp.ndarray,
+    ltm_coef: jnp.ndarray,
+    parcor_order: int,
+    num_taps: int,
+    lms_order: int,
+):
+    """Full synthesis chain for a batch of compressed blocks.
+
+    residual: (B, L) int32 entropy-decoded residual. Returns PCM rows prior
+    to the MS inverse / final left shift."""
+    B = residual.shape[0]
+    out, _ = lms_synthesize(residual, lms_init_state(B, lms_order), lms_order)
+    if num_taps > 0:
+        lt_out, _ = longterm_synthesize(out, pitch, ltm_coef, num_taps, longterm_init_state(B))
+        out = jnp.where((pitch > 0)[:, None], lt_out, out)
+    out, _ = lattice_synthesize(out, parcor_coef, lattice_init_state(B, parcor_order))
+    out, _ = de_emphasis(out, jnp.zeros((B,), jnp.int32))
+    return out
