@@ -217,8 +217,9 @@ class Decoder:
         comp_idx = [i for i, b in enumerate(blocks) if b.block_type == BlockDataType.COMPRESSDATA]
         outputs: dict[int, np.ndarray] = {}
         if comp_idx:
-            L = max(blocks[i].num_samples for i in comp_idx)
-            B = len(comp_idx) * C
+            # stable device shapes (see encoder._run_filters)
+            L = ep.max_num_block_samples
+            B = 1 << (len(comp_idx) * C - 1).bit_length() if len(comp_idx) * C > 1 else 1
             residual = np.zeros((B, L), dtype=np.int32)
             coef = np.zeros((B, p), dtype=np.int32)
             pitch = np.zeros((B,), dtype=np.int32)

@@ -266,8 +266,10 @@ class Encoder:
         comp = [pl for pl in plans if pl.block_type == BlockDataType.COMPRESSDATA]
         if not comp:
             return
-        L = max(pl.num_samples for pl in comp)
-        B = len(comp) * C
+        # stable device shapes across files -> bounded jit specializations:
+        # pad L to the stream's max block size, B to the next power of two
+        L = ep.max_num_block_samples
+        B = 1 << (len(comp) * C - 1).bit_length() if len(comp) * C > 1 else 1
         batch = np.zeros((B, L), dtype=np.int32)
         coefs = np.zeros((B, p), dtype=np.int32)
         for bi, pl in enumerate(comp):
@@ -332,7 +334,7 @@ class Encoder:
                         w.put(rice.sint32_to_uint32(q15), 16)
                 else:
                     w.put(0, 1)
-                w.put(plan.init_rice[ch], wf.bit_per_sample)
+                w.put(rice.effective_init_param(plan.init_rice[ch]), wf.bit_per_sample)
         w.flush()
         if plan.block_type == BlockDataType.RAWDATA:
             bits = [wf.bit_per_sample - wf.offset_lshift] * C

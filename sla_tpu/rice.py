@@ -33,14 +33,26 @@ from .constants import (
 
 _FRAC = 8
 _HALF = 1 << (_FRAC - 1)
+_M32 = 0xFFFFFFFF
+_M64 = 0xFFFFFFFFFFFFFFFF
 
 
 def _roundup_pow2(x: int) -> int:
-    return 1 << (int(x) - 1).bit_length() if x > 1 else 1
+    """ROUNDUP2POWERED via 1U << LOG2CEIL(x). For x > 2^31 the C shift count
+    is 32, which on x86 executes as a shift by 0 — replicated here."""
+    bl = (int(x) - 1).bit_length()
+    return 1 << (bl & 31)
+
+
+def param_set_fixed(v: int) -> int:
+    """PARAMETER_SET: (u32)v << 8 computed in uint32 — wraps mod 2^32
+    (SLACoder.c:14,18-20)."""
+    return (int(v) << _FRAC) & _M32
 
 
 def fixed_to_uint(p: int) -> int:
-    return (p + _HALF) >> _FRAC
+    """FIXED_FLOAT_TO_UINT32: truncating uint32 cast (SLACoder.c:16)."""
+    return ((p + _HALF) >> _FRAC) & _M32
 
 
 def param_get(p: int) -> int:
@@ -49,13 +61,21 @@ def param_get(p: int) -> int:
 
 
 def param_update(p: int, code: int) -> int:
-    """Exponential-smoothing parameter update."""
-    return (119 * p + 9 * (code << _FRAC) + (1 << 6)) >> 7
+    """Exponential-smoothing update. The 9*(code<<8) term is computed in
+    uint32 and wraps (SLACoder.c:26-28) — load-bearing for large residuals."""
+    term = (9 * ((int(code) << _FRAC) & _M32)) & _M32
+    return ((119 * p + term + (1 << 6)) & _M64) >> 7
 
 
 def rice_param(p: int) -> int:
     """Power-of-two Rice parameter derived from the running mean."""
-    return _roundup_pow2(max(fixed_to_uint(p >> 1), 1))
+    return _roundup_pow2(max(((p >> 1) + _HALF >> _FRAC) & _M32, 1))
+
+
+def effective_init_param(init: int) -> int:
+    """The value actually transmitted for an initial parameter: GET(SET(v)),
+    i.e. after the uint32 wrap of the fixed-point store."""
+    return param_get(param_set_fixed(init))
 
 
 def calculate_initial_params(data_per_channel: list[np.ndarray]) -> list[int]:
@@ -65,7 +85,7 @@ def calculate_initial_params(data_per_channel: list[np.ndarray]) -> list[int]:
     for ch_data in data_per_channel:
         zz = zigzag_encode_array(np.asarray(ch_data, dtype=np.int32))
         s = int(zz.astype(np.uint64).sum())
-        out.append(max(s // max(len(ch_data), 1), 1))
+        out.append(max(s // max(len(ch_data), 1), 1) & _M32)  # uint32 cast as in C
     return out
 
 
@@ -75,7 +95,7 @@ class RiceState:
     __slots__ = ("params",)
 
     def __init__(self, init_param: int, num_params: int = CODER_NUM_RECURSIVE_RICE_PARAMETER):
-        self.params = [int(init_param) << _FRAC for _ in range(num_params)]
+        self.params = [param_set_fixed(init_param) for _ in range(num_params)]
 
 
 def put_gamma(w: BitWriter, val: int) -> None:
@@ -189,7 +209,8 @@ def put_data_array(
     `init_params` are the per-channel integer initial parameters (already
     transmitted in the block header)."""
     num_channels = len(data)
-    param_ch_avg = sum(init_params) // num_channels
+    eff = [effective_init_param(p) for p in init_params]
+    param_ch_avg = sum(eff) // num_channels
     if param_ch_avg > CODER_LOW_THRESHOLD_PARAMETER:
         states = [RiceState(p) for p in init_params]
         for s in range(num_samples):
@@ -198,7 +219,7 @@ def put_data_array(
     else:
         for s in range(num_samples):
             for ch in range(num_channels):
-                put_golomb(w, init_params[ch], sint32_to_uint32(int(data[ch][s])))
+                put_golomb(w, eff[ch], sint32_to_uint32(int(data[ch][s])))
 
 
 def get_data_array(
@@ -208,7 +229,8 @@ def get_data_array(
     num_samples: int,
 ) -> list[np.ndarray]:
     """Channel-interleaved payload decode (SLACoder.c:470-506)."""
-    param_ch_avg = sum(init_params) // num_channels
+    eff = [effective_init_param(p) for p in init_params]
+    param_ch_avg = sum(eff) // num_channels
     out = [np.empty(num_samples, dtype=np.int32) for _ in range(num_channels)]
     if param_ch_avg > CODER_LOW_THRESHOLD_PARAMETER:
         states = [RiceState(p) for p in init_params]
@@ -218,5 +240,5 @@ def get_data_array(
     else:
         for s in range(num_samples):
             for ch in range(num_channels):
-                out[ch][s] = uint32_to_sint32(get_golomb(r, init_params[ch]))
+                out[ch][s] = uint32_to_sint32(get_golomb(r, eff[ch]))
     return out

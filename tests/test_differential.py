@@ -1,0 +1,101 @@
+"""Differential tests against the reference C binary: streams must
+interoperate bit-exactly in both directions (the project's correctness
+north star)."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+import sla_tpu as sla
+from sla_tpu import wavio
+
+from .test_encode_decode import gen_wave
+
+I32 = np.int32
+
+
+def ref_decode(ref_binary, sla_path, wav_path):
+    r = subprocess.run(
+        [str(ref_binary), "-d", "-q", str(sla_path), str(wav_path)],
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    return wavio.read_wav(str(wav_path))
+
+
+def ref_encode(ref_binary, wav_path, sla_path, mode=0):
+    r = subprocess.run(
+        [str(ref_binary), "-e", "-q", "-m", str(mode), str(wav_path), str(sla_path)],
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    return open(sla_path, "rb").read()
+
+
+CASES = [
+    ("sine", 1, 16, 0),
+    ("noise", 1, 16, 0),
+    ("sine", 2, 16, 1),  # stereo MS (preset mode 1)
+    ("chirp", 2, 24, 1),
+    ("silence", 1, 8, 0),
+    ("gauss", 2, 16, 1),
+]
+
+
+@pytest.mark.parametrize("kind,ch,width,mode", CASES)
+def test_ours_to_reference(kind, ch, width, mode, ref_binary, tmp_path):
+    pcm = gen_wave(kind, 9000, ch, width, 0, seed=42)
+    ep = sla.PRESETS[mode]
+    if ch != 2:
+        ep = sla.EncodeParameter(
+            ep.parcor_order,
+            ep.longterm_order,
+            ep.lms_order_per_filter,
+            sla.ChannelProcessMethod.NONE,
+            ep.window_function_type,
+            ep.max_num_block_samples,
+        )
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(ch, width, 44100))
+    enc.set_encode_parameter(ep)
+    blob = enc.encode_whole(pcm)
+    p = tmp_path / "ours.sla"
+    p.write_bytes(blob)
+    out = ref_decode(ref_binary, p, tmp_path / "ref_dec.wav")
+    assert np.array_equal(out.data, pcm)
+
+
+@pytest.mark.parametrize("kind,ch,width,mode", CASES)
+def test_reference_to_ours(kind, ch, width, mode, ref_binary, tmp_path):
+    pcm = gen_wave(kind, 9000, ch, width, 0, seed=43)
+    wav = wavio.WavFile(ch, 44100, width, pcm)
+    wav_path = tmp_path / "in.wav"
+    wavio.write_wav(str(wav_path), wav)
+    blob = ref_encode(ref_binary, wav_path, tmp_path / "ref.sla", mode)
+    dec = sla.Decoder()
+    hdr, out = dec.decode_whole(blob)
+    assert np.array_equal(out, pcm)
+
+
+def test_a_wav_both_directions(ref_binary, a_wav, tmp_path):
+    wav = wavio.read_wav(str(a_wav))
+    # reference encode -> our decode
+    blob = ref_encode(ref_binary, a_wav, tmp_path / "a_ref.sla", mode=2)
+    dec = sla.Decoder()
+    _, out = dec.decode_whole(blob)
+    assert np.array_equal(out, wav.data)
+    # our encode -> reference decode
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(1, wav.bits_per_sample, wav.sampling_rate))
+    enc.set_encode_parameter(
+        sla.EncodeParameter(16, 1, 8, sla.ChannelProcessMethod.NONE,
+                            sla.WindowFunctionType.SIN, 12288)
+    )
+    ours = enc.encode_whole(wav.data)
+    p = tmp_path / "a_ours.sla"
+    p.write_bytes(ours)
+    out2 = ref_decode(ref_binary, p, tmp_path / "a_dec.wav")
+    assert np.array_equal(out2.data, wav.data)

@@ -1,0 +1,139 @@
+"""Whole-pipeline round-trip matrix: synthetic waveforms x formats must
+reconstruct sample-exactly (mirrors test_SLAEncodeDecode.c:558-1173)."""
+
+import numpy as np
+import pytest
+
+import sla_tpu as sla
+
+I32 = np.int32
+
+
+def gen_wave(kind: str, n: int, ch: int, width: int, lshift: int, seed: int = 0) -> np.ndarray:
+    """Canonical left-justified int32 test signal (C, n)."""
+    rng = np.random.default_rng(seed)
+    amp = (1 << (width - 1 - lshift)) - 1
+    t = np.arange(n)
+    out = np.zeros((ch, n), dtype=np.int64)
+    for c in range(ch):
+        if kind == "silence":
+            w = np.zeros(n)
+        elif kind == "constant":
+            w = np.full(n, amp // 2)
+        elif kind == "sine":
+            w = amp * 0.6 * np.sin(2 * np.pi * t / (80 + 13 * c))
+        elif kind == "noise":
+            w = rng.integers(-amp // 2, amp // 2 + 1, n)
+        elif kind == "chirp":
+            w = amp * 0.5 * np.sin(2 * np.pi * t * t / (6 * n))
+        elif kind == "nyquist":
+            w = (amp // 3) * ((-1.0) ** t)
+        elif kind == "gauss":
+            w = np.clip(amp * 0.25 * rng.standard_normal(n), -amp, amp)
+        else:
+            raise ValueError(kind)
+        out[c] = w.astype(np.int64)
+    return ((out << (32 - width + lshift))).astype(I32)
+
+
+SMALL_PARAM = sla.EncodeParameter(
+    8, 1, 4, sla.ChannelProcessMethod.NONE, sla.WindowFunctionType.SIN, 4096
+)
+SMALL_MS = sla.EncodeParameter(
+    8, 1, 4, sla.ChannelProcessMethod.STEREO_MS, sla.WindowFunctionType.SIN, 4096
+)
+
+
+def roundtrip(pcm: np.ndarray, width: int, ep: sla.EncodeParameter, rate: int = 44100) -> bytes:
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(pcm.shape[0], width, rate))
+    enc.set_encode_parameter(ep)
+    blob = enc.encode_whole(pcm)
+    dec = sla.Decoder()
+    hdr, out = dec.decode_whole(blob)
+    assert hdr.num_samples == pcm.shape[1]
+    assert np.array_equal(out, pcm), f"mismatch {np.sum(out != pcm)} samples"
+    return blob
+
+
+WAVES = ["silence", "constant", "sine", "noise", "chirp", "nyquist", "gauss"]
+
+
+@pytest.mark.parametrize("kind", WAVES)
+def test_mono_16bit(kind):
+    pcm = gen_wave(kind, 5000, 1, 16, 0, seed=1)
+    roundtrip(pcm, 16, SMALL_PARAM)
+
+
+@pytest.mark.parametrize("kind", ["sine", "noise", "silence"])
+def test_stereo_ms_16bit(kind):
+    pcm = gen_wave(kind, 5000, 2, 16, 0, seed=2)
+    roundtrip(pcm, 16, SMALL_MS)
+
+
+@pytest.mark.parametrize("kind", ["sine", "noise"])
+def test_stereo_no_ms(kind):
+    pcm = gen_wave(kind, 5000, 2, 16, 0, seed=3)
+    roundtrip(pcm, 16, SMALL_PARAM)
+
+
+@pytest.mark.parametrize("width", [8, 24])
+def test_bit_depths(width):
+    pcm = gen_wave("sine", 5000, 1, width, 0, seed=4)
+    roundtrip(pcm, width, SMALL_PARAM)
+
+
+@pytest.mark.parametrize("lshift", [2, 8])
+def test_offset_lshift(lshift):
+    pcm = gen_wave("sine", 5000, 1, 16, lshift, seed=5)
+    blob = roundtrip(pcm, 16, SMALL_PARAM)
+    hdr, _ = sla.decode_header(blob)
+    assert hdr.wave_format.offset_lshift == lshift
+
+
+def test_multichannel_8ch():
+    pcm = gen_wave("sine", 4200, 8, 16, 0, seed=6)
+    roundtrip(pcm, 16, SMALL_PARAM)
+
+
+def test_default_preset_stereo():
+    pcm = gen_wave("chirp", 30000, 2, 16, 0, seed=7)
+    roundtrip(pcm, 16, sla.PRESETS[2])
+
+
+def test_high_order_preset():
+    pcm = gen_wave("sine", 20000, 2, 24, 0, seed=8)
+    roundtrip(pcm, 24, sla.PRESETS[4])
+
+
+def test_mixed_silence_and_signal():
+    pcm = gen_wave("sine", 9000, 1, 16, 0, seed=9)
+    pcm[:, :3000] = 0  # leading silence triggers the silent-block fast path
+    blob = roundtrip(pcm, 16, SMALL_PARAM)
+    hdr, _ = sla.decode_header(blob)
+    assert hdr.num_blocks >= 2
+
+
+def test_raw_fallback_on_incompressible_noise():
+    # full-range white noise at width 16: estimated ratio >= 0.95 -> RAWDATA
+    rng = np.random.default_rng(10)
+    pcm = (rng.integers(-(1 << 15), 1 << 15, (1, 5000)) << 16).astype(I32)
+    roundtrip(pcm, 16, SMALL_PARAM)
+
+
+def test_error_paths():
+    enc = sla.Encoder()
+    with pytest.raises(sla.SLAError):
+        enc.encode_whole(np.zeros((1, 100), I32))  # parameters not set
+    with pytest.raises(sla.SLAError):
+        enc.set_wave_format(sla.WaveFormat(99, 16, 44100))  # too many channels
+    enc.set_wave_format(sla.WaveFormat(1, 16, 44100))
+    with pytest.raises(sla.SLAError):
+        enc.set_encode_parameter(
+            sla.EncodeParameter(99, 1, 4, sla.ChannelProcessMethod.NONE)
+        )  # parcor order beyond capacity
+    with pytest.raises(sla.SLAError):
+        # MS with mono is contradictory
+        enc.set_encode_parameter(
+            sla.EncodeParameter(8, 1, 4, sla.ChannelProcessMethod.STEREO_MS)
+        )

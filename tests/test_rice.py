@@ -1,0 +1,82 @@
+import numpy as np
+import pytest
+
+from sla_tpu import rice
+from sla_tpu.bitio import BitReader, BitWriter
+
+
+@pytest.mark.parametrize("init_param", [1, 2, 4, 8, 16, 100, 1000])
+def test_recursive_rice_roundtrip(init_param):
+    rng = np.random.default_rng(init_param)
+    vals = rng.integers(0, max(4 * init_param, 8), 500).astype(np.uint32)
+    w = BitWriter()
+    st = rice.RiceState(init_param)
+    for v in vals:
+        rice.put_recursive_rice(w, st, int(v))
+    w.flush()
+    r = BitReader(w.getvalue())
+    st2 = rice.RiceState(init_param)
+    out = [rice.get_recursive_rice(r, st2) for _ in vals]
+    assert out == list(map(int, vals))
+    assert st.params == st2.params
+
+
+def test_recursive_rice_large_values_gamma_escape():
+    w = BitWriter()
+    st = rice.RiceState(1)
+    vals = [0, 100000, 0, 5, 1 << 20, 3]
+    for v in vals:
+        rice.put_recursive_rice(w, st, v)
+    w.flush()
+    r = BitReader(w.getvalue())
+    st2 = rice.RiceState(1)
+    assert [rice.get_recursive_rice(r, st2) for _ in vals] == vals
+
+
+@pytest.mark.parametrize("m", [1, 2, 3, 4, 5, 7, 8, 16, 21])
+def test_golomb_roundtrip(m):
+    vals = list(range(40)) + [100, 1000]
+    w = BitWriter()
+    for v in vals:
+        rice.put_golomb(w, m, v)
+    w.flush()
+    r = BitReader(w.getvalue())
+    assert [rice.get_golomb(r, m) for _ in vals] == vals
+
+
+def test_gamma_roundtrip():
+    vals = [0, 1, 2, 3, 4, 7, 8, 100, 2**16, 2**24]
+    w = BitWriter()
+    for v in vals:
+        rice.put_gamma(w, v)
+    w.flush()
+    r = BitReader(w.getvalue())
+    assert [rice.get_gamma(r) for _ in vals] == vals
+
+
+def test_data_array_interleave_roundtrip():
+    rng = np.random.default_rng(9)
+    data = [rng.integers(-500, 500, 300).astype(np.int32) for _ in range(3)]
+    init = rice.calculate_initial_params(data)
+    w = BitWriter()
+    rice.put_data_array(w, init, data, 300)
+    w.flush()
+    r = BitReader(w.getvalue())
+    out = rice.get_data_array(r, init, 3, 300)
+    for a, b in zip(data, out):
+        assert np.array_equal(a, b)
+
+
+def test_data_array_low_param_golomb_path():
+    # tiny values force the static Golomb branch (mean param <= 8)
+    rng = np.random.default_rng(11)
+    data = [rng.integers(-2, 3, 200).astype(np.int32) for _ in range(2)]
+    init = rice.calculate_initial_params(data)
+    assert sum(init) // 2 <= 8
+    w = BitWriter()
+    rice.put_data_array(w, init, data, 200)
+    w.flush()
+    r = BitReader(w.getvalue())
+    out = rice.get_data_array(r, init, 2, 200)
+    for a, b in zip(data, out):
+        assert np.array_equal(a, b)
