@@ -1,0 +1,8 @@
+from .sharding import (  # noqa: F401
+    BLOCK_AXIS,
+    CHANNEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    shard_batch,
+    sharded_encode_step,
+)

@@ -1,0 +1,154 @@
+"""Multi-chip sharding of the codec over a `jax.sharding.Mesh`.
+
+The reference encoder iterates two serial axes in one thread: blocks
+(SLAEncoder.c:846 `while (encode_offset_sample < num_samples)`) and channels
+(SLAEncoder.c:531 `for (ch = 0; ...)`). Here those axes become mesh axes:
+
+    mesh ('blocks', 'channels')   batch rows = blocks x channels
+
+* **blocks** is the sequence-parallel axis: the format resets every filter at
+  block start (SLADecoder.c:637-639), so blocks are fully independent — this
+  is data parallelism over the sample dimension with zero halo exchange.
+* **channels** shards the per-block channel grid (and, at corpus scale, whole
+  files round-robin).
+
+The only cross-shard coordination the format requires is the header
+statistics — `max_block_size` / `max_bit_per_second` are maxima over all
+blocks (SLAEncoder.c:890-898) — and the stream-offset prefix sum over encoded
+block byte lengths (SLAEncoder.c:887). Both ride ICI as one collective here
+(`jax.lax.pmax` / cumulative sum), instead of being serial loop state.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..kernels.emphasis import pre_emphasis
+from ..kernels.lattice import lattice_init_state, lattice_predict
+from ..kernels.lms import lms_init_state, lms_predict
+from ..kernels.longterm import longterm_predict
+
+BLOCK_AXIS = "blocks"
+CHANNEL_AXIS = "channels"
+
+
+def make_mesh(devices=None, channel_parallel: int = 1) -> Mesh:
+    """Build a ('blocks', 'channels') mesh over the given devices.
+
+    `channel_parallel` devices are assigned to the channel axis; the rest go
+    to the (always larger) block axis. Defaults to pure block parallelism.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % channel_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by channel_parallel={channel_parallel}")
+    grid = np.asarray(devices).reshape(n // channel_parallel, channel_parallel)
+    return Mesh(grid, (BLOCK_AXIS, CHANNEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for (num_blocks, num_channels, L) batches: blocks and
+    channels across the mesh, samples replicated within a row (the sample
+    scan is sequential inside each block — SURVEY §7)."""
+    return NamedSharding(mesh, P(BLOCK_AXIS, CHANNEL_AXIS, None))
+
+
+def coef_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(BLOCK_AXIS, CHANNEL_AXIS, None))
+
+
+def row_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(BLOCK_AXIS, CHANNEL_AXIS))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("parcor_order", "num_taps", "lms_order", "mesh")
+)
+def sharded_encode_step(
+    data: jnp.ndarray,
+    parcor_coef: jnp.ndarray,
+    pitch: jnp.ndarray,
+    ltm_coef: jnp.ndarray,
+    parcor_order: int,
+    num_taps: int,
+    lms_order: int,
+    mesh: Mesh,
+):
+    """One sharded encode filter step over the whole mesh.
+
+    data: (NB, NC, L) int32 sharded (blocks, channels); parcor_coef:
+    (NB, NC, p); pitch: (NB, NC); ltm_coef: (NB, NC, T).
+
+    Returns (residual (NB, NC, L), abs_sum (NB, NC), global_max_bitlen ()):
+    the final residual, the per-row zigzag magnitude sum (the initial Rice
+    parameter numerator, SLACoder.c:361-385), and the globally reduced
+    maximum estimated payload bit length — the `max_block_size` header
+    statistic (SLAEncoder.c:890-898) computed as a mesh collective rather
+    than serial loop state.
+    """
+
+    def local(data, parcor_coef, pitch, ltm_coef):
+        nb, nc, L = data.shape
+        B = nb * nc
+        rows = data.reshape(B, L)
+        coefs = parcor_coef.reshape(B, -1)
+        pit = pitch.reshape(B)
+        ltm = ltm_coef.reshape(B, -1)
+
+        # scan carries must be marked varying over the manual mesh axes
+        def vary(x):
+            return jax.lax.pcast(x, (BLOCK_AXIS, CHANNEL_AXIS), to="varying")
+
+        emphasized, _ = pre_emphasis(rows, vary(jnp.zeros((B,), jnp.int32)))
+        residual, _ = lattice_predict(
+            emphasized, coefs, vary(lattice_init_state(B, parcor_order))
+        )
+        if num_taps > 0:
+            lt_res, _ = longterm_predict(
+                residual, pit, ltm, num_taps, vary(jnp.zeros((B,), jnp.int32))
+            )
+            residual = jnp.where((pit > 0)[:, None], lt_res, residual)
+        out, _ = lms_predict(
+            residual, jax.tree.map(vary, lms_init_state(B, lms_order)), lms_order
+        )
+
+        # zigzag magnitude sum -> initial Rice parameter numerator
+        zz = jnp.where(out < 0, -2 * out.astype(jnp.int64) - 1, 2 * out.astype(jnp.int64))
+        abs_sum = zz.sum(axis=1)
+        # crude per-row bit-length estimate: 2 + log2(mean) bits/sample
+        mean = jnp.maximum(abs_sum // L, 1)
+        bits = (2 + jnp.log2(mean.astype(jnp.float32))) * L
+        local_max = jnp.max(bits)
+        # header statistic: global max over every shard (ICI collective)
+        gmax = jax.lax.pmax(jax.lax.pmax(local_max, BLOCK_AXIS), CHANNEL_AXIS)
+        return out.reshape(nb, nc, L), abs_sum.reshape(nb, nc), gmax
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(BLOCK_AXIS, CHANNEL_AXIS, None),
+            P(BLOCK_AXIS, CHANNEL_AXIS, None),
+            P(BLOCK_AXIS, CHANNEL_AXIS),
+            P(BLOCK_AXIS, CHANNEL_AXIS, None),
+        ),
+        out_specs=(
+            P(BLOCK_AXIS, CHANNEL_AXIS, None),
+            P(BLOCK_AXIS, CHANNEL_AXIS),
+            P(),
+        ),
+    )(data, parcor_coef, pitch, ltm_coef)
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Device-put each (NB, NC, ...) array with the mesh batch sharding."""
+    out = []
+    for a in arrays:
+        spec = P(BLOCK_AXIS, CHANNEL_AXIS, *([None] * (a.ndim - 2)))
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return tuple(out)

@@ -67,6 +67,40 @@ def encode_stage2(
 
 
 @functools.partial(jax.jit, static_argnames=("parcor_order", "num_taps", "lms_order"))
+def encode_filters(
+    data: jnp.ndarray,
+    parcor_coef: jnp.ndarray,
+    pitch: jnp.ndarray,
+    ltm_coef: jnp.ndarray,
+    parcor_order: int,
+    num_taps: int,
+    lms_order: int,
+):
+    """Full encode-side filter cascade in one compiled program: pre-emphasis
+    -> lattice predict -> long-term predict -> LMS predict. This is the
+    device hot path of `SLAEncoder_EncodeBlock` (SLAEncoder.c:598-672) for a
+    whole (blocks x channels, L) batch at once; used when pitch/long-term
+    coefficients are already known (decode-verify, benchmarking, and the
+    sharded corpus path).
+
+    data: (B, L) int32; parcor_coef: (B, p); pitch: (B,); ltm_coef: (B, T).
+    Returns the final residual handed to the entropy coder.
+    """
+    B = data.shape[0]
+    emphasized, _ = pre_emphasis(data, jnp.zeros((B,), jnp.int32))
+    residual, _ = lattice_predict(
+        emphasized, parcor_coef, lattice_init_state(B, parcor_order)
+    )
+    if num_taps > 0:
+        lt_res, _ = longterm_predict(
+            residual, pitch, ltm_coef, num_taps, jnp.zeros((B,), jnp.int32)
+        )
+        residual = jnp.where((pitch > 0)[:, None], lt_res, residual)
+    out, _ = lms_predict(residual, lms_init_state(B, lms_order), lms_order)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("parcor_order", "num_taps", "lms_order"))
 def decode_stage(
     residual: jnp.ndarray,
     parcor_coef: jnp.ndarray,

@@ -3,7 +3,10 @@ sharding tests exercise a multi-chip mesh without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of ambient platform config (the environment may pin
+# JAX_PLATFORMS to a TPU plugin and auto-register it via sitecustomize).
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # disable TPU plugin auto-registration
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
