@@ -84,10 +84,29 @@ def longterm_coef_rows(
     """Analyze each row of `data` (rows, num_samples) for long-term
     prediction. Returns one LongTermResult per row; pitch 0 marks rows where
     the predictor is disabled (silent / no peak / unstable / too short a
-    lag), matching the encoder's fallback (SLAEncoder.c:628-632)."""
+    lag), matching the encoder's fallback (SLAEncoder.c:628-632).
+
+    When the native module is present, the autocorrelation uses the
+    reference's exact FFT arithmetic and the normal equations its exact LU
+    solver, so every pitch decision and coefficient bit matches the C
+    encoder. The NumPy fallback is mathematically equivalent but may differ
+    in the last float64 ulp (streams remain valid and losslessly decodable,
+    just not guaranteed byte-identical)."""
     assert num_taps % 2 == 1, "tap count must be odd"
     assert 2 * num_samples <= fft_size
-    ac = _fft_autocorr_rows(data[:, :num_samples], fft_size)
+    from .. import native
+
+    use_native = native.available()
+    out_lags = LONGTERM_MAX_PERIOD + num_taps + 4
+    if use_native:
+        ac = np.stack(
+            [
+                native.longterm_autocorr(data[row, :num_samples], fft_size, out_lags)
+                for row in range(data.shape[0])
+            ]
+        )
+    else:
+        ac = _fft_autocorr_rows(data[:, :num_samples], fft_size)
     results: list[LongTermResult] = []
     zeros = np.zeros(num_taps, dtype=np.float64)
     for row in range(data.shape[0]):
@@ -103,11 +122,17 @@ def longterm_coef_rows(
         idx = np.abs(np.arange(num_taps)[:, None] - np.arange(num_taps)[None, :])
         R = acr[idx]
         rhs = acr[np.arange(num_taps) + pitch - num_taps // 2]
-        try:
-            coef = np.linalg.solve(R, rhs)
-        except np.linalg.LinAlgError:
-            results.append(LongTermResult(0, zeros.copy()))
-            continue
+        if use_native:
+            coef = rhs.copy()
+            if native.lesolve(R, coef, 2) != 0:
+                results.append(LongTermResult(0, zeros.copy()))
+                continue
+        else:
+            try:
+                coef = np.linalg.solve(R, rhs)
+            except np.linalg.LinAlgError:
+                results.append(LongTermResult(0, zeros.copy()))
+                continue
         if not np.all(np.isfinite(coef)):
             results.append(LongTermResult(0, zeros.copy()))
             continue

@@ -83,6 +83,11 @@ class BitWriter:
         """Back-patch already-emitted bytes (offset/CRC fields)."""
         self._buf[pos : pos + len(data)] = data
 
+    def put_bytes(self, data: bytes) -> None:
+        """Append whole bytes (writer must be byte-aligned)."""
+        assert self._nacc == 0, "flush before appending bytes"
+        self._buf.extend(data)
+
 
 class BitReader:
     """MSB-first bit reader over a bytes-like object."""

@@ -1,0 +1,239 @@
+"""CLI application: encode/decode/streaming-decode WAV <-> .sla.
+
+Same flags, presets, and exit behavior as the reference CLI
+(src/main.c:31-537): ``-e`` encode, ``-d`` decode, ``-d -s`` streaming
+decode (debug, 120 Hz ticks), ``-m 0..4`` preset, ``-c yes|no`` CRC check,
+``-p``/``-q`` verbosity, ``-h`` help, ``-v`` version.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+import numpy as np
+
+from . import PRESETS, wavio
+from .constants import SLA_VERSION_STRING, ChannelProcessMethod
+from .command_line import (
+    OptionSpec,
+    ParserResult,
+    get_argument_string,
+    get_option_acquired,
+    parse_arguments,
+    print_description,
+)
+from .decoder import Decoder, DecoderConfig
+from .encoder import Encoder, EncoderConfig
+from .errors import SLAError
+from .format import EncodeParameter, WaveFormat, decode_header
+
+
+def _make_spec() -> list[OptionSpec]:
+    """Option table (reference src/main.c:31-60)."""
+    return [
+        OptionSpec("e", "encode", False, "Encode mode"),
+        OptionSpec("d", "decode", False, "Decode mode"),
+        OptionSpec("m", "mode", True,
+                   "Specify compress mode: 0(fast decode), ..., 4(high compression) default:2"),
+        OptionSpec("p", "verpose", False, "Verpose mode(try to display all information)"),
+        OptionSpec("q", "quiet", False, "Quiet mode(suppress outputs)"),
+        OptionSpec("c", "crc-check", True,
+                   "Whether to check CRC16 at decoding(yes or no) default:yes"),
+        OptionSpec("h", "help", False, "Show command help message"),
+        OptionSpec("v", "version", False, "Show version information"),
+        OptionSpec("s", "streaming", False, "Use streaming decode(for debug; 120fps)"),
+        OptionSpec("t", "trace", True,
+                   "Write a TPU profiler trace to the given directory"),
+    ]
+
+
+DEFAULT_PRESET = 2
+
+
+def do_encode(in_file: str, out_file: str, preset_no: int, verbose: bool,
+              trace_dir: str | None = None) -> int:
+    try:
+        wav = wavio.read_wav(in_file)
+    except Exception as e:
+        print(f"Failed to open {in_file} ({e})", file=sys.stderr)
+        return 1
+    enc = Encoder(EncoderConfig(verbose=verbose))
+    enc.set_wave_format(WaveFormat(wav.num_channels, wav.bits_per_sample, wav.sampling_rate))
+    preset = PRESETS[preset_no]
+    ch_method = preset.ch_process_method
+    # MS only applies to actual stereo sources (main.c:124-130)
+    if wav.num_channels != 2:
+        ch_method = ChannelProcessMethod.NONE
+    enc.set_encode_parameter(
+        EncodeParameter(
+            preset.parcor_order,
+            preset.longterm_order,
+            preset.lms_order_per_filter,
+            ch_method,
+            preset.window_function_type,
+            preset.max_num_block_samples,
+        )
+    )
+    try:
+        if trace_dir:
+            import jax
+
+            with jax.profiler.trace(trace_dir):
+                blob = enc.encode_whole(wav.data)
+        else:
+            blob = enc.encode_whole(wav.data)
+    except SLAError as e:
+        print(f"Encoding error! {e}", file=sys.stderr)
+        return 1
+    pathlib.Path(out_file).write_bytes(blob)
+    if verbose:
+        in_size = pathlib.Path(in_file).stat().st_size
+        print(f"Encode succuess! size:{in_size} -> {len(blob)}")
+    return 0
+
+
+def do_decode(in_file: str, out_file: str, enable_crc_check: bool, verbose: bool) -> int:
+    try:
+        blob = pathlib.Path(in_file).read_bytes()
+    except Exception as e:
+        print(f"Failed to open {in_file} ({e})", file=sys.stderr)
+        return 1
+    dec = Decoder(DecoderConfig(enable_crc_check=enable_crc_check, verbose=verbose))
+    try:
+        header, pcm = dec.decode_whole(blob)
+    except SLAError as e:
+        print(f"Decoding error! {e}", file=sys.stderr)
+        return 1
+    wf = header.wave_format
+    if verbose:
+        print(f"num_channels:{wf.num_channels} sampling_rate:{wf.sampling_rate} "
+              f"bit_per_sample:{wf.bit_per_sample} num_samples:{header.num_samples} "
+              f"num_blocks:{header.num_blocks} max_block_size:{header.max_block_size}")
+    wavio.write_wav(
+        out_file, wavio.WavFile(wf.num_channels, wf.sampling_rate, wf.bit_per_sample, pcm)
+    )
+    return 0
+
+
+def do_streaming_decode(in_file: str, out_file: str, enable_crc_check: bool,
+                        verbose: bool) -> int:
+    """Streaming decode at simulated 120 Hz ticks (main.c:278-423): data is
+    fed in minimal fragments and pulled in 1/120 s sample batches."""
+    from .streaming import StreamingDecoder, StreamingDecoderConfig
+
+    try:
+        blob = pathlib.Path(in_file).read_bytes()
+    except Exception as e:
+        print(f"Failed to open {in_file} ({e})", file=sys.stderr)
+        return 1
+    header, status = decode_header(blob)
+    wf = header.wave_format
+    sd = StreamingDecoder(
+        StreamingDecoderConfig(
+            core=DecoderConfig(enable_crc_check=enable_crc_check, verbose=verbose),
+            decode_interval_hz=120.0,
+            max_bit_per_sample=wf.bit_per_sample,
+        )
+    )
+    sd.set_wave_format(wf)
+    sd.set_encode_parameter(header.encode_param)
+    pos = header.header_size if hasattr(header, "header_size") else 43
+    out = np.zeros((wf.num_channels, header.num_samples), dtype=np.int32)
+    done = 0
+    while done < header.num_samples:
+        need = sd.estimate_minimum_necessary_data_size()
+        if pos < len(blob) and sd.remaining_data_size() < need:
+            take = min(need, len(blob) - pos)
+            sd.append_data_fragment(blob[pos : pos + take])
+            pos += take
+        chunk = sd.decode()
+        n = chunk.shape[1]
+        if n == 0:
+            if pos >= len(blob):
+                break
+            # entropy payload locally denser than the average-rate estimate:
+            # feed another fragment to guarantee progress
+            take = min(need, len(blob) - pos)
+            sd.append_data_fragment(blob[pos : pos + take])
+            pos += take
+        out[:, done : done + n] = chunk
+        done += n
+        sd.collect_data_fragments()
+    if done != header.num_samples:
+        print("Streaming decode ended early", file=sys.stderr)
+        return 1
+    wavio.write_wav(
+        out_file, wavio.WavFile(wf.num_channels, wf.sampling_rate, wf.bit_per_sample, out)
+    )
+    if verbose:
+        print(f"Streaming decode success! {done} samples")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv if argv is None else argv)
+    prog = argv[0] if argv else "sla_tpu"
+    spec = _make_spec()
+    if len(argv) == 1:
+        print(f"Usage: {prog} [options] INPUT_FILE_NAME OUTPUT_FILE_NAME")
+        return 1
+    positional: list[str | None] = [None, None]
+    if parse_arguments(spec, argv, positional) != ParserResult.OK:
+        return 1
+    if get_option_acquired(spec, "help"):
+        print(f"Usage: {prog} [options] INPUT_FILE_NAME OUTPUT_FILE_NAME")
+        print("options:")
+        print_description(spec)
+        return 0
+    if get_option_acquired(spec, "version"):
+        print(f"SLA - Solitary Lossless Audio Compressor Version {SLA_VERSION_STRING}")
+        return 0
+    if positional[0] is None:
+        print(f"{prog}: input file must be specified.", file=sys.stderr)
+        return 1
+    if positional[1] is None:
+        print(f"{prog}: output file must be specified.", file=sys.stderr)
+        return 1
+    if get_option_acquired(spec, "decode") and get_option_acquired(spec, "encode"):
+        print(f"{prog}: encode and decode mode cannot specify simultaneously.", file=sys.stderr)
+        return 1
+    verbose = True
+    if get_option_acquired(spec, "verpose"):
+        verbose = True
+    elif get_option_acquired(spec, "quiet"):
+        verbose = False
+
+    if get_option_acquired(spec, "decode"):
+        enable_crc = True
+        if get_option_acquired(spec, "crc-check"):
+            enable_crc = get_argument_string(spec, "crc-check") == "yes"
+        if get_option_acquired(spec, "streaming"):
+            if do_streaming_decode(positional[0], positional[1], enable_crc, verbose) != 0:
+                print(f"{prog}: failed to streaming decode {positional[0]}.", file=sys.stderr)
+                return 1
+        else:
+            if do_decode(positional[0], positional[1], enable_crc, verbose) != 0:
+                print(f"{prog}: failed to decode {positional[0]}.", file=sys.stderr)
+                return 1
+    elif get_option_acquired(spec, "encode"):
+        preset_no = DEFAULT_PRESET
+        if get_option_acquired(spec, "mode"):
+            try:
+                preset_no = int(get_argument_string(spec, "mode"))
+            except ValueError:
+                preset_no = -1
+            if not 0 <= preset_no < len(PRESETS):
+                print(f"{prog}: encode preset number is out of range.", file=sys.stderr)
+                return 1
+        trace_dir = get_argument_string(spec, "trace") if get_option_acquired(spec, "trace") else None
+        if do_encode(positional[0], positional[1], preset_no, verbose, trace_dir) != 0:
+            return 1
+    else:
+        print(f"{prog}: decode(-d) or encode(-e) option must be specified.", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,6 +34,11 @@ for _k in range(1, 8):
 
 def crc16(data: bytes | bytearray | memoryview | np.ndarray, init: int = 0x0000) -> int:
     """Compute CRC16-IBM over `data` with initial value `init`."""
+    if init == 0:
+        from . import native
+
+        if native.available():
+            return native.crc16(bytes(data) if isinstance(data, memoryview) else data)
     buf = np.frombuffer(bytes(data), dtype=np.uint8) if not isinstance(data, np.ndarray) else data.astype(np.uint8, copy=False)
     crc = init
     n = buf.size

@@ -19,7 +19,7 @@ import dataclasses
 
 import numpy as np
 
-from . import rice
+from . import native, rice
 from .bitio import BitReader, uint32_to_sint32, zigzag_decode_array
 from .constants import (
     LONGTERM_PERIOD_NUM_BITS,
@@ -170,16 +170,22 @@ class Decoder:
         n = blk.num_samples
         if blk.block_type == BlockDataType.SILENT:
             return np.zeros((C, n), dtype=np.int32)
-        r = BitReader(data, bit_offset=blk.payload_bit_offset)
+        use_native = native.available()
         if blk.block_type == BlockDataType.RAWDATA:
             bits = [wf.bit_per_sample - wf.offset_lshift] * C
             if ep.ch_process_method == ChannelProcessMethod.STEREO_MS:
                 bits[1] += 1
+            if use_native:
+                return native.get_raw(data, blk.payload_bit_offset, C, n, bits)
+            r = BitReader(data, bit_offset=blk.payload_bit_offset)
             out = np.empty((C, n), dtype=np.int32)
             for s in range(n):
                 for ch in range(C):
                     out[ch, s] = uint32_to_sint32(r.get(bits[ch]))
             return out
+        if use_native:
+            return native.get_data_array(data, blk.payload_bit_offset, C, n, blk.init_rice)
+        r = BitReader(data, bit_offset=blk.payload_bit_offset)
         res = rice.get_data_array(r, blk.init_rice, C, n)
         return np.stack(res)
 

@@ -24,7 +24,7 @@ import dataclasses
 
 import numpy as np
 
-from . import rice
+from . import native, rice
 from .analysis.partition import search_optimal_partitions
 from .analysis.pitch import longterm_coef_rows
 from .bitio import BitWriter, zigzag_encode_array
@@ -149,7 +149,10 @@ class Encoder:
             blob = self._encode_block_payload(plan)
             blobs.append(blob)
             max_block_size = max(max_block_size, len(blob))
-            max_bps = max(max_bps, (8 * len(blob) * wf.sampling_rate) // plan.num_samples)
+            # uint32 arithmetic as in the reference (SLAEncoder.c:895):
+            # 8 * block_size * rate wraps mod 2^32 before the division
+            bps = ((8 * len(blob) * wf.sampling_rate) & 0xFFFFFFFF) // plan.num_samples
+            max_bps = max(max_bps, bps)
 
         header = HeaderInfo(
             wave_format=wf,
@@ -306,7 +309,11 @@ class Encoder:
             pl.pitch = pitches[bi * C : (bi + 1) * C]
             pl.ltm_coef = ltm[bi * C : (bi + 1) * C]
             pl.residual = residual2[bi * C : (bi + 1) * C, : pl.num_samples]
-            pl.init_rice = rice.calculate_initial_params(list(pl.residual))
+            pl.init_rice = (
+                native.initial_params(pl.residual)
+                if native.available()
+                else rice.calculate_initial_params(list(pl.residual))
+            )
 
     # -- step 5: block serialization (SLAEncoder.c:458-801) -------------------
     def _encode_block_payload(self, plan: _BlockPlan) -> bytes:
@@ -336,16 +343,25 @@ class Encoder:
                     w.put(0, 1)
                 w.put(rice.effective_init_param(plan.init_rice[ch]), wf.bit_per_sample)
         w.flush()
+        from . import native
+
+        use_native = native.available()
         if plan.block_type == BlockDataType.RAWDATA:
             bits = [wf.bit_per_sample - wf.offset_lshift] * C
             if ep.ch_process_method == ChannelProcessMethod.STEREO_MS:
                 bits[1] += 1
-            zz = [zigzag_encode_array(plan.raw_int32[ch]) for ch in range(C)]
-            for s in range(plan.num_samples):
-                for ch in range(C):
-                    w.put(int(zz[ch][s]), bits[ch])
+            if use_native:
+                w.put_bytes(native.put_raw(plan.raw_int32, bits))
+            else:
+                zz = [zigzag_encode_array(plan.raw_int32[ch]) for ch in range(C)]
+                for s in range(plan.num_samples):
+                    for ch in range(C):
+                        w.put(int(zz[ch][s]), bits[ch])
         elif plan.block_type == BlockDataType.COMPRESSDATA:
-            rice.put_data_array(w, plan.init_rice, list(plan.residual), plan.num_samples)
+            if use_native:
+                w.put_bytes(native.put_data_array(plan.residual, plan.init_rice))
+            else:
+                rice.put_data_array(w, plan.init_rice, list(plan.residual), plan.num_samples)
         w.flush()
         size = w.tell()
         crc_region = w.getvalue()[SLA_BLOCK_CRC16_CALC_START_OFFSET:]

@@ -1,0 +1,282 @@
+"""ctypes bindings for the native host entropy stage (sla_native.cpp).
+
+Builds the shared library on first import with g++ -O3 (cached next to the
+source, rebuilt when the source is newer). Falls back gracefully: callers
+check `available()` and use the pure-Python codecs in sla_tpu.rice otherwise.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+
+import numpy as np
+
+_DIR = pathlib.Path(__file__).resolve().parent
+_SRC = _DIR / "sla_native.cpp"
+_LIB = _DIR / "libsla_native.so"
+
+_lib: ctypes.CDLL | None = None
+_load_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-fwrapv",
+                "-o", str(_LIB), str(_SRC),
+            ],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _load_failed
+    if _lib is not None:
+        return _lib
+    if _load_failed or os.environ.get("SLA_TPU_NO_NATIVE"):
+        return None
+    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _build():
+            _load_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB))
+    except OSError:
+        _load_failed = True
+        return None
+
+    i64, i32, u16 = ctypes.c_int64, ctypes.c_int32, ctypes.c_uint16
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    p_u32 = ctypes.POINTER(ctypes.c_uint32)
+
+    lib.sla_crc16.restype = u16
+    lib.sla_crc16.argtypes = [p_u8, i64]
+    lib.sla_put_data_array.restype = i64
+    lib.sla_put_data_array.argtypes = [p_i32, i32, i32, p_u32, p_u8, i64]
+    lib.sla_get_data_array.restype = i64
+    lib.sla_get_data_array.argtypes = [p_u8, i64, i64, i32, i32, p_u32, p_i32]
+    lib.sla_put_raw.restype = i64
+    lib.sla_put_raw.argtypes = [p_i32, i32, i32, p_i32, p_u8, i64]
+    lib.sla_get_raw.restype = i64
+    lib.sla_get_raw.argtypes = [p_u8, i64, i64, i32, i32, p_i32, p_i32]
+    lib.sla_initial_params.restype = None
+    lib.sla_initial_params.argtypes = [p_i32, i32, i32, p_u32]
+    p_f64 = ctypes.POINTER(ctypes.c_double)
+    lib.sla_fft.restype = None
+    lib.sla_fft.argtypes = [p_f64, ctypes.c_uint32, i32]
+    lib.sla_lesolve.restype = i32
+    lib.sla_lesolve.argtypes = [p_f64, p_f64, i32, i32]
+    lib.sla_longterm_autocorr.restype = None
+    lib.sla_longterm_autocorr.argtypes = [p_i32, i32, p_f64, i32, p_f64, i32]
+    p_u64 = ctypes.POINTER(ctypes.c_uint64)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    lib.sla_get_data_array_partial.restype = i32
+    lib.sla_get_data_array_partial.argtypes = [
+        p_u8, i64, p_i64, i32, i32, p_u64, p_u32, i32, p_i32,
+    ]
+    lib.sla_init_param_state.restype = None
+    lib.sla_init_param_state.argtypes = [p_u32, i32, p_u64, p_u32, ctypes.POINTER(i32)]
+    lib.sla_synth_chunk.restype = i32
+    lib.sla_synth_chunk.argtypes = [
+        p_i32, p_i32, i32,  # residual, out, n
+        p_i32, i32, p_i32,  # parcor_coef, order, lattice_state
+        i32, p_i32, i32, p_i32, i32, p_i32,  # pitch, ltm_coef, taps, hist, hist_len, lt_processed
+        i32, p_i32, p_i32,  # lms_order, lms_state, lms_processed
+        p_i32,  # deemph_prev
+    ]
+
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _i32ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _u32ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def crc16(data: bytes | bytearray | memoryview | np.ndarray) -> int:
+    lib = _load()
+    buf = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
+    return int(lib.sla_crc16(_u8ptr(buf), buf.size))
+
+
+def put_data_array(data: np.ndarray, init_params: list[int]) -> bytes:
+    """data: (C, N) int32 C-contiguous. Returns the byte-aligned payload."""
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.int32)
+    C, N = data.shape
+    params = np.asarray(init_params, dtype=np.uint32)
+    # worst case: gamma-escaped 32-bit symbols, bounded ~3x raw; retry bigger on overflow
+    cap = 8 * data.nbytes + 1024
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        n = int(lib.sla_put_data_array(_i32ptr(data), C, N, _u32ptr(params), _u8ptr(out), cap))
+        if n >= 0:
+            return out[:n].tobytes()
+        cap *= 2
+
+
+def get_data_array(
+    stream: bytes | memoryview, bit_offset: int, C: int, N: int, init_params: list[int]
+) -> np.ndarray:
+    lib = _load()
+    buf = np.frombuffer(stream, dtype=np.uint8)
+    params = np.asarray(init_params, dtype=np.uint32)
+    out = np.empty((C, N), dtype=np.int32)
+    lib.sla_get_data_array(_u8ptr(buf), buf.size, bit_offset, C, N, _u32ptr(params), _i32ptr(out))
+    return out
+
+
+def put_raw(data: np.ndarray, bits_per_ch: list[int]) -> bytes:
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.int32)
+    C, N = data.shape
+    bits = np.asarray(bits_per_ch, dtype=np.int32)
+    cap = (sum(bits_per_ch) * N) // 8 + 64
+    out = np.empty(cap, dtype=np.uint8)
+    n = int(lib.sla_put_raw(_i32ptr(data), C, N, _i32ptr(bits), _u8ptr(out), cap))
+    assert n >= 0
+    return out[:n].tobytes()
+
+
+def get_raw(
+    stream: bytes | memoryview, bit_offset: int, C: int, N: int, bits_per_ch: list[int]
+) -> np.ndarray:
+    lib = _load()
+    buf = np.frombuffer(stream, dtype=np.uint8)
+    bits = np.asarray(bits_per_ch, dtype=np.int32)
+    out = np.empty((C, N), dtype=np.int32)
+    lib.sla_get_raw(_u8ptr(buf), buf.size, bit_offset, C, N, _i32ptr(bits), _i32ptr(out))
+    return out
+
+
+def _f64ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def fft(data: np.ndarray, sign: int) -> None:
+    """In-place real FFT with the reference's exact butterfly arithmetic
+    (SLAUtility_FFT). data: (n,) float64, n a power of two."""
+    lib = _load()
+    assert data.dtype == np.float64 and data.flags.c_contiguous
+    lib.sla_fft(_f64ptr(data), data.size, sign)
+
+
+def lesolve(A: np.ndarray, b: np.ndarray, iterations: int = 2) -> int:
+    """Solve A x = b in place (b becomes x) with the reference's Crout LU +
+    long-double iterative refinement. Returns 0 ok, -1 singular."""
+    lib = _load()
+    A = np.ascontiguousarray(A, dtype=np.float64)
+    assert b.dtype == np.float64 and b.flags.c_contiguous
+    return int(lib.sla_lesolve(_f64ptr(A), _f64ptr(b), A.shape[0], iterations))
+
+
+def longterm_autocorr(data: np.ndarray, fft_size: int, out_lags: int) -> np.ndarray:
+    """Wiener-Khinchin autocorrelation of one int32 row, bit-exact to the
+    reference analysis path. Returns (out_lags,) float64."""
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.int32)
+    work = np.empty(fft_size, dtype=np.float64)
+    out = np.empty(out_lags, dtype=np.float64)
+    lib.sla_longterm_autocorr(
+        _i32ptr(data), data.size, _f64ptr(work), fft_size, _f64ptr(out), out_lags
+    )
+    return out
+
+
+class PayloadCursor:
+    """Resumable entropy-decode cursor over one block payload."""
+
+    def __init__(self, init_params: list[int], num_channels: int, bit_offset: int):
+        lib = _load()
+        C = num_channels
+        self.C = C
+        self.bit_pos = ctypes.c_int64(bit_offset)
+        self.param_state = np.zeros(C * 2, dtype=np.uint64)
+        self.eff_params = np.zeros(C, dtype=np.uint32)
+        use_golomb = ctypes.c_int32(0)
+        lib.sla_init_param_state(
+            _u32ptr(np.asarray(init_params, dtype=np.uint32)), C,
+            self.param_state.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            _u32ptr(self.eff_params), ctypes.byref(use_golomb),
+        )
+        self.use_golomb = int(use_golomb.value)
+
+    def read(self, stream: bytes | memoryview | np.ndarray, num_samples: int) -> np.ndarray:
+        """Decode the next `num_samples` interleaved symbols -> (C, n) int32."""
+        lib = _load()
+        buf = (
+            stream
+            if isinstance(stream, np.ndarray)
+            else np.frombuffer(stream, dtype=np.uint8)
+        )
+        out = np.empty((self.C, num_samples), dtype=np.int32)
+        lib.sla_get_data_array_partial(
+            _u8ptr(buf), buf.size, ctypes.byref(self.bit_pos), self.C, num_samples,
+            self.param_state.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            _u32ptr(self.eff_params), self.use_golomb, _i32ptr(out),
+        )
+        return out
+
+
+def synth_chunk(
+    residual: np.ndarray,
+    parcor_coef: np.ndarray,
+    lattice_state: np.ndarray,
+    pitch: int,
+    ltm_coef: np.ndarray,
+    num_taps: int,
+    lt_hist: np.ndarray,
+    lt_processed: np.ndarray,
+    lms_order: int,
+    lms_state: np.ndarray,
+    lms_processed: np.ndarray,
+    deemph_prev: np.ndarray,
+) -> np.ndarray:
+    """Incremental synthesis of one channel chunk; mutates the state arrays.
+
+    residual: (n,) int32; parcor_coef: (p,) orders 1..p; lattice_state:
+    (p+1,); lt_hist: ring with newest at the end; lms_state: (4*M,) packed
+    fc|ic|xb|pb; lt_processed/lms_processed/deemph_prev: (1,) int32.
+    """
+    lib = _load()
+    residual = np.ascontiguousarray(residual, dtype=np.int32)
+    out = np.empty_like(residual)
+    lib.sla_synth_chunk(
+        _i32ptr(residual), _i32ptr(out), residual.size,
+        _i32ptr(parcor_coef), parcor_coef.size, _i32ptr(lattice_state),
+        pitch, _i32ptr(ltm_coef), num_taps,
+        _i32ptr(lt_hist), lt_hist.size, _i32ptr(lt_processed),
+        lms_order, _i32ptr(lms_state), _i32ptr(lms_processed),
+        _i32ptr(deemph_prev),
+    )
+    return out
+
+
+def initial_params(data: np.ndarray) -> list[int]:
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.int32)
+    C, N = data.shape
+    out = np.empty(C, dtype=np.uint32)
+    lib.sla_initial_params(_i32ptr(data), C, N, _u32ptr(out))
+    return [int(v) for v in out]

@@ -1,0 +1,718 @@
+// Native host entropy stage: MSB-first bit I/O + recursive-Rice / Golomb
+// array codecs + CRC16, matching the semantics of sla_tpu/rice.py and
+// sla_tpu/bitio.py (which interoperate bit-exactly with the reference
+// format, see reference src/SLACoder.c, src/SLABitStream.c).
+//
+// This is the host-side half of the TPU split: the device computes whole
+// residual batches, this module turns them into (or parses them from) the
+// bit-serial container payload. Compiled with g++ -O3 into a shared library
+// loaded via ctypes (no pybind11 in the image).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr int kNumRecursiveParams = 2;  // SLAInternal.h:18
+constexpr uint32_t kQuotThreshold = 16; // SLAInternal.h:20
+constexpr uint32_t kLowThreshold = 8;   // SLAInternal.h:19
+constexpr int kFrac = 8;
+constexpr uint64_t kHalf = 1u << (kFrac - 1);
+
+// ---------------------------------------------------------------- bit writer
+struct BitWriter {
+  uint8_t* buf;
+  int64_t cap;     // capacity in bytes
+  int64_t nbytes;  // whole bytes emitted
+  uint64_t acc;    // pending bits, right-aligned
+  int nacc;        // number of pending bits (< 8 after drain)
+  bool overflow;
+
+  void init(uint8_t* b, int64_t c) {
+    buf = b; cap = c; nbytes = 0; acc = 0; nacc = 0; overflow = false;
+  }
+  inline void drain() {
+    while (nacc >= 8) {
+      nacc -= 8;
+      if (nbytes < cap) buf[nbytes++] = (uint8_t)(acc >> nacc);
+      else { overflow = true; nbytes++; }
+    }
+    acc &= (1ull << nacc) - 1;
+  }
+  inline void put(uint64_t val, int nbits) {  // nbits 1..57 per call
+    acc = (acc << nbits) | (val & ((nbits >= 64) ? ~0ull : ((1ull << nbits) - 1)));
+    nacc += nbits;
+    drain();
+  }
+  inline void put_wide(uint64_t val, int nbits) {  // nbits 1..64
+    if (nbits > 32) { put(val >> 32, nbits - 32); put(val & 0xFFFFFFFFull, 32); }
+    else put(val, nbits);
+  }
+  inline void put_unary(uint32_t q) {  // q zero bits then a one bit
+    while (q >= 32) { put(0, 32); q -= 32; }
+    put(1, q + 1);
+  }
+  void flush() { if (nacc) put(0, 8 - nacc); }
+};
+
+// ---------------------------------------------------------------- bit reader
+struct BitReader {
+  const uint8_t* buf;
+  int64_t nbits_total;
+  int64_t pos;  // bit position
+
+  void init(const uint8_t* b, int64_t size_bytes, int64_t bit_offset) {
+    buf = b; nbits_total = size_bytes * 8; pos = bit_offset;
+  }
+  // Reads past the end zero-fill the value but still advance `pos`, so a
+  // caller can detect an over-read (streaming underrun) via pos > total.
+  inline uint64_t get(int nbits) {
+    uint64_t out = 0;
+    int64_t end = pos + nbits;
+    int64_t eff = end < nbits_total ? end : nbits_total;
+    while (pos < eff) {
+      int avail = 8 - (int)(pos & 7);
+      int take = (int)(eff - pos) < avail ? (int)(eff - pos) : avail;
+      int shift = avail - take;
+      out = (out << take) |
+            ((uint64_t)(buf[pos >> 3] >> shift) & ((1ull << take) - 1));
+      pos += take;
+    }
+    if (end > pos) {  // zero-fill the missing low bits
+      out <<= (end - pos);
+      pos = end;
+    }
+    return out;
+  }
+  inline uint32_t get_zero_run() {
+    uint32_t run = 0;
+    while (pos < nbits_total) {
+      int avail = 8 - (int)(pos & 7);
+      uint32_t chunk = buf[pos >> 3] & ((1u << avail) - 1);
+      if (chunk == 0) { run += avail; pos += avail; continue; }
+      int bl = 32 - __builtin_clz(chunk);
+      int lead = avail - bl;
+      run += lead;
+      pos += lead + 1;  // consume the terminating 1
+      return run;
+    }
+    pos = nbits_total + 1;  // ran off the end: mark the over-read
+    return run;
+  }
+};
+
+// ------------------------------------------------------------------- zigzag
+static inline uint32_t zigzag(int32_t v) {
+  return ((uint32_t)v << 1) ^ (uint32_t)(v >> 31);
+}
+static inline int32_t unzigzag(uint32_t u) {
+  return (int32_t)((u >> 1) ^ (~(u & 1) + 1));
+}
+
+// ------------------------------------------------- fixed-point Rice params
+static inline uint32_t roundup_pow2(uint32_t x) {
+  // 1u << LOG2CEIL(x), with x86 shift-count masking (bl & 31) semantics
+  int bl = (x <= 1) ? 0 : (32 - __builtin_clz(x - 1));
+  return 1u << (bl & 31);
+}
+static inline uint64_t param_set_fixed(uint32_t v) {
+  return (uint64_t)(uint32_t)(v << kFrac);  // uint32 wrap, then widen
+}
+static inline uint32_t param_get(uint64_t p) {
+  uint32_t v = (uint32_t)((p + kHalf) >> kFrac);
+  return v < 1 ? 1 : v;
+}
+static inline uint64_t param_update(uint64_t p, uint32_t code) {
+  uint32_t term = 9u * (uint32_t)(code << kFrac);  // uint32 wrap (load-bearing)
+  return (119u * p + term + (1u << 6)) >> 7;
+}
+static inline uint32_t rice_param(uint64_t p) {
+  uint32_t h = (uint32_t)(((p >> 1) + kHalf) >> kFrac);
+  return roundup_pow2(h < 1 ? 1 : h);
+}
+static inline int log2_pow2(uint32_t k) {  // k is a power of two
+  return 31 - __builtin_clz(k);
+}
+
+// --------------------------------------------------------------- gamma code
+static inline void put_gamma(BitWriter& w, uint32_t val) {
+  if (val == 0) { w.put(1, 1); return; }
+  int ndigit = 32 - __builtin_clz(val + 1);  // bit_length(val+1)
+  if (ndigit - 1) w.put(0, ndigit - 1);
+  w.put(val + 1, ndigit);
+}
+static inline uint32_t get_gamma(BitReader& r) {
+  uint32_t ndigit = r.get_zero_run() + 1;
+  if (ndigit == 1) return 0;
+  uint32_t rest = (uint32_t)r.get((int)ndigit - 1);
+  return (1u << (ndigit - 1)) + rest - 1;
+}
+
+// -------------------------------------------------------------- golomb code
+static inline void put_golomb(BitWriter& w, uint32_t m, uint32_t val) {
+  uint32_t quot = val / m, rest = val % m;
+  w.put_unary(quot);
+  if ((m & (m - 1)) == 0) {  // Rice fast path
+    if (m > 1) w.put(rest, log2_pow2(m));
+    return;
+  }
+  int b = 32 - __builtin_clz(m - 1);  // log2ceil(m)
+  uint32_t two_b = 1u << b;
+  if (rest < two_b - m) w.put(rest, b - 1);
+  else w.put(rest + two_b - m, b);
+}
+static inline uint32_t get_golomb(BitReader& r, uint32_t m) {
+  uint32_t quot = r.get_zero_run();
+  if ((m & (m - 1)) == 0) {
+    uint32_t rest = (m > 1) ? (uint32_t)r.get(log2_pow2(m)) : 0;
+    return quot * m + rest;
+  }
+  int b = 32 - __builtin_clz(m - 1);
+  uint32_t two_b = 1u << b;
+  uint32_t rest = (uint32_t)r.get(b - 1);
+  if (rest < two_b - m) return quot * m + rest;
+  rest = (rest << 1) + (uint32_t)r.get(1);
+  return quot * m + rest - (two_b - m);
+}
+
+// ----------------------------------------------------- recursive Rice codec
+struct RiceState {
+  uint64_t params[kNumRecursiveParams];
+  void init(uint32_t init_param) {
+    for (int i = 0; i < kNumRecursiveParams; ++i)
+      params[i] = param_set_fixed(init_param);
+  }
+};
+
+static inline void put_recursive_rice(BitWriter& w, RiceState& st, uint32_t val) {
+  uint32_t reduced = val;
+  for (int i = 0; i < kNumRecursiveParams - 1; ++i) {
+    uint32_t k = rice_param(st.params[i]);
+    if (reduced < k) {
+      w.put_unary((uint32_t)i);
+      if (k != 1) w.put(reduced & (k - 1), log2_pow2(k));
+      st.params[i] = param_update(st.params[i], reduced);
+      return;
+    }
+    st.params[i] = param_update(st.params[i], reduced);
+    reduced -= k;
+  }
+  const int i = kNumRecursiveParams - 1;
+  uint32_t k = rice_param(st.params[i]);
+  uint32_t tail_quot = (uint32_t)i + reduced / k;
+  if (tail_quot < kQuotThreshold) w.put_unary(tail_quot);
+  else { w.put_unary(kQuotThreshold); put_gamma(w, tail_quot - kQuotThreshold); }
+  if (k != 1) w.put(reduced & (k - 1), log2_pow2(k));
+  st.params[i] = param_update(st.params[i], reduced);
+}
+
+static inline uint32_t get_recursive_rice(BitReader& r, RiceState& st) {
+  uint32_t quot = r.get_zero_run();
+  uint32_t val = 0;
+  int cap = (int)quot < kNumRecursiveParams - 1 ? (int)quot : kNumRecursiveParams - 1;
+  for (int i = 0; i < cap; ++i) val += rice_param(st.params[i]);
+  int i = cap;
+  uint32_t k = rice_param(st.params[i]);
+  if ((int)quot < kNumRecursiveParams - 1) {
+    if (k != 1) val += (uint32_t)r.get(log2_pow2(k));
+  } else {
+    if (quot == kQuotThreshold) quot += get_gamma(r);
+    uint32_t rest = (k != 1) ? (uint32_t)r.get(log2_pow2(k)) : 0;
+    val += k * (quot - (uint32_t)(kNumRecursiveParams - 1)) + rest;
+  }
+  uint32_t tmp = val;
+  int upd = (int)(quot + 1) < kNumRecursiveParams ? (int)(quot + 1) : kNumRecursiveParams;
+  for (int j = 0; j < upd; ++j) {
+    uint32_t kk = rice_param(st.params[j]);
+    st.params[j] = param_update(st.params[j], tmp);
+    tmp -= kk;
+  }
+  return val;
+}
+
+// -------------------------------------------------------------------- CRC16
+// CRC16-IBM, reflected, poly 0xA001 (reference src/SLAUtility.c:322-339)
+static uint16_t crc16_table[256];
+static bool crc16_init_done = false;
+static void crc16_init() {
+  for (uint32_t i = 0; i < 256; ++i) {
+    uint32_t c = i;
+    for (int b = 0; b < 8; ++b) c = (c & 1) ? (c >> 1) ^ 0xA001u : c >> 1;
+    crc16_table[i] = (uint16_t)c;
+  }
+  crc16_init_done = true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// CRC16-IBM over a byte buffer.
+uint16_t sla_crc16(const uint8_t* data, int64_t size) {
+  if (!crc16_init_done) crc16_init();
+  uint16_t crc = 0;
+  for (int64_t i = 0; i < size; ++i)
+    crc = (uint16_t)((crc >> 8) ^ crc16_table[(crc ^ data[i]) & 0xFF]);
+  return crc;
+}
+
+// Channel-interleaved payload encode (semantics: SLACoder_PutDataArray).
+// data: C rows of N int32 (row-major, stride N). init_params: C plain
+// integer initial parameters. out: byte buffer (byte-aligned start); the
+// payload is flushed to a byte boundary. Returns bytes written, or -1 on
+// overflow of out_capacity.
+int64_t sla_put_data_array(const int32_t* data, int32_t C, int32_t N,
+                           const uint32_t* init_params, uint8_t* out,
+                           int64_t out_capacity) {
+  BitWriter w;
+  w.init(out, out_capacity);
+  uint64_t eff_sum = 0;
+  uint32_t eff[64];
+  for (int ch = 0; ch < C; ++ch) {
+    eff[ch] = param_get(param_set_fixed(init_params[ch]));
+    eff_sum += eff[ch];
+  }
+  if (eff_sum / (uint32_t)C > kLowThreshold) {
+    RiceState st[64];
+    for (int ch = 0; ch < C; ++ch) st[ch].init(init_params[ch]);
+    for (int s = 0; s < N; ++s)
+      for (int ch = 0; ch < C; ++ch)
+        put_recursive_rice(w, st[ch], zigzag(data[(int64_t)ch * N + s]));
+  } else {
+    for (int s = 0; s < N; ++s)
+      for (int ch = 0; ch < C; ++ch)
+        put_golomb(w, eff[ch], zigzag(data[(int64_t)ch * N + s]));
+  }
+  w.flush();
+  return w.overflow ? -1 : w.nbytes;
+}
+
+// Channel-interleaved payload decode (semantics: SLACoder_GetDataArray).
+// in/in_size: whole stream buffer; bit_offset: payload start (byte-aligned).
+// out: C*N int32, row-major. Returns the bit position after the payload.
+int64_t sla_get_data_array(const uint8_t* in, int64_t in_size,
+                           int64_t bit_offset, int32_t C, int32_t N,
+                           const uint32_t* init_params, int32_t* out) {
+  BitReader r;
+  r.init(in, in_size, bit_offset);
+  uint64_t eff_sum = 0;
+  uint32_t eff[64];
+  for (int ch = 0; ch < C; ++ch) {
+    eff[ch] = param_get(param_set_fixed(init_params[ch]));
+    eff_sum += eff[ch];
+  }
+  if (eff_sum / (uint32_t)C > kLowThreshold) {
+    RiceState st[64];
+    for (int ch = 0; ch < C; ++ch) st[ch].init(init_params[ch]);
+    for (int s = 0; s < N; ++s)
+      for (int ch = 0; ch < C; ++ch)
+        out[(int64_t)ch * N + s] = unzigzag(get_recursive_rice(r, st[ch]));
+  } else {
+    for (int s = 0; s < N; ++s)
+      for (int ch = 0; ch < C; ++ch)
+        out[(int64_t)ch * N + s] = unzigzag(get_golomb(r, eff[ch]));
+  }
+  return r.pos;
+}
+
+// Resumable channel-interleaved payload decode for the streaming decoder:
+// decodes `num_samples` interleaved symbols starting at *bit_pos, carrying
+// the adaptive parameter state across calls. param_state: C * 2 u64
+// fixed-point parameters (initialize with sla_init_param_state).
+// use_golomb selects the static-Golomb branch (decided once per block from
+// the initial parameters, SLACoder.c:489-505). Returns 0.
+int32_t sla_get_data_array_partial(const uint8_t* in, int64_t in_size,
+                                   int64_t* bit_pos, int32_t C, int32_t num_samples,
+                                   uint64_t* param_state, const uint32_t* eff_params,
+                                   int32_t use_golomb, int32_t* out) {
+  BitReader r;
+  r.init(in, in_size, *bit_pos);
+  if (use_golomb) {
+    for (int s = 0; s < num_samples; ++s)
+      for (int ch = 0; ch < C; ++ch)
+        out[(int64_t)ch * num_samples + s] = unzigzag(get_golomb(r, eff_params[ch]));
+  } else {
+    for (int s = 0; s < num_samples; ++s)
+      for (int ch = 0; ch < C; ++ch) {
+        RiceState st;
+        std::memcpy(st.params, param_state + ch * kNumRecursiveParams,
+                    sizeof(st.params));
+        out[(int64_t)ch * num_samples + s] = unzigzag(get_recursive_rice(r, st));
+        std::memcpy(param_state + ch * kNumRecursiveParams, st.params,
+                    sizeof(st.params));
+      }
+  }
+  *bit_pos = r.pos;
+  return 0;
+}
+
+// Initialize the resumable parameter state + effective params + branch flag
+// for one block (mirrors the preamble of SLACoder_Get/PutDataArray).
+void sla_init_param_state(const uint32_t* init_params, int32_t C,
+                          uint64_t* param_state, uint32_t* eff_params,
+                          int32_t* use_golomb) {
+  uint64_t eff_sum = 0;
+  for (int ch = 0; ch < C; ++ch) {
+    eff_params[ch] = param_get(param_set_fixed(init_params[ch]));
+    eff_sum += eff_params[ch];
+    for (int i = 0; i < kNumRecursiveParams; ++i)
+      param_state[ch * kNumRecursiveParams + i] = param_set_fixed(init_params[ch]);
+  }
+  *use_golomb = (eff_sum / (uint32_t)C > kLowThreshold) ? 0 : 1;
+}
+
+// RAWDATA payload encode: zigzagged samples, channel-interleaved, with a
+// per-channel bit width (SLAEncoder.c:741-763). Returns bytes written or -1.
+int64_t sla_put_raw(const int32_t* data, int32_t C, int32_t N,
+                    const int32_t* bits_per_ch, uint8_t* out,
+                    int64_t out_capacity) {
+  BitWriter w;
+  w.init(out, out_capacity);
+  for (int s = 0; s < N; ++s)
+    for (int ch = 0; ch < C; ++ch)
+      w.put(zigzag(data[(int64_t)ch * N + s]), bits_per_ch[ch]);
+  w.flush();
+  return w.overflow ? -1 : w.nbytes;
+}
+
+// RAWDATA payload decode. Returns the bit position after the payload.
+int64_t sla_get_raw(const uint8_t* in, int64_t in_size, int64_t bit_offset,
+                    int32_t C, int32_t N, const int32_t* bits_per_ch,
+                    int32_t* out) {
+  BitReader r;
+  r.init(in, in_size, bit_offset);
+  for (int s = 0; s < N; ++s)
+    for (int ch = 0; ch < C; ++ch)
+      out[(int64_t)ch * N + s] = unzigzag((uint32_t)r.get(bits_per_ch[ch]));
+  return r.pos;
+}
+
+// Initial Rice parameter per channel: mean zigzag magnitude, >= 1, as a
+// uint32 (SLACoder.c:361-385).
+void sla_initial_params(const int32_t* data, int32_t C, int32_t N,
+                        uint32_t* out_params) {
+  for (int ch = 0; ch < C; ++ch) {
+    uint64_t sum = 0;
+    const int32_t* row = data + (int64_t)ch * N;
+    for (int s = 0; s < N; ++s) sum += zigzag(row[s]);
+    uint64_t mean = sum / (uint64_t)(N > 0 ? N : 1);
+    out_params[ch] = (uint32_t)(mean < 1 ? 1 : mean);
+  }
+}
+
+}  // extern "C"
+
+// ------------------------------------------------------------- real FFT
+// Classic Numerical-Recipes radix-2 real FFT (four1/realft, public domain;
+// the reference uses the same routines, src/SLAUtility.c:218-319). The
+// encoder's pitch decisions depend on the exact float64 rounding of this
+// specific butterfly order, so the operation sequence is replicated
+// precisely — a different (faster) FFT would change streams.
+namespace {
+
+void four1(double* data, unsigned long nn, int isign) {
+  // data is 1-indexed (data[1..2*nn]); interleaved re/im
+  unsigned long n = nn << 1, j = 1;
+  for (unsigned long i = 1; i < n; i += 2) {
+    if (j > i) {
+      double t;
+      t = data[j]; data[j] = data[i]; data[i] = t;
+      t = data[j + 1]; data[j + 1] = data[i + 1]; data[i + 1] = t;
+    }
+    unsigned long m = n >> 1;
+    while (m >= 2 && j > m) { j -= m; m >>= 1; }
+    j += m;
+  }
+  unsigned long mmax = 2;
+  while (n > mmax) {
+    unsigned long istep = mmax << 1;
+    double theta = isign * (6.28318530717959 / (double)mmax);
+    double wtemp = std::sin(0.5 * theta);
+    double wpr = -2.0 * wtemp * wtemp;
+    double wpi = std::sin(theta);
+    double wr = 1.0, wi = 0.0;
+    for (unsigned long m = 1; m < mmax; m += 2) {
+      for (unsigned long i = m; i <= n; i += istep) {
+        unsigned long jj = i + mmax;
+        double tempr = wr * data[jj] - wi * data[jj + 1];
+        double tempi = wr * data[jj + 1] + wi * data[jj];
+        data[jj] = data[i] - tempr;
+        data[jj + 1] = data[i + 1] - tempi;
+        data[i] += tempr;
+        data[i + 1] += tempi;
+      }
+      wr = (wtemp = wr) * wpr - wi * wpi + wr;
+      wi = wi * wpr + wtemp * wpi + wi;
+    }
+    mmax = istep;
+  }
+}
+
+void realft(double* data, unsigned long n, int isign) {
+  // data is 1-indexed (data[1..n])
+  double c1 = 0.5, c2;
+  double theta = 3.141592653589793 / (double)(n >> 1);
+  if (isign == 1) {
+    c2 = -0.5;
+    four1(data, n >> 1, 1);
+  } else {
+    c2 = 0.5;
+    theta = -theta;
+  }
+  double wtemp = std::sin(0.5 * theta);
+  double wpr = -2.0 * wtemp * wtemp;
+  double wpi = std::sin(theta);
+  double wr = 1.0 + wpr, wi = wpi;
+  unsigned long np3 = n + 3;
+  for (unsigned long i = 2; i <= (n >> 2); i++) {
+    unsigned long i1 = i + i - 1, i2 = 1 + i1, i3 = np3 - i2, i4 = 1 + i3;
+    double h1r = c1 * (data[i1] + data[i3]);
+    double h1i = c1 * (data[i2] - data[i4]);
+    double h2r = -c2 * (data[i2] + data[i4]);
+    double h2i = c2 * (data[i1] - data[i3]);
+    data[i1] = h1r + wr * h2r - wi * h2i;
+    data[i2] = h1i + wr * h2i + wi * h2r;
+    data[i3] = h1r - wr * h2r + wi * h2i;
+    data[i4] = -h1i + wr * h2i + wi * h2r;
+    wr = (wtemp = wr) * wpr - wi * wpi + wr;
+    wi = wi * wpr + wtemp * wpi + wi;
+  }
+  if (isign == 1) {
+    double h1r = data[1];
+    data[1] = h1r + data[2];
+    data[2] = h1r - data[2];
+  } else {
+    double h1r = data[1];
+    data[1] = c1 * (h1r + data[2]);
+    data[2] = c1 * (h1r - data[2]);
+    four1(data, n >> 1, -1);
+  }
+}
+
+// Crout LU decomposition with implicit row scaling and partial pivoting
+// (semantics of SLALESolver_LUDecomposion, src/SLAUtility.c:487-572).
+// A: row-major dim x dim, decomposed in place.
+int lu_decompose(double* A, int dim, int* change_index, double* row_scale) {
+  constexpr double kFltEps = 1.1920928955078125e-07;  // FLT_EPSILON
+  for (int row = 0; row < dim; ++row) {
+    double max = 0.0;
+    for (int col = 0; col < dim; ++col)
+      if (std::fabs(A[row * dim + col]) > max) max = std::fabs(A[row * dim + col]);
+    if (std::fabs(max) <= kFltEps) return -1;
+    row_scale[row] = 1.0 / max;
+  }
+  for (int col = 0; col < dim; ++col) {
+    for (int row = 0; row < col; ++row) {
+      double sum = A[row * dim + col];
+      for (int k = 0; k < row; ++k) sum -= A[row * dim + k] * A[k * dim + col];
+      A[row * dim + col] = sum;
+    }
+    double max = 0.0;
+    int max_index = col;
+    for (int row = col; row < dim; ++row) {
+      double sum = A[row * dim + col];
+      for (int k = 0; k < col; ++k) sum -= A[row * dim + k] * A[k * dim + col];
+      A[row * dim + col] = sum;
+      if (row_scale[row] * std::fabs(sum) >= max) {
+        max = row_scale[row] * std::fabs(sum);
+        max_index = row;
+      }
+    }
+    if (col != max_index) {
+      for (int k = 0; k < dim; ++k) {
+        double tmp = A[max_index * dim + k];
+        A[max_index * dim + k] = A[col * dim + k];
+        A[col * dim + k] = tmp;
+      }
+      row_scale[max_index] = row_scale[col];
+    }
+    change_index[col] = max_index;
+    if (std::fabs(A[col * dim + col]) <= kFltEps) return -1;
+    if (col != dim - 1) {
+      double denom = 1.0 / A[col * dim + col];
+      for (int row = col + 1; row < dim; ++row) A[row * dim + col] *= denom;
+    }
+  }
+  return 0;
+}
+
+// Forward/back substitution with the leading-zero skip
+// (SLALESolver_LUDecomposionForwardBack, src/SLAUtility.c:575-618).
+void lu_forward_back(const double* A, double* b, int dim, const int* change_index) {
+  int nonzero_row = 0;
+  for (int row = 0; row < dim; ++row) {
+    int pivot = change_index[row];
+    double sum = b[pivot];
+    b[pivot] = b[row];
+    if (nonzero_row != 0) {
+      for (int col = nonzero_row; col < row; ++col) sum -= A[row * dim + col] * b[col];
+    } else if (sum != 0.0) {
+      nonzero_row = row;
+    }
+    b[row] = sum;
+  }
+  for (int row = dim - 1; row >= 0; --row) {
+    double sum = b[row];
+    for (int col = row + 1; col < dim; ++col) sum -= A[row * dim + col] * b[col];
+    b[row] = sum / A[row * dim + row];
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// In-place real FFT with the reference's index convention
+// (SLAUtility_FFT, src/SLAUtility.c:315-319): data[0..n-1], sign +1/-1.
+void sla_fft(double* data, uint32_t n, int32_t sign) {
+  realft(data - 1, n, (int)sign);
+}
+
+// Linear solve with iterative refinement (SLALESolver_Solve semantics,
+// src/SLAUtility.c:621-674): A row-major dim x dim (unmodified), b in/out.
+// Residuals accumulate in long double. Returns 0 ok, -1 singular.
+int32_t sla_lesolve(const double* A, double* b, int32_t dim,
+                    int32_t iteration_count) {
+  double A_lu[64 * 64];
+  double x_vec[64], err_vec[64], row_scale[64];
+  int change_index[64];
+  if (dim > 64) return -1;
+  std::memcpy(A_lu, A, sizeof(double) * dim * dim);
+  std::memcpy(x_vec, b, sizeof(double) * dim);
+  if (lu_decompose(A_lu, dim, change_index, row_scale) != 0) return -1;
+  lu_forward_back(A_lu, x_vec, dim, change_index);
+  for (int count = 0; count < iteration_count; ++count) {
+    for (int row = 0; row < dim; ++row) {
+      long double error = -b[row];
+      for (int col = 0; col < dim; ++col)
+        error += (long double)A[row * dim + col] * x_vec[col];
+      err_vec[row] = (double)error;
+    }
+    lu_forward_back(A_lu, err_vec, dim, change_index);
+    for (int row = 0; row < dim; ++row) x_vec[row] -= err_vec[row];
+  }
+  std::memcpy(b, x_vec, sizeof(double) * dim);
+  return 0;
+}
+
+// Incremental single-channel synthesis chain for the streaming decoder:
+// LMS synth -> long-term synth -> PARCOR lattice synth -> de-emphasis
+// (decode order, SLADecoder.c:494-537), processing `n` samples while
+// mutating caller-owned filter state so decode can resume mid-block.
+//
+// State layout (all int32 unless noted), matching the JAX kernel states
+// (sla_tpu/kernels/*.py) exactly:
+//   lms:      fc[M] | ic[M] | xb[M] | pb[M]   (+ scalar processed count)
+//   longterm: hist[LT_HIST] ring, newest at the end (+ processed count)
+//   lattice:  backward[p+1]
+//   deemph:   prev (1 int32)
+// All int32 arithmetic wraps (build uses -fwrapv); shifts are arithmetic.
+static inline int32_t qmul15(int32_t c, int32_t v) {
+  return (int32_t)((c * v + (1 << 14)) >> 15);
+}
+
+int32_t sla_synth_chunk(
+    const int32_t* residual, int32_t* out, int32_t n,
+    // lattice
+    const int32_t* parcor_coef /* p entries, orders 1..p */, int32_t parcor_order,
+    int32_t* lattice_state /* p+1 */,
+    // longterm
+    int32_t pitch, const int32_t* ltm_coef /* T Q31 */, int32_t num_taps,
+    int32_t* lt_hist /* lt_hist_len */, int32_t lt_hist_len, int32_t* lt_processed,
+    // lms
+    int32_t lms_order, int32_t* lms_state /* 4*M */, int32_t* lms_processed,
+    // emphasis
+    int32_t* deemph_prev) {
+  const int32_t M = lms_order;
+  int32_t* fc = lms_state;
+  int32_t* ic = lms_state + M;
+  int32_t* xb = lms_state + 2 * M;
+  int32_t* pb = lms_state + 3 * M;
+  const int32_t max_delay = pitch + num_taps / 2;
+
+  for (int32_t s = 0; s < n; ++s) {
+    // ---- LMS synthesis (kernels/lms.py step, synthesize=True)
+    int32_t x = residual[s];
+    int32_t acc = 512;
+    for (int32_t i = 0; i < M; ++i) acc += fc[i] * xb[i];
+    for (int32_t i = 0; i < M; ++i) acc += ic[i] * pb[i];
+    int32_t pred = acc >> 10;
+    bool warm = *lms_processed < M;
+    int32_t res = x;
+    int32_t y = x + pred;
+    if (!warm) {
+      uint32_t mag = (uint32_t)(res < 0 ? -res : res);
+      int32_t bl = (mag == 0) ? 0 : (32 - __builtin_clz(mag));
+      int32_t step = ((res > 0) - (res < 0)) * (bl >> 1);
+      for (int32_t i = 0; i < M; ++i) {
+        fc[i] += step * ((xb[i] > 0) - (xb[i] < 0));
+        ic[i] += step * ((pb[i] > 0) - (pb[i] < 0));
+      }
+    }
+    int32_t new_sample = y;
+    int32_t ins_p = warm ? new_sample : pred;
+    for (int32_t i = M - 1; i > 0; --i) { xb[i] = xb[i - 1]; pb[i] = pb[i - 1]; }
+    xb[0] = new_sample;
+    pb[0] = ins_p;
+    if (warm) y = x;
+    (*lms_processed)++;
+
+    // ---- long-term synthesis (kernels/longterm.py step)
+    if (pitch > 0) {
+      int64_t s64 = 0;
+      for (int32_t j = 0; j < num_taps; ++j) {
+        int32_t back = max_delay - j;  // samples back (>= 1)
+        s64 += (int64_t)(ltm_coef[j] >> 16) * lt_hist[lt_hist_len - back];
+      }
+      int32_t lpred = (int32_t)((s64 + (1 << 14)) >> 15);
+      int32_t lout = (*lt_processed >= max_delay) ? y + lpred : y;
+      std::memmove(lt_hist, lt_hist + 1, sizeof(int32_t) * (lt_hist_len - 1));
+      lt_hist[lt_hist_len - 1] = lout;
+      y = lout;
+    }
+    (*lt_processed)++;
+
+    // ---- PARCOR lattice synthesis (kernels/lattice.py step)
+    {
+      int32_t f = y;
+      for (int32_t k = parcor_order; k >= 1; --k) {
+        f += qmul15(parcor_coef[k - 1], lattice_state[k - 1]);
+        lattice_state[k] = lattice_state[k - 1] - qmul15(parcor_coef[k - 1], f);
+      }
+      lattice_state[0] = f;
+      y = f;
+    }
+
+    // ---- de-emphasis (kernels/emphasis.py)
+    y = y + ((*deemph_prev * 31) >> 5);
+    *deemph_prev = y;
+    out[s] = y;
+  }
+  return 0;
+}
+
+// Long-term analysis autocorrelation via Wiener-Khinchin with the exact
+// reference arithmetic (SLALongTermCalculator_CalculateCoef,
+// src/SLAPredictor.c:827-853): int32 samples scaled by 2^-31, forward real
+// FFT, power spectrum (DC/Nyquist squared in place), inverse real FFT
+// (unnormalized). Writes the first `out_lags` lags to out.
+void sla_longterm_autocorr(const int32_t* data, int32_t num_samples,
+                           double* work, int32_t fft_size, double* out,
+                           int32_t out_lags) {
+  const double scale = std::ldexp(1.0, -31);  // 2^-31, exact
+  for (int i = 0; i < fft_size; ++i)
+    work[i] = (i < num_samples) ? (double)data[i] * scale : 0.0;
+  sla_fft(work, (uint32_t)fft_size, 1);
+  work[0] *= work[0];
+  work[1] *= work[1];
+  for (int i = 1; i < fft_size / 2; ++i) {
+    double re = work[2 * i], im = work[2 * i + 1];
+    work[2 * i] = re * re + im * im;
+    work[2 * i + 1] = 0.0;
+  }
+  sla_fft(work, (uint32_t)fft_size, -1);
+  for (int i = 0; i < out_lags; ++i) out[i] = work[i];
+}
+
+}  // extern "C"

@@ -1,0 +1,417 @@
+"""Streaming decoder: incremental, fixed-rate playback decode.
+
+Mirrors the reference streaming API (src/SLADecoder.c:752-1123): the caller
+appends data fragments, asks for size/sample estimates, and pulls
+``ceil(1.05 * rate / interval_hz)`` samples per ``decode()`` call. Decoding
+crosses block boundaries; filter and entropy state persist across calls and
+reset only at block starts (the resumability invariant, SLADecoder.c:637-639).
+
+The per-chunk synthesis runs through the native C++ filter chain
+(sla_native.cpp `sla_synth_chunk`) with explicit carried state — the
+low-latency host path of the TPU split (the batched device path is for bulk
+decode; a ~370-sample tick is latency-bound, not throughput-bound).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from . import native
+from .bitio import BitReader, uint32_to_sint32
+from .constants import (
+    LONGTERM_MAX_PERIOD,
+    LONGTERM_PERIOD_NUM_BITS,
+    SLA_BLOCK_CRC16_CALC_START_OFFSET,
+    SLA_BLOCK_SYNC_CODE,
+    BlockDataType,
+    ChannelProcessMethod,
+    parcor_quantize_bit_width,
+)
+from .crc16 import crc16
+from .dsp.channel import ms_to_lr_int32
+from .errors import ApiResult, SLAError
+from .format import EncodeParameter, WaveFormat
+
+# SLAInternal.h:21-26
+STREAMING_DECODE_NUM_SAMPLES_MARGIN = 1.05
+STREAMING_DECODE_MAX_NUM_PACKETS = 8
+SLA_MINIMUM_BLOCK_HEADER_SIZE = 11
+_LT_HIST_LEN = LONGTERM_MAX_PERIOD + 2
+
+
+def calculate_sufficient_block_size(
+    num_channels: int, num_samples: int, bit_per_sample: int
+) -> int:
+    """SLA_CalculateSufficientBlockSize (include/public/SLA.h:22-23)."""
+    return 30 + 2 * num_channels * num_samples * ((bit_per_sample + 7) // 8)
+
+
+class DataPacketQueue:
+    """Fixed-capacity queue of borrowed data fragments with three cursors
+    (write/read/collect), zero-copy semantics mapped to Python
+    (reference: SLADataPacketQueue_*, src/SLAUtility.c:699-897).
+
+    Fragments are enqueued whole, consumed (`get_fragment`) in bounded
+    bites, and reclaimed (`dequeue`) once fully consumed.
+    """
+
+    def __init__(self, capacity: int = STREAMING_DECODE_MAX_NUM_PACKETS):
+        self.capacity = capacity
+        self._packets: list[list] = []  # [data, used, collectable]
+
+    def enqueue(self, data: bytes) -> None:
+        if len(self._packets) >= self.capacity:
+            raise SLAError(ApiResult.EXCEED_HANDLE_CAPACITY, "packet queue full")
+        self._packets.append([data, 0, False])
+
+    def get_fragment(self, max_size: int) -> bytes | None:
+        """Consume up to max_size bytes from the oldest unconsumed packet."""
+        for pkt in self._packets:
+            data, used, _ = pkt
+            if used < len(data):
+                take = min(max_size, len(data) - used)
+                if take == 0:
+                    return None
+                pkt[1] = used + take
+                return data[used : used + take]
+        return None
+
+    def dequeue(self) -> bytes | None:
+        """Reclaim the oldest fully-consumed packet."""
+        if self._packets and self._packets[0][1] >= len(self._packets[0][0]):
+            return self._packets.pop(0)[0]
+        return None
+
+    def remaining_size(self) -> int:
+        return sum(len(p[0]) - p[1] for p in self._packets)
+
+
+@dataclasses.dataclass
+class StreamingDecoderConfig:
+    """Create-time config (SLADecoder.h:29-35)."""
+
+    core: "DecoderConfig" = None  # type: ignore[assignment]
+    decode_interval_hz: float = 120.0
+    max_bit_per_sample: int = 32
+
+    def __post_init__(self):
+        from .decoder import DecoderConfig
+
+        if self.core is None:
+            self.core = DecoderConfig()
+        if self.decode_interval_hz <= 0.0:
+            raise SLAError(ApiResult.INVALID_ARGUMENT, "bad decode interval")
+
+
+@dataclasses.dataclass
+class _BlockHeader:
+    block_size: int
+    num_samples: int
+    block_type: BlockDataType
+    parcor_coef: np.ndarray | None = None
+    pitch: np.ndarray | None = None
+    ltm_coef: np.ndarray | None = None
+    init_rice: list[int] | None = None
+    header_bytes: int = 0  # bytes consumed by the header incl. alignment
+
+
+class StreamingDecoder:
+    def __init__(self, config: StreamingDecoderConfig | None = None):
+        self.config = config or StreamingDecoderConfig()
+        self._wave_format: WaveFormat | None = None
+        self._encode_param: EncodeParameter | None = None
+        self.queue = DataPacketQueue()
+        cc = self.config.core
+        self._buffer_size = 2 * calculate_sufficient_block_size(
+            cc.max_num_channels, cc.max_num_block_samples, self.config.max_bit_per_sample
+        )
+        self._buffer = bytearray()
+        self._estimated_bytes_per_sample = float(
+            cc.max_num_channels * (self.config.max_bit_per_sample // 8)
+        )
+        self._samples_per_decode = 0
+        self._block: _BlockHeader | None = None
+        self._block_sample_offset = 0
+        self._pending_drop = 0  # unreceived tail bytes of a finished block
+        self._consumed_bits = 0  # payload cursor within the current block
+        self._filter_state: dict | None = None
+        self._payload_cursor: native.PayloadCursor | None = None
+
+    # -- parameter setting ---------------------------------------------------
+    def set_wave_format(self, wf: WaveFormat) -> None:
+        cc = self.config.core
+        if wf.num_channels > cc.max_num_channels or wf.bit_per_sample > 32:
+            raise SLAError(ApiResult.EXCEED_HANDLE_CAPACITY)
+        if wf.bit_per_sample > self.config.max_bit_per_sample:
+            raise SLAError(ApiResult.EXCEED_HANDLE_CAPACITY)
+        self._wave_format = dataclasses.replace(wf)
+        self._samples_per_decode = int(
+            math.ceil(
+                STREAMING_DECODE_NUM_SAMPLES_MARGIN
+                * float(wf.sampling_rate)
+                / self.config.decode_interval_hz
+            )
+        )
+
+    def set_encode_parameter(self, ep: EncodeParameter) -> None:
+        cc = self.config.core
+        if (
+            ep.parcor_order > cc.max_parcor_order
+            or ep.longterm_order > cc.max_longterm_order
+            or ep.lms_order_per_filter > cc.max_lms_order_per_filter
+            or ep.max_num_block_samples > cc.max_num_block_samples
+        ):
+            raise SLAError(ApiResult.EXCEED_HANDLE_CAPACITY)
+        self._encode_param = dataclasses.replace(ep)
+
+    # -- estimates (SLADecoder.c:863-935) ------------------------------------
+    def output_samples_per_decode(self) -> int:
+        return self._samples_per_decode
+
+    def estimate_minimum_necessary_data_size(self) -> int:
+        est = int(math.ceil(self._estimated_bytes_per_sample * self._samples_per_decode))
+        return max(est, SLA_MINIMUM_BLOCK_HEADER_SIZE)
+
+    def estimate_decodable_num_samples(self) -> int:
+        return int(self.remaining_data_size() / self._estimated_bytes_per_sample)
+
+    def remaining_data_size(self) -> int:
+        buffer_remain = len(self._buffer)
+        if self._block is not None:
+            buffer_remain -= self._block.header_bytes + (self._consumed_bits + 7) // 8
+        return self.queue.remaining_size() + max(buffer_remain, 0)
+
+    # -- data supply ----------------------------------------------------------
+    def append_data_fragment(self, data: bytes) -> None:
+        self.queue.enqueue(data)
+        while True:
+            frag = self.queue.get_fragment(self._buffer_size - len(self._buffer))
+            if frag is None:
+                break
+            self._buffer.extend(frag)
+
+    def collect_data_fragments(self) -> list[bytes]:
+        out = []
+        while True:
+            pkt = self.queue.dequeue()
+            if pkt is None:
+                break
+            out.append(pkt)
+        return out
+
+    # -- block header parse (streaming variant of Decoder.parse_block_header) --
+    def _parse_block_header(self) -> _BlockHeader:
+        wf, ep = self._wave_format, self._encode_param
+        data = bytes(self._buffer)
+        r = BitReader(data)
+        sync = r.get(16)
+        if sync != SLA_BLOCK_SYNC_CODE:
+            raise SLAError(ApiResult.FAILED_TO_FIND_SYNC_CODE)
+        next_offset = r.get(32)
+        block_size = next_offset + 6
+        stored_crc = r.get(16)
+        if self.config.core.enable_crc_check and block_size <= len(data):
+            calc = crc16(memoryview(data)[SLA_BLOCK_CRC16_CALC_START_OFFSET:block_size])
+            if calc != stored_crc:
+                raise SLAError(ApiResult.DETECT_DATA_CORRUPTION)
+        num_samples = r.get(16)
+        btype = BlockDataType(r.get(2))
+        blk = _BlockHeader(block_size, num_samples, btype)
+        if btype == BlockDataType.COMPRESSDATA:
+            C, p, T = wf.num_channels, ep.parcor_order, ep.longterm_order
+            coef = np.zeros((C, p + 1), dtype=np.int32)
+            pitch = np.zeros(C, dtype=np.int32)
+            ltm = np.zeros((C, max(T, 1)), dtype=np.int32)
+            init_rice: list[int] = []
+            for ch in range(C):
+                rshift = r.get(4)
+                for ord_ in range(1, p + 1):
+                    qbits = parcor_quantize_bit_width(ord_)
+                    v = uint32_to_sint32(r.get(qbits))
+                    coef[ch, ord_] = (np.int32(v) << (16 - qbits)) >> rshift
+                if r.get(1):
+                    pitch[ch] = r.get(LONGTERM_PERIOD_NUM_BITS)
+                    for t in range(T):
+                        q15 = uint32_to_sint32(r.get(16))
+                        ltm[ch, t] = np.int32(q15) << 16
+                init_rice.append(r.get(wf.bit_per_sample))
+            blk.parcor_coef = coef
+            blk.pitch = pitch
+            blk.ltm_coef = ltm
+            blk.init_rice = init_rice
+        r.flush()
+        blk.header_bytes = r.tell()
+        return blk
+
+    def _reset_filter_state(self) -> None:
+        """Block-start synthesizer reset (SLADecoder.c:569-581, mandatory)."""
+        wf, ep = self._wave_format, self._encode_param
+        C, p, M = wf.num_channels, ep.parcor_order, ep.lms_order_per_filter
+        self._filter_state = {
+            "lattice": np.zeros((C, p + 1), dtype=np.int32),
+            "lt_hist": np.zeros((C, _LT_HIST_LEN), dtype=np.int32),
+            "lt_processed": np.zeros((C, 1), dtype=np.int32),
+            "lms": np.zeros((C, 4 * M), dtype=np.int32),
+            "lms_processed": np.zeros((C, 1), dtype=np.int32),
+            "deemph": np.zeros((C, 1), dtype=np.int32),
+        }
+
+    def _snapshot_state(self) -> dict:
+        snap = {
+            "consumed_bits": self._consumed_bits,
+            "filter": {k: v.copy() for k, v in self._filter_state.items()},
+        }
+        if self._payload_cursor is not None:
+            snap["cursor_pos"] = int(self._payload_cursor.bit_pos.value)
+            snap["cursor_params"] = self._payload_cursor.param_state.copy()
+        return snap
+
+    def _restore_state(self, snap: dict) -> None:
+        self._consumed_bits = snap["consumed_bits"]
+        self._filter_state = snap["filter"]
+        if self._payload_cursor is not None and "cursor_pos" in snap:
+            self._payload_cursor.bit_pos.value = snap["cursor_pos"]
+            self._payload_cursor.param_state[:] = snap["cursor_params"]
+
+    def _worst_case_header_bytes(self) -> int:
+        """Upper bound on a COMPRESSDATA block header's byte size for the
+        configured stream parameters."""
+        wf, ep = self._wave_format, self._encode_param
+        per_ch = 4 + sum(parcor_quantize_bit_width(o) for o in range(1, ep.parcor_order + 1))
+        per_ch += 1 + LONGTERM_PERIOD_NUM_BITS + 16 * ep.longterm_order
+        per_ch += wf.bit_per_sample
+        bits = 80 + wf.num_channels * per_ch
+        return (bits + 7) // 8
+
+    # -- core decode -----------------------------------------------------------
+    def decode(self, max_samples: int | None = None) -> np.ndarray:
+        """Decode the next batch; returns (C, n) canonical int32 PCM with
+        n = min(max_samples, samples-per-decode, what's decodable).
+
+        Like the reference (SLADecoder.c:1008-1097), decoding proceeds
+        through *partially buffered* blocks: the caller keeps the buffer fed
+        per `estimate_minimum_necessary_data_size`, and an actual underrun
+        raises INSUFFICIENT_DATA_SIZE."""
+        if self._wave_format is None or self._encode_param is None:
+            raise SLAError(ApiResult.PARAMETER_NOT_SET)
+        wf, ep = self._wave_format, self._encode_param
+        C = wf.num_channels
+        goal = self._samples_per_decode
+        if max_samples is not None:
+            goal = min(goal, max_samples)
+        out = np.zeros((C, goal), dtype=np.int32)
+        progress = 0
+        while progress < goal:
+            if self._pending_drop:
+                take = min(self._pending_drop, len(self._buffer))
+                del self._buffer[:take]
+                self._pending_drop -= take
+                if self._pending_drop:
+                    break  # still waiting for the tail of the previous block
+            if self._block is None:
+                if len(self._buffer) < SLA_MINIMUM_BLOCK_HEADER_SIZE:
+                    break  # not even a block header yet
+                # block size is in bytes 2..5; require the (bounded) header
+                bsize = int.from_bytes(self._buffer[2:6], "big") + 6
+                if len(self._buffer) < min(bsize, self._worst_case_header_bytes()):
+                    break
+                self._block = self._parse_block_header()
+                self._block_sample_offset = 0
+                self._consumed_bits = 0
+                self._reset_filter_state()
+                if self._block.block_type == BlockDataType.COMPRESSDATA:
+                    self._payload_cursor = native.PayloadCursor(
+                        self._block.init_rice, C, self._block.header_bytes * 8
+                    )
+                # update the bytes/sample estimate from real block stats
+                # (SLADecoder.c:1042-1044)
+                self._estimated_bytes_per_sample = (
+                    float(self._block.block_size) / self._block.num_samples
+                )
+            blk = self._block
+            n = min(goal - progress, blk.num_samples - self._block_sample_offset)
+            if n == 0:
+                break
+            # snapshot entropy + filter state so a mid-chunk underrun can be
+            # rolled back instead of corrupting the decode
+            snap = self._snapshot_state()
+            try:
+                chunk = self._decode_wave_data(n)
+            except SLAError as e:
+                if e.result == ApiResult.INSUFFICIENT_DATA_SIZE:
+                    self._restore_state(snap)
+                    break  # caller feeds more data and retries
+                raise
+            out[:, progress : progress + n] = chunk
+            progress += n
+            self._block_sample_offset += n
+            if self._block_sample_offset >= blk.num_samples:
+                # block end: drop its bytes (any unreceived tail is skipped
+                # as it arrives), then the next iteration re-parses
+                take = min(blk.block_size, len(self._buffer))
+                del self._buffer[:take]
+                self._pending_drop = blk.block_size - take
+                self._block = None
+                self._payload_cursor = None
+        return out[:, :progress]
+
+    def _decode_wave_data(self, n: int) -> np.ndarray:
+        """Resumable mid-block decode of n samples (SLADecoder_DecodeWaveData)."""
+        wf, ep = self._wave_format, self._encode_param
+        C = wf.num_channels
+        blk = self._block
+        shift = 32 - wf.bit_per_sample + wf.offset_lshift
+
+        if blk.block_type == BlockDataType.SILENT:
+            residual = np.zeros((C, n), dtype=np.int32)
+        elif blk.block_type == BlockDataType.RAWDATA:
+            bits = [wf.bit_per_sample - wf.offset_lshift] * C
+            if ep.ch_process_method == ChannelProcessMethod.STEREO_MS:
+                bits[1] += 1
+            start_bit = blk.header_bytes * 8 + self._consumed_bits
+            residual = native.get_raw(bytes(self._buffer), start_bit, C, n, bits)
+            self._consumed_bits += n * sum(bits)
+            if blk.header_bytes * 8 + self._consumed_bits > 8 * len(self._buffer):
+                raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE, "streaming underrun")
+            pcm = residual
+            if ep.ch_process_method == ChannelProcessMethod.STEREO_MS:
+                left, right = ms_to_lr_int32(pcm[0], pcm[1])
+                pcm = np.stack([left, right])
+            return (pcm.astype(np.int32) << shift).astype(np.int32)
+        else:
+            residual = self._payload_cursor.read(bytes(self._buffer), n)
+            self._consumed_bits = int(self._payload_cursor.bit_pos.value) - blk.header_bytes * 8
+
+        # underrun detection: the bit reader zero-fills past the buffered
+        # end, so consuming beyond it means the feed contract was violated
+        if blk.header_bytes * 8 + self._consumed_bits > 8 * len(self._buffer):
+            raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE, "streaming underrun")
+
+        st = self._filter_state
+        pcm = np.empty((C, n), dtype=np.int32)
+        for ch in range(C):
+            pcm[ch] = native.synth_chunk(
+                residual[ch],
+                np.ascontiguousarray(blk.parcor_coef[ch, 1:])
+                if blk.parcor_coef is not None
+                else np.zeros(ep.parcor_order, dtype=np.int32),
+                st["lattice"][ch],
+                int(blk.pitch[ch]) if blk.pitch is not None else 0,
+                np.ascontiguousarray(blk.ltm_coef[ch])
+                if blk.ltm_coef is not None
+                else np.zeros(max(ep.longterm_order, 1), dtype=np.int32),
+                ep.longterm_order,
+                st["lt_hist"][ch],
+                st["lt_processed"][ch],
+                ep.lms_order_per_filter,
+                st["lms"][ch],
+                st["lms_processed"][ch],
+                st["deemph"][ch],
+            )
+        if ep.ch_process_method == ChannelProcessMethod.STEREO_MS:
+            left, right = ms_to_lr_int32(pcm[0], pcm[1])
+            pcm = np.stack([left, right])
+        return (pcm.astype(np.int32) << shift).astype(np.int32)

@@ -1,0 +1,87 @@
+"""CLI application behavior (reference: src/main.c:31-537)."""
+
+import numpy as np
+import pytest
+
+import sla_tpu as sla
+from sla_tpu import wavio
+from sla_tpu.cli import main
+
+from .test_encode_decode import gen_wave
+
+
+@pytest.fixture
+def wav_file(tmp_path):
+    pcm = gen_wave("chirp", 20000, 2, 16, 0, seed=9)
+    p = tmp_path / "in.wav"
+    wavio.write_wav(str(p), wavio.WavFile(2, 44100, 16, pcm))
+    return p, pcm
+
+
+def test_encode_decode_roundtrip(wav_file, tmp_path, capsys):
+    wav_path, pcm = wav_file
+    sla_path = tmp_path / "out.sla"
+    dec_path = tmp_path / "dec.wav"
+    assert main(["sla", "-e", "-q", "-m", "1", str(wav_path), str(sla_path)]) == 0
+    assert sla_path.exists()
+    assert main(["sla", "-d", "-q", str(sla_path), str(dec_path)]) == 0
+    out = wavio.read_wav(str(dec_path))
+    assert np.array_equal(out.data, pcm)
+
+
+def test_streaming_decode_flag(wav_file, tmp_path):
+    wav_path, pcm = wav_file
+    sla_path = tmp_path / "out.sla"
+    dec_path = tmp_path / "dec.wav"
+    assert main(["sla", "-e", "-q", str(wav_path), str(sla_path)]) == 0
+    assert main(["sla", "-d", "-s", "-q", str(sla_path), str(dec_path)]) == 0
+    assert np.array_equal(wavio.read_wav(str(dec_path)).data, pcm)
+
+
+def test_crc_check_flag(wav_file, tmp_path):
+    wav_path, pcm = wav_file
+    sla_path = tmp_path / "out.sla"
+    assert main(["sla", "-e", "-q", str(wav_path), str(sla_path)]) == 0
+    blob = bytearray(sla_path.read_bytes())
+    blob[60] ^= 0xFF  # corrupt the first block
+    bad = tmp_path / "bad.sla"
+    bad.write_bytes(bytes(blob))
+    dec_path = tmp_path / "dec.wav"
+    # CRC on: detected
+    assert main(["sla", "-d", "-q", str(bad), str(dec_path)]) == 1
+    # CRC off: decodes without the check (output is garbage but no error)
+    assert main(["sla", "-d", "-q", "-c", "no", str(bad), str(dec_path)]) in (0, 1)
+
+
+def test_help_version(capsys):
+    assert main(["sla", "-h"]) == 0
+    assert "options:" in capsys.readouterr().out
+    assert main(["sla", "-v"]) == 0
+    assert sla.SLA_VERSION_STRING in capsys.readouterr().out
+
+
+def test_error_paths(tmp_path, capsys):
+    assert main(["sla"]) == 1  # no args -> usage
+    assert main(["sla", "-e", "a"]) == 1  # missing output
+    assert main(["sla", "a", "b"]) == 1  # neither -e nor -d
+    assert main(["sla", "-e", "-d", "a", "b"]) == 1  # both modes
+    assert main(["sla", "-e", "-m", "9", "a", "b"]) == 1  # preset out of range
+    assert main(["sla", "-x", "a", "b"]) == 1  # unknown option
+    assert main(["sla", "-e", "-q", str(tmp_path / "nope.wav"), "o"]) == 1
+
+
+def test_preset_out_of_range_message(capsys):
+    main(["sla", "-e", "-m", "5", "a", "b"])
+    assert "out of range" in capsys.readouterr().err
+
+
+def test_mono_ms_preset_downgrades(tmp_path):
+    """MS presets apply NONE to non-stereo sources (main.c:124-130)."""
+    pcm = gen_wave("sine", 9000, 1, 16, 0, seed=2)
+    wav_path = tmp_path / "mono.wav"
+    wavio.write_wav(str(wav_path), wavio.WavFile(1, 44100, 16, pcm))
+    sla_path = tmp_path / "mono.sla"
+    assert main(["sla", "-e", "-q", "-m", "2", str(wav_path), str(sla_path)]) == 0
+    dec_path = tmp_path / "mono_dec.wav"
+    assert main(["sla", "-d", "-q", str(sla_path), str(dec_path)]) == 0
+    assert np.array_equal(wavio.read_wav(str(dec_path)).data, pcm)

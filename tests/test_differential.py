@@ -42,6 +42,9 @@ CASES = [
     ("chirp", 2, 24, 1),
     ("silence", 1, 8, 0),
     ("gauss", 2, 16, 1),
+    ("sine", 2, 16, 3),  # longterm order 3: multi-tap LU solve path
+    ("gauss", 2, 24, 4),  # max preset: parcor 32, 16384-sample blocks
+    ("chirp", 8, 16, 0),  # 8-channel grid
 ]
 
 
@@ -66,6 +69,12 @@ def test_ours_to_reference(kind, ch, width, mode, ref_binary, tmp_path):
     p.write_bytes(blob)
     out = ref_decode(ref_binary, p, tmp_path / "ref_dec.wav")
     assert np.array_equal(out.data, pcm)
+    # strongest claim: the stream is BYTE-IDENTICAL to the reference
+    # encoder's output for the same input and parameters
+    wav_path = tmp_path / "in.wav"
+    wavio.write_wav(str(wav_path), wavio.WavFile(ch, 44100, width, pcm))
+    ref_blob = ref_encode(ref_binary, wav_path, tmp_path / "ref.sla", mode)
+    assert blob == ref_blob
 
 
 @pytest.mark.parametrize("kind,ch,width,mode", CASES)

@@ -1,0 +1,86 @@
+"""Native C++ entropy stage vs the pure-Python semantic reference.
+
+The native module (sla_tpu/native/sla_native.cpp) must produce bit-identical
+payloads to sla_tpu.rice / sla_tpu.bitio, which in turn interoperate with the
+reference binary (test_differential.py)."""
+
+import numpy as np
+import pytest
+
+from sla_tpu import native, rice
+from sla_tpu.bitio import BitReader, BitWriter, zigzag_encode_array
+from sla_tpu.crc16 import _TABLE  # noqa: F401  (keeps pure table importable)
+
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native build unavailable")
+
+
+@pytest.mark.parametrize("scale", [1, 4, 40, 5000, 1 << 20, 1 << 30])
+@pytest.mark.parametrize("channels", [1, 2, 8])
+def test_data_array_matches_python(scale, channels):
+    rng = np.random.default_rng(scale * 31 + channels)
+    N = int(rng.integers(500, 4000))
+    data = rng.integers(-scale, scale, (channels, N)).astype(np.int32)
+    init = rice.calculate_initial_params(list(data))
+    assert native.initial_params(data) == init
+
+    w = BitWriter()
+    rice.put_data_array(w, init, list(data), N)
+    w.flush()
+    assert native.put_data_array(data, init) == w.getvalue()
+
+    out = native.get_data_array(w.getvalue(), 0, channels, N, init)
+    assert np.array_equal(out, data)
+
+
+def test_data_array_nonaligned_offset():
+    """Payload parked mid-stream at a byte-aligned but nonzero offset."""
+    rng = np.random.default_rng(0)
+    data = rng.integers(-100, 100, (2, 777)).astype(np.int32)
+    init = rice.calculate_initial_params(list(data))
+    payload = native.put_data_array(data, init)
+    stream = b"\xAB\xCD\xEF" + payload
+    out = native.get_data_array(stream, 24, 2, 777, init)
+    assert np.array_equal(out, data)
+
+
+@pytest.mark.parametrize("bits", [[3], [17, 18], [8, 9, 8, 9, 8, 9, 8, 9]])
+def test_raw_roundtrip(bits):
+    rng = np.random.default_rng(len(bits))
+    C = len(bits)
+    N = 513
+    data = np.stack(
+        [rng.integers(-(1 << (b - 1)), 1 << (b - 1), N).astype(np.int32) for b in bits]
+    )
+    blob = native.put_raw(data, bits)
+    # python cross-check: interleaved zigzag at per-channel widths
+    w = BitWriter()
+    zz = [zigzag_encode_array(data[ch]) for ch in range(C)]
+    for s in range(N):
+        for ch in range(C):
+            w.put(int(zz[ch][s]), bits[ch])
+    w.flush()
+    assert blob == w.getvalue()
+    out = native.get_raw(blob, 0, C, N, bits)
+    assert np.array_equal(out, data)
+
+
+def test_crc16_matches_table(a_wav):
+    blob = a_wav.read_bytes()
+    # golden value from the reference test suite (test_SLAUtility.c:71)
+    assert native.crc16(np.frombuffer(blob, dtype=np.uint8)) == 0xA611
+
+
+def test_golomb_low_param_path():
+    """Payload with tiny residuals exercises the static Golomb branch
+    (mean initial param <= 8, SLACoder.c:450-466)."""
+    rng = np.random.default_rng(5)
+    data = rng.integers(-2, 3, (2, 1500)).astype(np.int32)
+    init = rice.calculate_initial_params(list(data))
+    eff = [rice.effective_init_param(p) for p in init]
+    assert sum(eff) // 2 <= 8  # sanity: hits the Golomb path
+    w = BitWriter()
+    rice.put_data_array(w, init, list(data), 1500)
+    w.flush()
+    assert native.put_data_array(data, init) == w.getvalue()
+    assert np.array_equal(native.get_data_array(w.getvalue(), 0, 2, 1500, init), data)

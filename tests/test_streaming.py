@@ -1,0 +1,146 @@
+"""Streaming decoder: resumable mid-block decode, packet queue semantics,
+CLI streaming path (reference: src/SLADecoder.c:752-1123, main.c:278-423)."""
+
+import numpy as np
+import pytest
+
+import sla_tpu as sla
+from sla_tpu import native, wavio
+from sla_tpu.decoder import Decoder, DecoderConfig
+from sla_tpu.errors import ApiResult, SLAError
+from sla_tpu.format import decode_header
+from sla_tpu.streaming import (
+    DataPacketQueue,
+    StreamingDecoder,
+    StreamingDecoderConfig,
+    calculate_sufficient_block_size,
+)
+
+from .test_encode_decode import gen_wave
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native build unavailable")
+
+
+def encode(pcm, ch, width, rate=44100, mode=1):
+    ep = sla.PRESETS[mode]
+    if ch != 2:
+        ep = sla.EncodeParameter(
+            ep.parcor_order, ep.longterm_order, ep.lms_order_per_filter,
+            sla.ChannelProcessMethod.NONE, ep.window_function_type,
+            ep.max_num_block_samples,
+        )
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(ch, width, rate))
+    enc.set_encode_parameter(ep)
+    return enc.encode_whole(pcm)
+
+
+def stream_decode_all(blob, fragment_size=997, tick_hz=120.0):
+    """Feed the stream in odd-sized fragments, pulling per-tick batches."""
+    header, _ = decode_header(blob)
+    wf = header.wave_format
+    sd = StreamingDecoder(
+        StreamingDecoderConfig(core=DecoderConfig(), decode_interval_hz=tick_hz,
+                               max_bit_per_sample=wf.bit_per_sample)
+    )
+    sd.set_wave_format(wf)
+    sd.set_encode_parameter(header.encode_param)
+    out = np.zeros((wf.num_channels, header.num_samples), dtype=np.int32)
+    pos, done = 43, 0
+    while done < header.num_samples:
+        need = sd.estimate_minimum_necessary_data_size()
+        if pos < len(blob) and sd.remaining_data_size() < need:
+            take = min(max(need, fragment_size), len(blob) - pos)
+            sd.append_data_fragment(blob[pos : pos + take])
+            pos += take
+        chunk = sd.decode()
+        n = chunk.shape[1]
+        if n == 0:
+            if pos >= len(blob):
+                break
+            take = min(need, len(blob) - pos)
+            sd.append_data_fragment(blob[pos : pos + take])
+            pos += take
+        out[:, done : done + n] = chunk
+        done += n
+        sd.collect_data_fragments()
+    assert done == header.num_samples
+    return out
+
+
+@pytest.mark.parametrize("kind,ch,width", [
+    ("sine", 1, 16),
+    ("chirp", 2, 16),
+    ("gauss", 2, 24),
+    ("silence", 1, 8),
+])
+def test_streaming_matches_batch(kind, ch, width):
+    pcm = gen_wave(kind, 30000, ch, width, 0, seed=11)
+    blob = encode(pcm, ch, width)
+    out = stream_decode_all(blob)
+    assert np.array_equal(out, pcm)
+
+
+def test_streaming_192khz():
+    """High-rate stream: larger per-tick batches (reference streaming case
+    matrix includes 192 kHz, test_SLAEncodeDecode.c)."""
+    pcm = gen_wave("sine", 40000, 2, 16, 0, seed=3)
+    blob = encode(pcm, 2, 16, rate=192000)
+    out = stream_decode_all(blob)
+    assert np.array_equal(out, pcm)
+
+
+def test_streaming_tiny_fragments():
+    """Fragments far smaller than a block exercise partial-block decode and
+    the underrun rollback path."""
+    pcm = gen_wave("noise", 15000, 1, 16, 0, seed=5)
+    blob = encode(pcm, 1, 16)
+    out = stream_decode_all(blob, fragment_size=64)
+    assert np.array_equal(out, pcm)
+
+
+def test_streaming_reference_stream(ref_binary, a_wav, tmp_path):
+    """Streams produced by the reference C encoder decode identically."""
+    import subprocess
+
+    sla_path = tmp_path / "a.sla"
+    subprocess.run([str(ref_binary), "-e", "-q", "-m", "2", str(a_wav), str(sla_path)],
+                   check=True)
+    blob = sla_path.read_bytes()
+    want = wavio.read_wav(str(a_wav)).data
+    out = stream_decode_all(blob)
+    assert np.array_equal(out, want)
+
+
+def test_packet_queue_capacity():
+    q = DataPacketQueue(capacity=2)
+    q.enqueue(b"abc")
+    q.enqueue(b"defg")
+    with pytest.raises(SLAError) as e:
+        q.enqueue(b"x")
+    assert e.value.result == ApiResult.EXCEED_HANDLE_CAPACITY
+
+
+def test_packet_queue_cursors():
+    q = DataPacketQueue()
+    q.enqueue(b"abcdef")
+    q.enqueue(b"gh")
+    assert q.remaining_size() == 8
+    assert q.get_fragment(4) == b"abcd"
+    assert q.dequeue() is None  # first packet not fully consumed
+    assert q.get_fragment(10) == b"ef"
+    assert q.dequeue() == b"abcdef"
+    assert q.get_fragment(10) == b"gh"
+    assert q.dequeue() == b"gh"
+    assert q.dequeue() is None
+    assert q.remaining_size() == 0
+
+
+def test_sufficient_block_size_formula():
+    # SLA.h:22-23: 30 + 2 * ch * samples * bytes-per-sample
+    assert calculate_sufficient_block_size(2, 4096, 16) == 30 + 2 * 2 * 4096 * 2
+
+
+def test_streaming_interval_validation():
+    with pytest.raises(SLAError):
+        StreamingDecoderConfig(core=DecoderConfig(), decode_interval_hz=0.0)
