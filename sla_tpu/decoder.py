@@ -48,6 +48,7 @@ class DecoderConfig:
     max_lms_order_per_filter: int = 40
     enable_crc_check: bool = True
     verbose: bool = False
+    backend: str = "auto"  # 'auto' | 'device' | 'host' (see EncoderConfig)
 
 
 @dataclasses.dataclass
@@ -189,6 +190,17 @@ class Decoder:
         res = rice.get_data_array(r, blk.init_rice, C, n)
         return np.stack(res)
 
+    def _select_backend(self, row_samples: int) -> str:
+        backend = self.config.backend
+        if backend != "auto":
+            return backend
+        if not native.available():
+            return "device"
+        import os
+
+        threshold = int(os.environ.get("SLA_TPU_DEVICE_THRESHOLD", 16_000_000))
+        return "device" if row_samples >= threshold else "host"
+
     # -- whole-stream decode -----------------------------------------------------
     def decode_whole(self, data: bytes) -> tuple[HeaderInfo, np.ndarray]:
         """Returns (header, (C, num_samples) canonical int32 PCM)."""
@@ -230,23 +242,31 @@ class Decoder:
             coef = np.zeros((B, p), dtype=np.int32)
             pitch = np.zeros((B,), dtype=np.int32)
             ltm = np.zeros((B, max(T, 1)), dtype=np.int32)
+            lengths = np.zeros((B,), dtype=np.int64)
             for bi, i in enumerate(comp_idx):
                 blk = blocks[i]
                 residual[bi * C : (bi + 1) * C, : blk.num_samples] = payloads[i]
                 coef[bi * C : (bi + 1) * C] = blk.parcor_coef[:, 1:]
                 pitch[bi * C : (bi + 1) * C] = blk.pitch
                 ltm[bi * C : (bi + 1) * C] = blk.ltm_coef
-            synth = np.asarray(
-                decode_stage(
-                    jnp.asarray(residual),
-                    jnp.asarray(coef),
-                    jnp.asarray(pitch),
-                    jnp.asarray(ltm),
-                    p,
-                    T,
-                    ep.lms_order_per_filter,
+                lengths[bi * C : (bi + 1) * C] = blk.num_samples
+            backend = self._select_backend(int(lengths.sum()))
+            if backend == "host":
+                synth = native.synth_rows(
+                    residual, coef, pitch, ltm, T, ep.lms_order_per_filter, lengths
                 )
-            )
+            else:
+                synth = np.asarray(
+                    decode_stage(
+                        jnp.asarray(residual),
+                        jnp.asarray(coef),
+                        jnp.asarray(pitch),
+                        jnp.asarray(ltm),
+                        p,
+                        T,
+                        ep.lms_order_per_filter,
+                    )
+                )
             for bi, i in enumerate(comp_idx):
                 blk = blocks[i]
                 outputs[i] = synth[bi * C : (bi + 1) * C, : blk.num_samples]

@@ -51,7 +51,13 @@ from .format import EncodeParameter, HeaderInfo, WaveFormat, encode_header
 
 @dataclasses.dataclass
 class EncoderConfig:
-    """Create-time capacity maxima (SLAEncoder.h:14-21)."""
+    """Create-time capacity maxima (SLAEncoder.h:14-21).
+
+    `backend` selects where the per-sample filter cascade runs:
+    'device' = batched JAX pipeline (TPU hot path), 'host' = native C++
+    row-serial cascade, 'auto' = device for batches big enough to amortize
+    dispatch + transfer, host otherwise (threshold in row-samples via
+    SLA_TPU_DEVICE_THRESHOLD)."""
 
     max_num_channels: int = 8
     max_num_block_samples: int = 16384
@@ -59,6 +65,7 @@ class EncoderConfig:
     max_longterm_order: int = 5
     max_lms_order_per_filter: int = 40
     verbose: bool = False
+    backend: str = "auto"
 
 
 @dataclasses.dataclass
@@ -256,12 +263,19 @@ class Encoder:
                 plan.parcor_code = code
                 plan.parcor_coef = coef_i32
 
-    # -- step 4: device filters + pitch analysis ------------------------------
+    def _select_backend(self, row_samples: int) -> str:
+        backend = self.config.backend
+        if backend != "auto":
+            return backend
+        if not native.available():
+            return "device"
+        import os
+
+        threshold = int(os.environ.get("SLA_TPU_DEVICE_THRESHOLD", 16_000_000))
+        return "device" if row_samples >= threshold else "host"
+
+    # -- step 4: filters + pitch analysis --------------------------------------
     def _run_filters(self, data: np.ndarray, plans: list[_BlockPlan]) -> None:
-        import jax.numpy as jnp
-
-        from .pipeline import encode_stage1, encode_stage2
-
         wf, ep = self._wave_format, self._encode_param
         C = wf.num_channels
         p = ep.parcor_order
@@ -275,10 +289,23 @@ class Encoder:
         B = 1 << (len(comp) * C - 1).bit_length() if len(comp) * C > 1 else 1
         batch = np.zeros((B, L), dtype=np.int32)
         coefs = np.zeros((B, p), dtype=np.int32)
+        lengths = np.zeros((B,), dtype=np.int64)
         for bi, pl in enumerate(comp):
             batch[bi * C : (bi + 1) * C, : pl.num_samples] = pl.raw_int32
             coefs[bi * C : (bi + 1) * C] = pl.parcor_coef[:, 1:]
-        residual1 = np.asarray(encode_stage1(jnp.asarray(batch), jnp.asarray(coefs), p))
+            lengths[bi * C : (bi + 1) * C] = pl.num_samples
+        backend = self._select_backend(int(lengths.sum()))
+
+        if backend == "host":
+            residual1 = native.predict_stage1_rows(batch, coefs, lengths)
+        else:
+            import jax.numpy as jnp
+
+            from .pipeline import encode_stage1
+
+            residual1 = np.asarray(
+                encode_stage1(jnp.asarray(batch), jnp.asarray(coefs), p)
+            )
 
         # host pitch analysis on the PARCOR residual, per (block, channel)
         pitches = np.zeros((B,), dtype=np.int32)
@@ -296,15 +323,24 @@ class Encoder:
                     if lt.pitch_period >= LONGTERM_MIN_PITCH_THRESHOLD:
                         pitches[r] = lt.pitch_period
                         ltm[r] = quantize_longterm(lt.coef)
-        residual2 = np.asarray(
-            encode_stage2(
-                jnp.asarray(residual1),
-                jnp.asarray(pitches),
-                jnp.asarray(ltm),
-                T,
-                ep.lms_order_per_filter,
+        if backend == "host":
+            residual2 = native.predict_stage2_rows(
+                residual1, pitches, ltm, T, ep.lms_order_per_filter, lengths
             )
-        )
+        else:
+            import jax.numpy as jnp
+
+            from .pipeline import encode_stage2
+
+            residual2 = np.asarray(
+                encode_stage2(
+                    jnp.asarray(residual1),
+                    jnp.asarray(pitches),
+                    jnp.asarray(ltm),
+                    T,
+                    ep.lms_order_per_filter,
+                )
+            )
         for bi, pl in enumerate(comp):
             pl.pitch = pitches[bi * C : (bi + 1) * C]
             pl.ltm_coef = ltm[bi * C : (bi + 1) * C]

@@ -1,0 +1,227 @@
+"""Pallas TPU kernels for the sample-recursive filters.
+
+The XLA `lax.scan` versions (lattice.py, lms.py) spend microseconds of loop
+overhead per sample step on work that is a handful of VPU ops. These kernels
+run the sample loop *inside* one program with all state resident in VMEM:
+
+    layout: (L, B) — samples on the sublane-major axis, rows (blocks x
+    channels) on the 128-wide lane axis. Each grid step processes a
+    (TILE_L, TILE_B) block; filter state lives in VMEM scratch and persists
+    across the L-grid dimension (reset at l == 0), so arbitrarily long
+    blocks stream through fixed VMEM.
+
+Per sample step the work is a few (order, TILE_B) element-wise ops — the
+lattice order-cumsum runs as log2(order) sublane shifts. Integer semantics
+are identical to the scan kernels (wrapping int32, arithmetic shifts,
++2^14 >> 15 rounding), which are differential-tested against the reference
+C binary.
+
+Used by pipeline.py on TPU; the scan versions remain the CPU/fallback path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HALF = 1 << 14
+TILE_B = 128
+TILE_L = 2048
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _cumsum_sublanes(m: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Inclusive cumsum along axis 0 of a (p, TB) tile via log2(p) shifted
+    adds (sublane rolls lower poorly; pad+slice keeps it static)."""
+    shift = 1
+    while shift < p:
+        zeros = jnp.zeros((shift, m.shape[1]), dtype=m.dtype)
+        m = m + jnp.concatenate([zeros, m[: p - shift, :]], axis=0)
+        shift <<= 1
+    return m
+
+
+def _lattice_kernel(data_ref, coef_ref, out_ref, b_state, x_prev, *, parcor_order,
+                    tile_l, pre_emphasis, synthesize):
+    """One (TILE_L, TILE_B) block of lattice analysis/synthesis.
+
+    b_state: (p+1, TB) backward-error state; x_prev: (1, TB) previous input
+    sample (pre-emphasis state on the analysis side, de-emphasis state on the
+    synthesis side)."""
+    p = parcor_order
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _():
+        b_state[:] = jnp.zeros_like(b_state)
+        x_prev[:] = jnp.zeros_like(x_prev)
+
+    c = coef_ref[:]  # (p, TB)
+
+    def body(s, _):
+        x = data_ref[s, :][None, :]  # (1, TB)
+        b_prev = b_state[:]  # (p+1, TB)
+        if not synthesize:
+            # pre-emphasis folded in: y = x - ((x[-1] * 31) >> 5)
+            if pre_emphasis:
+                y = x - ((x_prev[:] * 31) >> 5)
+                x_prev[:] = x
+            else:
+                y = x
+            m = (c * b_prev[:p, :] + _HALF) >> 15  # (p, TB)
+            incl = _cumsum_sublanes(m, p)
+            f_prev = y - (incl - m)  # f[0..p-1]
+            b_hi = b_prev[:p, :] - ((c * f_prev + _HALF) >> 15)
+            b_state[:] = jnp.concatenate([y, b_hi], axis=0)
+            out_ref[s, :] = (y - incl[p - 1 : p, :])[0]
+        else:
+            # synthesis: f_partial_k = r + suffix_sum(m)[k]; out = f_partial_1
+            r = x
+            m = (c * b_prev[:p, :] + _HALF) >> 15
+            rev = m[::-1, :]
+            suf = _cumsum_sublanes(rev, p)[::-1, :]  # suffix sums
+            f_partial = r + suf  # (p, TB), stage k at row k-1
+            b_hi = b_prev[:p, :] - ((c * f_partial + _HALF) >> 15)
+            out = f_partial[0:1, :]
+            b_state[:] = jnp.concatenate([out, b_hi], axis=0)
+            if pre_emphasis:  # de-emphasis folded in on the synthesis side
+                y = out + ((x_prev[:] * 31) >> 5)
+                x_prev[:] = y
+                out_ref[s, :] = y[0]
+            else:
+                out_ref[s, :] = out[0]
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(0, tile_l, body, jnp.int32(0))
+
+
+def _lms_kernel(data_ref, out_ref, state, t_base, *, lms_order, tile_l, synthesize):
+    """Sign-sign LMS cascade. state: (4*M + 1, TB) scratch packing
+    fc | ic | xb | pb rows; t_base tracks samples processed (scalar via the
+    grid position)."""
+    M = lms_order
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _():
+        state[:] = jnp.zeros_like(state)
+
+    def body(s, _):
+        x = data_ref[s, :][None, :]  # (1, TB)
+        fc = state[0:M, :]
+        ic = state[M : 2 * M, :]
+        xb = state[2 * M : 3 * M, :]
+        pb = state[3 * M : 4 * M, :]
+        t = l * tile_l + s
+        acc = jnp.full_like(x, 512)
+        acc = acc + jnp.sum(fc * xb, axis=0, keepdims=True)
+        acc = acc + jnp.sum(ic * pb, axis=0, keepdims=True)
+        pred = acc >> 10
+        warm = t < M
+        if synthesize:
+            res = x
+            out = x + pred
+            new_sample = out
+        else:
+            out = x - pred
+            res = out
+            new_sample = x
+        mag = jnp.abs(res).astype(jnp.uint32)
+        bl = (32 - jax.lax.clz(mag).astype(jnp.int32))
+        step = jnp.sign(res) * (bl >> 1)
+        step = jnp.where(warm, 0, step)
+        fc = fc + step * jnp.sign(xb)
+        ic = ic + step * jnp.sign(pb)
+        ins_p = jnp.where(warm, new_sample, pred)
+        xb = jnp.concatenate([new_sample, xb[: M - 1, :]], axis=0)
+        pb = jnp.concatenate([ins_p, pb[: M - 1, :]], axis=0)
+        state[0:M, :] = fc
+        state[M : 2 * M, :] = ic
+        state[2 * M : 3 * M, :] = xb
+        state[3 * M : 4 * M, :] = pb
+        out_ref[s, :] = jnp.where(warm, x, out)[0]
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(0, tile_l, body, jnp.int32(0))
+
+
+def _filter_call(kernel, data_t, extra_inputs, extra_specs, scratch, interpret=False):
+    """Common pallas_call wiring: grid (B/TB, L/TL) with the L axis fastest
+    so VMEM scratch state persists sample order within each row group."""
+    L, B = data_t.shape
+    grid = (B // TILE_B, L // TILE_L)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((L, B), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_L, TILE_B), lambda b, l: (l, b), memory_space=pltpu.VMEM),
+            *extra_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_L, TILE_B), lambda b, l: (l, b), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(data_t, *extra_inputs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("parcor_order", "pre_emphasis", "synthesize", "interpret")
+)
+def lattice_filter_tl(data_t, coef_t, parcor_order, pre_emphasis=True,
+                      synthesize=False, interpret=False):
+    """data_t: (L, B) int32 (L % TILE_L == 0, B % TILE_B == 0);
+    coef_t: (p, B). Returns (L, B) residual/output."""
+    p = parcor_order
+    kernel = functools.partial(
+        _lattice_kernel,
+        parcor_order=p,
+        tile_l=TILE_L,
+        pre_emphasis=pre_emphasis,
+        synthesize=synthesize,
+    )
+    coef_spec = pl.BlockSpec((p, TILE_B), lambda b, l: (0, b), memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((p + 1, TILE_B), jnp.int32),
+        pltpu.VMEM((1, TILE_B), jnp.int32),
+    ]
+    return _filter_call(kernel, data_t, [coef_t], [coef_spec], scratch, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("lms_order", "synthesize", "interpret"))
+def lms_filter_tl(data_t, lms_order, synthesize=False, interpret=False):
+    """data_t: (L, B) int32. Returns (L, B)."""
+    M = lms_order
+    kernel = functools.partial(
+        _lms_kernel, lms_order=M, tile_l=TILE_L, synthesize=synthesize
+    )
+    scratch = [pltpu.VMEM((4 * M + 1, TILE_B), jnp.int32), None]
+    # t_base is derived from program_id; drop the placeholder scratch slot
+    scratch = [pltpu.VMEM((4 * M + 1, TILE_B), jnp.int32)]
+
+    def kernel2(data_ref, out_ref, state):
+        kernel(data_ref, out_ref, state, None)
+
+    L, B = data_t.shape
+    grid = (B // TILE_B, L // TILE_L)
+    return pl.pallas_call(
+        kernel2,
+        out_shape=jax.ShapeDtypeStruct((L, B), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_L, TILE_B), lambda b, l: (l, b), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_L, TILE_B), lambda b, l: (l, b), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(data_t)

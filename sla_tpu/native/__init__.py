@@ -26,7 +26,10 @@ def _build() -> bool:
     try:
         subprocess.run(
             [
-                "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-fwrapv",
+                # -ffp-contract=off: FMA contraction would change the FFT's
+                # float64 rounding and break byte-identity with the reference
+                "g++", "-O3", "-march=native", "-funroll-loops",
+                "-ffp-contract=off", "-std=c++17", "-shared", "-fPIC", "-fwrapv",
                 "-o", str(_LIB), str(_SRC),
             ],
             check=True,
@@ -85,6 +88,10 @@ def _load() -> ctypes.CDLL | None:
     ]
     lib.sla_init_param_state.restype = None
     lib.sla_init_param_state.argtypes = [p_u32, i32, p_u64, p_u32, ctypes.POINTER(i32)]
+    lib.sla_predict_stage1.restype = i32
+    lib.sla_predict_stage1.argtypes = [p_i32, p_i32, i32, p_i32, i32]
+    lib.sla_predict_stage2.restype = i32
+    lib.sla_predict_stage2.argtypes = [p_i32, p_i32, i32, i32, p_i32, i32, i32]
     lib.sla_synth_chunk.restype = i32
     lib.sla_synth_chunk.argtypes = [
         p_i32, p_i32, i32,  # residual, out, n
@@ -237,6 +244,90 @@ class PayloadCursor:
             _u32ptr(self.eff_params), self.use_golomb, _i32ptr(out),
         )
         return out
+
+
+def predict_stage1_rows(
+    data: np.ndarray, parcor_coef: np.ndarray, lengths: np.ndarray | None = None
+) -> np.ndarray:
+    """Host pre-emphasis + lattice predict over a (B, L) batch, row-serial.
+
+    data: (B, L) int32; parcor_coef: (B, p). Returns the (B, L) PARCOR
+    residual (rows zero-padded past their length)."""
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.int32)
+    B, L = data.shape
+    out = np.zeros_like(data)
+    coef = np.ascontiguousarray(parcor_coef, dtype=np.int32)
+    for b in range(B):
+        n = int(lengths[b]) if lengths is not None else L
+        if n == 0:
+            continue
+        row = np.empty(n, dtype=np.int32)
+        lib.sla_predict_stage1(_i32ptr(data[b]), _i32ptr(row), n,
+                               _i32ptr(coef[b]), coef.shape[1])
+        out[b, :n] = row
+    return out
+
+
+def predict_stage2_rows(
+    residual: np.ndarray,
+    pitch: np.ndarray,
+    ltm_coef: np.ndarray,
+    num_taps: int,
+    lms_order: int,
+    lengths: np.ndarray | None = None,
+) -> np.ndarray:
+    """Host long-term + LMS predict over a (B, L) batch, row-serial."""
+    lib = _load()
+    residual = np.ascontiguousarray(residual, dtype=np.int32)
+    B, L = residual.shape
+    out = np.zeros_like(residual)
+    ltm = np.ascontiguousarray(ltm_coef, dtype=np.int32)
+    for b in range(B):
+        n = int(lengths[b]) if lengths is not None else L
+        if n == 0:
+            continue
+        row = np.empty(n, dtype=np.int32)
+        lib.sla_predict_stage2(_i32ptr(residual[b]), _i32ptr(row), n,
+                               int(pitch[b]), _i32ptr(ltm[b]), num_taps, lms_order)
+        out[b, :n] = row
+    return out
+
+
+def synth_rows(
+    residual: np.ndarray,
+    parcor_coef: np.ndarray,
+    pitch: np.ndarray,
+    ltm_coef: np.ndarray,
+    num_taps: int,
+    lms_order: int,
+    lengths: np.ndarray | None = None,
+) -> np.ndarray:
+    """Host decode-side cascade over a (B, L) batch (LMS -> long-term ->
+    lattice -> de-emphasis), row-serial; inverse of predict_rows."""
+    lib = _load()
+    residual = np.ascontiguousarray(residual, dtype=np.int32)
+    B, L = residual.shape
+    p = parcor_coef.shape[1]
+    M = lms_order
+    out = np.zeros_like(residual)
+    coef = np.ascontiguousarray(parcor_coef, dtype=np.int32)
+    ltm = np.ascontiguousarray(ltm_coef, dtype=np.int32)
+    for b in range(B):
+        n = int(lengths[b]) if lengths is not None else L
+        if n == 0:
+            continue
+        lat = np.zeros(p + 1, np.int32)
+        hist = np.zeros(258, np.int32)
+        ltp = np.zeros(1, np.int32)
+        lms = np.zeros(4 * M, np.int32)
+        lmsp = np.zeros(1, np.int32)
+        de = np.zeros(1, np.int32)
+        out[b, :n] = synth_chunk(
+            residual[b, :n], coef[b], lat, int(pitch[b]), ltm[b], num_taps,
+            hist, ltp, M, lms, lmsp, de,
+        )
+    return out
 
 
 def synth_chunk(

@@ -692,6 +692,95 @@ int32_t sla_synth_chunk(
   return 0;
 }
 
+// Encode-side filter cascade for one channel row: pre-emphasis -> PARCOR
+// lattice predict -> long-term predict -> LMS predict (SLAEncoder.c:598-672
+// order), whole block in one call. This is the host backend of the
+// encoder's batched device pipeline (pipeline.py) — used when the batch is
+// too small to amortize device dispatch + transfer, with identical wrapping
+// int32 semantics (cross-checked by tests against the JAX path).
+//
+// in/out may alias. pitch 0 disables the long-term stage.
+// Stage 1: pre-emphasis + lattice predict (produces the residual the pitch
+// analysis runs on).
+int32_t sla_predict_stage1(const int32_t* in, int32_t* out, int32_t n,
+                           const int32_t* parcor_coef, int32_t parcor_order) {
+  const int32_t p = parcor_order;
+  int32_t b[64 + 1] = {0};
+  int32_t x_prev = 0;
+  for (int32_t s = 0; s < n; ++s) {
+    int32_t x = in[s] - ((x_prev * 31) >> 5);
+    x_prev = in[s];
+    // forward recursion f[k] = f[k-1] - q(c[k], b[k-1]); then backward
+    int32_t f = x;
+    int32_t b_prev_km1 = b[0];  // b_prev[k-1] walking up
+    int32_t new_b_km1 = x;      // b_new[0] = x
+    for (int32_t k = 1; k <= p; ++k) {
+      int32_t b_prev_k = b[k];
+      int32_t f_prev = f;  // f[k-1]
+      f = f - qmul15(parcor_coef[k - 1], b_prev_km1);
+      int32_t nb = b_prev_km1 - qmul15(parcor_coef[k - 1], f_prev);
+      b[k - 1] = new_b_km1;
+      new_b_km1 = nb;
+      b_prev_km1 = b_prev_k;
+    }
+    b[p] = new_b_km1;
+    out[s] = f;
+  }
+  return 0;
+}
+
+// Stage 2: long-term predict (FIR, history = input) + LMS predict.
+int32_t sla_predict_stage2(const int32_t* in, int32_t* out, int32_t n,
+                           int32_t pitch, const int32_t* ltm_coef,
+                           int32_t num_taps, int32_t lms_order) {
+  const int32_t* lt_in = in;
+  int32_t* lt_out = out;
+  if (pitch > 0) {
+    const int32_t max_delay = pitch + num_taps / 2;
+    for (int32_t s = 0; s < n; ++s) {
+      if (s < max_delay) {
+        lt_out[s] = lt_in[s];
+      } else {
+        int64_t acc = 0;
+        for (int32_t j = 0; j < num_taps; ++j)
+          acc += (int64_t)(ltm_coef[j] >> 16) * lt_in[s - (max_delay - j)];
+        lt_out[s] = lt_in[s] - (int32_t)((acc + (1 << 14)) >> 15);
+      }
+    }
+  } else if (lt_out != lt_in) {
+    std::memmove(lt_out, lt_in, sizeof(int32_t) * n);
+  }
+  // LMS predict in place over lt_out
+  {
+    const int32_t M = lms_order;
+    int32_t fc[64] = {0}, ic[64] = {0}, xb[64] = {0}, pb[64] = {0};
+    for (int32_t s = 0; s < n; ++s) {
+      int32_t x = lt_out[s];
+      int32_t acc = 512;
+      for (int32_t i = 0; i < M; ++i) acc += fc[i] * xb[i];
+      for (int32_t i = 0; i < M; ++i) acc += ic[i] * pb[i];
+      int32_t pred = acc >> 10;
+      bool warm = s < M;
+      int32_t res = x - pred;
+      if (!warm) {
+        uint32_t mag = (uint32_t)(res < 0 ? -res : res);
+        int32_t bl = (mag == 0) ? 0 : (32 - __builtin_clz(mag));
+        int32_t step = ((res > 0) - (res < 0)) * (bl >> 1);
+        for (int32_t i = 0; i < M; ++i) {
+          fc[i] += step * ((xb[i] > 0) - (xb[i] < 0));
+          ic[i] += step * ((pb[i] > 0) - (pb[i] < 0));
+        }
+      }
+      int32_t ins_p = warm ? x : pred;
+      for (int32_t i = M - 1; i > 0; --i) { xb[i] = xb[i - 1]; pb[i] = pb[i - 1]; }
+      xb[0] = x;
+      pb[0] = ins_p;
+      lt_out[s] = warm ? x : res;
+    }
+  }
+  return 0;
+}
+
 // Long-term analysis autocorrelation via Wiener-Khinchin with the exact
 // reference arithmetic (SLALongTermCalculator_CalculateCoef,
 // src/SLAPredictor.c:827-853): int32 samples scaled by 2^-31, forward real
