@@ -48,6 +48,17 @@ def _cumsum_sublanes(m: jnp.ndarray, p: int) -> jnp.ndarray:
     return m
 
 
+def _suffix_sum_sublanes(m: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Inclusive suffix sum along axis 0: out[k] = sum_{j >= k} m[j]
+    (Mosaic cannot lower `rev`, so no reverse+cumsum)."""
+    shift = 1
+    while shift < p:
+        zeros = jnp.zeros((shift, m.shape[1]), dtype=m.dtype)
+        m = m + jnp.concatenate([m[shift:, :], zeros], axis=0)
+        shift <<= 1
+    return m
+
+
 def _lattice_kernel(data_ref, coef_ref, out_ref, b_state, x_prev, *, parcor_order,
                     tile_l, pre_emphasis, synthesize):
     """One (TILE_L, TILE_B) block of lattice analysis/synthesis.
@@ -85,8 +96,7 @@ def _lattice_kernel(data_ref, coef_ref, out_ref, b_state, x_prev, *, parcor_orde
             # synthesis: f_partial_k = r + suffix_sum(m)[k]; out = f_partial_1
             r = x
             m = (c * b_prev[:p, :] + _HALF) >> 15
-            rev = m[::-1, :]
-            suf = _cumsum_sublanes(rev, p)[::-1, :]  # suffix sums
+            suf = _suffix_sum_sublanes(m, p)
             f_partial = r + suf  # (p, TB), stage k at row k-1
             b_hi = b_prev[:p, :] - ((c * f_partial + _HALF) >> 15)
             out = f_partial[0:1, :]
@@ -113,18 +123,24 @@ def _lms_kernel(data_ref, out_ref, state, t_base, *, lms_order, tile_l, synthesi
     def _():
         state[:] = jnp.zeros_like(state)
 
-    def body(s, _):
+    def body(s, s32):
+        # s is int64 under jax_enable_x64 and Mosaic can neither use it in
+        # arithmetic nor convert it — carry an int32 counter instead
         x = data_ref[s, :][None, :]  # (1, TB)
         fc = state[0:M, :]
         ic = state[M : 2 * M, :]
         xb = state[2 * M : 3 * M, :]
         pb = state[3 * M : 4 * M, :]
-        t = l * tile_l + s
         acc = jnp.full_like(x, 512)
-        acc = acc + jnp.sum(fc * xb, axis=0, keepdims=True)
-        acc = acc + jnp.sum(ic * pb, axis=0, keepdims=True)
+        # dtype pinned: jnp.sum would promote int32 -> int64 under x64, and
+        # the reference accumulates with wrapping int32 semantics anyway
+        acc = acc + jnp.sum(fc * xb, axis=0, keepdims=True, dtype=jnp.int32)
+        acc = acc + jnp.sum(ic * pb, axis=0, keepdims=True, dtype=jnp.int32)
         pred = acc >> 10
-        warm = t < M
+        # warmup = first M samples overall; M <= tile_l so only the l == 0
+        # tile can be warm. The loop index is int64 under jax_enable_x64 —
+        # cast before comparing, Mosaic has no 64-bit types.
+        warm = jnp.logical_and(l == 0, s32 < M)
         if synthesize:
             res = x
             out = x + pred
@@ -133,10 +149,12 @@ def _lms_kernel(data_ref, out_ref, state, t_base, *, lms_order, tile_l, synthesi
             out = x - pred
             res = out
             new_sample = x
-        mag = jnp.abs(res).astype(jnp.uint32)
-        bl = (32 - jax.lax.clz(mag).astype(jnp.int32))
+        # clz on the int32 bit pattern == clz on uint32 (|INT32_MIN| wraps
+        # to 0x80000000, same bits); Mosaic cannot lower i32->u32 casts
+        mag = jnp.abs(res)
+        bl = jnp.int32(32) - jax.lax.clz(mag)
         step = jnp.sign(res) * (bl >> 1)
-        step = jnp.where(warm, 0, step)
+        step = jnp.where(warm, jnp.int32(0), step)
         fc = fc + step * jnp.sign(xb)
         ic = ic + step * jnp.sign(pb)
         ins_p = jnp.where(warm, new_sample, pred)
@@ -147,7 +165,7 @@ def _lms_kernel(data_ref, out_ref, state, t_base, *, lms_order, tile_l, synthesi
         state[2 * M : 3 * M, :] = xb
         state[3 * M : 4 * M, :] = pb
         out_ref[s, :] = jnp.where(warm, x, out)[0]
-        return jnp.int32(0)
+        return s32 + jnp.int32(1)
 
     jax.lax.fori_loop(0, tile_l, body, jnp.int32(0))
 
@@ -188,12 +206,18 @@ def lattice_filter_tl(data_t, coef_t, parcor_order, pre_emphasis=True,
         pre_emphasis=pre_emphasis,
         synthesize=synthesize,
     )
-    coef_spec = pl.BlockSpec((p, TILE_B), lambda b, l: (0, b), memory_space=pltpu.VMEM)
+    # Mosaic (this toolchain) rejects input blocks that are revisited across
+    # grid steps (index map constant in the fastest dim) — tile the coefs per
+    # L-step so every grid step maps to a fresh block. nl * p * B int32 is
+    # a few hundred KB at most.
+    nl = data_t.shape[0] // TILE_L
+    coef_tiled = jnp.tile(coef_t, (nl, 1))
+    coef_spec = pl.BlockSpec((p, TILE_B), lambda b, l: (l, b), memory_space=pltpu.VMEM)
     scratch = [
         pltpu.VMEM((p + 1, TILE_B), jnp.int32),
         pltpu.VMEM((1, TILE_B), jnp.int32),
     ]
-    return _filter_call(kernel, data_t, [coef_t], [coef_spec], scratch, interpret)
+    return _filter_call(kernel, data_t, [coef_tiled], [coef_spec], scratch, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("lms_order", "synthesize", "interpret"))

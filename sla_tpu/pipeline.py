@@ -32,18 +32,91 @@ from .kernels.lms import lms_init_state, lms_predict, lms_synthesize
 from .kernels.longterm import longterm_init_state, longterm_predict, longterm_synthesize
 
 
-@functools.partial(jax.jit, static_argnames=("parcor_order",))
-def encode_stage1(data: jnp.ndarray, parcor_coef: jnp.ndarray, parcor_order: int):
-    """data: (B, L) int32, parcor_coef: (B, p) int32 (orders 1..p).
+def _use_pallas() -> bool:
+    import os
 
-    Returns the PARCOR residual (B, L)."""
+    if os.environ.get("SLA_TPU_NO_PALLAS"):
+        return False
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _pad_rows(x: jnp.ndarray, mult: int) -> jnp.ndarray:
+    B = x.shape[0]
+    pad = (-B) % mult
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("parcor_order",))
+def _encode_stage1_scan(data: jnp.ndarray, parcor_coef: jnp.ndarray, parcor_order: int):
     B = data.shape[0]
     emphasized, _ = pre_emphasis(data, jnp.zeros((B,), jnp.int32))
     residual, _ = lattice_predict(emphasized, parcor_coef, lattice_init_state(B, parcor_order))
     return residual
 
 
+@functools.partial(jax.jit, static_argnames=("parcor_order",))
+def _encode_stage1_pallas(data: jnp.ndarray, parcor_coef: jnp.ndarray, parcor_order: int):
+    from .kernels.pallas_filters import TILE_B, lattice_filter_tl
+
+    B = data.shape[0]
+    data_p = _pad_rows(data, TILE_B)
+    coef_p = _pad_rows(parcor_coef, TILE_B)
+    out_t = lattice_filter_tl(data_p.T, coef_p.T, parcor_order, pre_emphasis=True)
+    return out_t.T[:B]
+
+
+def encode_stage1(data: jnp.ndarray, parcor_coef: jnp.ndarray, parcor_order: int):
+    """data: (B, L) int32, parcor_coef: (B, p) int32 (orders 1..p).
+
+    Returns the PARCOR residual (B, L). On TPU the sample loop runs as a
+    VMEM-resident Pallas kernel; elsewhere as a lax.scan (bit-identical)."""
+    if _use_pallas() and data.shape[1] % 2048 == 0:
+        return _encode_stage1_pallas(data, parcor_coef, parcor_order)
+    return _encode_stage1_scan(data, parcor_coef, parcor_order)
+
+
 @functools.partial(jax.jit, static_argnames=("num_taps", "lms_order"))
+def _encode_stage2_scan(
+    residual: jnp.ndarray,
+    pitch: jnp.ndarray,
+    ltm_coef: jnp.ndarray,
+    num_taps: int,
+    lms_order: int,
+):
+    B = residual.shape[0]
+    if num_taps > 0:
+        lt_res, _ = longterm_predict(
+            residual, pitch, ltm_coef, num_taps, jnp.zeros((B,), jnp.int32)
+        )
+        # rows with pitch < minimum threshold skip the long-term stage
+        residual = jnp.where((pitch > 0)[:, None], lt_res, residual)
+    out, _ = lms_predict(residual, lms_init_state(B, lms_order), lms_order)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("num_taps", "lms_order"))
+def _encode_stage2_pallas(
+    residual: jnp.ndarray,
+    pitch: jnp.ndarray,
+    ltm_coef: jnp.ndarray,
+    num_taps: int,
+    lms_order: int,
+):
+    from .kernels.pallas_filters import TILE_B, lms_filter_tl
+
+    B = residual.shape[0]
+    if num_taps > 0:
+        lt_res, _ = longterm_predict(
+            residual, pitch, ltm_coef, num_taps, jnp.zeros((B,), jnp.int32)
+        )
+        residual = jnp.where((pitch > 0)[:, None], lt_res, residual)
+    res_p = _pad_rows(residual, TILE_B)
+    out_t = lms_filter_tl(res_p.T, lms_order)
+    return out_t.T[:B]
+
+
 def encode_stage2(
     residual: jnp.ndarray,
     pitch: jnp.ndarray,
@@ -54,16 +127,12 @@ def encode_stage2(
     """residual: (B, L) PARCOR residual; pitch: (B,) int32 (0 disables the
     long-term stage for that row); ltm_coef: (B, T) int32 Q31.
 
-    Returns the final residual (B, L) handed to the entropy coder."""
-    B = residual.shape[0]
-    if num_taps > 0:
-        lt_res, _ = longterm_predict(
-            residual, pitch, ltm_coef, num_taps, jnp.zeros((B,), jnp.int32)
-        )
-        # rows with pitch < minimum threshold skip the long-term stage
-        residual = jnp.where((pitch > 0)[:, None], lt_res, residual)
-    out, _ = lms_predict(residual, lms_init_state(B, lms_order), lms_order)
-    return out
+    Returns the final residual (B, L) handed to the entropy coder. The
+    long-term stage is a vectorized FIR (history = input); only the LMS
+    recursion needs the Pallas sample loop."""
+    if _use_pallas() and residual.shape[1] % 2048 == 0:
+        return _encode_stage2_pallas(residual, pitch, ltm_coef, num_taps, lms_order)
+    return _encode_stage2_scan(residual, pitch, ltm_coef, num_taps, lms_order)
 
 
 @functools.partial(jax.jit, static_argnames=("parcor_order", "num_taps", "lms_order"))
@@ -101,6 +170,52 @@ def encode_filters(
 
 
 @functools.partial(jax.jit, static_argnames=("parcor_order", "num_taps", "lms_order"))
+def _decode_stage_scan(
+    residual: jnp.ndarray,
+    parcor_coef: jnp.ndarray,
+    pitch: jnp.ndarray,
+    ltm_coef: jnp.ndarray,
+    parcor_order: int,
+    num_taps: int,
+    lms_order: int,
+):
+    B = residual.shape[0]
+    out, _ = lms_synthesize(residual, lms_init_state(B, lms_order), lms_order)
+    if num_taps > 0:
+        lt_out, _ = longterm_synthesize(out, pitch, ltm_coef, num_taps, longterm_init_state(B))
+        out = jnp.where((pitch > 0)[:, None], lt_out, out)
+    out, _ = lattice_synthesize(out, parcor_coef, lattice_init_state(B, parcor_order))
+    out, _ = de_emphasis(out, jnp.zeros((B,), jnp.int32))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("parcor_order", "num_taps", "lms_order"))
+def _decode_stage_pallas(
+    residual: jnp.ndarray,
+    parcor_coef: jnp.ndarray,
+    pitch: jnp.ndarray,
+    ltm_coef: jnp.ndarray,
+    parcor_order: int,
+    num_taps: int,
+    lms_order: int,
+):
+    from .kernels.pallas_filters import TILE_B, lattice_filter_tl, lms_filter_tl
+
+    B = residual.shape[0]
+    res_p = _pad_rows(residual, TILE_B)
+    out = lms_filter_tl(res_p.T, lms_order, synthesize=True).T[:B]
+    if num_taps > 0:
+        lt_out, _ = longterm_synthesize(out, pitch, ltm_coef, num_taps, longterm_init_state(B))
+        out = jnp.where((pitch > 0)[:, None], lt_out, out)
+    out_p = _pad_rows(out, TILE_B)
+    coef_p = _pad_rows(parcor_coef, TILE_B)
+    # lattice synthesis with de-emphasis folded into the kernel
+    out = lattice_filter_tl(
+        out_p.T, coef_p.T, parcor_order, pre_emphasis=True, synthesize=True
+    ).T[:B]
+    return out
+
+
 def decode_stage(
     residual: jnp.ndarray,
     parcor_coef: jnp.ndarray,
@@ -113,12 +228,13 @@ def decode_stage(
     """Full synthesis chain for a batch of compressed blocks.
 
     residual: (B, L) int32 entropy-decoded residual. Returns PCM rows prior
-    to the MS inverse / final left shift."""
-    B = residual.shape[0]
-    out, _ = lms_synthesize(residual, lms_init_state(B, lms_order), lms_order)
-    if num_taps > 0:
-        lt_out, _ = longterm_synthesize(out, pitch, ltm_coef, num_taps, longterm_init_state(B))
-        out = jnp.where((pitch > 0)[:, None], lt_out, out)
-    out, _ = lattice_synthesize(out, parcor_coef, lattice_init_state(B, parcor_order))
-    out, _ = de_emphasis(out, jnp.zeros((B,), jnp.int32))
-    return out
+    to the MS inverse / final left shift. On TPU the LMS and lattice
+    recursions run as Pallas kernels; the long-term synthesis (per-row
+    variable delay) stays a scan."""
+    if _use_pallas() and residual.shape[1] % 2048 == 0:
+        return _decode_stage_pallas(
+            residual, parcor_coef, pitch, ltm_coef, parcor_order, num_taps, lms_order
+        )
+    return _decode_stage_scan(
+        residual, parcor_coef, pitch, ltm_coef, parcor_order, num_taps, lms_order
+    )

@@ -1,0 +1,57 @@
+"""Corpus encode: sharding, resume markers, failure isolation."""
+
+import numpy as np
+import pytest
+
+import sla_tpu as sla
+from sla_tpu import wavio
+from sla_tpu.corpus import CorpusResult, encode_corpus, shard_files
+
+from .test_encode_decode import gen_wave
+
+
+@pytest.fixture
+def corpus(tmp_path):
+    files = []
+    for i, kind in enumerate(["sine", "noise", "chirp", "gauss"]):
+        pcm = gen_wave(kind, 6000 + 517 * i, 2, 16, 0, seed=i)
+        p = tmp_path / f"{kind}.wav"
+        wavio.write_wav(str(p), wavio.WavFile(2, 44100, 16, pcm))
+        files.append(p)
+    return files, tmp_path / "out"
+
+
+def test_encode_corpus_roundtrip(corpus):
+    files, out_dir = corpus
+    res = encode_corpus(files, out_dir, preset=1)
+    assert res.encoded == 4 and res.failed == 0
+    assert 0 < res.ratio < 1.2
+    for f in files:
+        blob = (out_dir / (f.stem + ".sla")).read_bytes()
+        dec = sla.Decoder()
+        _, pcm = dec.decode_whole(blob)
+        want = wavio.read_wav(str(f)).data
+        assert np.array_equal(pcm, want)
+
+
+def test_resume_skips_done(corpus):
+    files, out_dir = corpus
+    encode_corpus(files[:2], out_dir, preset=0)
+    res = encode_corpus(files, out_dir, preset=0)
+    assert res.skipped == 2 and res.encoded == 2
+
+
+def test_failure_isolation(corpus, tmp_path):
+    files, out_dir = corpus
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"not a wav file at all")
+    res = encode_corpus([bad] + files[:1], out_dir, preset=0)
+    assert res.failed == 1 and res.encoded == 1
+    assert (out_dir / "manifest_0.json").exists()
+
+
+def test_shard_files_partition():
+    files = list(range(10))
+    shards = [shard_files(files, i, 3) for i in range(3)]
+    assert sorted(sum(shards, [])) == files
+    assert all(abs(len(s) - 10 / 3) < 1.5 for s in shards)
