@@ -121,6 +121,42 @@ def test_raw_fallback_on_incompressible_noise():
     roundtrip(pcm, 16, SMALL_PARAM)
 
 
+# -- full format cross product (mirrors the reference's ~130-case table,
+# test_SLAEncodeDecode.c:558-1173): every waveform x channel layout x bit
+# depth x offset left-shift, MS and non-MS for stereo ---------------------
+_FORMATS = [
+    # (channels, width, lshift, ms)
+    (1, 8, 0, False),
+    (1, 16, 0, False),
+    (1, 16, 8, False),
+    (1, 24, 0, False),
+    (1, 24, 8, False),
+    (2, 16, 0, True),
+    (2, 16, 8, True),
+    (2, 24, 0, True),
+    (2, 16, 0, False),
+    (8, 16, 0, False),
+    (8, 8, 0, False),
+]
+
+
+@pytest.mark.parametrize("kind", WAVES)
+@pytest.mark.parametrize("ch,width,lshift,ms", _FORMATS)
+def test_format_matrix(kind, ch, width, lshift, ms):
+    pcm = gen_wave(kind, 4700, ch, width, lshift, seed=ch * 100 + width + lshift)
+    ep = SMALL_MS if ms else SMALL_PARAM
+    blob = roundtrip(pcm, width, ep)
+    hdr, _ = sla.decode_header(blob)
+    if kind != "silence":  # all-zero data has no detectable left shift
+        assert hdr.wave_format.offset_lshift >= lshift
+
+
+@pytest.mark.parametrize("rate", [8000, 48000, 96000, 192000])
+def test_sampling_rates(rate):
+    pcm = gen_wave("sine", 6000, 2, 16, 0, seed=11)
+    roundtrip(pcm, 16, SMALL_MS, rate=rate)
+
+
 def test_error_paths():
     enc = sla.Encoder()
     with pytest.raises(sla.SLAError):
