@@ -31,26 +31,42 @@ def num_nodes_for(num_samples: int, delta: int = SLA_SEARCH_BLOCK_NUM_SAMPLES_DE
 def span_autocorrelations(
     data: np.ndarray, node_positions: np.ndarray, spans: np.ndarray, order: int
 ) -> np.ndarray:
-    """Autocorrelations for many sub-spans of one window via prefix sums.
+    """Autocorrelations for many sub-spans of one window.
 
     data: (C, N) float64; node_positions: (V,) sample offsets;
     spans: (S, 2) [start_node, end_node] pairs. Returns (S, C, order+1).
+
+    Instead of full prefix-sum arrays (O(lags*N) memory traffic per window),
+    the lag products are segment-reduced at the node boundary positions with
+    `np.add.reduceat` and prefixed over the handful of segments — the only
+    positions ever queried are nodes and node-minus-lag.
     """
     C, N = data.shape
     lags = order + 1
-    # P[k][m] = sum_{n < m} x[n] * x[n+k]   (x zero beyond N)
-    P = np.zeros((C, lags, N + 1), dtype=np.float64)
-    for k in range(lags):
-        prod = data[:, : N - k] * data[:, k:]
-        np.cumsum(prod, axis=-1, out=P[:, k, 1 : N - k + 1])
-        if k > 0:
-            P[:, k, N - k + 1 :] = P[:, k, N - k : N - k + 1]
     starts = node_positions[spans[:, 0]]
     ends = node_positions[spans[:, 1]]
     out = np.empty((len(spans), C, lags), dtype=np.float64)
     for k in range(lags):
         e = np.maximum(ends - k, starts)
-        out[:, :, k] = (P[:, k, e] - P[:, k, starts]).T
+        # all query positions for this lag, deduplicated and sorted
+        qpos = np.unique(np.concatenate([starts, e]))
+        qpos = qpos[qpos <= N - k]
+        prod = data[:, : N - k] * data[:, k:]
+        # segment sums between consecutive query positions -> prefix at qpos
+        bounds = qpos[:-1] if qpos.size and qpos[-1] == N - k else qpos
+        if bounds.size == 0 or bounds[0] != 0:
+            bounds = np.concatenate([[0], bounds])
+        seg = np.add.reduceat(prod, bounds, axis=-1)
+        if bounds[-1] >= prod.shape[1]:  # reduceat quirk: empty tail segment
+            seg[..., -1] = 0.0
+        prefix_at = np.concatenate(
+            [np.zeros((C, 1)), np.cumsum(seg, axis=-1)], axis=-1
+        )  # prefix value after each boundary
+        # map positions -> prefix values (all queries are exact members)
+        pos_all = np.concatenate([bounds, [N - k]])
+        e_idx = np.searchsorted(pos_all, e)
+        s_idx = np.searchsorted(pos_all, starts)
+        out[:, :, k] = (prefix_at[:, e_idx] - prefix_at[:, s_idx]).T
     return out
 
 

@@ -152,9 +152,22 @@ class Encoder:
         blobs: list[bytes] = []
         max_block_size = 0
         max_bps = 0
+        done_samples = 0
+        out_size = 0
         for plan in plans:
             blob = self._encode_block_payload(plan)
             blobs.append(blob)
+            if self.config.verbose:
+                # progress display (SLAEncoder.c:903-911)
+                done_samples += plan.num_samples
+                out_size += len(blob)
+                orig = done_samples * wf.num_channels * wf.bit_per_sample // 8
+                print(
+                    f"progress:{100 * done_samples // num_samples:2d}% "
+                    f"(compress ratio:{100.0 * out_size / max(orig, 1):.1f} %)",
+                    end="\r",
+                    flush=True,
+                )
             max_block_size = max(max_block_size, len(blob))
             # uint32 arithmetic as in the reference (SLAEncoder.c:895):
             # 8 * block_size * rate wraps mod 2^32 before the division
