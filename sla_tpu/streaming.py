@@ -140,6 +140,18 @@ class StreamingDecoder:
         self._filter_state: dict | None = None
         self._payload_cursor: native.PayloadCursor | None = None
 
+    def reset(self) -> None:
+        """Reset stream position and buffers (SLAStreamingDecoder_Reset,
+        SLADecoder.c:735-749). Queued packets are dropped."""
+        self._buffer = bytearray()
+        self._block = None
+        self._block_sample_offset = 0
+        self._pending_drop = 0
+        self._consumed_bits = 0
+        self._filter_state = None
+        self._payload_cursor = None
+        self.queue = DataPacketQueue()
+
     # -- parameter setting ---------------------------------------------------
     def set_wave_format(self, wf: WaveFormat) -> None:
         cc = self.config.core

@@ -1,0 +1,63 @@
+"""WAV I/O: canonical conversion, chunk handling, format rejection
+(reference: test_wav.c:24-118)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from sla_tpu import wavio
+from sla_tpu.errors import ApiResult, SLAError
+
+
+@pytest.mark.parametrize("bps", [8, 16, 24, 32])
+def test_depth_roundtrip(bps):
+    rng = np.random.default_rng(bps)
+    amp = 1 << (bps - 1)
+    pcm = (rng.integers(-amp, amp, (2, 777)) << (32 - bps)).astype(np.int32)
+    blob = wavio.serialize_wav(wavio.WavFile(2, 48000, bps, pcm))
+    out = wavio.parse_wav(blob)
+    assert out.bits_per_sample == bps and out.sampling_rate == 48000
+    assert np.array_equal(out.data, pcm)
+
+
+def test_8bit_offset_binary():
+    """8-bit PCM is offset-binary: byte 0 -> -128<<24 (wav.c:391-400)."""
+    blob = wavio.serialize_wav(
+        wavio.WavFile(1, 8000, 8, np.array([[-128 << 24, 0, 127 << 24]], np.int32))
+    )
+    body = blob[-3:]
+    assert body == bytes([0, 128, 255])
+
+
+def test_unknown_chunks_skipped():
+    pcm = np.array([[1 << 16, 2 << 16]], dtype=np.int32)
+    blob = wavio.serialize_wav(wavio.WavFile(1, 44100, 16, pcm))
+    # splice a junk chunk between fmt and data
+    head, data_part = blob[:36], blob[36:]
+    junk = b"JUNK" + struct.pack("<I", 6) + b"abcdef"
+    spliced = head + junk + data_part
+    # fix RIFF size
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    out = wavio.parse_wav(spliced)
+    assert np.array_equal(out.data, pcm)
+
+
+def test_reject_non_riff():
+    with pytest.raises(SLAError) as e:
+        wavio.parse_wav(b"OggS" + b"\x00" * 64)
+    assert e.value.result == ApiResult.INVALID_HEADER_FORMAT
+
+
+def test_reject_non_pcm():
+    pcm = np.array([[0]], dtype=np.int32)
+    blob = bytearray(wavio.serialize_wav(wavio.WavFile(1, 44100, 16, pcm)))
+    blob[20:22] = struct.pack("<H", 3)  # IEEE float format tag
+    with pytest.raises(SLAError):
+        wavio.parse_wav(bytes(blob))
+
+
+def test_reject_missing_data_chunk():
+    blob = wavio.serialize_wav(wavio.WavFile(1, 44100, 16, np.zeros((1, 4), np.int32)))
+    with pytest.raises(SLAError):
+        wavio.parse_wav(blob[:36])  # truncate before the data chunk
