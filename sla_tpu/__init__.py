@@ -7,11 +7,29 @@ device scans over a (blocks x channels) grid and the bit-serial entropy
 stage on host.
 """
 
+import os as _os
+
 import jax as _jax
 
 # The long-term predictor accumulates in 64-bit integers
 # (SLAPredictor.c:1040-1085); enable wide types before any tracing.
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the filter-stage programs are recompiled for
+# every (batch, block-length) shape; caching them across processes makes
+# repeated CLI/test invocations start warm. Opt out with SLA_TPU_NO_JIT_CACHE.
+if not _os.environ.get("SLA_TPU_NO_JIT_CACHE"):
+    try:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get(
+                "SLA_TPU_JIT_CACHE_DIR",
+                _os.path.join(_os.path.expanduser("~"), ".cache", "sla_tpu_jit"),
+            ),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # unsupported on exotic runtimes — caching is optional
+        pass
 
 from .constants import (  # noqa: E402,F401
     SLA_FORMAT_VERSION,

@@ -236,7 +236,14 @@ class Encoder:
         for i, plan in enumerate(plans):
             by_len.setdefault(plan.num_samples, []).append(i)
 
-        for n, idxs in by_len.items():
+        # bound the float64 analysis buffer for long files (~100 MB cap)
+        max_group = max(1, (100 << 20) // (C * ep.max_num_block_samples * 8))
+        grouped = [
+            (n, idxs[i : i + max_group])
+            for n, idxs in by_len.items()
+            for i in range(0, len(idxs), max_group)
+        ]
+        for n, idxs in grouped:
             window = win.make_window(ep.window_function_type, n)
             batch_dbl = np.empty((len(idxs), C, n), dtype=np.float64)
             for row, i in enumerate(idxs):
@@ -253,10 +260,12 @@ class Encoder:
                 if not np.any(int32):
                     plan.block_type = BlockDataType.SILENT
                 batch_dbl[row] = dbl
-            # windowing + double pre-emphasis (SLAEncoder.c:540-543)
+            # windowing + double pre-emphasis (SLAEncoder.c:540-543).
+            # NumPy materializes the RHS temp before the in-place subtract,
+            # so no defensive copy of the shifted view is needed.
             batch_dbl *= window
             coef = (2.0 ** 5 - 1.0) * 2.0 ** -5
-            batch_dbl[..., 1:] -= batch_dbl[..., :-1].copy() * coef
+            batch_dbl[..., 1:] -= batch_dbl[..., :-1] * coef
             parcor = calculate_parcor(batch_dbl, p)  # (Nb, C, p+1)
             code_len = estimate_code_length(batch_dbl, wf.bit_per_sample, parcor, p)
             ratio = 8.0 * code_len / wf.bit_per_sample

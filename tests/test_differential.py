@@ -47,6 +47,33 @@ CASES = [
     ("chirp", 8, 16, 0),  # 8-channel grid
 ]
 
+# NOTE on 32-bit: the reference nominally accepts bit_per_sample == 32 but is
+# NOT lossless at full scale (its integer filters overflow; the guarding
+# SLA_Asserts are compiled out by NDEBUG, and its own test matrix stops at
+# 24-bit). Parity therefore covers 32-bit *containers* whose payload has
+# 24-bit headroom — the offset left-shift absorbs the empty low byte and the
+# streams stay interoperable; see test_32bit_container_24bit_payload.
+
+
+def test_32bit_container_24bit_payload(ref_binary, tmp_path):
+    pcm = gen_wave("sine", 9000, 2, 32, 8, seed=44)  # low 8 bits empty
+    wav = wavio.WavFile(2, 44100, 32, pcm)
+    wav_path = tmp_path / "in32.wav"
+    wavio.write_wav(str(wav_path), wav)
+    blob = ref_encode(ref_binary, wav_path, tmp_path / "r.sla", 1)
+    dec = sla.Decoder()
+    _, out = dec.decode_whole(blob)
+    assert np.array_equal(out, pcm)
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(2, 32, 44100))
+    enc.set_encode_parameter(sla.PRESETS[1])
+    ours = enc.encode_whole(pcm)
+    assert ours == blob  # byte-identical
+    p = tmp_path / "ours32.sla"
+    p.write_bytes(ours)
+    back = ref_decode(ref_binary, p, tmp_path / "dec32.wav")
+    assert np.array_equal(back.data, pcm)
+
 
 @pytest.mark.parametrize("kind,ch,width,mode", CASES)
 def test_ours_to_reference(kind, ch, width, mode, ref_binary, tmp_path):
