@@ -92,6 +92,14 @@ def _load() -> ctypes.CDLL | None:
     lib.sla_predict_stage1.argtypes = [p_i32, p_i32, i32, p_i32, i32]
     lib.sla_predict_stage2.restype = i32
     lib.sla_predict_stage2.argtypes = [p_i32, p_i32, i32, i32, p_i32, i32, i32]
+    lib.sla_predict_stage1_rows8.restype = i32
+    lib.sla_predict_stage1_rows8.argtypes = [p_i32, p_i32, i32, p_i32, i32]
+    lib.sla_predict_stage2_rows8.restype = i32
+    lib.sla_predict_stage2_rows8.argtypes = [p_i32, p_i32, i32, p_i32, p_i32, i32, i32]
+    lib.sla_synth_rows8.restype = i32
+    lib.sla_synth_rows8.argtypes = [
+        p_i32, p_i32, i32, p_i32, i32, p_i32, p_i32, i32, i32,
+    ]
     lib.sla_synth_chunk.restype = i32
     lib.sla_synth_chunk.argtypes = [
         p_i32, p_i32, i32,  # residual, out, n
@@ -258,14 +266,30 @@ def predict_stage1_rows(
     B, L = data.shape
     out = np.zeros_like(data)
     coef = np.ascontiguousarray(parcor_coef, dtype=np.int32)
+    p = coef.shape[1]
+    lens = (
+        np.asarray(lengths, dtype=np.int64)
+        if lengths is not None
+        else np.full(B, L, dtype=np.int64)
+    )
+    by_len: dict[int, list[int]] = {}
     for b in range(B):
-        n = int(lengths[b]) if lengths is not None else L
-        if n == 0:
-            continue
-        row = np.empty(n, dtype=np.int32)
-        lib.sla_predict_stage1(_i32ptr(data[b]), _i32ptr(row), n,
-                               _i32ptr(coef[b]), coef.shape[1])
-        out[b, :n] = row
+        if lens[b] > 0:
+            by_len.setdefault(int(lens[b]), []).append(b)
+    for n, rows in by_len.items():
+        g = 0
+        while g + 8 <= len(rows):
+            idx = rows[g : g + 8]
+            in8 = np.ascontiguousarray(data[idx, :n])
+            out8 = np.empty_like(in8)
+            coef8 = np.ascontiguousarray(coef[idx])
+            lib.sla_predict_stage1_rows8(_i32ptr(in8), _i32ptr(out8), n, _i32ptr(coef8), p)
+            out[idx, :n] = out8
+            g += 8
+        for b in rows[g:]:
+            row = np.empty(n, dtype=np.int32)
+            lib.sla_predict_stage1(_i32ptr(data[b]), _i32ptr(row), n, _i32ptr(coef[b]), p)
+            out[b, :n] = row
     return out
 
 
@@ -283,14 +307,34 @@ def predict_stage2_rows(
     B, L = residual.shape
     out = np.zeros_like(residual)
     ltm = np.ascontiguousarray(ltm_coef, dtype=np.int32)
+    lens = (
+        np.asarray(lengths, dtype=np.int64)
+        if lengths is not None
+        else np.full(B, L, dtype=np.int64)
+    )
+    by_len: dict[int, list[int]] = {}
     for b in range(B):
-        n = int(lengths[b]) if lengths is not None else L
-        if n == 0:
-            continue
-        row = np.empty(n, dtype=np.int32)
-        lib.sla_predict_stage2(_i32ptr(residual[b]), _i32ptr(row), n,
-                               int(pitch[b]), _i32ptr(ltm[b]), num_taps, lms_order)
-        out[b, :n] = row
+        if lens[b] > 0:
+            by_len.setdefault(int(lens[b]), []).append(b)
+    for n, rows in by_len.items():
+        g = 0
+        while g + 8 <= len(rows):
+            idx = rows[g : g + 8]
+            in8 = np.ascontiguousarray(residual[idx, :n])
+            out8 = np.empty_like(in8)
+            pit8 = np.ascontiguousarray(pitch[idx].astype(np.int32))
+            ltm8 = np.ascontiguousarray(ltm[idx])
+            lib.sla_predict_stage2_rows8(
+                _i32ptr(in8), _i32ptr(out8), n, _i32ptr(pit8), _i32ptr(ltm8),
+                num_taps, lms_order,
+            )
+            out[idx, :n] = out8
+            g += 8
+        for b in rows[g:]:
+            row = np.empty(n, dtype=np.int32)
+            lib.sla_predict_stage2(_i32ptr(residual[b]), _i32ptr(row), n,
+                                   int(pitch[b]), _i32ptr(ltm[b]), num_taps, lms_order)
+            out[b, :n] = row
     return out
 
 
@@ -304,7 +348,10 @@ def synth_rows(
     lengths: np.ndarray | None = None,
 ) -> np.ndarray:
     """Host decode-side cascade over a (B, L) batch (LMS -> long-term ->
-    lattice -> de-emphasis), row-serial; inverse of predict_rows."""
+    lattice -> de-emphasis); inverse of predict_rows.
+
+    Equal-length rows run eight at a time through the interleaved SIMD
+    cascade; stragglers use the resumable single-row path."""
     lib = _load()
     residual = np.ascontiguousarray(residual, dtype=np.int32)
     B, L = residual.shape
@@ -313,20 +360,43 @@ def synth_rows(
     out = np.zeros_like(residual)
     coef = np.ascontiguousarray(parcor_coef, dtype=np.int32)
     ltm = np.ascontiguousarray(ltm_coef, dtype=np.int32)
+    lens = (
+        np.asarray(lengths, dtype=np.int64)
+        if lengths is not None
+        else np.full(B, L, dtype=np.int64)
+    )
+
+    by_len: dict[int, list[int]] = {}
     for b in range(B):
-        n = int(lengths[b]) if lengths is not None else L
-        if n == 0:
-            continue
-        lat = np.zeros(p + 1, np.int32)
-        hist = np.zeros(258, np.int32)
-        ltp = np.zeros(1, np.int32)
-        lms = np.zeros(4 * M, np.int32)
-        lmsp = np.zeros(1, np.int32)
-        de = np.zeros(1, np.int32)
-        out[b, :n] = synth_chunk(
-            residual[b, :n], coef[b], lat, int(pitch[b]), ltm[b], num_taps,
-            hist, ltp, M, lms, lmsp, de,
-        )
+        if lens[b] > 0:
+            by_len.setdefault(int(lens[b]), []).append(b)
+
+    for n, rows in by_len.items():
+        g = 0
+        while g + 8 <= len(rows):
+            idx = rows[g : g + 8]
+            res8 = np.ascontiguousarray(residual[idx, :n])
+            out8 = np.empty_like(res8)
+            coef8 = np.ascontiguousarray(coef[idx])
+            pit8 = np.ascontiguousarray(pitch[idx].astype(np.int32))
+            ltm8 = np.ascontiguousarray(ltm[idx])
+            lib.sla_synth_rows8(
+                _i32ptr(res8), _i32ptr(out8), n, _i32ptr(coef8), p,
+                _i32ptr(pit8), _i32ptr(ltm8), num_taps, M,
+            )
+            out[idx, :n] = out8
+            g += 8
+        for b in rows[g:]:
+            lat = np.zeros(p + 1, np.int32)
+            hist = np.zeros(258, np.int32)
+            ltp = np.zeros(1, np.int32)
+            lms = np.zeros(4 * M, np.int32)
+            lmsp = np.zeros(1, np.int32)
+            de = np.zeros(1, np.int32)
+            out[b, :n] = synth_chunk(
+                residual[b, :n], coef[b], lat, int(pitch[b]), ltm[b], num_taps,
+                hist, ltp, M, lms, lmsp, de,
+            )
     return out
 
 

@@ -627,13 +627,34 @@ int32_t sla_synth_chunk(
   const int32_t M = lms_order;
   int32_t* fc = lms_state;
   int32_t* ic = lms_state + M;
-  int32_t* xb = lms_state + 2 * M;
-  int32_t* pb = lms_state + 3 * M;
+  int32_t* xb_ext = lms_state + 2 * M;
+  int32_t* pb_ext = lms_state + 3 * M;
   const int32_t max_delay = pitch + num_taps / 2;
+
+  // Doubled LMS ring buffers (newest at xd[xpos]); avoids the per-sample
+  // shift of the external newest-first layout. Copied in/out per call.
+  int32_t xd[2 * 64], pd[2 * 64];
+  int32_t xpos = 64;  // room to decrement for up to 64 samples before refill
+  for (int32_t i = 0; i < M; ++i) {
+    xd[xpos + i] = xb_ext[i];
+    pd[xpos + i] = pb_ext[i];
+  }
+  // Long-term history ring: hist value k steps back = ring[(head - k) & mask]
+  // with a power-of-two ring of >= 2 * lt_hist_len entries.
+  int32_t lt_ring[1024];
+  const int32_t lt_mask = 1023;
+  int32_t lt_head = lt_hist_len;  // position of the NEXT write
+  if (pitch > 0) {
+    for (int32_t i = 0; i < lt_hist_len; ++i) lt_ring[i] = lt_hist[i];
+  }
+  int32_t q15c[8];
+  for (int32_t j = 0; j < num_taps; ++j) q15c[j] = ltm_coef[j] >> 16;
 
   for (int32_t s = 0; s < n; ++s) {
     // ---- LMS synthesis (kernels/lms.py step, synthesize=True)
     int32_t x = residual[s];
+    const int32_t* xb = xd + xpos;
+    const int32_t* pb = pd + xpos;
     int32_t acc = 512;
     for (int32_t i = 0; i < M; ++i) acc += fc[i] * xb[i];
     for (int32_t i = 0; i < M; ++i) acc += ic[i] * pb[i];
@@ -652,9 +673,13 @@ int32_t sla_synth_chunk(
     }
     int32_t new_sample = y;
     int32_t ins_p = warm ? new_sample : pred;
-    for (int32_t i = M - 1; i > 0; --i) { xb[i] = xb[i - 1]; pb[i] = pb[i - 1]; }
-    xb[0] = new_sample;
-    pb[0] = ins_p;
+    if (xpos == 0) {  // refill headroom
+      for (int32_t i = M - 1; i >= 0; --i) { xd[64 + i] = xd[i]; pd[64 + i] = pd[i]; }
+      xpos = 64;
+    }
+    --xpos;
+    xd[xpos] = new_sample;
+    pd[xpos] = ins_p;
     if (warm) y = x;
     (*lms_processed)++;
 
@@ -663,12 +688,12 @@ int32_t sla_synth_chunk(
       int64_t s64 = 0;
       for (int32_t j = 0; j < num_taps; ++j) {
         int32_t back = max_delay - j;  // samples back (>= 1)
-        s64 += (int64_t)(ltm_coef[j] >> 16) * lt_hist[lt_hist_len - back];
+        s64 += (int64_t)q15c[j] * lt_ring[(lt_head - back) & lt_mask];
       }
       int32_t lpred = (int32_t)((s64 + (1 << 14)) >> 15);
       int32_t lout = (*lt_processed >= max_delay) ? y + lpred : y;
-      std::memmove(lt_hist, lt_hist + 1, sizeof(int32_t) * (lt_hist_len - 1));
-      lt_hist[lt_hist_len - 1] = lout;
+      lt_ring[lt_head & lt_mask] = lout;
+      ++lt_head;
       y = lout;
     }
     (*lt_processed)++;
@@ -688,6 +713,16 @@ int32_t sla_synth_chunk(
     y = y + ((*deemph_prev * 31) >> 5);
     *deemph_prev = y;
     out[s] = y;
+  }
+
+  // write the ring states back to the caller's canonical layouts
+  for (int32_t i = 0; i < M; ++i) {
+    xb_ext[i] = xd[xpos + i];
+    pb_ext[i] = pd[xpos + i];
+  }
+  if (pitch > 0) {
+    for (int32_t i = 0; i < lt_hist_len; ++i)
+      lt_hist[i] = lt_ring[(lt_head - lt_hist_len + i) & lt_mask];
   }
   return 0;
 }
@@ -776,6 +811,226 @@ int32_t sla_predict_stage2(const int32_t* in, int32_t* out, int32_t n,
       xb[0] = x;
       pb[0] = ins_p;
       lt_out[s] = warm ? x : res;
+    }
+  }
+  return 0;
+}
+
+// Eight-row encode stage 1: pre-emphasis + lattice predict, rows
+// interleaved for SIMD (see sla_synth_rows8). in/out: 8 rows x n row-major.
+int32_t sla_predict_stage1_rows8(const int32_t* in, int32_t* out, int32_t n,
+                                 const int32_t* parcor_coef /* 8 x p */,
+                                 int32_t p) {
+  enum { R = 8 };
+  int32_t c[64][R];
+  for (int32_t k = 0; k < p; ++k)
+    for (int32_t r = 0; r < R; ++r) c[k][r] = parcor_coef[r * p + k];
+  int32_t b[65][R];
+  std::memset(b, 0, sizeof(b));
+  int32_t x_prev[R] = {0};
+  int32_t m[64][R], fp[64][R];
+  for (int32_t s = 0; s < n; ++s) {
+    int32_t x[R];
+    for (int32_t r = 0; r < R; ++r) {
+      int32_t raw = in[(int64_t)r * n + s];
+      x[r] = raw - ((x_prev[r] * 31) >> 5);
+      x_prev[r] = raw;
+    }
+    // every stage term uses PREVIOUS state only (the JAX kernel's
+    // formulation): m[k] = q(c[k+1], b_prev[k]) — fully parallel over k, r
+    for (int32_t k = 0; k < p; ++k)
+      for (int32_t r = 0; r < R; ++r) m[k][r] = qmul15(c[k][r], b[k][r]);
+    // fp[k] = f before stage k+1 = x - prefix_sum(m)[k-1]
+    for (int32_t r = 0; r < R; ++r) fp[0][r] = x[r];
+    for (int32_t k = 1; k < p; ++k)
+      for (int32_t r = 0; r < R; ++r) fp[k][r] = fp[k - 1][r] - m[k - 1][r];
+    // b update: b_new[k+1] = b_prev[k] - q(c[k+1], fp[k]), top-down so
+    // b_prev reads stay untouched
+    for (int32_t k = p - 1; k >= 0; --k)
+      for (int32_t r = 0; r < R; ++r)
+        b[k + 1][r] = b[k][r] - qmul15(c[k][r], fp[k][r]);
+    for (int32_t r = 0; r < R; ++r) {
+      b[0][r] = x[r];
+      out[(int64_t)r * n + s] = fp[p - 1][r] - m[p - 1][r];
+    }
+  }
+  return 0;
+}
+
+// Eight-row encode stage 2: long-term FIR (history = input, no recursion)
+// + LMS predict, rows interleaved.
+int32_t sla_predict_stage2_rows8(const int32_t* in, int32_t* out, int32_t n,
+                                 const int32_t* pitch8,
+                                 const int32_t* ltm /* 8 x T */,
+                                 int32_t num_taps, int32_t lms_order) {
+  enum { R = 8 };
+  const int32_t M = lms_order;
+  // long-term: plain vectorizable FIR per row (bounded lookback into `in`)
+  for (int32_t r = 0; r < R; ++r) {
+    const int32_t* row = in + (int64_t)r * n;
+    int32_t* orow = out + (int64_t)r * n;
+    if (pitch8[r] > 0) {
+      const int32_t max_delay = pitch8[r] + num_taps / 2;
+      int32_t q15c[8];
+      for (int32_t j = 0; j < num_taps; ++j) q15c[j] = ltm[r * num_taps + j] >> 16;
+      for (int32_t s = 0; s < n; ++s) {
+        if (s < max_delay) {
+          orow[s] = row[s];
+        } else {
+          int64_t acc = 0;
+          for (int32_t j = 0; j < num_taps; ++j)
+            acc += (int64_t)q15c[j] * row[s - (max_delay - j)];
+          orow[s] = row[s] - (int32_t)((acc + (1 << 14)) >> 15);
+        }
+      }
+    } else {
+      std::memcpy(orow, row, sizeof(int32_t) * n);
+    }
+  }
+  // LMS predict in place over `out`, 8 rows interleaved
+  int32_t fc[64][R], ic[64][R], xb[64][R], pb[64][R];
+  std::memset(fc, 0, sizeof(int32_t) * M * R);
+  std::memset(ic, 0, sizeof(int32_t) * M * R);
+  std::memset(xb, 0, sizeof(int32_t) * M * R);
+  std::memset(pb, 0, sizeof(int32_t) * M * R);
+  for (int32_t s = 0; s < n; ++s) {
+    int32_t acc[R];
+    for (int32_t r = 0; r < R; ++r) acc[r] = 512;
+    for (int32_t i = 0; i < M; ++i)
+      for (int32_t r = 0; r < R; ++r)
+        acc[r] += fc[i][r] * xb[i][r] + ic[i][r] * pb[i][r];
+    bool warm = s < M;
+    int32_t pred[R], res[R], step[R], x[R];
+    for (int32_t r = 0; r < R; ++r) {
+      x[r] = out[(int64_t)r * n + s];
+      pred[r] = acc[r] >> 10;
+      res[r] = x[r] - pred[r];
+      uint32_t mag = (uint32_t)(res[r] < 0 ? -res[r] : res[r]);
+      int32_t bl = (mag == 0) ? 0 : (32 - __builtin_clz(mag));
+      step[r] = warm ? 0 : ((res[r] > 0) - (res[r] < 0)) * (bl >> 1);
+    }
+    for (int32_t i = 0; i < M; ++i)
+      for (int32_t r = 0; r < R; ++r) {
+        fc[i][r] += step[r] * ((xb[i][r] > 0) - (xb[i][r] < 0));
+        ic[i][r] += step[r] * ((pb[i][r] > 0) - (pb[i][r] < 0));
+      }
+    for (int32_t i = M - 1; i > 0; --i)
+      for (int32_t r = 0; r < R; ++r) { xb[i][r] = xb[i - 1][r]; pb[i][r] = pb[i - 1][r]; }
+    for (int32_t r = 0; r < R; ++r) {
+      xb[0][r] = x[r];
+      pb[0][r] = warm ? x[r] : pred[r];
+      out[(int64_t)r * n + s] = warm ? x[r] : res[r];
+    }
+  }
+  return 0;
+}
+
+// Eight-row synthesis: same cascade as sla_synth_chunk but with eight
+// independent rows interleaved so the serial per-sample dependency chains
+// (lattice k-recursion, LMS adaptation) fill SIMD lanes / execution ports —
+// the host-side mirror of the Pallas kernel's lane axis. Fresh state, whole
+// blocks (the decoder's batch path; streaming keeps the resumable
+// single-row variant). residual/out: 8 rows x n, row-major.
+int32_t sla_synth_rows8(const int32_t* residual, int32_t* out, int32_t n,
+                        const int32_t* parcor_coef /* 8 x p */, int32_t p,
+                        const int32_t* pitch8 /* 8 */,
+                        const int32_t* ltm /* 8 x T */, int32_t num_taps,
+                        int32_t lms_order) {
+  enum { R = 8 };
+  const int32_t M = lms_order;
+  // transposed coefficient/state tiles: index [k][row]
+  int32_t c[64][R];
+  for (int32_t k = 0; k < p; ++k)
+    for (int32_t r = 0; r < R; ++r) c[k][r] = parcor_coef[r * p + k];
+  int32_t lat[65][R];
+  std::memset(lat, 0, sizeof(lat));
+  int32_t fc[64][R], ic[64][R], xb[64][R], pb[64][R];
+  std::memset(fc, 0, sizeof(int32_t) * M * R);
+  std::memset(ic, 0, sizeof(int32_t) * M * R);
+  std::memset(xb, 0, sizeof(int32_t) * M * R);
+  std::memset(pb, 0, sizeof(int32_t) * M * R);
+  int32_t deemph[R] = {0};
+  int32_t q15c[8][R];
+  int32_t max_delay[R];
+  bool any_lt = false;
+  for (int32_t r = 0; r < R; ++r) {
+    max_delay[r] = pitch8[r] + num_taps / 2;
+    any_lt = any_lt || pitch8[r] > 0;
+    for (int32_t j = 0; j < num_taps; ++j) q15c[j][r] = ltm[r * num_taps + j] >> 16;
+  }
+  static thread_local int32_t lt_ring[R][1024];
+  const int32_t lt_mask = 1023;
+  if (any_lt) std::memset(lt_ring, 0, sizeof(int32_t) * R * 1024);
+
+  for (int32_t s = 0; s < n; ++s) {
+    int32_t y[R];
+    for (int32_t r = 0; r < R; ++r) y[r] = residual[(int64_t)r * n + s];
+
+    // ---- LMS synthesis
+    {
+      int32_t acc[R];
+      for (int32_t r = 0; r < R; ++r) acc[r] = 512;
+      for (int32_t i = 0; i < M; ++i)
+        for (int32_t r = 0; r < R; ++r)
+          acc[r] += fc[i][r] * xb[i][r] + ic[i][r] * pb[i][r];
+      bool warm = s < M;
+      int32_t pred[R], outv[R], step[R];
+      for (int32_t r = 0; r < R; ++r) {
+        pred[r] = acc[r] >> 10;
+        int32_t res = y[r];
+        outv[r] = y[r] + pred[r];
+        uint32_t mag = (uint32_t)(res < 0 ? -res : res);
+        int32_t bl = (mag == 0) ? 0 : (32 - __builtin_clz(mag));
+        step[r] = warm ? 0 : ((res > 0) - (res < 0)) * (bl >> 1);
+      }
+      for (int32_t i = 0; i < M; ++i)
+        for (int32_t r = 0; r < R; ++r) {
+          fc[i][r] += step[r] * ((xb[i][r] > 0) - (xb[i][r] < 0));
+          ic[i][r] += step[r] * ((pb[i][r] > 0) - (pb[i][r] < 0));
+        }
+      for (int32_t i = M - 1; i > 0; --i)
+        for (int32_t r = 0; r < R; ++r) { xb[i][r] = xb[i - 1][r]; pb[i][r] = pb[i - 1][r]; }
+      for (int32_t r = 0; r < R; ++r) {
+        xb[0][r] = outv[r];
+        pb[0][r] = warm ? outv[r] : pred[r];
+        if (!warm) y[r] = outv[r];
+      }
+    }
+
+    // ---- long-term synthesis (per-row delays: scalar gather)
+    if (any_lt) {
+      for (int32_t r = 0; r < R; ++r) {
+        if (pitch8[r] <= 0) continue;
+        int64_t acc = 0;
+        for (int32_t j = 0; j < num_taps; ++j)
+          acc += (int64_t)q15c[j][r] * lt_ring[r][(s + 1024 - (max_delay[r] - j)) & lt_mask];
+        int32_t lpred = (int32_t)((acc + (1 << 14)) >> 15);
+        int32_t lout = (s >= max_delay[r]) ? y[r] + lpred : y[r];
+        lt_ring[r][s & lt_mask] = lout;
+        y[r] = lout;
+      }
+    }
+
+    // ---- PARCOR lattice synthesis (suffix-sum formulation: stage terms
+    // use previous state only, so k and r both vectorize)
+    {
+      int32_t m[64][R], fpart[64][R];
+      for (int32_t k = 0; k < p; ++k)
+        for (int32_t r = 0; r < R; ++r) m[k][r] = qmul15(c[k][r], lat[k][r]);
+      for (int32_t r = 0; r < R; ++r) fpart[p - 1][r] = y[r] + m[p - 1][r];
+      for (int32_t k = p - 2; k >= 0; --k)
+        for (int32_t r = 0; r < R; ++r) fpart[k][r] = fpart[k + 1][r] + m[k][r];
+      for (int32_t k = p - 1; k >= 0; --k)
+        for (int32_t r = 0; r < R; ++r)
+          lat[k + 1][r] = lat[k][r] - qmul15(c[k][r], fpart[k][r]);
+      for (int32_t r = 0; r < R; ++r) { lat[0][r] = fpart[0][r]; y[r] = fpart[0][r]; }
+    }
+
+    // ---- de-emphasis
+    for (int32_t r = 0; r < R; ++r) {
+      y[r] += (deemph[r] * 31) >> 5;
+      deemph[r] = y[r];
+      out[(int64_t)r * n + s] = y[r];
     }
   }
   return 0;
