@@ -99,11 +99,11 @@ def longterm_coef_rows(
     use_native = native.available()
     out_lags = LONGTERM_MAX_PERIOD + num_taps + 4
     if use_native:
-        ac = np.stack(
-            [
-                native.longterm_autocorr(data[row, :num_samples], fft_size, out_lags)
-                for row in range(data.shape[0])
-            ]
+        ac = native.longterm_autocorr_rows(
+            np.ascontiguousarray(data[:, :num_samples]),
+            np.full(data.shape[0], num_samples, dtype=np.int32),
+            fft_size,
+            out_lags,
         )
     else:
         ac = _fft_autocorr_rows(data[:, :num_samples], fft_size)

@@ -80,6 +80,8 @@ def _load() -> ctypes.CDLL | None:
     lib.sla_lesolve.argtypes = [p_f64, p_f64, i32, i32]
     lib.sla_longterm_autocorr.restype = None
     lib.sla_longterm_autocorr.argtypes = [p_i32, i32, p_f64, i32, p_f64, i32]
+    lib.sla_longterm_autocorr_rows8.restype = None
+    lib.sla_longterm_autocorr_rows8.argtypes = [p_i32, p_i32, i32, p_f64, i32, p_f64, i32]
     p_u64 = ctypes.POINTER(ctypes.c_uint64)
     p_i64 = ctypes.POINTER(ctypes.c_int64)
     lib.sla_get_data_array_partial.restype = i32
@@ -216,6 +218,32 @@ def longterm_autocorr(data: np.ndarray, fft_size: int, out_lags: int) -> np.ndar
     lib.sla_longterm_autocorr(
         _i32ptr(data), data.size, _f64ptr(work), fft_size, _f64ptr(out), out_lags
     )
+    return out
+
+
+def longterm_autocorr_rows(
+    data: np.ndarray, lengths: np.ndarray, fft_size: int, out_lags: int
+) -> np.ndarray:
+    """Batched exact autocorrelation: (B, L) int32 rows with per-row valid
+    lengths -> (B, out_lags). Groups of 8 run through the interleaved FFT
+    (identical per-row arithmetic); stragglers use the scalar path."""
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.int32)
+    B, L = data.shape
+    out = np.empty((B, out_lags), dtype=np.float64)
+    work8 = np.empty(fft_size * 8, dtype=np.float64)
+    lens = np.ascontiguousarray(lengths, dtype=np.int32)
+    b = 0
+    while b + 8 <= B:
+        out8 = np.empty((8, out_lags), dtype=np.float64)
+        lib.sla_longterm_autocorr_rows8(
+            _i32ptr(data[b:]), _i32ptr(lens[b:]), L, _f64ptr(work8), fft_size,
+            _f64ptr(out8), out_lags,
+        )
+        out[b : b + 8] = out8
+        b += 8
+    for i in range(b, B):
+        out[i] = longterm_autocorr(data[i, : int(lens[i])], fft_size, out_lags)
     return out
 
 

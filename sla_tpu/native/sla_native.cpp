@@ -559,6 +559,107 @@ void lu_forward_back(const double* A, double* b, int dim, const int* change_inde
   }
 }
 
+// Eight-row variants: identical operation sequence per row (twiddle
+// recurrences and butterfly order unchanged), eight rows interleaved in the
+// last axis so every scalar op becomes an 8-wide vector op. Layout:
+// d[i][r] = d[i * 8 + r], 1-indexed like the scalar versions.
+enum { FFTR = 8 };
+
+void four1_v8(double* data, unsigned long nn, int isign) {
+  unsigned long n = nn << 1, j = 1;
+  for (unsigned long i = 1; i < n; i += 2) {
+    if (j > i) {
+      for (int r = 0; r < FFTR; ++r) {
+        double t;
+        t = data[j * FFTR + r]; data[j * FFTR + r] = data[i * FFTR + r]; data[i * FFTR + r] = t;
+        t = data[(j + 1) * FFTR + r]; data[(j + 1) * FFTR + r] = data[(i + 1) * FFTR + r]; data[(i + 1) * FFTR + r] = t;
+      }
+    }
+    unsigned long m = n >> 1;
+    while (m >= 2 && j > m) { j -= m; m >>= 1; }
+    j += m;
+  }
+  unsigned long mmax = 2;
+  while (n > mmax) {
+    unsigned long istep = mmax << 1;
+    double theta = isign * (6.28318530717959 / (double)mmax);
+    double wtemp = std::sin(0.5 * theta);
+    double wpr = -2.0 * wtemp * wtemp;
+    double wpi = std::sin(theta);
+    double wr = 1.0, wi = 0.0;
+    for (unsigned long m = 1; m < mmax; m += 2) {
+      for (unsigned long i = m; i <= n; i += istep) {
+        unsigned long jj = i + mmax;
+        double* pj = data + jj * FFTR;
+        double* pj1 = data + (jj + 1) * FFTR;
+        double* pi = data + i * FFTR;
+        double* pi1 = data + (i + 1) * FFTR;
+        for (int r = 0; r < FFTR; ++r) {
+          double tempr = wr * pj[r] - wi * pj1[r];
+          double tempi = wr * pj1[r] + wi * pj[r];
+          pj[r] = pi[r] - tempr;
+          pj1[r] = pi1[r] - tempi;
+          pi[r] += tempr;
+          pi1[r] += tempi;
+        }
+      }
+      wr = (wtemp = wr) * wpr - wi * wpi + wr;
+      wi = wi * wpr + wtemp * wpi + wi;
+    }
+    mmax = istep;
+  }
+}
+
+void realft_v8(double* data, unsigned long n, int isign) {
+  double c1 = 0.5, c2;
+  double theta = 3.141592653589793 / (double)(n >> 1);
+  if (isign == 1) {
+    c2 = -0.5;
+    four1_v8(data, n >> 1, 1);
+  } else {
+    c2 = 0.5;
+    theta = -theta;
+  }
+  double wtemp = std::sin(0.5 * theta);
+  double wpr = -2.0 * wtemp * wtemp;
+  double wpi = std::sin(theta);
+  double wr = 1.0 + wpr, wi = wpi;
+  unsigned long np3 = n + 3;
+  for (unsigned long i = 2; i <= (n >> 2); i++) {
+    unsigned long i1 = i + i - 1, i2 = 1 + i1, i3 = np3 - i2, i4 = 1 + i3;
+    double* p1 = data + i1 * FFTR;
+    double* p2 = data + i2 * FFTR;
+    double* p3 = data + i3 * FFTR;
+    double* p4 = data + i4 * FFTR;
+    for (int r = 0; r < FFTR; ++r) {
+      double h1r = c1 * (p1[r] + p3[r]);
+      double h1i = c1 * (p2[r] - p4[r]);
+      double h2r = -c2 * (p2[r] + p4[r]);
+      double h2i = c2 * (p1[r] - p3[r]);
+      p1[r] = h1r + wr * h2r - wi * h2i;
+      p2[r] = h1i + wr * h2i + wi * h2r;
+      p3[r] = h1r - wr * h2r + wi * h2i;
+      p4[r] = -h1i + wr * h2i + wi * h2r;
+    }
+    wr = (wtemp = wr) * wpr - wi * wpi + wr;
+    wi = wi * wpr + wtemp * wpi + wi;
+  }
+  if (isign == 1) {
+    for (int r = 0; r < FFTR; ++r) {
+      double h1r = data[1 * FFTR + r];
+      data[1 * FFTR + r] = h1r + data[2 * FFTR + r];
+      data[2 * FFTR + r] = h1r - data[2 * FFTR + r];
+    }
+  } else {
+    for (int r = 0; r < FFTR; ++r) {
+      double h1r = data[1 * FFTR + r];
+      data[1 * FFTR + r] = c1 * (h1r + data[2 * FFTR + r]);
+      data[2 * FFTR + r] = c1 * (h1r - data[2 * FFTR + r]);
+    }
+    four1_v8(data, n >> 1, -1);
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -567,6 +668,35 @@ extern "C" {
 // (SLAUtility_FFT, src/SLAUtility.c:315-319): data[0..n-1], sign +1/-1.
 void sla_fft(double* data, uint32_t n, int32_t sign) {
   realft(data - 1, n, (int)sign);
+}
+
+// Long-term autocorrelation for eight rows at once: exact per-row
+// arithmetic of sla_longterm_autocorr, rows interleaved through the
+// vectorized FFT. data: 8 x max_n row-major int32; lengths: per-row sample
+// counts; out: 8 x out_lags row-major.
+void sla_longterm_autocorr_rows8(const int32_t* data, const int32_t* lengths,
+                                 int32_t row_stride, double* work /* fft*8 */,
+                                 int32_t fft_size, double* out,
+                                 int32_t out_lags) {
+  const double scale = std::ldexp(1.0, -31);
+  for (int i = 0; i < fft_size; ++i)
+    for (int r = 0; r < FFTR; ++r)
+      work[i * FFTR + r] =
+          (i < lengths[r]) ? (double)data[(int64_t)r * row_stride + i] * scale : 0.0;
+  realft_v8(work - FFTR, (unsigned long)fft_size, 1);
+  for (int r = 0; r < FFTR; ++r) {
+    work[0 * FFTR + r] *= work[0 * FFTR + r];
+    work[1 * FFTR + r] *= work[1 * FFTR + r];
+  }
+  for (int i = 1; i < fft_size / 2; ++i)
+    for (int r = 0; r < FFTR; ++r) {
+      double re = work[(2 * i) * FFTR + r], im = work[(2 * i + 1) * FFTR + r];
+      work[(2 * i) * FFTR + r] = re * re + im * im;
+      work[(2 * i + 1) * FFTR + r] = 0.0;
+    }
+  realft_v8(work - FFTR, (unsigned long)fft_size, -1);
+  for (int i = 0; i < out_lags; ++i)
+    for (int r = 0; r < FFTR; ++r) out[(int64_t)r * out_lags + i] = work[i * FFTR + r];
 }
 
 // Linear solve with iterative refinement (SLALESolver_Solve semantics,
