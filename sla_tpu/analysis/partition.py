@@ -95,7 +95,12 @@ def estimate_span_code_lengths(
         return adj, V
     spans = np.stack([ii[valid], jj[valid]], axis=1)
     span_len = lengths[valid].astype(np.float64)
-    R = span_autocorrelations(data[:, :num_samples], positions, spans, order)  # (S,C,p+1)
+    from .. import native
+
+    if native.available():
+        R = native.span_autocorr(data[:, :num_samples], positions, spans, order)
+    else:
+        R = span_autocorrelations(data[:, :num_samples], positions, spans, order)
     # Levinson-Durbin batched over (S, C); spans shorter than the order get
     # zero coefficients (silence treatment, SLAPredictor.c:234-239)
     _, parcor = levinson_durbin(R, order)

@@ -388,7 +388,7 @@ class Encoder:
                 w.put(int(plan.parcor_rshift[ch]), 4)
                 for ord_ in range(1, ep.parcor_order + 1):
                     w.put(
-                        int(zigzag_encode_array(plan.parcor_code[ch, ord_ : ord_ + 1])[0]),
+                        rice.sint32_to_uint32(int(plan.parcor_code[ch, ord_])),
                         parcor_quantize_bit_width(ord_),
                     )
                 if plan.pitch[ch] >= LONGTERM_MIN_PITCH_THRESHOLD:

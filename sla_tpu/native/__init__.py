@@ -82,6 +82,11 @@ def _load() -> ctypes.CDLL | None:
     lib.sla_longterm_autocorr.argtypes = [p_i32, i32, p_f64, i32, p_f64, i32]
     lib.sla_longterm_autocorr_rows8.restype = None
     lib.sla_longterm_autocorr_rows8.argtypes = [p_i32, p_i32, i32, p_f64, i32, p_f64, i32]
+    p_i64_arr = ctypes.POINTER(ctypes.c_int64)
+    lib.sla_span_autocorr.restype = None
+    lib.sla_span_autocorr.argtypes = [
+        p_f64, i32, i32, p_i64_arr, i32, p_i64_arr, i32, i32, p_f64,
+    ]
     p_u64 = ctypes.POINTER(ctypes.c_uint64)
     p_i64 = ctypes.POINTER(ctypes.c_int64)
     lib.sla_get_data_array_partial.restype = i32
@@ -458,6 +463,26 @@ def synth_chunk(
         _i32ptr(lt_hist), lt_hist.size, _i32ptr(lt_processed),
         lms_order, _i32ptr(lms_state), _i32ptr(lms_processed),
         _i32ptr(deemph_prev),
+    )
+    return out
+
+
+def span_autocorr(
+    data: np.ndarray, positions: np.ndarray, spans: np.ndarray, order: int
+) -> np.ndarray:
+    """Partition-search span autocorrelations: data (C, N) float64,
+    positions (V,), spans (S, 2) -> (S, C, order+1)."""
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    C, N = data.shape
+    pos = np.ascontiguousarray(positions, dtype=np.int64)
+    sp = np.ascontiguousarray(spans, dtype=np.int64)
+    S = sp.shape[0]
+    out = np.empty((S, C, order + 1), dtype=np.float64)
+    lib.sla_span_autocorr(
+        _f64ptr(data), C, N,
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), pos.size,
+        sp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), S, order, _f64ptr(out),
     )
     return out
 

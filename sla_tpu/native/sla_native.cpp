@@ -8,6 +8,7 @@
 // bit-serial container payload. Compiled with g++ -O3 into a shared library
 // loaded via ctypes (no pybind11 in the image).
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -944,6 +945,63 @@ int32_t sla_predict_stage2(const int32_t* in, int32_t* out, int32_t n,
     }
   }
   return 0;
+}
+
+// Span autocorrelations for the Dijkstra partition cost model: for each lag
+// k and each span [start, end), sum_{n in [start, end-k)} x[n] * x[n+k].
+// Sums run per segment between query boundaries then combine (the same
+// association as the NumPy reduceat path it replaces). data: C x N row-major
+// float64; spans: S x 2 node indices; positions: V sample offsets.
+// out: S x C x (order+1).
+void sla_span_autocorr(const double* data, int32_t C, int32_t N,
+                       const int64_t* positions, int32_t V,
+                       const int64_t* spans, int32_t S, int32_t order,
+                       double* out) {
+  const int32_t lags = order + 1;
+  // scratch: query positions and prefix values per lag
+  int64_t qpos[4096];
+  double pf[4096];  // prefix values, reused per channel
+  for (int32_t k = 0; k < lags; ++k) {
+    // collect unique sorted query positions: starts and max(end-k, start)
+    int64_t tmp[4096];
+    int32_t nq = 0;
+    for (int32_t s = 0; s < S; ++s) {
+      int64_t st = positions[spans[2 * s]];
+      int64_t e = positions[spans[2 * s + 1]] - k;
+      if (e < st) e = st;
+      tmp[nq++] = st;
+      tmp[nq++] = e;
+    }
+    std::sort(tmp, tmp + nq);
+    int32_t nu = 0;
+    for (int32_t i = 0; i < nq; ++i)
+      if (i == 0 || tmp[i] != tmp[i - 1]) qpos[nu++] = tmp[i];
+    const int64_t limit = N - k;
+    for (int32_t ch = 0; ch < C; ++ch) {
+      const double* x = data + (int64_t)ch * N;
+      // pf[j] = sum of products over [0, qpos[j])
+      double acc = 0.0;
+      int64_t pos = 0;
+      for (int32_t j = 0; j < nu; ++j) {
+        int64_t q = qpos[j] < limit ? qpos[j] : limit;
+        for (; pos < q; ++pos) acc += x[pos] * x[pos + k];
+        pf[j] = acc;
+      }
+      for (int32_t s = 0; s < S; ++s) {
+        int64_t st = positions[spans[2 * s]];
+        int64_t e = positions[spans[2 * s + 1]] - k;
+        if (e < st) e = st;
+        // binary search qpos
+        int32_t lo = 0, hi = nu - 1, si = 0, ei = 0;
+        while (lo <= hi) { int32_t mid = (lo + hi) / 2; if (qpos[mid] < st) lo = mid + 1; else hi = mid - 1; }
+        si = lo;
+        lo = 0; hi = nu - 1;
+        while (lo <= hi) { int32_t mid = (lo + hi) / 2; if (qpos[mid] < e) lo = mid + 1; else hi = mid - 1; }
+        ei = lo;
+        out[((int64_t)s * C + ch) * lags + k] = pf[ei] - pf[si];
+      }
+    }
+  }
 }
 
 // Eight-row encode stage 1: pre-emphasis + lattice predict, rows
