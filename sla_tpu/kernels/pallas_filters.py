@@ -33,10 +33,6 @@ TILE_B = 128
 TILE_L = 2048
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
-
-
 def _cumsum_sublanes(m: jnp.ndarray, p: int) -> jnp.ndarray:
     """Inclusive cumsum along axis 0 of a (p, TB) tile via log2(p) shifted
     adds (sublane rolls lower poorly; pad+slice keeps it static)."""
@@ -112,10 +108,9 @@ def _lattice_kernel(data_ref, coef_ref, out_ref, b_state, x_prev, *, parcor_orde
     jax.lax.fori_loop(0, tile_l, body, jnp.int32(0))
 
 
-def _lms_kernel(data_ref, out_ref, state, t_base, *, lms_order, tile_l, synthesize):
-    """Sign-sign LMS cascade. state: (4*M + 1, TB) scratch packing
-    fc | ic | xb | pb rows; t_base tracks samples processed (scalar via the
-    grid position)."""
+def _lms_kernel(data_ref, out_ref, state, *, lms_order, tile_l, synthesize):
+    """Sign-sign LMS cascade. state: (4*M, TB) scratch packing
+    fc | ic | xb | pb rows."""
     M = lms_order
     l = pl.program_id(1)
 
@@ -224,28 +219,11 @@ def lattice_filter_tl(data_t, coef_t, parcor_order, pre_emphasis=True,
 def lms_filter_tl(data_t, lms_order, synthesize=False, interpret=False):
     """data_t: (L, B) int32. Returns (L, B)."""
     M = lms_order
-    kernel = functools.partial(
-        _lms_kernel, lms_order=M, tile_l=TILE_L, synthesize=synthesize
-    )
-    scratch = [pltpu.VMEM((4 * M + 1, TILE_B), jnp.int32), None]
-    # t_base is derived from program_id; drop the placeholder scratch slot
-    scratch = [pltpu.VMEM((4 * M + 1, TILE_B), jnp.int32)]
 
-    def kernel2(data_ref, out_ref, state):
-        kernel(data_ref, out_ref, state, None)
+    def kernel(data_ref, out_ref, state):
+        _lms_kernel(
+            data_ref, out_ref, state, lms_order=M, tile_l=TILE_L, synthesize=synthesize
+        )
 
-    L, B = data_t.shape
-    grid = (B // TILE_B, L // TILE_L)
-    return pl.pallas_call(
-        kernel2,
-        out_shape=jax.ShapeDtypeStruct((L, B), jnp.int32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((TILE_L, TILE_B), lambda b, l: (l, b), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec(
-            (TILE_L, TILE_B), lambda b, l: (l, b), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=scratch,
-        interpret=interpret,
-    )(data_t)
+    scratch = [pltpu.VMEM((4 * M, TILE_B), jnp.int32)]
+    return _filter_call(kernel, data_t, [], [], scratch, interpret)
