@@ -4,5 +4,6 @@ from .sharding import (  # noqa: F401
     batch_sharding,
     make_mesh,
     shard_batch,
+    sharded_decode_step,
     sharded_encode_step,
 )

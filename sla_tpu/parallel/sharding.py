@@ -145,6 +145,69 @@ def sharded_encode_step(
     )(data, parcor_coef, pitch, ltm_coef)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("parcor_order", "num_taps", "lms_order", "mesh")
+)
+def sharded_decode_step(
+    residual: jnp.ndarray,
+    parcor_coef: jnp.ndarray,
+    pitch: jnp.ndarray,
+    ltm_coef: jnp.ndarray,
+    parcor_order: int,
+    num_taps: int,
+    lms_order: int,
+    mesh: Mesh,
+):
+    """Mesh-sharded synthesis: the decode mirror of sharded_encode_step.
+
+    residual: (NB, NC, L) int32 sharded (blocks, channels). Returns PCM rows
+    prior to the MS inverse / final left shift. Blocks decode with zero
+    cross-shard communication — the format's reset-at-block-start invariant
+    (SLADecoder.c:637-639) is what makes the whole stream embarrassingly
+    block-parallel."""
+    from ..kernels.lattice import lattice_init_state, lattice_synthesize
+    from ..kernels.lms import lms_init_state, lms_synthesize
+    from ..kernels.longterm import longterm_init_state, longterm_synthesize
+    from ..kernels.emphasis import de_emphasis
+
+    def local(residual, parcor_coef, pitch, ltm_coef):
+        nb, nc, L = residual.shape
+        B = nb * nc
+        rows = residual.reshape(B, L)
+        coefs = parcor_coef.reshape(B, -1)
+        pit = pitch.reshape(B)
+        ltm = ltm_coef.reshape(B, -1)
+
+        def vary(x):
+            return jax.lax.pcast(x, (BLOCK_AXIS, CHANNEL_AXIS), to="varying")
+
+        out, _ = lms_synthesize(
+            rows, jax.tree.map(vary, lms_init_state(B, lms_order)), lms_order
+        )
+        if num_taps > 0:
+            lt_out, _ = longterm_synthesize(
+                out, pit, ltm, num_taps, jax.tree.map(vary, longterm_init_state(B))
+            )
+            out = jnp.where((pit > 0)[:, None], lt_out, out)
+        out, _ = lattice_synthesize(
+            out, coefs, vary(lattice_init_state(B, parcor_order))
+        )
+        out, _ = de_emphasis(out, vary(jnp.zeros((B,), jnp.int32)))
+        return out.reshape(nb, nc, L)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(BLOCK_AXIS, CHANNEL_AXIS, None),
+            P(BLOCK_AXIS, CHANNEL_AXIS, None),
+            P(BLOCK_AXIS, CHANNEL_AXIS),
+            P(BLOCK_AXIS, CHANNEL_AXIS, None),
+        ),
+        out_specs=P(BLOCK_AXIS, CHANNEL_AXIS, None),
+    )(residual, parcor_coef, pitch, ltm_coef)
+
+
 def shard_batch(mesh: Mesh, *arrays):
     """Device-put each (NB, NC, ...) array with the mesh batch sharding."""
     out = []

@@ -3,13 +3,18 @@ sharding tests exercise a multi-chip mesh without TPU hardware."""
 
 import os
 
-# Force CPU regardless of ambient platform config (the environment may pin
-# JAX_PLATFORMS to a TPU plugin and auto-register it via sitecustomize).
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # disable TPU plugin auto-registration
+# Force CPU with 8 virtual devices regardless of ambient platform config.
+# The environment may pin a TPU plugin via sitecustomize-time registration,
+# which overrides JAX_PLATFORMS — only a config update before backend
+# initialization reliably wins.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import subprocess

@@ -1,0 +1,103 @@
+"""Decoder robustness: corrupted, truncated, and garbage streams must raise
+SLAError (never crash, hang, or return silently wrong data with CRC on).
+
+The reference's failure-detection story (SURVEY §5): header+block CRC16,
+sync codes, 15 distinct error codes. This fuzz matrix exercises ours."""
+
+import numpy as np
+import pytest
+
+import sla_tpu as sla
+from sla_tpu.errors import ApiResult, SLAError
+
+from .test_encode_decode import gen_wave
+
+
+@pytest.fixture(scope="module")
+def stream():
+    pcm = gen_wave("chirp", 20000, 2, 16, 0, seed=77)
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
+    enc.set_encode_parameter(sla.PRESETS[1])
+    return enc.encode_whole(pcm), pcm
+
+
+def decode(blob, crc=True):
+    dec = sla.Decoder(sla.DecoderConfig(enable_crc_check=crc))
+    return dec.decode_whole(blob)
+
+
+def test_header_byte_flips(stream):
+    blob, _ = stream
+    for pos in [0, 1, 3, 8, 12, 20, 30, 42]:
+        bad = bytearray(blob)
+        bad[pos] ^= 0xFF
+        with pytest.raises(SLAError):
+            decode(bytes(bad))
+
+
+def test_block_byte_flips_detected(stream):
+    blob, _ = stream
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        pos = int(rng.integers(43, len(blob)))
+        bad = bytearray(blob)
+        bad[pos] ^= 1 << int(rng.integers(0, 8))
+        with pytest.raises(SLAError):
+            decode(bytes(bad))
+
+
+def test_truncations(stream):
+    blob, _ = stream
+    for frac in [0.1, 0.5, 0.9, 0.999]:
+        cut = blob[: int(len(blob) * frac)]
+        with pytest.raises(SLAError):
+            decode(cut)
+
+
+def test_empty_and_garbage():
+    with pytest.raises(SLAError):
+        decode(b"")
+    with pytest.raises(SLAError):
+        decode(b"\x00" * 100)
+    rng = np.random.default_rng(2)
+    for _ in range(5):
+        junk = bytes(rng.integers(0, 256, 500, dtype=np.uint8))
+        with pytest.raises(SLAError):
+            decode(junk)
+
+
+def test_header_ok_but_garbage_blocks(stream):
+    blob, _ = stream
+    rng = np.random.default_rng(3)
+    bad = blob[:43] + bytes(rng.integers(0, 256, len(blob) - 43, dtype=np.uint8))
+    with pytest.raises(SLAError):
+        decode(bad)
+
+
+def test_crc_off_decodes_or_raises(stream):
+    """With CRC off, a payload flip may produce wrong PCM but must still
+    terminate with either output or a structured error."""
+    blob, _ = stream
+    bad = bytearray(blob)
+    bad[len(blob) // 2] ^= 0xFF
+    try:
+        decode(bytes(bad), crc=False)
+    except SLAError:
+        pass
+
+
+def test_streaming_garbage_fragments():
+    from sla_tpu.decoder import DecoderConfig
+    from sla_tpu.streaming import StreamingDecoder, StreamingDecoderConfig
+
+    sd = StreamingDecoder(StreamingDecoderConfig(core=DecoderConfig()))
+    sd.set_wave_format(sla.WaveFormat(2, 16, 44100))
+    sd.set_encode_parameter(sla.PRESETS[1])
+    sd.append_data_fragment(b"\xde\xad\xbe\xef" * 64)
+    with pytest.raises(SLAError) as e:
+        sd.decode()
+    assert e.value.result in (
+        ApiResult.FAILED_TO_FIND_SYNC_CODE,
+        ApiResult.DETECT_DATA_CORRUPTION,
+    )
