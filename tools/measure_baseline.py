@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Reproducible BASELINE.md measurements: best-of-N timings of the reference
+C binary vs sla_tpu on the BASELINE.json configs. Run from the repo root:
+
+    python tools/measure_baseline.py [repeats]
+"""
+
+import pathlib
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import sla_tpu as sla  # noqa: E402
+from sla_tpu import wavio  # noqa: E402
+
+REPEATS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+REF = pathlib.Path(__file__).parent / "sla_ref"
+
+
+def best(fn, *args):
+    t = min(min_timer(fn, *args) for _ in range(REPEATS))
+    return t
+
+
+def min_timer(fn, *args):
+    t0 = time.time()
+    fn(*args)
+    return time.time() - t0
+
+
+def measure(name, pcm, width, rate, mode):
+    ch, n = pcm.shape
+    wav_path = "/tmp/mb.wav"
+    wavio.write_wav(wav_path, wavio.WavFile(ch, rate, width, pcm))
+    ref_enc = best(
+        lambda: subprocess.run(
+            [str(REF), "-e", "-q", "-m", str(mode), wav_path, "/tmp/mb.sla"], check=True
+        )
+    )
+    ref_dec = best(
+        lambda: subprocess.run(
+            [str(REF), "-d", "-q", "/tmp/mb.sla", "/tmp/mbd.wav"], check=True
+        )
+    )
+    ep = sla.PRESETS[mode]
+    if ch != 2:
+        ep = sla.EncodeParameter(
+            ep.parcor_order, ep.longterm_order, ep.lms_order_per_filter,
+            sla.ChannelProcessMethod.NONE, ep.window_function_type,
+            ep.max_num_block_samples,
+        )
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(ch, width, rate))
+    enc.set_encode_parameter(ep)
+    enc.encode_whole(np.ascontiguousarray(pcm[:, : min(n, 4 * 12288)]))  # warm
+    blob = enc.encode_whole(pcm)
+    our_enc = best(lambda: enc.encode_whole(pcm))
+    dec = sla.Decoder()
+    dec.decode_whole(blob)
+    our_dec = best(lambda: dec.decode_whole(blob))
+    _, out = dec.decode_whole(blob)
+    assert np.array_equal(out, pcm), "round-trip failure"
+    ident = blob == open("/tmp/mb.sla", "rb").read()
+    s = ch * n
+    print(
+        f"{name}: enc ref {s/ref_enc/1e6:.2f} ours {s/our_enc/1e6:.2f} Msps "
+        f"({ref_enc/our_enc:.2f}x) | dec ref {s/ref_dec/1e6:.2f} ours "
+        f"{s/our_dec/1e6:.2f} ({ref_dec/our_dec:.2f}x) | "
+        f"ratio {len(blob)/(s*width//8):.4f} | byte-identical {ident}"
+    )
+
+
+def main():
+    rng = np.random.default_rng(7)
+    n = 44100 * 60
+    sig = 0.3 * np.sin(2 * np.pi * 440 * np.arange(n) / 44100.0)
+    noise = np.stack(
+        [np.convolve(rng.normal(0, 0.02, n), np.ones(8) / 8, "same") for _ in range(2)]
+    )
+    cd = (np.clip((sig[None] + noise) * 32767, -32768, 32767).astype(np.int32) << 16)
+    measure("CD 44.1k/16 stereo 60s preset2", cd, 16, 44100, 2)
+
+    n2 = 96000 * 20
+    sig2 = 0.4 * np.sin(2 * np.pi * 1000 * np.arange(n2) / 96000.0) + 0.1 * np.sin(
+        2 * np.pi * 7000 * np.arange(n2) / 96000.0
+    )
+    noise2 = np.stack(
+        [np.convolve(rng.normal(0, 0.01, n2), np.ones(16) / 16, "same") for _ in range(2)]
+    )
+    hr = (
+        np.clip((sig2[None] * np.array([[1], [0.8]]) + noise2) * (2**23 - 1),
+                -(2**23), 2**23 - 1).astype(np.int32) << 8
+    )
+    measure("Hi-res 96k/24 stereo 20s preset4", hr, 24, 96000, 4)
+
+    n3 = 48000 * 15
+    chs = [
+        np.clip(
+            (0.3 * np.sin(2 * np.pi * (200 + 150 * c) * np.arange(n3) / 48000.0)
+             + np.convolve(rng.normal(0, 0.01, n3), np.ones(8) / 8, "same"))
+            * (2**23 - 1), -(2**23), 2**23 - 1,
+        )
+        for c in range(6)
+    ]
+    fx = np.stack(chs).astype(np.int32) << 8
+    measure("5.1 48k/24 15s preset2", fx, 24, 48000, 2)
+
+
+if __name__ == "__main__":
+    main()
