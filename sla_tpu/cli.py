@@ -45,6 +45,8 @@ def _make_spec() -> list[OptionSpec]:
         OptionSpec("s", "streaming", False, "Use streaming decode(for debug; 120fps)"),
         OptionSpec("t", "trace", True,
                    "Write a TPU profiler trace to the given directory"),
+        OptionSpec("b", "batch", False,
+                   "Corpus mode: INPUT is a directory of WAVs, OUTPUT a directory"),
     ]
 
 
@@ -226,6 +228,21 @@ def main(argv: list[str] | None = None) -> int:
             if not 0 <= preset_no < len(PRESETS):
                 print(f"{prog}: encode preset number is out of range.", file=sys.stderr)
                 return 1
+        if get_option_acquired(spec, "batch"):
+            from .corpus import encode_corpus
+
+            in_dir = pathlib.Path(positional[0])
+            files = sorted(in_dir.glob("*.wav")) + sorted(in_dir.glob("*.WAV"))
+            if not files:
+                print(f"{prog}: no WAV files in {in_dir}.", file=sys.stderr)
+                return 1
+            res = encode_corpus(files, positional[1], preset=preset_no, verbose=verbose)
+            if verbose:
+                print(
+                    f"corpus: {res.encoded} encoded, {res.skipped} resumed, "
+                    f"{res.failed} failed, ratio {res.ratio:.4f}, {res.seconds:.1f}s"
+                )
+            return 1 if res.failed else 0
         trace_dir = get_argument_string(spec, "trace") if get_option_acquired(spec, "trace") else None
         if do_encode(positional[0], positional[1], preset_no, verbose, trace_dir) != 0:
             return 1

@@ -75,6 +75,29 @@ def test_preset_out_of_range_message(capsys):
     assert "out of range" in capsys.readouterr().err
 
 
+def test_corpus_batch_mode(tmp_path):
+    """-b: INPUT is a directory of WAVs, OUTPUT a directory (corpus mode)."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    pcms = {}
+    for i, kind in enumerate(["sine", "noise"]):
+        pcm = gen_wave(kind, 7000, 2, 16, 0, seed=i)
+        pcms[kind] = pcm
+        wavio.write_wav(str(in_dir / f"{kind}.wav"), wavio.WavFile(2, 44100, 16, pcm))
+    out_dir = tmp_path / "out"
+    assert main(["sla", "-e", "-b", "-q", "-m", "1", str(in_dir), str(out_dir)]) == 0
+    for kind, pcm in pcms.items():
+        dec_path = tmp_path / f"{kind}_dec.wav"
+        assert main(["sla", "-d", "-q", str(out_dir / f"{kind}.sla"), str(dec_path)]) == 0
+        assert np.array_equal(wavio.read_wav(str(dec_path)).data, pcm)
+    # resume: second run skips everything
+    assert main(["sla", "-e", "-b", "-q", "-m", "1", str(in_dir), str(out_dir)]) == 0
+    import json
+
+    manifest = json.loads((out_dir / "manifest_0.json").read_text())
+    assert manifest["result"]["skipped"] == 2
+
+
 def test_mono_ms_preset_downgrades(tmp_path):
     """MS presets apply NONE to non-stereo sources (main.c:124-130)."""
     pcm = gen_wave("sine", 9000, 1, 16, 0, seed=2)
