@@ -169,15 +169,87 @@ def search_optimal_partitions(
     """Partition one window into block sample counts.
 
     data_double: (C, num_samples) float64, already channel-processed."""
-    adj, V = estimate_span_code_lengths(
-        data_double, num_samples, parcor_order, bits_per_sample, min_block, max_block, delta
-    )
-    hops = dijkstra_partition(adj, V)
-    sizes = []
-    pos = 0
-    for h in hops:
-        n = min(h * delta, num_samples - pos)
-        sizes.append(n)
-        pos += n
-    assert pos == num_samples, (pos, num_samples, sizes)
-    return sizes
+    return search_optimal_partitions_batch(
+        [data_double], [num_samples], [min_block], [max_block],
+        parcor_order, bits_per_sample, delta,
+    )[0]
+
+
+def search_optimal_partitions_batch(
+    window_data: list[np.ndarray],
+    num_samples_list: list[int],
+    min_blocks: list[int],
+    max_blocks: list[int],
+    parcor_order: int,
+    bits_per_sample: int,
+    delta: int = SLA_SEARCH_BLOCK_NUM_SAMPLES_DELTA,
+) -> list[list[int]]:
+    """Partition many windows at once: span autocorrelations run per window
+    (native), but the Levinson-Durbin recursion and code-length estimates
+    batch over the concatenation of ALL windows' candidate spans — one
+    vectorized pass instead of per-window calls (identical arithmetic; the
+    recursion is element-wise per span)."""
+    from .. import native
+
+    use_native = native.available()
+    order = parcor_order
+    metas = []
+    R_parts = []
+    for data, num_samples, min_block, max_block in zip(
+        window_data, num_samples_list, min_blocks, max_blocks
+    ):
+        V = num_nodes_for(num_samples, delta)
+        positions = np.minimum(np.arange(V) * delta, num_samples)
+        ii, jj = np.triu_indices(V, k=1)
+        lengths = np.minimum((jj - ii) * delta, num_samples - ii * delta)
+        valid = (lengths >= min_block) & (lengths <= max_block)
+        if not valid.any():
+            metas.append((V, None, None, num_samples))
+            continue
+        spans = np.stack([ii[valid], jj[valid]], axis=1)
+        span_len = lengths[valid].astype(np.float64)
+        if use_native:
+            R = native.span_autocorr(data[:, :num_samples], positions, spans, order)
+        else:
+            R = span_autocorrelations(data[:, :num_samples], positions, spans, order)
+        metas.append((V, spans, span_len, num_samples))
+        R_parts.append(R)
+
+    if R_parts:
+        R_all = np.concatenate(R_parts, axis=0)
+        len_all = np.concatenate(
+            [m[2] for m in metas if m[1] is not None], axis=0
+        )
+        _, parcor_all = levinson_durbin(R_all, order)
+        too_short = len_all[:, None] < order
+        parcor_all = np.where(too_short[..., None], 0.0, parcor_all)
+        power = R_all[..., 0] * (2.0 ** (2 * (bits_per_sample - 1)))
+        silent = np.abs(power) <= _FLT_MIN
+        log2_mean_power = np.log2(np.where(silent, 1.0, power)) - np.log2(len_all)[:, None]
+        k = parcor_all[..., 1:]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            log2_var_ratio = np.sum(np.log2(np.maximum(1.0 - k * k, 1e-300)), axis=-1)
+        length = (BETA_CONST_FOR_LAPLACE_DIST + 0.5 * (log2_mean_power + log2_var_ratio)) / 8.0
+        length = np.where(length <= 0, 1.0 / 8, length)
+        length = np.where(silent, 0.0, length)
+        cost_all = (len_all[:, None] * length).sum(axis=-1)
+        cost_all += _ESTIMATE_BLOCK_HEADER_SIZE + OPTIMAL_ESTIMATOR_LONGPATH_PENALTY
+
+    results: list[list[int]] = []
+    consumed = 0
+    for V, spans, span_len, num_samples in metas:
+        adj = np.full((V, V), _BIGWEIGHT, dtype=np.float64)
+        if spans is not None:
+            S = len(spans)
+            adj[spans[:, 0], spans[:, 1]] = cost_all[consumed : consumed + S]
+            consumed += S
+        hops = dijkstra_partition(adj, V)
+        sizes = []
+        pos = 0
+        for h in hops:
+            n = min(h * delta, num_samples - pos)
+            sizes.append(n)
+            pos += n
+        assert pos == num_samples, (pos, num_samples, sizes)
+        results.append(sizes)
+    return results

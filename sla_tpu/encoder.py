@@ -25,7 +25,7 @@ import dataclasses
 import numpy as np
 
 from . import native, rice
-from .analysis.partition import search_optimal_partitions
+from .analysis.partition import search_optimal_partitions_batch
 from .analysis.pitch import longterm_coef_rows
 from .bitio import BitWriter, zigzag_encode_array
 from .constants import (
@@ -186,9 +186,13 @@ class Encoder:
 
     # -- step 2: block planning ----------------------------------------------
     def _plan_blocks(self, data: np.ndarray, num_samples: int) -> list[_BlockPlan]:
+        """Two-phase planning: a cheap sequential pass fixes the window
+        boundaries (they depend only on the silence scan), then ALL
+        partition-search windows analyze in one batched pass."""
         wf, ep = self._wave_format, self._encode_param
         ms = ep.ch_process_method == ChannelProcessMethod.STEREO_MS
-        plans: list[_BlockPlan] = []
+        plans: list = []
+        windows: list[tuple[int, int, int]] = []  # (offset, window_len, min_block)
         offset = 0
         while offset < num_samples:
             remain = num_samples - offset
@@ -206,22 +210,40 @@ class Encoder:
                 plans.append(_BlockPlan(offset, silent_run))
                 offset += silent_run
                 continue
+            windows.append((offset, window_len, min_block))
+            plans.append(None)  # placeholder, expanded below
+            offset += window_len
+        if not windows:
+            return plans
+
+        wdata = []
+        for off, wl, _ in windows:
+            chunk = data[:, off : off + wl]
             dbl = chunk.astype(np.float64) * (2.0 ** -31)
             if ms:
                 m, s = lr_to_ms_double(dbl[0], dbl[1])
                 dbl = np.stack([m, s])
-            sizes = search_optimal_partitions(
-                dbl,
-                window_len,
-                min_block,
-                window_len,
-                ep.parcor_order,
-                wf.bit_per_sample,
-            )
-            for n in sizes:
-                plans.append(_BlockPlan(offset, n))
-                offset += n
-        return plans
+            wdata.append(dbl)
+        sizes_list = search_optimal_partitions_batch(
+            wdata,
+            [w[1] for w in windows],
+            [w[2] for w in windows],
+            [w[1] for w in windows],
+            ep.parcor_order,
+            wf.bit_per_sample,
+        )
+        out: list[_BlockPlan] = []
+        wi = 0
+        for pl in plans:
+            if pl is not None:
+                out.append(pl)
+                continue
+            off = windows[wi][0]
+            for n in sizes_list[wi]:
+                out.append(_BlockPlan(off, n))
+                off += n
+            wi += 1
+        return out
 
     # -- step 3: per-block float64 analysis -----------------------------------
     def _analyze_blocks(self, data: np.ndarray, plans: list[_BlockPlan]) -> None:
