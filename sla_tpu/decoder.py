@@ -20,7 +20,7 @@ import dataclasses
 import numpy as np
 
 from . import native, rice
-from .bitio import BitReader, uint32_to_sint32, zigzag_decode_array
+from .bitio import BitReader, uint32_to_sint32
 from .constants import (
     LONGTERM_PERIOD_NUM_BITS,
     SLA_BLOCK_CRC16_CALC_START_OFFSET,
