@@ -340,6 +340,7 @@ class Encoder:
             lengths[bi * C : (bi + 1) * C] = pl.num_samples
         backend = self._select_backend(int(lengths.sum()))
 
+        res1_dev = None
         if backend == "host":
             residual1 = native.predict_stage1_rows(batch, coefs, lengths)
         else:
@@ -347,9 +348,13 @@ class Encoder:
 
             from .pipeline import encode_stage1
 
-            residual1 = np.asarray(
-                encode_stage1(jnp.asarray(batch), jnp.asarray(coefs), p)
-            )
+            from .pipeline import fetch_int32
+
+            # keep the device-resident residual: pitch analysis needs a host
+            # copy (fetched int16-packed when it fits), but stage 2 consumes
+            # the on-device value directly (no re-upload over PCIe)
+            res1_dev = encode_stage1(jnp.asarray(batch), jnp.asarray(coefs), p)
+            residual1 = fetch_int32(res1_dev)
 
         # host pitch analysis on the PARCOR residual, per (block, channel)
         pitches = np.zeros((B,), dtype=np.int32)
@@ -376,9 +381,11 @@ class Encoder:
 
             from .pipeline import encode_stage2
 
-            residual2 = np.asarray(
+            from .pipeline import fetch_int32
+
+            residual2 = fetch_int32(
                 encode_stage2(
-                    jnp.asarray(residual1),
+                    res1_dev,
                     jnp.asarray(pitches),
                     jnp.asarray(ltm),
                     T,

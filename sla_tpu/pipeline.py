@@ -32,6 +32,27 @@ from .kernels.lms import lms_init_state, lms_predict, lms_synthesize
 from .kernels.longterm import longterm_init_state, longterm_predict, longterm_synthesize
 
 
+@jax.jit
+def _fits_i16(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all((x >= -32768) & (x <= 32767))
+
+
+@jax.jit
+def _to_i16(x: jnp.ndarray) -> jnp.ndarray:
+    return x.astype(jnp.int16)
+
+
+def fetch_int32(x_dev) -> "np.ndarray":
+    """Fetch a device int32 array, halving the transfer when every value
+    fits in int16 (residuals usually do). One extra scalar round-trip for
+    the range check; a clear win whenever the link is the bottleneck."""
+    import numpy as np
+
+    if bool(_fits_i16(x_dev)):
+        return np.asarray(_to_i16(x_dev)).astype(np.int32)
+    return np.asarray(x_dev)
+
+
 def _use_pallas() -> bool:
     import os
 
