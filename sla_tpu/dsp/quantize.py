@@ -39,13 +39,16 @@ def quantize_parcor(
     batch = parcor.shape[:-1]
     code = np.zeros(batch + (order + 1,), dtype=np.int32)
     coef = np.zeros(batch + (order + 1,), dtype=np.int32)
-    rs = np.asarray(rshift, dtype=np.int32)
-    for ord_ in range(1, order + 1):
-        qbits = parcor_quantize_bit_width(ord_)
-        c = c_round(parcor[..., ord_] * float(1 << (qbits - 1))).astype(np.int64)
-        c = np.clip(c, -(1 << (qbits - 1)), (1 << (qbits - 1)) - 1)
-        code[..., ord_] = c.astype(np.int32)
-        coef[..., ord_] = (c.astype(np.int32) << (16 - qbits)) >> rs
+    rs = np.asarray(rshift, dtype=np.int32)[..., None]
+    # qbits is a function of the order index only: vectorize over orders
+    qbits = np.array(
+        [0] + [parcor_quantize_bit_width(o) for o in range(1, order + 1)], dtype=np.int32
+    )
+    scale = (1 << (qbits[1:] - 1)).astype(np.float64)
+    c = c_round(parcor[..., 1 : order + 1] * scale).astype(np.int64)
+    c = np.clip(c, -(1 << (qbits[1:] - 1)), (1 << (qbits[1:] - 1)) - 1).astype(np.int32)
+    code[..., 1:] = c
+    coef[..., 1:] = (c << (16 - qbits[1:])) >> rs
     return code, coef
 
 
@@ -53,10 +56,9 @@ def dequantize_parcor(code: np.ndarray, order: int, rshift: np.ndarray) -> np.nd
     """Decoder-side coefficient reconstruction (SLADecoder.c:379-390)."""
     batch = code.shape[:-1]
     coef = np.zeros(batch + (order + 1,), dtype=np.int32)
-    rs = np.asarray(rshift, dtype=np.int32)
-    for ord_ in range(1, order + 1):
-        qbits = parcor_quantize_bit_width(ord_)
-        coef[..., ord_] = (code[..., ord_].astype(np.int32) << (16 - qbits)) >> rs
+    rs = np.asarray(rshift, dtype=np.int32)[..., None]
+    qbits = np.array([parcor_quantize_bit_width(o) for o in range(1, order + 1)], dtype=np.int32)
+    coef[..., 1:] = (code[..., 1 : order + 1].astype(np.int32) << (16 - qbits)) >> rs
     return coef
 
 
