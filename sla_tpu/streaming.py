@@ -45,8 +45,9 @@ _LT_HIST_LEN = LONGTERM_MAX_PERIOD + 2
 def calculate_sufficient_block_size(
     num_channels: int, num_samples: int, bit_per_sample: int
 ) -> int:
-    """SLA_CalculateSufficientBlockSize (include/public/SLA.h:22-23)."""
-    return 30 + 2 * num_channels * num_samples * ((bit_per_sample + 7) // 8)
+    """SLA_CalculateSufficientBlockSize (include/public/SLA.h:22-23):
+    2 * channels * samples * (bps / 8), integer division as in the macro."""
+    return 2 * num_channels * num_samples * (bit_per_sample // 8)
 
 
 class DataPacketQueue:

@@ -137,8 +137,8 @@ def test_packet_queue_cursors():
 
 
 def test_sufficient_block_size_formula():
-    # SLA.h:22-23: 30 + 2 * ch * samples * bytes-per-sample
-    assert calculate_sufficient_block_size(2, 4096, 16) == 30 + 2 * 2 * 4096 * 2
+    # SLA.h:22-23: 2 * ch * samples * (bps / 8)
+    assert calculate_sufficient_block_size(2, 4096, 16) == 2 * 2 * 4096 * 2
 
 
 def test_streaming_interval_validation():
