@@ -232,11 +232,14 @@ class Decoder:
         T = ep.longterm_order
         shift = 32 - wf.bit_per_sample + wf.offset_lshift
 
-        comp_idx = [i for i, b in enumerate(blocks) if b.block_type == BlockDataType.COMPRESSDATA]
+        comp_all = [i for i, b in enumerate(blocks) if b.block_type == BlockDataType.COMPRESSDATA]
         outputs: dict[int, np.ndarray] = {}
-        if comp_idx:
+        L = ep.max_num_block_samples
+        # bound the synthesis batch buffer (~100 MB) for very long streams
+        max_group = max(1, (100 << 20) // (C * L * 4))
+        for g in range(0, len(comp_all), max_group):
+            comp_idx = comp_all[g : g + max_group]
             # stable device shapes (see encoder._run_filters)
-            L = ep.max_num_block_samples
             B = 1 << (len(comp_idx) * C - 1).bit_length() if len(comp_idx) * C > 1 else 1
             residual = np.zeros((B, L), dtype=np.int32)
             coef = np.zeros((B, p), dtype=np.int32)
