@@ -199,7 +199,14 @@ class Decoder:
         import os
 
         threshold = int(os.environ.get("SLA_TPU_DEVICE_THRESHOLD", 16_000_000))
-        return "device" if row_samples >= threshold else "host"
+        if row_samples < threshold:
+            return "host"
+        # big batch: the device wins only when the link can actually feed
+        # it — require PCIe-class bandwidth (the filter stages move ~8
+        # bytes/sample each way)
+        from .pipeline import measured_link_bandwidth
+
+        return "device" if measured_link_bandwidth() >= 200e6 else "host"
 
     # -- whole-stream decode -----------------------------------------------------
     def decode_whole(self, data: bytes) -> tuple[HeaderInfo, np.ndarray]:

@@ -53,6 +53,30 @@ def fetch_int32(x_dev) -> "np.ndarray":
     return np.asarray(x_dev)
 
 
+_link_bandwidth_cache: list = []
+
+
+def measured_link_bandwidth() -> float:
+    """Device->host bandwidth in bytes/s, measured once per process with a
+    4 MB round-trip. The backend auto-selection needs to know whether the
+    device link is PCIe-class (GB/s) or something pathological."""
+    if not _link_bandwidth_cache:
+        import time
+
+        import numpy as np
+
+        try:
+            x = jnp.zeros((1 << 20,), jnp.int32) + 1
+            np.asarray(x)  # absorb first-transfer warmup
+            t0 = time.time()
+            np.asarray(x * 2)
+            dt = max(time.time() - t0, 1e-6)
+            _link_bandwidth_cache.append(x.nbytes / dt)
+        except Exception:
+            _link_bandwidth_cache.append(0.0)
+    return _link_bandwidth_cache[0]
+
+
 def _use_pallas() -> bool:
     import os
 
