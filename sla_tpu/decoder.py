@@ -201,9 +201,24 @@ class Decoder:
         threshold = int(os.environ.get("SLA_TPU_DEVICE_THRESHOLD", 16_000_000))
         if row_samples < threshold:
             return "host"
-        # big batch: the device wins only when the link can actually feed
-        # it — require PCIe-class bandwidth (the filter stages move ~8
-        # bytes/sample each way)
+        # Big batch: the device wins only when the link can feed it (the
+        # filter stages move ~8 bytes/sample each way). Asking JAX for the
+        # platform would *initialize* the backend — on tunneled platforms
+        # that is a minutes-long handshake — so only consider the device
+        # when a backend is already live in this process; then require a
+        # genuine local TPU runtime and a PCIe-class bandwidth probe.
+        try:
+            from jax._src import xla_bridge
+
+            initialized = bool(xla_bridge._backends)
+        except Exception:
+            initialized = False
+        if not initialized:
+            return "host"
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return "host"
         from .pipeline import measured_link_bandwidth
 
         return "device" if measured_link_bandwidth() >= 200e6 else "host"
@@ -242,12 +257,15 @@ class Decoder:
         comp_all = [i for i, b in enumerate(blocks) if b.block_type == BlockDataType.COMPRESSDATA]
         outputs: dict[int, np.ndarray] = {}
         L = ep.max_num_block_samples
+        total_row_samples = sum(blocks[i].num_samples for i in comp_all) * C
+        backend = self._select_backend(total_row_samples)
         # bound the synthesis batch buffer (~100 MB) for very long streams
         max_group = max(1, (100 << 20) // (C * L * 4))
         for g in range(0, len(comp_all), max_group):
             comp_idx = comp_all[g : g + max_group]
-            # stable device shapes (see encoder._run_filters)
-            B = 1 << (len(comp_idx) * C - 1).bit_length() if len(comp_idx) * C > 1 else 1
+            rows = len(comp_idx) * C
+            # pow2 row padding only on the device path (see encoder)
+            B = (1 << (rows - 1).bit_length()) if (backend != "host" and rows > 1) else rows
             residual = np.zeros((B, L), dtype=np.int32)
             coef = np.zeros((B, p), dtype=np.int32)
             pitch = np.zeros((B,), dtype=np.int32)
@@ -260,7 +278,6 @@ class Decoder:
                 pitch[bi * C : (bi + 1) * C] = blk.pitch
                 ltm[bi * C : (bi + 1) * C] = blk.ltm_coef
                 lengths[bi * C : (bi + 1) * C] = blk.num_samples
-            backend = self._select_backend(int(lengths.sum()))
             if backend == "host":
                 synth = native.synth_rows(
                     residual, coef, pitch, ltm, T, ep.lms_order_per_filter, lengths

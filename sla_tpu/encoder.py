@@ -318,9 +318,24 @@ class Encoder:
         threshold = int(os.environ.get("SLA_TPU_DEVICE_THRESHOLD", 16_000_000))
         if row_samples < threshold:
             return "host"
-        # big batch: the device wins only when the link can actually feed
-        # it — require PCIe-class bandwidth (the filter stages move ~8
-        # bytes/sample each way)
+        # Big batch: the device wins only when the link can feed it (the
+        # filter stages move ~8 bytes/sample each way). Asking JAX for the
+        # platform would *initialize* the backend — on tunneled platforms
+        # that is a minutes-long handshake — so only consider the device
+        # when a backend is already live in this process; then require a
+        # genuine local TPU runtime and a PCIe-class bandwidth probe.
+        try:
+            from jax._src import xla_bridge
+
+            initialized = bool(xla_bridge._backends)
+        except Exception:
+            initialized = False
+        if not initialized:
+            return "host"
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return "host"
         from .pipeline import measured_link_bandwidth
 
         return "device" if measured_link_bandwidth() >= 200e6 else "host"
@@ -334,10 +349,14 @@ class Encoder:
         comp = [pl for pl in plans if pl.block_type == BlockDataType.COMPRESSDATA]
         if not comp:
             return
-        # stable device shapes across files -> bounded jit specializations:
-        # pad L to the stream's max block size, B to the next power of two
+        row_samples = sum(pl.num_samples for pl in comp) * C
+        backend = self._select_backend(row_samples)
+        # pad L to the stream's max block size always; pad B to the next
+        # power of two only on the device path (bounded jit specializations —
+        # the host path does exact-length rows and padding is pure waste)
         L = ep.max_num_block_samples
-        B = 1 << (len(comp) * C - 1).bit_length() if len(comp) * C > 1 else 1
+        rows = len(comp) * C
+        B = (1 << (rows - 1).bit_length()) if (backend != "host" and rows > 1) else rows
         batch = np.zeros((B, L), dtype=np.int32)
         coefs = np.zeros((B, p), dtype=np.int32)
         lengths = np.zeros((B,), dtype=np.int64)
@@ -345,7 +364,6 @@ class Encoder:
             batch[bi * C : (bi + 1) * C, : pl.num_samples] = pl.raw_int32
             coefs[bi * C : (bi + 1) * C] = pl.parcor_coef[:, 1:]
             lengths[bi * C : (bi + 1) * C] = pl.num_samples
-        backend = self._select_backend(int(lengths.sum()))
 
         res1_dev = None
         if backend == "host":
