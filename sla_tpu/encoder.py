@@ -470,7 +470,15 @@ class Encoder:
                     for ch in range(C):
                         w.put(int(zz[ch][s]), bits[ch])
         elif plan.block_type == BlockDataType.COMPRESSDATA:
-            if use_native:
+            import os
+
+            if os.environ.get("SLA_TPU_DEVICE_ENTROPY"):
+                # device-coded symbols + branch-free host pack (north-star
+                # split, rice_device.py); byte-identical to the host coder
+                from .rice_device import encode_block_payload_device
+
+                w.put_bytes(encode_block_payload_device(plan.residual, plan.init_rice))
+            elif use_native:
                 w.put_bytes(native.put_data_array(plan.residual, plan.init_rice))
             else:
                 rice.put_data_array(w, plan.init_rice, list(plan.residual), plan.num_samples)

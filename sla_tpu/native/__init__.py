@@ -93,6 +93,8 @@ def _load() -> ctypes.CDLL | None:
     lib.sla_get_data_array_partial.argtypes = [
         p_u8, i64, p_i64, i32, i32, p_u64, p_u32, i32, p_i32,
     ]
+    lib.sla_pack_parts.restype = i64
+    lib.sla_pack_parts.argtypes = [p_u32, p_i32, i64, p_u8, i64]
     lib.sla_init_param_state.restype = None
     lib.sla_init_param_state.argtypes = [p_u32, i32, p_u64, p_u32, ctypes.POINTER(i32)]
     lib.sla_predict_stage1.restype = i32
@@ -485,6 +487,19 @@ def span_autocorr(
         sp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), S, order, _f64ptr(out),
     )
     return out
+
+
+def pack_parts(values: np.ndarray, lengths: np.ndarray) -> bytes:
+    """Concatenate (value, length) bit parts MSB-first (device entropy path)."""
+    lib = _load()
+    values = np.ascontiguousarray(values, dtype=np.uint32)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    cap = int(lengths.clip(min=0).sum()) // 8 + 16
+    out = np.empty(cap, dtype=np.uint8)
+    n = int(lib.sla_pack_parts(_u32ptr(values), _i32ptr(lengths), values.size,
+                               _u8ptr(out), cap))
+    assert n >= 0
+    return out[:n].tobytes()
 
 
 def initial_params(data: np.ndarray) -> list[int]:

@@ -363,6 +363,28 @@ void sla_init_param_state(const uint32_t* init_params, int32_t C,
   *use_golomb = (eff_sum / (uint32_t)C > kLowThreshold) ? 0 : 1;
 }
 
+// Branch-free bit emission for the device entropy path (rice_device.py):
+// concatenate (value, length) parts MSB-first. Zero-length parts are
+// skipped. Returns bytes written after the final flush, or -1 on overflow.
+int64_t sla_pack_parts(const uint32_t* values, const int32_t* lengths,
+                       int64_t count, uint8_t* out, int64_t out_capacity) {
+  BitWriter w;
+  w.init(out, out_capacity);
+  for (int64_t i = 0; i < count; ++i) {
+    int32_t len = lengths[i];
+    if (len <= 0) continue;
+    if (len > 32) {
+      // only gamma value parts exceed 32 bits and their MSB is always 1
+      w.put(1, len - 32);
+      w.put(values[i], 32);
+    } else {
+      w.put(values[i], len);
+    }
+  }
+  w.flush();
+  return w.overflow ? -1 : w.nbytes;
+}
+
 // RAWDATA payload encode: zigzagged samples, channel-interleaved, with a
 // per-channel bit width (SLAEncoder.c:741-763). Returns bytes written or -1.
 int64_t sla_put_raw(const int32_t* data, int32_t C, int32_t N,
