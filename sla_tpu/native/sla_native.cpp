@@ -58,48 +58,72 @@ struct BitWriter {
 };
 
 // ---------------------------------------------------------------- bit reader
+// 64-bit cached reader: bits stream through a register window refilled a
+// byte at a time, so the per-symbol hot loops (Rice/Golomb decode) touch
+// memory once per 8 bits instead of per call. Reads past the end zero-fill
+// the value but still advance the logical position, so a caller can detect
+// an over-read (streaming underrun) via pos() > total.
 struct BitReader {
   const uint8_t* buf;
-  int64_t nbits_total;
-  int64_t pos;  // bit position
+  int64_t size_bytes;
+  int64_t next_byte;   // next (virtual) byte to load; may pass size_bytes
+  uint64_t cache;      // low `ncache` bits hold the upcoming bits, MSB-first
+  int ncache;
 
-  void init(const uint8_t* b, int64_t size_bytes, int64_t bit_offset) {
-    buf = b; nbits_total = size_bytes * 8; pos = bit_offset;
+  void init(const uint8_t* b, int64_t size, int64_t bit_offset) {
+    buf = b;
+    size_bytes = size;
+    next_byte = bit_offset >> 3;
+    cache = 0;
+    ncache = 0;
+    int skip = (int)(bit_offset & 7);
+    if (skip) {  // preload the partial byte and drop the consumed high bits
+      load_byte();
+      ncache -= skip;
+      cache &= (1ull << ncache) - 1;
+    }
   }
-  // Reads past the end zero-fill the value but still advance `pos`, so a
-  // caller can detect an over-read (streaming underrun) via pos > total.
-  inline uint64_t get(int nbits) {
-    uint64_t out = 0;
-    int64_t end = pos + nbits;
-    int64_t eff = end < nbits_total ? end : nbits_total;
-    while (pos < eff) {
-      int avail = 8 - (int)(pos & 7);
-      int take = (int)(eff - pos) < avail ? (int)(eff - pos) : avail;
-      int shift = avail - take;
-      out = (out << take) |
-            ((uint64_t)(buf[pos >> 3] >> shift) & ((1ull << take) - 1));
-      pos += take;
-    }
-    if (end > pos) {  // zero-fill the missing low bits
-      out <<= (end - pos);
-      pos = end;
-    }
+  inline void load_byte() {
+    uint8_t v = (next_byte < size_bytes) ? buf[next_byte] : 0;  // zero past end
+    ++next_byte;
+    cache = (cache << 8) | v;
+    ncache += 8;
+  }
+  inline int64_t pos() const { return next_byte * 8 - ncache; }
+  inline int64_t nbits_total() const { return size_bytes * 8; }
+  inline uint64_t get(int nbits) {  // nbits 0..33 in all callers
+    while (ncache < nbits) load_byte();
+    ncache -= nbits;
+    uint64_t out = cache >> ncache;
+    cache &= (1ull << ncache) - 1;
     return out;
   }
   inline uint32_t get_zero_run() {
     uint32_t run = 0;
-    while (pos < nbits_total) {
-      int avail = 8 - (int)(pos & 7);
-      uint32_t chunk = buf[pos >> 3] & ((1u << avail) - 1);
-      if (chunk == 0) { run += avail; pos += avail; continue; }
-      int bl = 32 - __builtin_clz(chunk);
-      int lead = avail - bl;
-      run += lead;
-      pos += lead + 1;  // consume the terminating 1
+    for (;;) {
+      if (cache == 0) {
+        if (next_byte >= size_bytes) {
+          // only zeros remain to the real end: count the non-virtual ones,
+          // then mark the over-read (pos = total + 1, old-reader semantics)
+          int64_t virtual_bits = (next_byte - size_bytes) * 8;
+          if (virtual_bits > ncache) virtual_bits = ncache;
+          run += (uint32_t)(ncache - virtual_bits);
+          next_byte = size_bytes;
+          ncache = -1;  // pos() == size*8 + 1
+          cache = 0;
+          return run;
+        }
+        run += (uint32_t)ncache;
+        ncache = 0;
+        load_byte();
+        continue;
+      }
+      int lead = ncache - (64 - __builtin_clzll(cache));  // zeros before the 1
+      run += (uint32_t)lead;
+      ncache -= lead + 1;  // consume zeros + the terminating 1
+      cache &= (1ull << ncache) - 1;
       return run;
     }
-    pos = nbits_total + 1;  // ran off the end: mark the over-read
-    return run;
   }
 };
 
@@ -314,7 +338,7 @@ int64_t sla_get_data_array(const uint8_t* in, int64_t in_size,
       for (int ch = 0; ch < C; ++ch)
         out[(int64_t)ch * N + s] = unzigzag(get_golomb(r, eff[ch]));
   }
-  return r.pos;
+  return r.pos();
 }
 
 // Resumable channel-interleaved payload decode for the streaming decoder:
@@ -344,7 +368,7 @@ int32_t sla_get_data_array_partial(const uint8_t* in, int64_t in_size,
                     sizeof(st.params));
       }
   }
-  *bit_pos = r.pos;
+  *bit_pos = r.pos();
   return 0;
 }
 
@@ -408,7 +432,7 @@ int64_t sla_get_raw(const uint8_t* in, int64_t in_size, int64_t bit_offset,
   for (int s = 0; s < N; ++s)
     for (int ch = 0; ch < C; ++ch)
       out[(int64_t)ch * N + s] = unzigzag((uint32_t)r.get(bits_per_ch[ch]));
-  return r.pos;
+  return r.pos();
 }
 
 // Initial Rice parameter per channel: mean zigzag magnitude, >= 1, as a
