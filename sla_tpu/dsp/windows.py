@@ -60,6 +60,13 @@ def tukey(n: int, alpha: float) -> np.ndarray:
 
 
 def make_window(kind: WindowFunctionType, n: int) -> np.ndarray:
+    # NumPy's vectorized trig differs from libm in the last ulp, which leaks
+    # into quantized coefficients; the native generator reproduces the
+    # reference's exact values (the formulas below are the semantic fallback)
+    from .. import native
+
+    if native.available() and int(kind) <= 4:
+        return native.make_window(int(kind), n)
     if kind == WindowFunctionType.RECTANGULAR:
         return rectangular(n)
     if kind == WindowFunctionType.SIN:

@@ -288,8 +288,16 @@ class Encoder:
             batch_dbl *= window
             coef = (2.0 ** 5 - 1.0) * 2.0 ** -5
             batch_dbl[..., 1:] -= batch_dbl[..., :-1] * coef
-            parcor = calculate_parcor(batch_dbl, p)  # (Nb, C, p+1)
-            code_len = estimate_code_length(batch_dbl, wf.bit_per_sample, parcor, p)
+            if native.available():
+                # exact-order analysis: byte-identity needs the reference's
+                # float64 summation order (see native sla_lpc_analyze)
+                rows = batch_dbl.reshape(-1, n)
+                parcor_r, len_r = native.lpc_analyze_rows(rows, p, wf.bit_per_sample)
+                parcor = parcor_r.reshape(batch_dbl.shape[:-1] + (p + 1,))
+                code_len = len_r.reshape(batch_dbl.shape[:-1])
+            else:
+                parcor = calculate_parcor(batch_dbl, p)  # (Nb, C, p+1)
+                code_len = estimate_code_length(batch_dbl, wf.bit_per_sample, parcor, p)
             ratio = 8.0 * code_len / wf.bit_per_sample
             for row, i in enumerate(idxs):
                 plan = plans[i]

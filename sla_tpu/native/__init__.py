@@ -93,6 +93,10 @@ def _load() -> ctypes.CDLL | None:
     lib.sla_get_data_array_partial.argtypes = [
         p_u8, i64, p_i64, i32, i32, p_u64, p_u32, i32, p_i32,
     ]
+    lib.sla_lpc_analyze.restype = i32
+    lib.sla_lpc_analyze.argtypes = [p_f64, i32, i32, i32, p_f64, p_f64]
+    lib.sla_make_window.restype = i32
+    lib.sla_make_window.argtypes = [i32, i32, p_f64]
     lib.sla_pack_parts.restype = i64
     lib.sla_pack_parts.argtypes = [p_u32, p_i32, i64, p_u8, i64]
     lib.sla_init_param_state.restype = None
@@ -487,6 +491,38 @@ def span_autocorr(
         sp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), S, order, _f64ptr(out),
     )
     return out
+
+
+def lpc_analyze_rows(
+    data: np.ndarray, order: int, bits_per_sample: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-order LPC analysis per row (the reference's summation order —
+    byte-identity depends on the last float64 ulp).
+
+    data: (B, n) float64 windowed+pre-emphasized rows.
+    Returns (parcor (B, order+1) float64, code length/sample (B,) float64)."""
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    B, n = data.shape
+    parcor = np.zeros((B, order + 1), dtype=np.float64)
+    lengths = np.zeros((B,), dtype=np.float64)
+    for b in range(B):
+        lib.sla_lpc_analyze(
+            _f64ptr(data[b]), n, order, bits_per_sample,
+            _f64ptr(parcor[b]), lengths[b : b + 1].ctypes.data_as(
+                ctypes.POINTER(ctypes.c_double)),
+        )
+    return parcor, lengths
+
+
+def make_window(window_type: int, n: int) -> np.ndarray:
+    """Window generation with libm trig (exact reference values)."""
+    lib = _load()
+    w = np.empty(n, dtype=np.float64)
+    rc = lib.sla_make_window(int(window_type), n, _f64ptr(w))
+    if rc != 0:
+        raise ValueError(f"invalid window function type {window_type}")
+    return w
 
 
 def pack_parts(values: np.ndarray, lengths: np.ndarray) -> bytes:

@@ -1270,6 +1270,144 @@ int32_t sla_synth_rows8(const int32_t* residual, int32_t* out, int32_t n,
   return 0;
 }
 
+// Exact-order LPC analysis: float64 summation ORDER matters for byte
+// identity (quantization rounds the last ulp), so the autocorrelation uses
+// the reference's term-reuse loop structure (LPC_CalculateAutoCorrelation,
+// src/SLAPredictor.c:331-388), the Levinson-Durbin recursion its serial
+// dots (:253-328), and the code-length estimate its serial power sum
+// (:416-468). data: windowed (+pre-emphasized) float64 samples.
+// Returns parcor[0..order] and the estimated code length per sample
+// (bytes). Rows with num_samples < order or silent R[0] yield zeros, as in
+// SLALPCCalculator_CalculatePARCORCoefDouble (:189-239).
+int32_t sla_lpc_analyze(const double* data, int32_t n, int32_t order,
+                        int32_t bits_per_sample, double* parcor,
+                        double* length_per_sample) {
+  constexpr double kFltEps = 1.1920928955078125e-07;   // FLT_EPSILON
+  constexpr double kFltMin = 1.1754943508222875e-38;   // FLT_MIN
+  constexpr double kBetaLaplace = 1.9426950408889634;  // sqrt(2 e^2)
+  for (int32_t i = 0; i <= order; ++i) parcor[i] = 0.0;
+
+  double auto_corr[64 + 1];
+  if (n >= order) {
+    int32_t lags = order + 1;
+    if (lags > n) lags = n;
+    for (int32_t i = 0; i < lags; ++i) auto_corr[i] = 0.0;
+    for (int32_t i = lags; i <= order; ++i) auto_corr[i] = 0.0;
+    for (int32_t i = 0; i < n; ++i) auto_corr[0] += data[i] * data[i];
+    for (int32_t lag = 1; lag < lags; ++lag) {
+      const int32_t lag2 = lag << 1;
+      int32_t L = (3 * lag < n) ? 1 + (n - 3 * lag) / lag2 : 0;
+      int32_t Llag2 = L * lag2;
+      for (int32_t i = 0; i < lag; ++i)
+        for (int32_t l = 0; l < Llag2; l += lag2)
+          auto_corr[lag] += data[l + lag + i] * (data[l + i] + data[l + lag2 + i]);
+      for (int32_t i = 0; i < n - Llag2 - lag; ++i)
+        auto_corr[lag] += data[Llag2 + lag + i] * data[Llag2 + i];
+    }
+    // Levinson-Durbin (serial gamma dot products)
+    if (std::fabs(auto_corr[0]) >= kFltEps) {
+      double a_vec[64 + 2], e_vec[64 + 2], u_vec[64 + 2], v_vec[64 + 2];
+      for (int32_t i = 0; i < order + 2; ++i) a_vec[i] = u_vec[i] = v_vec[i] = 0.0;
+      a_vec[0] = 1.0;
+      e_vec[0] = auto_corr[0];
+      a_vec[1] = -auto_corr[1] / auto_corr[0];
+      parcor[0] = 0.0;
+      parcor[1] = auto_corr[1] / e_vec[0];
+      e_vec[1] = auto_corr[0] + auto_corr[1] * a_vec[1];
+      u_vec[0] = 1.0; u_vec[1] = 0.0;
+      v_vec[0] = 0.0; v_vec[1] = 1.0;
+      for (int32_t delay = 1; delay < order; ++delay) {
+        double gamma = 0.0;
+        for (int32_t i = 0; i < delay + 1; ++i)
+          gamma += a_vec[i] * auto_corr[delay + 1 - i];
+        gamma /= (-e_vec[delay]);
+        e_vec[delay + 1] = (1.0 - gamma * gamma) * e_vec[delay];
+        for (int32_t i = 0; i < delay; ++i)
+          u_vec[i + 1] = v_vec[delay - i] = a_vec[i + 1];
+        u_vec[0] = 1.0; u_vec[delay + 1] = 0.0;
+        v_vec[0] = 0.0; v_vec[delay + 1] = 1.0;
+        for (int32_t i = 0; i < delay + 2; ++i)
+          a_vec[i] = u_vec[i] + gamma * v_vec[i];
+        parcor[delay + 1] = -gamma;
+      }
+    }
+  }
+
+  // code-length estimate (SLALPCCalculator_EstimateCodeLength)
+  double power = 0.0;
+  for (int32_t i = 0; i < n; ++i) power += data[i] * data[i];
+  power *= std::pow(2.0, (double)(2 * (bits_per_sample - 1)));
+  if (std::fabs(power) <= kFltMin) {
+    *length_per_sample = 0.0;
+    return 0;
+  }
+  double log2_mean = std::log2(power) - std::log2((double)n);
+  double log2_var = 0.0;
+  for (int32_t ord = 1; ord <= order; ++ord)
+    log2_var += std::log2(1.0 - parcor[ord] * parcor[ord]);
+  double len = kBetaLaplace + 0.5 * (log2_mean + log2_var);
+  len /= 8.0;
+  if (len <= 0) len = 1.0 / 8;
+  *length_per_sample = len;
+  return 0;
+}
+
+// Window generation with libm trig (SLAUtility_Make*Window,
+// src/SLAUtility.c:99-216): NumPy's vectorized sin/cos differs from libm
+// in the last ulp, which leaks into quantized coefficients.
+// type: 0=rect 1=sin 2=hann 3=blackman 4=vorbis (SLA.h:52-58);
+// 5=tukey(alpha 0.5) exists in SLAUtility but is not encoder-selectable.
+int32_t sla_make_window(int32_t type, int32_t n, double* w) {
+  const double kPi = 3.14159265358979323846;
+  if (n == 1) { w[0] = 1.0; return 0; }
+  switch (type) {
+    case 0:
+      for (int32_t i = 0; i < n; ++i) w[i] = 1.0;
+      break;
+    case 1:
+      for (int32_t i = 0; i < n; ++i) {
+        double x = (double)i / (n - 1);
+        w[i] = std::sin(kPi * x);
+      }
+      break;
+    case 2:
+      for (int32_t i = 0; i < n; ++i) {
+        double x = (double)i / (n - 1);
+        w[i] = 0.5 - 0.5 * std::cos(2.0 * kPi * x);
+      }
+      break;
+    case 3:
+      for (int32_t i = 0; i < n; ++i) {
+        double x = (double)i / (n - 1);
+        w[i] = 0.42 - 0.5 * std::cos(2.0 * kPi * x) + 0.08 * std::cos(4.0 * kPi * x);
+      }
+      break;
+    case 4:
+      for (int32_t i = 0; i < n; ++i) {
+        double x = (double)i / (n - 1);
+        // association as in the reference: ((pi/2) * sin) * sin
+        w[i] = std::sin((kPi / 2.0) * std::sin(kPi * x) * std::sin(kPi * x));
+      }
+      break;
+    case 5: {  // Tukey, alpha = 0.5 (SLAUtility.c MakeTukeyWindow)
+      const double alpha = 0.5;
+      for (int32_t i = 0; i < n; ++i) {
+        double x = (double)i / (n - 1);
+        if (x < alpha / 2.0)
+          w[i] = 0.5 * (1.0 + std::cos(kPi * ((2.0 / alpha) * x - 1.0)));
+        else if (x > 1.0 - alpha / 2.0)
+          w[i] = 0.5 * (1.0 + std::cos(kPi * ((2.0 / alpha) * x - (2.0 / alpha) + 1.0)));
+        else
+          w[i] = 1.0;
+      }
+      break;
+    }
+    default:
+      return -1;
+  }
+  return 0;
+}
+
 // Long-term analysis autocorrelation via Wiener-Khinchin with the exact
 // reference arithmetic (SLALongTermCalculator_CalculateCoef,
 // src/SLAPredictor.c:827-853): int32 samples scaled by 2^-31, forward real
