@@ -189,12 +189,24 @@ def search_optimal_partitions_batch(
     batch over the concatenation of ALL windows' candidate spans — one
     vectorized pass instead of per-window calls (identical arithmetic; the
     recursion is element-wise per span)."""
+    import os
+
     from .. import native
 
     use_native = native.available()
+    # SLA_TPU_EXACT_PARTITION=1 prices every candidate span with the
+    # reference's own per-span analysis arithmetic (native sla_lpc_analyze)
+    # instead of the fast prefix estimator. The fast path has matched the
+    # reference byte-for-byte on every fuzz corpus (cost differences sit at
+    # byte scale vs ulp noise), but near-ties are theoretically possible;
+    # this switch removes even that.
+    exact = bool(os.environ.get("SLA_TPU_EXACT_PARTITION")) and use_native
+    if exact:
+        bits = 16  # placeholder; real value bound below
     order = parcor_order
     metas = []
     R_parts = []
+    exact_costs: list[np.ndarray] = []
     for data, num_samples, min_block, max_block in zip(
         window_data, num_samples_list, min_blocks, max_blocks
     ):
@@ -208,6 +220,21 @@ def search_optimal_partitions_batch(
             continue
         spans = np.stack([ii[valid], jj[valid]], axis=1)
         span_len = lengths[valid].astype(np.float64)
+        if exact:
+            # the reference's exact cost: fresh analysis per (span, channel)
+            # on the unwindowed double data (SLAPredictor.c:1632-1654)
+            C = data.shape[0]
+            cost = np.zeros(len(spans), dtype=np.float64)
+            for si, (i0, j0) in enumerate(spans):
+                start = int(positions[i0])
+                n_sp = int(min(span_len[si], num_samples - start))
+                rows = np.ascontiguousarray(data[:, start : start + n_sp])
+                _, lens = native.lpc_analyze_rows(rows, order, bits_per_sample)
+                cost[si] = (n_sp * lens).sum()
+            cost += _ESTIMATE_BLOCK_HEADER_SIZE + OPTIMAL_ESTIMATOR_LONGPATH_PENALTY
+            exact_costs.append(cost)
+            metas.append((V, spans, span_len, num_samples))
+            continue
         if use_native:
             R = native.span_autocorr(data[:, :num_samples], positions, spans, order)
         else:
@@ -237,12 +264,17 @@ def search_optimal_partitions_batch(
 
     results: list[list[int]] = []
     consumed = 0
+    wi_exact = 0
     for V, spans, span_len, num_samples in metas:
         adj = np.full((V, V), _BIGWEIGHT, dtype=np.float64)
         if spans is not None:
             S = len(spans)
-            adj[spans[:, 0], spans[:, 1]] = cost_all[consumed : consumed + S]
-            consumed += S
+            if exact:
+                adj[spans[:, 0], spans[:, 1]] = exact_costs[wi_exact]
+                wi_exact += 1
+            else:
+                adj[spans[:, 0], spans[:, 1]] = cost_all[consumed : consumed + S]
+                consumed += S
         hops = dijkstra_partition(adj, V)
         sizes = []
         pos = 0

@@ -27,6 +27,29 @@ for i in range(30):
     CASES.append((i, kind, ch, width, mode, n, rate, lshift))
 
 
+def test_exact_partition_mode_identity(ref_binary, tmp_path, monkeypatch):
+    """SLA_TPU_EXACT_PARTITION prices spans with the reference's own
+    analysis arithmetic; both modes must match the reference stream."""
+    pcm = gen_wave("chirp", 30000, 2, 16, 0, seed=4242)
+    wav_path = tmp_path / "in.wav"
+    wavio.write_wav(str(wav_path), wavio.WavFile(2, 44100, 16, pcm))
+    subprocess.run(
+        [str(ref_binary), "-e", "-q", "-m", "2", str(wav_path), str(tmp_path / "r.sla")],
+        check=True, capture_output=True,
+    )
+    ref_blob = (tmp_path / "r.sla").read_bytes()
+
+    def encode():
+        enc = sla.Encoder()
+        enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
+        enc.set_encode_parameter(sla.PRESETS[2])
+        return enc.encode_whole(pcm)
+
+    assert encode() == ref_blob
+    monkeypatch.setenv("SLA_TPU_EXACT_PARTITION", "1")
+    assert encode() == ref_blob
+
+
 @pytest.mark.parametrize("i,kind,ch,width,mode,n,rate,lshift", CASES)
 def test_fuzz_byte_identity(i, kind, ch, width, mode, n, rate, lshift,
                             ref_binary, tmp_path):
