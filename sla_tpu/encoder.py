@@ -55,9 +55,10 @@ class EncoderConfig:
 
     `backend` selects where the per-sample filter cascade runs:
     'device' = batched JAX pipeline (TPU hot path), 'host' = native C++
-    row-serial cascade, 'auto' = device for batches big enough to amortize
-    dispatch + transfer, host otherwise (threshold in row-samples via
-    SLA_TPU_DEVICE_THRESHOLD)."""
+    interleaved cascade, 'mesh' = rows sharded across every device on a
+    ('blocks','channels') jax.sharding.Mesh (multi-chip), 'auto' = device
+    for batches big enough to amortize dispatch + transfer, host otherwise
+    (threshold in row-samples via SLA_TPU_DEVICE_THRESHOLD)."""
 
     max_num_channels: int = 8
     max_num_block_samples: int = 16384
@@ -374,7 +375,30 @@ class Encoder:
             lengths[bi * C : (bi + 1) * C] = pl.num_samples
 
         res1_dev = None
-        if backend == "host":
+        mesh = None
+        if backend == "mesh":
+            # explicit multi-chip mode: rows shard across every device on a
+            # ('blocks','channels') mesh; zero cross-shard communication in
+            # the filter stages (blocks are independent)
+            import jax.numpy as jnp
+
+            from .parallel import (
+                make_mesh,
+                shard_batch,
+                sharded_encode_stage1,
+            )
+
+            mesh = make_mesh()
+            nd = mesh.shape["blocks"]
+            NB = -(-B // nd) * nd
+            batch3 = np.zeros((NB, 1, L), dtype=np.int32)
+            batch3[:B, 0] = batch
+            coefs3 = np.zeros((NB, 1, p), dtype=np.int32)
+            coefs3[:B, 0] = coefs
+            d_batch, d_coefs = shard_batch(mesh, batch3, coefs3)
+            res1_dev = sharded_encode_stage1(d_batch, d_coefs, p, mesh)
+            residual1 = np.asarray(res1_dev)[:B, 0]
+        elif backend == "host":
             residual1 = native.predict_stage1_rows(batch, coefs, lengths)
         else:
             import jax.numpy as jnp
@@ -405,7 +429,24 @@ class Encoder:
                     if lt.pitch_period >= LONGTERM_MIN_PITCH_THRESHOLD:
                         pitches[r] = lt.pitch_period
                         ltm[r] = quantize_longterm(lt.coef)
-        if backend == "host":
+        if backend == "mesh":
+            import jax.numpy as jnp
+
+            from .parallel import shard_batch, sharded_encode_stage2
+
+            NB = res1_dev.shape[0]
+            pitch3 = np.zeros((NB, 1), dtype=np.int32)
+            pitch3[:B, 0] = pitches
+            ltm3 = np.zeros((NB, 1, max(T, 1)), dtype=np.int32)
+            ltm3[:B, 0] = ltm
+            d_pitch = shard_batch(mesh, pitch3[..., None])[0][..., 0]
+            d_ltm = shard_batch(mesh, ltm3)[0]
+            residual2 = np.asarray(
+                sharded_encode_stage2(
+                    res1_dev, d_pitch, d_ltm, T, ep.lms_order_per_filter, mesh
+                )
+            )[:B, 0]
+        elif backend == "host":
             residual2 = native.predict_stage2_rows(
                 residual1, pitches, ltm, T, ep.lms_order_per_filter, lengths
             )

@@ -5,5 +5,7 @@ from .sharding import (  # noqa: F401
     make_mesh,
     shard_batch,
     sharded_decode_step,
+    sharded_encode_stage1,
+    sharded_encode_stage2,
     sharded_encode_step,
 )

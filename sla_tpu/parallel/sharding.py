@@ -145,6 +145,75 @@ def sharded_encode_step(
     )(data, parcor_coef, pitch, ltm_coef)
 
 
+@functools.partial(jax.jit, static_argnames=("parcor_order", "mesh"))
+def sharded_encode_stage1(
+    data: jnp.ndarray, parcor_coef: jnp.ndarray, parcor_order: int, mesh: Mesh
+):
+    """Mesh-sharded pre-emphasis + lattice predict over (NB, NC, L) batches
+    (the first half of the encode cascade; pitch analysis sits between the
+    stages on host, so full-file encode needs the split)."""
+
+    def local(data, parcor_coef):
+        nb, nc, L = data.shape
+        B = nb * nc
+
+        def vary(x):
+            return jax.lax.pcast(x, (BLOCK_AXIS, CHANNEL_AXIS), to="varying")
+
+        emphasized, _ = pre_emphasis(data.reshape(B, L), vary(jnp.zeros((B,), jnp.int32)))
+        residual, _ = lattice_predict(
+            emphasized, parcor_coef.reshape(B, -1), vary(lattice_init_state(B, parcor_order))
+        )
+        return residual.reshape(nb, nc, L)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, CHANNEL_AXIS, None), P(BLOCK_AXIS, CHANNEL_AXIS, None)),
+        out_specs=P(BLOCK_AXIS, CHANNEL_AXIS, None),
+    )(data, parcor_coef)
+
+
+@functools.partial(jax.jit, static_argnames=("num_taps", "lms_order", "mesh"))
+def sharded_encode_stage2(
+    residual: jnp.ndarray,
+    pitch: jnp.ndarray,
+    ltm_coef: jnp.ndarray,
+    num_taps: int,
+    lms_order: int,
+    mesh: Mesh,
+):
+    """Mesh-sharded long-term + LMS predict (second half of the cascade)."""
+
+    def local(residual, pitch, ltm_coef):
+        nb, nc, L = residual.shape
+        B = nb * nc
+        rows = residual.reshape(B, L)
+        pit = pitch.reshape(B)
+
+        def vary(x):
+            return jax.lax.pcast(x, (BLOCK_AXIS, CHANNEL_AXIS), to="varying")
+
+        if num_taps > 0:
+            lt_res, _ = longterm_predict(
+                rows, pit, ltm_coef.reshape(B, -1), num_taps, vary(jnp.zeros((B,), jnp.int32))
+            )
+            rows = jnp.where((pit > 0)[:, None], lt_res, rows)
+        out, _ = lms_predict(rows, jax.tree.map(vary, lms_init_state(B, lms_order)), lms_order)
+        return out.reshape(nb, nc, L)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(BLOCK_AXIS, CHANNEL_AXIS, None),
+            P(BLOCK_AXIS, CHANNEL_AXIS),
+            P(BLOCK_AXIS, CHANNEL_AXIS, None),
+        ),
+        out_specs=P(BLOCK_AXIS, CHANNEL_AXIS, None),
+    )(residual, pitch, ltm_coef)
+
+
 @functools.partial(
     jax.jit, static_argnames=("parcor_order", "num_taps", "lms_order", "mesh")
 )

@@ -40,6 +40,24 @@ def test_decoder_backends_identical():
         assert np.array_equal(out, pcm), backend
 
 
+def test_mesh_backend_byte_identical():
+    """backend='mesh': end-to-end encode with rows sharded across the
+    8-device virtual mesh produces the same stream as the host backend."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    pcm = gen_wave("chirp", 30000, 2, 16, 0, seed=33)
+
+    def encode(backend):
+        enc = sla.Encoder(sla.EncoderConfig(backend=backend))
+        enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
+        enc.set_encode_parameter(sla.PRESETS[2])
+        return enc.encode_whole(pcm)
+
+    assert encode("mesh") == encode("host")
+
+
 def test_fetch_int32_packing():
     import jax.numpy as jnp
 
