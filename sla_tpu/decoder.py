@@ -278,7 +278,29 @@ class Decoder:
                 pitch[bi * C : (bi + 1) * C] = blk.pitch
                 ltm[bi * C : (bi + 1) * C] = blk.ltm_coef
                 lengths[bi * C : (bi + 1) * C] = blk.num_samples
-            if backend == "host":
+            if backend == "mesh":
+                # rows sharded across every device (see Encoder backend='mesh')
+                from .parallel import make_mesh, shard_batch, sharded_decode_step
+
+                mesh = make_mesh()
+                nd = mesh.shape["blocks"]
+                NB = -(-B // nd) * nd
+                res3 = np.zeros((NB, 1, L), dtype=np.int32)
+                res3[:B, 0] = residual
+                coef3 = np.zeros((NB, 1, p), dtype=np.int32)
+                coef3[:B, 0] = coef
+                pitch3 = np.zeros((NB, 1), dtype=np.int32)
+                pitch3[:B, 0] = pitch
+                ltm3 = np.zeros((NB, 1, max(T, 1)), dtype=np.int32)
+                ltm3[:B, 0] = ltm
+                d_res, d_coef, d_ltm = shard_batch(mesh, res3, coef3, ltm3)
+                d_pitch = shard_batch(mesh, pitch3[..., None])[0][..., 0]
+                synth = np.asarray(
+                    sharded_decode_step(
+                        d_res, d_coef, d_pitch, d_ltm, p, T, ep.lms_order_per_filter, mesh
+                    )
+                )[:B, 0]
+            elif backend == "host":
                 synth = native.synth_rows(
                     residual, coef, pitch, ltm, T, ep.lms_order_per_filter, lengths
                 )

@@ -27,12 +27,17 @@ def test_encoder_backends_byte_identical(kind):
 
 
 def test_decoder_backends_identical():
+    import jax
+
     pcm = gen_wave("chirp", 20000, 2, 16, 0, seed=32)
     enc = sla.Encoder()
     enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
     enc.set_encode_parameter(sla.PRESETS[1])
     blob = enc.encode_whole(pcm)
-    for backend in ["host", "device", "auto"]:
+    backends = ["host", "device", "auto"]
+    if len(jax.devices()) >= 8:
+        backends.append("mesh")
+    for backend in backends:
         if backend == "host" and not native.available():
             continue
         dec = sla.Decoder(sla.DecoderConfig(backend=backend))

@@ -50,6 +50,27 @@ def test_failure_isolation(corpus, tmp_path):
     assert (out_dir / "manifest_0.json").exists()
 
 
+def test_corpus_scale_smoke(tmp_path):
+    """Scaled-down bulk-corpus config (BASELINE config 5): many files,
+    two simulated processes, full resume coverage."""
+    in_files = []
+    for i in range(40):
+        pcm = gen_wave(["sine", "noise", "chirp"][i % 3], 2500 + 37 * i, 2, 16, 0, seed=i)
+        p = tmp_path / f"f{i:03d}.wav"
+        wavio.write_wav(str(p), wavio.WavFile(2, 44100, 16, pcm))
+        in_files.append(p)
+    out_dir = tmp_path / "out"
+    r0 = encode_corpus(in_files, out_dir, preset=0, process_index=0, process_count=2)
+    r1 = encode_corpus(in_files, out_dir, preset=0, process_index=1, process_count=2)
+    assert r0.encoded + r1.encoded == 40 and r0.failed + r1.failed == 0
+    assert len(list(out_dir.glob("*.sla"))) == 40
+    # spot-check decode
+    dec = sla.Decoder()
+    _, out = dec.decode_whole((out_dir / "f007.sla").read_bytes())
+    want = wavio.read_wav(str(in_files[7])).data
+    assert np.array_equal(out, want)
+
+
 def test_shard_files_partition():
     files = list(range(10))
     shards = [shard_files(files, i, 3) for i in range(3)]
