@@ -114,7 +114,11 @@ def longterm_coef_rows(
         if abs(acr[0]) <= _FLT_MIN:
             results.append(LongTermResult(0, zeros.copy()))
             continue
-        pitch = _find_pitch(acr, LONGTERM_MAX_PERIOD)
+        pitch = (
+            native.find_pitch(acr, LONGTERM_MAX_PERIOD)
+            if use_native
+            else _find_pitch(acr, LONGTERM_MAX_PERIOD)
+        )
         if pitch == 0 or pitch < (num_taps // 2) + 1 or pitch >= LONGTERM_MAX_PERIOD:
             results.append(LongTermResult(0, zeros.copy()))
             continue

@@ -93,6 +93,8 @@ def _load() -> ctypes.CDLL | None:
     lib.sla_get_data_array_partial.argtypes = [
         p_u8, i64, p_i64, i32, i32, p_u64, p_u32, i32, p_i32,
     ]
+    lib.sla_find_pitch.restype = i32
+    lib.sla_find_pitch.argtypes = [p_f64, i32]
     lib.sla_lpc_analyze.restype = i32
     lib.sla_lpc_analyze.argtypes = [p_f64, i32, i32, i32, p_f64, p_f64]
     lib.sla_make_window.restype = i32
@@ -491,6 +493,13 @@ def span_autocorr(
         sp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), S, order, _f64ptr(out),
     )
     return out
+
+
+def find_pitch(ac: np.ndarray, max_pitch: int) -> int:
+    """Zero-crossing-bracketed peak search (pitch lag or 0)."""
+    lib = _load()
+    ac = np.ascontiguousarray(ac, dtype=np.float64)
+    return int(lib.sla_find_pitch(_f64ptr(ac), max_pitch))
 
 
 def lpc_analyze_rows(

@@ -1270,6 +1270,47 @@ int32_t sla_synth_rows8(const int32_t* residual, int32_t* out, int32_t n,
   return 0;
 }
 
+// Zero-crossing-bracketed pitch peak search on an autocorrelation array
+// (SLALongTermCalculator_CalculateCoef peak walk, SLAPredictor.c:866-924):
+// scan candidate local peaks between negative->positive and
+// positive->negative crossings; the first candidate whose value reaches the
+// maximum peak wins (ratio threshold 1.0). Returns the pitch lag or 0.
+int32_t sla_find_pitch(const double* ac, int32_t max_pitch) {
+  int32_t candidates[512];
+  int32_t ncand = 0;
+  double max_peak = 0.0;
+  int32_t i = 1;
+  while (i < max_pitch && ncand < max_pitch) {
+    int32_t start = i;
+    while (start < max_pitch) {
+      if (ac[start - 1] < 0.0 && ac[start] > 0.0) break;
+      ++start;
+    }
+    int32_t end = start + 1;
+    while (end < max_pitch) {
+      if (ac[end] > 0.0 && ac[end + 1] < 0.0) break;
+      ++end;
+    }
+    int32_t local_idx = 0;
+    double local_peak = 0.0;
+    for (int32_t j = start; j <= end; ++j) {
+      if (ac[j] > ac[j - 1] && ac[j] > ac[j + 1] && ac[j] > local_peak) {
+        local_idx = j;
+        local_peak = ac[j];
+      }
+    }
+    if (local_idx != 0 && ncand < 512) {
+      candidates[ncand++] = local_idx;
+      if (local_peak > max_peak) max_peak = local_peak;
+    }
+    i = end + 1;
+  }
+  if (ncand == 0) return 0;
+  for (int32_t c = 0; c < ncand; ++c)
+    if (ac[candidates[c]] >= max_peak) return candidates[c];
+  return candidates[ncand - 1];
+}
+
 // Exact-order LPC analysis: float64 summation ORDER matters for byte
 // identity (quantization rounds the last ulp), so the autocorrelation uses
 // the reference's term-reuse loop structure (LPC_CalculateAutoCorrelation,
