@@ -255,8 +255,23 @@ def longterm_autocorr_rows(
         )
         out[b : b + 8] = out8
         b += 8
-    for i in range(b, B):
-        out[i] = longterm_autocorr(data[i, : int(lens[i])], fft_size, out_lags)
+    tail = B - b
+    if tail >= 4:
+        # pad the straggler group with zero-length rows: the interleaved FFT
+        # costs ~4 scalar FFTs, so padding wins from 4 real rows up
+        pad_data = np.zeros((8, L), dtype=np.int32)
+        pad_data[:tail] = data[b:]
+        pad_lens = np.zeros(8, dtype=np.int32)
+        pad_lens[:tail] = lens[b:]
+        out8 = np.empty((8, out_lags), dtype=np.float64)
+        lib.sla_longterm_autocorr_rows8(
+            _i32ptr(pad_data), _i32ptr(pad_lens), L, _f64ptr(work8), fft_size,
+            _f64ptr(out8), out_lags,
+        )
+        out[b:] = out8[:tail]
+    else:
+        for i in range(b, B):
+            out[i] = longterm_autocorr(data[i, : int(lens[i])], fft_size, out_lags)
     return out
 
 
