@@ -310,6 +310,16 @@ class PayloadCursor:
         return out
 
 
+
+def _pad_group(rows: list) -> list:
+    """Pad a row group to a multiple of 8 by repeating the last row when the
+    tail is big enough that one extra interleaved call beats scalar calls
+    (duplicate rows recompute identical values; fancy-index writes agree)."""
+    tail = len(rows) % 8
+    if tail >= 4:
+        rows = rows + [rows[-1]] * (8 - tail)
+    return rows
+
 def predict_stage1_rows(
     data: np.ndarray, parcor_coef: np.ndarray, lengths: np.ndarray | None = None
 ) -> np.ndarray:
@@ -333,6 +343,7 @@ def predict_stage1_rows(
         if lens[b] > 0:
             by_len.setdefault(int(lens[b]), []).append(b)
     for n, rows in by_len.items():
+        rows = _pad_group(rows)
         g = 0
         while g + 8 <= len(rows):
             idx = rows[g : g + 8]
@@ -373,6 +384,7 @@ def predict_stage2_rows(
         if lens[b] > 0:
             by_len.setdefault(int(lens[b]), []).append(b)
     for n, rows in by_len.items():
+        rows = _pad_group(rows)
         g = 0
         while g + 8 <= len(rows):
             idx = rows[g : g + 8]
@@ -428,6 +440,7 @@ def synth_rows(
             by_len.setdefault(int(lens[b]), []).append(b)
 
     for n, rows in by_len.items():
+        rows = _pad_group(rows)
         g = 0
         while g + 8 <= len(rows):
             idx = rows[g : g + 8]
