@@ -148,6 +148,34 @@ class Decoder:
 
     def scan_blocks(self, data: bytes, num_samples: int) -> list[_Block]:
         """Walk the stream once, collecting every block's header."""
+        wf, ep = self._wave_format, self._encode_param
+        if native.available():
+            res = native.parse_block_headers(
+                data, SLA_HEADER_SIZE, num_samples, wf.num_channels,
+                ep.parcor_order, ep.longterm_order, wf.bit_per_sample,
+                self.config.enable_crc_check,
+            )
+            err = res["error"]
+            if err == -12:
+                raise SLAError(ApiResult.FAILED_TO_FIND_SYNC_CODE)
+            if err == -11:
+                raise SLAError(ApiResult.DETECT_DATA_CORRUPTION)
+            if err < 0:
+                raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE)
+            blocks = []
+            for i in range(res["num_blocks"]):
+                blk = _Block(
+                    int(res["offsets"][i]), int(res["sizes"][i]),
+                    int(res["num_samples"][i]), BlockDataType(int(res["types"][i])),
+                )
+                if blk.block_type == BlockDataType.COMPRESSDATA:
+                    blk.parcor_coef = res["coef"][i]
+                    blk.pitch = res["pitch"][i]
+                    blk.ltm_coef = res["ltm"][i]
+                    blk.init_rice = [int(v) for v in res["init_rice"][i]]
+                blk.payload_bit_offset = int(res["payload_bits"][i])
+                blocks.append(blk)
+            return blocks
         blocks: list[_Block] = []
         offset = SLA_HEADER_SIZE
         done = 0

@@ -93,6 +93,11 @@ def _load() -> ctypes.CDLL | None:
     lib.sla_get_data_array_partial.argtypes = [
         p_u8, i64, p_i64, i32, i32, p_u64, p_u32, i32, p_i32,
     ]
+    lib.sla_parse_block_headers.restype = i64
+    lib.sla_parse_block_headers.argtypes = [
+        p_u8, i64, i64, i64, i32, i32, i32, i32, i32, i64,
+        p_i64, p_i64, p_i32, p_i32, p_i64, p_i32, p_i32, p_i32, p_u32,
+    ]
     lib.sla_find_pitch.restype = i32
     lib.sla_find_pitch.argtypes = [p_f64, i32]
     lib.sla_lpc_analyze.restype = i32
@@ -521,6 +526,51 @@ def span_autocorr(
         sp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), S, order, _f64ptr(out),
     )
     return out
+
+
+def parse_block_headers(
+    stream: bytes | memoryview,
+    offset: int,
+    total_samples: int,
+    num_channels: int,
+    parcor_order: int,
+    num_taps: int,
+    bits_per_sample: int,
+    enable_crc: bool,
+):
+    """Bulk block-header walk. Returns a dict of per-block arrays, or raises
+    SLAError-compatible codes via a (code) int in 'error'."""
+    lib = _load()
+    buf = np.frombuffer(stream, dtype=np.uint8)
+    # generous bound: every block carries at least the minimum header
+    max_blocks = max(total_samples // 2048 + 2, 2)
+    C = num_channels
+    Tdim = max(num_taps, 1)
+    offs = np.zeros(max_blocks, np.int64)
+    sizes = np.zeros(max_blocks, np.int64)
+    nsamp = np.zeros(max_blocks, np.int32)
+    types = np.zeros(max_blocks, np.int32)
+    payload_bits = np.zeros(max_blocks, np.int64)
+    coef = np.zeros((max_blocks, C, parcor_order + 1), np.int32)
+    pitch = np.zeros((max_blocks, C), np.int32)
+    ltm = np.zeros((max_blocks, C, Tdim), np.int32)
+    init_rice = np.zeros((max_blocks, C), np.uint32)
+    p_i64c = ctypes.POINTER(ctypes.c_int64)
+    nb = int(lib.sla_parse_block_headers(
+        _u8ptr(buf), buf.size, offset, total_samples, C, parcor_order,
+        num_taps, bits_per_sample, int(enable_crc), max_blocks,
+        offs.ctypes.data_as(p_i64c), sizes.ctypes.data_as(p_i64c),
+        _i32ptr(nsamp), _i32ptr(types), payload_bits.ctypes.data_as(p_i64c),
+        _i32ptr(coef), _i32ptr(pitch), _i32ptr(ltm), _u32ptr(init_rice),
+    ))
+    if nb < 0:
+        return {"error": nb}
+    return {
+        "error": 0, "num_blocks": nb, "offsets": offs[:nb], "sizes": sizes[:nb],
+        "num_samples": nsamp[:nb], "types": types[:nb],
+        "payload_bits": payload_bits[:nb], "coef": coef[:nb],
+        "pitch": pitch[:nb], "ltm": ltm[:nb], "init_rice": init_rice[:nb],
+    }
 
 
 def find_pitch(ac: np.ndarray, max_pitch: int) -> int:

@@ -1270,6 +1270,81 @@ int32_t sla_synth_rows8(const int32_t* residual, int32_t* out, int32_t n,
   return 0;
 }
 
+// Bulk block-header parse for the batch decoder (SLADecoder.c:309-420):
+// walks the stream once from `offset`, parsing up to `max_blocks` block
+// headers (sync, size, CRC over the full block when enable_crc, sample
+// count, type, per-channel PARCOR/long-term/Rice fields).
+// Outputs (arrays sized max_blocks): block byte offsets, sizes, sample
+// counts, types, payload bit offsets; coef (C x (order+1)) int32 rows,
+// pitch (C), ltm (C x max(T,1)) and init_rice (C) per block.
+// Returns the number of blocks parsed, or the negative of an ApiResult-like
+// code: -12 sync, -11 corruption, -9 insufficient data.
+int64_t sla_parse_block_headers(
+    const uint8_t* data, int64_t size, int64_t offset, int64_t total_samples,
+    int32_t C, int32_t order, int32_t num_taps, int32_t bits_per_sample,
+    int32_t enable_crc, int64_t max_blocks,
+    int64_t* block_offsets, int64_t* block_sizes, int32_t* num_samples_out,
+    int32_t* block_types, int64_t* payload_bit_offsets,
+    int32_t* coef_out /* max_blocks * C * (order+1) */,
+    int32_t* pitch_out /* max_blocks * C */,
+    int32_t* ltm_out /* max_blocks * C * max(T,1) */,
+    uint32_t* init_rice_out /* max_blocks * C */) {
+  const int32_t Tdim = num_taps > 0 ? num_taps : 1;
+  int64_t done = 0;
+  int64_t nb = 0;
+  while (done < total_samples && nb < max_blocks) {
+    if (offset + 11 > size) return -9;
+    BitReader r;
+    r.init(data, size, offset * 8);
+    if (r.get(16) != 0xFFFF) return -12;
+    int64_t block_size = (int64_t)r.get(32) + 6;
+    uint32_t stored_crc = (uint32_t)r.get(16);
+    if (block_size > size - offset) return -9;
+    if (enable_crc) {
+      // CRC16 from byte 8 to block end (defined earlier in this TU)
+      uint16_t calc = sla_crc16(data + offset + 8, block_size - 8);
+      if (calc != stored_crc) return -11;
+    }
+    int32_t nsamp = (int32_t)r.get(16);
+    int32_t btype = (int32_t)r.get(2);
+    block_offsets[nb] = offset;
+    block_sizes[nb] = block_size;
+    num_samples_out[nb] = nsamp;
+    block_types[nb] = btype;
+    int32_t* coef = coef_out + nb * C * (order + 1);
+    int32_t* pit = pitch_out + nb * C;
+    int32_t* ltm = ltm_out + nb * C * Tdim;
+    uint32_t* ir = init_rice_out + nb * C;
+    for (int32_t i = 0; i < C * (order + 1); ++i) coef[i] = 0;
+    for (int32_t i = 0; i < C; ++i) pit[i] = 0;
+    for (int32_t i = 0; i < C * Tdim; ++i) ltm[i] = 0;
+    for (int32_t i = 0; i < C; ++i) ir[i] = 0;
+    if (btype == 0) {  // COMPRESSDATA
+      for (int32_t ch = 0; ch < C; ++ch) {
+        int32_t rshift = (int32_t)r.get(4);
+        for (int32_t ord = 1; ord <= order; ++ord) {
+          int qbits = (ord < 4) ? 16 : 8;  // SLA_GET_PARCOR_QUANTIZE_BIT_WIDTH
+          int32_t v = unzigzag((uint32_t)r.get(qbits));
+          coef[ch * (order + 1) + ord] = (v << (16 - qbits)) >> rshift;
+        }
+        if (r.get(1)) {
+          pit[ch] = (int32_t)r.get(10);
+          for (int32_t t = 0; t < num_taps; ++t) {
+            int32_t q15 = unzigzag((uint32_t)r.get(16));
+            ltm[ch * Tdim + t] = q15 << 16;
+          }
+        }
+        ir[ch] = (uint32_t)r.get(bits_per_sample);
+      }
+    }
+    payload_bit_offsets[nb] = (r.pos() + 7) & ~(int64_t)7;  // byte-align
+    ++nb;
+    offset += block_size;
+    done += nsamp;
+  }
+  return (done >= total_samples) ? nb : -9;
+}
+
 // Zero-crossing-bracketed pitch peak search on an autocorrelation array
 // (SLALongTermCalculator_CalculateCoef peak walk, SLAPredictor.c:866-924):
 // scan candidate local peaks between negative->positive and
