@@ -215,8 +215,9 @@ static inline void put_recursive_rice(BitWriter& w, RiceState& st, uint32_t val)
   for (int i = 0; i < kNumRecursiveParams - 1; ++i) {
     uint32_t k = rice_param(st.params[i]);
     if (reduced < k) {
-      w.put_unary((uint32_t)i);
-      if (k != 1) w.put(reduced & (k - 1), log2_pow2(k));
+      // fused '1' marker + remainder bits in a single put
+      int kb = log2_pow2(k);
+      w.put((1ull << kb) | (reduced & (k - 1)), 1 + kb);
       st.params[i] = param_update(st.params[i], reduced);
       return;
     }
@@ -226,9 +227,16 @@ static inline void put_recursive_rice(BitWriter& w, RiceState& st, uint32_t val)
   const int i = kNumRecursiveParams - 1;
   uint32_t k = rice_param(st.params[i]);
   uint32_t tail_quot = (uint32_t)i + reduced / k;
-  if (tail_quot < kQuotThreshold) w.put_unary(tail_quot);
-  else { w.put_unary(kQuotThreshold); put_gamma(w, tail_quot - kQuotThreshold); }
-  if (k != 1) w.put(reduced & (k - 1), log2_pow2(k));
+  int kb = log2_pow2(k);
+  if (tail_quot < kQuotThreshold) {
+    // unary run + remainder fused: tail_quot zeros, a 1, then kb bits
+    // (tail_quot <= 15, kb <= 31 -> at most 47 bits)
+    w.put((1ull << kb) | (reduced & (k - 1)), (int)tail_quot + 1 + kb);
+  } else {
+    w.put_unary(kQuotThreshold);
+    put_gamma(w, tail_quot - kQuotThreshold);
+    if (k != 1) w.put(reduced & (k - 1), kb);
+  }
   st.params[i] = param_update(st.params[i], reduced);
 }
 
