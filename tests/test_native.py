@@ -71,6 +71,41 @@ def test_crc16_matches_table(a_wav):
     assert native.crc16(np.frombuffer(blob, dtype=np.uint8)) == 0xA611
 
 
+def test_bulk_header_parse_matches_python():
+    """native.parse_block_headers == Decoder.parse_block_header per block."""
+    import sla_tpu as sla
+    from .test_encode_decode import gen_wave
+
+    pcm = gen_wave("chirp", 30000, 2, 16, 0, seed=12)
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
+    enc.set_encode_parameter(sla.PRESETS[2])
+    blob = enc.encode_whole(pcm)
+    hdr, _ = sla.decode_header(blob)
+    dec = sla.Decoder()
+    dec.set_wave_format(hdr.wave_format)
+    dec.set_encode_parameter(hdr.encode_param)
+    res = native.parse_block_headers(
+        blob, 43, hdr.num_samples, 2, hdr.encode_param.parcor_order,
+        hdr.encode_param.longterm_order, 16, True,
+    )
+    assert res["error"] == 0 and res["num_blocks"] == hdr.num_blocks
+    offset = 43
+    for i in range(res["num_blocks"]):
+        blk = dec.parse_block_header(blob, offset)
+        assert res["offsets"][i] == offset
+        assert res["sizes"][i] == blk.block_size
+        assert res["num_samples"][i] == blk.num_samples
+        assert res["types"][i] == int(blk.block_type)
+        assert res["payload_bits"][i] == blk.payload_bit_offset
+        if blk.parcor_coef is not None:
+            assert np.array_equal(res["coef"][i], blk.parcor_coef)
+            assert np.array_equal(res["pitch"][i], blk.pitch)
+            assert np.array_equal(res["ltm"][i], blk.ltm_coef)
+            assert [int(v) for v in res["init_rice"][i]] == blk.init_rice
+        offset += blk.block_size
+
+
 def test_golomb_low_param_path():
     """Payload with tiny residuals exercises the static Golomb branch
     (mean initial param <= 8, SLACoder.c:450-466)."""
