@@ -201,8 +201,6 @@ def search_optimal_partitions_batch(
     # byte scale vs ulp noise), but near-ties are theoretically possible;
     # this switch removes even that.
     exact = bool(os.environ.get("SLA_TPU_EXACT_PARTITION")) and use_native
-    if exact:
-        bits = 16  # placeholder; real value bound below
     order = parcor_order
     metas = []
     R_parts = []

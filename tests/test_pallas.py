@@ -1,0 +1,57 @@
+"""Pallas kernel equivalence in interpreter mode (CPU-runnable CI guard;
+the compiled TPU path is exercised on hardware and produces bit-identical
+streams — see BASELINE.md kernel throughput notes)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import sla_tpu  # noqa: F401
+from sla_tpu.kernels.lattice import lattice_init_state, lattice_predict, lattice_synthesize
+from sla_tpu.kernels.lms import lms_init_state, lms_predict, lms_synthesize
+from sla_tpu.kernels.emphasis import de_emphasis, pre_emphasis
+from sla_tpu.kernels.pallas_filters import TILE_B, TILE_L, lattice_filter_tl, lms_filter_tl
+
+B, L = TILE_B, TILE_L
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    data = rng.integers(-30000, 30000, (B, L), dtype=np.int32)
+    coef = rng.integers(-25000, 25000, (B, 16), dtype=np.int32)
+    return data, coef
+
+
+def test_lattice_predict_interpret(batch):
+    data, coef = batch
+    emph, _ = pre_emphasis(jnp.asarray(data), jnp.zeros((B,), jnp.int32))
+    ref, _ = lattice_predict(emph, jnp.asarray(coef), lattice_init_state(B, 16))
+    out = np.asarray(
+        lattice_filter_tl(jnp.asarray(data.T), jnp.asarray(coef.T), 16, interpret=True)
+    ).T
+    assert np.array_equal(out, np.asarray(ref))
+
+
+def test_lattice_synthesize_interpret(batch):
+    data, coef = batch
+    ref, _ = lattice_synthesize(jnp.asarray(data), jnp.asarray(coef), lattice_init_state(B, 16))
+    ref, _ = de_emphasis(ref, jnp.zeros((B,), jnp.int32))
+    out = np.asarray(
+        lattice_filter_tl(
+            jnp.asarray(data.T), jnp.asarray(coef.T), 16, synthesize=True, interpret=True
+        )
+    ).T
+    assert np.array_equal(out, np.asarray(ref))
+
+
+@pytest.mark.parametrize("synthesize", [False, True])
+def test_lms_interpret(batch, synthesize):
+    data, _ = batch
+    fn = lms_synthesize if synthesize else lms_predict
+    ref, _ = fn(jnp.asarray(data), lms_init_state(B, 8), 8)
+    out = np.asarray(
+        lms_filter_tl(jnp.asarray(data.T), 8, synthesize=synthesize, interpret=True)
+    ).T
+    assert np.array_equal(out, np.asarray(ref))
