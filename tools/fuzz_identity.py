@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Randomized byte-identity fuzzer: encode random signals with both this
+framework and the reference C binary and compare streams byte-for-byte
+(plus cross-decode losslessness). Run from the repo root:
+
+    python tools/fuzz_identity.py [count] [seed]
+
+Covers waveform kinds (including cancellation-heavy nyquist tones and
+mixed-segment long files that stress the block partitioner), channel
+layouts, bit depths, presets, sampling rates, and offset left-shifts.
+"""
+
+import pathlib
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+import sla_tpu as sla  # noqa: E402
+from sla_tpu import wavio  # noqa: E402
+from test_encode_decode import gen_wave  # noqa: E402
+
+REF = REPO / "tools" / "sla_ref"
+
+
+def mixed_segments(rng, ch, n, width):
+    sig = np.zeros((ch, n))
+    pos = 0
+    while pos < n:
+        seg = min(int(rng.integers(3000, 20000)), n - pos)
+        kind = rng.integers(0, 4)
+        t = np.arange(seg)
+        if kind == 0:
+            s = 0.4 * np.sin(2 * np.pi * t / rng.integers(30, 300))
+        elif kind == 1:
+            s = np.convolve(rng.normal(0, 0.1, seg), np.ones(6) / 6, "same")
+        elif kind == 2:
+            s = np.zeros(seg)
+        else:
+            s = 0.3 * np.sin(2 * np.pi * t * t / (5 * seg))
+        for c in range(ch):
+            sig[c, pos : pos + seg] = s * (1 - 0.1 * c)
+        pos += seg
+    amp = (1 << (width - 1)) - 1
+    return (np.clip(sig * amp, -amp - 1, amp).astype(np.int32) << (32 - width))
+
+
+def main():
+    count = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    rng = np.random.default_rng(seed)
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    fails = []
+    for i in range(count):
+        ch = int(rng.choice([1, 2, 2, 4, 6, 8]))
+        width = int(rng.choice([8, 16, 16, 24]))
+        mode = int(rng.integers(0, 5))
+        rate = int(rng.choice([8000, 22050, 44100, 48000, 96000, 192000]))
+        if rng.random() < 0.25:
+            n = int(rng.integers(60000, 180000))
+            pcm = mixed_segments(rng, ch, n, width)
+        else:
+            kind = str(rng.choice(
+                ["sine", "noise", "chirp", "gauss", "nyquist", "constant", "silence"]))
+            n = int(rng.integers(1500, 45000))
+            lshift = int(rng.choice([0, 0, 4, 8])) if width >= 16 else 0
+            pcm = gen_wave(kind, n, ch, width, lshift, seed=seed * 1000 + i)
+        wavio.write_wav(str(tmp / "i.wav"), wavio.WavFile(ch, rate, width, pcm))
+        r = subprocess.run(
+            [str(REF), "-e", "-q", "-m", str(mode), str(tmp / "i.wav"), str(tmp / "r.sla")],
+            capture_output=True,
+        )
+        if r.returncode != 0:
+            continue
+        ref_blob = (tmp / "r.sla").read_bytes()
+        p = sla.PRESETS[mode]
+        chm = p.ch_process_method if ch == 2 else sla.ChannelProcessMethod.NONE
+        enc = sla.Encoder()
+        enc.set_wave_format(sla.WaveFormat(ch, width, rate))
+        enc.set_encode_parameter(
+            sla.EncodeParameter(p.parcor_order, p.longterm_order,
+                                p.lms_order_per_filter, chm,
+                                p.window_function_type, p.max_num_block_samples)
+        )
+        blob = enc.encode_whole(pcm)
+        dec = sla.Decoder()
+        _, out = dec.decode_whole(ref_blob)
+        lossless = np.array_equal(out, pcm)
+        if blob != ref_blob or not lossless:
+            fails.append((i, ch, width, mode, rate, pcm.shape[1], lossless))
+            print(f"FAIL case {i}: ch={ch} width={width} mode={mode} rate={rate} "
+                  f"n={pcm.shape[1]} lossless={lossless}")
+    print(f"{count - len(fails)}/{count} byte-identical + cross-decode lossless")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
