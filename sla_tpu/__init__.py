@@ -41,6 +41,11 @@ from .constants import (  # noqa: E402,F401
 from .decoder import Decoder, DecoderConfig  # noqa: E402,F401
 from .encoder import Encoder, EncoderConfig  # noqa: E402,F401
 from .errors import ApiResult, SLAError  # noqa: E402,F401
+from .streaming import (  # noqa: E402,F401
+    DataPacketQueue,
+    StreamingDecoder,
+    StreamingDecoderConfig,
+)
 from .format import (  # noqa: E402,F401
     EncodeParameter,
     HeaderInfo,
