@@ -1038,7 +1038,20 @@ void sla_span_autocorr(const double* data, int32_t C, int32_t N,
       int64_t pos = 0;
       for (int32_t j = 0; j < nu; ++j) {
         int64_t q = qpos[j] < limit ? qpos[j] : limit;
-        for (; pos < q; ++pos) acc += x[pos] * x[pos + k];
+        // 4 independent accumulators let the products pipeline/vectorize
+        // (this estimator is not reference-exact arithmetic — the exact
+        // cost model is SLA_TPU_EXACT_PARTITION; fuzz-validated either way)
+        {
+          double a0 = 0.0, a1 = 0.0, a2 = 0.0, a3 = 0.0;
+          for (; pos + 4 <= q; pos += 4) {
+            a0 += x[pos] * x[pos + k];
+            a1 += x[pos + 1] * x[pos + 1 + k];
+            a2 += x[pos + 2] * x[pos + 2 + k];
+            a3 += x[pos + 3] * x[pos + 3 + k];
+          }
+          acc += (a0 + a1) + (a2 + a3);
+          for (; pos < q; ++pos) acc += x[pos] * x[pos + k];
+        }
         pf[j] = acc;
       }
       for (int32_t s = 0; s < S; ++s) {
