@@ -130,7 +130,13 @@ class Encoder:
             return 0
         ntz = (mask & -mask).bit_length() - 1  # trailing zeros of the OR-mask
         used_width = 32 - ntz  # dynamic-range bits counted from the top
-        assert bit_per_sample >= used_width
+        if bit_per_sample < used_width:
+            # caller handed samples with more significant bits than the
+            # declared depth — reject instead of emitting a lossy stream
+            raise SLAError(
+                ApiResult.INVALID_ARGUMENT,
+                f"samples use {used_width} bits but bit_per_sample={bit_per_sample}",
+            )
         return bit_per_sample - used_width
 
     # -- whole-file encode ----------------------------------------------------

@@ -157,6 +157,17 @@ def test_sampling_rates(rate):
     roundtrip(pcm, 16, SMALL_MS, rate=rate)
 
 
+def test_reject_overdeep_samples():
+    """Samples with more significant bits than the declared depth must be
+    rejected (a lossy stream would otherwise be emitted silently)."""
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(1, 16, 44100))
+    enc.set_encode_parameter(SMALL_PARAM)
+    bad = np.full((1, 5000), 1 << 8, dtype=np.int32)  # 24 significant bits
+    with pytest.raises(sla.SLAError):
+        enc.encode_whole(bad)
+
+
 def test_error_paths():
     enc = sla.Encoder()
     with pytest.raises(sla.SLAError):
