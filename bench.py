@@ -95,9 +95,9 @@ def main() -> None:
     # warmup: compile every jitted stage and warm the device tunnel
     enc.encode_whole(np.ascontiguousarray(data[:, : 4 * 12288]))
 
-    # best-of-2: this host's timings swing under noisy-neighbor load
+    # best-of-3: this host's timings swing under noisy-neighbor load
     dt = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         blob = enc.encode_whole(data)
         t = time.time() - t0
