@@ -24,6 +24,8 @@ import time
 import numpy as np
 
 REPO = pathlib.Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
 
 # Reference C binary throughput on this config, measured on the build host
 # (gcc -std=c89 -O3 -DNDEBUG, single core): 30 s CD stereo -> 1.57 s.
