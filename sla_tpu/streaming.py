@@ -19,7 +19,7 @@ import math
 
 import numpy as np
 
-from . import native
+from . import hostref, native
 from .bitio import BitReader, uint32_to_sint32
 from .constants import (
     LONGTERM_MAX_PERIOD,
@@ -40,6 +40,27 @@ STREAMING_DECODE_NUM_SAMPLES_MARGIN = 1.05
 STREAMING_DECODE_MAX_NUM_PACKETS = 8
 SLA_MINIMUM_BLOCK_HEADER_SIZE = 11
 _LT_HIST_LEN = LONGTERM_MAX_PERIOD + 2
+
+
+def _payload_cursor(init_params, num_channels, bit_offset):
+    """Native resumable entropy cursor, or the pure-Python twin when the
+    native library is unavailable (reference streaming decode is portable C,
+    src/SLADecoder.c:752-1123 — no toolchain dependency)."""
+    if native.available():
+        return native.PayloadCursor(init_params, num_channels, bit_offset)
+    return hostref.PyPayloadCursor(init_params, num_channels, bit_offset)
+
+
+def _get_raw(stream, bit_offset, C, N, bits_per_ch):
+    if native.available():
+        return native.get_raw(stream, bit_offset, C, N, bits_per_ch)
+    return hostref.py_get_raw(stream, bit_offset, C, N, bits_per_ch)
+
+
+def _synth_chunk(*args):
+    if native.available():
+        return native.synth_chunk(*args)
+    return hostref.py_synth_chunk(*args)
 
 
 def calculate_sufficient_block_size(
@@ -296,7 +317,9 @@ class StreamingDecoder:
         per_ch = 4 + sum(parcor_quantize_bit_width(o) for o in range(1, ep.parcor_order + 1))
         per_ch += 1 + LONGTERM_PERIOD_NUM_BITS + 16 * ep.longterm_order
         per_ch += wf.bit_per_sample
-        bits = 80 + wf.num_channels * per_ch
+        # fixed prefix: sync 16 + next-offset 32 + crc 16 + num_samples 16
+        # + block-type 2 = 82 bits (SLAEncoder.c:685-737 layout)
+        bits = 82 + wf.num_channels * per_ch
         return (bits + 7) // 8
 
     # -- core decode -----------------------------------------------------------
@@ -331,12 +354,20 @@ class StreamingDecoder:
                 bsize = int.from_bytes(self._buffer[2:6], "big") + 6
                 if len(self._buffer) < min(bsize, self._worst_case_header_bytes()):
                     break
-                self._block = self._parse_block_header()
+                # header parse gets the same wait-and-resume discipline as
+                # payload decode: an over-read (only possible if the
+                # worst-case bound were ever violated) waits for more data
+                # instead of corrupting state — nothing is mutated until
+                # the parse returns
+                try:
+                    self._block = self._parse_block_header()
+                except IndexError:
+                    break
                 self._block_sample_offset = 0
                 self._consumed_bits = 0
                 self._reset_filter_state()
                 if self._block.block_type == BlockDataType.COMPRESSDATA:
-                    self._payload_cursor = native.PayloadCursor(
+                    self._payload_cursor = _payload_cursor(
                         self._block.init_rice, C, self._block.header_bytes * 8
                     )
                 # update the bytes/sample estimate from real block stats
@@ -385,7 +416,7 @@ class StreamingDecoder:
             if ep.ch_process_method == ChannelProcessMethod.STEREO_MS:
                 bits[1] += 1
             start_bit = blk.header_bytes * 8 + self._consumed_bits
-            residual = native.get_raw(bytes(self._buffer), start_bit, C, n, bits)
+            residual = _get_raw(bytes(self._buffer), start_bit, C, n, bits)
             self._consumed_bits += n * sum(bits)
             if blk.header_bytes * 8 + self._consumed_bits > 8 * len(self._buffer):
                 raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE, "streaming underrun")
@@ -406,7 +437,7 @@ class StreamingDecoder:
         st = self._filter_state
         pcm = np.empty((C, n), dtype=np.int32)
         for ch in range(C):
-            pcm[ch] = native.synth_chunk(
+            pcm[ch] = _synth_chunk(
                 residual[ch],
                 np.ascontiguousarray(blk.parcor_coef[ch, 1:])
                 if blk.parcor_coef is not None

@@ -18,8 +18,6 @@ from sla_tpu.streaming import (
 
 from .test_encode_decode import gen_wave
 
-pytestmark = pytest.mark.skipif(not native.available(), reason="native build unavailable")
-
 
 def encode(pcm, ch, width, rate=44100, mode=1):
     ep = sla.PRESETS[mode]
@@ -110,6 +108,71 @@ def test_streaming_reference_stream(ref_binary, a_wav, tmp_path):
     want = wavio.read_wav(str(a_wav)).data
     out = stream_decode_all(blob)
     assert np.array_equal(out, want)
+
+
+def test_streaming_byte_by_byte_feed():
+    """Regression for the worst-case header gate: feeding one byte at a time
+    crosses every possible header/payload boundary, including buffers exactly
+    one byte short of a full block header. Decode must wait-and-resume, never
+    raise (the fixed 82-bit block-header prefix, SLAEncoder.c:685-737;
+    mono/parcor-16/LT-1/16-bit is the config where the old 80-bit count
+    rounded one byte short)."""
+    pcm = gen_wave("sine", 5000, 1, 16, 0, seed=7)
+    blob = encode(pcm, 1, 16, mode=2)
+    header, _ = decode_header(blob)
+    sd = StreamingDecoder(
+        StreamingDecoderConfig(core=DecoderConfig(), decode_interval_hz=120.0,
+                               max_bit_per_sample=16)
+    )
+    sd.set_wave_format(header.wave_format)
+    sd.set_encode_parameter(header.encode_param)
+    out = np.zeros((1, header.num_samples), dtype=np.int32)
+    done = 0
+    for pos in range(43, len(blob)):
+        sd.append_data_fragment(blob[pos : pos + 1])
+        chunk = sd.decode()
+        n = chunk.shape[1]
+        out[:, done : done + n] = chunk
+        done += n
+        sd.collect_data_fragments()
+    while done < header.num_samples:
+        chunk = sd.decode()
+        n = chunk.shape[1]
+        assert n > 0, "stalled with all data delivered"
+        out[:, done : done + n] = chunk
+        done += n
+    assert np.array_equal(out, pcm)
+
+
+@pytest.mark.skipif(not native.available(), reason="needs native for the cross-check")
+def test_python_fallback_matches_native(monkeypatch):
+    """The pure-Python streaming path (hostref.py) must be bit-identical to
+    the native one — StreamingDecoder works without a toolchain, like the
+    reference's portable C (src/SLADecoder.c:752-1123)."""
+    pcm = gen_wave("chirp", 6000, 2, 16, 0, seed=13)
+    blob = encode(pcm, 2, 16, mode=1)
+    native_out = stream_decode_all(blob, fragment_size=301)
+    monkeypatch.setattr("sla_tpu.streaming.native.available", lambda: False)
+    py_out = stream_decode_all(blob, fragment_size=301)
+    assert np.array_equal(py_out, native_out)
+    assert np.array_equal(py_out, pcm)
+
+
+@pytest.mark.skipif(not native.available(), reason="needs native for the cross-check")
+def test_python_fallback_raw_and_golomb(monkeypatch):
+    """Fallback parity on the RAWDATA and static-Golomb payload branches."""
+    # gaussian noise at 8 bits forces raw fallback blocks; silence-adjacent
+    # low-amplitude content exercises the Golomb branch
+    rng = np.random.default_rng(17)
+    loud = (rng.integers(-128, 128, 3000, dtype=np.int64) << 24).astype(np.int32)
+    quiet = (rng.integers(-2, 3, 3000, dtype=np.int64) << 24).astype(np.int32)
+    pcm = np.concatenate([loud, quiet])[None, :]
+    blob = encode(pcm, 1, 8, mode=0)
+    native_out = stream_decode_all(blob, fragment_size=173)
+    monkeypatch.setattr("sla_tpu.streaming.native.available", lambda: False)
+    py_out = stream_decode_all(blob, fragment_size=173)
+    assert np.array_equal(py_out, native_out)
+    assert np.array_equal(py_out, pcm)
 
 
 def test_packet_queue_capacity():
