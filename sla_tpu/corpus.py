@@ -21,6 +21,7 @@ mesh). Design:
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import json
 import os
 import pathlib
@@ -53,6 +54,29 @@ class CorpusResult:
 def shard_files(files: list, index: int, count: int) -> list:
     """Round-robin file sharding across processes (DCN axis)."""
     return [f for i, f in enumerate(files) if i % count == index]
+
+
+def output_names(paths: list[pathlib.Path]) -> dict[pathlib.Path, str]:
+    """Collision-free output basename per input path.
+
+    Same-stem inputs from different directories get a short stable hash of
+    the absolute path appended, so outputs and resume markers never alias
+    (hashing only on collision keeps the common case human-readable, and
+    the hash is deterministic across resumed runs)."""
+    by_stem: dict[str, list[pathlib.Path]] = {}
+    for p in paths:
+        by_stem.setdefault(p.stem, []).append(p)
+    names: dict[pathlib.Path, str] = {}
+    for stem, group in by_stem.items():
+        if len(group) == 1:
+            names[group[0]] = stem
+        else:
+            for p in group:
+                digest = hashlib.blake2b(
+                    str(p.resolve()).encode(), digest_size=4
+                ).hexdigest()
+                names[p] = f"{stem}-{digest}"
+    return names
 
 
 def encode_corpus(
@@ -88,9 +112,10 @@ def encode_corpus(
     manifest: dict = {}
 
     enc = Encoder(encoder_config or EncoderConfig())
+    names = output_names(mine)
     for path in mine:
-        out_path = out_dir / (path.stem + ".sla")
-        done_marker = out_dir / (path.stem + ".done")
+        out_path = out_dir / (names[path] + ".sla")
+        done_marker = out_dir / (names[path] + ".done")
         if resume and done_marker.exists():
             skipped += 1
             continue
@@ -121,12 +146,12 @@ def encode_corpus(
             encoded += 1
             in_bytes += path.stat().st_size
             out_bytes += len(blob)
-            manifest[path.name] = {"out": out_path.name, "bytes": len(blob)}
+            manifest[str(path)] = {"out": out_path.name, "bytes": len(blob)}
             if verbose:
                 print(f"{path.name}: {path.stat().st_size} -> {len(blob)}")
         except (SLAError, ValueError, OSError) as e:
             failed += 1
-            manifest[path.name] = {"error": str(e)}
+            manifest[str(path)] = {"error": str(e)}
             if verbose:
                 print(f"{path.name}: FAILED ({e})")
 

@@ -83,7 +83,7 @@ def _load() -> ctypes.CDLL | None:
     lib.sla_longterm_autocorr_rows8.restype = None
     lib.sla_longterm_autocorr_rows8.argtypes = [p_i32, p_i32, i32, p_f64, i32, p_f64, i32]
     p_i64_arr = ctypes.POINTER(ctypes.c_int64)
-    lib.sla_span_autocorr.restype = None
+    lib.sla_span_autocorr.restype = i32
     lib.sla_span_autocorr.argtypes = [
         p_f64, i32, i32, p_i64_arr, i32, p_i64_arr, i32, i32, p_f64,
     ]
@@ -168,6 +168,8 @@ def put_data_array(data: np.ndarray, init_params: list[int]) -> bytes:
         n = int(lib.sla_put_data_array(_i32ptr(data), C, N, _u32ptr(params), _u8ptr(out), cap))
         if n >= 0:
             return out[:n].tobytes()
+        if n == -2:
+            raise ValueError(f"put_data_array: too many channels for native scratch ({C})")
         cap *= 2
 
 
@@ -178,7 +180,20 @@ def get_data_array(
     buf = np.frombuffer(stream, dtype=np.uint8)
     params = np.asarray(init_params, dtype=np.uint32)
     out = np.empty((C, N), dtype=np.int32)
-    lib.sla_get_data_array(_u8ptr(buf), buf.size, bit_offset, C, N, _u32ptr(params), _i32ptr(out))
+    end = int(
+        lib.sla_get_data_array(
+            _u8ptr(buf), buf.size, bit_offset, C, N, _u32ptr(params), _i32ptr(out)
+        )
+    )
+    if end < 0:
+        raise ValueError(f"get_data_array: too many channels for native scratch ({C})")
+    if end > 8 * buf.size:
+        # the native reader zero-fills past the end; surfacing the over-read
+        # here keeps truncated streams loud even with CRC checks disabled
+        # (mirrors SLA_APIRESULT_INSUFFICIENT_DATA_SIZE semantics)
+        from ..errors import ApiResult, SLAError
+
+        raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE, "payload over-read")
     return out
 
 
@@ -201,7 +216,13 @@ def get_raw(
     buf = np.frombuffer(stream, dtype=np.uint8)
     bits = np.asarray(bits_per_ch, dtype=np.int32)
     out = np.empty((C, N), dtype=np.int32)
-    lib.sla_get_raw(_u8ptr(buf), buf.size, bit_offset, C, N, _i32ptr(bits), _i32ptr(out))
+    end = int(
+        lib.sla_get_raw(_u8ptr(buf), buf.size, bit_offset, C, N, _i32ptr(bits), _i32ptr(out))
+    )
+    if end > 8 * buf.size:
+        from ..errors import ApiResult, SLAError
+
+        raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE, "raw payload over-read")
     return out
 
 
@@ -520,11 +541,15 @@ def span_autocorr(
     sp = np.ascontiguousarray(spans, dtype=np.int64)
     S = sp.shape[0]
     out = np.empty((S, C, order + 1), dtype=np.float64)
-    lib.sla_span_autocorr(
-        _f64ptr(data), C, N,
-        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), pos.size,
-        sp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), S, order, _f64ptr(out),
+    rc = int(
+        lib.sla_span_autocorr(
+            _f64ptr(data), C, N,
+            pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), pos.size,
+            sp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), S, order, _f64ptr(out),
+        )
     )
+    if rc != 0:
+        raise ValueError(f"span_autocorr: too many spans for native scratch ({S})")
     return out
 
 

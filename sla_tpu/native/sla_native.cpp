@@ -298,6 +298,7 @@ uint16_t sla_crc16(const uint8_t* data, int64_t size) {
 int64_t sla_put_data_array(const int32_t* data, int32_t C, int32_t N,
                            const uint32_t* init_params, uint8_t* out,
                            int64_t out_capacity) {
+  if (C <= 0 || C > 64) return -2;  // scratch capacity: don't trust callers
   BitWriter w;
   w.init(out, out_capacity);
   uint64_t eff_sum = 0;
@@ -327,6 +328,7 @@ int64_t sla_put_data_array(const int32_t* data, int32_t C, int32_t N,
 int64_t sla_get_data_array(const uint8_t* in, int64_t in_size,
                            int64_t bit_offset, int32_t C, int32_t N,
                            const uint32_t* init_params, int32_t* out) {
+  if (C <= 0 || C > 64) return -2;  // scratch capacity: don't trust callers
   BitReader r;
   r.init(in, in_size, bit_offset);
   uint64_t eff_sum = 0;
@@ -1007,10 +1009,11 @@ int32_t sla_predict_stage2(const int32_t* in, int32_t* out, int32_t n,
 // association as the NumPy reduceat path it replaces). data: C x N row-major
 // float64; spans: S x 2 node indices; positions: V sample offsets.
 // out: S x C x (order+1).
-void sla_span_autocorr(const double* data, int32_t C, int32_t N,
-                       const int64_t* positions, int32_t V,
-                       const int64_t* spans, int32_t S, int32_t order,
-                       double* out) {
+int32_t sla_span_autocorr(const double* data, int32_t C, int32_t N,
+                          const int64_t* positions, int32_t V,
+                          const int64_t* spans, int32_t S, int32_t order,
+                          double* out) {
+  if (S <= 0 || 2 * S > 4096) return -1;  // scratch capacity bound
   const int32_t lags = order + 1;
   // scratch: query positions and prefix values per lag
   int64_t qpos[4096];
@@ -1069,6 +1072,7 @@ void sla_span_autocorr(const double* data, int32_t C, int32_t N,
       }
     }
   }
+  return 0;
 }
 
 // Eight-row encode stage 1: pre-emphasis + lattice predict, rows

@@ -76,3 +76,39 @@ def test_shard_files_partition():
     shards = [shard_files(files, i, 3) for i in range(3)]
     assert sorted(sum(shards, [])) == files
     assert all(abs(len(s) - 10 / 3) < 1.5 for s in shards)
+
+
+def test_same_stem_different_dirs_no_collision(tmp_path):
+    """Inputs with identical stems in different directories must not
+    overwrite each other's outputs or alias resume markers."""
+    from sla_tpu.corpus import output_names
+
+    files = []
+    for i, sub in enumerate(["a", "b"]):
+        d = tmp_path / sub
+        d.mkdir()
+        pcm = gen_wave("sine" if i == 0 else "noise", 4000, 1, 16, 0, seed=i)
+        ep = sla.EncodeParameter(
+            8, 1, 4, sla.ChannelProcessMethod.NONE,
+            sla.PRESETS[0].window_function_type, 4096,
+        )
+        p = d / "track.wav"
+        wavio.write_wav(str(p), wavio.WavFile(1, 44100, 16, pcm))
+        files.append(p)
+    names = output_names(files)
+    assert len(set(names.values())) == 2
+    out_dir = tmp_path / "out"
+    res = encode_corpus(files, out_dir, preset=0)
+    assert res.encoded == 2 and res.failed == 0
+    outs = sorted(out_dir.glob("track*.sla"))
+    assert len(outs) == 2
+    # both decode to their own (different) source
+    pcms = []
+    for o in outs:
+        dec = sla.Decoder()
+        _, pcm = dec.decode_whole(o.read_bytes())
+        pcms.append(pcm)
+    assert not np.array_equal(pcms[0], pcms[1])
+    # resume skips BOTH (distinct done markers)
+    res2 = encode_corpus(files, out_dir, preset=0)
+    assert res2.skipped == 2 and res2.encoded == 0

@@ -119,3 +119,22 @@ def test_golomb_low_param_path():
     w.flush()
     assert native.put_data_array(data, init) == w.getvalue()
     assert np.array_equal(native.get_data_array(w.getvalue(), 0, 2, 1500, init), data)
+
+
+def test_native_scratch_capacity_checks():
+    """C-side entry points validate caller-supplied sizes instead of
+    trusting Python config defaults (stack scratch arrays)."""
+    data = np.zeros((65, 4), dtype=np.int32)
+    with pytest.raises(ValueError):
+        native.put_data_array(data, [1] * 65)
+    with pytest.raises(ValueError):
+        native.get_data_array(b"\x00" * 64, 0, 65, 4, [1] * 65)
+    # span_autocorr scratch holds 2*S boundaries, capacity 4096
+    sig = np.zeros((1, 8192), dtype=np.float64)
+    positions = np.arange(0, 8192, 2, dtype=np.int64)
+    nv = positions.size
+    spans = np.stack(
+        [np.zeros(2049, dtype=np.int64), np.full(2049, nv - 1, dtype=np.int64)], axis=1
+    )
+    with pytest.raises(ValueError):
+        native.span_autocorr(sig, positions, spans, 4)

@@ -101,3 +101,28 @@ def test_streaming_garbage_fragments():
         ApiResult.FAILED_TO_FIND_SYNC_CODE,
         ApiResult.DETECT_DATA_CORRUPTION,
     )
+
+
+def test_truncation_detected_with_crc_off(stream):
+    """Truncated streams must be loud even with CRC checks disabled — the
+    native bit reader zero-fills past the end, so payload decode verifies
+    the end bit position (INSUFFICIENT_DATA_SIZE, never silent garbage)."""
+    blob, _ = stream
+    for cut_bytes in [1, 7, 64, 500]:
+        with pytest.raises(SLAError):
+            decode(blob[: len(blob) - cut_bytes], crc=False)
+
+
+def test_native_payload_overread_raises():
+    """native.get_data_array surfaces an over-read as INSUFFICIENT_DATA_SIZE
+    instead of returning zero-filled garbage."""
+    from sla_tpu import native
+
+    if not native.available():
+        pytest.skip("native build unavailable")
+    data = np.arange(-400, 400, dtype=np.int32).reshape(2, 400)
+    init = [9, 9]
+    payload = native.put_data_array(data, init)
+    with pytest.raises(SLAError) as e:
+        native.get_data_array(payload[: len(payload) // 2], 0, 2, 400, init)
+    assert e.value.result == ApiResult.INSUFFICIENT_DATA_SIZE
