@@ -122,6 +122,40 @@ def estimate_span_code_lengths(
     return adj, V
 
 
+def min_offpath_slack(adj: np.ndarray, num_nodes: int, hops: list[int]) -> float:
+    """Smallest cost gap between the chosen shortest path and any path that
+    uses an edge outside it. 0.0 means an exact alternative-path tie;
+    small values mean the partition decision rests on a near-tie that float
+    rounding differences (fast vs reference-exact span costs) could flip.
+
+    The partition graph is a DAG (edges only go forward), so exact
+    source/sink distances are two O(V^2) DP sweeps — this guard runs per
+    window, keep it cheap."""
+    V = num_nodes
+    dist_f = np.full(V, _BIGWEIGHT, dtype=np.float64)
+    dist_f[0] = 0.0
+    for j in range(1, V):
+        m = (dist_f[:j] + adj[:j, j]).min()
+        if m < dist_f[j]:
+            dist_f[j] = m
+    dist_b = np.full(V, _BIGWEIGHT, dtype=np.float64)
+    dist_b[V - 1] = 0.0
+    for i in range(V - 2, -1, -1):
+        m = (adj[i, i + 1 :] + dist_b[i + 1 :]).min()
+        if m < dist_b[i]:
+            dist_b[i] = m
+    best = dist_f[V - 1]
+    finite = adj < _BIGWEIGHT
+    slack = dist_f[:, None] + adj + dist_b[None, :] - best
+    onpath = np.zeros((V, V), dtype=bool)
+    node = 0
+    for h in hops:
+        onpath[node, node + h] = True
+        node += h
+    candidates = slack[finite & ~onpath]
+    return float(candidates.min()) if candidates.size else np.inf
+
+
 def dijkstra_partition(adj: np.ndarray, num_nodes: int) -> list[int]:
     """Shortest path 0 -> V-1 with the reference's exact iteration order and
     tie-breaking (SLAPredictor.c:1521-1581), returning partition sizes in
@@ -155,6 +189,40 @@ def dijkstra_partition(adj: np.ndarray, num_nodes: int) -> list[int]:
         node = prev
     hops.reverse()
     return [j - i for i, j in hops]
+
+
+def exact_span_costs(
+    data: np.ndarray,
+    positions: np.ndarray,
+    spans: np.ndarray,
+    span_len: np.ndarray,
+    num_samples: int,
+    order: int,
+    bits_per_sample: int,
+) -> np.ndarray:
+    """The reference's exact edge cost: a fresh per-(span, channel) LPC
+    analysis on the unwindowed double data with the reference's own float64
+    summation order (SLAPredictor.c:1632-1654)."""
+    from .. import native
+
+    cost = np.zeros(len(spans), dtype=np.float64)
+    for si, (i0, _j0) in enumerate(spans):
+        start = int(positions[i0])
+        n_sp = int(min(span_len[si], num_samples - start))
+        rows = np.ascontiguousarray(data[:, start : start + n_sp])
+        _, lens = native.lpc_analyze_rows(rows, order, bits_per_sample)
+        cost[si] = (n_sp * lens).sum()
+    return cost + _ESTIMATE_BLOCK_HEADER_SIZE + OPTIMAL_ESTIMATOR_LONGPATH_PENALTY
+
+
+# Near-tie threshold (bytes): fast-estimator costs differ from the
+# reference-exact ones only by float64 association error in the span
+# autocorrelations (relative ~1e-12 on costs of 1e2..1e5 bytes, i.e.
+# absolute <= ~1e-6). Any off-path slack below this margin triggers an
+# exact re-price of the window, so a rounding-level difference can never
+# flip a partition decision. 0.25 bytes is ~5 orders of magnitude of
+# headroom while keeping exact re-prices rare on real signals.
+PARTITION_TIE_EPS = 0.25
 
 
 def search_optimal_partitions(
@@ -214,30 +282,24 @@ def search_optimal_partitions_batch(
         lengths = np.minimum((jj - ii) * delta, num_samples - ii * delta)
         valid = (lengths >= min_block) & (lengths <= max_block)
         if not valid.any():
-            metas.append((V, None, None, num_samples))
+            metas.append((V, None, None, num_samples, data, positions))
             continue
         spans = np.stack([ii[valid], jj[valid]], axis=1)
         span_len = lengths[valid].astype(np.float64)
         if exact:
-            # the reference's exact cost: fresh analysis per (span, channel)
-            # on the unwindowed double data (SLAPredictor.c:1632-1654)
-            C = data.shape[0]
-            cost = np.zeros(len(spans), dtype=np.float64)
-            for si, (i0, j0) in enumerate(spans):
-                start = int(positions[i0])
-                n_sp = int(min(span_len[si], num_samples - start))
-                rows = np.ascontiguousarray(data[:, start : start + n_sp])
-                _, lens = native.lpc_analyze_rows(rows, order, bits_per_sample)
-                cost[si] = (n_sp * lens).sum()
-            cost += _ESTIMATE_BLOCK_HEADER_SIZE + OPTIMAL_ESTIMATOR_LONGPATH_PENALTY
-            exact_costs.append(cost)
-            metas.append((V, spans, span_len, num_samples))
+            exact_costs.append(
+                exact_span_costs(
+                    data, positions, spans, span_len, num_samples, order,
+                    bits_per_sample,
+                )
+            )
+            metas.append((V, spans, span_len, num_samples, data, positions))
             continue
         if use_native:
             R = native.span_autocorr(data[:, :num_samples], positions, spans, order)
         else:
             R = span_autocorrelations(data[:, :num_samples], positions, spans, order)
-        metas.append((V, spans, span_len, num_samples))
+        metas.append((V, spans, span_len, num_samples, data, positions))
         R_parts.append(R)
 
     if R_parts:
@@ -263,7 +325,7 @@ def search_optimal_partitions_batch(
     results: list[list[int]] = []
     consumed = 0
     wi_exact = 0
-    for V, spans, span_len, num_samples in metas:
+    for V, spans, span_len, num_samples, data, positions in metas:
         adj = np.full((V, V), _BIGWEIGHT, dtype=np.float64)
         if spans is not None:
             S = len(spans)
@@ -274,6 +336,18 @@ def search_optimal_partitions_batch(
                 adj[spans[:, 0], spans[:, 1]] = cost_all[consumed : consumed + S]
                 consumed += S
         hops = dijkstra_partition(adj, V)
+        if spans is not None and not exact and use_native:
+            # Near-tie guard: if any alternative path sits within the tie
+            # margin of the chosen one, a rounding-level difference between
+            # the fast estimator and the reference's exact cost could flip
+            # the decision — re-price this window with the exact arithmetic
+            # and decide again (byte-identity over speed on the rare tie).
+            if min_offpath_slack(adj, V, hops) < PARTITION_TIE_EPS:
+                adj[spans[:, 0], spans[:, 1]] = exact_span_costs(
+                    data, positions, spans, span_len, num_samples, order,
+                    bits_per_sample,
+                )
+                hops = dijkstra_partition(adj, V)
         sizes = []
         pos = 0
         for h in hops:

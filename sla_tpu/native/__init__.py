@@ -230,6 +230,15 @@ def _f64ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
 
+def _aligned_f64(n: int, align: int = 64) -> np.ndarray:
+    """float64 scratch whose base address is `align`-byte aligned. The
+    interleaved FFT reads 64-byte vectors; a misaligned base makes every
+    access span two cache lines (~1.5x slower end to end)."""
+    raw = np.empty(n + align // 8, dtype=np.float64)
+    off = (-raw.ctypes.data % align) // 8
+    return raw[off : off + n]
+
+
 def fft(data: np.ndarray, sign: int) -> None:
     """In-place real FFT with the reference's exact butterfly arithmetic
     (SLAUtility_FFT). data: (n,) float64, n a power of two."""
@@ -270,7 +279,7 @@ def longterm_autocorr_rows(
     data = np.ascontiguousarray(data, dtype=np.int32)
     B, L = data.shape
     out = np.empty((B, out_lags), dtype=np.float64)
-    work8 = np.empty(fft_size * 8, dtype=np.float64)
+    work8 = _aligned_f64(fft_size * 8)
     lens = np.ascontiguousarray(lengths, dtype=np.int32)
     b = 0
     while b + 8 <= B:

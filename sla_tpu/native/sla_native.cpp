@@ -622,15 +622,26 @@ void lu_forward_back(const double* A, double* b, int dim, const int* change_inde
 // d[i][r] = d[i * 8 + r], 1-indexed like the scalar versions.
 enum { FFTR = 8 };
 
-void four1_v8(double* data, unsigned long nn, int isign) {
+// Explicit 8-wide double vector: GCC cannot prove the four butterfly
+// pointers into one array don't alias, so the scalar formulation compiles
+// to scalar AVX ops. Vector extensions make the 8-row lane dimension a
+// single zmm op. Elementwise vector mul/add/sub round identically to the
+// scalar ops (and -ffp-contract=off forbids FMA contraction either way),
+// so each row's float64 result is bit-identical to the scalar four1.
+typedef double v8df __attribute__((vector_size(64), aligned(8), may_alias));
+
+static inline v8df v8splat(double x) {
+  return (v8df){x, x, x, x, x, x, x, x};
+}
+
+void four1_v8(double* data_s, unsigned long nn, int isign) {
+  v8df* data = (v8df*)data_s;  // element i == data_s[i*FFTR .. i*FFTR+7]
   unsigned long n = nn << 1, j = 1;
   for (unsigned long i = 1; i < n; i += 2) {
     if (j > i) {
-      for (int r = 0; r < FFTR; ++r) {
-        double t;
-        t = data[j * FFTR + r]; data[j * FFTR + r] = data[i * FFTR + r]; data[i * FFTR + r] = t;
-        t = data[(j + 1) * FFTR + r]; data[(j + 1) * FFTR + r] = data[(i + 1) * FFTR + r]; data[(i + 1) * FFTR + r] = t;
-      }
+      v8df t;
+      t = data[j]; data[j] = data[i]; data[i] = t;
+      t = data[j + 1]; data[j + 1] = data[i + 1]; data[i + 1] = t;
     }
     unsigned long m = n >> 1;
     while (m >= 2 && j > m) { j -= m; m >>= 1; }
@@ -645,20 +656,16 @@ void four1_v8(double* data, unsigned long nn, int isign) {
     double wpi = std::sin(theta);
     double wr = 1.0, wi = 0.0;
     for (unsigned long m = 1; m < mmax; m += 2) {
+      const v8df wrv = v8splat(wr), wiv = v8splat(wi);
       for (unsigned long i = m; i <= n; i += istep) {
         unsigned long jj = i + mmax;
-        double* pj = data + jj * FFTR;
-        double* pj1 = data + (jj + 1) * FFTR;
-        double* pi = data + i * FFTR;
-        double* pi1 = data + (i + 1) * FFTR;
-        for (int r = 0; r < FFTR; ++r) {
-          double tempr = wr * pj[r] - wi * pj1[r];
-          double tempi = wr * pj1[r] + wi * pj[r];
-          pj[r] = pi[r] - tempr;
-          pj1[r] = pi1[r] - tempi;
-          pi[r] += tempr;
-          pi1[r] += tempi;
-        }
+        v8df pj = data[jj], pj1 = data[jj + 1];
+        v8df tempr = wrv * pj - wiv * pj1;
+        v8df tempi = wrv * pj1 + wiv * pj;
+        data[jj] = data[i] - tempr;
+        data[jj + 1] = data[i + 1] - tempi;
+        data[i] = data[i] + tempr;
+        data[i + 1] = data[i + 1] + tempi;
       }
       wr = (wtemp = wr) * wpr - wi * wpi + wr;
       wi = wi * wpr + wtemp * wpi + wi;
@@ -667,12 +674,13 @@ void four1_v8(double* data, unsigned long nn, int isign) {
   }
 }
 
-void realft_v8(double* data, unsigned long n, int isign) {
+void realft_v8(double* data_s, unsigned long n, int isign) {
+  v8df* data = (v8df*)data_s;
   double c1 = 0.5, c2;
   double theta = 3.141592653589793 / (double)(n >> 1);
   if (isign == 1) {
     c2 = -0.5;
-    four1_v8(data, n >> 1, 1);
+    four1_v8(data_s, n >> 1, 1);
   } else {
     c2 = 0.5;
     theta = -theta;
@@ -682,38 +690,31 @@ void realft_v8(double* data, unsigned long n, int isign) {
   double wpi = std::sin(theta);
   double wr = 1.0 + wpr, wi = wpi;
   unsigned long np3 = n + 3;
+  const v8df c1v = v8splat(c1), c2v = v8splat(-c2), c2pv = v8splat(c2);
   for (unsigned long i = 2; i <= (n >> 2); i++) {
     unsigned long i1 = i + i - 1, i2 = 1 + i1, i3 = np3 - i2, i4 = 1 + i3;
-    double* p1 = data + i1 * FFTR;
-    double* p2 = data + i2 * FFTR;
-    double* p3 = data + i3 * FFTR;
-    double* p4 = data + i4 * FFTR;
-    for (int r = 0; r < FFTR; ++r) {
-      double h1r = c1 * (p1[r] + p3[r]);
-      double h1i = c1 * (p2[r] - p4[r]);
-      double h2r = -c2 * (p2[r] + p4[r]);
-      double h2i = c2 * (p1[r] - p3[r]);
-      p1[r] = h1r + wr * h2r - wi * h2i;
-      p2[r] = h1i + wr * h2i + wi * h2r;
-      p3[r] = h1r - wr * h2r + wi * h2i;
-      p4[r] = -h1i + wr * h2i + wi * h2r;
-    }
+    const v8df wrv = v8splat(wr), wiv = v8splat(wi);
+    v8df p1 = data[i1], p2 = data[i2], p3 = data[i3], p4 = data[i4];
+    v8df h1r = c1v * (p1 + p3);
+    v8df h1i = c1v * (p2 - p4);
+    v8df h2r = c2v * (p2 + p4);
+    v8df h2i = c2pv * (p1 - p3);
+    data[i1] = h1r + wrv * h2r - wiv * h2i;
+    data[i2] = h1i + wrv * h2i + wiv * h2r;
+    data[i3] = h1r - wrv * h2r + wiv * h2i;
+    data[i4] = -h1i + wrv * h2i + wiv * h2r;
     wr = (wtemp = wr) * wpr - wi * wpi + wr;
     wi = wi * wpr + wtemp * wpi + wi;
   }
   if (isign == 1) {
-    for (int r = 0; r < FFTR; ++r) {
-      double h1r = data[1 * FFTR + r];
-      data[1 * FFTR + r] = h1r + data[2 * FFTR + r];
-      data[2 * FFTR + r] = h1r - data[2 * FFTR + r];
-    }
+    v8df h1r = data[1];
+    data[1] = h1r + data[2];
+    data[2] = h1r - data[2];
   } else {
-    for (int r = 0; r < FFTR; ++r) {
-      double h1r = data[1 * FFTR + r];
-      data[1 * FFTR + r] = c1 * (h1r + data[2 * FFTR + r]);
-      data[2 * FFTR + r] = c1 * (h1r - data[2 * FFTR + r]);
-    }
-    four1_v8(data, n >> 1, -1);
+    v8df h1r = data[1];
+    data[1] = c1v * (h1r + data[2]);
+    data[2] = c1v * (h1r - data[2]);
+    four1_v8(data_s, n >> 1, -1);
   }
 }
 
@@ -741,16 +742,17 @@ void sla_longterm_autocorr_rows8(const int32_t* data, const int32_t* lengths,
       work[i * FFTR + r] =
           (i < lengths[r]) ? (double)data[(int64_t)r * row_stride + i] * scale : 0.0;
   realft_v8(work - FFTR, (unsigned long)fft_size, 1);
-  for (int r = 0; r < FFTR; ++r) {
-    work[0 * FFTR + r] *= work[0 * FFTR + r];
-    work[1 * FFTR + r] *= work[1 * FFTR + r];
-  }
-  for (int i = 1; i < fft_size / 2; ++i)
-    for (int r = 0; r < FFTR; ++r) {
-      double re = work[(2 * i) * FFTR + r], im = work[(2 * i + 1) * FFTR + r];
-      work[(2 * i) * FFTR + r] = re * re + im * im;
-      work[(2 * i + 1) * FFTR + r] = 0.0;
+  {
+    v8df* w = (v8df*)work;
+    w[0] *= w[0];
+    w[1] *= w[1];
+    const v8df zero = v8splat(0.0);
+    for (int i = 1; i < fft_size / 2; ++i) {
+      v8df re = w[2 * i], im = w[2 * i + 1];
+      w[2 * i] = re * re + im * im;
+      w[2 * i + 1] = zero;
     }
+  }
   realft_v8(work - FFTR, (unsigned long)fft_size, -1);
   for (int i = 0; i < out_lags; ++i)
     for (int r = 0; r < FFTR; ++r) out[(int64_t)r * out_lags + i] = work[i * FFTR + r];

@@ -120,3 +120,84 @@ def test_fft_matches_numpy_on_real_signal():
     im = buf[3::2]
     assert np.allclose(re, ref.real[1 : n // 2], atol=1e-9)
     assert np.allclose(np.abs(im), np.abs(ref.imag[1 : n // 2]), atol=1e-9)
+
+class TestNearTieGuard:
+    """The partition near-tie guard: exact alternative-path ties (slack 0)
+    and near-ties below PARTITION_TIE_EPS must trigger an exact re-price;
+    clear margins must not (the guard is on the hot path)."""
+
+    def _tie_adj(self):
+        from sla_tpu.analysis.partition import _BIGWEIGHT
+
+        V = 4
+        adj = np.full((V, V), _BIGWEIGHT)
+        # two equal-cost paths 0->1->3 and 0->2->3, plus a costlier direct edge
+        adj[0, 1] = 100.0
+        adj[1, 3] = 100.0
+        adj[0, 2] = 50.0
+        adj[2, 3] = 150.0
+        adj[0, 3] = 500.0
+        return adj, V
+
+    def test_exact_tie_has_zero_slack(self):
+        from sla_tpu.analysis.partition import dijkstra_partition, min_offpath_slack
+
+        adj, V = self._tie_adj()
+        hops = dijkstra_partition(adj, V)
+        assert min_offpath_slack(adj, V, hops) == 0.0
+
+    def test_clear_margin_reported(self):
+        from sla_tpu.analysis.partition import (
+            _BIGWEIGHT,
+            dijkstra_partition,
+            min_offpath_slack,
+        )
+
+        V = 4
+        adj = np.full((V, V), _BIGWEIGHT)
+        adj[0, 1] = 10.0
+        adj[1, 3] = 10.0
+        adj[0, 3] = 27.0
+        adj[0, 2] = 20.0
+        adj[2, 3] = 20.0
+        hops = dijkstra_partition(adj, V)
+        assert hops == [1, 2]
+        # off-path alternatives: direct 27 (slack 7) and via node 2 (slack 20)
+        assert abs(min_offpath_slack(adj, V, hops) - 7.0) < 1e-12
+
+    def test_near_tie_triggers_exact_reprice(self, monkeypatch):
+        """When the off-path slack falls below the tie margin, the search
+        must re-price the window with the reference-exact cost model and
+        still produce a valid (losslessly decodable) stream. Real signals
+        rarely tie (the 350-byte long-path penalty separates hop counts), so
+        the guard condition is forced here; tools/fuzz_identity.py
+        --near-ties covers the organic byte-identity side (1000/1000)."""
+        import sla_tpu as sla
+        from sla_tpu import native
+        from sla_tpu.analysis import partition
+
+        if not native.available():
+            pytest.skip("exact pricing needs the native library")
+        calls = []
+        orig = partition.exact_span_costs
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(partition, "exact_span_costs", spy)
+        monkeypatch.setattr(partition, "min_offpath_slack", lambda *a: 0.0)
+        pcm = (
+            np.sin(2 * np.pi * np.arange(24576) * 440 / 44100) * 12000
+        ).astype(np.int32)[None, :] << 16
+        enc = sla.Encoder()
+        enc.set_wave_format(sla.WaveFormat(1, 16, 44100))
+        enc.set_encode_parameter(
+            sla.EncodeParameter(8, 1, 4, sla.ChannelProcessMethod.NONE,
+                                sla.PRESETS[0].window_function_type, 12288)
+        )
+        blob = enc.encode_whole(pcm)
+        assert calls, "zero slack did not trigger the exact re-price"
+        dec = sla.Decoder()
+        _, out = dec.decode_whole(blob)
+        assert np.array_equal(out, pcm)

@@ -50,9 +50,36 @@ def mixed_segments(rng, ch, n, width):
     return (np.clip(sig * amp, -amp - 1, amp).astype(np.int32) << (32 - width))
 
 
+def near_tie_signal(rng, ch, n, width):
+    """Adversarial partition near-ties: tile one node-delta-length pattern so
+    the signal is stationary at node granularity — span costs then depend
+    (almost) only on span length and many Dijkstra paths tie. Optional
+    single-LSB perturbations turn exact ties into near-ties, the case where
+    the fast estimator's float rounding could otherwise flip a decision."""
+    delta = 1024
+    t = np.arange(delta)
+    kind = int(rng.integers(0, 3))
+    if kind == 0:
+        base = np.convolve(rng.normal(0, 0.1, delta), np.ones(4) / 4, "same")
+    elif kind == 1:
+        base = 0.4 * np.sin(2 * np.pi * t * float(rng.integers(1, 16)) / delta)
+    else:
+        base = ((t % 256) - 128) / 400.0
+    reps = (n + delta - 1) // delta
+    sig = np.tile(base, reps)[:n].copy()
+    if rng.random() < 0.6:
+        for _ in range(int(rng.integers(1, 5))):
+            sig[int(rng.integers(0, n))] += 1.0 / (1 << (width - 1))
+    amp = (1 << (width - 1)) - 1
+    rows = np.stack([sig * (1 - 0.05 * c) for c in range(ch)])
+    return np.clip(rows * amp, -amp - 1, amp).astype(np.int32) << (32 - width)
+
+
 def main():
-    count = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    near_ties = "--near-ties" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    count = int(args[0]) if len(args) > 0 else 50
+    seed = int(args[1]) if len(args) > 1 else 0
     rng = np.random.default_rng(seed)
     tmp = pathlib.Path(tempfile.mkdtemp())
     fails = []
@@ -61,7 +88,12 @@ def main():
         width = int(rng.choice([8, 16, 16, 24]))
         mode = int(rng.integers(0, 5))
         rate = int(rng.choice([8000, 22050, 44100, 48000, 96000, 192000]))
-        if rng.random() < 0.25:
+        if near_ties:
+            ch = int(rng.choice([1, 2]))
+            width = 16
+            n = int(rng.integers(4096, 49152))
+            pcm = near_tie_signal(rng, ch, n, width)
+        elif rng.random() < 0.25:
             n = int(rng.integers(60000, 180000))
             pcm = mixed_segments(rng, ch, n, width)
         else:
