@@ -307,20 +307,23 @@ def search_optimal_partitions_batch(
         len_all = np.concatenate(
             [m[2] for m in metas if m[1] is not None], axis=0
         )
-        _, parcor_all = levinson_durbin(R_all, order)
-        too_short = len_all[:, None] < order
-        parcor_all = np.where(too_short[..., None], 0.0, parcor_all)
-        power = R_all[..., 0] * (2.0 ** (2 * (bits_per_sample - 1)))
-        silent = np.abs(power) <= _FLT_MIN
-        log2_mean_power = np.log2(np.where(silent, 1.0, power)) - np.log2(len_all)[:, None]
-        k = parcor_all[..., 1:]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            log2_var_ratio = np.sum(np.log2(np.maximum(1.0 - k * k, 1e-300)), axis=-1)
-        length = (BETA_CONST_FOR_LAPLACE_DIST + 0.5 * (log2_mean_power + log2_var_ratio)) / 8.0
-        length = np.where(length <= 0, 1.0 / 8, length)
-        length = np.where(silent, 0.0, length)
-        cost_all = (len_all[:, None] * length).sum(axis=-1)
-        cost_all += _ESTIMATE_BLOCK_HEADER_SIZE + OPTIMAL_ESTIMATOR_LONGPATH_PENALTY
+        if use_native:
+            cost_all = native.span_cost(R_all, len_all, order, bits_per_sample)
+        else:
+            _, parcor_all = levinson_durbin(R_all, order)
+            too_short = len_all[:, None] < order
+            parcor_all = np.where(too_short[..., None], 0.0, parcor_all)
+            power = R_all[..., 0] * (2.0 ** (2 * (bits_per_sample - 1)))
+            silent = np.abs(power) <= _FLT_MIN
+            log2_mean_power = np.log2(np.where(silent, 1.0, power)) - np.log2(len_all)[:, None]
+            k = parcor_all[..., 1:]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                log2_var_ratio = np.sum(np.log2(np.maximum(1.0 - k * k, 1e-300)), axis=-1)
+            length = (BETA_CONST_FOR_LAPLACE_DIST + 0.5 * (log2_mean_power + log2_var_ratio)) / 8.0
+            length = np.where(length <= 0, 1.0 / 8, length)
+            length = np.where(silent, 0.0, length)
+            cost_all = (len_all[:, None] * length).sum(axis=-1)
+        cost_all = cost_all + _ESTIMATE_BLOCK_HEADER_SIZE + OPTIMAL_ESTIMATOR_LONGPATH_PENALTY
 
     results: list[list[int]] = []
     consumed = 0

@@ -87,6 +87,8 @@ def _load() -> ctypes.CDLL | None:
     lib.sla_span_autocorr.argtypes = [
         p_f64, i32, i32, p_i64_arr, i32, p_i64_arr, i32, i32, p_f64,
     ]
+    lib.sla_span_cost.restype = i32
+    lib.sla_span_cost.argtypes = [p_f64, p_f64, i32, i32, i32, i32, p_f64]
     p_u64 = ctypes.POINTER(ctypes.c_uint64)
     p_i64 = ctypes.POINTER(ctypes.c_int64)
     lib.sla_get_data_array_partial.restype = i32
@@ -559,6 +561,27 @@ def span_autocorr(
     )
     if rc != 0:
         raise ValueError(f"span_autocorr: too many spans for native scratch ({S})")
+    return out
+
+
+def span_cost(
+    R: np.ndarray, span_len: np.ndarray, order: int, bits_per_sample: int
+) -> np.ndarray:
+    """Partition fast-path edge costs (code bytes before header/penalty):
+    Levinson-Durbin + Laplace code-length estimate per (span, channel),
+    summed over channels. R: (S, C, order+1) float64; span_len: (S,)."""
+    lib = _load()
+    R = np.ascontiguousarray(R, dtype=np.float64)
+    S, C, _ = R.shape
+    lens = np.ascontiguousarray(span_len, dtype=np.float64)
+    out = np.empty(S, dtype=np.float64)
+    rc = int(
+        lib.sla_span_cost(
+            _f64ptr(R), _f64ptr(lens), S, C, order, bits_per_sample, _f64ptr(out)
+        )
+    )
+    if rc != 0:
+        raise ValueError(f"span_cost: order out of native scratch range ({order})")
     return out
 
 

@@ -12,6 +12,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -634,6 +635,100 @@ static inline v8df v8splat(double x) {
   return (v8df){x, x, x, x, x, x, x, x};
 }
 
+// Twiddle factors for every stage, generated by the SAME scalar recurrence
+// the reference's four1 steps through (the last-ulp drift of the recurrence
+// vs a direct sin/cos evaluation is load-bearing for byte-identity). Built
+// once per (n, isign) and cached; shared by every block of a stage and
+// every 8-row group.
+struct TwiddleTables {
+  unsigned long n = 0;
+  int isign = 0;
+  std::vector<double> wr, wi;   // concatenated per stage
+  std::vector<size_t> offs;     // entry offset per stage (log2(mmax) - 1)
+
+  void build(unsigned long n_, int isign_) {
+    if (n == n_ && isign == isign_) return;
+    n = n_;
+    isign = isign_;
+    wr.clear(); wi.clear(); offs.clear();
+    for (unsigned long mmax = 2; n > mmax; mmax <<= 1) {
+      offs.push_back(wr.size());
+      double theta = isign * (6.28318530717959 / (double)mmax);
+      double wtemp = std::sin(0.5 * theta);
+      double wpr = -2.0 * wtemp * wtemp;
+      double wpi = std::sin(theta);
+      double w_r = 1.0, w_i = 0.0;
+      for (unsigned long m = 1; m < mmax; m += 2) {
+        wr.push_back(w_r);
+        wi.push_back(w_i);
+        w_r = (wtemp = w_r) * wpr - w_i * wpi + w_r;
+        w_i = w_i * wpr + wtemp * wpi + w_i;
+      }
+    }
+  }
+};
+
+static inline int stage_index(unsigned long mmax) {
+  return __builtin_ctzl(mmax) - 1;
+}
+
+// Iterative stages over one cache-resident block [base+1 .. base+len]
+// (1-indexed doubles). Butterfly order within a stage only permutes
+// independent butterflies, so results are bit-identical to the flat sweep.
+static void fft_v8_base(v8df* data, unsigned long base, unsigned long len,
+                        const TwiddleTables& tw) {
+  for (unsigned long mmax = 2; len > mmax; mmax <<= 1) {
+    unsigned long istep = mmax << 1;
+    const double* wrs = tw.wr.data() + tw.offs[stage_index(mmax)];
+    const double* wis = tw.wi.data() + tw.offs[stage_index(mmax)];
+    for (unsigned long m = 1, t = 0; m < mmax; m += 2, ++t) {
+      const v8df wrv = v8splat(wrs[t]), wiv = v8splat(wis[t]);
+      for (unsigned long i = base + m; i < base + len; i += istep) {
+        unsigned long jj = i + mmax;
+        v8df pj = data[jj], pj1 = data[jj + 1];
+        v8df tempr = wrv * pj - wiv * pj1;
+        v8df tempi = wrv * pj1 + wiv * pj;
+        data[jj] = data[i] - tempr;
+        data[jj + 1] = data[i + 1] - tempi;
+        data[i] = data[i] + tempr;
+        data[i + 1] = data[i + 1] + tempi;
+      }
+    }
+  }
+}
+
+// Depth-first blocked schedule: transform each half while it is still hot,
+// then run the combine stage. Stage-by-stage dependencies are respected, so
+// every butterfly consumes exactly the values the flat schedule would —
+// identical float64 output, a fraction of the cache traffic (the flat
+// sweep walks the full 64B-per-element array once per stage).
+static const unsigned long FFT_V8_BASE_LEN = 512;  // 32 KB block, L1-resident
+
+static void fft_v8_rec(v8df* data, unsigned long base, unsigned long len,
+                       const TwiddleTables& tw) {
+  if (len <= FFT_V8_BASE_LEN) {
+    fft_v8_base(data, base, len, tw);
+    return;
+  }
+  unsigned long half = len >> 1;
+  fft_v8_rec(data, base, half, tw);
+  fft_v8_rec(data, base + half, half, tw);
+  unsigned long mmax = half;  // the combine stage for this block size
+  const double* wrs = tw.wr.data() + tw.offs[stage_index(mmax)];
+  const double* wis = tw.wi.data() + tw.offs[stage_index(mmax)];
+  for (unsigned long m = 1, t = 0; m < mmax; m += 2, ++t) {
+    const v8df wrv = v8splat(wrs[t]), wiv = v8splat(wis[t]);
+    unsigned long i = base + m, jj = i + mmax;
+    v8df pj = data[jj], pj1 = data[jj + 1];
+    v8df tempr = wrv * pj - wiv * pj1;
+    v8df tempi = wrv * pj1 + wiv * pj;
+    data[jj] = data[i] - tempr;
+    data[jj + 1] = data[i + 1] - tempi;
+    data[i] = data[i] + tempr;
+    data[i + 1] = data[i + 1] + tempi;
+  }
+}
+
 void four1_v8(double* data_s, unsigned long nn, int isign) {
   v8df* data = (v8df*)data_s;  // element i == data_s[i*FFTR .. i*FFTR+7]
   unsigned long n = nn << 1, j = 1;
@@ -647,31 +742,10 @@ void four1_v8(double* data_s, unsigned long nn, int isign) {
     while (m >= 2 && j > m) { j -= m; m >>= 1; }
     j += m;
   }
-  unsigned long mmax = 2;
-  while (n > mmax) {
-    unsigned long istep = mmax << 1;
-    double theta = isign * (6.28318530717959 / (double)mmax);
-    double wtemp = std::sin(0.5 * theta);
-    double wpr = -2.0 * wtemp * wtemp;
-    double wpi = std::sin(theta);
-    double wr = 1.0, wi = 0.0;
-    for (unsigned long m = 1; m < mmax; m += 2) {
-      const v8df wrv = v8splat(wr), wiv = v8splat(wi);
-      for (unsigned long i = m; i <= n; i += istep) {
-        unsigned long jj = i + mmax;
-        v8df pj = data[jj], pj1 = data[jj + 1];
-        v8df tempr = wrv * pj - wiv * pj1;
-        v8df tempi = wrv * pj1 + wiv * pj;
-        data[jj] = data[i] - tempr;
-        data[jj + 1] = data[i + 1] - tempi;
-        data[i] = data[i] + tempr;
-        data[i + 1] = data[i + 1] + tempi;
-      }
-      wr = (wtemp = wr) * wpr - wi * wpi + wr;
-      wi = wi * wpr + wtemp * wpi + wi;
-    }
-    mmax = istep;
-  }
+  static thread_local TwiddleTables tw_fwd, tw_inv;
+  TwiddleTables& tw = (isign == 1) ? tw_fwd : tw_inv;
+  tw.build(n, isign);
+  fft_v8_rec(data, 0, n, tw);
 }
 
 void realft_v8(double* data_s, unsigned long n, int isign) {
@@ -1073,6 +1147,69 @@ int32_t sla_span_autocorr(const double* data, int32_t C, int32_t N,
         out[((int64_t)s * C + ch) * lags + k] = pf[ei] - pf[si];
       }
     }
+  }
+  return 0;
+}
+
+// Dijkstra span costs for the partition fast path: per (span, channel) a
+// Levinson-Durbin recursion on the prefix-estimated autocorrelation plus
+// the Laplace code-length estimate, summed over channels. Mirrors the
+// NumPy fast path in analysis/partition.py (NOT the reference-exact
+// arithmetic — near-ties fall back to exact pricing upstream).
+// R: S x C x (order+1) row-major; span_len: S; out: S (code bytes, before
+// the header/penalty constants).
+int32_t sla_span_cost(const double* R, const double* span_len, int32_t S,
+                      int32_t C, int32_t order, int32_t bits_per_sample,
+                      double* out) {
+  if (order < 1 || order > 64) return -1;  // scratch capacity bound
+  const double kFltEps = 1.1920928955078125e-07;  // FLT_EPSILON
+  const double kFltMin = 1.1754943508222875e-38;  // FLT_MIN
+  const double kBeta = 1.9426950408889634;        // sqrt(2 e^2)
+  const double pow_scale = std::ldexp(1.0, 2 * (bits_per_sample - 1));
+  double a[65], parcor[65];
+  for (int32_t s = 0; s < S; ++s) {
+    double cost = 0.0;
+    const double n_sp = span_len[s];
+    const double log2_n = std::log2(n_sp);
+    for (int32_t ch = 0; ch < C; ++ch) {
+      const double* r = R + ((int64_t)s * C + ch) * (order + 1);
+      // Levinson-Durbin (zeros when dead/too short)
+      for (int32_t i = 0; i <= order; ++i) parcor[i] = 0.0;
+      bool live = std::fabs(r[0]) >= kFltEps && n_sp >= order && order > 0;
+      if (live) {
+        const double R0 = r[0];
+        double e = R0 + r[1] * (-r[1] / R0);
+        a[0] = 1.0;
+        a[1] = -r[1] / R0;
+        parcor[1] = r[1] / R0;
+        double anew[65];
+        for (int32_t delay = 1; delay < order; ++delay) {
+          double gamma = 0.0;
+          for (int32_t i = 0; i <= delay; ++i) gamma += a[i] * r[delay + 1 - i];
+          gamma /= -(std::fabs(e) > 0.0 ? e : 1.0);
+          e = (1.0 - gamma * gamma) * e;
+          // a_new = [1, a1..a_delay, 0] + gamma * [0, a_delay..a1, 1]
+          for (int32_t i = 1; i <= delay; ++i)
+            anew[i] = a[i] + gamma * a[delay + 1 - i];
+          for (int32_t i = 1; i <= delay; ++i) a[i] = anew[i];
+          a[delay + 1] = gamma;
+          parcor[delay + 1] = -gamma;
+        }
+      }
+      // code length per sample (bytes)
+      const double power = r[0] * pow_scale;
+      if (std::fabs(power) <= kFltMin) continue;  // silent -> 0 bytes
+      double log2_var_ratio = 0.0;
+      for (int32_t i = 1; i <= order; ++i) {
+        double one_minus = 1.0 - parcor[i] * parcor[i];
+        log2_var_ratio += std::log2(one_minus > 1e-300 ? one_minus : 1e-300);
+      }
+      double length =
+          (kBeta + 0.5 * (std::log2(power) - log2_n + log2_var_ratio)) / 8.0;
+      if (length <= 0.0) length = 1.0 / 8.0;
+      cost += n_sp * length;
+    }
+    out[s] = cost;
   }
   return 0;
 }
