@@ -104,6 +104,8 @@ def _load() -> ctypes.CDLL | None:
     lib.sla_find_pitch.argtypes = [p_f64, i32]
     lib.sla_lpc_analyze.restype = i32
     lib.sla_lpc_analyze.argtypes = [p_f64, i32, i32, i32, p_f64, p_f64]
+    lib.sla_lpc_analyze_rows8.restype = i32
+    lib.sla_lpc_analyze_rows8.argtypes = [p_f64, i32, i32, i32, p_f64, p_f64]
     lib.sla_make_window.restype = i32
     lib.sla_make_window.argtypes = [i32, i32, p_f64]
     lib.sla_pack_parts.restype = i64
@@ -650,12 +652,33 @@ def lpc_analyze_rows(
     B, n = data.shape
     parcor = np.zeros((B, order + 1), dtype=np.float64)
     lengths = np.zeros((B,), dtype=np.float64)
-    for b in range(B):
-        lib.sla_lpc_analyze(
-            _f64ptr(data[b]), n, order, bits_per_sample,
-            _f64ptr(parcor[b]), lengths[b : b + 1].ctypes.data_as(
-                ctypes.POINTER(ctypes.c_double)),
+    b = 0
+    while b + 8 <= B:
+        lib.sla_lpc_analyze_rows8(
+            _f64ptr(data[b:]), n, order, bits_per_sample,
+            _f64ptr(parcor[b:]), _f64ptr(lengths[b:]),
         )
+        b += 8
+    tail = B - b
+    if tail >= 3:
+        # pad the straggler group with zero rows (zeros analyze to zero
+        # coefficients / zero length and are discarded)
+        pad = np.zeros((8, n), dtype=np.float64)
+        pad[:tail] = data[b:]
+        pc8 = np.zeros((8, order + 1), dtype=np.float64)
+        ln8 = np.zeros(8, dtype=np.float64)
+        lib.sla_lpc_analyze_rows8(
+            _f64ptr(pad), n, order, bits_per_sample, _f64ptr(pc8), _f64ptr(ln8)
+        )
+        parcor[b:] = pc8[:tail]
+        lengths[b:] = ln8[:tail]
+    else:
+        for i in range(b, B):
+            lib.sla_lpc_analyze(
+                _f64ptr(data[i]), n, order, bits_per_sample,
+                _f64ptr(parcor[i]), lengths[i : i + 1].ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_double)),
+            )
     return parcor, lengths
 
 

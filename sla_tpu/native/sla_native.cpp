@@ -1559,6 +1559,117 @@ int32_t sla_find_pitch(const double* ac, int32_t max_pitch) {
 // Returns parcor[0..order] and the estimated code length per sample
 // (bytes). Rows with num_samples < order or silent R[0] yield zeros, as in
 // SLALPCCalculator_CalculatePARCORCoefDouble (:189-239).
+// Levinson-Durbin + code-length tail of the exact analysis, one row.
+// Factored out so the 8-row interleaved autocorrelation variant shares the
+// exact scalar arithmetic (SLAPredictor.c:253-328, 416-468 op order).
+static void lpc_finish_row(const double* auto_corr, int32_t n, int32_t order,
+                           int32_t bits_per_sample, double power,
+                           double* parcor, double* length_per_sample) {
+  constexpr double kFltEps = 1.1920928955078125e-07;   // FLT_EPSILON
+  constexpr double kFltMin = 1.1754943508222875e-38;   // FLT_MIN
+  constexpr double kBetaLaplace = 1.9426950408889634;  // sqrt(2 e^2)
+  if (n >= order && std::fabs(auto_corr[0]) >= kFltEps) {
+    double a_vec[64 + 2], e_vec[64 + 2], u_vec[64 + 2], v_vec[64 + 2];
+    for (int32_t i = 0; i < order + 2; ++i) a_vec[i] = u_vec[i] = v_vec[i] = 0.0;
+    a_vec[0] = 1.0;
+    e_vec[0] = auto_corr[0];
+    a_vec[1] = -auto_corr[1] / auto_corr[0];
+    parcor[0] = 0.0;
+    parcor[1] = auto_corr[1] / e_vec[0];
+    e_vec[1] = auto_corr[0] + auto_corr[1] * a_vec[1];
+    u_vec[0] = 1.0; u_vec[1] = 0.0;
+    v_vec[0] = 0.0; v_vec[1] = 1.0;
+    for (int32_t delay = 1; delay < order; ++delay) {
+      double gamma = 0.0;
+      for (int32_t i = 0; i < delay + 1; ++i)
+        gamma += a_vec[i] * auto_corr[delay + 1 - i];
+      gamma /= (-e_vec[delay]);
+      e_vec[delay + 1] = (1.0 - gamma * gamma) * e_vec[delay];
+      for (int32_t i = 0; i < delay; ++i)
+        u_vec[i + 1] = v_vec[delay - i] = a_vec[i + 1];
+      u_vec[0] = 1.0; u_vec[delay + 1] = 0.0;
+      v_vec[0] = 0.0; v_vec[delay + 1] = 1.0;
+      for (int32_t i = 0; i < delay + 2; ++i)
+        a_vec[i] = u_vec[i] + gamma * v_vec[i];
+      parcor[delay + 1] = -gamma;
+    }
+  }
+  power *= std::pow(2.0, (double)(2 * (bits_per_sample - 1)));
+  if (std::fabs(power) <= kFltMin) {
+    *length_per_sample = 0.0;
+    return;
+  }
+  double log2_mean = std::log2(power) - std::log2((double)n);
+  double log2_var = 0.0;
+  for (int32_t ord = 1; ord <= order; ++ord)
+    log2_var += std::log2(1.0 - parcor[ord] * parcor[ord]);
+  double len = kBetaLaplace + 0.5 * (log2_mean + log2_var);
+  len /= 8.0;
+  if (len <= 0) len = 1.0 / 8;
+  *length_per_sample = len;
+}
+
+// Eight rows of the exact analysis at once: the O(n*order) autocorrelation
+// (the reference's term-reuse loop structure, SLAPredictor.c:331-388) runs
+// rows interleaved through 8-wide vectors — per-row operation order is
+// untouched, exactly like four1_v8 vs four1 — then the O(order^2) Levinson
+// tail runs scalar per row. data: 8 x n row-major.
+int32_t sla_lpc_analyze_rows8(const double* data, int32_t n, int32_t order,
+                              int32_t bits_per_sample, double* parcor,
+                              double* length_per_sample) {
+  if (order < 1 || order > 64) return -1;
+  enum { R = 8 };
+  static thread_local std::vector<double> wbuf;
+  wbuf.resize((size_t)n * R + R);
+  double* w = wbuf.data();
+  w += ((64 - ((uintptr_t)w & 63)) & 63) / sizeof(double);  // 64B-align
+  for (int32_t i = 0; i < n; ++i)
+    for (int32_t r = 0; r < R; ++r) w[(size_t)i * R + r] = data[(size_t)r * n + i];
+  const v8df* d = (const v8df*)w;
+
+  v8df auto_corr[64 + 1];
+  const v8df zero = v8splat(0.0);
+  int32_t lags = order + 1;
+  if (lags > n) lags = n;
+  for (int32_t i = 0; i <= order; ++i) auto_corr[i] = zero;
+  if (n >= order) {
+    v8df acc0 = zero;
+    for (int32_t i = 0; i < n; ++i) acc0 = acc0 + d[i] * d[i];
+    auto_corr[0] = acc0;
+    for (int32_t lag = 1; lag < lags; ++lag) {
+      const int32_t lag2 = lag << 1;
+      int32_t L = (3 * lag < n) ? 1 + (n - 3 * lag) / lag2 : 0;
+      int32_t Llag2 = L * lag2;
+      v8df acc = zero;
+      for (int32_t i = 0; i < lag; ++i)
+        for (int32_t l = 0; l < Llag2; l += lag2)
+          acc = acc + d[l + lag + i] * (d[l + i] + d[l + lag2 + i]);
+      for (int32_t i = 0; i < n - Llag2 - lag; ++i)
+        acc = acc + d[Llag2 + lag + i] * d[Llag2 + i];
+      auto_corr[lag] = acc;
+    }
+  }
+  // power has the same accumulation order as auto_corr[0] (the scalar code
+  // computes the identical sum twice); when n < order the autocorrelation
+  // is skipped, so compute it directly then
+  v8df powerv = auto_corr[0];
+  if (n < order) {
+    v8df acc = zero;
+    for (int32_t i = 0; i < n; ++i) acc = acc + d[i] * d[i];
+    powerv = acc;
+  }
+  double ac_row[64 + 1];
+  for (int32_t r = 0; r < R; ++r) {
+    for (int32_t i = 0; i <= order; ++i) {
+      ac_row[i] = auto_corr[i][r];
+      parcor[(size_t)r * (order + 1) + i] = 0.0;
+    }
+    lpc_finish_row(ac_row, n, order, bits_per_sample, powerv[r],
+                   parcor + (size_t)r * (order + 1), length_per_sample + r);
+  }
+  return 0;
+}
+
 int32_t sla_lpc_analyze(const double* data, int32_t n, int32_t order,
                         int32_t bits_per_sample, double* parcor,
                         double* length_per_sample) {
