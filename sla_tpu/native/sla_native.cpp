@@ -35,6 +35,12 @@ struct BitWriter {
     buf = b; cap = c; nbytes = 0; acc = 0; nacc = 0; overflow = false;
   }
   inline void drain() {
+    while (nacc >= 32 && nbytes + 4 <= cap) {  // bulk path: 4 bytes at once
+      nacc -= 32;
+      uint32_t be = __builtin_bswap32((uint32_t)(acc >> nacc));
+      std::memcpy(buf + nbytes, &be, 4);
+      nbytes += 4;
+    }
     while (nacc >= 8) {
       nacc -= 8;
       if (nbytes < cap) buf[nbytes++] = (uint8_t)(acc >> nacc);
@@ -1117,18 +1123,18 @@ int32_t sla_span_autocorr(const double* data, int32_t C, int32_t N,
       int64_t pos = 0;
       for (int32_t j = 0; j < nu; ++j) {
         int64_t q = qpos[j] < limit ? qpos[j] : limit;
-        // 4 independent accumulators let the products pipeline/vectorize
-        // (this estimator is not reference-exact arithmetic — the exact
-        // cost model is SLA_TPU_EXACT_PARTITION; fuzz-validated either way)
+        // 8-wide vector accumulator with a fixed pairwise reduction (this
+        // estimator is not reference-exact arithmetic — near-ties fall
+        // back to the exact cost model upstream; fuzz-validated)
         {
-          double a0 = 0.0, a1 = 0.0, a2 = 0.0, a3 = 0.0;
-          for (; pos + 4 <= q; pos += 4) {
-            a0 += x[pos] * x[pos + k];
-            a1 += x[pos + 1] * x[pos + 1 + k];
-            a2 += x[pos + 2] * x[pos + 2 + k];
-            a3 += x[pos + 3] * x[pos + 3 + k];
+          v8df av = v8splat(0.0);
+          for (; pos + 8 <= q; pos += 8) {
+            v8df xa = *(const v8df*)(x + pos);
+            v8df xb = *(const v8df*)(x + pos + k);
+            av = av + xa * xb;
           }
-          acc += (a0 + a1) + (a2 + a3);
+          acc += ((av[0] + av[1]) + (av[2] + av[3])) +
+                 ((av[4] + av[5]) + (av[6] + av[7]));
           for (; pos < q; ++pos) acc += x[pos] * x[pos + k];
         }
         pf[j] = acc;
