@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""On-hardware Pallas identity check (run on a real TPU; CI covers the same
+kernels in interpreter mode only — tests/test_pallas.py).
+
+Asserts, with COMPILED kernels on the live device:
+  1. Pallas lattice filter (predict + synthesize) == lax.scan path, bitwise.
+  2. Pallas LMS filter (predict + synthesize) == lax.scan path, bitwise.
+  3. A full `backend="device"` encode == `backend="host"` encode, bytewise.
+
+Prints one summary line per check plus a BASELINE.md-ready record line.
+Exit code 0 only if every check passes. Keep shapes modest: the device may
+sit behind a slow tunnel (transfers are the cost, not compute).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    import sla_tpu as sla
+    from sla_tpu.kernels.emphasis import de_emphasis, pre_emphasis
+    from sla_tpu.kernels.lattice import (
+        lattice_init_state,
+        lattice_predict,
+        lattice_synthesize,
+    )
+    from sla_tpu.kernels.lms import lms_init_state, lms_predict, lms_synthesize
+    from sla_tpu.kernels.pallas_filters import TILE_B, TILE_L, lattice_filter_tl, lms_filter_tl
+
+    backend = jax.default_backend()
+    device = jax.devices()[0]
+    print(f"backend={backend} device={device.device_kind}", flush=True)
+    if backend not in ("tpu", "axon"):
+        print("FAIL: not running on a TPU backend — this script verifies "
+              "the compiled Mosaic path, run it on hardware")
+        return 1
+
+    rng = np.random.default_rng(0)
+    B, L, p, M = TILE_B, 2 * TILE_L, 16, 8
+    data = rng.integers(-30000, 30000, (B, L), dtype=np.int32)
+    coef = rng.integers(-25000, 25000, (B, p), dtype=np.int32)
+    ok = True
+    t0 = time.time()
+
+    # 1. lattice predict (with pre-emphasis folded) + synthesize
+    emph, _ = pre_emphasis(jnp.asarray(data), jnp.zeros((B,), jnp.int32))
+    ref_pred, _ = lattice_predict(emph, jnp.asarray(coef), lattice_init_state(B, p))
+    got_pred = np.asarray(
+        lattice_filter_tl(jnp.asarray(data.T), jnp.asarray(coef.T), p, pre_emphasis=True)
+    ).T
+    match = np.array_equal(got_pred, np.asarray(ref_pred))
+    ok &= match
+    print(f"lattice predict  (compiled): {'OK' if match else 'MISMATCH'}", flush=True)
+
+    ref_syn, _ = lattice_synthesize(
+        jnp.asarray(data), jnp.asarray(coef), lattice_init_state(B, p)
+    )
+    ref_syn, _ = de_emphasis(ref_syn, jnp.zeros((B,), jnp.int32))
+    got_syn = np.asarray(
+        lattice_filter_tl(
+            jnp.asarray(data.T), jnp.asarray(coef.T), p, pre_emphasis=True,
+            synthesize=True,
+        )
+    ).T
+    match = np.array_equal(got_syn, np.asarray(ref_syn))
+    ok &= match
+    print(f"lattice synth    (compiled): {'OK' if match else 'MISMATCH'}", flush=True)
+
+    # 2. LMS predict + synthesize
+    ref_lms, _ = lms_predict(jnp.asarray(data), lms_init_state(B, M), M)
+    got_lms = np.asarray(lms_filter_tl(jnp.asarray(data.T), M)).T
+    match = np.array_equal(got_lms, np.asarray(ref_lms))
+    ok &= match
+    print(f"lms predict      (compiled): {'OK' if match else 'MISMATCH'}", flush=True)
+
+    ref_lms_s, _ = lms_synthesize(jnp.asarray(data), lms_init_state(B, M), M)
+    got_lms_s = np.asarray(lms_filter_tl(jnp.asarray(data.T), M, synthesize=True)).T
+    match = np.array_equal(got_lms_s, np.asarray(ref_lms_s))
+    ok &= match
+    print(f"lms synth        (compiled): {'OK' if match else 'MISMATCH'}", flush=True)
+
+    # 3. full encode, device backend vs host backend, byte equality
+    n = 6 * 12288
+    t = np.arange(n) / 44100.0
+    sig = 0.3 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.normal(0, 1, n)
+    pcm = np.stack([sig, 0.9 * sig])
+    pcm = (np.clip(pcm * 32767, -32768, 32767).astype(np.int32) << 16)
+
+    def encode(backend_name: str) -> bytes:
+        enc = sla.Encoder(sla.EncoderConfig(backend=backend_name))
+        enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
+        enc.set_encode_parameter(sla.PRESETS[2])
+        return enc.encode_whole(pcm)
+
+    blob_host = encode("host")
+    blob_dev = encode("device")
+    match = blob_host == blob_dev
+    ok &= match
+    print(f"device-vs-host encode ({len(blob_host)} bytes): "
+          f"{'OK' if match else 'MISMATCH'}", flush=True)
+
+    stamp = time.strftime("%Y-%m-%d")
+    status = "all bit-identical" if ok else "MISMATCH DETECTED"
+    print(
+        f"BASELINE-RECORD: | {stamp} | {device.device_kind} ({backend}) | "
+        f"compiled Pallas lattice+LMS vs scan, device-vs-host encode | {status} |"
+    )
+    print(f"total {time.time() - t0:.1f}s")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
