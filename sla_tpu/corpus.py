@@ -31,7 +31,7 @@ import numpy as np
 
 from . import PRESETS, wavio
 from .constants import ChannelProcessMethod
-from .encoder import Encoder, EncoderConfig
+from .encoder import Encoder, EncoderConfig, encode_whole_batch
 from .errors import SLAError
 from .format import EncodeParameter, WaveFormat
 
@@ -79,6 +79,15 @@ def output_names(paths: list[pathlib.Path]) -> dict[pathlib.Path, str]:
     return names
 
 
+def _preset_params(preset: int, num_channels: int) -> EncodeParameter:
+    p = PRESETS[preset]
+    ch_method = p.ch_process_method if num_channels == 2 else ChannelProcessMethod.NONE
+    return EncodeParameter(
+        p.parcor_order, p.longterm_order, p.lms_order_per_filter,
+        ch_method, p.window_function_type, p.max_num_block_samples,
+    )
+
+
 def encode_corpus(
     files: list[str | pathlib.Path],
     out_dir: str | pathlib.Path,
@@ -88,12 +97,20 @@ def encode_corpus(
     process_count: int | None = None,
     encoder_config: EncoderConfig | None = None,
     verbose: bool = False,
+    filter_batch: int = 1,
 ) -> CorpusResult:
     """Encode a WAV corpus into out_dir, one .sla per input.
 
     Resume: files whose `.done` marker exists are skipped. Multi-host: pass
     process_index/process_count (default: jax.process_index/count when
-    initialized, else 0/1)."""
+    initialized, else 0/1).
+
+    filter_batch > 1 fuses that many files' blocks into one filter-stage
+    batch (encoder.encode_whole_batch) — the multi-chip showcase: on a
+    device mesh the fused (rows, L) batch shards across every chip instead
+    of dispatching per small file. Streams are byte-identical to
+    filter_batch=1. A failed batch falls back to per-file encoding so
+    failure isolation is preserved."""
     out_dir = pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     if process_index is None or process_count is None:
@@ -111,49 +128,82 @@ def encode_corpus(
     in_bytes = out_bytes = 0
     manifest: dict = {}
 
-    enc = Encoder(encoder_config or EncoderConfig())
+    config = encoder_config or EncoderConfig()
+    enc = Encoder(config)
     names = output_names(mine)
-    for path in mine:
+
+    def publish(path: pathlib.Path, blob: bytes) -> None:
+        nonlocal encoded, in_bytes, out_bytes
         out_path = out_dir / (names[path] + ".sla")
-        done_marker = out_dir / (names[path] + ".done")
-        if resume and done_marker.exists():
-            skipped += 1
-            continue
+        tmp = out_path.with_suffix(".sla.tmp")
+        tmp.write_bytes(blob)
+        os.replace(tmp, out_path)  # atomic publish
+        (out_dir / (names[path] + ".done")).touch()
+        encoded += 1
+        in_bytes += path.stat().st_size
+        out_bytes += len(blob)
+        manifest[str(path)] = {"out": out_path.name, "bytes": len(blob)}
+        if verbose:
+            print(f"{path.name}: {path.stat().st_size} -> {len(blob)}")
+
+    def record_failure(path: pathlib.Path, e: Exception) -> None:
+        nonlocal failed
+        failed += 1
+        manifest[str(path)] = {"error": str(e)}
+        if verbose:
+            print(f"{path.name}: FAILED ({e})")
+
+    def encode_one(path: pathlib.Path) -> None:
         try:
             wav = wavio.read_wav(str(path))
-            enc_preset = PRESETS[preset]
-            ch_method = enc_preset.ch_process_method
-            if wav.num_channels != 2:
-                ch_method = ChannelProcessMethod.NONE
             enc.set_wave_format(
                 WaveFormat(wav.num_channels, wav.bits_per_sample, wav.sampling_rate)
             )
-            enc.set_encode_parameter(
-                EncodeParameter(
-                    enc_preset.parcor_order,
-                    enc_preset.longterm_order,
-                    enc_preset.lms_order_per_filter,
-                    ch_method,
-                    enc_preset.window_function_type,
-                    enc_preset.max_num_block_samples,
-                )
-            )
-            blob = enc.encode_whole(wav.data)
-            tmp = out_path.with_suffix(".sla.tmp")
-            tmp.write_bytes(blob)
-            os.replace(tmp, out_path)  # atomic publish
-            done_marker.touch()
-            encoded += 1
-            in_bytes += path.stat().st_size
-            out_bytes += len(blob)
-            manifest[str(path)] = {"out": out_path.name, "bytes": len(blob)}
-            if verbose:
-                print(f"{path.name}: {path.stat().st_size} -> {len(blob)}")
+            enc.set_encode_parameter(_preset_params(preset, wav.num_channels))
+            publish(path, enc.encode_whole(wav.data))
         except (SLAError, ValueError, OSError) as e:
-            failed += 1
-            manifest[str(path)] = {"error": str(e)}
-            if verbose:
-                print(f"{path.name}: FAILED ({e})")
+            record_failure(path, e)
+
+    todo: list[pathlib.Path] = []
+    for path in mine:
+        if resume and (out_dir / (names[path] + ".done")).exists():
+            skipped += 1
+        else:
+            todo.append(path)
+
+    step = max(int(filter_batch), 1)
+    for start in range(0, len(todo), step):
+        chunk = todo[start : start + step]
+        if len(chunk) == 1 or step == 1:
+            for path in chunk:
+                encode_one(path)
+            continue
+        jobs = []
+        job_paths = []
+        for path in chunk:
+            try:
+                wav = wavio.read_wav(str(path))
+                jobs.append(
+                    (
+                        WaveFormat(wav.num_channels, wav.bits_per_sample, wav.sampling_rate),
+                        _preset_params(preset, wav.num_channels),
+                        wav.data,
+                    )
+                )
+                job_paths.append(path)
+            except (SLAError, ValueError, OSError) as e:
+                record_failure(path, e)
+        if not jobs:
+            continue
+        try:
+            blobs = encode_whole_batch(jobs, config)
+        except (SLAError, ValueError, OSError):
+            # isolate the failing file: batch fell over, redo one by one
+            for path in job_paths:
+                encode_one(path)
+            continue
+        for path, blob in zip(job_paths, blobs):
+            publish(path, blob)
 
     result = CorpusResult(
         total_files=len(mine),

@@ -142,19 +142,27 @@ class Encoder:
     # -- whole-file encode ----------------------------------------------------
     def encode_whole(self, data: np.ndarray) -> bytes:
         """data: (num_channels, num_samples) canonical left-justified int32."""
+        num_samples, plans = self._stage_encode(data)
+        self._run_filters(data, plans)
+        return self._finalize_encode(num_samples, plans)
+
+    def _stage_encode(self, data: np.ndarray) -> tuple[int, list["_BlockPlan"]]:
+        """Checks + left-shift detection + block planning + float64 analysis
+        (everything before the batched filter stage)."""
         self._require_params()
-        wf, ep = self._wave_format, self._encode_param
+        wf = self._wave_format
         if data.shape[0] != wf.num_channels:
             raise SLAError(ApiResult.INVALID_ARGUMENT, "channel count mismatch")
         data = np.ascontiguousarray(data, dtype=np.int32)
         num_samples = data.shape[1]
-
         wf.offset_lshift = self.calculate_left_shift_offset(data, wf.bit_per_sample)
-
         plans = self._plan_blocks(data, num_samples)
         self._analyze_blocks(data, plans)
-        self._run_filters(data, plans)
+        return num_samples, plans
 
+    def _finalize_encode(self, num_samples: int, plans: list["_BlockPlan"]) -> bytes:
+        """Entropy-code all blocks and assemble the container."""
+        wf, ep = self._wave_format, self._encode_param
         # entropy-code blocks, track header statistics
         blobs: list[bytes] = []
         max_block_size = 0
@@ -349,36 +357,60 @@ class Encoder:
             return "host"
         import jax
 
-        if jax.default_backend() != "tpu":
-            return "host"
-        from .pipeline import measured_link_bandwidth
+        ndev = len(jax.devices())
+        plat = jax.default_backend()
+        if plat == "tpu":
+            from .pipeline import measured_link_bandwidth
 
-        return "device" if measured_link_bandwidth() >= 200e6 else "host"
+            if measured_link_bandwidth() < 200e6:
+                return "host"
+            return "mesh" if ndev > 1 else "device"
+        if plat == "cpu" and ndev > 1:
+            # multi-device CPU runtime (xla_force_host_platform_device_count
+            # or a real multi-host CPU mesh): shard the batch
+            return "mesh"
+        return "host"
 
     # -- step 4: filters + pitch analysis --------------------------------------
     def _run_filters(self, data: np.ndarray, plans: list[_BlockPlan]) -> None:
-        wf, ep = self._wave_format, self._encode_param
-        C = wf.num_channels
+        comp = [pl for pl in plans if pl.block_type == BlockDataType.COMPRESSDATA]
+        if comp:
+            self._run_filter_groups([(self._wave_format.num_channels, comp)])
+
+    def _run_filter_groups(self, groups: list[tuple[int, list[_BlockPlan]]]) -> None:
+        """Batched filter + pitch stage over many streams at once.
+
+        groups: (num_channels, compress_plans) per stream. Every stream must
+        share this encoder's filter orders and max block size (one preset);
+        channel counts may differ. This is the seam corpus batching uses to
+        fuse many small files' blocks into ONE (rows, L) batch — the batch
+        axis the device and mesh backends parallelize (see
+        encode_whole_batch)."""
+        ep = self._encode_param
         p = ep.parcor_order
         T = ep.longterm_order
-        comp = [pl for pl in plans if pl.block_type == BlockDataType.COMPRESSDATA]
-        if not comp:
+        rows_meta: list[tuple[_BlockPlan, int, int]] = []  # (plan, C, row0)
+        rows = 0
+        for C, comp in groups:
+            for pl in comp:
+                rows_meta.append((pl, C, rows))
+                rows += C
+        if rows == 0:
             return
-        row_samples = sum(pl.num_samples for pl in comp) * C
+        row_samples = sum(pl.num_samples * C for pl, C, _ in rows_meta)
         backend = self._select_backend(row_samples)
         # pad L to the stream's max block size always; pad B to the next
         # power of two only on the device path (bounded jit specializations —
         # the host path does exact-length rows and padding is pure waste)
         L = ep.max_num_block_samples
-        rows = len(comp) * C
         B = (1 << (rows - 1).bit_length()) if (backend != "host" and rows > 1) else rows
         batch = np.zeros((B, L), dtype=np.int32)
         coefs = np.zeros((B, p), dtype=np.int32)
         lengths = np.zeros((B,), dtype=np.int64)
-        for bi, pl in enumerate(comp):
-            batch[bi * C : (bi + 1) * C, : pl.num_samples] = pl.raw_int32
-            coefs[bi * C : (bi + 1) * C] = pl.parcor_coef[:, 1:]
-            lengths[bi * C : (bi + 1) * C] = pl.num_samples
+        for pl, C, r0 in rows_meta:
+            batch[r0 : r0 + C, : pl.num_samples] = pl.raw_int32
+            coefs[r0 : r0 + C] = pl.parcor_coef[:, 1:]
+            lengths[r0 : r0 + C] = pl.num_samples
 
         res1_dev = None
         mesh = None
@@ -426,12 +458,12 @@ class Encoder:
             fft_size = 1 << (2 * self.config.max_num_block_samples - 1).bit_length()
             # group rows by length for the FFT batch
             rows_by_len: dict[int, list[int]] = {}
-            for bi, pl in enumerate(comp):
+            for pl, C, r0 in rows_meta:
                 for ch in range(C):
-                    rows_by_len.setdefault(pl.num_samples, []).append(bi * C + ch)
-            for n, rows in rows_by_len.items():
-                res = longterm_coef_rows(residual1[rows, :n], n, T, fft_size)
-                for r, lt in zip(rows, res):
+                    rows_by_len.setdefault(pl.num_samples, []).append(r0 + ch)
+            for n, row_ids in rows_by_len.items():
+                res = longterm_coef_rows(residual1[row_ids, :n], n, T, fft_size)
+                for r, lt in zip(row_ids, res):
                     if lt.pitch_period >= LONGTERM_MIN_PITCH_THRESHOLD:
                         pitches[r] = lt.pitch_period
                         ltm[r] = quantize_longterm(lt.coef)
@@ -472,10 +504,10 @@ class Encoder:
                     ep.lms_order_per_filter,
                 )
             )
-        for bi, pl in enumerate(comp):
-            pl.pitch = pitches[bi * C : (bi + 1) * C]
-            pl.ltm_coef = ltm[bi * C : (bi + 1) * C]
-            pl.residual = residual2[bi * C : (bi + 1) * C, : pl.num_samples]
+        for pl, C, r0 in rows_meta:
+            pl.pitch = pitches[r0 : r0 + C]
+            pl.ltm_coef = ltm[r0 : r0 + C]
+            pl.residual = residual2[r0 : r0 + C, : pl.num_samples]
             pl.init_rice = (
                 native.initial_params(pl.residual)
                 if native.available()
@@ -548,3 +580,53 @@ class Encoder:
 
 def sufficient_output_size(num_channels: int, num_samples: int, bit_per_sample: int) -> int:
     return SLA_HEADER_SIZE + 2 * num_channels * num_samples * (bit_per_sample // 8) + 1024
+
+
+def encode_whole_batch(
+    jobs: list[tuple["WaveFormat", "EncodeParameter", np.ndarray]],
+    config: EncoderConfig | None = None,
+) -> list[bytes]:
+    """Encode many files with ONE fused filter batch.
+
+    jobs: (wave_format, encode_param, pcm) per file. All encode parameters
+    must share the filter orders and max block size (one preset); channel
+    counts, rates, and depths may differ. Per-file planning/analysis and
+    container emission stay per file (streams are byte-identical to
+    per-file `encode_whole`), but every file's blocks go through the filter
+    + pitch stage as a single (rows, L) batch — the corpus-scale batch axis
+    the device and mesh backends parallelize (SURVEY §5: whole-file DCN
+    sharding composes with this per-host fusion)."""
+    if not jobs:
+        return []
+    config = config or EncoderConfig()
+    encs: list[Encoder] = []
+    staged: list[tuple[int, list[_BlockPlan]]] = []
+    ref_ep = jobs[0][1]
+    for wf, ep, data in jobs:
+        if (
+            ep.parcor_order != ref_ep.parcor_order
+            or ep.longterm_order != ref_ep.longterm_order
+            or ep.lms_order_per_filter != ref_ep.lms_order_per_filter
+            or ep.max_num_block_samples != ref_ep.max_num_block_samples
+        ):
+            raise SLAError(
+                ApiResult.INVALID_ARGUMENT,
+                "batched encode requires one preset's filter orders across jobs",
+            )
+        enc = Encoder(config)
+        enc.set_wave_format(wf)
+        enc.set_encode_parameter(ep)
+        encs.append(enc)
+        staged.append(enc._stage_encode(data))
+    groups = [
+        (
+            enc._wave_format.num_channels,
+            [pl for pl in plans if pl.block_type == BlockDataType.COMPRESSDATA],
+        )
+        for enc, (_, plans) in zip(encs, staged)
+    ]
+    encs[0]._run_filter_groups(groups)
+    return [
+        enc._finalize_encode(num_samples, plans)
+        for enc, (num_samples, plans) in zip(encs, staged)
+    ]

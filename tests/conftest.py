@@ -36,7 +36,9 @@ def ref_binary() -> pathlib.Path:
             pytest.skip("reference sources unavailable")
         REF_BIN.parent.mkdir(exist_ok=True)
         subprocess.run(
-            ["gcc", "-std=c89", "-O2", "-DNDEBUG", "-o", str(REF_BIN)]
+            # -O3 exactly like bench.py/the reference Makefile — one flag
+            # set so the measured baseline can never drift between builders
+            ["gcc", "-std=c89", "-O3", "-DNDEBUG", "-o", str(REF_BIN)]
             + [str(p) for p in sorted(src.glob("*.c"))]
             + [f"-I{src}/include/public", f"-I{src}/include/private", "-lm"],
             check=True,

@@ -112,3 +112,61 @@ def test_same_stem_different_dirs_no_collision(tmp_path):
     # resume skips BOTH (distinct done markers)
     res2 = encode_corpus(files, out_dir, preset=0)
     assert res2.skipped == 2 and res2.encoded == 0
+
+
+def test_filter_batch_byte_identical(corpus, tmp_path):
+    """filter_batch fuses many files' blocks into one filter batch; outputs
+    must equal per-file encoding byte for byte."""
+    files, _ = corpus
+    out_a = tmp_path / "a_out"
+    out_b = tmp_path / "b_out"
+    encode_corpus(files, out_a, preset=1, filter_batch=1)
+    res = encode_corpus(files, out_b, preset=1, filter_batch=4)
+    assert res.encoded == 4 and res.failed == 0
+    for f in files:
+        a = (out_a / (f.stem + ".sla")).read_bytes()
+        b = (out_b / (f.stem + ".sla")).read_bytes()
+        assert a == b, f.name
+
+
+def test_filter_batch_mesh_backend(corpus, tmp_path):
+    """The bulk-corpus multi-chip config: fused batch sharded over the
+    8-device CPU mesh, byte-identical to the host path."""
+    import sla_tpu.encoder as enc_mod
+
+    files, _ = corpus
+    out_host = tmp_path / "host_out"
+    out_mesh = tmp_path / "mesh_out"
+    encode_corpus(files, out_host, preset=1,
+                  encoder_config=enc_mod.EncoderConfig(backend="host"))
+    res = encode_corpus(files, out_mesh, preset=1, filter_batch=4,
+                        encoder_config=enc_mod.EncoderConfig(backend="mesh"))
+    assert res.encoded == 4 and res.failed == 0
+    for f in files:
+        a = (out_host / (f.stem + ".sla")).read_bytes()
+        b = (out_mesh / (f.stem + ".sla")).read_bytes()
+        assert a == b, f.name
+
+
+def test_filter_batch_failure_isolation(corpus, tmp_path):
+    """A corrupt file inside a batch must not poison its batchmates."""
+    files, out_dir = corpus
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"RIFFgarbage")
+    res = encode_corpus([files[0], bad, files[1]], out_dir, preset=0, filter_batch=3)
+    assert res.encoded == 2 and res.failed == 1
+
+
+def test_backend_auto_reaches_mesh(monkeypatch):
+    """On a multi-device runtime, backend='auto' selects the mesh for
+    batches past the device threshold."""
+    import jax
+
+    import sla_tpu as sla
+
+    jax.devices()  # ensure the (8-device CPU) backend is initialized
+    monkeypatch.setenv("SLA_TPU_DEVICE_THRESHOLD", "1")
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(1, 16, 44100))
+    enc.set_encode_parameter(sla.PRESETS[0])
+    assert enc._select_backend(10_000) == "mesh"
