@@ -262,10 +262,37 @@ class Decoder:
         self._require_params()
         wf, ep = self._wave_format, self._encode_param
 
+        import time
+
+        self.stage_times: dict[str, float] = {}
+        t0 = time.perf_counter()
         blocks = self.scan_blocks(data, header.num_samples)
-        payloads = [self._decode_payload(data, b) for b in blocks]
+        self.stage_times["headers"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        payloads = []
+        done = 0
+        for b in blocks:
+            payloads.append(self._decode_payload(data, b))
+            if self.config.verbose:
+                # progress display (SLADecoder.c:721-725, main.c:406-409)
+                done += b.num_samples
+                print(
+                    f"progress:{100 * done // max(header.num_samples, 1):2d}%",
+                    end="\r",
+                    flush=True,
+                )
+        self.stage_times["entropy"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
         pcm = self.synthesize_blocks(blocks, payloads)
         out = np.concatenate(pcm, axis=1)
+        self.stage_times["synthesis"] = time.perf_counter() - t0
+        if self.config.verbose:
+            st = self.stage_times
+            print(
+                "stages: "
+                + "  ".join(f"{k} {v * 1e3:.1f}ms" for k, v in st.items())
+                + f"  total {sum(st.values()) * 1e3:.1f}ms"
+            )
         return header, out
 
     def synthesize_blocks(

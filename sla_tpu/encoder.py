@@ -90,6 +90,7 @@ class Encoder:
         self.config = config or EncoderConfig()
         self._wave_format: WaveFormat | None = None
         self._encode_param: EncodeParameter | None = None
+        self.stage_times: dict[str, float] = {}  # per-stage seconds, last encode
 
     # -- parameter setting (SLAEncoder.c:176-224) ---------------------------
     def set_wave_format(self, wf: WaveFormat) -> None:
@@ -142,13 +143,30 @@ class Encoder:
     # -- whole-file encode ----------------------------------------------------
     def encode_whole(self, data: np.ndarray) -> bytes:
         """data: (num_channels, num_samples) canonical left-justified int32."""
+        import time
+
         num_samples, plans = self._stage_encode(data)
+        t0 = time.perf_counter()
         self._run_filters(data, plans)
-        return self._finalize_encode(num_samples, plans)
+        self.stage_times["filters"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        blob = self._finalize_encode(num_samples, plans)
+        self.stage_times["entropy"] = time.perf_counter() - t0
+        if self.config.verbose:
+            st = self.stage_times
+            total = sum(st.values())
+            print(
+                "stages: "
+                + "  ".join(f"{k} {v * 1e3:.1f}ms" for k, v in st.items())
+                + f"  total {total * 1e3:.1f}ms"
+            )
+        return blob
 
     def _stage_encode(self, data: np.ndarray) -> tuple[int, list["_BlockPlan"]]:
         """Checks + left-shift detection + block planning + float64 analysis
         (everything before the batched filter stage)."""
+        import time
+
         self._require_params()
         wf = self._wave_format
         if data.shape[0] != wf.num_channels:
@@ -156,8 +174,13 @@ class Encoder:
         data = np.ascontiguousarray(data, dtype=np.int32)
         num_samples = data.shape[1]
         wf.offset_lshift = self.calculate_left_shift_offset(data, wf.bit_per_sample)
+        self.stage_times: dict[str, float] = {}
+        t0 = time.perf_counter()
         plans = self._plan_blocks(data, num_samples)
+        self.stage_times["partition"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
         self._analyze_blocks(data, plans)
+        self.stage_times["analysis"] = time.perf_counter() - t0
         return num_samples, plans
 
     def _finalize_encode(self, num_samples: int, plans: list["_BlockPlan"]) -> bytes:

@@ -59,9 +59,26 @@ def _step_mag(res: jnp.ndarray) -> jnp.ndarray:
 def _lms_scan(data: jnp.ndarray, state: LmsState, num_coef: int, synthesize: bool):
     M = num_coef
 
+    from .. import debug
+
+    embed_asserts = debug.asserts_enabled()
+
     def step(carry: LmsState, x):
         fc, ic, xb, pb, t = carry
         acc = jnp.full(x.shape, 512, dtype=jnp.int32)
+        if embed_asserts:
+            # mirror of the reference's per-tap overflow asserts
+            # (SLAPredictor.c:1265-1271): each (coef * buf) >> 10 must fit
+            # int32. Only traced under SLA_TPU_DEBUG_ASSERTS=1 via checkify.
+            imax = jnp.int64(2**31 - 1)
+            imin = jnp.int64(-(2**31))
+            fir64 = fc.astype(jnp.int64) * xb.astype(jnp.int64) >> 10
+            iir64 = ic.astype(jnp.int64) * pb.astype(jnp.int64) >> 10
+            debug.check(
+                jnp.all((fir64 <= imax) & (fir64 >= imin))
+                & jnp.all((iir64 <= imax) & (iir64 >= imin)),
+                "LMS tap product overflows int32",
+            )
         # dtype pinned to int32: the reference accumulates with wraparound
         # int32 semantics (SLAPredictor.c:1260-1273)
         acc = acc + jnp.sum(fc * xb, axis=1, dtype=jnp.int32)

@@ -175,6 +175,13 @@ def encode_stage2(
     Returns the final residual (B, L) handed to the entropy coder. The
     long-term stage is a vectorized FIR (history = input); only the LMS
     recursion needs the Pallas sample loop."""
+    from . import debug
+
+    if debug.asserts_enabled():
+        return debug.run_checked(
+            _encode_stage2_scan, residual, pitch, ltm_coef,
+            num_taps=num_taps, lms_order=lms_order,
+        )
     if _use_pallas() and residual.shape[1] % 2048 == 0:
         return _encode_stage2_pallas(residual, pitch, ltm_coef, num_taps, lms_order)
     return _encode_stage2_scan(residual, pitch, ltm_coef, num_taps, lms_order)
@@ -276,6 +283,13 @@ def decode_stage(
     to the MS inverse / final left shift. On TPU the LMS and lattice
     recursions run as Pallas kernels; the long-term synthesis (per-row
     variable delay) stays a scan."""
+    from . import debug
+
+    if debug.asserts_enabled():
+        return debug.run_checked(
+            _decode_stage_scan, residual, parcor_coef, pitch, ltm_coef,
+            parcor_order=parcor_order, num_taps=num_taps, lms_order=lms_order,
+        )
     if _use_pallas() and residual.shape[1] % 2048 == 0:
         return _decode_stage_pallas(
             residual, parcor_coef, pitch, ltm_coef, parcor_order, num_taps, lms_order

@@ -108,3 +108,75 @@ def test_mono_ms_preset_downgrades(tmp_path):
     dec_path = tmp_path / "mono_dec.wav"
     assert main(["sla", "-d", "-q", str(sla_path), str(dec_path)]) == 0
     assert np.array_equal(wavio.read_wav(str(dec_path)).data, pcm)
+
+
+def test_verbose_stage_timers(capsys):
+    """Verbose mode surfaces per-stage timers on both encode and decode
+    (SURVEY §5 observability: per-stage analysis/filter/entropy timing)."""
+    import numpy as np
+
+    import sla_tpu as sla
+    from .test_encode_decode import gen_wave
+
+    pcm = gen_wave("sine", 9000, 1, 16, 0, seed=9)
+    enc = sla.Encoder(sla.EncoderConfig(verbose=True))
+    enc.set_wave_format(sla.WaveFormat(1, 16, 44100))
+    enc.set_encode_parameter(
+        sla.EncodeParameter(8, 1, 4, sla.ChannelProcessMethod.NONE,
+                            sla.PRESETS[0].window_function_type, 4096)
+    )
+    blob = enc.encode_whole(pcm)
+    out = capsys.readouterr().out
+    assert "partition" in out and "analysis" in out and "entropy" in out
+    assert set(enc.stage_times) >= {"partition", "analysis", "filters", "entropy"}
+
+    dec = sla.Decoder(sla.DecoderConfig(verbose=True))
+    _, got = dec.decode_whole(blob)
+    out = capsys.readouterr().out
+    assert "progress:" in out and "synthesis" in out
+    assert np.array_equal(got, pcm)
+    assert set(dec.stage_times) >= {"headers", "entropy", "synthesis"}
+
+
+def test_debug_assert_mode_roundtrip(monkeypatch):
+    """SLA_TPU_DEBUG_ASSERTS=1 (checkify on-device asserts) leaves streams
+    unchanged on legal input."""
+    import numpy as np
+
+    import sla_tpu as sla
+    from .test_encode_decode import gen_wave
+
+    monkeypatch.setenv("SLA_TPU_DEBUG_ASSERTS", "1")
+    pcm = gen_wave("chirp", 9000, 2, 16, 0, seed=10)
+    enc = sla.Encoder(sla.EncoderConfig(backend="device"))
+    enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
+    enc.set_encode_parameter(sla.PRESETS[1])
+    blob = enc.encode_whole(pcm)
+    dec = sla.Decoder(sla.DecoderConfig(backend="device"))
+    _, got = dec.decode_whole(blob)
+    assert np.array_equal(got, pcm)
+
+
+def test_debug_assert_mode_traps_overflow():
+    """A forced LMS tap overflow raises through the checkified scan."""
+    import os
+
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from sla_tpu import debug
+    from sla_tpu.kernels.lms import LmsState, _lms_scan
+
+    os.environ["SLA_TPU_DEBUG_ASSERTS"] = "1"
+    try:
+        B, M = 1, 4
+        st = LmsState(
+            jnp.full((B, M), 2**30, jnp.int32), jnp.zeros((B, M), jnp.int32),
+            jnp.full((B, M), 2**30, jnp.int32), jnp.zeros((B, M), jnp.int32),
+            jnp.full((B,), M, jnp.int32),
+        )
+        data = jnp.full((B, 4), 2**20, jnp.int32)
+        with _pytest.raises(Exception, match="LMS tap product overflows"):
+            debug.run_checked(_lms_scan, data, st, num_coef=M, synthesize=False)
+    finally:
+        del os.environ["SLA_TPU_DEBUG_ASSERTS"]
