@@ -96,10 +96,22 @@ struct BitReader {
     cache = (cache << 8) | v;
     ncache += 8;
   }
+  inline void refill32() {  // bulk path: 4 bytes per load while within bounds
+    if (ncache <= 32 && next_byte + 4 <= size_bytes) {
+      uint32_t v;
+      std::memcpy(&v, buf + next_byte, 4);
+      next_byte += 4;
+      cache = (cache << 32) | __builtin_bswap32(v);
+      ncache += 32;
+    }
+  }
   inline int64_t pos() const { return next_byte * 8 - ncache; }
   inline int64_t nbits_total() const { return size_bytes * 8; }
   inline uint64_t get(int nbits) {  // nbits 0..33 in all callers
-    while (ncache < nbits) load_byte();
+    if (ncache < nbits) {
+      refill32();
+      while (ncache < nbits) load_byte();
+    }
     ncache -= nbits;
     uint64_t out = cache >> ncache;
     cache &= (1ull << ncache) - 1;
@@ -109,6 +121,12 @@ struct BitReader {
     uint32_t run = 0;
     for (;;) {
       if (cache == 0) {
+        if (next_byte + 4 <= size_bytes) {
+          run += (uint32_t)ncache;
+          ncache = 0;
+          refill32();
+          continue;
+        }
         if (next_byte >= size_bytes) {
           // only zeros remain to the real end: count the non-virtual ones,
           // then mark the over-read (pos = total + 1, old-reader semantics)
