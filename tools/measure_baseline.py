@@ -109,6 +109,58 @@ def main():
     fx = np.stack(chs).astype(np.int32) << 8
     measure("5.1 48k/24 15s preset2", fx, 24, 48000, 2)
 
+    measure_corpus(rng)
+
+
+def measure_corpus(rng, num_files: int = 100, seconds: int = 5):
+    """Bulk-corpus config (BASELINE.json config 5): many small files. Ours
+    runs the fused filter_batch mode (the multi-chip batch axis); the
+    reference encodes file by file (its only mode)."""
+    import shutil
+    import tempfile
+
+    from sla_tpu.corpus import encode_corpus
+
+    base = pathlib.Path(tempfile.mkdtemp())
+    files = []
+    n = 44100 * seconds
+    in_bytes = 0
+    for i in range(num_files):
+        tone = 0.3 * np.sin(2 * np.pi * (220 + 13 * i) * np.arange(n) / 44100.0)
+        noise = np.convolve(rng.normal(0, 0.02, n), np.ones(8) / 8, "same")
+        pcm = np.clip((tone + noise) * 32767, -32768, 32767).astype(np.int32) << 16
+        pcm = np.stack([pcm, (pcm * 0.9).astype(np.int32)])
+        p = base / f"f{i:03d}.wav"
+        wavio.write_wav(str(p), wavio.WavFile(2, 44100, 16, pcm))
+        files.append(p)
+        in_bytes += p.stat().st_size
+
+    t0 = time.time()
+    for p in files:
+        subprocess.run(
+            [str(REF), "-e", "-q", "-m", "2", str(p), f"/tmp/ref_{p.stem}.sla"],
+            check=True,
+        )
+    ref_t = time.time() - t0
+
+    out_dir = base / "out"
+    t0 = time.time()
+    res = encode_corpus(files, out_dir, preset=2, resume=False, filter_batch=16)
+    our_t = time.time() - t0
+    assert res.encoded == num_files and res.failed == 0
+    ident = all(
+        (out_dir / f"{p.stem}.sla").read_bytes()
+        == pathlib.Path(f"/tmp/ref_{p.stem}.sla").read_bytes()
+        for p in files
+    )
+    s = 2 * n * num_files
+    print(
+        f"Bulk corpus {num_files}x{seconds}s CD (filter_batch=16): "
+        f"enc ref {s/ref_t/1e6:.2f} ours {s/our_t/1e6:.2f} Msps "
+        f"({ref_t/our_t:.2f}x) | ratio {res.ratio:.4f} | byte-identical {ident}"
+    )
+    shutil.rmtree(base)
+
 
 if __name__ == "__main__":
     main()
