@@ -122,7 +122,8 @@ def encode_corpus(
         except Exception:
             process_index, process_count = 0, 1
 
-    mine = shard_files([pathlib.Path(f) for f in files], process_index, process_count)
+    all_paths = [pathlib.Path(f) for f in files]
+    mine = shard_files(all_paths, process_index, process_count)
     t0 = time.time()
     encoded = skipped = failed = 0
     in_bytes = out_bytes = 0
@@ -130,7 +131,9 @@ def encode_corpus(
 
     config = encoder_config or EncoderConfig()
     enc = Encoder(config)
-    names = output_names(mine)
+    # name map over the FULL corpus, not this shard: same-stem files sharded
+    # to different processes must still get distinct outputs/markers
+    names = output_names(all_paths)
 
     def publish(path: pathlib.Path, blob: bytes) -> None:
         nonlocal encoded, in_bytes, out_bytes
@@ -203,7 +206,10 @@ def encode_corpus(
                 encode_one(path)
             continue
         for path, blob in zip(job_paths, blobs):
-            publish(path, blob)
+            try:
+                publish(path, blob)
+            except OSError as e:  # same failure isolation as the per-file path
+                record_failure(path, e)
 
     result = CorpusResult(
         total_files=len(mine),

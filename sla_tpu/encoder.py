@@ -422,6 +422,13 @@ class Encoder:
             return
         row_samples = sum(pl.num_samples * C for pl, C, _ in rows_meta)
         backend = self._select_backend(row_samples)
+        if backend == "mesh":
+            from . import debug
+
+            if debug.asserts_enabled():
+                # checkify asserts don't functionalize through shard_map;
+                # assert mode runs the single-device checkified scan instead
+                backend = "device"
         # pad L to the stream's max block size always; pad B to the next
         # power of two only on the device path (bounded jit specializations —
         # the host path does exact-length rows and padding is pure waste)

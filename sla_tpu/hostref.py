@@ -91,9 +91,8 @@ class _ZeroFillReader:
             lead = avail - chunk.bit_length()
             self._bitpos = pos + lead + 1
             return run + lead
-        # only zeros remain to the real end: count them, then mark the
-        # over-read (pos = total + 1, matching the native reader)
-        run += max(total - self._bitpos, 0)
+        # only zeros remain to the real end (already counted by the loop);
+        # mark the over-read (pos = total + 1, matching the native reader)
         self._bitpos = total + 1
         return run
 

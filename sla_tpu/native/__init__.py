@@ -652,6 +652,8 @@ def lpc_analyze_rows(
     B, n = data.shape
     parcor = np.zeros((B, order + 1), dtype=np.float64)
     lengths = np.zeros((B,), dtype=np.float64)
+    if not (1 <= order <= 64):
+        raise ValueError(f"lpc_analyze_rows: order out of native scratch range ({order})")
     b = 0
     while b + 8 <= B:
         lib.sla_lpc_analyze_rows8(

@@ -1697,6 +1697,7 @@ int32_t sla_lpc_analyze_rows8(const double* data, int32_t n, int32_t order,
 int32_t sla_lpc_analyze(const double* data, int32_t n, int32_t order,
                         int32_t bits_per_sample, double* parcor,
                         double* length_per_sample) {
+  if (order < 1 || order > 64) return -1;  // scratch capacity bound
   constexpr double kFltEps = 1.1920928955078125e-07;   // FLT_EPSILON
   constexpr double kFltMin = 1.1754943508222875e-38;   // FLT_MIN
   constexpr double kBetaLaplace = 1.9426950408889634;  // sqrt(2 e^2)

@@ -66,6 +66,23 @@ def row_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(BLOCK_AXIS, CHANNEL_AXIS))
 
 
+def _reject_assert_mode() -> None:
+    """checkify.check calls embedded by SLA_TPU_DEBUG_ASSERTS=1 cannot be
+    functionalized through shard_map; fail with a clear message (at trace
+    time) instead of the cryptic 'cannot abstractly evaluate' error. The
+    encoder demotes mesh to the checkified single-device path
+    automatically."""
+    from .. import debug
+
+    if debug.asserts_enabled():
+        from ..errors import ApiResult, SLAError
+
+        raise SLAError(
+            ApiResult.INVALID_ARGUMENT,
+            "SLA_TPU_DEBUG_ASSERTS is not supported on the mesh path",
+        )
+
+
 @functools.partial(
     jax.jit, static_argnames=("parcor_order", "num_taps", "lms_order", "mesh")
 )
@@ -91,6 +108,7 @@ def sharded_encode_step(
     statistic (SLAEncoder.c:890-898) computed as a mesh collective rather
     than serial loop state.
     """
+    _reject_assert_mode()
 
     def local(data, parcor_coef, pitch, ltm_coef):
         nb, nc, L = data.shape
@@ -152,6 +170,7 @@ def sharded_encode_stage1(
     """Mesh-sharded pre-emphasis + lattice predict over (NB, NC, L) batches
     (the first half of the encode cascade; pitch analysis sits between the
     stages on host, so full-file encode needs the split)."""
+    _reject_assert_mode()
 
     def local(data, parcor_coef):
         nb, nc, L = data.shape
@@ -184,6 +203,7 @@ def sharded_encode_stage2(
     mesh: Mesh,
 ):
     """Mesh-sharded long-term + LMS predict (second half of the cascade)."""
+    _reject_assert_mode()
 
     def local(residual, pitch, ltm_coef):
         nb, nc, L = residual.shape
@@ -234,6 +254,7 @@ def sharded_decode_step(
     cross-shard communication — the format's reset-at-block-start invariant
     (SLADecoder.c:637-639) is what makes the whole stream embarrassingly
     block-parallel."""
+    _reject_assert_mode()
     from ..kernels.lattice import lattice_init_state, lattice_synthesize
     from ..kernels.lms import lms_init_state, lms_synthesize
     from ..kernels.longterm import longterm_init_state, longterm_synthesize

@@ -170,3 +170,25 @@ def test_backend_auto_reaches_mesh(monkeypatch):
     enc.set_wave_format(sla.WaveFormat(1, 16, 44100))
     enc.set_encode_parameter(sla.PRESETS[0])
     assert enc._select_backend(10_000) == "mesh"
+
+
+def test_same_stem_across_process_shards(tmp_path):
+    """Name dedup must cover the FULL corpus, not just one process's shard:
+    same-stem files routed to different hosts still need distinct outputs
+    and resume markers."""
+    files = []
+    for i, sub in enumerate(["x", "y"]):
+        d = tmp_path / sub
+        d.mkdir()
+        pcm = gen_wave("sine" if i == 0 else "noise", 3000, 1, 16, 0, seed=40 + i)
+        p = d / "song.wav"
+        wavio.write_wav(str(p), wavio.WavFile(1, 44100, 16, pcm))
+        files.append(p)
+    out_dir = tmp_path / "out"
+    r0 = encode_corpus(files, out_dir, preset=0, process_index=0, process_count=2)
+    r1 = encode_corpus(files, out_dir, preset=0, process_index=1, process_count=2)
+    assert r0.encoded == 1 and r1.encoded == 1
+    assert len(list(out_dir.glob("song*.sla"))) == 2
+    # resume on either shard skips its own file, never the other's
+    r0b = encode_corpus(files, out_dir, preset=0, process_index=0, process_count=2)
+    assert r0b.skipped == 1 and r0b.encoded == 0

@@ -138,3 +138,22 @@ def test_native_scratch_capacity_checks():
     )
     with pytest.raises(ValueError):
         native.span_autocorr(sig, positions, spans, 4)
+
+
+def test_lpc_analyze_rows_order_bound():
+    data = np.zeros((2, 128), dtype=np.float64)
+    with pytest.raises(ValueError):
+        native.lpc_analyze_rows(data, 65, 16)
+
+
+def test_hostref_zero_run_matches_native():
+    """The pure-Python zero-fill reader must count over-read zero runs
+    exactly like the native BitReader (run to real end, pos = total + 1)."""
+    from sla_tpu.hostref import _ZeroFillReader
+
+    r = _ZeroFillReader(b"\x00", 0)
+    assert r.get_zero_run() == 8
+    assert r._bitpos == 9  # over-read marker
+    r2 = _ZeroFillReader(b"\x00\x20", 0)
+    assert r2.get_zero_run() == 10  # zeros up to the 1 bit at position 10
+    assert r2._bitpos == 11
