@@ -176,10 +176,26 @@ class Encoder:
         wf.offset_lshift = self.calculate_left_shift_offset(data, wf.bit_per_sample)
         self.stage_times: dict[str, float] = {}
         t0 = time.perf_counter()
-        plans = self._plan_blocks(data, num_samples)
+        # whole-file conversions computed once (elementwise, so identical to
+        # the per-window/per-block versions they replace): the MS-transformed
+        # float64 signal feeds both partition search and block analysis; the
+        # two int32 views differ in shift (the silence scan uses no lshift,
+        # SLAEncoder.c:381-390, while block analysis removes the offset,
+        # SLAEncoder.c:505-512). Peak memory is unchanged — the partition
+        # windows already materialized the float64 signal in full.
+        ms = self._encode_param.ch_process_method == ChannelProcessMethod.STEREO_MS
+        int32_plan = (data >> (32 - wf.bit_per_sample)).astype(np.int32)
+        shift = 32 - wf.bit_per_sample + wf.offset_lshift
+        int32_blk = (data >> shift).astype(np.int32)
+        dbl = data.astype(np.float64) * (2.0 ** -31)
+        if ms:
+            int32_plan = np.stack(lr_to_ms_int32(int32_plan[0], int32_plan[1]))
+            int32_blk = np.stack(lr_to_ms_int32(int32_blk[0], int32_blk[1]))
+            dbl = np.stack(lr_to_ms_double(dbl[0], dbl[1]))
+        plans = self._plan_blocks(int32_plan, dbl, num_samples)
         self.stage_times["partition"] = time.perf_counter() - t0
         t0 = time.perf_counter()
-        self._analyze_blocks(data, plans)
+        self._analyze_blocks(int32_blk, dbl, plans)
         self.stage_times["analysis"] = time.perf_counter() - t0
         return num_samples, plans
 
@@ -223,12 +239,17 @@ class Encoder:
         return encode_header(header) + b"".join(blobs)
 
     # -- step 2: block planning ----------------------------------------------
-    def _plan_blocks(self, data: np.ndarray, num_samples: int) -> list[_BlockPlan]:
+    def _plan_blocks(
+        self, int32_ms: np.ndarray, dbl_ms: np.ndarray, num_samples: int
+    ) -> list[_BlockPlan]:
         """Two-phase planning: a cheap sequential pass fixes the window
         boundaries (they depend only on the silence scan), then ALL
-        partition-search windows analyze in one batched pass."""
+        partition-search windows analyze in one batched pass.
+
+        int32_ms: (C, N) MS-transformed samples at the no-lshift scale (the
+        silence scan's view, SLAEncoder.c:381-408); dbl_ms: (C, N) float64
+        MS-transformed signal."""
         wf, ep = self._wave_format, self._encode_param
-        ms = ep.ch_process_method == ChannelProcessMethod.STEREO_MS
         plans: list = []
         windows: list[tuple[int, int, int]] = []  # (offset, window_len, min_block)
         offset = 0
@@ -236,12 +257,7 @@ class Encoder:
             remain = num_samples - offset
             window_len = min(ep.max_num_block_samples, remain)
             min_block = min(SLA_MIN_BLOCK_NUM_SAMPLES, remain)
-            chunk = data[:, offset : offset + window_len]
-            # int32 view used for the silence scan (SLAEncoder.c:381-408)
-            int32 = (chunk >> (32 - wf.bit_per_sample)).astype(np.int32)
-            if ms:
-                m, s = lr_to_ms_int32(int32[0], int32[1])
-                int32 = np.stack([m, s])
+            int32 = int32_ms[:, offset : offset + window_len]
             nonzero = np.nonzero(np.any(int32 != 0, axis=0))[0]
             silent_run = int(nonzero[0]) if nonzero.size else window_len
             if silent_run >= min_block:
@@ -254,14 +270,7 @@ class Encoder:
         if not windows:
             return plans
 
-        wdata = []
-        for off, wl, _ in windows:
-            chunk = data[:, off : off + wl]
-            dbl = chunk.astype(np.float64) * (2.0 ** -31)
-            if ms:
-                m, s = lr_to_ms_double(dbl[0], dbl[1])
-                dbl = np.stack([m, s])
-            wdata.append(dbl)
+        wdata = [dbl_ms[:, off : off + wl] for off, wl, _ in windows]
         sizes_list = search_optimal_partitions_batch(
             wdata,
             [w[1] for w in windows],
@@ -284,11 +293,13 @@ class Encoder:
         return out
 
     # -- step 3: per-block float64 analysis -----------------------------------
-    def _analyze_blocks(self, data: np.ndarray, plans: list[_BlockPlan]) -> None:
+    def _analyze_blocks(
+        self, int32_ms: np.ndarray, dbl_ms: np.ndarray, plans: list[_BlockPlan]
+    ) -> None:
+        """int32_ms: (C, N) MS-transformed samples at the block-analysis
+        scale (offset lshift removed); dbl_ms: (C, N) float64 MS signal."""
         wf, ep = self._wave_format, self._encode_param
         C = wf.num_channels
-        ms = ep.ch_process_method == ChannelProcessMethod.STEREO_MS
-        shift = 32 - wf.bit_per_sample + wf.offset_lshift
         p = ep.parcor_order
 
         # group by block length so windowing/LPC vectorize over same-shape rows
@@ -308,18 +319,10 @@ class Encoder:
             batch_dbl = np.empty((len(idxs), C, n), dtype=np.float64)
             for row, i in enumerate(idxs):
                 plan = plans[i]
-                chunk = data[:, plan.offset : plan.offset + plan.num_samples]
-                int32 = ((chunk >> shift)).astype(np.int32)
-                dbl = chunk.astype(np.float64) * (2.0 ** -31)
-                if ms:
-                    m, s = lr_to_ms_int32(int32[0], int32[1])
-                    int32 = np.stack([m, s])
-                    md, sd = lr_to_ms_double(dbl[0], dbl[1])
-                    dbl = np.stack([md, sd])
-                plan.raw_int32 = int32
-                if not np.any(int32):
+                plan.raw_int32 = int32_ms[:, plan.offset : plan.offset + n]
+                if not np.any(plan.raw_int32):
                     plan.block_type = BlockDataType.SILENT
-                batch_dbl[row] = dbl
+                batch_dbl[row] = dbl_ms[:, plan.offset : plan.offset + n]
             # windowing + double pre-emphasis (SLAEncoder.c:540-543).
             # NumPy materializes the RHS temp before the in-place subtract,
             # so no defensive copy of the shifted view is needed.
