@@ -236,56 +236,52 @@ struct RiceState {
 };
 
 static inline void put_recursive_rice(BitWriter& w, RiceState& st, uint32_t val) {
-  uint32_t reduced = val;
-  for (int i = 0; i < kNumRecursiveParams - 1; ++i) {
-    uint32_t k = rice_param(st.params[i]);
-    if (reduced < k) {
-      // fused '1' marker + remainder bits in a single put
-      int kb = log2_pow2(k);
-      w.put((1ull << kb) | (reduced & (k - 1)), 1 + kb);
-      st.params[i] = param_update(st.params[i], reduced);
-      return;
-    }
-    st.params[i] = param_update(st.params[i], reduced);
-    reduced -= k;
+  // specialized two-stage structure (kNumRecursiveParams == 2): stage 0
+  // always updates with the full value regardless of branch, so hoisting
+  // the update off the branch shortens the per-symbol dependency chain
+  // (the serial param recurrence is the encode hot path's floor)
+  static_assert(kNumRecursiveParams == 2, "two-stage structure assumed");
+  uint32_t k0 = rice_param(st.params[0]);
+  int kb0 = log2_pow2(k0);
+  st.params[0] = param_update(st.params[0], val);
+  if (val < k0) {
+    // fused '1' marker + remainder bits in a single put
+    w.put((1ull << kb0) | (val & (k0 - 1)), 1 + kb0);
+    return;
   }
-  const int i = kNumRecursiveParams - 1;
-  uint32_t k = rice_param(st.params[i]);
-  uint32_t tail_quot = (uint32_t)i + reduced / k;
-  int kb = log2_pow2(k);
+  uint32_t reduced = val - k0;
+  uint32_t k1 = rice_param(st.params[1]);
+  int kb1 = log2_pow2(k1);
+  st.params[1] = param_update(st.params[1], reduced);
+  uint32_t tail_quot = 1 + (reduced >> kb1);
   if (tail_quot < kQuotThreshold) {
-    // unary run + remainder fused: tail_quot zeros, a 1, then kb bits
-    // (tail_quot <= 15, kb <= 31 -> at most 47 bits)
-    w.put((1ull << kb) | (reduced & (k - 1)), (int)tail_quot + 1 + kb);
+    // unary run + remainder fused: tail_quot zeros, a 1, then kb1 bits
+    // (tail_quot <= 15, kb1 <= 31 -> at most 47 bits)
+    w.put((1ull << kb1) | (reduced & (k1 - 1)), (int)tail_quot + 1 + kb1);
   } else {
     w.put_unary(kQuotThreshold);
     put_gamma(w, tail_quot - kQuotThreshold);
-    if (k != 1) w.put(reduced & (k - 1), kb);
+    if (k1 != 1) w.put(reduced & (k1 - 1), kb1);
   }
-  st.params[i] = param_update(st.params[i], reduced);
 }
 
 static inline uint32_t get_recursive_rice(BitReader& r, RiceState& st) {
+  // specialized two-stage structure, mirror of put_recursive_rice
+  static_assert(kNumRecursiveParams == 2, "two-stage structure assumed");
   uint32_t quot = r.get_zero_run();
-  uint32_t val = 0;
-  int cap = (int)quot < kNumRecursiveParams - 1 ? (int)quot : kNumRecursiveParams - 1;
-  for (int i = 0; i < cap; ++i) val += rice_param(st.params[i]);
-  int i = cap;
-  uint32_t k = rice_param(st.params[i]);
-  if ((int)quot < kNumRecursiveParams - 1) {
-    if (k != 1) val += (uint32_t)r.get(log2_pow2(k));
-  } else {
-    if (quot == kQuotThreshold) quot += get_gamma(r);
-    uint32_t rest = (k != 1) ? (uint32_t)r.get(log2_pow2(k)) : 0;
-    val += k * (quot - (uint32_t)(kNumRecursiveParams - 1)) + rest;
+  uint32_t k0 = rice_param(st.params[0]);
+  if (quot == 0) {  // symbol stayed in stage 0
+    uint32_t val = (k0 != 1) ? (uint32_t)r.get(log2_pow2(k0)) : 0;
+    st.params[0] = param_update(st.params[0], val);
+    return val;
   }
-  uint32_t tmp = val;
-  int upd = (int)(quot + 1) < kNumRecursiveParams ? (int)(quot + 1) : kNumRecursiveParams;
-  for (int j = 0; j < upd; ++j) {
-    uint32_t kk = rice_param(st.params[j]);
-    st.params[j] = param_update(st.params[j], tmp);
-    tmp -= kk;
-  }
+  uint32_t k1 = rice_param(st.params[1]);
+  if (quot == kQuotThreshold) quot += get_gamma(r);
+  uint32_t rest = (k1 != 1) ? (uint32_t)r.get(log2_pow2(k1)) : 0;
+  uint32_t reduced = k1 * (quot - 1) + rest;
+  uint32_t val = k0 + reduced;
+  st.params[0] = param_update(st.params[0], val);
+  st.params[1] = param_update(st.params[1], reduced);
   return val;
 }
 
@@ -335,9 +331,18 @@ int64_t sla_put_data_array(const int32_t* data, int32_t C, int32_t N,
   if (eff_sum / (uint32_t)C > kLowThreshold) {
     RiceState st[64];
     for (int ch = 0; ch < C; ++ch) st[ch].init(init_params[ch]);
-    for (int s = 0; s < N; ++s)
-      for (int ch = 0; ch < C; ++ch)
-        put_recursive_rice(w, st[ch], zigzag(data[(int64_t)ch * N + s]));
+    if (C == 2) {  // stereo fast path: direct row pointers, no inner loop
+      const int32_t* d0 = data;
+      const int32_t* d1 = data + N;
+      for (int s = 0; s < N; ++s) {
+        put_recursive_rice(w, st[0], zigzag(d0[s]));
+        put_recursive_rice(w, st[1], zigzag(d1[s]));
+      }
+    } else {
+      for (int s = 0; s < N; ++s)
+        for (int ch = 0; ch < C; ++ch)
+          put_recursive_rice(w, st[ch], zigzag(data[(int64_t)ch * N + s]));
+    }
   } else {
     for (int s = 0; s < N; ++s)
       for (int ch = 0; ch < C; ++ch)
@@ -365,9 +370,18 @@ int64_t sla_get_data_array(const uint8_t* in, int64_t in_size,
   if (eff_sum / (uint32_t)C > kLowThreshold) {
     RiceState st[64];
     for (int ch = 0; ch < C; ++ch) st[ch].init(init_params[ch]);
-    for (int s = 0; s < N; ++s)
-      for (int ch = 0; ch < C; ++ch)
-        out[(int64_t)ch * N + s] = unzigzag(get_recursive_rice(r, st[ch]));
+    if (C == 2) {  // stereo fast path: direct row pointers, no inner loop
+      int32_t* o0 = out;
+      int32_t* o1 = out + N;
+      for (int s = 0; s < N; ++s) {
+        o0[s] = unzigzag(get_recursive_rice(r, st[0]));
+        o1[s] = unzigzag(get_recursive_rice(r, st[1]));
+      }
+    } else {
+      for (int s = 0; s < N; ++s)
+        for (int ch = 0; ch < C; ++ch)
+          out[(int64_t)ch * N + s] = unzigzag(get_recursive_rice(r, st[ch]));
+    }
   } else {
     for (int s = 0; s < N; ++s)
       for (int ch = 0; ch < C; ++ch)
