@@ -412,17 +412,41 @@ class Encoder:
         fuse many small files' blocks into ONE (rows, L) batch — the batch
         axis the device and mesh backends parallelize (see
         encode_whole_batch)."""
+        import os
+
+        ep = self._encode_param
+        flat = [(pl, C) for C, comp in groups for pl in comp]
+        if not flat:
+            return
+        # bound the filter working set for very long streams: three (B, L)
+        # int32 buffers (input batch + two residual stages) live at once, so
+        # cap B to ~SLA_TPU_FILTER_CHUNK_MB across them. Blocks are fully
+        # independent (the format resets filters at block start), so
+        # chunking cannot change any output byte.
+        L = ep.max_num_block_samples
+        budget_mb = int(os.environ.get("SLA_TPU_FILTER_CHUNK_MB", 256))
+        budget_rows = max(8, (budget_mb << 20) // (L * 4 * 3))
+        chunk: list[tuple[_BlockPlan, int]] = []
+        count = 0
+        for pl, C in flat:
+            if chunk and count + C > budget_rows:
+                self._run_filter_chunk(chunk)
+                chunk, count = [], 0
+            chunk.append((pl, C))
+            count += C
+        if chunk:
+            self._run_filter_chunk(chunk)
+
+    def _run_filter_chunk(self, plan_rows: list[tuple[_BlockPlan, int]]) -> None:
+        """One bounded (rows, L) batch through stage1 -> pitch -> stage2."""
         ep = self._encode_param
         p = ep.parcor_order
         T = ep.longterm_order
         rows_meta: list[tuple[_BlockPlan, int, int]] = []  # (plan, C, row0)
         rows = 0
-        for C, comp in groups:
-            for pl in comp:
-                rows_meta.append((pl, C, rows))
-                rows += C
-        if rows == 0:
-            return
+        for pl, C in plan_rows:
+            rows_meta.append((pl, C, rows))
+            rows += C
         row_samples = sum(pl.num_samples * C for pl, C, _ in rows_meta)
         backend = self._select_backend(row_samples)
         if backend == "mesh":
