@@ -47,6 +47,8 @@ def _make_spec() -> list[OptionSpec]:
                    "Write a TPU profiler trace to the given directory"),
         OptionSpec("b", "batch", False,
                    "Corpus mode: INPUT is a directory of WAVs, OUTPUT a directory"),
+        OptionSpec("f", "filter-batch", True,
+                   "Corpus mode: fuse N files' blocks per filter dispatch default:1"),
     ]
 
 
@@ -236,7 +238,15 @@ def main(argv: list[str] | None = None) -> int:
             if not files:
                 print(f"{prog}: no WAV files in {in_dir}.", file=sys.stderr)
                 return 1
-            res = encode_corpus(files, positional[1], preset=preset_no, verbose=verbose)
+            fb = 1
+            if get_option_acquired(spec, "filter-batch"):
+                try:
+                    fb = max(int(get_argument_string(spec, "filter-batch")), 1)
+                except ValueError:
+                    print(f"{prog}: invalid filter-batch value.", file=sys.stderr)
+                    return 1
+            res = encode_corpus(files, positional[1], preset=preset_no,
+                                verbose=verbose, filter_batch=fb)
             if verbose:
                 print(
                     f"corpus: {res.encoded} encoded, {res.skipped} resumed, "

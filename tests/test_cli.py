@@ -180,3 +180,24 @@ def test_debug_assert_mode_traps_overflow():
             debug.run_checked(_lms_scan, data, st, num_coef=M, synthesize=False)
     finally:
         del os.environ["SLA_TPU_DEBUG_ASSERTS"]
+
+
+def test_cli_corpus_filter_batch(tmp_path):
+    """-b -f N fuses N files per filter dispatch; outputs match -b alone."""
+    import numpy as np
+
+    from sla_tpu.cli import main as cli_main
+    from sla_tpu import wavio
+    from .test_encode_decode import gen_wave
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i in range(3):
+        pcm = gen_wave("sine", 4000 + i * 777, 1, 16, 0, seed=i)
+        wavio.write_wav(str(in_dir / f"t{i}.wav"), wavio.WavFile(1, 44100, 16, pcm))
+    out_a, out_b = tmp_path / "a", tmp_path / "b"
+    assert cli_main(["prog", "-e", "-q", "-b", "-m", "0", str(in_dir), str(out_a)]) == 0
+    assert cli_main(["prog", "-e", "-q", "-b", "-f", "3", "-m", "0",
+                     str(in_dir), str(out_b)]) == 0
+    for i in range(3):
+        assert (out_a / f"t{i}.sla").read_bytes() == (out_b / f"t{i}.sla").read_bytes()
