@@ -287,14 +287,18 @@ static inline uint32_t get_recursive_rice(BitReader& r, RiceState& st) {
 
 // -------------------------------------------------------------------- CRC16
 // CRC16-IBM, reflected, poly 0xA001 (reference src/SLAUtility.c:322-339)
-static uint16_t crc16_table[256];
+static uint16_t crc16_table[8][256];  // slice-by-8 (same CRC, 8 bytes/step)
 static bool crc16_init_done = false;
 static void crc16_init() {
   for (uint32_t i = 0; i < 256; ++i) {
     uint32_t c = i;
     for (int b = 0; b < 8; ++b) c = (c & 1) ? (c >> 1) ^ 0xA001u : c >> 1;
-    crc16_table[i] = (uint16_t)c;
+    crc16_table[0][i] = (uint16_t)c;
   }
+  for (int t = 1; t < 8; ++t)
+    for (uint32_t i = 0; i < 256; ++i)
+      crc16_table[t][i] = (uint16_t)((crc16_table[t - 1][i] >> 8) ^
+                                     crc16_table[0][crc16_table[t - 1][i] & 0xFF]);
   crc16_init_done = true;
 }
 
@@ -306,8 +310,22 @@ extern "C" {
 uint16_t sla_crc16(const uint8_t* data, int64_t size) {
   if (!crc16_init_done) crc16_init();
   uint16_t crc = 0;
-  for (int64_t i = 0; i < size; ++i)
-    crc = (uint16_t)((crc >> 8) ^ crc16_table[(crc ^ data[i]) & 0xFF]);
+  int64_t i = 0;
+  for (; i + 8 <= size; i += 8) {
+    uint64_t chunk;
+    std::memcpy(&chunk, data + i, 8);
+    chunk ^= crc;  // low 2 bytes absorb the running CRC (reflected poly)
+    crc = (uint16_t)(crc16_table[7][chunk & 0xFF] ^
+                     crc16_table[6][(chunk >> 8) & 0xFF] ^
+                     crc16_table[5][(chunk >> 16) & 0xFF] ^
+                     crc16_table[4][(chunk >> 24) & 0xFF] ^
+                     crc16_table[3][(chunk >> 32) & 0xFF] ^
+                     crc16_table[2][(chunk >> 40) & 0xFF] ^
+                     crc16_table[1][(chunk >> 48) & 0xFF] ^
+                     crc16_table[0][(chunk >> 56) & 0xFF]);
+  }
+  for (; i < size; ++i)
+    crc = (uint16_t)((crc >> 8) ^ crc16_table[0][(crc ^ data[i]) & 0xFF]);
   return crc;
 }
 
