@@ -70,7 +70,8 @@ def measure_reference(wav_path: pathlib.Path) -> float | None:
             return None
     out = wav_path.parent / "bench_ref.sla"
     best = None
-    for _ in range(2):
+    for _ in range(3):  # best-of-3, same as our timing, so load noise
+        # cancels in the ratio instead of skewing it
         t0 = time.time()
         r = subprocess.run(
             [str(ref), "-e", "-q", "-m", "2", str(wav_path), str(out)],
