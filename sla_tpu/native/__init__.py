@@ -386,11 +386,20 @@ def predict_stage1_rows(
         g = 0
         while g + 8 <= len(rows):
             idx = rows[g : g + 8]
-            in8 = np.ascontiguousarray(data[idx, :n])
-            out8 = np.empty_like(in8)
-            coef8 = np.ascontiguousarray(coef[idx])
-            lib.sla_predict_stage1_rows8(_i32ptr(in8), _i32ptr(out8), n, _i32ptr(coef8), p)
-            out[idx, :n] = out8
+            i0 = idx[0]
+            # consecutive full-width groups pass views straight through —
+            # no gather copy in, no scatter copy out
+            if n == L and idx == list(range(i0, i0 + 8)):
+                coef8 = np.ascontiguousarray(coef[i0 : i0 + 8])
+                lib.sla_predict_stage1_rows8(
+                    _i32ptr(data[i0:]), _i32ptr(out[i0:]), n, _i32ptr(coef8), p
+                )
+            else:
+                in8 = np.ascontiguousarray(data[idx, :n])
+                out8 = np.empty_like(in8)
+                coef8 = np.ascontiguousarray(coef[idx])
+                lib.sla_predict_stage1_rows8(_i32ptr(in8), _i32ptr(out8), n, _i32ptr(coef8), p)
+                out[idx, :n] = out8
             g += 8
         for b in rows[g:]:
             row = np.empty(n, dtype=np.int32)
@@ -427,15 +436,22 @@ def predict_stage2_rows(
         g = 0
         while g + 8 <= len(rows):
             idx = rows[g : g + 8]
-            in8 = np.ascontiguousarray(residual[idx, :n])
-            out8 = np.empty_like(in8)
+            i0 = idx[0]
             pit8 = np.ascontiguousarray(pitch[idx].astype(np.int32))
             ltm8 = np.ascontiguousarray(ltm[idx])
-            lib.sla_predict_stage2_rows8(
-                _i32ptr(in8), _i32ptr(out8), n, _i32ptr(pit8), _i32ptr(ltm8),
-                num_taps, lms_order,
-            )
-            out[idx, :n] = out8
+            if n == L and idx == list(range(i0, i0 + 8)):
+                lib.sla_predict_stage2_rows8(
+                    _i32ptr(residual[i0:]), _i32ptr(out[i0:]), n,
+                    _i32ptr(pit8), _i32ptr(ltm8), num_taps, lms_order,
+                )
+            else:
+                in8 = np.ascontiguousarray(residual[idx, :n])
+                out8 = np.empty_like(in8)
+                lib.sla_predict_stage2_rows8(
+                    _i32ptr(in8), _i32ptr(out8), n, _i32ptr(pit8), _i32ptr(ltm8),
+                    num_taps, lms_order,
+                )
+                out[idx, :n] = out8
             g += 8
         for b in rows[g:]:
             row = np.empty(n, dtype=np.int32)
@@ -483,16 +499,24 @@ def synth_rows(
         g = 0
         while g + 8 <= len(rows):
             idx = rows[g : g + 8]
-            res8 = np.ascontiguousarray(residual[idx, :n])
-            out8 = np.empty_like(res8)
+            i0 = idx[0]
             coef8 = np.ascontiguousarray(coef[idx])
             pit8 = np.ascontiguousarray(pitch[idx].astype(np.int32))
             ltm8 = np.ascontiguousarray(ltm[idx])
-            lib.sla_synth_rows8(
-                _i32ptr(res8), _i32ptr(out8), n, _i32ptr(coef8), p,
-                _i32ptr(pit8), _i32ptr(ltm8), num_taps, M,
-            )
-            out[idx, :n] = out8
+            if n == L and idx == list(range(i0, i0 + 8)):
+                # consecutive full-width group: views straight through
+                lib.sla_synth_rows8(
+                    _i32ptr(residual[i0:]), _i32ptr(out[i0:]), n, _i32ptr(coef8),
+                    p, _i32ptr(pit8), _i32ptr(ltm8), num_taps, M,
+                )
+            else:
+                res8 = np.ascontiguousarray(residual[idx, :n])
+                out8 = np.empty_like(res8)
+                lib.sla_synth_rows8(
+                    _i32ptr(res8), _i32ptr(out8), n, _i32ptr(coef8), p,
+                    _i32ptr(pit8), _i32ptr(ltm8), num_taps, M,
+                )
+                out[idx, :n] = out8
             g += 8
         for b in rows[g:]:
             lat = np.zeros(p + 1, np.int32)
