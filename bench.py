@@ -51,37 +51,36 @@ def make_signal(seconds: int = SECONDS) -> np.ndarray:
     return pcm << 16  # canonical left-justified int32
 
 
-def measure_reference(wav_path: pathlib.Path) -> float | None:
-    """Time the reference C encoder on the same input, if buildable."""
+def reference_binary() -> pathlib.Path | None:
     ref = REPO / "tools" / "sla_ref"
-    if not ref.exists():
-        src = pathlib.Path("/root/reference/src")
-        if not src.exists():
-            return None
-        try:
-            subprocess.run(
-                ["gcc", "-std=c89", "-O3", "-DNDEBUG", "-o", str(ref)]
-                + [str(p) for p in sorted(src.glob("*.c"))]
-                + [f"-I{src}/include/public", f"-I{src}/include/private", "-lm"],
-                check=True,
-                capture_output=True,
-            )
-        except Exception:
-            return None
-    out = wav_path.parent / "bench_ref.sla"
-    best = None
-    for _ in range(3):  # best-of-3, same as our timing, so load noise
-        # cancels in the ratio instead of skewing it
-        t0 = time.time()
-        r = subprocess.run(
-            [str(ref), "-e", "-q", "-m", "2", str(wav_path), str(out)],
+    if ref.exists():
+        return ref
+    src = pathlib.Path("/root/reference/src")
+    if not src.exists():
+        return None
+    try:
+        subprocess.run(
+            ["gcc", "-std=c89", "-O3", "-DNDEBUG", "-o", str(ref)]
+            + [str(p) for p in sorted(src.glob("*.c"))]
+            + [f"-I{src}/include/public", f"-I{src}/include/private", "-lm"],
+            check=True,
             capture_output=True,
         )
-        dt = time.time() - t0
-        if r.returncode != 0:
-            return None
-        best = dt if best is None else min(best, dt)
-    return 2 * RATE * SECONDS / best / 1e6
+    except Exception:
+        return None
+    return ref
+
+
+def time_reference_once(ref: pathlib.Path, wav_path: pathlib.Path) -> float | None:
+    out = wav_path.parent / "bench_ref.sla"
+    t0 = time.time()
+    r = subprocess.run(
+        [str(ref), "-e", "-q", "-m", "2", str(wav_path), str(out)],
+        capture_output=True,
+    )
+    if r.returncode != 0:
+        return None
+    return time.time() - t0
 
 
 def main() -> None:
@@ -98,13 +97,26 @@ def main() -> None:
     # warmup: compile every jitted stage and warm the device tunnel
     enc.encode_whole(np.ascontiguousarray(data[:, : 4 * 12288]))
 
-    # best-of-3: this host's timings swing under noisy-neighbor load
+    tmp = pathlib.Path("/tmp")
+    wav_path = tmp / "bench_cd.wav"
+    wavio.write_wav(str(wav_path), wavio.WavFile(2, RATE, 16, data))
+    ref = reference_binary()
+
+    # interleaved best-of-3 pairs: this host's timings swing under
+    # noisy-neighbor load, so sample ours and the reference back to back
+    # and take each side's best — load spikes then hit both measurements
+    # instead of skewing the ratio
     dt = None
+    ref_dt = None
     for _ in range(3):
         t0 = time.time()
         blob = enc.encode_whole(data)
         t = time.time() - t0
         dt = t if dt is None else min(dt, t)
+        if ref is not None:
+            rt = time_reference_once(ref, wav_path)
+            if rt is not None:
+                ref_dt = rt if ref_dt is None else min(ref_dt, rt)
     msps = 2 * n / dt / 1e6
 
     # correctness gate: round-trip must be bit-exact
@@ -112,10 +124,7 @@ def main() -> None:
     _, out = dec.decode_whole(blob)
     assert np.array_equal(out, data), "round-trip mismatch"
 
-    tmp = pathlib.Path("/tmp")
-    wav_path = tmp / "bench_cd.wav"
-    wavio.write_wav(str(wav_path), wavio.WavFile(2, RATE, 16, data))
-    ref_msps = measure_reference(wav_path) or REF_BASELINE_MSPS
+    ref_msps = 2 * n / ref_dt / 1e6 if ref_dt else REF_BASELINE_MSPS
 
     ratio = len(blob) / (4 * n)
     print(

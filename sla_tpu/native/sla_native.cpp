@@ -760,19 +760,27 @@ static void fft_v8_base(v8df* data, unsigned long base, unsigned long len,
 // sweep walks the full 64B-per-element array once per stage).
 static const unsigned long FFT_V8_BASE_LEN = 512;  // 32 KB block, L1-resident
 
+// `need`: how many leading output doubles of this block the caller will
+// read. Butterflies whose results fall entirely past `need` are skipped —
+// output pruning computes exactly the same values for the kept positions
+// (a combine butterfly writes doubles (m, m+1) and (m+mmax, m+mmax+1); the
+// front pair needs front outputs of BOTH halves, so the recursion passes
+// min(need, half) down). Callers that read everything pass need = len.
 static void fft_v8_rec(v8df* data, unsigned long base, unsigned long len,
-                       const TwiddleTables& tw) {
+                       unsigned long need, const TwiddleTables& tw) {
   if (len <= FFT_V8_BASE_LEN) {
     fft_v8_base(data, base, len, tw);
     return;
   }
   unsigned long half = len >> 1;
-  fft_v8_rec(data, base, half, tw);
-  fft_v8_rec(data, base + half, half, tw);
+  unsigned long sub_need = need < half ? need : half;
+  fft_v8_rec(data, base, half, sub_need, tw);
+  fft_v8_rec(data, base + half, half, sub_need, tw);
   unsigned long mmax = half;  // the combine stage for this block size
   const double* wrs = tw.wr.data() + tw.offs[stage_index(mmax)];
   const double* wis = tw.wi.data() + tw.offs[stage_index(mmax)];
-  for (unsigned long m = 1, t = 0; m < mmax; m += 2, ++t) {
+  unsigned long mlim = need < mmax ? need : mmax;  // m odd, writes m and m+1
+  for (unsigned long m = 1, t = 0; m < mlim; m += 2, ++t) {
     const v8df wrv = v8splat(wrs[t]), wiv = v8splat(wis[t]);
     unsigned long i = base + m, jj = i + mmax;
     v8df pj = data[jj], pj1 = data[jj + 1];
@@ -785,7 +793,8 @@ static void fft_v8_rec(v8df* data, unsigned long base, unsigned long len,
   }
 }
 
-void four1_v8(double* data_s, unsigned long nn, int isign) {
+void four1_v8(double* data_s, unsigned long nn, int isign,
+              unsigned long need_doubles = 0) {
   v8df* data = (v8df*)data_s;  // element i == data_s[i*FFTR .. i*FFTR+7]
   unsigned long n = nn << 1, j = 1;
   for (unsigned long i = 1; i < n; i += 2) {
@@ -801,10 +810,12 @@ void four1_v8(double* data_s, unsigned long nn, int isign) {
   static thread_local TwiddleTables tw_fwd, tw_inv;
   TwiddleTables& tw = (isign == 1) ? tw_fwd : tw_inv;
   tw.build(n, isign);
-  fft_v8_rec(data, 0, n, tw);
+  unsigned long need = (need_doubles == 0 || need_doubles > n) ? n : need_doubles;
+  fft_v8_rec(data, 0, n, need, tw);
 }
 
-void realft_v8(double* data_s, unsigned long n, int isign) {
+void realft_v8(double* data_s, unsigned long n, int isign,
+               unsigned long need_doubles = 0) {
   v8df* data = (v8df*)data_s;
   double c1 = 0.5, c2;
   double theta = 3.141592653589793 / (double)(n >> 1);
@@ -844,7 +855,7 @@ void realft_v8(double* data_s, unsigned long n, int isign) {
     v8df h1r = data[1];
     data[1] = c1v * (h1r + data[2]);
     data[2] = c1v * (h1r - data[2]);
-    four1_v8(data_s, n >> 1, -1);
+    four1_v8(data_s, n >> 1, -1, need_doubles);
   }
 }
 
@@ -883,7 +894,10 @@ void sla_longterm_autocorr_rows8(const int32_t* data, const int32_t* lengths,
       w[2 * i + 1] = zero;
     }
   }
-  realft_v8(work - FFTR, (unsigned long)fft_size, -1);
+  // only the first out_lags autocorrelation values are read: prune the
+  // inverse transform's unread outputs (identical arithmetic for the rest)
+  realft_v8(work - FFTR, (unsigned long)fft_size, -1,
+            ((unsigned long)out_lags + 1) & ~1ul);
   for (int i = 0; i < out_lags; ++i)
     for (int r = 0; r < FFTR; ++r) out[(int64_t)r * out_lags + i] = work[i * FFTR + r];
 }
