@@ -140,6 +140,41 @@ class Encoder:
             )
         return bit_per_sample - used_width
 
+    # -- public block-level API (SLAEncoder.h:42-49) ---------------------------
+    def encode_header(self, header: HeaderInfo) -> bytes:
+        """Serialize the 43-byte file header (SLAEncoder_EncodeHeader,
+        SLAEncoder.c:227-292). encode_whole calls this twice — provisional,
+        then final with the block statistics; a caller-driven flow does the
+        same: encode_header + encode_block per block + header rewrite."""
+        return encode_header(header)
+
+    def encode_block(self, data: np.ndarray) -> bytes:
+        """Encode ONE block from caller-owned samples
+        (SLAEncoder_EncodeBlock, SLAEncoder.c:458-801): the full per-block
+        pipeline — analysis, silent/raw fallback, filters, entropy payload,
+        CRC — using the caller-set wave format including its offset_lshift
+        (encode_whole overwrites that field from the data; this API, like
+        the reference, trusts the caller; see calculate_left_shift_offset)."""
+        self._require_params()
+        wf, ep = self._wave_format, self._encode_param
+        if data.shape[0] != wf.num_channels:
+            raise SLAError(ApiResult.INVALID_ARGUMENT, "channel count mismatch")
+        n = data.shape[1]
+        if n > self.config.max_num_block_samples:
+            raise SLAError(ApiResult.EXCEED_HANDLE_CAPACITY)
+        data = np.ascontiguousarray(data, dtype=np.int32)
+        ms = ep.ch_process_method == ChannelProcessMethod.STEREO_MS
+        shift = 32 - wf.bit_per_sample + wf.offset_lshift
+        int32_blk = (data >> shift).astype(np.int32)
+        dbl = data.astype(np.float64) * (2.0 ** -31)
+        if ms:
+            int32_blk = np.stack(lr_to_ms_int32(int32_blk[0], int32_blk[1]))
+            dbl = np.stack(lr_to_ms_double(dbl[0], dbl[1]))
+        plan = _BlockPlan(0, n)
+        self._analyze_blocks(int32_blk, dbl, [plan])
+        self._run_filters(data, [plan])
+        return self._encode_block_payload(plan)
+
     # -- whole-file encode ----------------------------------------------------
     def encode_whole(self, data: np.ndarray) -> bytes:
         """data: (num_channels, num_samples) canonical left-justified int32."""

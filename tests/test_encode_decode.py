@@ -184,3 +184,51 @@ def test_error_paths():
         enc.set_encode_parameter(
             sla.EncodeParameter(8, 1, 4, sla.ChannelProcessMethod.STEREO_MS)
         )
+
+
+def test_block_level_api_stream(ref_binary, tmp_path):
+    """The caller-driven flow — encode_header (provisional) + encode_block
+    per block + final header rewrite — mirrors SLAEncoder_EncodeHeader/
+    EncodeBlock (SLAEncoder.h:42-49) and must produce a stream the
+    reference binary decodes losslessly."""
+    import subprocess
+
+    from sla_tpu import wavio
+    from sla_tpu.format import HeaderInfo
+
+    pcm = gen_wave("chirp", 30000, 2, 16, 0, seed=99)
+    enc = sla.Encoder()
+    wf = sla.WaveFormat(2, 16, 44100)
+    wf.offset_lshift = sla.Encoder.calculate_left_shift_offset(pcm, 16)
+    enc.set_wave_format(wf)
+    enc.set_encode_parameter(sla.PRESETS[2])
+
+    block_len = sla.PRESETS[2].max_num_block_samples
+    blobs = []
+    for off in range(0, pcm.shape[1], block_len):
+        blobs.append(enc.encode_block(pcm[:, off : off + block_len]))
+    header = HeaderInfo(
+        wave_format=enc._wave_format,
+        encode_param=enc._encode_param,
+        num_samples=pcm.shape[1],
+        num_blocks=len(blobs),
+        max_block_size=max(len(b) for b in blobs),
+        max_bit_per_second=max(
+            ((8 * len(b) * 44100) & 0xFFFFFFFF) // n
+            for b, n in zip(blobs, [min(block_len, pcm.shape[1] - o)
+                                    for o in range(0, pcm.shape[1], block_len)])
+        ),
+    )
+    stream = enc.encode_header(header) + b"".join(blobs)
+
+    # our decoder round-trips it
+    dec = sla.Decoder()
+    _, out = dec.decode_whole(stream)
+    assert np.array_equal(out, pcm)
+    # and the reference binary decodes it losslessly
+    sla_path = tmp_path / "blocks.sla"
+    sla_path.write_bytes(stream)
+    wav_path = tmp_path / "blocks.wav"
+    subprocess.run([str(ref_binary), "-d", "-q", str(sla_path), str(wav_path)],
+                   check=True, capture_output=True)
+    assert np.array_equal(wavio.read_wav(str(wav_path)).data, pcm)
