@@ -65,3 +65,16 @@ PRESETS = (
     EncodeParameter(32, 3, 8, ChannelProcessMethod.STEREO_MS, WindowFunctionType.SIN, 16384),
 )
 DEFAULT_PRESET = 2
+
+
+def preset_parameter(preset_no: int, num_channels: int) -> EncodeParameter:
+    """Preset's encode parameter for a given channel count: MS only applies
+    to actual stereo sources (reference main.c:124-130)."""
+    p = PRESETS[preset_no]
+    ch_method = (
+        p.ch_process_method if num_channels == 2 else ChannelProcessMethod.NONE
+    )
+    return EncodeParameter(
+        p.parcor_order, p.longterm_order, p.lms_order_per_filter,
+        ch_method, p.window_function_type, p.max_num_block_samples,
+    )

@@ -13,8 +13,8 @@ import sys
 
 import numpy as np
 
-from . import PRESETS, wavio
-from .constants import SLA_VERSION_STRING, ChannelProcessMethod
+from . import PRESETS, preset_parameter, wavio
+from .constants import SLA_VERSION_STRING
 from .command_line import (
     OptionSpec,
     ParserResult,
@@ -26,7 +26,7 @@ from .command_line import (
 from .decoder import Decoder, DecoderConfig
 from .encoder import Encoder, EncoderConfig
 from .errors import SLAError
-from .format import EncodeParameter, WaveFormat, decode_header
+from .format import WaveFormat, decode_header
 
 
 def _make_spec() -> list[OptionSpec]:
@@ -64,21 +64,7 @@ def do_encode(in_file: str, out_file: str, preset_no: int, verbose: bool,
         return 1
     enc = Encoder(EncoderConfig(verbose=verbose))
     enc.set_wave_format(WaveFormat(wav.num_channels, wav.bits_per_sample, wav.sampling_rate))
-    preset = PRESETS[preset_no]
-    ch_method = preset.ch_process_method
-    # MS only applies to actual stereo sources (main.c:124-130)
-    if wav.num_channels != 2:
-        ch_method = ChannelProcessMethod.NONE
-    enc.set_encode_parameter(
-        EncodeParameter(
-            preset.parcor_order,
-            preset.longterm_order,
-            preset.lms_order_per_filter,
-            ch_method,
-            preset.window_function_type,
-            preset.max_num_block_samples,
-        )
-    )
+    enc.set_encode_parameter(preset_parameter(preset_no, wav.num_channels))
     try:
         if trace_dir:
             import jax

@@ -27,13 +27,10 @@ import os
 import pathlib
 import time
 
-import numpy as np
-
-from . import PRESETS, wavio
-from .constants import ChannelProcessMethod
+from . import preset_parameter, wavio
 from .encoder import Encoder, EncoderConfig, encode_whole_batch
 from .errors import SLAError
-from .format import EncodeParameter, WaveFormat
+from .format import WaveFormat
 
 
 @dataclasses.dataclass
@@ -77,15 +74,6 @@ def output_names(paths: list[pathlib.Path]) -> dict[pathlib.Path, str]:
                 ).hexdigest()
                 names[p] = f"{stem}-{digest}"
     return names
-
-
-def _preset_params(preset: int, num_channels: int) -> EncodeParameter:
-    p = PRESETS[preset]
-    ch_method = p.ch_process_method if num_channels == 2 else ChannelProcessMethod.NONE
-    return EncodeParameter(
-        p.parcor_order, p.longterm_order, p.lms_order_per_filter,
-        ch_method, p.window_function_type, p.max_num_block_samples,
-    )
 
 
 def encode_corpus(
@@ -162,7 +150,7 @@ def encode_corpus(
             enc.set_wave_format(
                 WaveFormat(wav.num_channels, wav.bits_per_sample, wav.sampling_rate)
             )
-            enc.set_encode_parameter(_preset_params(preset, wav.num_channels))
+            enc.set_encode_parameter(preset_parameter(preset, wav.num_channels))
             publish(path, enc.encode_whole(wav.data))
         except (SLAError, ValueError, OSError) as e:
             record_failure(path, e)
@@ -189,7 +177,7 @@ def encode_corpus(
                 jobs.append(
                     (
                         WaveFormat(wav.num_channels, wav.bits_per_sample, wav.sampling_rate),
-                        _preset_params(preset, wav.num_channels),
+                        preset_parameter(preset, wav.num_channels),
                         wav.data,
                     )
                 )

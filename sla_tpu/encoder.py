@@ -21,6 +21,8 @@ The per-block filter work that the reference runs serially per channel
 from __future__ import annotations
 
 import dataclasses
+import os
+import time
 
 import numpy as np
 
@@ -140,6 +142,21 @@ class Encoder:
             )
         return bit_per_sample - used_width
 
+    def _ms_int32(self, data: np.ndarray, shift: int) -> np.ndarray:
+        """(C, N) samples >> shift, MS-transformed when configured."""
+        x = (data >> shift).astype(np.int32)
+        if self._encode_param.ch_process_method == ChannelProcessMethod.STEREO_MS:
+            x = np.stack(lr_to_ms_int32(x[0], x[1]))
+        return x
+
+    def _ms_double(self, data: np.ndarray) -> np.ndarray:
+        """(C, N) samples as float64 in [-1, 1), MS-transformed when
+        configured (SLAEncoder.c:381-390 conversion)."""
+        d = data.astype(np.float64) * (2.0 ** -31)
+        if self._encode_param.ch_process_method == ChannelProcessMethod.STEREO_MS:
+            d = np.stack(lr_to_ms_double(d[0], d[1]))
+        return d
+
     # -- public block-level API (SLAEncoder.h:42-49) ---------------------------
     def encode_header(self, header: HeaderInfo) -> bytes:
         """Serialize the 43-byte file header (SLAEncoder_EncodeHeader,
@@ -163,23 +180,15 @@ class Encoder:
         if n > self.config.max_num_block_samples:
             raise SLAError(ApiResult.EXCEED_HANDLE_CAPACITY)
         data = np.ascontiguousarray(data, dtype=np.int32)
-        ms = ep.ch_process_method == ChannelProcessMethod.STEREO_MS
         shift = 32 - wf.bit_per_sample + wf.offset_lshift
-        int32_blk = (data >> shift).astype(np.int32)
-        dbl = data.astype(np.float64) * (2.0 ** -31)
-        if ms:
-            int32_blk = np.stack(lr_to_ms_int32(int32_blk[0], int32_blk[1]))
-            dbl = np.stack(lr_to_ms_double(dbl[0], dbl[1]))
         plan = _BlockPlan(0, n)
-        self._analyze_blocks(int32_blk, dbl, [plan])
+        self._analyze_blocks(self._ms_int32(data, shift), self._ms_double(data), [plan])
         self._run_filters(data, [plan])
         return self._encode_block_payload(plan)
 
     # -- whole-file encode ----------------------------------------------------
     def encode_whole(self, data: np.ndarray) -> bytes:
         """data: (num_channels, num_samples) canonical left-justified int32."""
-        import time
-
         num_samples, plans = self._stage_encode(data)
         t0 = time.perf_counter()
         self._run_filters(data, plans)
@@ -200,8 +209,6 @@ class Encoder:
     def _stage_encode(self, data: np.ndarray) -> tuple[int, list["_BlockPlan"]]:
         """Checks + left-shift detection + block planning + float64 analysis
         (everything before the batched filter stage)."""
-        import time
-
         self._require_params()
         wf = self._wave_format
         if data.shape[0] != wf.num_channels:
@@ -209,7 +216,7 @@ class Encoder:
         data = np.ascontiguousarray(data, dtype=np.int32)
         num_samples = data.shape[1]
         wf.offset_lshift = self.calculate_left_shift_offset(data, wf.bit_per_sample)
-        self.stage_times: dict[str, float] = {}
+        self.stage_times = {}
         t0 = time.perf_counter()
         # whole-file conversions computed once (elementwise, so identical to
         # the per-window/per-block versions they replace): the MS-transformed
@@ -218,15 +225,9 @@ class Encoder:
         # SLAEncoder.c:381-390, while block analysis removes the offset,
         # SLAEncoder.c:505-512). Peak memory is unchanged — the partition
         # windows already materialized the float64 signal in full.
-        ms = self._encode_param.ch_process_method == ChannelProcessMethod.STEREO_MS
-        int32_plan = (data >> (32 - wf.bit_per_sample)).astype(np.int32)
-        shift = 32 - wf.bit_per_sample + wf.offset_lshift
-        int32_blk = (data >> shift).astype(np.int32)
-        dbl = data.astype(np.float64) * (2.0 ** -31)
-        if ms:
-            int32_plan = np.stack(lr_to_ms_int32(int32_plan[0], int32_plan[1]))
-            int32_blk = np.stack(lr_to_ms_int32(int32_blk[0], int32_blk[1]))
-            dbl = np.stack(lr_to_ms_double(dbl[0], dbl[1]))
+        int32_plan = self._ms_int32(data, 32 - wf.bit_per_sample)
+        int32_blk = self._ms_int32(data, 32 - wf.bit_per_sample + wf.offset_lshift)
+        dbl = self._ms_double(data)
         plans = self._plan_blocks(int32_plan, dbl, num_samples)
         self.stage_times["partition"] = time.perf_counter() - t0
         t0 = time.perf_counter()
@@ -397,8 +398,6 @@ class Encoder:
             return backend
         if not native.available():
             return "device"
-        import os
-
         threshold = int(os.environ.get("SLA_TPU_DEVICE_THRESHOLD", 16_000_000))
         if row_samples < threshold:
             return "host"
@@ -447,8 +446,6 @@ class Encoder:
         fuse many small files' blocks into ONE (rows, L) batch — the batch
         axis the device and mesh backends parallelize (see
         encode_whole_batch)."""
-        import os
-
         ep = self._encode_param
         flat = [(pl, C) for C, comp in groups for pl in comp]
         if not flat:
@@ -649,8 +646,6 @@ class Encoder:
                     for ch in range(C):
                         w.put(int(zz[ch][s]), bits[ch])
         elif plan.block_type == BlockDataType.COMPRESSDATA:
-            import os
-
             if os.environ.get("SLA_TPU_DEVICE_ENTROPY"):
                 # device-coded symbols + branch-free host pack (north-star
                 # split, rice_device.py); byte-identical to the host coder

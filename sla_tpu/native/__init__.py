@@ -14,6 +14,8 @@ import subprocess
 
 import numpy as np
 
+from ..errors import ApiResult, SLAError
+
 _DIR = pathlib.Path(__file__).resolve().parent
 _SRC = _DIR / "sla_native.cpp"
 _LIB = _DIR / "libsla_native.so"
@@ -195,8 +197,6 @@ def get_data_array(
         # the native reader zero-fills past the end; surfacing the over-read
         # here keeps truncated streams loud even with CRC checks disabled
         # (mirrors SLA_APIRESULT_INSUFFICIENT_DATA_SIZE semantics)
-        from ..errors import ApiResult, SLAError
-
         raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE, "payload over-read")
     return out
 
@@ -224,8 +224,6 @@ def get_raw(
         lib.sla_get_raw(_u8ptr(buf), buf.size, bit_offset, C, N, _i32ptr(bits), _i32ptr(out))
     )
     if end > 8 * buf.size:
-        from ..errors import ApiResult, SLAError
-
         raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE, "raw payload over-read")
     return out
 
