@@ -11,6 +11,24 @@ import os as _os
 
 import jax as _jax
 
+# Keep large scratch buffers in the heap across frees: the codec churns
+# through multi-hundred-MB conversion/filter/analysis buffers per encode,
+# and glibc's default returns every >128 KB block to the OS on free — each
+# reuse then page-faults the whole buffer back in (microseconds per page on
+# virtualized hosts; ~1 s per 200 MB measured). Raising the mmap/trim
+# thresholds makes malloc recycle the heap instead. Trades steady-state RSS
+# (the peak working set stays resident) for allocation speed; opt out with
+# SLA_TPU_NO_MALLOPT.
+if not _os.environ.get("SLA_TPU_NO_MALLOPT"):
+    try:
+        import ctypes as _ctypes
+
+        _libc = _ctypes.CDLL("libc.so.6")
+        _libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        _libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
 # The long-term predictor accumulates in 64-bit integers
 # (SLAPredictor.c:1040-1085); enable wide types before any tracing.
 _jax.config.update("jax_enable_x64", True)

@@ -11,10 +11,14 @@ import numpy as np
 
 
 def lr_to_ms_int32(left: np.ndarray, right: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    l64 = left.astype(np.int64)
-    r64 = right.astype(np.int64)
-    mid = ((l64 + r64) >> 1).astype(np.int32)
-    side = (l64 - r64).astype(np.int32)
+    # (L + R) >> 1 without int64 temporaries: with floor-shift semantics
+    # L + R = 2*(L>>1) + 2*(R>>1) + (L&1) + (R&1), so the exact mean is
+    # (L>>1) + (R>>1) + (L&1 & R&1) — always within int32 (mean of two
+    # int32). side wraps in int32 exactly like the reference's int32 C
+    # arithmetic (SLAUtility.c:391-412).
+    mid = (left >> 1) + (right >> 1) + (left & right & np.int32(1))
+    with np.errstate(over="ignore"):
+        side = left - right
     return mid, side
 
 

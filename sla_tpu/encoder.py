@@ -143,18 +143,21 @@ class Encoder:
         return bit_per_sample - used_width
 
     def _ms_int32(self, data: np.ndarray, shift: int) -> np.ndarray:
-        """(C, N) samples >> shift, MS-transformed when configured."""
+        """(C, N) samples >> shift, MS-transformed when configured.
+        Transforms in place on the freshly converted copy — these run on
+        whole files, where an extra stack copy is real memory traffic."""
         x = (data >> shift).astype(np.int32)
         if self._encode_param.ch_process_method == ChannelProcessMethod.STEREO_MS:
-            x = np.stack(lr_to_ms_int32(x[0], x[1]))
+            x[0], x[1] = lr_to_ms_int32(x[0], x[1])
         return x
 
     def _ms_double(self, data: np.ndarray) -> np.ndarray:
         """(C, N) samples as float64 in [-1, 1), MS-transformed when
         configured (SLAEncoder.c:381-390 conversion)."""
-        d = data.astype(np.float64) * (2.0 ** -31)
+        d = data.astype(np.float64)
+        d *= 2.0 ** -31  # in place: these run on whole files
         if self._encode_param.ch_process_method == ChannelProcessMethod.STEREO_MS:
-            d = np.stack(lr_to_ms_double(d[0], d[1]))
+            d[0], d[1] = lr_to_ms_double(d[0], d[1])
         return d
 
     # -- public block-level API (SLAEncoder.h:42-49) ---------------------------

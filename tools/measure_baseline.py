@@ -109,6 +109,18 @@ def main():
     fx = np.stack(chs).astype(np.int32) << 8
     measure("5.1 48k/24 15s preset2", fx, 24, 48000, 2)
 
+    # 5-minute stereo file: exercises the memory-bounded long-stream paths
+    # (bounded filter chunking, decoder synthesis groups)
+    n5 = 44100 * 300
+    sig5 = 0.3 * np.sin(2 * np.pi * 330 * np.arange(n5) / 44100.0)
+    noise5 = np.stack(
+        [np.convolve(rng.normal(0, 0.02, n5), np.ones(8) / 8, "same") for _ in range(2)]
+    )
+    long_pcm = (
+        np.clip((sig5[None] + noise5) * 32767, -32768, 32767).astype(np.int32) << 16
+    )
+    measure("5-minute CD stereo preset2", long_pcm, 16, 44100, 2)
+
     measure_corpus(rng)
 
 
