@@ -1355,13 +1355,20 @@ int32_t sla_predict_stage2_rows8(const int32_t* in, int32_t* out, int32_t n,
       std::memcpy(orow, row, sizeof(int32_t) * n);
     }
   }
-  // LMS predict in place over `out`, 8 rows interleaved
-  int32_t fc[64][R], ic[64][R], xb[64][R], pb[64][R];
+  // LMS predict in place over `out`, 8 rows interleaved. Doubled ring
+  // buffers (newest tile at xd[xpos]) replace the per-sample shift-down of
+  // the M-deep history: refill headroom every 64 samples instead of moving
+  // 2*M tiles per sample (same trick as sla_synth_chunk).
+  int32_t fc[64][R], ic[64][R];
   std::memset(fc, 0, sizeof(int32_t) * M * R);
   std::memset(ic, 0, sizeof(int32_t) * M * R);
-  std::memset(xb, 0, sizeof(int32_t) * M * R);
-  std::memset(pb, 0, sizeof(int32_t) * M * R);
+  int32_t xd[128][R], pd[128][R];
+  std::memset(xd, 0, sizeof(xd));
+  std::memset(pd, 0, sizeof(pd));
+  int32_t xpos = 64;
   for (int32_t s = 0; s < n; ++s) {
+    const int32_t(*xb)[R] = xd + xpos;
+    const int32_t(*pb)[R] = pd + xpos;
     int32_t acc[R];
     for (int32_t r = 0; r < R; ++r) acc[r] = 512;
     for (int32_t i = 0; i < M; ++i)
@@ -1382,11 +1389,15 @@ int32_t sla_predict_stage2_rows8(const int32_t* in, int32_t* out, int32_t n,
         fc[i][r] += step[r] * ((xb[i][r] > 0) - (xb[i][r] < 0));
         ic[i][r] += step[r] * ((pb[i][r] > 0) - (pb[i][r] < 0));
       }
-    for (int32_t i = M - 1; i > 0; --i)
-      for (int32_t r = 0; r < R; ++r) { xb[i][r] = xb[i - 1][r]; pb[i][r] = pb[i - 1][r]; }
+    if (xpos == 0) {  // refill headroom
+      for (int32_t i = M - 1; i >= 0; --i)
+        for (int32_t r = 0; r < R; ++r) { xd[64 + i][r] = xd[i][r]; pd[64 + i][r] = pd[i][r]; }
+      xpos = 64;
+    }
+    --xpos;
     for (int32_t r = 0; r < R; ++r) {
-      xb[0][r] = x[r];
-      pb[0][r] = warm ? x[r] : pred[r];
+      xd[xpos][r] = x[r];
+      pd[xpos][r] = warm ? x[r] : pred[r];
       out[(int64_t)r * n + s] = warm ? x[r] : res[r];
     }
   }
@@ -1412,11 +1423,14 @@ int32_t sla_synth_rows8(const int32_t* residual, int32_t* out, int32_t n,
     for (int32_t r = 0; r < R; ++r) c[k][r] = parcor_coef[r * p + k];
   int32_t lat[65][R];
   std::memset(lat, 0, sizeof(lat));
-  int32_t fc[64][R], ic[64][R], xb[64][R], pb[64][R];
+  int32_t fc[64][R], ic[64][R];
   std::memset(fc, 0, sizeof(int32_t) * M * R);
   std::memset(ic, 0, sizeof(int32_t) * M * R);
-  std::memset(xb, 0, sizeof(int32_t) * M * R);
-  std::memset(pb, 0, sizeof(int32_t) * M * R);
+  // doubled ring history, newest tile at xd[xpos] (see the predict kernel)
+  int32_t xd[128][R], pd[128][R];
+  std::memset(xd, 0, sizeof(xd));
+  std::memset(pd, 0, sizeof(pd));
+  int32_t xpos = 64;
   int32_t deemph[R] = {0};
   int32_t q15c[8][R];
   int32_t max_delay[R];
@@ -1436,6 +1450,8 @@ int32_t sla_synth_rows8(const int32_t* residual, int32_t* out, int32_t n,
 
     // ---- LMS synthesis
     {
+      const int32_t(*xb)[R] = xd + xpos;
+      const int32_t(*pb)[R] = pd + xpos;
       int32_t acc[R];
       for (int32_t r = 0; r < R; ++r) acc[r] = 512;
       for (int32_t i = 0; i < M; ++i)
@@ -1456,11 +1472,15 @@ int32_t sla_synth_rows8(const int32_t* residual, int32_t* out, int32_t n,
           fc[i][r] += step[r] * ((xb[i][r] > 0) - (xb[i][r] < 0));
           ic[i][r] += step[r] * ((pb[i][r] > 0) - (pb[i][r] < 0));
         }
-      for (int32_t i = M - 1; i > 0; --i)
-        for (int32_t r = 0; r < R; ++r) { xb[i][r] = xb[i - 1][r]; pb[i][r] = pb[i - 1][r]; }
+      if (xpos == 0) {  // refill headroom
+        for (int32_t i = M - 1; i >= 0; --i)
+          for (int32_t r = 0; r < R; ++r) { xd[64 + i][r] = xd[i][r]; pd[64 + i][r] = pd[i][r]; }
+        xpos = 64;
+      }
+      --xpos;
       for (int32_t r = 0; r < R; ++r) {
-        xb[0][r] = outv[r];
-        pb[0][r] = warm ? outv[r] : pred[r];
+        xd[xpos][r] = outv[r];
+        pd[xpos][r] = warm ? outv[r] : pred[r];
         if (!warm) y[r] = outv[r];
       }
     }
