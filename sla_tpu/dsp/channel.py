@@ -23,11 +23,13 @@ def lr_to_ms_int32(left: np.ndarray, right: np.ndarray) -> tuple[np.ndarray, np.
 
 
 def ms_to_lr_int32(mid: np.ndarray, side: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    m64 = mid.astype(np.int64)
-    s64 = side.astype(np.int64)
-    full_mid = (m64 << 1) | (s64 & 1)
-    left = ((full_mid + s64) >> 1).astype(np.int32)
-    right = ((full_mid - s64) >> 1).astype(np.int32)
+    # pure int32 with two's-complement wrap — exactly the reference's
+    # arithmetic (SLAUtility.c:415-433), and no int64 temporaries
+    one = np.int32(1)
+    with np.errstate(over="ignore"):
+        full_mid = (mid << one) | (side & one)
+        left = (full_mid + side) >> one
+        right = (full_mid - side) >> one
     return left, right
 
 
