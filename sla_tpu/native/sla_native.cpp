@@ -1404,12 +1404,14 @@ int32_t sla_predict_stage2_rows8(const int32_t* in, int32_t* out, int32_t n,
   return 0;
 }
 
-// Eight-row synthesis: same cascade as sla_synth_chunk but with eight
-// independent rows interleaved so the serial per-sample dependency chains
-// (lattice k-recursion, LMS adaptation) fill SIMD lanes / execution ports —
-// the host-side mirror of the Pallas kernel's lane axis. Fresh state, whole
-// blocks (the decoder's batch path; streaming keeps the resumable
-// single-row variant). residual/out: 8 rows x n, row-major.
+// Eight-row synthesis: same cascade as sla_synth_chunk, restructured as
+// three passes — the stages have no cross-feedback (LMS sees only the
+// residual and its own state; long-term only LMS output and its own
+// output; lattice only long-term output and its own state), so running
+// each stage over the whole block produces identical values to the fused
+// per-sample loop while letting the long-term stage vectorize over
+// samples (its feedback lag is >= max_delay - num_taps + 1, so chunks of
+// that length are dependency-free). residual/out: 8 rows x n, row-major.
 int32_t sla_synth_rows8(const int32_t* residual, int32_t* out, int32_t n,
                         const int32_t* parcor_coef /* 8 x p */, int32_t p,
                         const int32_t* pitch8 /* 8 */,
@@ -1417,39 +1419,18 @@ int32_t sla_synth_rows8(const int32_t* residual, int32_t* out, int32_t n,
                         int32_t lms_order) {
   enum { R = 8 };
   const int32_t M = lms_order;
-  // transposed coefficient/state tiles: index [k][row]
-  int32_t c[64][R];
-  for (int32_t k = 0; k < p; ++k)
-    for (int32_t r = 0; r < R; ++r) c[k][r] = parcor_coef[r * p + k];
-  int32_t lat[65][R];
-  std::memset(lat, 0, sizeof(lat));
-  int32_t fc[64][R], ic[64][R];
-  std::memset(fc, 0, sizeof(int32_t) * M * R);
-  std::memset(ic, 0, sizeof(int32_t) * M * R);
-  // doubled ring history, newest tile at xd[xpos] (see the predict kernel)
-  int32_t xd[128][R], pd[128][R];
-  std::memset(xd, 0, sizeof(xd));
-  std::memset(pd, 0, sizeof(pd));
-  int32_t xpos = 64;
-  int32_t deemph[R] = {0};
-  int32_t q15c[8][R];
-  int32_t max_delay[R];
-  bool any_lt = false;
-  for (int32_t r = 0; r < R; ++r) {
-    max_delay[r] = pitch8[r] + num_taps / 2;
-    any_lt = any_lt || pitch8[r] > 0;
-    for (int32_t j = 0; j < num_taps; ++j) q15c[j][r] = ltm[r * num_taps + j] >> 16;
-  }
-  static thread_local int32_t lt_ring[R][1024];
-  const int32_t lt_mask = 1023;
-  if (any_lt) std::memset(lt_ring, 0, sizeof(int32_t) * R * 1024);
 
-  for (int32_t s = 0; s < n; ++s) {
-    int32_t y[R];
-    for (int32_t r = 0; r < R; ++r) y[r] = residual[(int64_t)r * n + s];
-
-    // ---- LMS synthesis
-    {
+  // ---- pass A: LMS synthesis, rows interleaved, into `out`
+  {
+    int32_t fc[64][R], ic[64][R];
+    std::memset(fc, 0, sizeof(int32_t) * M * R);
+    std::memset(ic, 0, sizeof(int32_t) * M * R);
+    // doubled ring history, newest tile at xd[xpos] (see the predict kernel)
+    int32_t xd[128][R], pd[128][R];
+    std::memset(xd, 0, sizeof(xd));
+    std::memset(pd, 0, sizeof(pd));
+    int32_t xpos = 64;
+    for (int32_t s = 0; s < n; ++s) {
       const int32_t(*xb)[R] = xd + xpos;
       const int32_t(*pb)[R] = pd + xpos;
       int32_t acc[R];
@@ -1460,9 +1441,9 @@ int32_t sla_synth_rows8(const int32_t* residual, int32_t* out, int32_t n,
       bool warm = s < M;
       int32_t pred[R], outv[R], step[R];
       for (int32_t r = 0; r < R; ++r) {
+        int32_t res = residual[(int64_t)r * n + s];
         pred[r] = acc[r] >> 10;
-        int32_t res = y[r];
-        outv[r] = y[r] + pred[r];
+        outv[r] = res + pred[r];
         uint32_t mag = (uint32_t)(res < 0 ? -res : res);
         int32_t bl = (mag == 0) ? 0 : (32 - __builtin_clz(mag));
         step[r] = warm ? 0 : ((res > 0) - (res < 0)) * (bl >> 1);
@@ -1481,27 +1462,46 @@ int32_t sla_synth_rows8(const int32_t* residual, int32_t* out, int32_t n,
       for (int32_t r = 0; r < R; ++r) {
         xd[xpos][r] = outv[r];
         pd[xpos][r] = warm ? outv[r] : pred[r];
-        if (!warm) y[r] = outv[r];
+        out[(int64_t)r * n + s] = warm ? residual[(int64_t)r * n + s] : outv[r];
       }
     }
+  }
 
-    // ---- long-term synthesis (per-row delays: scalar gather)
-    if (any_lt) {
-      for (int32_t r = 0; r < R; ++r) {
-        if (pitch8[r] <= 0) continue;
+  // ---- pass B: long-term synthesis, per row, chunked over samples
+  for (int32_t r = 0; r < R; ++r) {
+    if (pitch8[r] <= 0) continue;
+    const int32_t max_delay = pitch8[r] + num_taps / 2;
+    int32_t q15c[8];
+    for (int32_t j = 0; j < num_taps; ++j) q15c[j] = ltm[r * num_taps + j] >> 16;
+    int32_t* x = out + (int64_t)r * n;
+    const int32_t min_lag = max_delay - (num_taps - 1);  // shallowest lag
+    for (int32_t s0 = max_delay; s0 < n; s0 += min_lag) {
+      int32_t e = s0 + min_lag < n ? s0 + min_lag : n;
+      // within the chunk every read is before s0 (lag >= min_lag), so
+      // the loop is dependency-free despite writing x in place
+#pragma GCC ivdep
+      for (int32_t s = s0; s < e; ++s) {
         int64_t acc = 0;
         for (int32_t j = 0; j < num_taps; ++j)
-          acc += (int64_t)q15c[j][r] * lt_ring[r][(s + 1024 - (max_delay[r] - j)) & lt_mask];
-        int32_t lpred = (int32_t)((acc + (1 << 14)) >> 15);
-        int32_t lout = (s >= max_delay[r]) ? y[r] + lpred : y[r];
-        lt_ring[r][s & lt_mask] = lout;
-        y[r] = lout;
+          acc += (int64_t)q15c[j] * x[s - (max_delay - j)];
+        x[s] += (int32_t)((acc + (1 << 14)) >> 15);
       }
     }
+  }
 
-    // ---- PARCOR lattice synthesis (suffix-sum formulation: stage terms
-    // use previous state only, so k and r both vectorize)
-    {
+  // ---- pass C: PARCOR lattice synthesis + de-emphasis, rows interleaved
+  {
+    int32_t c[64][R];
+    for (int32_t k = 0; k < p; ++k)
+      for (int32_t r = 0; r < R; ++r) c[k][r] = parcor_coef[r * p + k];
+    int32_t lat[65][R];
+    std::memset(lat, 0, sizeof(lat));
+    int32_t deemph[R] = {0};
+    for (int32_t s = 0; s < n; ++s) {
+      int32_t y[R];
+      for (int32_t r = 0; r < R; ++r) y[r] = out[(int64_t)r * n + s];
+      // suffix-sum formulation: stage terms use previous state only, so
+      // k and r both vectorize
       int32_t m[64][R], fpart[64][R];
       for (int32_t k = 0; k < p; ++k)
         for (int32_t r = 0; r < R; ++r) m[k][r] = qmul15(c[k][r], lat[k][r]);
@@ -1511,14 +1511,13 @@ int32_t sla_synth_rows8(const int32_t* residual, int32_t* out, int32_t n,
       for (int32_t k = p - 1; k >= 0; --k)
         for (int32_t r = 0; r < R; ++r)
           lat[k + 1][r] = lat[k][r] - qmul15(c[k][r], fpart[k][r]);
-      for (int32_t r = 0; r < R; ++r) { lat[0][r] = fpart[0][r]; y[r] = fpart[0][r]; }
-    }
-
-    // ---- de-emphasis
-    for (int32_t r = 0; r < R; ++r) {
-      y[r] += (deemph[r] * 31) >> 5;
-      deemph[r] = y[r];
-      out[(int64_t)r * n + s] = y[r];
+      for (int32_t r = 0; r < R; ++r) {
+        int32_t v = fpart[0][r];
+        lat[0][r] = v;
+        v += (deemph[r] * 31) >> 5;
+        deemph[r] = v;
+        out[(int64_t)r * n + s] = v;
+      }
     }
   }
   return 0;
