@@ -53,14 +53,13 @@ def longterm_predict(
     """
     B, N = data.shape
     q = _q15(coef)  # (B, T)
-    x64 = data.astype(jnp.int64)
     max_delay = pitch + (num_taps // 2)  # (B,)
     acc = jnp.zeros((B, N), dtype=jnp.int64)
     n_idx = jnp.arange(N, dtype=jnp.int32)[None, :]
     for j in range(num_taps):
         # hist index: n - pitch - T//2 + j ; realized by per-row dynamic roll
         delay = max_delay - j  # (B,)
-        shifted = _delay_rows(x64, delay)
+        shifted = _delay_rows(data, delay).astype(jnp.int64)
         acc = acc + q[:, j : j + 1] * shifted
     pred = ((acc + (1 << 14)) >> 15).astype(jnp.int32)
     pos = processed[:, None] + n_idx  # absolute sample index within the block
@@ -71,13 +70,17 @@ def longterm_predict(
 
 def _delay_rows(x: jnp.ndarray, delay: jnp.ndarray) -> jnp.ndarray:
     """Shift each row right by its own delay, zero-filling: out[b, n] =
-    x[b, n - delay[b]] (0 where n < delay[b])."""
+    x[b, n - delay[b]] (0 where n < delay[b]).
+
+    Realized as a vmapped dynamic slice of the zero-padded row: the
+    row-constant shift makes the gather formulation (take_along_axis)
+    needless, and on TPU that gather is ~50x slower than these slices."""
     B, N = x.shape
-    n_idx = jnp.arange(N, dtype=jnp.int32)[None, :]
-    src = n_idx - delay[:, None]
-    valid = src >= 0
-    src = jnp.clip(src, 0, N - 1)
-    return jnp.where(valid, jnp.take_along_axis(x, src.astype(jnp.int32), axis=1), 0)
+    pad = jnp.concatenate([jnp.zeros((B, _MAX_DELAY), x.dtype), x], axis=1)
+    start = (_MAX_DELAY - delay).astype(jnp.int32)  # delay <= _MAX_DELAY
+    return jax.vmap(
+        lambda row, st: jax.lax.dynamic_slice_in_dim(row, st, N)
+    )(pad, start)
 
 
 def longterm_synthesize(

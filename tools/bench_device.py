@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""On-chip throughput of the device filter pipelines (run on a real TPU).
+
+Generates the batch ON the device (no host transfers in the timed loop;
+only a scalar reduction comes back), runs the compiled fused stages, and
+reports steady-state row-samples/s:
+
+  * encode: stage1 (pre-emphasis + lattice predict) -> stage2 (long-term +
+    LMS predict), the Pallas path pipeline.py dispatches on TPU
+  * decode: the full synthesis cascade (LMS -> long-term -> lattice)
+
+This is the production-TPU proxy for hosts whose device link is too slow
+to feed end-to-end encode (BASELINE.md context).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    import sla_tpu  # noqa: F401
+    from sla_tpu.pipeline import decode_stage, encode_stage1, encode_stage2
+
+    backend = jax.default_backend()
+    device = jax.devices()[0]
+    print(f"backend={backend} device={device.device_kind}", flush=True)
+    if backend not in ("tpu", "axon"):
+        print("FAIL: run on TPU hardware")
+        return 1
+
+    B, L, p, T, M = 256, 12288, 16, 1, 8
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    data = jax.random.randint(k1, (B, L), -30000, 30000, dtype=jnp.int32)
+    coef = jax.random.randint(k2, (B, p), -25000, 25000, dtype=jnp.int32)
+    pitch = jax.random.randint(k3, (B,), 40, 200, dtype=jnp.int32)
+    ltm = jax.random.randint(k4, (B, T), -20000, 20000, dtype=jnp.int32) << 16
+
+    @jax.jit
+    def encode_pipeline(d, c, pi, lt):
+        r1 = encode_stage1(d, c, p)
+        r2 = encode_stage2(r1, pi, lt, T, M)
+        return jnp.sum(r2, dtype=jnp.int32)  # scalar: keep transfers off the clock
+
+    @jax.jit
+    def decode_pipeline(d, c, pi, lt):
+        out = decode_stage(d, c, pi, lt, p, T, M)
+        return jnp.sum(out, dtype=jnp.int32)
+
+    import numpy as np
+
+    for name, fn in [("encode stage1+2", encode_pipeline), ("decode cascade ", decode_pipeline)]:
+        # warm the exact chained pattern below: compiles both shapes and
+        # absorbs the tunnel's first-dispatch stall. On tunneled runtimes
+        # block_until_ready can return before the device finishes — only a
+        # host fetch truly synchronizes, hence np.asarray.
+        acc = jnp.int32(0)
+        for _ in range(3):
+            acc = fn(data + (acc & 1), coef, pitch, ltm)
+        np.asarray(acc)
+        iters = 30
+        t0 = time.time()
+        acc = jnp.int32(0)
+        for _ in range(iters):
+            # chain each step through the previous result so the queue can't
+            # be collapsed, then fetch the final scalar to drain it
+            acc = fn(data + (acc & 1), coef, pitch, ltm)
+        np.asarray(acc)
+        dt = (time.time() - t0) / iters
+        rate = B * L / dt
+        print(f"{name}: {dt * 1e3:.2f} ms / ({B}x{L}) batch -> "
+              f"{rate / 1e9:.2f} G row-samples/s", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
