@@ -362,20 +362,24 @@ class Encoder:
                 if not np.any(plan.raw_int32):
                     plan.block_type = BlockDataType.SILENT
                 batch_dbl[row] = dbl_ms[:, plan.offset : plan.offset + n]
-            # windowing + double pre-emphasis (SLAEncoder.c:540-543).
-            # NumPy materializes the RHS temp before the in-place subtract,
-            # so no defensive copy of the shifted view is needed.
-            batch_dbl *= window
-            coef = (2.0 ** 5 - 1.0) * 2.0 ** -5
-            batch_dbl[..., 1:] -= batch_dbl[..., :-1] * coef
             if native.available():
                 # exact-order analysis: byte-identity needs the reference's
-                # float64 summation order (see native sla_lpc_analyze)
+                # float64 summation order (see native sla_lpc_analyze).
+                # Windowing + double pre-emphasis (SLAEncoder.c:540-543)
+                # fuse into the native interleave fill.
                 rows = batch_dbl.reshape(-1, n)
-                parcor_r, len_r = native.lpc_analyze_rows(rows, p, wf.bit_per_sample)
+                parcor_r, len_r = native.lpc_analyze_rows(
+                    rows, p, wf.bit_per_sample, window=window, emphasis=True
+                )
                 parcor = parcor_r.reshape(batch_dbl.shape[:-1] + (p + 1,))
                 code_len = len_r.reshape(batch_dbl.shape[:-1])
             else:
+                # windowing + double pre-emphasis (NumPy materializes the RHS
+                # temp before the in-place subtract, so no defensive copy of
+                # the shifted view is needed)
+                batch_dbl *= window
+                coef = (2.0 ** 5 - 1.0) * 2.0 ** -5
+                batch_dbl[..., 1:] -= batch_dbl[..., :-1] * coef
                 parcor = calculate_parcor(batch_dbl, p)  # (Nb, C, p+1)
                 code_len = estimate_code_length(batch_dbl, wf.bit_per_sample, parcor, p)
             ratio = 8.0 * code_len / wf.bit_per_sample

@@ -107,7 +107,7 @@ def _load() -> ctypes.CDLL | None:
     lib.sla_lpc_analyze.restype = i32
     lib.sla_lpc_analyze.argtypes = [p_f64, i32, i32, i32, p_f64, p_f64]
     lib.sla_lpc_analyze_rows8.restype = i32
-    lib.sla_lpc_analyze_rows8.argtypes = [p_f64, i32, i32, i32, p_f64, p_f64]
+    lib.sla_lpc_analyze_rows8.argtypes = [p_f64, i32, i32, i32, p_f64, i32, p_f64, p_f64]
     lib.sla_make_window.restype = i32
     lib.sla_make_window.argtypes = [i32, i32, p_f64]
     lib.sla_pack_parts.restype = i64
@@ -662,12 +662,19 @@ def find_pitch(ac: np.ndarray, max_pitch: int) -> int:
 
 
 def lpc_analyze_rows(
-    data: np.ndarray, order: int, bits_per_sample: int
+    data: np.ndarray,
+    order: int,
+    bits_per_sample: int,
+    window: np.ndarray | None = None,
+    emphasis: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact-order LPC analysis per row (the reference's summation order —
     byte-identity depends on the last float64 ulp).
 
-    data: (B, n) float64 windowed+pre-emphasized rows.
+    data: (B, n) float64 rows. When `window`/`emphasis` are given, the
+    windowing and double pre-emphasis (SLAEncoder.c:540-543) are fused into
+    the native interleave fill — per-element arithmetic identical to
+    applying them beforehand.
     Returns (parcor (B, order+1) float64, code length/sample (B,) float64)."""
     lib = _load()
     data = np.ascontiguousarray(data, dtype=np.float64)
@@ -676,10 +683,25 @@ def lpc_analyze_rows(
     lengths = np.zeros((B,), dtype=np.float64)
     if not (1 <= order <= 64):
         raise ValueError(f"lpc_analyze_rows: order out of native scratch range ({order})")
+    win_ptr = None
+    if window is not None:
+        window = np.ascontiguousarray(window, dtype=np.float64)
+        win_ptr = _f64ptr(window)
+    emph = 1 if emphasis else 0
+
+    def preprocess(rows: np.ndarray) -> np.ndarray:
+        # scalar-path equivalent of the fused fill
+        rows = rows.copy()
+        if window is not None:
+            rows *= window
+        if emphasis:
+            rows[..., 1:] -= rows[..., :-1] * ((2.0 ** 5 - 1.0) * 2.0 ** -5)
+        return rows
+
     b = 0
     while b + 8 <= B:
         lib.sla_lpc_analyze_rows8(
-            _f64ptr(data[b:]), n, order, bits_per_sample,
+            _f64ptr(data[b:]), n, order, bits_per_sample, win_ptr, emph,
             _f64ptr(parcor[b:]), _f64ptr(lengths[b:]),
         )
         b += 8
@@ -692,15 +714,17 @@ def lpc_analyze_rows(
         pc8 = np.zeros((8, order + 1), dtype=np.float64)
         ln8 = np.zeros(8, dtype=np.float64)
         lib.sla_lpc_analyze_rows8(
-            _f64ptr(pad), n, order, bits_per_sample, _f64ptr(pc8), _f64ptr(ln8)
+            _f64ptr(pad), n, order, bits_per_sample, win_ptr, emph,
+            _f64ptr(pc8), _f64ptr(ln8)
         )
         parcor[b:] = pc8[:tail]
         lengths[b:] = ln8[:tail]
-    else:
-        for i in range(b, B):
+    elif tail:
+        rows = preprocess(data[b:])
+        for i in range(tail):
             lib.sla_lpc_analyze(
-                _f64ptr(data[i]), n, order, bits_per_sample,
-                _f64ptr(parcor[i]), lengths[i : i + 1].ctypes.data_as(
+                _f64ptr(rows[i]), n, order, bits_per_sample,
+                _f64ptr(parcor[b + i]), lengths[b + i : b + i + 1].ctypes.data_as(
                     ctypes.POINTER(ctypes.c_double)),
             )
     return parcor, lengths

@@ -1703,17 +1703,39 @@ static void lpc_finish_row(const double* auto_corr, int32_t n, int32_t order,
 // rows interleaved through 8-wide vectors — per-row operation order is
 // untouched, exactly like four1_v8 vs four1 — then the O(order^2) Levinson
 // tail runs scalar per row. data: 8 x n row-major.
+// window: per-sample window values (n doubles) applied during the
+// interleave fill, or NULL for raw rows; emphasis applies the double
+// pre-emphasis x[i] -= x[i-1] * 31/32 on the windowed values (the
+// SLAEncoder.c:540-543 analysis preprocessing, fused here so the caller
+// skips three full passes over the batch). Per-element float64 ops and
+// order match the unfused form exactly.
 int32_t sla_lpc_analyze_rows8(const double* data, int32_t n, int32_t order,
-                              int32_t bits_per_sample, double* parcor,
+                              int32_t bits_per_sample, const double* window,
+                              int32_t emphasis, double* parcor,
                               double* length_per_sample) {
   if (order < 1 || order > 64) return -1;
   enum { R = 8 };
+  constexpr double kEmph = 31.0 / 32.0;  // (2^5 - 1) * 2^-5, exact
   static thread_local std::vector<double> wbuf;
   wbuf.resize((size_t)n * R + R);
   double* w = wbuf.data();
   w += ((64 - ((uintptr_t)w & 63)) & 63) / sizeof(double);  // 64B-align
-  for (int32_t i = 0; i < n; ++i)
-    for (int32_t r = 0; r < R; ++r) w[(size_t)i * R + r] = data[(size_t)r * n + i];
+  double prev[R] = {0.0};
+  for (int32_t i = 0; i < n; ++i) {
+    double cur[R];
+    for (int32_t r = 0; r < R; ++r) {
+      double v = data[(size_t)r * n + i];
+      if (window) v *= window[i];
+      cur[r] = v;
+    }
+    if (emphasis) {
+      for (int32_t r = 0; r < R; ++r)
+        w[(size_t)i * R + r] = (i > 0) ? cur[r] - prev[r] * kEmph : cur[r];
+      for (int32_t r = 0; r < R; ++r) prev[r] = cur[r];
+    } else {
+      for (int32_t r = 0; r < R; ++r) w[(size_t)i * R + r] = cur[r];
+    }
+  }
   const v8df* d = (const v8df*)w;
 
   v8df auto_corr[64 + 1];
