@@ -325,10 +325,44 @@ def search_optimal_partitions_batch(
             cost_all = (len_all[:, None] * length).sum(axis=-1)
         cost_all = cost_all + _ESTIMATE_BLOCK_HEADER_SIZE + OPTIMAL_ESTIMATOR_LONGPATH_PENALTY
 
+    # Fast path with native: every window's Dijkstra + near-tie guard runs
+    # in ONE batched native call (same iteration order, tie-breaking, and
+    # slack arithmetic as the Python forms below, which remain the fallback
+    # and the exact-mode path).
+    solved_hops = solved_needs = None
+    if use_native and not exact and R_parts:
+        live = [m for m in metas if m[1] is not None]
+        solved_hops, solved_needs = native.partition_solve(
+            cost_all,
+            np.concatenate([m[1] for m in live], axis=0),
+            np.array([len(m[1]) for m in live], dtype=np.int32),
+            np.array([m[0] for m in live], dtype=np.int32),
+            PARTITION_TIE_EPS,
+        )
+
     results: list[list[int]] = []
     consumed = 0
     wi_exact = 0
+    fw = 0
     for V, spans, span_len, num_samples, data, positions in metas:
+        if spans is not None and solved_hops is not None:
+            S = len(spans)
+            if solved_needs[fw]:
+                # near-tie: re-price with the reference-exact cost model
+                # (byte-identity over speed on the rare tie)
+                adj = np.full((V, V), _BIGWEIGHT, dtype=np.float64)
+                adj[spans[:, 0], spans[:, 1]] = exact_span_costs(
+                    data, positions, spans, span_len, num_samples, order,
+                    bits_per_sample,
+                )
+                hops = dijkstra_partition(adj, V)
+            else:
+                row = solved_hops[fw]
+                hops = [int(h) for h in row[row >= 0]]
+            consumed += S
+            fw += 1
+            results.append(_hops_to_sizes(hops, num_samples, delta))
+            continue
         adj = np.full((V, V), _BIGWEIGHT, dtype=np.float64)
         if spans is not None:
             S = len(spans)
@@ -340,23 +374,23 @@ def search_optimal_partitions_batch(
                 consumed += S
         hops = dijkstra_partition(adj, V)
         if spans is not None and not exact and use_native:
-            # Near-tie guard: if any alternative path sits within the tie
-            # margin of the chosen one, a rounding-level difference between
-            # the fast estimator and the reference's exact cost could flip
-            # the decision — re-price this window with the exact arithmetic
-            # and decide again (byte-identity over speed on the rare tie).
+            # Near-tie guard (non-batched fallback): see above
             if min_offpath_slack(adj, V, hops) < PARTITION_TIE_EPS:
                 adj[spans[:, 0], spans[:, 1]] = exact_span_costs(
                     data, positions, spans, span_len, num_samples, order,
                     bits_per_sample,
                 )
                 hops = dijkstra_partition(adj, V)
-        sizes = []
-        pos = 0
-        for h in hops:
-            n = min(h * delta, num_samples - pos)
-            sizes.append(n)
-            pos += n
-        assert pos == num_samples, (pos, num_samples, sizes)
-        results.append(sizes)
+        results.append(_hops_to_sizes(hops, num_samples, delta))
     return results
+
+
+def _hops_to_sizes(hops: list[int], num_samples: int, delta: int) -> list[int]:
+    sizes = []
+    pos = 0
+    for h in hops:
+        n = min(h * delta, num_samples - pos)
+        sizes.append(n)
+        pos += n
+    assert pos == num_samples, (pos, num_samples, sizes)
+    return sizes

@@ -91,6 +91,11 @@ def _load() -> ctypes.CDLL | None:
     ]
     lib.sla_span_cost.restype = i32
     lib.sla_span_cost.argtypes = [p_f64, p_f64, i32, i32, i32, i32, p_f64]
+    lib.sla_partition_solve.restype = i32
+    lib.sla_partition_solve.argtypes = [
+        p_f64, ctypes.POINTER(ctypes.c_int64), p_i32, p_i32, i32,
+        ctypes.c_double, p_i32, p_i32,
+    ]
     p_u64 = ctypes.POINTER(ctypes.c_uint64)
     p_i64 = ctypes.POINTER(ctypes.c_int64)
     lib.sla_get_data_array_partial.restype = i32
@@ -607,6 +612,39 @@ def span_cost(
     if rc != 0:
         raise ValueError(f"span_cost: order out of native scratch range ({order})")
     return out
+
+
+def partition_solve(
+    costs: np.ndarray,
+    spans_cat: np.ndarray,
+    span_counts: np.ndarray,
+    num_nodes: np.ndarray,
+    tie_eps: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched partition decisions: reference-tie-breaking Dijkstra + the
+    near-tie slack guard for every window in one call.
+
+    costs: concatenated edge costs; spans_cat: (S_total, 2) node pairs;
+    span_counts/num_nodes: per window. Returns (hops (W, 32) node-deltas
+    -1-terminated, needs_exact (W,) flags)."""
+    lib = _load()
+    costs = np.ascontiguousarray(costs, dtype=np.float64)
+    spans_cat = np.ascontiguousarray(spans_cat, dtype=np.int64)
+    counts = np.ascontiguousarray(span_counts, dtype=np.int32)
+    nodes = np.ascontiguousarray(num_nodes, dtype=np.int32)
+    W = counts.size
+    hops = np.full((W, 32), -1, dtype=np.int32)
+    needs = np.zeros(W, dtype=np.int32)
+    rc = int(
+        lib.sla_partition_solve(
+            _f64ptr(costs), spans_cat.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            _i32ptr(counts), _i32ptr(nodes), W, float(tie_eps),
+            _i32ptr(hops), _i32ptr(needs),
+        )
+    )
+    if rc != 0:
+        raise ValueError("partition_solve: window exceeds native capacity")
+    return hops, needs
 
 
 def parse_block_headers(

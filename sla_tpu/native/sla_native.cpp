@@ -1284,6 +1284,99 @@ int32_t sla_span_cost(const double* R, const double* span_len, int32_t S,
   return 0;
 }
 
+// Partition decisions for many windows at once: adjacency assembly from
+// the fast span costs, Dijkstra with the reference's exact iteration order
+// and tie-breaking (SLAPredictor.c:1521-1581), and the off-path slack
+// guard (DAG DP) that flags windows whose decision rests on a near-tie.
+// costs: concatenated edge costs; spans: S_total x 2 node pairs;
+// span_counts / num_nodes: per window (V <= 32). hops_out: W x 32
+// node-deltas, -1 terminated. needs_exact[w] = 1 when the smallest
+// alternative-path slack is below tie_eps. Returns 0, or -1 on a
+// capacity violation.
+int32_t sla_partition_solve(const double* costs, const int64_t* spans,
+                            const int32_t* span_counts, const int32_t* num_nodes,
+                            int32_t num_windows, double tie_eps,
+                            int32_t* hops_out, int32_t* needs_exact) {
+  const double kBig = (double)(1 << 24);
+  enum { VMAX = 32 };
+  int64_t consumed = 0;
+  for (int32_t w = 0; w < num_windows; ++w) {
+    const int32_t V = num_nodes[w];
+    const int32_t S = span_counts[w];
+    if (V < 2 || V > VMAX) return -1;
+    double adj[VMAX][VMAX];
+    for (int32_t i = 0; i < V; ++i)
+      for (int32_t j = 0; j < V; ++j) adj[i][j] = kBig;
+    for (int32_t s = 0; s < S; ++s) {
+      int64_t i = spans[2 * (consumed + s)], j = spans[2 * (consumed + s) + 1];
+      if (i < 0 || j < 0 || i >= V || j >= V) return -1;
+      adj[i][j] = costs[consumed + s];
+    }
+    consumed += S;
+
+    // Dijkstra with the reference's iteration order: lowest-index minimum
+    // wins ties, relaxation uses strict > (matches dijkstra_partition)
+    bool used[VMAX] = {false};
+    double cost[VMAX];
+    int32_t path[VMAX];
+    for (int32_t i = 0; i < V; ++i) { cost[i] = kBig; path[i] = -1; }
+    cost[0] = 0.0;
+    const int32_t goal = V - 1;
+    for (;;) {
+      int32_t target = 0;
+      double best = kBig;
+      for (int32_t i = 0; i < V; ++i)
+        if (!used[i] && cost[i] < best) { best = cost[i]; target = i; }
+      if (target == goal) break;
+      for (int32_t j = 0; j < V; ++j) {
+        double relax = adj[target][j] + cost[target];
+        if (cost[j] > relax) { cost[j] = relax; path[j] = target; }
+      }
+      used[target] = true;
+    }
+    int32_t rev[VMAX];
+    int32_t nh = 0;
+    for (int32_t node = goal; node != 0; node = path[node]) {
+      if (path[node] < 0 || nh >= VMAX) return -1;  // broken path
+      rev[nh++] = node - path[node];
+    }
+    int32_t* hops = hops_out + (int64_t)w * VMAX;
+    for (int32_t k = 0; k < nh; ++k) hops[k] = rev[nh - 1 - k];
+    if (nh < VMAX) hops[nh] = -1;
+
+    // off-path slack via forward/backward DAG DP (edges only go forward)
+    double df[VMAX], db[VMAX];
+    for (int32_t i = 0; i < V; ++i) { df[i] = kBig; db[i] = kBig; }
+    df[0] = 0.0;
+    for (int32_t j = 1; j < V; ++j)
+      for (int32_t i = 0; i < j; ++i) {
+        double c = df[i] + adj[i][j];
+        if (c < df[j]) df[j] = c;
+      }
+    db[goal] = 0.0;
+    for (int32_t i = V - 2; i >= 0; --i)
+      for (int32_t j = i + 1; j < V; ++j) {
+        double c = adj[i][j] + db[j];
+        if (c < db[i]) db[i] = c;
+      }
+    bool onpath[VMAX][VMAX] = {};
+    {
+      int32_t node = 0;
+      for (int32_t k = 0; k < nh; ++k) { onpath[node][node + hops[k]] = true; node += hops[k]; }
+    }
+    double min_slack = kBig;
+    const double bestc = df[goal];
+    for (int32_t i = 0; i < V; ++i)
+      for (int32_t j = i + 1; j < V; ++j) {
+        if (adj[i][j] >= kBig || onpath[i][j]) continue;
+        double slack = df[i] + adj[i][j] + db[j] - bestc;
+        if (slack < min_slack) min_slack = slack;
+      }
+    needs_exact[w] = (min_slack < tie_eps) ? 1 : 0;
+  }
+  return 0;
+}
+
 // Eight-row encode stage 1: pre-emphasis + lattice predict, rows
 // interleaved for SIMD (see sla_synth_rows8). in/out: 8 rows x n row-major.
 int32_t sla_predict_stage1_rows8(const int32_t* in, int32_t* out, int32_t n,

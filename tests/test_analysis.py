@@ -186,6 +186,15 @@ class TestNearTieGuard:
             return orig(*a, **k)
 
         monkeypatch.setattr(partition, "exact_span_costs", spy)
+        # force the near-tie flag through the batched native guard
+        orig_solve = native.partition_solve
+
+        def forced(*a, **k):
+            hops, needs = orig_solve(*a, **k)
+            needs[:] = 1
+            return hops, needs
+
+        monkeypatch.setattr(native, "partition_solve", forced)
         monkeypatch.setattr(partition, "min_offpath_slack", lambda *a: 0.0)
         pcm = (
             np.sin(2 * np.pi * np.arange(24576) * 440 / 44100) * 12000
