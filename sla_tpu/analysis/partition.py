@@ -14,6 +14,8 @@ on host with the reference's exact tie-breaking so partition choices match.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from ..constants import OPTIMAL_ESTIMATOR_LONGPATH_PENALTY, SLA_SEARCH_BLOCK_NUM_SAMPLES_DELTA
@@ -26,6 +28,23 @@ _FLT_MIN = float(np.finfo(np.float32).tiny)
 
 def num_nodes_for(num_samples: int, delta: int = SLA_SEARCH_BLOCK_NUM_SAMPLES_DELTA) -> int:
     return (num_samples + delta - 1) // delta + 1
+
+
+@functools.lru_cache(maxsize=64)
+def _window_geometry(num_samples: int, min_block: int, max_block: int, delta: int):
+    """Node positions + valid candidate spans for one window geometry.
+    Cached (callers treat the arrays as read-only): a file's full-size
+    windows all share one geometry."""
+    V = num_nodes_for(num_samples, delta)
+    positions = np.minimum(np.arange(V) * delta, num_samples)
+    ii, jj = np.triu_indices(V, k=1)
+    lengths = np.minimum((jj - ii) * delta, num_samples - ii * delta)
+    valid = (lengths >= min_block) & (lengths <= max_block)
+    if not valid.any():
+        return V, positions, None, None
+    spans = np.stack([ii[valid], jj[valid]], axis=1)
+    span_len = lengths[valid].astype(np.float64)
+    return V, positions, spans, span_len
 
 
 def span_autocorrelations(
@@ -276,16 +295,14 @@ def search_optimal_partitions_batch(
     for data, num_samples, min_block, max_block in zip(
         window_data, num_samples_list, min_blocks, max_blocks
     ):
-        V = num_nodes_for(num_samples, delta)
-        positions = np.minimum(np.arange(V) * delta, num_samples)
-        ii, jj = np.triu_indices(V, k=1)
-        lengths = np.minimum((jj - ii) * delta, num_samples - ii * delta)
-        valid = (lengths >= min_block) & (lengths <= max_block)
-        if not valid.any():
+        # windows of equal geometry (the common case: every full-size window
+        # of a file) share their span enumeration — cached, read-only
+        V, positions, spans, span_len = _window_geometry(
+            num_samples, min_block, max_block, delta
+        )
+        if spans is None:
             metas.append((V, None, None, num_samples, data, positions))
             continue
-        spans = np.stack([ii[valid], jj[valid]], axis=1)
-        span_len = lengths[valid].astype(np.float64)
         if exact:
             exact_costs.append(
                 exact_span_costs(
