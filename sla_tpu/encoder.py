@@ -614,6 +614,35 @@ class Encoder:
     def _encode_block_payload(self, plan: _BlockPlan) -> bytes:
         wf, ep = self._wave_format, self._encode_param
         C = wf.num_channels
+        if native.available() and not os.environ.get("SLA_TPU_DEVICE_ENTROPY"):
+            # whole-block framing + payload + CRC in one native call; the
+            # Python writer below stays as the semantic reference/fallback
+            p, T = ep.parcor_order, ep.longterm_order
+            if plan.block_type == BlockDataType.RAWDATA:
+                bits = [wf.bit_per_sample - wf.offset_lshift] * C
+                if ep.ch_process_method == ChannelProcessMethod.STEREO_MS:
+                    bits[1] += 1
+                return native.encode_block(
+                    plan.num_samples, 2, p, T, wf.bit_per_sample,
+                    LONGTERM_MIN_PITCH_THRESHOLD,
+                    np.zeros((C, p + 1), np.int32), np.zeros(C, np.int32),
+                    np.zeros(C, np.int32), np.zeros((C, max(T, 1)), np.int32),
+                    np.zeros(C, np.uint32), plan.raw_int32, bits,
+                )
+            if plan.block_type == BlockDataType.SILENT:
+                return native.encode_block(
+                    plan.num_samples, 1, p, T, wf.bit_per_sample,
+                    LONGTERM_MIN_PITCH_THRESHOLD,
+                    np.zeros((C, p + 1), np.int32), np.zeros(C, np.int32),
+                    np.zeros(C, np.int32), np.zeros((C, max(T, 1)), np.int32),
+                    np.zeros(C, np.uint32), np.zeros((C, 1), np.int32),
+                )
+            return native.encode_block(
+                plan.num_samples, 0, p, T, wf.bit_per_sample,
+                LONGTERM_MIN_PITCH_THRESHOLD,
+                plan.parcor_code, plan.parcor_rshift, plan.pitch,
+                plan.ltm_coef, plan.init_rice, plan.residual,
+            )
         w = BitWriter()
         w.put(SLA_BLOCK_SYNC_CODE, 16)
         w.put(0, 32)  # next-block offset placeholder
@@ -638,8 +667,6 @@ class Encoder:
                     w.put(0, 1)
                 w.put(rice.effective_init_param(plan.init_rice[ch]), wf.bit_per_sample)
         w.flush()
-        from . import native
-
         use_native = native.available()
         if plan.block_type == BlockDataType.RAWDATA:
             bits = [wf.bit_per_sample - wf.offset_lshift] * C

@@ -91,6 +91,11 @@ def _load() -> ctypes.CDLL | None:
     ]
     lib.sla_span_cost.restype = i32
     lib.sla_span_cost.argtypes = [p_f64, p_f64, i32, i32, i32, i32, p_f64]
+    lib.sla_encode_block.restype = i64
+    lib.sla_encode_block.argtypes = [
+        i32, i32, i32, i32, i32, i32, i32,
+        p_i32, p_i32, p_i32, p_i32, p_u32, p_i32, p_i32, p_u8, i64,
+    ]
     lib.sla_partition_solve.restype = i32
     lib.sla_partition_solve.argtypes = [
         p_f64, ctypes.POINTER(ctypes.c_int64), p_i32, p_i32, i32,
@@ -612,6 +617,52 @@ def span_cost(
     if rc != 0:
         raise ValueError(f"span_cost: order out of native scratch range ({order})")
     return out
+
+
+def encode_block(
+    num_samples: int,
+    block_type: int,
+    parcor_order: int,
+    num_taps: int,
+    bits_per_sample: int,
+    pitch_threshold: int,
+    parcor_code: np.ndarray,
+    parcor_rshift: np.ndarray,
+    pitch: np.ndarray,
+    ltm_coef: np.ndarray,
+    init_rice,
+    residual: np.ndarray,
+    raw_bits=None,
+) -> bytes:
+    """Serialize one whole block (header fields + payload + CRC back-patch),
+    the native twin of Encoder._encode_block_payload's framing."""
+    lib = _load()
+    residual = np.ascontiguousarray(residual, dtype=np.int32)
+    C = residual.shape[0]
+    code = np.ascontiguousarray(parcor_code, dtype=np.int32)
+    rshift = np.ascontiguousarray(parcor_rshift, dtype=np.int32)
+    pit = np.ascontiguousarray(pitch, dtype=np.int32)
+    ltm = np.ascontiguousarray(ltm_coef, dtype=np.int32)
+    ir = np.ascontiguousarray(init_rice, dtype=np.uint32)
+    rb = np.ascontiguousarray(
+        raw_bits if raw_bits is not None else np.zeros(C), dtype=np.int32
+    )
+    cap = 8 * residual.nbytes + 4096
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        n = int(
+            lib.sla_encode_block(
+                num_samples, block_type, C, parcor_order, num_taps,
+                bits_per_sample, pitch_threshold,
+                _i32ptr(code), _i32ptr(rshift), _i32ptr(pit), _i32ptr(ltm),
+                _u32ptr(ir), _i32ptr(residual), _i32ptr(rb), _u8ptr(out), cap,
+            )
+        )
+        if n >= 0:
+            return out[:n].tobytes()
+        if n == -2:
+            raise ValueError(f"encode_block: too many channels for native scratch ({C})")
+        cap *= 2
 
 
 def partition_solve(

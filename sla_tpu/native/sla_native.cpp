@@ -1284,6 +1284,99 @@ int32_t sla_span_cost(const double* R, const double* span_len, int32_t S,
   return 0;
 }
 
+// Whole-block serialization (SLAEncoder_EncodeBlock framing,
+// SLAEncoder.c:682-795): sync + placeholders + per-channel coefficient
+// fields, byte-align, payload (recursive-Rice / raw / none), byte-align,
+// then back-patch the next-block offset and CRC16 (calc from byte 8).
+// block_type: 0 compress / 1 silent / 2 raw. residual: C x n row-major —
+// the final residual for compress, the raw int32 samples for raw.
+// raw_bits: per-channel raw bit widths (raw only). Returns bytes written,
+// or -1 on overflow / capacity violation.
+int64_t sla_encode_block(int32_t num_samples, int32_t block_type, int32_t C,
+                         int32_t parcor_order, int32_t num_taps,
+                         int32_t bits_per_sample, int32_t pitch_threshold,
+                         const int32_t* parcor_code /* C x (p+1) */,
+                         const int32_t* parcor_rshift /* C */,
+                         const int32_t* pitch /* C */,
+                         const int32_t* ltm_coef /* C x max(T,1) */,
+                         const uint32_t* init_rice /* C */,
+                         const int32_t* residual /* C x n */,
+                         const int32_t* raw_bits /* C, raw only */,
+                         uint8_t* out, int64_t cap) {
+  if (C <= 0 || C > 64) return -2;  // scratch capacity, not an overflow
+  BitWriter w;
+  w.init(out, cap);
+  w.put(0xFFFF, 16);
+  w.put(0, 32);  // next-block offset placeholder
+  w.put(0, 16);  // CRC16 placeholder
+  w.put((uint32_t)num_samples, 16);
+  w.put((uint32_t)block_type, 2);
+  if (block_type == 0) {  // COMPRESSDATA: per-channel coefficient fields
+    for (int32_t ch = 0; ch < C; ++ch) {
+      w.put((uint32_t)parcor_rshift[ch], 4);
+      for (int32_t ord = 1; ord <= parcor_order; ++ord) {
+        int bits = (ord < 4) ? 16 : 8;  // SLA_GET_PARCOR_QUANTIZE_BIT_WIDTH
+        w.put(zigzag(parcor_code[(int64_t)ch * (parcor_order + 1) + ord]), bits);
+      }
+      if (pitch[ch] >= pitch_threshold) {
+        w.put(1, 1);
+        w.put((uint32_t)pitch[ch], 10);
+        for (int32_t t = 0; t < num_taps; ++t)
+          w.put(zigzag(ltm_coef[(int64_t)ch * (num_taps > 0 ? num_taps : 1) + t] >> 16), 16);
+      } else {
+        w.put(0, 1);
+      }
+      w.put(param_get(param_set_fixed(init_rice[ch])), bits_per_sample);
+    }
+  }
+  w.flush();
+  if (block_type == 0) {
+    uint64_t eff_sum = 0;
+    uint32_t eff[64];
+    for (int32_t ch = 0; ch < C; ++ch) {
+      eff[ch] = param_get(param_set_fixed(init_rice[ch]));
+      eff_sum += eff[ch];
+    }
+    if (eff_sum / (uint32_t)C > kLowThreshold) {
+      RiceState st[64];
+      for (int32_t ch = 0; ch < C; ++ch) st[ch].init(init_rice[ch]);
+      if (C == 2) {
+        const int32_t* d0 = residual;
+        const int32_t* d1 = residual + num_samples;
+        for (int32_t s = 0; s < num_samples; ++s) {
+          put_recursive_rice(w, st[0], zigzag(d0[s]));
+          put_recursive_rice(w, st[1], zigzag(d1[s]));
+        }
+      } else {
+        for (int32_t s = 0; s < num_samples; ++s)
+          for (int32_t ch = 0; ch < C; ++ch)
+            put_recursive_rice(w, st[ch], zigzag(residual[(int64_t)ch * num_samples + s]));
+      }
+    } else {
+      for (int32_t s = 0; s < num_samples; ++s)
+        for (int32_t ch = 0; ch < C; ++ch)
+          put_golomb(w, eff[ch], zigzag(residual[(int64_t)ch * num_samples + s]));
+    }
+  } else if (block_type == 2) {  // RAWDATA
+    for (int32_t s = 0; s < num_samples; ++s)
+      for (int32_t ch = 0; ch < C; ++ch)
+        w.put(zigzag(residual[(int64_t)ch * num_samples + s]), raw_bits[ch]);
+  }
+  w.flush();
+  if (w.overflow) return -1;
+  int64_t size = w.nbytes;
+  // back-patch next-block offset (bytes 2..5) and CRC16 (bytes 6..7)
+  uint32_t next_off = (uint32_t)(size - 6);
+  out[2] = (uint8_t)(next_off >> 24);
+  out[3] = (uint8_t)(next_off >> 16);
+  out[4] = (uint8_t)(next_off >> 8);
+  out[5] = (uint8_t)next_off;
+  uint16_t crc = sla_crc16(out + 8, size - 8);
+  out[6] = (uint8_t)(crc >> 8);
+  out[7] = (uint8_t)crc;
+  return size;
+}
+
 // Partition decisions for many windows at once: adjacency assembly from
 // the fast span costs, Dijkstra with the reference's exact iteration order
 // and tie-breaking (SLAPredictor.c:1521-1581), and the off-path slack
