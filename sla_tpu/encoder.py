@@ -160,6 +160,25 @@ class Encoder:
             d[0], d[1] = lr_to_ms_double(d[0], d[1])
         return d
 
+    def _convert_views(
+        self, data: np.ndarray, shift_a: int, shift_b: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """The three whole-file views every encode needs — int32 at two
+        shifts plus the scaled float64 signal, MS-transformed when
+        configured — in one native pass when available (identical
+        elementwise arithmetic to the NumPy forms). When the shifts match
+        (offset_lshift == 0, the common case) the int32 view is shared:
+        every consumer is read-only."""
+        ms = self._encode_param.ch_process_method == ChannelProcessMethod.STEREO_MS
+        if native.available():
+            out_a, out_b, out_d = native.convert_ms(
+                data, shift_a, shift_b, want_double=True, ms=ms
+            )
+            return out_a, out_b if out_b is not None else out_a, out_d
+        int32_a = self._ms_int32(data, shift_a)
+        int32_b = int32_a if shift_b == shift_a else self._ms_int32(data, shift_b)
+        return int32_a, int32_b, self._ms_double(data)
+
     # -- public block-level API (SLAEncoder.h:42-49) ---------------------------
     def encode_header(self, header: HeaderInfo) -> bytes:
         """Serialize the 43-byte file header (SLAEncoder_EncodeHeader,
@@ -185,7 +204,8 @@ class Encoder:
         data = np.ascontiguousarray(data, dtype=np.int32)
         shift = 32 - wf.bit_per_sample + wf.offset_lshift
         plan = _BlockPlan(0, n)
-        self._analyze_blocks(self._ms_int32(data, shift), self._ms_double(data), [plan])
+        int32_blk, _, dbl = self._convert_views(data, shift, shift)
+        self._analyze_blocks(int32_blk, dbl, [plan])
         self._run_filters(data, [plan])
         return self._encode_block_payload(plan)
 
@@ -228,9 +248,9 @@ class Encoder:
         # SLAEncoder.c:381-390, while block analysis removes the offset,
         # SLAEncoder.c:505-512). Peak memory is unchanged — the partition
         # windows already materialized the float64 signal in full.
-        int32_plan = self._ms_int32(data, 32 - wf.bit_per_sample)
-        int32_blk = self._ms_int32(data, 32 - wf.bit_per_sample + wf.offset_lshift)
-        dbl = self._ms_double(data)
+        int32_plan, int32_blk, dbl = self._convert_views(
+            data, 32 - wf.bit_per_sample, 32 - wf.bit_per_sample + wf.offset_lshift
+        )
         plans = self._plan_blocks(int32_plan, dbl, num_samples)
         self.stage_times["partition"] = time.perf_counter() - t0
         t0 = time.perf_counter()

@@ -136,6 +136,10 @@ def _load() -> ctypes.CDLL | None:
     lib.sla_synth_rows8.argtypes = [
         p_i32, p_i32, i32, p_i32, i32, p_i32, p_i32, i32, i32,
     ]
+    lib.sla_convert_ms.restype = i32
+    lib.sla_convert_ms.argtypes = [
+        p_i32, i32, i64, i32, p_i32, i32, p_i32, p_f64, i32,
+    ]
     lib.sla_synth_chunk.restype = i32
     lib.sla_synth_chunk.argtypes = [
         p_i32, p_i32, i32,  # residual, out, n
@@ -572,6 +576,42 @@ def synth_chunk(
         _i32ptr(deemph_prev),
     )
     return out
+
+
+def convert_ms(
+    data: np.ndarray,
+    shift_a: int,
+    shift_b: int | None = None,
+    want_double: bool = True,
+    ms: bool = False,
+) -> tuple[np.ndarray, np.ndarray | None, np.ndarray | None]:
+    """Fused whole-file conversion: (data >> shift_a) int32, optionally
+    (data >> shift_b) int32, optionally float64 * 2^-31 — each mid/side
+    transformed when `ms`. One pass over the source (SLAEncoder.c:381-390,
+    :505-512). Returns (out_a, out_b, out_d); out_b is None when shift_b is
+    None or equals shift_a (caller reuses out_a — all consumers are
+    read-only)."""
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.int32)
+    C, N = data.shape
+    out_a = np.empty((C, N), dtype=np.int32)
+    need_b = shift_b is not None and shift_b != shift_a
+    out_b = np.empty((C, N), dtype=np.int32) if need_b else None
+    out_d = np.empty((C, N), dtype=np.float64) if want_double else None
+    rc = lib.sla_convert_ms(
+        _i32ptr(data),
+        C,
+        N,
+        int(shift_a),
+        _i32ptr(out_a),
+        int(shift_b) if need_b else 0,
+        _i32ptr(out_b) if need_b else None,
+        _f64ptr(out_d) if want_double else None,
+        1 if ms else 0,
+    )
+    if rc != 0:
+        raise ValueError("convert_ms: mid/side requires exactly 2 channels")
+    return out_a, out_b, out_d
 
 
 def span_autocorr(

@@ -2120,4 +2120,56 @@ void sla_longterm_autocorr(const int32_t* data, int32_t num_samples,
   for (int i = 0; i < out_lags; ++i) out[i] = work[i];
 }
 
+// Fused whole-file sample conversion (SLAEncoder.c:381-390 double scale,
+// :505-512 int32 shift): one pass over the canonical left-justified int32
+// input producing (a) the int32 view shifted right by shift_a, (b)
+// optionally a second int32 view at shift_b, and (c) optionally the float64
+// signal scaled by 2^-31 — each mid/side-transformed when ms != 0
+// (SLAUtility.c:370-412; int32 wrap needs -fwrapv). Replaces five-plus
+// NumPy passes (shift, astype, mid, side, scale) with one read of the
+// source per pair of rows.
+int32_t sla_convert_ms(const int32_t* data, int32_t C, int64_t N,
+                       int32_t shift_a, int32_t* out_a, int32_t shift_b,
+                       int32_t* out_b, double* out_d, int32_t ms) {
+  const double scale = std::ldexp(1.0, -31);  // 2^-31, exact
+  if (ms) {
+    if (C != 2) return -1;
+    const int32_t* lft = data;
+    const int32_t* rgt = data + N;
+    for (int64_t i = 0; i < N; ++i) {
+      const int32_t l = lft[i], r = rgt[i];
+      {
+        const int32_t la = l >> shift_a, ra = r >> shift_a;
+        // exact int32 mean: (la + ra) >> 1 without the int64 temp
+        out_a[i] = (la >> 1) + (ra >> 1) + (la & ra & 1);
+        out_a[N + i] = la - ra;  // wraps like the reference's int32 C
+      }
+      if (out_b) {
+        const int32_t lb = l >> shift_b, rb = r >> shift_b;
+        out_b[i] = (lb >> 1) + (rb >> 1) + (lb & rb & 1);
+        out_b[N + i] = lb - rb;
+      }
+      if (out_d) {
+        const double dl = (double)l * scale, dr = (double)r * scale;
+        out_d[i] = (dl + dr) / 2.0;
+        out_d[N + i] = dl - dr;
+      }
+    }
+    return 0;
+  }
+  for (int32_t c = 0; c < C; ++c) {
+    const int32_t* x = data + (int64_t)c * N;
+    int32_t* oa = out_a + (int64_t)c * N;
+    int32_t* ob = out_b ? out_b + (int64_t)c * N : nullptr;
+    double* od = out_d ? out_d + (int64_t)c * N : nullptr;
+    for (int64_t i = 0; i < N; ++i) {
+      const int32_t v = x[i];
+      oa[i] = v >> shift_a;
+      if (ob) ob[i] = v >> shift_b;
+      if (od) od[i] = (double)v * scale;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

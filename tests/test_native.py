@@ -157,3 +157,32 @@ def test_hostref_zero_run_matches_native():
     r2 = _ZeroFillReader(b"\x00\x20", 0)
     assert r2.get_zero_run() == 10  # zeros up to the 1 bit at position 10
     assert r2._bitpos == 11
+
+
+def test_convert_ms_matches_numpy():
+    """Fused native conversion == the NumPy reference path, MS and plain,
+    including int32 wrap on the side channel and the exact double scale."""
+    from sla_tpu.dsp.channel import lr_to_ms_double, lr_to_ms_int32
+
+    rng = np.random.default_rng(11)
+    data = rng.integers(-(1 << 31), 1 << 31, (2, 777), dtype=np.int64).astype(np.int32)
+    data[:, :5] = np.array([[2**31 - 1, -(2**31), 1, -1, 0]] * 2, dtype=np.int32)
+    for ms in (False, True):
+        for sa, sb in ((16, 16), (16, 20), (8, 0)):
+            out_a, out_b, out_d = native.convert_ms(data, sa, sb, ms=ms)
+            ref_a = (data >> sa).astype(np.int32)
+            ref_b = (data >> sb).astype(np.int32)
+            ref_d = data.astype(np.float64) * 2.0**-31
+            if ms:
+                ref_a[0], ref_a[1] = lr_to_ms_int32(ref_a[0], ref_a[1])
+                ref_b[0], ref_b[1] = lr_to_ms_int32(ref_b[0], ref_b[1])
+                ref_d[0], ref_d[1] = lr_to_ms_double(ref_d[0], ref_d[1])
+            assert np.array_equal(out_a, ref_a)
+            if sa == sb:
+                assert out_b is None
+            else:
+                assert np.array_equal(out_b, ref_b)
+            assert np.array_equal(out_d, ref_d)
+    # MS demands exactly 2 channels
+    with pytest.raises(ValueError):
+        native.convert_ms(np.zeros((3, 8), np.int32), 16, ms=True)
