@@ -270,6 +270,8 @@ def search_optimal_partitions_batch(
     parcor_order: int,
     bits_per_sample: int,
     delta: int = SLA_SEARCH_BLOCK_NUM_SAMPLES_DELTA,
+    base: np.ndarray | None = None,
+    base_offsets: list[int] | None = None,
 ) -> list[list[int]]:
     """Partition many windows at once: span autocorrelations run per window
     (native), but the Levinson-Durbin recursion and code-length estimates
@@ -289,17 +291,37 @@ def search_optimal_partitions_batch(
     # this switch removes even that.
     exact = bool(os.environ.get("SLA_TPU_EXACT_PARTITION")) and use_native
     order = parcor_order
+    geos = [
+        _window_geometry(n, mb, xb, delta)
+        for n, mb, xb in zip(num_samples_list, min_blocks, max_blocks)
+    ]
+    # same-geometry windows over a shared base signal compute their span
+    # autocorrelations in ONE native call (per-lag sorts and span index
+    # lookups amortize across windows; identical values to per-window calls)
+    R_by_idx: dict[int, np.ndarray] = {}
+    if use_native and not exact and base is not None and base_offsets is not None:
+        groups: dict[tuple[int, int, int], list[int]] = {}
+        for i, (V, positions, spans, span_len) in enumerate(geos):
+            if spans is not None:
+                key = (num_samples_list[i], min_blocks[i], max_blocks[i])
+                groups.setdefault(key, []).append(i)
+        for (n_win, _mb, _xb), idxs in groups.items():
+            if len(idxs) < 2:
+                continue
+            _V, positions, spans, _sl = geos[idxs[0]]
+            offs = np.asarray([base_offsets[i] for i in idxs], dtype=np.int64)
+            Rm = native.span_autocorr_multi(base, offs, n_win, positions, spans, order)
+            for w, i in enumerate(idxs):
+                R_by_idx[i] = Rm[w]
     metas = []
     R_parts = []
     exact_costs: list[np.ndarray] = []
-    for data, num_samples, min_block, max_block in zip(
-        window_data, num_samples_list, min_blocks, max_blocks
+    for wi_data, (data, num_samples, min_block, max_block) in enumerate(
+        zip(window_data, num_samples_list, min_blocks, max_blocks)
     ):
         # windows of equal geometry (the common case: every full-size window
         # of a file) share their span enumeration — cached, read-only
-        V, positions, spans, span_len = _window_geometry(
-            num_samples, min_block, max_block, delta
-        )
+        V, positions, spans, span_len = geos[wi_data]
         if spans is None:
             metas.append((V, None, None, num_samples, data, positions))
             continue
@@ -312,7 +334,9 @@ def search_optimal_partitions_batch(
             )
             metas.append((V, spans, span_len, num_samples, data, positions))
             continue
-        if use_native:
+        if wi_data in R_by_idx:
+            R = R_by_idx[wi_data]
+        elif use_native:
             R = native.span_autocorr(data[:, :num_samples], positions, spans, order)
         else:
             R = span_autocorrelations(data[:, :num_samples], positions, spans, order)

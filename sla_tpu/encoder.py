@@ -337,6 +337,8 @@ class Encoder:
             [w[1] for w in windows],
             ep.parcor_order,
             wf.bit_per_sample,
+            base=dbl_ms,
+            base_offsets=[w[0] for w in windows],
         )
         out: list[_BlockPlan] = []
         wi = 0

@@ -89,6 +89,11 @@ def _load() -> ctypes.CDLL | None:
     lib.sla_span_autocorr.argtypes = [
         p_f64, i32, i32, p_i64_arr, i32, p_i64_arr, i32, i32, p_f64,
     ]
+    lib.sla_span_autocorr_multi.restype = i32
+    lib.sla_span_autocorr_multi.argtypes = [
+        p_f64, i32, i64, p_i64_arr, i32, i64, p_i64_arr, i32, p_i64_arr,
+        i32, i32, p_f64,
+    ]
     lib.sla_span_cost.restype = i32
     lib.sla_span_cost.argtypes = [p_f64, p_f64, i32, i32, i32, i32, p_f64]
     lib.sla_encode_block.restype = i64
@@ -635,6 +640,40 @@ def span_autocorr(
     )
     if rc != 0:
         raise ValueError(f"span_autocorr: too many spans for native scratch ({S})")
+    return out
+
+
+def span_autocorr_multi(
+    data: np.ndarray,
+    win_offsets: np.ndarray,
+    win_len: int,
+    positions: np.ndarray,
+    spans: np.ndarray,
+    order: int,
+) -> np.ndarray:
+    """span_autocorr over W same-geometry windows of one (C, N) base
+    signal in a single call (per-lag boundary sort and span index lookups
+    amortized across windows). Returns (W, S, C, order+1) — identical
+    values to per-window span_autocorr calls."""
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    C, N = data.shape
+    off = np.ascontiguousarray(win_offsets, dtype=np.int64)
+    pos = np.ascontiguousarray(positions, dtype=np.int64)
+    sp = np.ascontiguousarray(spans, dtype=np.int64)
+    W, S = off.size, sp.shape[0]
+    out = np.empty((W, S, C, order + 1), dtype=np.float64)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    rc = int(
+        lib.sla_span_autocorr_multi(
+            _f64ptr(data), C, N,
+            off.ctypes.data_as(p_i64), W, int(win_len),
+            pos.ctypes.data_as(p_i64), pos.size,
+            sp.ctypes.data_as(p_i64), S, order, _f64ptr(out),
+        )
+    )
+    if rc != 0:
+        raise ValueError(f"span_autocorr_multi: scratch bound exceeded ({S})")
     return out
 
 

@@ -1155,6 +1155,77 @@ int32_t sla_predict_stage2(const int32_t* in, int32_t* out, int32_t n,
 // association as the NumPy reduceat path it replaces). data: C x N row-major
 // float64; spans: S x 2 node indices; positions: V sample offsets.
 // out: S x C x (order+1).
+// Multi-window variant: W windows of identical geometry (same positions,
+// spans, and window length) over one (C, file_n) base signal. The per-lag
+// boundary sort and the per-span prefix-index binary searches run ONCE and
+// are reused by every window — only the product-prefix pass repeats. Also
+// avoids the per-window copies a view-based call would need. out:
+// W x S x C x (order+1). Same association as sla_span_autocorr, so costs
+// are identical.
+int32_t sla_span_autocorr_multi(const double* data, int32_t C, int64_t file_n,
+                                const int64_t* win_off, int32_t W,
+                                int64_t win_len, const int64_t* positions,
+                                int32_t V, const int64_t* spans, int32_t S,
+                                int32_t order, double* out) {
+  if (S <= 0 || 2 * S > 4096 || W <= 0) return -1;
+  (void)V;
+  const int32_t lags = order + 1;
+  int64_t qpos[4096];
+  double pf[4096];
+  int32_t sidx[4096], eidx[4096];  // per-span prefix indices, per lag
+  for (int32_t k = 0; k < lags; ++k) {
+    int64_t tmp[4096];
+    int32_t nq = 0;
+    for (int32_t s = 0; s < S; ++s) {
+      int64_t st = positions[spans[2 * s]];
+      int64_t e = positions[spans[2 * s + 1]] - k;
+      if (e < st) e = st;
+      tmp[nq++] = st;
+      tmp[nq++] = e;
+    }
+    std::sort(tmp, tmp + nq);
+    int32_t nu = 0;
+    for (int32_t i = 0; i < nq; ++i)
+      if (i == 0 || tmp[i] != tmp[i - 1]) qpos[nu++] = tmp[i];
+    for (int32_t s = 0; s < S; ++s) {
+      int64_t st = positions[spans[2 * s]];
+      int64_t e = positions[spans[2 * s + 1]] - k;
+      if (e < st) e = st;
+      int32_t lo = 0, hi = nu - 1;
+      while (lo <= hi) { int32_t mid = (lo + hi) / 2; if (qpos[mid] < st) lo = mid + 1; else hi = mid - 1; }
+      sidx[s] = lo;
+      lo = 0; hi = nu - 1;
+      while (lo <= hi) { int32_t mid = (lo + hi) / 2; if (qpos[mid] < e) lo = mid + 1; else hi = mid - 1; }
+      eidx[s] = lo;
+    }
+    const int64_t limit = win_len - k;
+    for (int32_t w = 0; w < W; ++w) {
+      for (int32_t ch = 0; ch < C; ++ch) {
+        const double* x = data + (int64_t)ch * file_n + win_off[w];
+        double acc = 0.0;
+        int64_t pos = 0;
+        for (int32_t j = 0; j < nu; ++j) {
+          int64_t q = qpos[j] < limit ? qpos[j] : limit;
+          v8df av = v8splat(0.0);
+          for (; pos + 8 <= q; pos += 8) {
+            v8df xa = *(const v8df*)(x + pos);
+            v8df xb = *(const v8df*)(x + pos + k);
+            av = av + xa * xb;
+          }
+          acc += ((av[0] + av[1]) + (av[2] + av[3])) +
+                 ((av[4] + av[5]) + (av[6] + av[7]));
+          for (; pos < q; ++pos) acc += x[pos] * x[pos + k];
+          pf[j] = acc;
+        }
+        double* o = out + (((int64_t)w * S) * C + ch) * lags + k;
+        for (int32_t s = 0; s < S; ++s)
+          o[(int64_t)s * C * lags] = pf[eidx[s]] - pf[sidx[s]];
+      }
+    }
+  }
+  return 0;
+}
+
 int32_t sla_span_autocorr(const double* data, int32_t C, int32_t N,
                           const int64_t* positions, int32_t V,
                           const int64_t* spans, int32_t S, int32_t order,

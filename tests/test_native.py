@@ -186,3 +186,18 @@ def test_convert_ms_matches_numpy():
     # MS demands exactly 2 channels
     with pytest.raises(ValueError):
         native.convert_ms(np.zeros((3, 8), np.int32), 16, ms=True)
+
+
+def test_span_autocorr_multi_matches_single():
+    """One batched multi-window call == per-window span_autocorr calls."""
+    from sla_tpu.analysis.partition import _window_geometry
+
+    rng = np.random.default_rng(3)
+    C, N, wl = 2, 4 * 4096, 4096
+    base = rng.normal(0, 0.2, (C, N))
+    V, positions, spans, _sl = _window_geometry(wl, 2048, wl, 1024)
+    offs = np.array([0, 4096, 8192, 12288], dtype=np.int64)
+    multi = native.span_autocorr_multi(base, offs, wl, positions, spans, 8)
+    for w, off in enumerate(offs):
+        single = native.span_autocorr(base[:, off : off + wl], positions, spans, 8)
+        assert np.array_equal(multi[w], single)
