@@ -1170,10 +1170,11 @@ int32_t sla_span_autocorr_multi(const double* data, int32_t C, int64_t file_n,
   if (S <= 0 || 2 * S > 4096 || W <= 0) return -1;
   (void)V;
   const int32_t lags = order + 1;
-  int64_t qpos[4096];
-  double pf[4096];
-  int32_t sidx[4096], eidx[4096];  // per-span prefix indices, per lag
+  // phase 1: per-lag geometry (boundary sort + span prefix indices), once
+  std::vector<int64_t> qpos((size_t)lags * 2 * S);
+  std::vector<int32_t> nu_k(lags), sidx((size_t)lags * S), eidx((size_t)lags * S);
   for (int32_t k = 0; k < lags; ++k) {
+    int64_t* qp = qpos.data() + (size_t)k * 2 * S;
     int64_t tmp[4096];
     int32_t nq = 0;
     for (int32_t s = 0; s < S; ++s) {
@@ -1186,26 +1187,37 @@ int32_t sla_span_autocorr_multi(const double* data, int32_t C, int64_t file_n,
     std::sort(tmp, tmp + nq);
     int32_t nu = 0;
     for (int32_t i = 0; i < nq; ++i)
-      if (i == 0 || tmp[i] != tmp[i - 1]) qpos[nu++] = tmp[i];
+      if (i == 0 || tmp[i] != tmp[i - 1]) qp[nu++] = tmp[i];
+    nu_k[k] = nu;
+    int32_t* si = sidx.data() + (size_t)k * S;
+    int32_t* ei = eidx.data() + (size_t)k * S;
     for (int32_t s = 0; s < S; ++s) {
       int64_t st = positions[spans[2 * s]];
       int64_t e = positions[spans[2 * s + 1]] - k;
       if (e < st) e = st;
       int32_t lo = 0, hi = nu - 1;
-      while (lo <= hi) { int32_t mid = (lo + hi) / 2; if (qpos[mid] < st) lo = mid + 1; else hi = mid - 1; }
-      sidx[s] = lo;
+      while (lo <= hi) { int32_t mid = (lo + hi) / 2; if (qp[mid] < st) lo = mid + 1; else hi = mid - 1; }
+      si[s] = lo;
       lo = 0; hi = nu - 1;
-      while (lo <= hi) { int32_t mid = (lo + hi) / 2; if (qpos[mid] < e) lo = mid + 1; else hi = mid - 1; }
-      eidx[s] = lo;
+      while (lo <= hi) { int32_t mid = (lo + hi) / 2; if (qp[mid] < e) lo = mid + 1; else hi = mid - 1; }
+      ei[s] = lo;
     }
-    const int64_t limit = win_len - k;
-    for (int32_t w = 0; w < W; ++w) {
-      for (int32_t ch = 0; ch < C; ++ch) {
-        const double* x = data + (int64_t)ch * file_n + win_off[w];
+  }
+  // phase 2: window-outer product passes — each window's samples stay
+  // cache-resident across all lags instead of streaming the whole base
+  // signal once per lag
+  double pf[4096];
+  for (int32_t w = 0; w < W; ++w) {
+    for (int32_t ch = 0; ch < C; ++ch) {
+      const double* x = data + (int64_t)ch * file_n + win_off[w];
+      for (int32_t k = 0; k < lags; ++k) {
+        const int64_t* qp = qpos.data() + (size_t)k * 2 * S;
+        const int32_t nu = nu_k[k];
+        const int64_t limit = win_len - k;
         double acc = 0.0;
         int64_t pos = 0;
         for (int32_t j = 0; j < nu; ++j) {
-          int64_t q = qpos[j] < limit ? qpos[j] : limit;
+          int64_t q = qp[j] < limit ? qp[j] : limit;
           v8df av = v8splat(0.0);
           for (; pos + 8 <= q; pos += 8) {
             v8df xa = *(const v8df*)(x + pos);
@@ -1217,9 +1229,11 @@ int32_t sla_span_autocorr_multi(const double* data, int32_t C, int64_t file_n,
           for (; pos < q; ++pos) acc += x[pos] * x[pos + k];
           pf[j] = acc;
         }
+        const int32_t* si = sidx.data() + (size_t)k * S;
+        const int32_t* ei = eidx.data() + (size_t)k * S;
         double* o = out + (((int64_t)w * S) * C + ch) * lags + k;
         for (int32_t s = 0; s < S; ++s)
-          o[(int64_t)s * C * lags] = pf[eidx[s]] - pf[sidx[s]];
+          o[(int64_t)s * C * lags] = pf[ei[s]] - pf[si[s]];
       }
     }
   }
