@@ -135,6 +135,8 @@ def _load() -> ctypes.CDLL | None:
     lib.sla_predict_stage2.argtypes = [p_i32, p_i32, i32, i32, p_i32, i32, i32]
     lib.sla_predict_stage1_rows8.restype = i32
     lib.sla_predict_stage1_rows8.argtypes = [p_i32, p_i32, i32, p_i32, i32]
+    lib.sla_predict_stage1_rows16.restype = i32
+    lib.sla_predict_stage1_rows16.argtypes = [p_i32, p_i32, i32, p_i32, i32]
     lib.sla_predict_stage2_rows8.restype = i32
     lib.sla_predict_stage2_rows8.argtypes = [p_i32, p_i32, i32, p_i32, p_i32, i32, i32]
     lib.sla_synth_rows8.restype = i32
@@ -402,22 +404,28 @@ def predict_stage1_rows(
         rows = _pad_group(rows)
         g = 0
         while g + 8 <= len(rows):
-            idx = rows[g : g + 8]
+            # 16-row groups fill a 512-bit int32 vector (measurably faster
+            # for the lattice); identical per-row arithmetic either way
+            take = 16 if g + 16 <= len(rows) else 8
+            fn = (
+                lib.sla_predict_stage1_rows16
+                if take == 16
+                else lib.sla_predict_stage1_rows8
+            )
+            idx = rows[g : g + take]
             i0 = idx[0]
             # consecutive full-width groups pass views straight through —
             # no gather copy in, no scatter copy out
-            if n == L and idx == list(range(i0, i0 + 8)):
-                coef8 = np.ascontiguousarray(coef[i0 : i0 + 8])
-                lib.sla_predict_stage1_rows8(
-                    _i32ptr(data[i0:]), _i32ptr(out[i0:]), n, _i32ptr(coef8), p
-                )
+            if n == L and idx == list(range(i0, i0 + take)):
+                coef8 = np.ascontiguousarray(coef[i0 : i0 + take])
+                fn(_i32ptr(data[i0:]), _i32ptr(out[i0:]), n, _i32ptr(coef8), p)
             else:
                 in8 = np.ascontiguousarray(data[idx, :n])
                 out8 = np.empty_like(in8)
                 coef8 = np.ascontiguousarray(coef[idx])
-                lib.sla_predict_stage1_rows8(_i32ptr(in8), _i32ptr(out8), n, _i32ptr(coef8), p)
+                fn(_i32ptr(in8), _i32ptr(out8), n, _i32ptr(coef8), p)
                 out[idx, :n] = out8
-            g += 8
+            g += take
         for b in rows[g:]:
             row = np.empty(n, dtype=np.int32)
             lib.sla_predict_stage1(_i32ptr(data[b]), _i32ptr(row), n, _i32ptr(coef[b]), p)

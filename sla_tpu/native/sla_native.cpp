@@ -13,6 +13,9 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -1555,12 +1558,98 @@ int32_t sla_partition_solve(const double* costs, const int64_t* spans,
   return 0;
 }
 
-// Eight-row encode stage 1: pre-emphasis + lattice predict, rows
-// interleaved for SIMD (see sla_synth_rows8). in/out: 8 rows x n row-major.
-int32_t sla_predict_stage1_rows8(const int32_t* in, int32_t* out, int32_t n,
-                                 const int32_t* parcor_coef /* 8 x p */,
-                                 int32_t p) {
-  enum { R = 8 };
+}  // extern "C"
+
+// int32 vector-of-rows types for the interleaved kernels (R lanes = R rows)
+template <int R> struct VI;
+template <> struct VI<8> {
+  typedef int32_t v __attribute__((vector_size(32), aligned(4), may_alias));
+};
+template <> struct VI<16> {
+  typedef int32_t v __attribute__((vector_size(64), aligned(4), may_alias));
+};
+
+// 32 - clz(|res|) per lane (0 for res == 0): the LMS step magnitude
+// (SLALMS_SIGNED_LOG2CEIL, reference src/SLAPredictor.c:27,123-145).
+template <int R>
+static inline typename VI<R>::v lms_bitlen(typename VI<R>::v res) {
+  typedef typename VI<R>::v vsi;
+  const vsi vzero = {};
+  vsi smask = res >> 31;
+  vsi mag = (res ^ smask) - smask;  // |res| (INT_MIN wraps like scalar)
+#if defined(__AVX512CD__) && defined(__AVX512VL__)
+  if constexpr (R == 16) {
+    __m512i lz = _mm512_lzcnt_epi32(*(const __m512i*)&mag);
+    return (vzero + 32) - *(vsi*)&lz;
+  } else {
+    __m256i lz8 = _mm256_lzcnt_epi32(*(const __m256i*)&mag);
+    return (vzero + 32) - *(vsi*)&lz8;
+  }
+#else
+  vsi bl = vzero;
+  for (int r = 0; r < R; ++r)
+    bl[r] = mag[r] ? 32 - __builtin_clz((uint32_t)mag[r]) : 0;
+  return bl;
+#endif
+}
+
+// Hand-vectorized sign-sign LMS core over R interleaved rows: one code
+// path for both directions (SYNTH reconstructs x = res + pred, predict
+// derives res = x - pred; reference src/SLAPredictor.c:1202-1463).
+// Identical per-row arithmetic to the scalar kernel (vector lanes are
+// rows). in_rows/out_rows are R x n row-major and may be the same buffer.
+template <int R, bool SYNTH>
+static void lms_rowsT(const int32_t* in_rows, int32_t* out_rows, int32_t n,
+                      int32_t M) {
+  typedef typename VI<R>::v vsi;
+  const vsi vzero = {};
+  vsi fc[64], ic[64];
+  for (int32_t i = 0; i < M; ++i) { fc[i] = vzero; ic[i] = vzero; }
+  // doubled ring history, newest tile at xd[xpos]
+  vsi xd[128], pd[128];
+  for (int32_t i = 0; i < 128; ++i) { xd[i] = vzero; pd[i] = vzero; }
+  int32_t xpos = 64;
+  for (int32_t s = 0; s < n; ++s) {
+    const vsi* xb = xd + xpos;
+    const vsi* pb = pd + xpos;
+    vsi acc = vzero + 512;
+    for (int32_t i = 0; i < M; ++i) acc += fc[i] * xb[i] + ic[i] * pb[i];
+    vsi in_v;
+    for (int32_t r = 0; r < R; ++r) in_v[r] = in_rows[(int64_t)r * n + s];
+    const vsi pred = acc >> 10;
+    const bool warm = s < M;
+    vsi x, res;
+    if (SYNTH) { res = in_v; x = in_v + pred; }
+    else       { x = in_v; res = in_v - pred; }
+    if (!warm) {
+      // step = sign(res) * (bitlen(|res|) >> 1). Vector compares return
+      // -1 for true, so (a < 0) - (a > 0) == scalar (a > 0) - (a < 0).
+      vsi step = ((res < vzero) - (res > vzero)) * (lms_bitlen<R>(res) >> 1);
+      for (int32_t i = 0; i < M; ++i) {
+        fc[i] += step * ((xb[i] < vzero) - (xb[i] > vzero));
+        ic[i] += step * ((pb[i] < vzero) - (pb[i] > vzero));
+      }
+    }
+    if (xpos == 0) {  // refill headroom
+      for (int32_t i = M - 1; i >= 0; --i) { xd[64 + i] = xd[i]; pd[64 + i] = pd[i]; }
+      xpos = 64;
+    }
+    --xpos;
+    xd[xpos] = x;
+    pd[xpos] = warm ? x : pred;
+    const vsi emit = warm ? in_v : (SYNTH ? x : res);
+    for (int32_t r = 0; r < R; ++r) out_rows[(int64_t)r * n + s] = emit[r];
+  }
+}
+
+// Row-interleaved encode stage 1: pre-emphasis + lattice predict, R rows
+// interleaved for SIMD (R=8 fills a 256-bit int32 vector, R=16 a 512-bit
+// one; per-row arithmetic is identical for any R). in/out: R rows x n.
+template <int R>
+static int32_t predict_stage1_rowsT(const int32_t* in, int32_t* out,
+                                    int32_t n,
+                                    const int32_t* parcor_coef /* R x p */,
+                                    int32_t p) {
   int32_t c[64][R];
   for (int32_t k = 0; k < p; ++k)
     for (int32_t r = 0; r < R; ++r) c[k][r] = parcor_coef[r * p + k];
@@ -1596,13 +1685,13 @@ int32_t sla_predict_stage1_rows8(const int32_t* in, int32_t* out, int32_t n,
   return 0;
 }
 
-// Eight-row encode stage 2: long-term FIR (history = input, no recursion)
-// + LMS predict, rows interleaved.
-int32_t sla_predict_stage2_rows8(const int32_t* in, int32_t* out, int32_t n,
-                                 const int32_t* pitch8,
-                                 const int32_t* ltm /* 8 x T */,
-                                 int32_t num_taps, int32_t lms_order) {
-  enum { R = 8 };
+// Row-interleaved encode stage 2: long-term FIR (history = input, no
+// recursion) + LMS predict.
+template <int R>
+static int32_t predict_stage2_rowsT(const int32_t* in, int32_t* out,
+                                    int32_t n, const int32_t* pitch8,
+                                    const int32_t* ltm /* R x T */,
+                                    int32_t num_taps, int32_t lms_order) {
   const int32_t M = lms_order;
   // long-term: plain vectorizable FIR per row (bounded lookback into `in`)
   for (int32_t r = 0; r < R; ++r) {
@@ -1612,66 +1701,22 @@ int32_t sla_predict_stage2_rows8(const int32_t* in, int32_t* out, int32_t n,
       const int32_t max_delay = pitch8[r] + num_taps / 2;
       int32_t q15c[8];
       for (int32_t j = 0; j < num_taps; ++j) q15c[j] = ltm[r * num_taps + j] >> 16;
-      for (int32_t s = 0; s < n; ++s) {
-        if (s < max_delay) {
-          orow[s] = row[s];
-        } else {
-          int64_t acc = 0;
-          for (int32_t j = 0; j < num_taps; ++j)
-            acc += (int64_t)q15c[j] * row[s - (max_delay - j)];
-          orow[s] = row[s] - (int32_t)((acc + (1 << 14)) >> 15);
-        }
+      const int32_t warm = max_delay < n ? max_delay : n;
+      for (int32_t s = 0; s < warm; ++s) orow[s] = row[s];
+      // pure FIR on the input (no feedback): branch-free main loop
+      // vectorizes over samples
+      for (int32_t s = warm; s < n; ++s) {
+        int64_t acc = 0;
+        for (int32_t j = 0; j < num_taps; ++j)
+          acc += (int64_t)q15c[j] * row[s - (max_delay - j)];
+        orow[s] = row[s] - (int32_t)((acc + (1 << 14)) >> 15);
       }
     } else {
       std::memcpy(orow, row, sizeof(int32_t) * n);
     }
   }
-  // LMS predict in place over `out`, 8 rows interleaved. Doubled ring
-  // buffers (newest tile at xd[xpos]) replace the per-sample shift-down of
-  // the M-deep history: refill headroom every 64 samples instead of moving
-  // 2*M tiles per sample (same trick as sla_synth_chunk).
-  int32_t fc[64][R], ic[64][R];
-  std::memset(fc, 0, sizeof(int32_t) * M * R);
-  std::memset(ic, 0, sizeof(int32_t) * M * R);
-  int32_t xd[128][R], pd[128][R];
-  std::memset(xd, 0, sizeof(xd));
-  std::memset(pd, 0, sizeof(pd));
-  int32_t xpos = 64;
-  for (int32_t s = 0; s < n; ++s) {
-    const int32_t(*xb)[R] = xd + xpos;
-    const int32_t(*pb)[R] = pd + xpos;
-    int32_t acc[R];
-    for (int32_t r = 0; r < R; ++r) acc[r] = 512;
-    for (int32_t i = 0; i < M; ++i)
-      for (int32_t r = 0; r < R; ++r)
-        acc[r] += fc[i][r] * xb[i][r] + ic[i][r] * pb[i][r];
-    bool warm = s < M;
-    int32_t pred[R], res[R], step[R], x[R];
-    for (int32_t r = 0; r < R; ++r) {
-      x[r] = out[(int64_t)r * n + s];
-      pred[r] = acc[r] >> 10;
-      res[r] = x[r] - pred[r];
-      uint32_t mag = (uint32_t)(res[r] < 0 ? -res[r] : res[r]);
-      int32_t bl = (mag == 0) ? 0 : (32 - __builtin_clz(mag));
-      step[r] = warm ? 0 : ((res[r] > 0) - (res[r] < 0)) * (bl >> 1);
-    }
-    for (int32_t i = 0; i < M; ++i)
-      for (int32_t r = 0; r < R; ++r) {
-        fc[i][r] += step[r] * ((xb[i][r] > 0) - (xb[i][r] < 0));
-        ic[i][r] += step[r] * ((pb[i][r] > 0) - (pb[i][r] < 0));
-      }
-    if (xpos == 0) {  // refill headroom
-      for (int32_t i = M - 1; i >= 0; --i)
-        for (int32_t r = 0; r < R; ++r) { xd[64 + i][r] = xd[i][r]; pd[64 + i][r] = pd[i][r]; }
-      xpos = 64;
-    }
-    --xpos;
-    for (int32_t r = 0; r < R; ++r) {
-      xd[xpos][r] = x[r];
-      pd[xpos][r] = warm ? x[r] : pred[r];
-      out[(int64_t)r * n + s] = warm ? x[r] : res[r];
-    }
-  }
+  // LMS predict in place over `out` via the hand-vectorized core
+  lms_rowsT<R, false>(out, out, n, M);
   return 0;
 }
 
@@ -1682,61 +1727,18 @@ int32_t sla_predict_stage2_rows8(const int32_t* in, int32_t* out, int32_t n,
 // each stage over the whole block produces identical values to the fused
 // per-sample loop while letting the long-term stage vectorize over
 // samples (its feedback lag is >= max_delay - num_taps + 1, so chunks of
-// that length are dependency-free). residual/out: 8 rows x n, row-major.
-int32_t sla_synth_rows8(const int32_t* residual, int32_t* out, int32_t n,
-                        const int32_t* parcor_coef /* 8 x p */, int32_t p,
-                        const int32_t* pitch8 /* 8 */,
-                        const int32_t* ltm /* 8 x T */, int32_t num_taps,
-                        int32_t lms_order) {
-  enum { R = 8 };
+// that length are dependency-free). residual/out: R rows x n, row-major.
+template <int R>
+static int32_t synth_rowsT(const int32_t* residual, int32_t* out, int32_t n,
+                           const int32_t* parcor_coef /* R x p */, int32_t p,
+                           const int32_t* pitch8 /* R */,
+                           const int32_t* ltm /* R x T */, int32_t num_taps,
+                           int32_t lms_order) {
   const int32_t M = lms_order;
 
   // ---- pass A: LMS synthesis, rows interleaved, into `out`
-  {
-    int32_t fc[64][R], ic[64][R];
-    std::memset(fc, 0, sizeof(int32_t) * M * R);
-    std::memset(ic, 0, sizeof(int32_t) * M * R);
-    // doubled ring history, newest tile at xd[xpos] (see the predict kernel)
-    int32_t xd[128][R], pd[128][R];
-    std::memset(xd, 0, sizeof(xd));
-    std::memset(pd, 0, sizeof(pd));
-    int32_t xpos = 64;
-    for (int32_t s = 0; s < n; ++s) {
-      const int32_t(*xb)[R] = xd + xpos;
-      const int32_t(*pb)[R] = pd + xpos;
-      int32_t acc[R];
-      for (int32_t r = 0; r < R; ++r) acc[r] = 512;
-      for (int32_t i = 0; i < M; ++i)
-        for (int32_t r = 0; r < R; ++r)
-          acc[r] += fc[i][r] * xb[i][r] + ic[i][r] * pb[i][r];
-      bool warm = s < M;
-      int32_t pred[R], outv[R], step[R];
-      for (int32_t r = 0; r < R; ++r) {
-        int32_t res = residual[(int64_t)r * n + s];
-        pred[r] = acc[r] >> 10;
-        outv[r] = res + pred[r];
-        uint32_t mag = (uint32_t)(res < 0 ? -res : res);
-        int32_t bl = (mag == 0) ? 0 : (32 - __builtin_clz(mag));
-        step[r] = warm ? 0 : ((res > 0) - (res < 0)) * (bl >> 1);
-      }
-      for (int32_t i = 0; i < M; ++i)
-        for (int32_t r = 0; r < R; ++r) {
-          fc[i][r] += step[r] * ((xb[i][r] > 0) - (xb[i][r] < 0));
-          ic[i][r] += step[r] * ((pb[i][r] > 0) - (pb[i][r] < 0));
-        }
-      if (xpos == 0) {  // refill headroom
-        for (int32_t i = M - 1; i >= 0; --i)
-          for (int32_t r = 0; r < R; ++r) { xd[64 + i][r] = xd[i][r]; pd[64 + i][r] = pd[i][r]; }
-        xpos = 64;
-      }
-      --xpos;
-      for (int32_t r = 0; r < R; ++r) {
-        xd[xpos][r] = outv[r];
-        pd[xpos][r] = warm ? outv[r] : pred[r];
-        out[(int64_t)r * n + s] = warm ? residual[(int64_t)r * n + s] : outv[r];
-      }
-    }
-  }
+  // (hand-vectorized core; identical arithmetic to the scalar loop)
+  lms_rowsT<R, true>(residual, out, n, M);
 
   // ---- pass B: long-term synthesis, per row, chunked over samples
   for (int32_t r = 0; r < R; ++r) {
@@ -1792,6 +1794,44 @@ int32_t sla_synth_rows8(const int32_t* residual, int32_t* out, int32_t n,
     }
   }
   return 0;
+}
+
+extern "C" {
+
+// 8- and 16-row instantiations of the interleaved filter kernels (AVX2 /
+// AVX-512 int32 vector widths; identical per-row arithmetic either way).
+int32_t sla_predict_stage1_rows8(const int32_t* in, int32_t* out, int32_t n,
+                                 const int32_t* coef, int32_t p) {
+  return predict_stage1_rowsT<8>(in, out, n, coef, p);
+}
+int32_t sla_predict_stage1_rows16(const int32_t* in, int32_t* out, int32_t n,
+                                  const int32_t* coef, int32_t p) {
+  return predict_stage1_rowsT<16>(in, out, n, coef, p);
+}
+int32_t sla_predict_stage2_rows8(const int32_t* in, int32_t* out, int32_t n,
+                                 const int32_t* pitch8, const int32_t* ltm,
+                                 int32_t num_taps, int32_t lms_order) {
+  return predict_stage2_rowsT<8>(in, out, n, pitch8, ltm, num_taps, lms_order);
+}
+int32_t sla_predict_stage2_rows16(const int32_t* in, int32_t* out, int32_t n,
+                                  const int32_t* pitch8, const int32_t* ltm,
+                                  int32_t num_taps, int32_t lms_order) {
+  return predict_stage2_rowsT<16>(in, out, n, pitch8, ltm, num_taps,
+                                  lms_order);
+}
+int32_t sla_synth_rows8(const int32_t* residual, int32_t* out, int32_t n,
+                        const int32_t* parcor_coef, int32_t p,
+                        const int32_t* pitch8, const int32_t* ltm,
+                        int32_t num_taps, int32_t lms_order) {
+  return synth_rowsT<8>(residual, out, n, parcor_coef, p, pitch8, ltm,
+                        num_taps, lms_order);
+}
+int32_t sla_synth_rows16(const int32_t* residual, int32_t* out, int32_t n,
+                         const int32_t* parcor_coef, int32_t p,
+                         const int32_t* pitch8, const int32_t* ltm,
+                         int32_t num_taps, int32_t lms_order) {
+  return synth_rowsT<16>(residual, out, n, parcor_coef, p, pitch8, ltm,
+                         num_taps, lms_order);
 }
 
 // Bulk block-header parse for the batch decoder (SLADecoder.c:309-420):
