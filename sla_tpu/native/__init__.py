@@ -143,6 +143,10 @@ def _load() -> ctypes.CDLL | None:
     lib.sla_synth_rows8.argtypes = [
         p_i32, p_i32, i32, p_i32, i32, p_i32, p_i32, i32, i32,
     ]
+    lib.sla_synth_rows16.restype = i32
+    lib.sla_synth_rows16.argtypes = [
+        p_i32, p_i32, i32, p_i32, i32, p_i32, p_i32, i32, i32,
+    ]
     lib.sla_convert_ms.restype = i32
     lib.sla_convert_ms.argtypes = [
         p_i32, i32, i64, i32, p_i32, i32, p_i32, p_f64, i32,
@@ -523,26 +527,28 @@ def synth_rows(
         rows = _pad_group(rows)
         g = 0
         while g + 8 <= len(rows):
-            idx = rows[g : g + 8]
+            take = 16 if g + 16 <= len(rows) else 8
+            fn = lib.sla_synth_rows16 if take == 16 else lib.sla_synth_rows8
+            idx = rows[g : g + take]
             i0 = idx[0]
             coef8 = np.ascontiguousarray(coef[idx])
             pit8 = np.ascontiguousarray(pitch[idx].astype(np.int32))
             ltm8 = np.ascontiguousarray(ltm[idx])
-            if n == L and idx == list(range(i0, i0 + 8)):
+            if n == L and idx == list(range(i0, i0 + take)):
                 # consecutive full-width group: views straight through
-                lib.sla_synth_rows8(
+                fn(
                     _i32ptr(residual[i0:]), _i32ptr(out[i0:]), n, _i32ptr(coef8),
                     p, _i32ptr(pit8), _i32ptr(ltm8), num_taps, M,
                 )
             else:
                 res8 = np.ascontiguousarray(residual[idx, :n])
                 out8 = np.empty_like(res8)
-                lib.sla_synth_rows8(
+                fn(
                     _i32ptr(res8), _i32ptr(out8), n, _i32ptr(coef8), p,
                     _i32ptr(pit8), _i32ptr(ltm8), num_taps, M,
                 )
                 out[idx, :n] = out8
-            g += 8
+            g += take
         for b in rows[g:]:
             lat = np.zeros(p + 1, np.int32)
             hist = np.zeros(258, np.int32)

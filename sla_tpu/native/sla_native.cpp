@@ -1650,37 +1650,34 @@ static int32_t predict_stage1_rowsT(const int32_t* in, int32_t* out,
                                     int32_t n,
                                     const int32_t* parcor_coef /* R x p */,
                                     int32_t p) {
-  int32_t c[64][R];
+  typedef typename VI<R>::v vsi;
+  const vsi vzero = {};
+  const vsi half = vzero + (1 << 14);
+  vsi c[64];
   for (int32_t k = 0; k < p; ++k)
     for (int32_t r = 0; r < R; ++r) c[k][r] = parcor_coef[r * p + k];
-  int32_t b[65][R];
-  std::memset(b, 0, sizeof(b));
-  int32_t x_prev[R] = {0};
-  int32_t m[64][R], fp[64][R];
+  vsi b[65];
+  for (int32_t k = 0; k <= p; ++k) b[k] = vzero;
+  vsi x_prev = vzero;
+  vsi m[64], fp[64];
   for (int32_t s = 0; s < n; ++s) {
-    int32_t x[R];
-    for (int32_t r = 0; r < R; ++r) {
-      int32_t raw = in[(int64_t)r * n + s];
-      x[r] = raw - ((x_prev[r] * 31) >> 5);
-      x_prev[r] = raw;
-    }
+    vsi raw;
+    for (int32_t r = 0; r < R; ++r) raw[r] = in[(int64_t)r * n + s];
+    vsi x = raw - ((x_prev * 31) >> 5);
+    x_prev = raw;
     // every stage term uses PREVIOUS state only (the JAX kernel's
     // formulation): m[k] = q(c[k+1], b_prev[k]) — fully parallel over k, r
-    for (int32_t k = 0; k < p; ++k)
-      for (int32_t r = 0; r < R; ++r) m[k][r] = qmul15(c[k][r], b[k][r]);
+    for (int32_t k = 0; k < p; ++k) m[k] = (c[k] * b[k] + half) >> 15;
     // fp[k] = f before stage k+1 = x - prefix_sum(m)[k-1]
-    for (int32_t r = 0; r < R; ++r) fp[0][r] = x[r];
-    for (int32_t k = 1; k < p; ++k)
-      for (int32_t r = 0; r < R; ++r) fp[k][r] = fp[k - 1][r] - m[k - 1][r];
+    fp[0] = x;
+    for (int32_t k = 1; k < p; ++k) fp[k] = fp[k - 1] - m[k - 1];
     // b update: b_new[k+1] = b_prev[k] - q(c[k+1], fp[k]), top-down so
     // b_prev reads stay untouched
     for (int32_t k = p - 1; k >= 0; --k)
-      for (int32_t r = 0; r < R; ++r)
-        b[k + 1][r] = b[k][r] - qmul15(c[k][r], fp[k][r]);
-    for (int32_t r = 0; r < R; ++r) {
-      b[0][r] = x[r];
-      out[(int64_t)r * n + s] = fp[p - 1][r] - m[p - 1][r];
-    }
+      b[k + 1] = b[k] - ((c[k] * fp[k] + half) >> 15);
+    b[0] = x;
+    const vsi o = fp[p - 1] - m[p - 1];
+    for (int32_t r = 0; r < R; ++r) out[(int64_t)r * n + s] = o[r];
   }
   return 0;
 }
@@ -1763,34 +1760,33 @@ static int32_t synth_rowsT(const int32_t* residual, int32_t* out, int32_t n,
   }
 
   // ---- pass C: PARCOR lattice synthesis + de-emphasis, rows interleaved
+  // (hand-vectorized: lanes = rows, same suffix-sum formulation)
   {
-    int32_t c[64][R];
+    typedef typename VI<R>::v vsi;
+    const vsi vzero = {};
+    const vsi half = vzero + (1 << 14);
+    vsi c[64];
     for (int32_t k = 0; k < p; ++k)
       for (int32_t r = 0; r < R; ++r) c[k][r] = parcor_coef[r * p + k];
-    int32_t lat[65][R];
-    std::memset(lat, 0, sizeof(lat));
-    int32_t deemph[R] = {0};
+    vsi lat[65];
+    for (int32_t k = 0; k <= p; ++k) lat[k] = vzero;
+    vsi deemph = vzero;
+    vsi m[64], fpart[64];
     for (int32_t s = 0; s < n; ++s) {
-      int32_t y[R];
+      vsi y;
       for (int32_t r = 0; r < R; ++r) y[r] = out[(int64_t)r * n + s];
       // suffix-sum formulation: stage terms use previous state only, so
       // k and r both vectorize
-      int32_t m[64][R], fpart[64][R];
-      for (int32_t k = 0; k < p; ++k)
-        for (int32_t r = 0; r < R; ++r) m[k][r] = qmul15(c[k][r], lat[k][r]);
-      for (int32_t r = 0; r < R; ++r) fpart[p - 1][r] = y[r] + m[p - 1][r];
-      for (int32_t k = p - 2; k >= 0; --k)
-        for (int32_t r = 0; r < R; ++r) fpart[k][r] = fpart[k + 1][r] + m[k][r];
+      for (int32_t k = 0; k < p; ++k) m[k] = (c[k] * lat[k] + half) >> 15;
+      fpart[p - 1] = y + m[p - 1];
+      for (int32_t k = p - 2; k >= 0; --k) fpart[k] = fpart[k + 1] + m[k];
       for (int32_t k = p - 1; k >= 0; --k)
-        for (int32_t r = 0; r < R; ++r)
-          lat[k + 1][r] = lat[k][r] - qmul15(c[k][r], fpart[k][r]);
-      for (int32_t r = 0; r < R; ++r) {
-        int32_t v = fpart[0][r];
-        lat[0][r] = v;
-        v += (deemph[r] * 31) >> 5;
-        deemph[r] = v;
-        out[(int64_t)r * n + s] = v;
-      }
+        lat[k + 1] = lat[k] - ((c[k] * fpart[k] + half) >> 15);
+      vsi v = fpart[0];
+      lat[0] = v;
+      v += (deemph * 31) >> 5;
+      deemph = v;
+      for (int32_t r = 0; r < R; ++r) out[(int64_t)r * n + s] = v[r];
     }
   }
   return 0;
