@@ -356,11 +356,19 @@ def search_optimal_partitions_batch(
             parcor_all = np.where(too_short[..., None], 0.0, parcor_all)
             power = R_all[..., 0] * (2.0 ** (2 * (bits_per_sample - 1)))
             silent = np.abs(power) <= _FLT_MIN
-            log2_mean_power = np.log2(np.where(silent, 1.0, power)) - np.log2(len_all)[:, None]
             k = parcor_all[..., 1:]
+            # one log2 of the product (matches the native fast estimator;
+            # see sla_span_cost — an underflow hits the same 1/8 clamp the
+            # very negative log-sum would)
+            var_prod = np.prod(np.maximum(1.0 - k * k, 1e-300), axis=-1)
             with np.errstate(divide="ignore", invalid="ignore"):
-                log2_var_ratio = np.sum(np.log2(np.maximum(1.0 - k * k, 1e-300)), axis=-1)
-            length = (BETA_CONST_FOR_LAPLACE_DIST + 0.5 * (log2_mean_power + log2_var_ratio)) / 8.0
+                length = (
+                    BETA_CONST_FOR_LAPLACE_DIST
+                    + 0.5
+                    * np.log2(
+                        np.where(silent, 1.0, power) * var_prod / len_all[:, None]
+                    )
+                ) / 8.0
             length = np.where(length <= 0, 1.0 / 8, length)
             length = np.where(silent, 0.0, length)
             cost_all = (len_all[:, None] * length).sum(axis=-1)

@@ -1328,7 +1328,6 @@ int32_t sla_span_cost(const double* R, const double* span_len, int32_t S,
   for (int32_t s = 0; s < S; ++s) {
     double cost = 0.0;
     const double n_sp = span_len[s];
-    const double log2_n = std::log2(n_sp);
     for (int32_t ch = 0; ch < C; ++ch) {
       const double* r = R + ((int64_t)s * C + ch) * (order + 1);
       // Levinson-Durbin (zeros when dead/too short)
@@ -1354,16 +1353,21 @@ int32_t sla_span_cost(const double* R, const double* span_len, int32_t S,
           parcor[delay + 1] = -gamma;
         }
       }
-      // code length per sample (bytes)
+      // code length per sample (bytes). One log2 of the product replaces
+      // order+2 log2 calls (this is the fast estimator, not the
+      // reference-exact cost: the ~1e-14 association difference is 13
+      // orders below the near-tie guard's 0.25-byte exact-reprice margin;
+      // an underflowing product gives -inf -> the same 1/8 clamp the very
+      // negative log-sum would hit).
       const double power = r[0] * pow_scale;
       if (std::fabs(power) <= kFltMin) continue;  // silent -> 0 bytes
-      double log2_var_ratio = 0.0;
+      double var_prod = 1.0;
       for (int32_t i = 1; i <= order; ++i) {
         double one_minus = 1.0 - parcor[i] * parcor[i];
-        log2_var_ratio += std::log2(one_minus > 1e-300 ? one_minus : 1e-300);
+        var_prod *= (one_minus > 1e-300 ? one_minus : 1e-300);
       }
       double length =
-          (kBeta + 0.5 * (std::log2(power) - log2_n + log2_var_ratio)) / 8.0;
+          (kBeta + 0.5 * std::log2(power * var_prod / n_sp)) / 8.0;
       if (length <= 0.0) length = 1.0 / 8.0;
       cost += n_sp * length;
     }
