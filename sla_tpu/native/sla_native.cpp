@@ -268,6 +268,58 @@ static inline void put_recursive_rice(BitWriter& w, RiceState& st, uint32_t val)
   }
 }
 
+// Parts form of put_recursive_rice: encodes the symbol into a right-
+// aligned (code, nbits <= 47) pair so the caller can fuse two channels'
+// codes into one BitWriter::put. The rare gamma-escape path (quotient >=
+// 16, SLAInternal.h:20) reports escape=true and the fields needed to emit
+// it verbatim. Parameter updates are identical to put_recursive_rice.
+struct RiceParts {
+  uint64_t code;
+  int32_t nbits;    // valid when !escape
+  uint32_t reduced; // escape payload
+  int32_t kb1;
+  bool escape;
+};
+
+static inline void encode_recursive_rice(RiceState& st, uint32_t val,
+                                         RiceParts& p) {
+  static_assert(kNumRecursiveParams == 2, "two-stage structure assumed");
+  uint32_t k0 = rice_param(st.params[0]);
+  int kb0 = log2_pow2(k0);
+  st.params[0] = param_update(st.params[0], val);
+  if (val < k0) {
+    p.code = (1ull << kb0) | (val & (k0 - 1));
+    p.nbits = 1 + kb0;
+    p.escape = false;
+    return;
+  }
+  uint32_t reduced = val - k0;
+  uint32_t k1 = rice_param(st.params[1]);
+  int kb1 = log2_pow2(k1);
+  st.params[1] = param_update(st.params[1], reduced);
+  uint32_t tail_quot = 1 + (reduced >> kb1);
+  if (tail_quot < kQuotThreshold) {
+    p.code = (1ull << kb1) | (reduced & (k1 - 1));
+    p.nbits = (int32_t)tail_quot + 1 + kb1;
+    p.escape = false;
+    return;
+  }
+  p.reduced = reduced;
+  p.kb1 = kb1;
+  p.escape = true;
+}
+
+static inline void write_rice_parts(BitWriter& w, const RiceParts& p) {
+  if (!p.escape) {
+    w.put(p.code, p.nbits);
+    return;
+  }
+  uint32_t tail_quot = 1 + (p.reduced >> p.kb1);
+  w.put_unary(kQuotThreshold);
+  put_gamma(w, tail_quot - kQuotThreshold);
+  if (p.kb1 != 0) w.put(p.reduced & ((1u << p.kb1) - 1), p.kb1);
+}
+
 static inline uint32_t get_recursive_rice(BitReader& r, RiceState& st) {
   // specialized two-stage structure, mirror of put_recursive_rice
   static_assert(kNumRecursiveParams == 2, "two-stage structure assumed");
@@ -356,8 +408,17 @@ int64_t sla_put_data_array(const int32_t* data, int32_t C, int32_t N,
       const int32_t* d0 = data;
       const int32_t* d1 = data + N;
       for (int s = 0; s < N; ++s) {
-        put_recursive_rice(w, st[0], zigzag(d0[s]));
-        put_recursive_rice(w, st[1], zigzag(d1[s]));
+        // fuse both channels' codes into one put when they fit (<= 57
+        // bits); identical emitted bits, half the accumulator drains
+        RiceParts a, b;
+        encode_recursive_rice(st[0], zigzag(d0[s]), a);
+        encode_recursive_rice(st[1], zigzag(d1[s]), b);
+        if (!a.escape && !b.escape && a.nbits + b.nbits <= 57) {
+          w.put((a.code << b.nbits) | b.code, a.nbits + b.nbits);
+        } else {
+          write_rice_parts(w, a);
+          write_rice_parts(w, b);
+        }
       }
     } else {
       for (int s = 0; s < N; ++s)
@@ -1436,8 +1497,15 @@ int64_t sla_encode_block(int32_t num_samples, int32_t block_type, int32_t C,
         const int32_t* d0 = residual;
         const int32_t* d1 = residual + num_samples;
         for (int32_t s = 0; s < num_samples; ++s) {
-          put_recursive_rice(w, st[0], zigzag(d0[s]));
-          put_recursive_rice(w, st[1], zigzag(d1[s]));
+          RiceParts a, b;  // fused stereo put (see sla_put_data_array)
+          encode_recursive_rice(st[0], zigzag(d0[s]), a);
+          encode_recursive_rice(st[1], zigzag(d1[s]), b);
+          if (!a.escape && !b.escape && a.nbits + b.nbits <= 57) {
+            w.put((a.code << b.nbits) | b.code, a.nbits + b.nbits);
+          } else {
+            write_rice_parts(w, a);
+            write_rice_parts(w, b);
+          }
         }
       } else {
         for (int32_t s = 0; s < num_samples; ++s)
