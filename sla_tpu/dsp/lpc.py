@@ -127,20 +127,17 @@ def calculate_residual_power(data: np.ndarray, parcor_coef: np.ndarray, order: i
 def data_bit_width(data: np.ndarray) -> np.ndarray:
     """Bit width (incl. sign) covering all values; >= 1
     (SLAUtility.c:677-696). data: (..., N) int32 -> (...,) int."""
-    a = np.abs(np.asarray(data, dtype=np.int64))
-    maxabs = a.max(axis=-1)
-    width = np.where(maxabs > 0, _log2ceil_u32(np.maximum(maxabs, 1)) + 1, 1)
-    return width.astype(np.int32)
+    a = np.asarray(data)
+    # max |x| from the per-axis max and min (no |x| temp, no int64 pass)
+    mx = a.max(axis=-1).astype(np.int64)
+    mn = a.min(axis=-1).astype(np.int64)
+    maxabs = np.maximum(mx, -mn)
+    flat = maxabs.ravel()
+    width = np.fromiter(
+        ((int(m - 1).bit_length() + 1) if m > 0 else 1 for m in flat),
+        dtype=np.int32,
+        count=flat.size,
+    )
+    return width.reshape(maxabs.shape)
 
 
-def _log2ceil_u32(x: np.ndarray) -> np.ndarray:
-    """ceil(log2(x)) via bit_length(x - 1), matching SLAUTILITY_LOG2CEIL."""
-    xm1 = (x - 1).astype(np.uint64)
-    bl = np.zeros(xm1.shape, dtype=np.int64)
-    v = xm1.copy()
-    for shift in (16, 8, 4, 2, 1):
-        step = v >= (np.uint64(1) << np.uint64(shift))
-        bl += np.where(step, shift, 0)
-        v = np.where(step, v >> np.uint64(shift), v)
-    bl += (v > 0).astype(np.int64)
-    return bl

@@ -405,6 +405,9 @@ class Encoder:
                 parcor = calculate_parcor(batch_dbl, p)  # (Nb, C, p+1)
                 code_len = estimate_code_length(batch_dbl, wf.bit_per_sample, parcor, p)
             ratio = 8.0 * code_len / wf.bit_per_sample
+            comp_rows: list[int] = []
+            comp_plans: list[_BlockPlan] = []
+            rshifts: list[np.ndarray] = []
             for row, i in enumerate(idxs):
                 plan = plans[i]
                 if plan.block_type == BlockDataType.SILENT:
@@ -415,11 +418,21 @@ class Encoder:
                     plan.block_type = BlockDataType.RAWDATA
                     continue
                 bw = data_bit_width(plan.raw_int32)  # (C,)
-                rshift = rshift_for_sint32(bw)
-                plan.parcor_rshift = np.asarray(rshift, dtype=np.int32)
-                code, coef_i32 = quantize_parcor(parcor[row], p, plan.parcor_rshift)
-                plan.parcor_code = code
-                plan.parcor_coef = coef_i32
+                plan.parcor_rshift = np.asarray(
+                    rshift_for_sint32(bw), dtype=np.int32
+                )
+                comp_rows.append(row)
+                comp_plans.append(plan)
+                rshifts.append(plan.parcor_rshift)
+            if comp_plans:
+                # one batched quantization for the whole group (identical
+                # elementwise arithmetic to per-block calls)
+                code_b, coef_b = quantize_parcor(
+                    parcor[comp_rows], p, np.stack(rshifts)
+                )
+                for j, plan in enumerate(comp_plans):
+                    plan.parcor_code = code_b[j]
+                    plan.parcor_coef = coef_b[j]
 
     def _select_backend(self, row_samples: int) -> str:
         backend = self.config.backend
@@ -581,10 +594,18 @@ class Encoder:
                     rows_by_len.setdefault(pl.num_samples, []).append(r0 + ch)
             for n, row_ids in rows_by_len.items():
                 res = longterm_coef_rows(residual1[row_ids, :n], n, T, fft_size)
-                for r, lt in zip(row_ids, res):
-                    if lt.pitch_period >= LONGTERM_MIN_PITCH_THRESHOLD:
-                        pitches[r] = lt.pitch_period
-                        ltm[r] = quantize_longterm(lt.coef)
+                keep = [
+                    (r, lt)
+                    for r, lt in zip(row_ids, res)
+                    if lt.pitch_period >= LONGTERM_MIN_PITCH_THRESHOLD
+                ]
+                if keep:
+                    rs = [r for r, _ in keep]
+                    pitches[rs] = [lt.pitch_period for _, lt in keep]
+                    # one batched Q15 quantization for all kept rows
+                    ltm[rs] = quantize_longterm(
+                        np.stack([lt.coef for _, lt in keep])
+                    )
         if backend == "mesh":
             import jax.numpy as jnp
 
