@@ -38,13 +38,20 @@ struct BitWriter {
     buf = b; cap = c; nbytes = 0; acc = 0; nacc = 0; overflow = false;
   }
   inline void drain() {
-    while (nacc >= 32 && nbytes + 4 <= cap) {  // bulk path: 4 bytes at once
-      nacc -= 32;
-      uint32_t be = __builtin_bswap32((uint32_t)(acc >> nacc));
-      std::memcpy(buf + nbytes, &be, 4);
-      nbytes += 4;
+    const int out = nacc >> 3;  // whole bytes pending
+    if (!out) return;
+    if (nbytes + 8 <= cap) {
+      // single branch-free store: the whole-byte prefix left-aligned in a
+      // big-endian u64; the unused tail bytes are overwritten next drain
+      const int keep = nacc & 7;
+      uint64_t be = __builtin_bswap64((acc >> keep) << (64 - 8 * out));
+      std::memcpy(buf + nbytes, &be, 8);
+      nbytes += out;
+      nacc = keep;
+      acc &= (1ull << keep) - 1;
+      return;
     }
-    while (nacc >= 8) {
+    while (nacc >= 8) {  // near-capacity tail: byte-at-a-time with checks
       nacc -= 8;
       if (nbytes < cap) buf[nbytes++] = (uint8_t)(acc >> nacc);
       else { overflow = true; nbytes++; }
