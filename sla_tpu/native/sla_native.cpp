@@ -106,8 +106,18 @@ struct BitReader {
     cache = (cache << 8) | v;
     ncache += 8;
   }
-  inline void refill32() {  // bulk path: 4 bytes per load while within bounds
-    if (ncache <= 32 && next_byte + 4 <= size_bytes) {
+  inline void refill32() {  // bulk path: one 8-byte load tops up to 56+ bits
+    if (next_byte + 8 <= size_bytes) {
+      const int nb = (63 - ncache) >> 3;  // whole bytes that fit (<= 7)
+      if (nb > 0) {
+        uint64_t v;
+        std::memcpy(&v, buf + next_byte, 8);
+        next_byte += nb;
+        cache = (cache << (8 * nb)) |
+                (__builtin_bswap64(v) >> (64 - 8 * nb));
+        ncache += 8 * nb;
+      }
+    } else if (ncache <= 32 && next_byte + 4 <= size_bytes) {
       uint32_t v;
       std::memcpy(&v, buf + next_byte, 4);
       next_byte += 4;
