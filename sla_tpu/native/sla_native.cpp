@@ -340,10 +340,21 @@ static inline void write_rice_parts(BitWriter& w, const RiceParts& p) {
 static inline uint32_t get_recursive_rice(BitReader& r, RiceState& st) {
   // specialized two-stage structure, mirror of put_recursive_rice
   static_assert(kNumRecursiveParams == 2, "two-stage structure assumed");
-  uint32_t quot = r.get_zero_run();
   uint32_t k0 = rice_param(st.params[0]);
-  if (quot == 0) {  // symbol stayed in stage 0
-    uint32_t val = (k0 != 1) ? (uint32_t)r.get(log2_pow2(k0)) : 0;
+  int kb0 = log2_pow2(k0);
+  // fast path: a stage-0 symbol is a '1' marker + kb0 remainder bits —
+  // one cache extraction instead of zero-run + get (same bits consumed)
+  if (r.ncache <= 33) r.refill32();
+  if (r.ncache >= 1 + kb0 && (r.cache >> (r.ncache - 1)) & 1) {
+    r.ncache -= 1 + kb0;
+    uint32_t val = (uint32_t)((r.cache >> r.ncache) & (uint64_t)(k0 - 1));
+    r.cache &= (1ull << r.ncache) - 1;
+    st.params[0] = param_update(st.params[0], val);
+    return val;
+  }
+  uint32_t quot = r.get_zero_run();
+  if (quot == 0) {  // symbol stayed in stage 0 (near-end-of-buffer path)
+    uint32_t val = (k0 != 1) ? (uint32_t)r.get(kb0) : 0;
     st.params[0] = param_update(st.params[0], val);
     return val;
   }
@@ -424,12 +435,20 @@ int64_t sla_put_data_array(const int32_t* data, int32_t C, int32_t N,
     if (C == 2) {  // stereo fast path: direct row pointers, no inner loop
       const int32_t* d0 = data;
       const int32_t* d1 = data + N;
+      // pre-zigzag both rows vectorized so the serial symbol loop's
+      // parameter-update dependency chain doesn't carry the mapping
+      static thread_local std::vector<uint32_t> zz;
+      zz.resize(2 * (size_t)N);
+      uint32_t* z0 = zz.data();
+      uint32_t* z1 = zz.data() + N;
+      for (int s = 0; s < N; ++s) z0[s] = zigzag(d0[s]);
+      for (int s = 0; s < N; ++s) z1[s] = zigzag(d1[s]);
       for (int s = 0; s < N; ++s) {
         // fuse both channels' codes into one put when they fit (<= 57
         // bits); identical emitted bits, half the accumulator drains
         RiceParts a, b;
-        encode_recursive_rice(st[0], zigzag(d0[s]), a);
-        encode_recursive_rice(st[1], zigzag(d1[s]), b);
+        encode_recursive_rice(st[0], z0[s], a);
+        encode_recursive_rice(st[1], z1[s], b);
         if (!a.escape && !b.escape && a.nbits + b.nbits <= 57) {
           w.put((a.code << b.nbits) | b.code, a.nbits + b.nbits);
         } else {
@@ -1513,10 +1532,16 @@ int64_t sla_encode_block(int32_t num_samples, int32_t block_type, int32_t C,
       if (C == 2) {
         const int32_t* d0 = residual;
         const int32_t* d1 = residual + num_samples;
+        static thread_local std::vector<uint32_t> zz;
+        zz.resize(2 * (size_t)num_samples);
+        uint32_t* z0 = zz.data();
+        uint32_t* z1 = zz.data() + num_samples;
+        for (int32_t s = 0; s < num_samples; ++s) z0[s] = zigzag(d0[s]);
+        for (int32_t s = 0; s < num_samples; ++s) z1[s] = zigzag(d1[s]);
         for (int32_t s = 0; s < num_samples; ++s) {
           RiceParts a, b;  // fused stereo put (see sla_put_data_array)
-          encode_recursive_rice(st[0], zigzag(d0[s]), a);
-          encode_recursive_rice(st[1], zigzag(d1[s]), b);
+          encode_recursive_rice(st[0], z0[s], a);
+          encode_recursive_rice(st[1], z1[s], b);
           if (!a.escape && !b.escape && a.nbits + b.nbits <= 57) {
             w.put((a.code << b.nbits) | b.code, a.nbits + b.nbits);
           } else {
