@@ -89,13 +89,24 @@ def longterm_synthesize(
     coef: jnp.ndarray,
     num_taps: int,
     state: tuple[jnp.ndarray, jnp.ndarray],
+    chunk: int = 1,
 ) -> tuple[jnp.ndarray, tuple[jnp.ndarray, jnp.ndarray]]:
     """Recurrent synthesis via scan.
 
     residual: (B, N) int32; state = (hist, processed): hist (B, _MAX_DELAY)
     holds the last samples, newest at index -1; processed (B,) int32.
+
+    chunk (static): samples per scan step. The feedback lag of an active
+    row is max_delay - (num_taps - 1) = pitch - num_taps//2 + 1, so any
+    chunk <= the batch's minimum active lag reads only carried history —
+    the caller certifies that bound (decode_stage computes it host-side).
+    Per-sample arithmetic is identical for any chunk (exact int64 sums).
     """
     B, N = residual.shape
+    if chunk > 1 and N % chunk == 0:
+        return _longterm_synthesize_chunked(
+            residual, pitch, coef, num_taps, state, chunk
+        )
     q = _q15(coef)  # (B, T)
     max_delay = (pitch + (num_taps // 2)).astype(jnp.int32)  # (B,)
     hist, processed = state
@@ -123,6 +134,58 @@ def longterm_synthesize(
         step, (hist.astype(jnp.int64), processed), jnp.swapaxes(residual, 0, 1)
     )
     return jnp.swapaxes(out_t, 0, 1), (hist.astype(jnp.int32), processed)
+
+
+def _longterm_synthesize_chunked(
+    residual: jnp.ndarray,
+    pitch: jnp.ndarray,
+    coef: jnp.ndarray,
+    num_taps: int,
+    state: tuple[jnp.ndarray, jnp.ndarray],
+    chunk: int,
+) -> tuple[jnp.ndarray, tuple[jnp.ndarray, jnp.ndarray]]:
+    """chunk samples per scan step: every read of an active row reaches at
+    least `chunk` samples back (caller-certified), so a whole chunk's
+    predictions come from the carried ring — num_taps vmapped dynamic
+    slices + multiplies per step instead of a dense history dot per
+    sample. Inactive rows (pitch 0) pass through; their clipped reads are
+    discarded by the `use` mask."""
+    B, N = residual.shape
+    q = _q15(coef)  # (B, T)
+    max_delay = (pitch + (num_taps // 2)).astype(jnp.int32)  # (B,)
+    hist, processed = state
+    D = hist.shape[1]
+    c_idx = jnp.arange(chunk, dtype=jnp.int32)[None, :]
+    # start of the slice for tap j: position of the sample (max_delay - j)
+    # steps before the chunk, clipped in-bounds for inactive rows
+    starts = [
+        jnp.clip(D - (max_delay - j), 0, D - chunk).astype(jnp.int32)
+        for j in range(num_taps)
+    ]
+    slice_rows = jax.vmap(
+        lambda row, st: jax.lax.dynamic_slice_in_dim(row, st, chunk)
+    )
+    active_row = pitch > 0
+
+    def step(carry, r):
+        h, t = carry  # h: (B, D) int64, t: (B,) int32
+        acc = jnp.zeros((B, chunk), dtype=jnp.int64)
+        for j in range(num_taps):
+            acc = acc + q[:, j : j + 1] * slice_rows(h, starts[j])
+        pred = ((acc + (1 << 14)) >> 15).astype(jnp.int32)
+        pos = t[:, None] + c_idx
+        use = active_row[:, None] & (pos >= max_delay[:, None])
+        out = jnp.where(use, r + pred, r)
+        h = jnp.concatenate([h[:, chunk:], out.astype(jnp.int64)], axis=1)
+        return (h, t + chunk), out
+
+    (hist, processed), out_t = jax.lax.scan(
+        step,
+        (hist.astype(jnp.int64), processed),
+        jnp.swapaxes(residual.reshape(B, N // chunk, chunk), 0, 1),
+    )
+    out = jnp.swapaxes(out_t, 0, 1).reshape(B, N)
+    return out, (hist.astype(jnp.int32), processed)
 
 
 def longterm_init_state(batch: int) -> tuple[jnp.ndarray, jnp.ndarray]:

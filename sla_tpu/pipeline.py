@@ -221,7 +221,9 @@ def encode_filters(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("parcor_order", "num_taps", "lms_order"))
+@functools.partial(
+    jax.jit, static_argnames=("parcor_order", "num_taps", "lms_order", "lt_chunk")
+)
 def _decode_stage_scan(
     residual: jnp.ndarray,
     parcor_coef: jnp.ndarray,
@@ -230,18 +232,23 @@ def _decode_stage_scan(
     parcor_order: int,
     num_taps: int,
     lms_order: int,
+    lt_chunk: int = 1,
 ):
     B = residual.shape[0]
     out, _ = lms_synthesize(residual, lms_init_state(B, lms_order), lms_order)
     if num_taps > 0:
-        lt_out, _ = longterm_synthesize(out, pitch, ltm_coef, num_taps, longterm_init_state(B))
+        lt_out, _ = longterm_synthesize(
+            out, pitch, ltm_coef, num_taps, longterm_init_state(B), chunk=lt_chunk
+        )
         out = jnp.where((pitch > 0)[:, None], lt_out, out)
     out, _ = lattice_synthesize(out, parcor_coef, lattice_init_state(B, parcor_order))
     out, _ = de_emphasis(out, jnp.zeros((B,), jnp.int32))
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("parcor_order", "num_taps", "lms_order"))
+@functools.partial(
+    jax.jit, static_argnames=("parcor_order", "num_taps", "lms_order", "lt_chunk")
+)
 def _decode_stage_pallas(
     residual: jnp.ndarray,
     parcor_coef: jnp.ndarray,
@@ -250,6 +257,7 @@ def _decode_stage_pallas(
     parcor_order: int,
     num_taps: int,
     lms_order: int,
+    lt_chunk: int = 1,
 ):
     from .kernels.pallas_filters import TILE_B, lattice_filter_tl, lms_filter_tl
 
@@ -257,7 +265,9 @@ def _decode_stage_pallas(
     res_p = _pad_rows(residual, TILE_B)
     out = lms_filter_tl(res_p.T, lms_order, synthesize=True).T[:B]
     if num_taps > 0:
-        lt_out, _ = longterm_synthesize(out, pitch, ltm_coef, num_taps, longterm_init_state(B))
+        lt_out, _ = longterm_synthesize(
+            out, pitch, ltm_coef, num_taps, longterm_init_state(B), chunk=lt_chunk
+        )
         out = jnp.where((pitch > 0)[:, None], lt_out, out)
     out_p = _pad_rows(out, TILE_B)
     coef_p = _pad_rows(parcor_coef, TILE_B)
@@ -290,10 +300,35 @@ def decode_stage(
             _decode_stage_scan, residual, parcor_coef, pitch, ltm_coef,
             parcor_order=parcor_order, num_taps=num_taps, lms_order=lms_order,
         )
+    lt_chunk = _longterm_chunk(pitch, num_taps, residual.shape[1])
     if _use_pallas() and residual.shape[1] % 2048 == 0:
         return _decode_stage_pallas(
-            residual, parcor_coef, pitch, ltm_coef, parcor_order, num_taps, lms_order
+            residual, parcor_coef, pitch, ltm_coef, parcor_order, num_taps,
+            lms_order, lt_chunk=lt_chunk,
         )
     return _decode_stage_scan(
-        residual, parcor_coef, pitch, ltm_coef, parcor_order, num_taps, lms_order
+        residual, parcor_coef, pitch, ltm_coef, parcor_order, num_taps,
+        lms_order, lt_chunk=lt_chunk,
     )
+
+
+def _longterm_chunk(pitch, num_taps: int, length: int) -> int:
+    """Largest power-of-two scan chunk (<= 64) that every active row's
+    feedback lag permits: the shallowest read is max_delay - (num_taps-1)
+    = pitch + num_taps//2 - num_taps + 1 samples back, so any chunk <=
+    the batch's minimum active lag only ever reads carried history.
+    Called outside jit — pitch is concrete; batches without long-term
+    rows take the cap."""
+    if num_taps <= 0:
+        return 1
+    import numpy as np
+
+    p = np.asarray(pitch)
+    active = p[p > 0]
+    lag = (
+        int(active.min()) + num_taps // 2 - (num_taps - 1) if active.size else 64
+    )
+    chunk = 64
+    while chunk > 1 and (lag < chunk or length % chunk):
+        chunk >>= 1
+    return chunk

@@ -219,3 +219,39 @@ def test_state_carry_across_calls():
     a, st = lms_predict(jnp.asarray(wave[None, :250]), st, m)
     b, st = lms_predict(jnp.asarray(wave[None, 250:]), st, m)
     assert np.array_equal(np.concatenate([np.asarray(a), np.asarray(b)], axis=1), np.asarray(full))
+
+
+def test_longterm_synthesize_chunked_matches_scan():
+    """The chunked synthesis scan (device decode fast path) must equal the
+    per-sample scan bit for bit whenever the chunk respects the batch's
+    minimum active feedback lag, including warmup crossings, mixed
+    pitch-0 rows, and carried streaming state."""
+    from sla_tpu.pipeline import _longterm_chunk
+
+    rng = np.random.default_rng(42)
+    B, n, taps = 6, 512, 3
+    res = rng.integers(-(1 << 20), 1 << 20, (B, n)).astype(I32)
+    pitch = np.array([0, 40, 67, 130, 255, 34], I32)
+    coef = (rng.integers(-9000, 9000, (B, taps)).astype(np.int64) << 16).astype(I32)
+    chunk = _longterm_chunk(pitch, taps, n)
+    assert chunk > 1  # min active lag = 34 + 1 - 2 = 33 -> chunk 32
+    ref, ref_state = longterm_synthesize(
+        jnp.asarray(res), jnp.asarray(pitch), jnp.asarray(coef), taps,
+        longterm_init_state(B),
+    )
+    out, out_state = longterm_synthesize(
+        jnp.asarray(res), jnp.asarray(pitch), jnp.asarray(coef), taps,
+        longterm_init_state(B), chunk=chunk,
+    )
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
+    assert np.array_equal(np.asarray(out_state[0]), np.asarray(ref_state[0]))
+    # resume from carried state (streaming-style second call)
+    res2 = rng.integers(-(1 << 20), 1 << 20, (B, 256)).astype(I32)
+    ref2, _ = longterm_synthesize(
+        jnp.asarray(res2), jnp.asarray(pitch), jnp.asarray(coef), taps, ref_state
+    )
+    out2, _ = longterm_synthesize(
+        jnp.asarray(res2), jnp.asarray(pitch), jnp.asarray(coef), taps,
+        out_state, chunk=chunk,
+    )
+    assert np.array_equal(np.asarray(out2), np.asarray(ref2))
