@@ -252,6 +252,19 @@ class Decoder:
         return "device" if measured_link_bandwidth() >= 200e6 else "host"
 
     # -- whole-stream decode -----------------------------------------------------
+    def decode_block(self, data: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
+        """Decode ONE block starting at byte `offset` (SLADecoder_DecodeBlock,
+        SLADecoder.c:584-657): block-header parse (sync + CRC verify),
+        payload decode, full synthesis chain, MS inverse, final left shift.
+        The caller owns the wave format / encode parameters (set_* first),
+        exactly like the reference's block-level API. Returns
+        ((C, n) canonical int32 PCM, bytes consumed)."""
+        self._require_params()
+        blk = self.parse_block_header(data, offset)
+        payload = self._decode_payload(data, blk)
+        pcm = self.synthesize_blocks([blk], [payload])[0]
+        return pcm, blk.block_size
+
     def decode_whole(self, data: bytes) -> tuple[HeaderInfo, np.ndarray]:
         """Returns (header, (C, num_samples) canonical int32 PCM)."""
         header, status = decode_header(data)
@@ -350,9 +363,13 @@ class Decoder:
                 ltm3[:B, 0] = ltm
                 d_res, d_coef, d_ltm = shard_batch(mesh, res3, coef3, ltm3)
                 d_pitch = shard_batch(mesh, pitch3[..., None])[0][..., 0]
+                from .pipeline import _longterm_chunk
+
                 synth = np.asarray(
                     sharded_decode_step(
-                        d_res, d_coef, d_pitch, d_ltm, p, T, ep.lms_order_per_filter, mesh
+                        d_res, d_coef, d_pitch, d_ltm, p, T,
+                        ep.lms_order_per_filter, mesh,
+                        lt_chunk=_longterm_chunk(pitch, T, L),
                     )
                 )[:B, 0]
             elif backend == "host":

@@ -246,8 +246,12 @@ def sharded_decode_step(
     num_taps: int,
     lms_order: int,
     mesh: Mesh,
+    lt_chunk: int = 1,
 ):
     """Mesh-sharded synthesis: the decode mirror of sharded_encode_step.
+
+    lt_chunk (static): samples per long-term scan step; the caller derives
+    it from the batch's concrete pitches (pipeline._longterm_chunk).
 
     residual: (NB, NC, L) int32 sharded (blocks, channels). Returns PCM rows
     prior to the MS inverse / final left shift. Blocks decode with zero
@@ -276,7 +280,8 @@ def sharded_decode_step(
         )
         if num_taps > 0:
             lt_out, _ = longterm_synthesize(
-                out, pit, ltm, num_taps, jax.tree.map(vary, longterm_init_state(B))
+                out, pit, ltm, num_taps,
+                jax.tree.map(vary, longterm_init_state(B)), chunk=lt_chunk,
             )
             out = jnp.where((pit > 0)[:, None], lt_out, out)
         out, _ = lattice_synthesize(

@@ -321,8 +321,11 @@ def _longterm_chunk(pitch, num_taps: int, length: int) -> int:
     rows take the cap."""
     if num_taps <= 0:
         return 1
+    import jax
     import numpy as np
 
+    if isinstance(pitch, jax.core.Tracer):
+        return 1  # under an outer jit the pitches aren't concrete
     p = np.asarray(pitch)
     active = p[p > 0]
     lag = (

@@ -232,3 +232,31 @@ def test_block_level_api_stream(ref_binary, tmp_path):
     subprocess.run([str(ref_binary), "-d", "-q", str(sla_path), str(wav_path)],
                    check=True, capture_output=True)
     assert np.array_equal(wavio.read_wav(str(wav_path)).data, pcm)
+
+
+def test_decode_block_level_api():
+    """Caller-driven block decode — decode_header + decode_block per block
+    (SLADecoder_DecodeBlock, SLADecoder.c:584-657) — reconstructs the PCM
+    block by block."""
+    from sla_tpu.format import decode_header
+
+    pcm = gen_wave("sine", 25000, 2, 16, 0, seed=5)
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
+    enc.set_encode_parameter(sla.PRESETS[1])
+    stream = enc.encode_whole(pcm)
+
+    header, _ = decode_header(stream)
+    dec = sla.Decoder()
+    dec.set_wave_format(header.wave_format)
+    dec.set_encode_parameter(header.encode_param)
+    from sla_tpu.constants import SLA_HEADER_SIZE
+
+    offset = SLA_HEADER_SIZE  # first block starts right after the 43-byte header
+    parts = []
+    for _ in range(header.num_blocks):
+        pcm_block, consumed = dec.decode_block(stream, offset)
+        parts.append(pcm_block)
+        offset += consumed
+    out = np.concatenate(parts, axis=1)
+    assert np.array_equal(out, pcm)

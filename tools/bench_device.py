@@ -52,9 +52,14 @@ def main() -> int:
         return jnp.sum(r2, dtype=jnp.int32)  # scalar: keep transfers off the clock
 
     @jax.jit
+    def _sum32(x):
+        return jnp.sum(x, dtype=jnp.int32)
+
     def decode_pipeline(d, c, pi, lt):
-        out = decode_stage(d, c, pi, lt, p, T, M)
-        return jnp.sum(out, dtype=jnp.int32)
+        # decode_stage dispatches its own jitted impls (and picks the
+        # chunked long-term scan from the concrete pitches) — call it
+        # eagerly like the decoder does, then reduce on device
+        return _sum32(decode_stage(d, c, pi, lt, p, T, M))
 
     import numpy as np
 
