@@ -369,7 +369,9 @@ class Decoder:
                     sharded_decode_step(
                         d_res, d_coef, d_pitch, d_ltm, p, T,
                         ep.lms_order_per_filter, mesh,
-                        lt_chunk=_longterm_chunk(pitch, T, L),
+                        lt_chunk=_longterm_chunk(
+                            pitch, T, L, platform=mesh.devices.flat[0].platform
+                        ),
                     )
                 )[:B, 0]
             elif backend == "host":

@@ -235,7 +235,8 @@ def sharded_encode_stage2(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("parcor_order", "num_taps", "lms_order", "mesh")
+    jax.jit,
+    static_argnames=("parcor_order", "num_taps", "lms_order", "mesh", "lt_chunk"),
 )
 def sharded_decode_step(
     residual: jnp.ndarray,

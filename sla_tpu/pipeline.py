@@ -300,7 +300,12 @@ def decode_stage(
             _decode_stage_scan, residual, parcor_coef, pitch, ltm_coef,
             parcor_order=parcor_order, num_taps=num_taps, lms_order=lms_order,
         )
-    lt_chunk = _longterm_chunk(pitch, num_taps, residual.shape[1])
+    plat = None
+    try:
+        plat = next(iter(residual.devices())).platform
+    except Exception:
+        pass
+    lt_chunk = _longterm_chunk(pitch, num_taps, residual.shape[1], platform=plat)
     if _use_pallas() and residual.shape[1] % 2048 == 0:
         return _decode_stage_pallas(
             residual, parcor_coef, pitch, ltm_coef, parcor_order, num_taps,
@@ -312,18 +317,25 @@ def decode_stage(
     )
 
 
-def _longterm_chunk(pitch, num_taps: int, length: int) -> int:
+def _longterm_chunk(pitch, num_taps: int, length: int, platform: str | None = None) -> int:
     """Largest power-of-two scan chunk (<= 64) that every active row's
     feedback lag permits: the shallowest read is max_delay - (num_taps-1)
     = pitch + num_taps//2 - num_taps + 1 samples back, so any chunk <=
     the batch's minimum active lag only ever reads carried history.
     Called outside jit — pitch is concrete; batches without long-term
-    rows take the cap."""
+    rows take the cap.
+
+    The chunked scan's per-row dynamic slices win ~30x on CPU but lose on
+    TPU, where Mosaic/XLA lower the per-row traced starts to gathers that
+    run slower than the dense history dot — TPU keeps the per-sample scan
+    (measured on v5e, see BASELINE.md)."""
     if num_taps <= 0:
         return 1
     import jax
     import numpy as np
 
+    if platform in ("tpu", "axon"):
+        return 1
     if isinstance(pitch, jax.core.Tracer):
         return 1  # under an outer jit the pitches aren't concrete
     p = np.asarray(pitch)
