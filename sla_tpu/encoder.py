@@ -261,6 +261,12 @@ class Encoder:
     def _finalize_encode(self, num_samples: int, plans: list["_BlockPlan"]) -> bytes:
         """Entropy-code all blocks and assemble the container."""
         wf, ep = self._wave_format, self._encode_param
+        if (
+            native.available()
+            and not os.environ.get("SLA_TPU_DEVICE_ENTROPY")
+            and not self.config.verbose  # per-block progress stays on the loop
+        ):
+            return self._finalize_encode_native(num_samples, plans)
         # entropy-code blocks, track header statistics
         blobs: list[bytes] = []
         max_block_size = 0
@@ -296,6 +302,57 @@ class Encoder:
             max_bit_per_second=max_bps,
         )
         return encode_header(header) + b"".join(blobs)
+
+    def _finalize_encode_native(
+        self, num_samples: int, plans: list["_BlockPlan"]
+    ) -> bytes:
+        """One native call serializes every block back to back (identical
+        bytes to the per-block path — blocks are byte-aligned)."""
+        wf, ep = self._wave_format, self._encode_param
+        C, p, T = wf.num_channels, ep.parcor_order, ep.longterm_order
+        W = len(plans)
+        nsamp = np.empty(W, dtype=np.int32)
+        btype = np.empty(W, dtype=np.int32)
+        code = np.zeros((W, C, p + 1), dtype=np.int32)
+        rshift = np.zeros((W, C), dtype=np.int32)
+        pitch = np.zeros((W, C), dtype=np.int32)
+        ltm = np.zeros((W, C, max(T, 1)), dtype=np.int32)
+        init = np.zeros((W, C), dtype=np.uint32)
+        silent_rows = np.zeros((C, 1), dtype=np.int32)
+        rows: list[np.ndarray] = []
+        for b, plan in enumerate(plans):
+            nsamp[b] = plan.num_samples
+            btype[b] = int(plan.block_type)
+            if plan.block_type == BlockDataType.COMPRESSDATA:
+                code[b] = plan.parcor_code
+                rshift[b] = plan.parcor_rshift
+                pitch[b] = plan.pitch
+                ltm[b] = plan.ltm_coef
+                init[b] = plan.init_rice
+                rows.append(plan.residual)
+            elif plan.block_type == BlockDataType.RAWDATA:
+                rows.append(plan.raw_int32)
+            else:
+                rows.append(silent_rows)
+        raw_bits = [wf.bit_per_sample - wf.offset_lshift] * C
+        if ep.ch_process_method == ChannelProcessMethod.STEREO_MS:
+            raw_bits[1] += 1
+        payload, sizes = native.encode_blocks(
+            nsamp, btype, p, T, wf.bit_per_sample, LONGTERM_MIN_PITCH_THRESHOLD,
+            code, rshift, pitch, ltm, init, rows, raw_bits,
+        )
+        max_block_size = int(sizes.max()) if W else 0
+        # uint32 arithmetic as in the reference (SLAEncoder.c:895)
+        bps = ((8 * sizes * wf.sampling_rate) & 0xFFFFFFFF) // nsamp
+        header = HeaderInfo(
+            wave_format=wf,
+            encode_param=ep,
+            num_samples=num_samples,
+            num_blocks=W,
+            max_block_size=max_block_size,
+            max_bit_per_second=int(bps.max()) if W else 0,
+        )
+        return encode_header(header) + payload
 
     # -- step 2: block planning ----------------------------------------------
     def _plan_blocks(

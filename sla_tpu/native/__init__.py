@@ -101,6 +101,13 @@ def _load() -> ctypes.CDLL | None:
         i32, i32, i32, i32, i32, i32, i32,
         p_i32, p_i32, p_i32, p_i32, p_u32, p_i32, p_i32, p_u8, i64,
     ]
+    lib.sla_encode_blocks.restype = i64
+    lib.sla_encode_blocks.argtypes = [
+        i32, i32, i32, i32, i32, i32,
+        p_i32, p_i32, p_i32, p_i32, p_i32, p_i32, p_u32,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+        p_i32, p_u8, i64, ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.sla_partition_solve.restype = i32
     lib.sla_partition_solve.argtypes = [
         p_f64, ctypes.POINTER(ctypes.c_int64), p_i32, p_i32, i32,
@@ -710,6 +717,72 @@ def span_cost(
     if rc != 0:
         raise ValueError(f"span_cost: order out of native scratch range ({order})")
     return out
+
+
+def encode_blocks(
+    num_samples: np.ndarray,
+    block_types: np.ndarray,
+    parcor_order: int,
+    num_taps: int,
+    bits_per_sample: int,
+    pitch_threshold: int,
+    parcor_code: np.ndarray,
+    parcor_rshift: np.ndarray,
+    pitch: np.ndarray,
+    ltm_coef: np.ndarray,
+    init_rice: np.ndarray,
+    residual_rows: list[np.ndarray],
+    raw_bits,
+) -> tuple[bytes, np.ndarray]:
+    """Serialize every block of a stream in ONE native call.
+
+    residual_rows: per-block (C, n_b) int32 arrays (row views into the
+    batch filter output are fine — base pointer + row stride pass through,
+    no gather copies). Returns (whole stream payload bytes, per-block byte
+    sizes). Grows the output buffer and retries on overflow."""
+    lib = _load()
+    W = len(residual_rows)
+    C = int(parcor_code.shape[1])
+    nsamp = np.ascontiguousarray(num_samples, dtype=np.int32)
+    btype = np.ascontiguousarray(block_types, dtype=np.int32)
+    code = np.ascontiguousarray(parcor_code, dtype=np.int32)
+    rshift = np.ascontiguousarray(parcor_rshift, dtype=np.int32)
+    pit = np.ascontiguousarray(pitch, dtype=np.int32)
+    ltm = np.ascontiguousarray(ltm_coef, dtype=np.int32)
+    ir = np.ascontiguousarray(init_rice, dtype=np.uint32)
+    rb = np.ascontiguousarray(raw_bits, dtype=np.int32)
+    ptrs = np.empty(W, dtype=np.uint64)
+    strides = np.empty(W, dtype=np.int64)
+    keep = []  # hold row buffers alive across the call
+    for b, rows in enumerate(residual_rows):
+        if rows.strides[1] != 4 or rows.strides[0] % 4:
+            rows = np.ascontiguousarray(rows, dtype=np.int32)
+        keep.append(rows)
+        ptrs[b] = rows.ctypes.data
+        strides[b] = rows.strides[0] // 4
+    sizes = np.empty(W, dtype=np.int64)
+    # 2x the PCM bytes plus per-block headroom covers even raw fallbacks;
+    # grow-and-retry handles adversarial expansions
+    cap = int(2 * 4 * C * int(nsamp.sum(dtype=np.int64)) + 4096 * W + 4096)
+    p_u64 = ctypes.POINTER(ctypes.c_uint64)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        n = int(
+            lib.sla_encode_blocks(
+                W, C, parcor_order, num_taps, bits_per_sample, pitch_threshold,
+                _i32ptr(nsamp), _i32ptr(btype), _i32ptr(code), _i32ptr(rshift),
+                _i32ptr(pit), _i32ptr(ltm), _u32ptr(ir),
+                ptrs.ctypes.data_as(p_u64), strides.ctypes.data_as(p_i64),
+                _i32ptr(rb), _u8ptr(out), cap, sizes.ctypes.data_as(p_i64),
+            )
+        )
+        if n >= 0:
+            del keep
+            return out[:n].tobytes(), sizes
+        if n == -2:
+            raise ValueError(f"encode_blocks: too many channels for native scratch ({C})")
+        cap *= 2
 
 
 def encode_block(

@@ -1481,17 +1481,14 @@ int32_t sla_span_cost(const double* R, const double* span_len, int32_t S,
 // the final residual for compress, the raw int32 samples for raw.
 // raw_bits: per-channel raw bit widths (raw only). Returns bytes written,
 // or -1 on overflow / capacity violation.
-int64_t sla_encode_block(int32_t num_samples, int32_t block_type, int32_t C,
-                         int32_t parcor_order, int32_t num_taps,
-                         int32_t bits_per_sample, int32_t pitch_threshold,
-                         const int32_t* parcor_code /* C x (p+1) */,
-                         const int32_t* parcor_rshift /* C */,
-                         const int32_t* pitch /* C */,
-                         const int32_t* ltm_coef /* C x max(T,1) */,
-                         const uint32_t* init_rice /* C */,
-                         const int32_t* residual /* C x n */,
-                         const int32_t* raw_bits /* C, raw only */,
-                         uint8_t* out, int64_t cap) {
+static int64_t encode_block_core(
+    int32_t num_samples, int32_t block_type, int32_t C, int32_t parcor_order,
+    int32_t num_taps, int32_t bits_per_sample, int32_t pitch_threshold,
+    const int32_t* parcor_code /* C x (p+1) */,
+    const int32_t* parcor_rshift /* C */, const int32_t* pitch /* C */,
+    const int32_t* ltm_coef /* C x max(T,1) */, const uint32_t* init_rice,
+    const int32_t* residual /* C rows */, int64_t row_stride,
+    const int32_t* raw_bits /* C, raw only */, uint8_t* out, int64_t cap) {
   if (C <= 0 || C > 64) return -2;  // scratch capacity, not an overflow
   BitWriter w;
   w.init(out, cap);
@@ -1531,7 +1528,7 @@ int64_t sla_encode_block(int32_t num_samples, int32_t block_type, int32_t C,
       for (int32_t ch = 0; ch < C; ++ch) st[ch].init(init_rice[ch]);
       if (C == 2) {
         const int32_t* d0 = residual;
-        const int32_t* d1 = residual + num_samples;
+        const int32_t* d1 = residual + row_stride;
         static thread_local std::vector<uint32_t> zz;
         zz.resize(2 * (size_t)num_samples);
         uint32_t* z0 = zz.data();
@@ -1552,17 +1549,17 @@ int64_t sla_encode_block(int32_t num_samples, int32_t block_type, int32_t C,
       } else {
         for (int32_t s = 0; s < num_samples; ++s)
           for (int32_t ch = 0; ch < C; ++ch)
-            put_recursive_rice(w, st[ch], zigzag(residual[(int64_t)ch * num_samples + s]));
+            put_recursive_rice(w, st[ch], zigzag(residual[(int64_t)ch * row_stride + s]));
       }
     } else {
       for (int32_t s = 0; s < num_samples; ++s)
         for (int32_t ch = 0; ch < C; ++ch)
-          put_golomb(w, eff[ch], zigzag(residual[(int64_t)ch * num_samples + s]));
+          put_golomb(w, eff[ch], zigzag(residual[(int64_t)ch * row_stride + s]));
     }
   } else if (block_type == 2) {  // RAWDATA
     for (int32_t s = 0; s < num_samples; ++s)
       for (int32_t ch = 0; ch < C; ++ch)
-        w.put(zigzag(residual[(int64_t)ch * num_samples + s]), raw_bits[ch]);
+        w.put(zigzag(residual[(int64_t)ch * row_stride + s]), raw_bits[ch]);
   }
   w.flush();
   if (w.overflow) return -1;
@@ -1577,6 +1574,57 @@ int64_t sla_encode_block(int32_t num_samples, int32_t block_type, int32_t C,
   out[6] = (uint8_t)(crc >> 8);
   out[7] = (uint8_t)crc;
   return size;
+}
+
+int64_t sla_encode_block(int32_t num_samples, int32_t block_type, int32_t C,
+                         int32_t parcor_order, int32_t num_taps,
+                         int32_t bits_per_sample, int32_t pitch_threshold,
+                         const int32_t* parcor_code, const int32_t* parcor_rshift,
+                         const int32_t* pitch, const int32_t* ltm_coef,
+                         const uint32_t* init_rice, const int32_t* residual,
+                         const int32_t* raw_bits, uint8_t* out, int64_t cap) {
+  return encode_block_core(num_samples, block_type, C, parcor_order, num_taps,
+                           bits_per_sample, pitch_threshold, parcor_code,
+                           parcor_rshift, pitch, ltm_coef, init_rice, residual,
+                           num_samples, raw_bits, out, cap);
+}
+
+// Serialize EVERY block of a stream in one call: blocks write back to back
+// (each is byte-aligned) into `out`, per-block byte sizes land in
+// sizes_out. Residual rows come as per-block base pointers + row strides
+// (views into the batch filter output — no gather copies). Returns total
+// bytes, -1 on out-capacity overflow (caller grows and retries), -2 on a
+// scratch bound violation.
+int64_t sla_encode_blocks(int32_t W, int32_t C, int32_t parcor_order,
+                          int32_t num_taps, int32_t bits_per_sample,
+                          int32_t pitch_threshold, const int32_t* nsamp,
+                          const int32_t* btype,
+                          const int32_t* parcor_code /* W x C x (p+1) */,
+                          const int32_t* parcor_rshift /* W x C */,
+                          const int32_t* pitch /* W x C */,
+                          const int32_t* ltm_coef /* W x C x max(T,1) */,
+                          const uint32_t* init_rice /* W x C */,
+                          const uint64_t* res_ptrs /* W */,
+                          const int64_t* res_strides /* W */,
+                          const int32_t* raw_bits /* C */, uint8_t* out,
+                          int64_t cap, int64_t* sizes_out) {
+  if (C <= 0 || C > 64) return -2;
+  const int32_t pc = parcor_order + 1;
+  const int32_t mt = num_taps > 0 ? num_taps : 1;
+  int64_t pos = 0;
+  for (int32_t b = 0; b < W; ++b) {
+    int64_t n = encode_block_core(
+        nsamp[b], btype[b], C, parcor_order, num_taps, bits_per_sample,
+        pitch_threshold, parcor_code + (int64_t)b * C * pc,
+        parcor_rshift + (int64_t)b * C, pitch + (int64_t)b * C,
+        ltm_coef + (int64_t)b * C * mt, init_rice + (int64_t)b * C,
+        (const int32_t*)(uintptr_t)res_ptrs[b], res_strides[b], raw_bits,
+        out + pos, cap - pos);
+    if (n < 0) return n;
+    sizes_out[b] = n;
+    pos += n;
+  }
+  return pos;
 }
 
 // Partition decisions for many windows at once: adjacency assembly from
