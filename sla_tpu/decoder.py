@@ -282,18 +282,38 @@ class Decoder:
         blocks = self.scan_blocks(data, header.num_samples)
         self.stage_times["headers"] = time.perf_counter() - t0
         t0 = time.perf_counter()
-        payloads = []
-        done = 0
-        for b in blocks:
-            payloads.append(self._decode_payload(data, b))
-            if self.config.verbose:
-                # progress display (SLADecoder.c:721-725, main.c:406-409)
-                done += b.num_samples
-                print(
-                    f"progress:{100 * done // max(header.num_samples, 1):2d}%",
-                    end="\r",
-                    flush=True,
-                )
+        payloads: list[np.ndarray | None]
+        comp = [
+            i for i, b in enumerate(blocks)
+            if b.block_type == BlockDataType.COMPRESSDATA
+        ]
+        if native.available() and comp and not self.config.verbose:
+            # one native call entropy-decodes every compressed payload
+            decoded = native.get_data_arrays(
+                data,
+                np.asarray([blocks[i].payload_bit_offset for i in comp]),
+                np.asarray([blocks[i].num_samples for i in comp]),
+                np.asarray([blocks[i].init_rice for i in comp]),
+            )
+            payloads = [None] * len(blocks)
+            for i, rows in zip(comp, decoded):
+                payloads[i] = rows
+            for i, b in enumerate(blocks):
+                if payloads[i] is None:
+                    payloads[i] = self._decode_payload(data, b)
+        else:
+            payloads = []
+            done = 0
+            for b in blocks:
+                payloads.append(self._decode_payload(data, b))
+                if self.config.verbose:
+                    # progress display (SLADecoder.c:721-725, main.c:406-409)
+                    done += b.num_samples
+                    print(
+                        f"progress:{100 * done // max(header.num_samples, 1):2d}%",
+                        end="\r",
+                        flush=True,
+                    )
         self.stage_times["entropy"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         pcm = self.synthesize_blocks(blocks, payloads)

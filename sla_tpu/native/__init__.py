@@ -115,6 +115,11 @@ def _load() -> ctypes.CDLL | None:
     ]
     p_u64 = ctypes.POINTER(ctypes.c_uint64)
     p_i64 = ctypes.POINTER(ctypes.c_int64)
+    lib.sla_get_data_arrays.restype = i64
+    lib.sla_get_data_arrays.argtypes = [
+        p_u8, i64, i32, ctypes.POINTER(ctypes.c_int64), i32, p_i32, p_u32,
+        p_i32, ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.sla_get_data_array_partial.restype = i32
     lib.sla_get_data_array_partial.argtypes = [
         p_u8, i64, p_i64, i32, i32, p_u64, p_u32, i32, p_i32,
@@ -243,6 +248,50 @@ def put_raw(data: np.ndarray, bits_per_ch: list[int]) -> bytes:
     n = int(lib.sla_put_raw(_i32ptr(data), C, N, _i32ptr(bits), _u8ptr(out), cap))
     assert n >= 0
     return out[:n].tobytes()
+
+
+def get_data_arrays(
+    stream: bytes | memoryview | np.ndarray,
+    bit_offsets: np.ndarray,
+    num_samples: np.ndarray,
+    init_params: np.ndarray,
+) -> list[np.ndarray]:
+    """Entropy-decode many blocks' payloads in one call.
+
+    bit_offsets/num_samples: (W,); init_params: (W, C). Returns per-block
+    (C, n_b) int32 views into one flat buffer (same values as per-block
+    get_data_array calls)."""
+    lib = _load()
+    buf = (
+        stream if isinstance(stream, np.ndarray) else np.frombuffer(stream, dtype=np.uint8)
+    )
+    offs = np.ascontiguousarray(bit_offsets, dtype=np.int64)
+    ns = np.ascontiguousarray(num_samples, dtype=np.int32)
+    init = np.ascontiguousarray(init_params, dtype=np.uint32)
+    W, C = init.shape
+    out_offs = np.zeros(W, dtype=np.int64)
+    np.cumsum(C * ns[:-1].astype(np.int64), out=out_offs[1:])
+    total = int(out_offs[-1] + C * ns[-1]) if W else 0
+    out = np.empty(total, dtype=np.int32)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    rc = int(
+        lib.sla_get_data_arrays(
+            _u8ptr(buf), buf.size, W, offs.ctypes.data_as(p_i64), C,
+            _i32ptr(ns), _u32ptr(init), _i32ptr(out),
+            out_offs.ctypes.data_as(p_i64),
+        )
+    )
+    if rc == -1000000:
+        raise ValueError(f"get_data_arrays: too many channels for native scratch ({C})")
+    if rc < 0:
+        raise SLAError(
+            ApiResult.INSUFFICIENT_DATA_SIZE,
+            f"payload over-read in block {-rc - 1}",
+        )
+    return [
+        out[int(out_offs[b]) : int(out_offs[b]) + C * int(ns[b])].reshape(C, int(ns[b]))
+        for b in range(W)
+    ]
 
 
 def get_raw(

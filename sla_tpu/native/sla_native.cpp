@@ -508,6 +508,25 @@ int64_t sla_get_data_array(const uint8_t* in, int64_t in_size,
   return r.pos();
 }
 
+// Batched payload decode: every COMPRESSDATA block's residual in one call.
+// bit_offsets/ns/init are per block; out is the concatenation of the
+// (C x ns[b]) row-major blocks at out_offs[b] int32 elements. Returns 0,
+// -(b+1) when block b over-reads the buffer (zero-fill past the end, the
+// caller surfaces INSUFFICIENT_DATA_SIZE), or -1000000 on a scratch bound.
+int64_t sla_get_data_arrays(const uint8_t* in, int64_t in_size, int32_t W,
+                            const int64_t* bit_offsets, int32_t C,
+                            const int32_t* ns, const uint32_t* init /* W x C */,
+                            int32_t* out, const int64_t* out_offs) {
+  if (C <= 0 || C > 64) return -1000000;
+  for (int32_t b = 0; b < W; ++b) {
+    int64_t end = sla_get_data_array(in, in_size, bit_offsets[b], C, ns[b],
+                                     init + (int64_t)b * C, out + out_offs[b]);
+    if (end < 0) return -1000000;
+    if (end > in_size * 8) return -((int64_t)b + 1);
+  }
+  return 0;
+}
+
 // Resumable channel-interleaved payload decode for the streaming decoder:
 // decodes `num_samples` interleaved symbols starting at *bit_pos, carrying
 // the adaptive parameter state across calls. param_state: C * 2 u64
