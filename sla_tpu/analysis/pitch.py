@@ -105,8 +105,16 @@ def longterm_coef_rows(
             fft_size,
             out_lags,
         )
-    else:
-        ac = _fft_autocorr_rows(data[:, :num_samples], fft_size)
+        # decision pass (pitch walk + exact LU + stability clamp) for all
+        # rows in one native call — same per-row logic as the loop below
+        pitch_all, coef_all = native.longterm_post(
+            ac, num_taps, LONGTERM_MAX_PERIOD
+        )
+        return [
+            LongTermResult(int(pitch_all[r]), coef_all[r])
+            for r in range(data.shape[0])
+        ]
+    ac = _fft_autocorr_rows(data[:, :num_samples], fft_size)
     results: list[LongTermResult] = []
     zeros = np.zeros(num_taps, dtype=np.float64)
     for row in range(data.shape[0]):

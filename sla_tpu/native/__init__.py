@@ -131,6 +131,8 @@ def _load() -> ctypes.CDLL | None:
     ]
     lib.sla_find_pitch.restype = i32
     lib.sla_find_pitch.argtypes = [p_f64, i32]
+    lib.sla_longterm_post.restype = i32
+    lib.sla_longterm_post.argtypes = [p_f64, i32, i32, i32, i32, p_i32, p_f64]
     lib.sla_lpc_analyze.restype = i32
     lib.sla_lpc_analyze.argtypes = [p_f64, i32, i32, i32, p_f64, p_f64]
     lib.sla_lpc_analyze_rows8.restype = i32
@@ -391,6 +393,25 @@ def longterm_autocorr_rows(
         for i in range(b, B):
             out[i] = longterm_autocorr(data[i, : int(lens[i])], fft_size, out_lags)
     return out
+
+
+def longterm_post(
+    ac: np.ndarray, num_taps: int, max_period: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pitch + Toeplitz solve + stability clamp for every row of ac
+    (B, lags) in one call. Returns (pitch (B,) int32, coef (B, T) f64);
+    disabled rows get pitch 0 / zero coefficients."""
+    lib = _load()
+    ac = np.ascontiguousarray(ac, dtype=np.float64)
+    B, lags = ac.shape
+    pitch = np.empty(B, dtype=np.int32)
+    coef = np.empty((B, num_taps), dtype=np.float64)
+    rc = lib.sla_longterm_post(
+        _f64ptr(ac), B, lags, num_taps, max_period, _i32ptr(pitch), _f64ptr(coef)
+    )
+    if rc != 0:
+        raise ValueError(f"longterm_post: tap count out of native scratch range ({num_taps})")
+    return pitch, coef
 
 
 class PayloadCursor:

@@ -2399,6 +2399,54 @@ int32_t sla_make_window(int32_t type, int32_t n, double* w) {
   return 0;
 }
 
+// Long-term analysis decision pass over many rows: pitch detection,
+// Toeplitz normal equations via the exact LU solver, and the stability
+// clamp (SLAPredictor.c:866-980), exactly as the per-row Python loop it
+// replaces. ac: B x lags; pitch_out: B; coef_out: B x num_taps. Rows whose
+// predictor is disabled (silent / no peak / short lag / singular /
+// non-finite) get pitch 0 and zero coefficients.
+int32_t sla_longterm_post(const double* ac, int32_t B, int32_t lags,
+                          int32_t num_taps, int32_t max_period,
+                          int32_t* pitch_out, double* coef_out) {
+  if (num_taps < 1 || num_taps > 64) return -1;
+  const double kFltMin = 1.1754943508222875e-38;  // FLT_MIN
+  const int32_t T = num_taps;
+  for (int32_t b = 0; b < B; ++b) {
+    const double* acr = ac + (int64_t)b * lags;
+    double* coef = coef_out + (int64_t)b * T;
+    for (int32_t j = 0; j < T; ++j) coef[j] = 0.0;
+    pitch_out[b] = 0;
+    if (std::fabs(acr[0]) <= kFltMin) continue;
+    int32_t pitch = sla_find_pitch(acr, max_period);
+    if (pitch == 0 || pitch < T / 2 + 1 || pitch >= max_period) continue;
+    double R[64 * 64];
+    for (int32_t j = 0; j < T; ++j)
+      for (int32_t k = 0; k < T; ++k)
+        R[j * T + k] = acr[j > k ? j - k : k - j];
+    for (int32_t j = 0; j < T; ++j) coef[j] = acr[pitch - T / 2 + j];
+    if (sla_lesolve(R, coef, T, 2) != 0) {
+      for (int32_t j = 0; j < T; ++j) coef[j] = 0.0;
+      continue;
+    }
+    bool finite = true;
+    double abs_sum = 0.0;
+    for (int32_t j = 0; j < T; ++j) {
+      if (!std::isfinite(coef[j])) finite = false;
+      abs_sum += std::fabs(coef[j]);
+    }
+    if (!finite) {
+      for (int32_t j = 0; j < T; ++j) coef[j] = 0.0;
+      continue;
+    }
+    if (abs_sum >= 1.0) {  // stability clamp: single-tap fallback
+      for (int32_t j = 0; j < T; ++j) coef[j] = 0.0;
+      coef[T / 2] = acr[pitch] / acr[0];
+    }
+    pitch_out[b] = pitch;
+  }
+  return 0;
+}
+
 // Long-term analysis autocorrelation via Wiener-Khinchin with the exact
 // reference arithmetic (SLALongTermCalculator_CalculateCoef,
 // src/SLAPredictor.c:827-853): int32 samples scaled by 2^-31, forward real
