@@ -435,10 +435,22 @@ class Encoder:
         for n, idxs in grouped:
             window = win.make_window(ep.window_function_type, n)
             batch_dbl = np.empty((len(idxs), C, n), dtype=np.float64)
+            stats = None
+            if native.available():
+                # one native pass per group: per-channel max/min feed both
+                # the silence scan and the bit-width -> rshift derivation
+                stats = native.block_stats(
+                    int32_ms,
+                    np.asarray([plans[i].offset for i in idxs]),
+                    np.full(len(idxs), n),
+                )
             for row, i in enumerate(idxs):
                 plan = plans[i]
                 plan.raw_int32 = int32_ms[:, plan.offset : plan.offset + n]
-                if not np.any(plan.raw_int32):
+                if stats is not None:
+                    if not (stats[0][row].any() or stats[1][row].any()):
+                        plan.block_type = BlockDataType.SILENT
+                elif not np.any(plan.raw_int32):
                     plan.block_type = BlockDataType.SILENT
                 batch_dbl[row] = dbl_ms[:, plan.offset : plan.offset + n]
             if native.available():
@@ -474,7 +486,22 @@ class Encoder:
                 if np.any(ratio[row] >= SLA_ESTIMATE_CODELENGTH_THRESHOLD):
                     plan.block_type = BlockDataType.RAWDATA
                     continue
-                bw = data_bit_width(plan.raw_int32)  # (C,)
+                if stats is not None:
+                    # bit width from the group stats pass (incl. sign; >= 1)
+                    maxabs = np.maximum(
+                        stats[0][row].astype(np.int64),
+                        -stats[1][row].astype(np.int64),
+                    )
+                    bw = np.fromiter(
+                        (
+                            (int(m - 1).bit_length() + 1) if m > 0 else 1
+                            for m in maxabs
+                        ),
+                        dtype=np.int32,
+                        count=C,
+                    )
+                else:
+                    bw = data_bit_width(plan.raw_int32)  # (C,)
                 plan.parcor_rshift = np.asarray(
                     rshift_for_sint32(bw), dtype=np.int32
                 )

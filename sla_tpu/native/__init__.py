@@ -131,6 +131,10 @@ def _load() -> ctypes.CDLL | None:
     ]
     lib.sla_find_pitch.restype = i32
     lib.sla_find_pitch.argtypes = [p_f64, i32]
+    lib.sla_block_stats.restype = None
+    lib.sla_block_stats.argtypes = [
+        p_i32, i64, i32, ctypes.POINTER(ctypes.c_int64), p_i32, i32, p_i32, p_i32,
+    ]
     lib.sla_longterm_post.restype = i32
     lib.sla_longterm_post.argtypes = [p_f64, i32, i32, i32, i32, p_i32, p_f64]
     lib.sla_lpc_analyze.restype = i32
@@ -393,6 +397,26 @@ def longterm_autocorr_rows(
         for i in range(b, B):
             out[i] = longterm_autocorr(data[i, : int(lens[i])], fft_size, out_lags)
     return out
+
+
+def block_stats(
+    base: np.ndarray, offsets: np.ndarray, num_samples: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-block per-channel (max, min) over views of a (C, N) signal in
+    one pass — feeds the silence scan and the bit-width derivation."""
+    lib = _load()
+    base = np.ascontiguousarray(base, dtype=np.int32)
+    C, N = base.shape
+    offs = np.ascontiguousarray(offsets, dtype=np.int64)
+    ns = np.ascontiguousarray(num_samples, dtype=np.int32)
+    W = offs.size
+    mx = np.empty((W, C), dtype=np.int32)
+    mn = np.empty((W, C), dtype=np.int32)
+    lib.sla_block_stats(
+        _i32ptr(base), N, C, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _i32ptr(ns), W, _i32ptr(mx), _i32ptr(mn),
+    )
+    return mx, mn
 
 
 def longterm_post(

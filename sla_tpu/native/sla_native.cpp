@@ -9,6 +9,7 @@
 // loaded via ctypes (no pybind11 in the image).
 
 #include <algorithm>
+#include <climits>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -2397,6 +2398,28 @@ int32_t sla_make_window(int32_t type, int32_t n, double* w) {
       return -1;
   }
   return 0;
+}
+
+// Per-block, per-channel max/min over views of the whole-file signal:
+// one pass feeds both the silence scan (max==min==0) and the data
+// bit-width -> PARCOR rshift derivation (SLAEncoder.c:519-528, 567-589).
+// base: C x stride row-major; offsets/ns: W blocks. mx/mn: W x C.
+void sla_block_stats(const int32_t* base, int64_t stride, int32_t C,
+                     const int64_t* offsets, const int32_t* ns, int32_t W,
+                     int32_t* mx, int32_t* mn) {
+  for (int32_t w = 0; w < W; ++w) {
+    for (int32_t ch = 0; ch < C; ++ch) {
+      const int32_t* x = base + (int64_t)ch * stride + offsets[w];
+      const int32_t n = ns[w];
+      int32_t hi = INT32_MIN, lo = INT32_MAX;
+      for (int32_t s = 0; s < n; ++s) {
+        hi = x[s] > hi ? x[s] : hi;
+        lo = x[s] < lo ? x[s] : lo;
+      }
+      mx[(int64_t)w * C + ch] = n > 0 ? hi : 0;
+      mn[(int64_t)w * C + ch] = n > 0 ? lo : 0;
+    }
+  }
 }
 
 // Long-term analysis decision pass over many rows: pitch detection,
