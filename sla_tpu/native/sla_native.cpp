@@ -1441,35 +1441,82 @@ int32_t sla_span_cost(const double* R, const double* span_len, int32_t S,
   const double kFltMin = 1.1754943508222875e-38;  // FLT_MIN
   const double kBeta = 1.9426950408889634;        // sqrt(2 e^2)
   const double pow_scale = std::ldexp(1.0, 2 * (bits_per_sample - 1));
-  double a[65], parcor[65];
+  // The O(p^2) Levinson-Durbin recursions run eight (span, channel) pairs
+  // per vector op (independent lanes, identical per-lane op order — the
+  // results match the scalar loop bit for bit; dead lanes compute garbage
+  // that the epilogue's live check discards). Pair q = s*C + ch.
+  const int64_t Q = (int64_t)S * C;
+  static thread_local std::vector<double> kbuf;
+  kbuf.resize((size_t)Q * (order + 1));
+  double* kall = kbuf.data();  // parcor per pair, zeros when dead
+  std::memset(kall, 0, sizeof(double) * (size_t)Q * (order + 1));
+  {
+    int64_t q0 = 0;
+    for (; q0 + 8 <= Q; q0 += 8) {
+      v8df r[65];
+      for (int32_t i = 0; i <= order; ++i)
+        for (int32_t l = 0; l < 8; ++l)
+          r[i][l] = R[(q0 + l) * (order + 1) + i];
+      const v8df R0 = r[0];
+      v8df e = R0 + r[1] * (v8splat(0.0) - r[1] / R0);
+      v8df a[65], anew[65], k[65];
+      a[1] = v8splat(0.0) - r[1] / R0;
+      k[1] = r[1] / R0;
+      for (int32_t delay = 1; delay < order; ++delay) {
+        // same summation order as the scalar loop (i = 0 first, a[0] == 1)
+        v8df gamma = r[delay + 1];
+        for (int32_t i = 1; i <= delay; ++i) gamma = gamma + a[i] * r[delay + 1 - i];
+        v8df denom;
+        for (int32_t l = 0; l < 8; ++l)
+          denom[l] = std::fabs(e[l]) > 0.0 ? e[l] : 1.0;
+        gamma = (v8splat(0.0) - gamma) / denom;
+        e = (v8splat(1.0) - gamma * gamma) * e;
+        for (int32_t i = 1; i <= delay; ++i)
+          anew[i] = a[i] + gamma * a[delay + 1 - i];
+        for (int32_t i = 1; i <= delay; ++i) a[i] = anew[i];
+        a[delay + 1] = gamma;
+        k[delay + 1] = v8splat(0.0) - gamma;
+      }
+      for (int32_t l = 0; l < 8; ++l) {
+        const double n_sp = span_len[(q0 + l) / C];
+        const bool live = std::fabs(r[0][l]) >= kFltEps && n_sp >= order;
+        if (live)
+          for (int32_t i = 1; i <= order; ++i)
+            kall[(q0 + l) * (order + 1) + i] = k[i][l];
+      }
+    }
+    // scalar tail
+    double a[65];
+    for (; q0 < Q; ++q0) {
+      const double* r = R + q0 * (order + 1);
+      double* kp = kall + q0 * (order + 1);
+      const double n_sp = span_len[q0 / C];
+      if (!(std::fabs(r[0]) >= kFltEps && n_sp >= order)) continue;
+      const double R0 = r[0];
+      double e = R0 + r[1] * (-r[1] / R0);
+      a[0] = 1.0;
+      a[1] = -r[1] / R0;
+      kp[1] = r[1] / R0;
+      double anew[65];
+      for (int32_t delay = 1; delay < order; ++delay) {
+        double gamma = 0.0;
+        for (int32_t i = 0; i <= delay; ++i) gamma += a[i] * r[delay + 1 - i];
+        gamma /= -(std::fabs(e) > 0.0 ? e : 1.0);
+        e = (1.0 - gamma * gamma) * e;
+        for (int32_t i = 1; i <= delay; ++i)
+          anew[i] = a[i] + gamma * a[delay + 1 - i];
+        for (int32_t i = 1; i <= delay; ++i) a[i] = anew[i];
+        a[delay + 1] = gamma;
+        kp[delay + 1] = -gamma;
+      }
+    }
+  }
   for (int32_t s = 0; s < S; ++s) {
     double cost = 0.0;
     const double n_sp = span_len[s];
     for (int32_t ch = 0; ch < C; ++ch) {
       const double* r = R + ((int64_t)s * C + ch) * (order + 1);
-      // Levinson-Durbin (zeros when dead/too short)
-      for (int32_t i = 0; i <= order; ++i) parcor[i] = 0.0;
-      bool live = std::fabs(r[0]) >= kFltEps && n_sp >= order && order > 0;
-      if (live) {
-        const double R0 = r[0];
-        double e = R0 + r[1] * (-r[1] / R0);
-        a[0] = 1.0;
-        a[1] = -r[1] / R0;
-        parcor[1] = r[1] / R0;
-        double anew[65];
-        for (int32_t delay = 1; delay < order; ++delay) {
-          double gamma = 0.0;
-          for (int32_t i = 0; i <= delay; ++i) gamma += a[i] * r[delay + 1 - i];
-          gamma /= -(std::fabs(e) > 0.0 ? e : 1.0);
-          e = (1.0 - gamma * gamma) * e;
-          // a_new = [1, a1..a_delay, 0] + gamma * [0, a_delay..a1, 1]
-          for (int32_t i = 1; i <= delay; ++i)
-            anew[i] = a[i] + gamma * a[delay + 1 - i];
-          for (int32_t i = 1; i <= delay; ++i) a[i] = anew[i];
-          a[delay + 1] = gamma;
-          parcor[delay + 1] = -gamma;
-        }
-      }
+      const double* parcor = kall + ((int64_t)s * C + ch) * (order + 1);
       // code length per sample (bytes). One log2 of the product replaces
       // order+2 log2 calls (this is the fast estimator, not the
       // reference-exact cost: the ~1e-14 association difference is 13
