@@ -316,8 +316,29 @@ class Decoder:
                     )
         self.stage_times["entropy"] = time.perf_counter() - t0
         t0 = time.perf_counter()
-        pcm = self.synthesize_blocks(blocks, payloads)
-        out = np.concatenate(pcm, axis=1)
+        if native.available():
+            # fused final assembly: MS inverse + left shift straight into
+            # the (C, total) PCM buffer, no per-block temporaries/concat
+            outputs = self._synth_outputs(blocks, payloads)
+            out = np.empty((wf.num_channels, header.num_samples), dtype=np.int32)
+            srcs: list[np.ndarray] = []
+            offs = np.empty(len(blocks), dtype=np.int64)
+            ns = np.empty(len(blocks), dtype=np.int32)
+            off = 0
+            for i, b in enumerate(blocks):
+                src = outputs.get(i)
+                srcs.append(payloads[i] if src is None else src)
+                offs[i] = off
+                ns[i] = b.num_samples
+                off += b.num_samples
+            native.ms_shift_blocks(
+                srcs, offs, ns, out,
+                32 - wf.bit_per_sample + wf.offset_lshift,
+                ep.ch_process_method == ChannelProcessMethod.STEREO_MS,
+            )
+        else:
+            pcm = self.synthesize_blocks(blocks, payloads)
+            out = np.concatenate(pcm, axis=1)
         self.stage_times["synthesis"] = time.perf_counter() - t0
         if self.config.verbose:
             st = self.stage_times
@@ -332,6 +353,25 @@ class Decoder:
         self, blocks: list[_Block], payloads: list[np.ndarray]
     ) -> list[np.ndarray]:
         """Batched synthesis of all blocks; returns per-block (C, n) PCM."""
+        wf, ep = self._wave_format, self._encode_param
+        shift = 32 - wf.bit_per_sample + wf.offset_lshift
+        outputs = self._synth_outputs(blocks, payloads)
+        result: list[np.ndarray] = []
+        for i, blk in enumerate(blocks):
+            out = outputs.get(i)
+            if out is None:  # SILENT or RAWDATA pass through the filter chain
+                out = payloads[i]
+            if ep.ch_process_method == ChannelProcessMethod.STEREO_MS:
+                left, right = ms_to_lr_int32(out[0], out[1])
+                out = np.stack([left, right])
+            result.append((out.astype(np.int32) << shift).astype(np.int32))
+        return result
+
+    def _synth_outputs(
+        self, blocks: list[_Block], payloads: list[np.ndarray]
+    ) -> dict[int, np.ndarray]:
+        """Run the synthesis filter chain for every COMPRESSDATA block;
+        returns block index -> (C, n) rows (pre MS-inverse / left shift)."""
         import jax.numpy as jnp
 
         from .pipeline import decode_stage
@@ -340,7 +380,6 @@ class Decoder:
         C = wf.num_channels
         p = ep.parcor_order
         T = ep.longterm_order
-        shift = 32 - wf.bit_per_sample + wf.offset_lshift
 
         comp_all = [i for i, b in enumerate(blocks) if b.block_type == BlockDataType.COMPRESSDATA]
         outputs: dict[int, np.ndarray] = {}
@@ -413,14 +452,4 @@ class Decoder:
             for bi, i in enumerate(comp_idx):
                 blk = blocks[i]
                 outputs[i] = synth[bi * C : (bi + 1) * C, : blk.num_samples]
-
-        result: list[np.ndarray] = []
-        for i, blk in enumerate(blocks):
-            out = outputs.get(i)
-            if out is None:  # SILENT or RAWDATA pass through the filter chain
-                out = payloads[i]
-            if ep.ch_process_method == ChannelProcessMethod.STEREO_MS:
-                left, right = ms_to_lr_int32(out[0], out[1])
-                out = np.stack([left, right])
-            result.append((out.astype(np.int32) << shift).astype(np.int32))
-        return result
+        return outputs

@@ -131,6 +131,11 @@ def _load() -> ctypes.CDLL | None:
     ]
     lib.sla_find_pitch.restype = i32
     lib.sla_find_pitch.argtypes = [p_f64, i32]
+    lib.sla_ms_shift_blocks.restype = None
+    lib.sla_ms_shift_blocks.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), p_i32, i32, i32, i64, i32, i32, p_i32,
+    ]
     lib.sla_block_stats.restype = None
     lib.sla_block_stats.argtypes = [
         p_i32, i64, i32, ctypes.POINTER(ctypes.c_int64), p_i32, i32, p_i32, p_i32,
@@ -397,6 +402,41 @@ def longterm_autocorr_rows(
         for i in range(b, B):
             out[i] = longterm_autocorr(data[i, : int(lens[i])], fft_size, out_lags)
     return out
+
+
+def ms_shift_blocks(
+    sources: list[np.ndarray],
+    dst_offsets: np.ndarray,
+    num_samples: np.ndarray,
+    dst: np.ndarray,
+    shift: int,
+    ms: bool,
+) -> None:
+    """Assemble final PCM: per block, MS inverse (when ms) + left shift
+    from (C, n) synthesis rows into the (C, total) output at the block's
+    sample offset — one native pass, no per-block temporaries."""
+    lib = _load()
+    W = len(sources)
+    C, total = dst.shape
+    ptrs = np.empty(W, dtype=np.uint64)
+    strides = np.empty(W, dtype=np.int64)
+    keep = []
+    for b, rows in enumerate(sources):
+        if rows.strides[1] != 4 or rows.strides[0] % 4:
+            rows = np.ascontiguousarray(rows, dtype=np.int32)
+        keep.append(rows)
+        ptrs[b] = rows.ctypes.data
+        strides[b] = rows.strides[0] // 4
+    offs = np.ascontiguousarray(dst_offsets, dtype=np.int64)
+    ns = np.ascontiguousarray(num_samples, dtype=np.int32)
+    p_u64 = ctypes.POINTER(ctypes.c_uint64)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    lib.sla_ms_shift_blocks(
+        ptrs.ctypes.data_as(p_u64), strides.ctypes.data_as(p_i64),
+        offs.ctypes.data_as(p_i64), _i32ptr(ns), W, C, total, int(shift),
+        1 if ms else 0, _i32ptr(dst),
+    )
+    del keep
 
 
 def block_stats(

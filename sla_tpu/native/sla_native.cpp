@@ -2447,6 +2447,40 @@ int32_t sla_make_window(int32_t type, int32_t n, double* w) {
   return 0;
 }
 
+// Final decode assembly: per block, MS inverse (when ms) + left shift
+// from the synthesis rows (base pointer + row stride) straight into the
+// caller's (C, total) PCM buffer at dst_offs[w] samples — one pass
+// replaces the per-block stack/astype/shift/concatenate chain
+// (SLADecoder.c:540-556 semantics; int32 wrap needs -fwrapv).
+void sla_ms_shift_blocks(const uint64_t* src_ptrs, const int64_t* src_strides,
+                         const int64_t* dst_offs, const int32_t* ns,
+                         int32_t W, int32_t C, int64_t dst_stride,
+                         int32_t shift, int32_t ms, int32_t* dst) {
+  for (int32_t w = 0; w < W; ++w) {
+    const int32_t* src = (const int32_t*)(uintptr_t)src_ptrs[w];
+    const int64_t st = src_strides[w];
+    const int32_t n = ns[w];
+    const int64_t off = dst_offs[w];
+    if (ms && C == 2) {
+      const int32_t* m = src;
+      const int32_t* sd = src + st;
+      int32_t* dl = dst + off;
+      int32_t* dr = dst + dst_stride + off;
+      for (int32_t i = 0; i < n; ++i) {
+        const int32_t full_mid = (m[i] << 1) | (sd[i] & 1);
+        dl[i] = ((full_mid + sd[i]) >> 1) << shift;
+        dr[i] = ((full_mid - sd[i]) >> 1) << shift;
+      }
+    } else {
+      for (int32_t ch = 0; ch < C; ++ch) {
+        const int32_t* s = src + (int64_t)ch * st;
+        int32_t* d = dst + (int64_t)ch * dst_stride + off;
+        for (int32_t i = 0; i < n; ++i) d[i] = s[i] << shift;
+      }
+    }
+  }
+}
+
 // Per-block, per-channel max/min over views of the whole-file signal:
 // one pass feeds both the silence scan (max==min==0) and the data
 // bit-width -> PARCOR rshift derivation (SLAEncoder.c:519-528, 567-589).
