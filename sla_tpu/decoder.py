@@ -326,6 +326,14 @@ class Decoder:
             ns = np.empty(len(blocks), dtype=np.int32)
             off = 0
             for i, b in enumerate(blocks):
+                # bound every native write: a malformed stream whose block
+                # sample counts overrun the header total must fail loudly,
+                # not scribble past the PCM buffer
+                if off + b.num_samples > header.num_samples:
+                    raise SLAError(
+                        ApiResult.DETECT_DATA_CORRUPTION,
+                        "block sample counts exceed the header total",
+                    )
                 src = outputs.get(i)
                 srcs.append(payloads[i] if src is None else src)
                 offs[i] = off

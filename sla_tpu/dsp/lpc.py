@@ -124,6 +124,20 @@ def calculate_residual_power(data: np.ndarray, parcor_coef: np.ndarray, order: i
     return power * var_ratio
 
 
+def width_from_maxabs(maxabs: np.ndarray) -> np.ndarray:
+    """Bit width (incl. sign, >= 1) from per-element max |x| — the
+    SLAUTILITY_LOG2CEIL rule (SLAUtility.c:677-696). Shared by
+    data_bit_width and the encoder's fused block-stats path so the
+    byte-identity-critical formula lives in exactly one place."""
+    flat = np.asarray(maxabs, dtype=np.int64).ravel()
+    width = np.fromiter(
+        ((int(m - 1).bit_length() + 1) if m > 0 else 1 for m in flat),
+        dtype=np.int32,
+        count=flat.size,
+    )
+    return width.reshape(np.shape(maxabs))
+
+
 def data_bit_width(data: np.ndarray) -> np.ndarray:
     """Bit width (incl. sign) covering all values; >= 1
     (SLAUtility.c:677-696). data: (..., N) int32 -> (...,) int."""
@@ -131,13 +145,6 @@ def data_bit_width(data: np.ndarray) -> np.ndarray:
     # max |x| from the per-axis max and min (no |x| temp, no int64 pass)
     mx = a.max(axis=-1).astype(np.int64)
     mn = a.min(axis=-1).astype(np.int64)
-    maxabs = np.maximum(mx, -mn)
-    flat = maxabs.ravel()
-    width = np.fromiter(
-        ((int(m - 1).bit_length() + 1) if m > 0 else 1 for m in flat),
-        dtype=np.int32,
-        count=flat.size,
-    )
-    return width.reshape(maxabs.shape)
+    return width_from_maxabs(np.maximum(mx, -mn))
 
 

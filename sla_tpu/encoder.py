@@ -45,7 +45,12 @@ from .constants import (
 from .crc16 import crc16
 from .dsp import windows as win
 from .dsp.channel import lr_to_ms_double, lr_to_ms_int32
-from .dsp.lpc import calculate_parcor, data_bit_width, estimate_code_length
+from .dsp.lpc import (
+    calculate_parcor,
+    data_bit_width,
+    estimate_code_length,
+    width_from_maxabs,
+)
 from .dsp.quantize import quantize_longterm, quantize_parcor, rshift_for_sint32
 from .errors import ApiResult, SLAError
 from .format import EncodeParameter, HeaderInfo, WaveFormat, encode_header
@@ -487,18 +492,12 @@ class Encoder:
                     plan.block_type = BlockDataType.RAWDATA
                     continue
                 if stats is not None:
-                    # bit width from the group stats pass (incl. sign; >= 1)
-                    maxabs = np.maximum(
-                        stats[0][row].astype(np.int64),
-                        -stats[1][row].astype(np.int64),
-                    )
-                    bw = np.fromiter(
-                        (
-                            (int(m - 1).bit_length() + 1) if m > 0 else 1
-                            for m in maxabs
-                        ),
-                        dtype=np.int32,
-                        count=C,
+                    # bit width from the group stats pass (shared formula)
+                    bw = width_from_maxabs(
+                        np.maximum(
+                            stats[0][row].astype(np.int64),
+                            -stats[1][row].astype(np.int64),
+                        )
                     )
                 else:
                     bw = data_bit_width(plan.raw_int32)  # (C,)

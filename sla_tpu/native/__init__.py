@@ -292,12 +292,12 @@ def get_data_arrays(
             out_offs.ctypes.data_as(p_i64),
         )
     )
-    if rc == -1000000:
+    if rc == -1:
         raise ValueError(f"get_data_arrays: too many channels for native scratch ({C})")
     if rc < 0:
         raise SLAError(
             ApiResult.INSUFFICIENT_DATA_SIZE,
-            f"payload over-read in block {-rc - 1}",
+            f"payload over-read in block {-rc - 2}",
         )
     return [
         out[int(out_offs[b]) : int(out_offs[b]) + C * int(ns[b])].reshape(C, int(ns[b]))

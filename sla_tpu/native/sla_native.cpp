@@ -177,6 +177,22 @@ struct BitReader {
 static inline uint32_t zigzag(int32_t v) {
   return ((uint32_t)v << 1) ^ (uint32_t)(v >> 31);
 }
+// stage both stereo rows' zigzag maps into a reusable scratch so the
+// serial Rice parameter chain doesn't carry the mapping (shared by
+// sla_put_data_array and encode_block_core)
+static inline void stage_zigzag_stereo(const int32_t* d0, const int32_t* d1,
+                                       int32_t n, const uint32_t** z0_out,
+                                       const uint32_t** z1_out) {
+  static thread_local std::vector<uint32_t> zz;
+  zz.resize(2 * (size_t)n);
+  uint32_t* z0 = zz.data();
+  uint32_t* z1 = zz.data() + n;
+  for (int32_t s = 0; s < n; ++s) z0[s] = ((uint32_t)d0[s] << 1) ^ (uint32_t)(d0[s] >> 31);
+  for (int32_t s = 0; s < n; ++s) z1[s] = ((uint32_t)d1[s] << 1) ^ (uint32_t)(d1[s] >> 31);
+  *z0_out = z0;
+  *z1_out = z1;
+}
+
 static inline int32_t unzigzag(uint32_t u) {
   return (int32_t)((u >> 1) ^ (~(u & 1) + 1));
 }
@@ -436,14 +452,8 @@ int64_t sla_put_data_array(const int32_t* data, int32_t C, int32_t N,
     if (C == 2) {  // stereo fast path: direct row pointers, no inner loop
       const int32_t* d0 = data;
       const int32_t* d1 = data + N;
-      // pre-zigzag both rows vectorized so the serial symbol loop's
-      // parameter-update dependency chain doesn't carry the mapping
-      static thread_local std::vector<uint32_t> zz;
-      zz.resize(2 * (size_t)N);
-      uint32_t* z0 = zz.data();
-      uint32_t* z1 = zz.data() + N;
-      for (int s = 0; s < N; ++s) z0[s] = zigzag(d0[s]);
-      for (int s = 0; s < N; ++s) z1[s] = zigzag(d1[s]);
+      const uint32_t *z0, *z1;
+      stage_zigzag_stereo(d0, d1, N, &z0, &z1);
       for (int s = 0; s < N; ++s) {
         // fuse both channels' codes into one put when they fit (<= 57
         // bits); identical emitted bits, half the accumulator drains
@@ -512,18 +522,19 @@ int64_t sla_get_data_array(const uint8_t* in, int64_t in_size,
 // Batched payload decode: every COMPRESSDATA block's residual in one call.
 // bit_offsets/ns/init are per block; out is the concatenation of the
 // (C x ns[b]) row-major blocks at out_offs[b] int32 elements. Returns 0,
-// -(b+1) when block b over-reads the buffer (zero-fill past the end, the
-// caller surfaces INSUFFICIENT_DATA_SIZE), or -1000000 on a scratch bound.
+// -(b+2) when block b over-reads the buffer (zero-fill past the end, the
+// caller surfaces INSUFFICIENT_DATA_SIZE), or -1 on a scratch bound —
+// distinct codes for any block count.
 int64_t sla_get_data_arrays(const uint8_t* in, int64_t in_size, int32_t W,
                             const int64_t* bit_offsets, int32_t C,
                             const int32_t* ns, const uint32_t* init /* W x C */,
                             int32_t* out, const int64_t* out_offs) {
-  if (C <= 0 || C > 64) return -1000000;
+  if (C <= 0 || C > 64) return -1;
   for (int32_t b = 0; b < W; ++b) {
     int64_t end = sla_get_data_array(in, in_size, bit_offsets[b], C, ns[b],
                                      init + (int64_t)b * C, out + out_offs[b]);
-    if (end < 0) return -1000000;
-    if (end > in_size * 8) return -((int64_t)b + 1);
+    if (end < 0) return -1;
+    if (end > in_size * 8) return -((int64_t)b + 2);
   }
   return 0;
 }
@@ -1596,12 +1607,8 @@ static int64_t encode_block_core(
       if (C == 2) {
         const int32_t* d0 = residual;
         const int32_t* d1 = residual + row_stride;
-        static thread_local std::vector<uint32_t> zz;
-        zz.resize(2 * (size_t)num_samples);
-        uint32_t* z0 = zz.data();
-        uint32_t* z1 = zz.data() + num_samples;
-        for (int32_t s = 0; s < num_samples; ++s) z0[s] = zigzag(d0[s]);
-        for (int32_t s = 0; s < num_samples; ++s) z1[s] = zigzag(d1[s]);
+        const uint32_t *z0, *z1;
+        stage_zigzag_stereo(d0, d1, num_samples, &z0, &z1);
         for (int32_t s = 0; s < num_samples; ++s) {
           RiceParts a, b;  // fused stereo put (see sla_put_data_array)
           encode_recursive_rice(st[0], z0[s], a);

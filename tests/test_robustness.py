@@ -126,3 +126,20 @@ def test_native_payload_overread_raises():
     with pytest.raises(SLAError) as e:
         native.get_data_array(payload[: len(payload) // 2], 0, 2, 400, init)
     assert e.value.result == ApiResult.INSUFFICIENT_DATA_SIZE
+
+
+def test_oversized_block_sample_counts_bounded(stream):
+    """A stream whose block sample counts overrun the header total must
+    fail with a structured error — never write past the PCM buffer (the
+    fused native assembly writes at block offsets)."""
+    blob, pcm = stream
+    bad = bytearray(blob)
+    # shrink the header's num_samples field (bytes 17..20, big-endian u32)
+    true_n = int.from_bytes(bad[17:21], "big")
+    bad[17:21] = (true_n // 2).to_bytes(4, "big")
+    # re-stamp the header CRC so only the block/total inconsistency trips
+    from sla_tpu.crc16 import crc16
+
+    bad[8:10] = crc16(bytes(bad[10:43])).to_bytes(2, "big")
+    with pytest.raises(SLAError):
+        decode(bytes(bad), crc=False)
