@@ -6,6 +6,8 @@ window_size==1 guard of the reference.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from ..constants import WindowFunctionType
@@ -62,11 +64,20 @@ def tukey(n: int, alpha: float) -> np.ndarray:
 def make_window(kind: WindowFunctionType, n: int) -> np.ndarray:
     # NumPy's vectorized trig differs from libm in the last ulp, which leaks
     # into quantized coefficients; the native generator reproduces the
-    # reference's exact values (the formulas below are the semantic fallback)
+    # reference's exact values (the formulas below are the semantic fallback).
+    # Cached: per-sample libm sin/cos is ~0.25 ms per 12288-sample window
+    # and corpus runs regenerate the same few shapes constantly. Callers
+    # treat windows as read-only.
+    return _make_window_cached(int(kind), n)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_window_cached(kind_int: int, n: int) -> np.ndarray:
+    kind = WindowFunctionType(kind_int)
     from .. import native
 
-    if native.available() and int(kind) <= 4:
-        return native.make_window(int(kind), n)
+    if native.available() and kind_int <= 4:
+        return native.make_window(kind_int, n)
     if kind == WindowFunctionType.RECTANGULAR:
         return rectangular(n)
     if kind == WindowFunctionType.SIN:

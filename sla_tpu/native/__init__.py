@@ -1095,7 +1095,7 @@ def lpc_analyze_rows(
         )
         b += 8
     tail = B - b
-    if tail >= 3:
+    if tail >= 2:  # scalar rows cost ~6-8x an interleaved row: pad from 2 up
         # pad the straggler group with zero rows (zeros analyze to zero
         # coefficients / zero length and are discarded)
         pad = np.zeros((8, n), dtype=np.float64)
