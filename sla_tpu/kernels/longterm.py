@@ -111,6 +111,32 @@ def longterm_synthesize(
     max_delay = (pitch + (num_taps // 2)).astype(jnp.int32)  # (B,)
     hist, processed = state
     D = hist.shape[1]
+    if num_taps == 1:
+        # Single-tap fast path (the default preset): the dense history dot
+        # reduces to an int32 one-hot select — the sum has exactly one
+        # nonzero term, so it is exact in int32, and the only int64
+        # arithmetic is the q * sample product per row. On TPU this avoids
+        # the emulated-int64 dense dot entirely. Bit-identical.
+        d_idx = jnp.arange(D, dtype=jnp.int32)[None, :]
+        mask = (d_idx == (D - max_delay)[:, None]).astype(jnp.int32)  # (B, D)
+        active_row1 = pitch > 0
+        q0 = q[:, 0]
+
+        def step1(carry, r):
+            h, t = carry  # h: (B, D) int32
+            sel = jnp.sum(mask * h, axis=1)  # single nonzero -> exact
+            pred = (
+                (q0 * sel.astype(jnp.int64) + (1 << 14)) >> 15
+            ).astype(jnp.int32)
+            use = active_row1 & (t >= max_delay)
+            out = jnp.where(use, r + pred, r)
+            h = jnp.concatenate([h[:, 1:], out[:, None]], axis=1)
+            return (h, t + 1), out
+
+        (hist, processed), out_t = jax.lax.scan(
+            step1, (hist, processed), jnp.swapaxes(residual, 0, 1)
+        )
+        return jnp.swapaxes(out_t, 0, 1), (hist, processed)
     # Dense kernel over history positions: hist[:, D-1-k] is the sample k+1
     # steps back; tap j reads n - (max_delay - j) -> k+1 = max_delay - j.
     d_idx = jnp.arange(D, dtype=jnp.int32)[None, :]  # position from the end

@@ -255,3 +255,46 @@ def test_longterm_synthesize_chunked_matches_scan():
         out_state, chunk=chunk,
     )
     assert np.array_equal(np.asarray(out2), np.asarray(ref2))
+
+
+def test_longterm_synthesize_single_tap_paths_agree():
+    """The single-tap int32 select path must equal the dense int64 scan
+    (force the dense path through taps=3 zero-padded... instead compare
+    against the host reference synthesis) bit for bit."""
+    from sla_tpu.kernels.longterm import _MAX_DELAY
+
+    rng = np.random.default_rng(9)
+    B, n = 4, 700
+    res = rng.integers(-(1 << 24), 1 << 24, (B, n)).astype(I32)
+    pitch = np.array([0, 3, 129, 255], I32)
+    coef = (rng.integers(-30000, 30000, (B, 1)).astype(np.int64) << 16).astype(I32)
+    out, state = longterm_synthesize(
+        jnp.asarray(res), jnp.asarray(pitch), jnp.asarray(coef), 1,
+        longterm_init_state(B),
+    )
+    out = np.asarray(out)
+    # reference: plain per-sample loop with the C semantics
+    for b in range(B):
+        q = int(coef[b, 0]) >> 16
+        y = res[b].astype(np.int64).copy()
+        if pitch[b] > 0:
+            P = int(pitch[b])
+            for s in range(P, n):
+                pred = (q * int(y[s - P]) + (1 << 14)) >> 15
+                y[s] = np.int32(res[b, s] + np.int32(pred))
+        assert np.array_equal(out[b], y.astype(np.int32)), b
+    # and resuming from carried state matches a fresh full-length run
+    out2, _ = longterm_synthesize(
+        jnp.asarray(res[:, : n // 2]), jnp.asarray(pitch), jnp.asarray(coef), 1,
+        longterm_init_state(B),
+    )
+    out3, _ = longterm_synthesize(
+        jnp.asarray(res[:, n // 2 :]), jnp.asarray(pitch), jnp.asarray(coef), 1,
+        longterm_synthesize(
+            jnp.asarray(res[:, : n // 2]), jnp.asarray(pitch), jnp.asarray(coef),
+            1, longterm_init_state(B),
+        )[1],
+    )
+    assert np.array_equal(
+        np.concatenate([np.asarray(out2), np.asarray(out3)], axis=1), out
+    )
