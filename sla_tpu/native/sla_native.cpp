@@ -1841,9 +1841,13 @@ static void lms_rowsT(const int32_t* in_rows, int32_t* out_rows, int32_t n,
   const vsi vzero = {};
   vsi fc[64], ic[64];
   for (int32_t i = 0; i < M; ++i) { fc[i] = vzero; ic[i] = vzero; }
-  // doubled ring history, newest tile at xd[xpos]
-  vsi xd[128], pd[128];
-  for (int32_t i = 0; i < 128; ++i) { xd[i] = vzero; pd[i] = vzero; }
+  // doubled ring history, newest tile at xd[xpos]; signs precomputed at
+  // insertion (the update loop would otherwise recompute each value's
+  // sign M times over its life in the window)
+  vsi xd[128], pd[128], xs[128], ps[128];
+  for (int32_t i = 0; i < 128; ++i) {
+    xd[i] = vzero; pd[i] = vzero; xs[i] = vzero; ps[i] = vzero;
+  }
   int32_t xpos = 64;
   for (int32_t s = 0; s < n; ++s) {
     const vsi* xb = xd + xpos;
@@ -1860,19 +1864,27 @@ static void lms_rowsT(const int32_t* in_rows, int32_t* out_rows, int32_t n,
     if (!warm) {
       // step = sign(res) * (bitlen(|res|) >> 1). Vector compares return
       // -1 for true, so (a < 0) - (a > 0) == scalar (a > 0) - (a < 0).
-      vsi step = ((res < vzero) - (res > vzero)) * (lms_bitlen<R>(res) >> 1);
+      const vsi step = ((res < vzero) - (res > vzero)) * (lms_bitlen<R>(res) >> 1);
+      const vsi* xsb = xs + xpos;
+      const vsi* psb = ps + xpos;
       for (int32_t i = 0; i < M; ++i) {
-        fc[i] += step * ((xb[i] < vzero) - (xb[i] > vzero));
-        ic[i] += step * ((pb[i] < vzero) - (pb[i] > vzero));
+        fc[i] += step * xsb[i];
+        ic[i] += step * psb[i];
       }
     }
     if (xpos == 0) {  // refill headroom
-      for (int32_t i = M - 1; i >= 0; --i) { xd[64 + i] = xd[i]; pd[64 + i] = pd[i]; }
+      for (int32_t i = M - 1; i >= 0; --i) {
+        xd[64 + i] = xd[i]; pd[64 + i] = pd[i];
+        xs[64 + i] = xs[i]; ps[64 + i] = ps[i];
+      }
       xpos = 64;
     }
     --xpos;
+    const vsi pnew = warm ? x : pred;
     xd[xpos] = x;
-    pd[xpos] = warm ? x : pred;
+    pd[xpos] = pnew;
+    xs[xpos] = (x < vzero) - (x > vzero);
+    ps[xpos] = (pnew < vzero) - (pnew > vzero);
     const vsi emit = warm ? in_v : (SYNTH ? x : res);
     for (int32_t r = 0; r < R; ++r) out_rows[(int64_t)r * n + s] = emit[r];
   }
