@@ -726,13 +726,18 @@ class Encoder:
                     ep.lms_order_per_filter,
                 )
             )
+        init_all = (
+            native.initial_params_rows(residual2, lengths)
+            if native.available()
+            else None
+        )
         for pl, C, r0 in rows_meta:
             pl.pitch = pitches[r0 : r0 + C]
             pl.ltm_coef = ltm[r0 : r0 + C]
             pl.residual = residual2[r0 : r0 + C, : pl.num_samples]
             pl.init_rice = (
-                native.initial_params(pl.residual)
-                if native.available()
+                [int(v) for v in init_all[r0 : r0 + C]]
+                if init_all is not None
                 else rice.calculate_initial_params(list(pl.residual))
             )
 

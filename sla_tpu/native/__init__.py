@@ -75,6 +75,10 @@ def _load() -> ctypes.CDLL | None:
     lib.sla_get_raw.argtypes = [p_u8, i64, i64, i32, i32, p_i32, p_i32]
     lib.sla_initial_params.restype = None
     lib.sla_initial_params.argtypes = [p_i32, i32, i32, p_u32]
+    lib.sla_initial_params_rows.restype = None
+    lib.sla_initial_params_rows.argtypes = [
+        p_i32, i64, i32, ctypes.POINTER(ctypes.c_int64), p_u32,
+    ]
     p_f64 = ctypes.POINTER(ctypes.c_double)
     lib.sla_fft.restype = None
     lib.sla_fft.argtypes = [p_f64, ctypes.c_uint32, i32]
@@ -1149,3 +1153,18 @@ def initial_params(data: np.ndarray) -> list[int]:
     out = np.empty(C, dtype=np.uint32)
     lib.sla_initial_params(_i32ptr(data), C, N, _u32ptr(out))
     return [int(v) for v in out]
+
+
+def initial_params_rows(rows: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Initial Rice parameter per row of a (B, L) batch with per-row valid
+    lengths, in one pass over the rows in place (no per-block copies)."""
+    lib = _load()
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    B, L = rows.shape
+    lens = np.ascontiguousarray(lengths, dtype=np.int64)
+    out = np.empty(B, dtype=np.uint32)
+    lib.sla_initial_params_rows(
+        _i32ptr(rows), L, B, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _u32ptr(out),
+    )
+    return out

@@ -635,6 +635,21 @@ int64_t sla_get_raw(const uint8_t* in, int64_t in_size, int64_t bit_offset,
 
 // Initial Rice parameter per channel: mean zigzag magnitude, >= 1, as a
 // uint32 (SLACoder.c:361-385).
+// Batched initial Rice parameters over a (B, stride) row batch with
+// per-row valid lengths — the mean of zigzag magnitudes, >= 1
+// (SLACoder.c:361-385), one pass, no per-block copies.
+void sla_initial_params_rows(const int32_t* base, int64_t stride, int32_t B,
+                             const int64_t* lengths, uint32_t* out_params) {
+  for (int32_t b = 0; b < B; ++b) {
+    const int32_t* row = base + (int64_t)b * stride;
+    const int64_t n = lengths[b];
+    uint64_t sum = 0;
+    for (int64_t s = 0; s < n; ++s) sum += zigzag(row[s]);
+    uint64_t mean = sum / (uint64_t)(n > 0 ? n : 1);
+    out_params[b] = (uint32_t)(mean < 1 ? 1 : mean);
+  }
+}
+
 void sla_initial_params(const int32_t* data, int32_t C, int32_t N,
                         uint32_t* out_params) {
   for (int ch = 0; ch < C; ++ch) {
