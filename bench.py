@@ -108,7 +108,7 @@ def main() -> None:
     # instead of skewing the ratio
     dt = None
     ref_dt = None
-    for _ in range(3):
+    for _ in range(5):  # best-of-5: this host's noisy-neighbor load swings ±20%
         t0 = time.time()
         blob = enc.encode_whole(data)
         t = time.time() - t0
