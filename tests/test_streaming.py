@@ -238,3 +238,40 @@ def test_streaming_estimates_and_reset():
     sd.append_data_fragment(blob[43:])
     chunk2 = sd.decode()
     assert np.array_equal(chunk2, pcm[:, : chunk2.shape[1]])
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_streaming_random_fragmentation(seed):
+    """Randomized fragment sizes (1..4096 bytes) over a stereo MS stream
+    with silent and compressed blocks must reproduce the batch decode
+    exactly regardless of where fragment boundaries fall."""
+    rng = np.random.default_rng(seed)
+    pcm = gen_wave("chirp", 30000, 2, 16, 0, seed=seed)
+    pcm[:, 5000:9000] = 0  # force a silent block boundary into the stream
+    blob = encode(pcm, 2, 16, mode=2)
+    header, _ = decode_header(blob)
+    sd = StreamingDecoder(
+        StreamingDecoderConfig(core=DecoderConfig(), decode_interval_hz=120.0,
+                               max_bit_per_sample=16)
+    )
+    sd.set_wave_format(header.wave_format)
+    sd.set_encode_parameter(header.encode_param)
+    out = np.zeros((2, header.num_samples), dtype=np.int32)
+    done = 0
+    pos = 43
+    while pos < len(blob):
+        step = int(rng.integers(1, 4097))
+        sd.append_data_fragment(blob[pos : pos + step])
+        pos += step
+        chunk = sd.decode()
+        n = chunk.shape[1]
+        out[:, done : done + n] = chunk
+        done += n
+        sd.collect_data_fragments()
+    while done < header.num_samples:
+        chunk = sd.decode()
+        n = chunk.shape[1]
+        assert n > 0, "stalled with all data delivered"
+        out[:, done : done + n] = chunk
+        done += n
+    assert np.array_equal(out, pcm)
