@@ -468,9 +468,25 @@ int64_t sla_put_data_array(const int32_t* data, int32_t C, int32_t N,
         }
       }
     } else {
-      for (int s = 0; s < N; ++s)
-        for (int ch = 0; ch < C; ++ch)
+      // multichannel: fuse channel pairs per sample (same bits, fewer
+      // accumulator drains — the 5.1 layout codes three pairs per sample)
+      for (int s = 0; s < N; ++s) {
+        int ch = 0;
+        for (; ch + 2 <= C; ch += 2) {
+          RiceParts a, b;
+          encode_recursive_rice(st[ch], zigzag(data[(int64_t)ch * N + s]), a);
+          encode_recursive_rice(st[ch + 1],
+                                zigzag(data[(int64_t)(ch + 1) * N + s]), b);
+          if (!a.escape && !b.escape && a.nbits + b.nbits <= 57) {
+            w.put((a.code << b.nbits) | b.code, a.nbits + b.nbits);
+          } else {
+            write_rice_parts(w, a);
+            write_rice_parts(w, b);
+          }
+        }
+        if (ch < C)
           put_recursive_rice(w, st[ch], zigzag(data[(int64_t)ch * N + s]));
+      }
     }
   } else {
     for (int s = 0; s < N; ++s)
@@ -1636,9 +1652,25 @@ static int64_t encode_block_core(
           }
         }
       } else {
-        for (int32_t s = 0; s < num_samples; ++s)
-          for (int32_t ch = 0; ch < C; ++ch)
-            put_recursive_rice(w, st[ch], zigzag(residual[(int64_t)ch * row_stride + s]));
+        for (int32_t s = 0; s < num_samples; ++s) {
+          int32_t ch = 0;
+          for (; ch + 2 <= C; ch += 2) {  // fused channel pairs (see above)
+            RiceParts a, b;
+            encode_recursive_rice(
+                st[ch], zigzag(residual[(int64_t)ch * row_stride + s]), a);
+            encode_recursive_rice(
+                st[ch + 1], zigzag(residual[(int64_t)(ch + 1) * row_stride + s]), b);
+            if (!a.escape && !b.escape && a.nbits + b.nbits <= 57) {
+              w.put((a.code << b.nbits) | b.code, a.nbits + b.nbits);
+            } else {
+              write_rice_parts(w, a);
+              write_rice_parts(w, b);
+            }
+          }
+          if (ch < C)
+            put_recursive_rice(w, st[ch],
+                               zigzag(residual[(int64_t)ch * row_stride + s]));
+        }
       }
     } else {
       for (int32_t s = 0; s < num_samples; ++s)
