@@ -114,6 +114,9 @@ def longterm_coef_rows(
             LongTermResult(int(pitch_all[r]), coef_all[r])
             for r in range(data.shape[0])
         ]
+    # pure-NumPy fallback (no g++): mathematically equivalent analysis,
+    # last-ulp float64 differences possible (streams valid, not guaranteed
+    # byte-identical — see the module docstring)
     ac = _fft_autocorr_rows(data[:, :num_samples], fft_size)
     results: list[LongTermResult] = []
     zeros = np.zeros(num_taps, dtype=np.float64)
@@ -122,11 +125,7 @@ def longterm_coef_rows(
         if abs(acr[0]) <= _FLT_MIN:
             results.append(LongTermResult(0, zeros.copy()))
             continue
-        pitch = (
-            native.find_pitch(acr, LONGTERM_MAX_PERIOD)
-            if use_native
-            else _find_pitch(acr, LONGTERM_MAX_PERIOD)
-        )
+        pitch = _find_pitch(acr, LONGTERM_MAX_PERIOD)
         if pitch == 0 or pitch < (num_taps // 2) + 1 or pitch >= LONGTERM_MAX_PERIOD:
             results.append(LongTermResult(0, zeros.copy()))
             continue
@@ -134,17 +133,11 @@ def longterm_coef_rows(
         idx = np.abs(np.arange(num_taps)[:, None] - np.arange(num_taps)[None, :])
         R = acr[idx]
         rhs = acr[np.arange(num_taps) + pitch - num_taps // 2]
-        if use_native:
-            coef = rhs.copy()
-            if native.lesolve(R, coef, 2) != 0:
-                results.append(LongTermResult(0, zeros.copy()))
-                continue
-        else:
-            try:
-                coef = np.linalg.solve(R, rhs)
-            except np.linalg.LinAlgError:
-                results.append(LongTermResult(0, zeros.copy()))
-                continue
+        try:
+            coef = np.linalg.solve(R, rhs)
+        except np.linalg.LinAlgError:
+            results.append(LongTermResult(0, zeros.copy()))
+            continue
         if not np.all(np.isfinite(coef)):
             results.append(LongTermResult(0, zeros.copy()))
             continue
