@@ -89,58 +89,6 @@ def span_autocorrelations(
     return out
 
 
-def estimate_span_code_lengths(
-    data: np.ndarray,
-    num_samples: int,
-    order: int,
-    bits_per_sample: int,
-    min_block: int,
-    max_block: int,
-    delta: int = SLA_SEARCH_BLOCK_NUM_SAMPLES_DELTA,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Build the Dijkstra adjacency matrix for one search window.
-
-    data: (C, num_samples) float64 (already MS-transformed when applicable).
-    Returns (adjacency (V,V) float64, num_nodes)."""
-    C = data.shape[0]
-    V = num_nodes_for(num_samples, delta)
-    positions = np.minimum(np.arange(V) * delta, num_samples)
-    # enumerate candidate spans (i < j) with valid clipped lengths
-    ii, jj = np.triu_indices(V, k=1)
-    lengths = np.minimum((jj - ii) * delta, num_samples - ii * delta)
-    valid = (lengths >= min_block) & (lengths <= max_block)
-    adj = np.full((V, V), _BIGWEIGHT, dtype=np.float64)
-    if not valid.any():
-        return adj, V
-    spans = np.stack([ii[valid], jj[valid]], axis=1)
-    span_len = lengths[valid].astype(np.float64)
-    from .. import native
-
-    if native.available():
-        R = native.span_autocorr(data[:, :num_samples], positions, spans, order)
-    else:
-        R = span_autocorrelations(data[:, :num_samples], positions, spans, order)
-    # Levinson-Durbin batched over (S, C); spans shorter than the order get
-    # zero coefficients (silence treatment, SLAPredictor.c:234-239)
-    _, parcor = levinson_durbin(R, order)
-    too_short = span_len[:, None] < order
-    parcor = np.where(too_short[..., None], 0.0, parcor)
-    # code length per sample (bytes), from R[0] as the power sum
-    power = R[..., 0] * (2.0 ** (2 * (bits_per_sample - 1)))
-    silent = np.abs(power) <= _FLT_MIN
-    log2_mean_power = np.log2(np.where(silent, 1.0, power)) - np.log2(span_len)[:, None]
-    k = parcor[..., 1:]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        log2_var_ratio = np.sum(np.log2(np.maximum(1.0 - k * k, 1e-300)), axis=-1)
-    length = (BETA_CONST_FOR_LAPLACE_DIST + 0.5 * (log2_mean_power + log2_var_ratio)) / 8.0
-    length = np.where(length <= 0, 1.0 / 8, length)
-    length = np.where(silent, 0.0, length)
-    cost = (span_len[:, None] * length).sum(axis=-1)
-    cost += _ESTIMATE_BLOCK_HEADER_SIZE + OPTIMAL_ESTIMATOR_LONGPATH_PENALTY
-    adj[spans[:, 0], spans[:, 1]] = cost
-    return adj, V
-
-
 def min_offpath_slack(adj: np.ndarray, num_nodes: int, hops: list[int]) -> float:
     """Smallest cost gap between the chosen shortest path and any path that
     uses an edge outside it. 0.0 means an exact alternative-path tie;
