@@ -110,11 +110,23 @@ def main() -> int:
     print(f"device-vs-host encode ({len(blob_host)} bytes): "
           f"{'OK' if match else 'MISMATCH'}", flush=True)
 
+    # 4. full decode, device backend vs host backend (exercises the compiled
+    # Pallas synthesis + the single-tap long-term select path on hardware)
+    def decode(backend_name: str) -> np.ndarray:
+        dec = sla.Decoder(sla.DecoderConfig(backend=backend_name))
+        return dec.decode_whole(blob_host)[1]
+
+    pcm_host = decode("host")
+    pcm_dev = decode("device")
+    match = np.array_equal(pcm_host, pcm_dev) and np.array_equal(pcm_host, pcm)
+    ok &= match
+    print(f"device-vs-host decode: {'OK' if match else 'MISMATCH'}", flush=True)
+
     stamp = time.strftime("%Y-%m-%d")
     status = "all bit-identical" if ok else "MISMATCH DETECTED"
     print(
         f"BASELINE-RECORD: | {stamp} | {device.device_kind} ({backend}) | "
-        f"compiled Pallas lattice+LMS vs scan, device-vs-host encode | {status} |"
+        f"compiled Pallas lattice+LMS vs scan, device-vs-host encode+decode | {status} |"
     )
     print(f"total {time.time() - t0:.1f}s")
     return 0 if ok else 1
