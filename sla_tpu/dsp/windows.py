@@ -66,17 +66,29 @@ def make_window(kind: WindowFunctionType, n: int) -> np.ndarray:
     # into quantized coefficients; the native generator reproduces the
     # reference's exact values (the formulas below are the semantic fallback).
     # Cached: per-sample libm sin/cos is ~0.25 ms per 12288-sample window
-    # and corpus runs regenerate the same few shapes constantly. Callers
-    # treat windows as read-only.
-    return _make_window_cached(int(kind), n)
+    # and corpus runs regenerate the same few shapes constantly. The native
+    # flag is part of the key (availability can flip via SLA_TPU_NO_NATIVE),
+    # and cached arrays are frozen so a mutating caller fails loudly instead
+    # of poisoning every later encode.
+    from .. import native
+
+    return _make_window_cached(int(kind), n, native.available())
 
 
 @functools.lru_cache(maxsize=32)
-def _make_window_cached(kind_int: int, n: int) -> np.ndarray:
+def _make_window_cached(kind_int: int, n: int, use_native: bool) -> np.ndarray:
     kind = WindowFunctionType(kind_int)
+    w = _make_window_uncached(kind, kind_int, n, use_native)
+    w.setflags(write=False)
+    return w
+
+
+def _make_window_uncached(
+    kind: WindowFunctionType, kind_int: int, n: int, use_native: bool
+) -> np.ndarray:
     from .. import native
 
-    if native.available() and kind_int <= 4:
+    if use_native and native.available() and kind_int <= 4:
         return native.make_window(kind_int, n)
     if kind == WindowFunctionType.RECTANGULAR:
         return rectangular(n)

@@ -354,6 +354,22 @@ static inline void write_rice_parts(BitWriter& w, const RiceParts& p) {
   if (p.kb1 != 0) w.put(p.reduced & ((1u << p.kb1) - 1), p.kb1);
 }
 
+// Encode one sample for two channels and emit both codes with a single
+// accumulator put when they fit in 57 bits (identical bits either way).
+// THE fused-pair emit: every stereo/multichannel put loop uses this.
+static inline void put_rice_pair(BitWriter& w, RiceState& st0, RiceState& st1,
+                                 uint32_t v0, uint32_t v1) {
+  RiceParts a, b;
+  encode_recursive_rice(st0, v0, a);
+  encode_recursive_rice(st1, v1, b);
+  if (!a.escape && !b.escape && a.nbits + b.nbits <= 57) {
+    w.put((a.code << b.nbits) | b.code, a.nbits + b.nbits);
+  } else {
+    write_rice_parts(w, a);
+    write_rice_parts(w, b);
+  }
+}
+
 static inline uint32_t get_recursive_rice(BitReader& r, RiceState& st) {
   // specialized two-stage structure, mirror of put_recursive_rice
   static_assert(kNumRecursiveParams == 2, "two-stage structure assumed");
@@ -454,36 +470,16 @@ int64_t sla_put_data_array(const int32_t* data, int32_t C, int32_t N,
       const int32_t* d1 = data + N;
       const uint32_t *z0, *z1;
       stage_zigzag_stereo(d0, d1, N, &z0, &z1);
-      for (int s = 0; s < N; ++s) {
-        // fuse both channels' codes into one put when they fit (<= 57
-        // bits); identical emitted bits, half the accumulator drains
-        RiceParts a, b;
-        encode_recursive_rice(st[0], z0[s], a);
-        encode_recursive_rice(st[1], z1[s], b);
-        if (!a.escape && !b.escape && a.nbits + b.nbits <= 57) {
-          w.put((a.code << b.nbits) | b.code, a.nbits + b.nbits);
-        } else {
-          write_rice_parts(w, a);
-          write_rice_parts(w, b);
-        }
-      }
+      for (int s = 0; s < N; ++s) put_rice_pair(w, st[0], st[1], z0[s], z1[s]);
     } else {
       // multichannel: fuse channel pairs per sample (same bits, fewer
       // accumulator drains — the 5.1 layout codes three pairs per sample)
       for (int s = 0; s < N; ++s) {
         int ch = 0;
-        for (; ch + 2 <= C; ch += 2) {
-          RiceParts a, b;
-          encode_recursive_rice(st[ch], zigzag(data[(int64_t)ch * N + s]), a);
-          encode_recursive_rice(st[ch + 1],
-                                zigzag(data[(int64_t)(ch + 1) * N + s]), b);
-          if (!a.escape && !b.escape && a.nbits + b.nbits <= 57) {
-            w.put((a.code << b.nbits) | b.code, a.nbits + b.nbits);
-          } else {
-            write_rice_parts(w, a);
-            write_rice_parts(w, b);
-          }
-        }
+        for (; ch + 2 <= C; ch += 2)
+          put_rice_pair(w, st[ch], st[ch + 1],
+                        zigzag(data[(int64_t)ch * N + s]),
+                        zigzag(data[(int64_t)(ch + 1) * N + s]));
         if (ch < C)
           put_recursive_rice(w, st[ch], zigzag(data[(int64_t)ch * N + s]));
       }
@@ -668,13 +664,10 @@ void sla_initial_params_rows(const int32_t* base, int64_t stride, int32_t B,
 
 void sla_initial_params(const int32_t* data, int32_t C, int32_t N,
                         uint32_t* out_params) {
-  for (int ch = 0; ch < C; ++ch) {
-    uint64_t sum = 0;
-    const int32_t* row = data + (int64_t)ch * N;
-    for (int s = 0; s < N; ++s) sum += zigzag(row[s]);
-    uint64_t mean = sum / (uint64_t)(N > 0 ? N : 1);
-    out_params[ch] = (uint32_t)(mean < 1 ? 1 : mean);
-  }
+  int64_t lens[64];
+  if (C > 64) return;
+  for (int ch = 0; ch < C; ++ch) lens[ch] = N;
+  sla_initial_params_rows(data, N, C, lens, out_params);
 }
 
 }  // extern "C"
@@ -1640,33 +1633,15 @@ static int64_t encode_block_core(
         const int32_t* d1 = residual + row_stride;
         const uint32_t *z0, *z1;
         stage_zigzag_stereo(d0, d1, num_samples, &z0, &z1);
-        for (int32_t s = 0; s < num_samples; ++s) {
-          RiceParts a, b;  // fused stereo put (see sla_put_data_array)
-          encode_recursive_rice(st[0], z0[s], a);
-          encode_recursive_rice(st[1], z1[s], b);
-          if (!a.escape && !b.escape && a.nbits + b.nbits <= 57) {
-            w.put((a.code << b.nbits) | b.code, a.nbits + b.nbits);
-          } else {
-            write_rice_parts(w, a);
-            write_rice_parts(w, b);
-          }
-        }
+        for (int32_t s = 0; s < num_samples; ++s)
+          put_rice_pair(w, st[0], st[1], z0[s], z1[s]);
       } else {
         for (int32_t s = 0; s < num_samples; ++s) {
           int32_t ch = 0;
-          for (; ch + 2 <= C; ch += 2) {  // fused channel pairs (see above)
-            RiceParts a, b;
-            encode_recursive_rice(
-                st[ch], zigzag(residual[(int64_t)ch * row_stride + s]), a);
-            encode_recursive_rice(
-                st[ch + 1], zigzag(residual[(int64_t)(ch + 1) * row_stride + s]), b);
-            if (!a.escape && !b.escape && a.nbits + b.nbits <= 57) {
-              w.put((a.code << b.nbits) | b.code, a.nbits + b.nbits);
-            } else {
-              write_rice_parts(w, a);
-              write_rice_parts(w, b);
-            }
-          }
+          for (; ch + 2 <= C; ch += 2)
+            put_rice_pair(w, st[ch], st[ch + 1],
+                          zigzag(residual[(int64_t)ch * row_stride + s]),
+                          zigzag(residual[(int64_t)(ch + 1) * row_stride + s]));
           if (ch < C)
             put_recursive_rice(w, st[ch],
                                zigzag(residual[(int64_t)ch * row_stride + s]));

@@ -258,11 +258,9 @@ def test_longterm_synthesize_chunked_matches_scan():
 
 
 def test_longterm_synthesize_single_tap_paths_agree():
-    """The single-tap int32 select path must equal the dense int64 scan
-    (force the dense path through taps=3 zero-padded... instead compare
-    against the host reference synthesis) bit for bit."""
-    from sla_tpu.kernels.longterm import _MAX_DELAY
-
+    """The single-tap int32 select path (the T==1 scan specialization)
+    must match a scalar reference implementing the C semantics bit for
+    bit, including warmup, pitch-0 passthrough, and streaming resume."""
     rng = np.random.default_rng(9)
     B, n = 4, 700
     res = rng.integers(-(1 << 24), 1 << 24, (B, n)).astype(I32)
