@@ -32,6 +32,7 @@ def _build() -> bool:
                 # float64 rounding and break byte-identity with the reference
                 "g++", "-O3", "-march=native", "-funroll-loops",
                 "-ffp-contract=off", "-std=c++17", "-shared", "-fPIC", "-fwrapv",
+                "-pthread",  # block-parallel entropy stages
                 "-o", str(_LIB), str(_SRC),
             ],
             check=True,

@@ -9,16 +9,34 @@
 // loaded via ctypes (no pybind11 in the image).
 
 #include <algorithm>
+#include <atomic>
 #include <climits>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 #if defined(__x86_64__)
 #include <immintrin.h>
 #endif
 
 namespace {
+
+// Worker-thread count for the block-parallel entropy stages: the format's
+// blocks are independent and byte-aligned, so serialization/decode shards
+// at block granularity. Default min(hardware_concurrency, 8); override
+// with SLA_TPU_THREADS (1 disables threading — this box's single core
+// still exercises the sharded code path in tests via SLA_TPU_THREADS=N).
+static int entropy_threads() {
+  if (const char* e = std::getenv("SLA_TPU_THREADS")) {
+    int v = std::atoi(e);
+    if (v >= 1) return v > 64 ? 64 : v;
+  }
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw < 2) return 1;
+  return hw > 8 ? 8 : (int)hw;
+}
 
 constexpr int kNumRecursiveParams = 2;  // SLAInternal.h:18
 constexpr uint32_t kQuotThreshold = 16; // SLAInternal.h:20
@@ -542,6 +560,27 @@ int64_t sla_get_data_arrays(const uint8_t* in, int64_t in_size, int32_t W,
                             const int32_t* ns, const uint32_t* init /* W x C */,
                             int32_t* out, const int64_t* out_offs) {
   if (C <= 0 || C > 64) return -1;
+  const int T = entropy_threads();
+  if (T > 1 && W >= 2 * T) {
+    // block-parallel decode: disjoint output regions, read-only input
+    std::atomic<int64_t> err{0};
+    std::vector<std::thread> workers;
+    for (int t = 0; t < T; ++t) {
+      const int32_t b0 = (int32_t)((int64_t)W * t / T);
+      const int32_t b1 = (int32_t)((int64_t)W * (t + 1) / T);
+      workers.emplace_back([&, b0, b1]() {
+        for (int32_t b = b0; b < b1; ++b) {
+          int64_t end = sla_get_data_array(in, in_size, bit_offsets[b], C,
+                                           ns[b], init + (int64_t)b * C,
+                                           out + out_offs[b]);
+          if (end < 0) { err.store(-1); return; }
+          if (end > in_size * 8) { err.store(-((int64_t)b + 2)); return; }
+        }
+      });
+    }
+    for (auto& th : workers) th.join();
+    return err.load();
+  }
   for (int32_t b = 0; b < W; ++b) {
     int64_t end = sla_get_data_array(in, in_size, bit_offsets[b], C, ns[b],
                                      init + (int64_t)b * C, out + out_offs[b]);
@@ -1707,6 +1746,51 @@ int64_t sla_encode_blocks(int32_t W, int32_t C, int32_t parcor_order,
   if (C <= 0 || C > 64) return -2;
   const int32_t pc = parcor_order + 1;
   const int32_t mt = num_taps > 0 ? num_taps : 1;
+  const int T = entropy_threads();
+  if (T > 1 && W >= 2 * T) {
+    // block-parallel serialization: blocks are independent and
+    // byte-aligned, so threads serialize disjoint ranges into private
+    // buffers which then concatenate in block order (identical bytes to
+    // the serial loop). CRC tables initialize before spawning.
+    if (!crc16_init_done) crc16_init();
+    std::vector<std::vector<uint8_t>> bufs(T);
+    std::vector<int64_t> used(T, 0);
+    std::atomic<int64_t> err{0};
+    std::vector<std::thread> workers;
+    for (int t = 0; t < T; ++t) {
+      const int32_t b0 = (int32_t)((int64_t)W * t / T);
+      const int32_t b1 = (int32_t)((int64_t)W * (t + 1) / T);
+      workers.emplace_back([&, t, b0, b1]() {
+        int64_t local_cap = 0;
+        for (int32_t b = b0; b < b1; ++b)
+          local_cap += 8LL * 4 * C * nsamp[b] + 4096;
+        bufs[t].resize((size_t)local_cap);
+        int64_t pos = 0;
+        for (int32_t b = b0; b < b1; ++b) {
+          int64_t n = encode_block_core(
+              nsamp[b], btype[b], C, parcor_order, num_taps, bits_per_sample,
+              pitch_threshold, parcor_code + (int64_t)b * C * pc,
+              parcor_rshift + (int64_t)b * C, pitch + (int64_t)b * C,
+              ltm_coef + (int64_t)b * C * mt, init_rice + (int64_t)b * C,
+              (const int32_t*)(uintptr_t)res_ptrs[b], res_strides[b],
+              raw_bits, bufs[t].data() + pos, local_cap - pos);
+          if (n < 0) { err.store(n); return; }
+          sizes_out[b] = n;
+          pos += n;
+        }
+        used[t] = pos;
+      });
+    }
+    for (auto& th : workers) th.join();
+    if (int64_t e = err.load()) return e;
+    int64_t pos = 0;
+    for (int t = 0; t < T; ++t) {
+      if (pos + used[t] > cap) return -1;
+      std::memcpy(out + pos, bufs[t].data(), (size_t)used[t]);
+      pos += used[t];
+    }
+    return pos;
+  }
   int64_t pos = 0;
   for (int32_t b = 0; b < W; ++b) {
     int64_t n = encode_block_core(

@@ -4,6 +4,8 @@ The native module (sla_tpu/native/sla_native.cpp) must produce bit-identical
 payloads to sla_tpu.rice / sla_tpu.bitio, which in turn interoperate with the
 reference binary (test_differential.py)."""
 
+import pathlib
+
 import numpy as np
 import pytest
 
@@ -201,3 +203,41 @@ def test_span_autocorr_multi_matches_single():
     for w, off in enumerate(offs):
         single = native.span_autocorr(base[:, off : off + wl], positions, spans, 8)
         assert np.array_equal(multi[w], single)
+
+
+def test_threaded_entropy_stages_match_serial(monkeypatch):
+    """SLA_TPU_THREADS>1 shards block serialization/decode across worker
+    threads; outputs must equal the serial path byte for byte (this host
+    has one core, so this exercises correctness, not speed)."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "sys.path.insert(0, %r)\n"
+        "import numpy as np\n"
+        "import sla_tpu as sla\n"
+        "from test_encode_decode import gen_wave\n"
+        "pcm = gen_wave('chirp', 120000, 2, 16, 0, seed=21)\n"
+        "enc = sla.Encoder()\n"
+        "enc.set_wave_format(sla.WaveFormat(2, 16, 44100))\n"
+        "enc.set_encode_parameter(sla.PRESETS[2])\n"
+        "blob = enc.encode_whole(pcm)\n"
+        "dec = sla.Decoder()\n"
+        "_, out = dec.decode_whole(blob)\n"
+        "assert np.array_equal(out, pcm)\n"
+        "sys.stdout.buffer.write(blob)\n"
+    ) % (str(pathlib.Path(__file__).resolve().parent.parent),
+         str(pathlib.Path(__file__).resolve().parent))
+    outs = {}
+    for threads in ("1", "4"):
+        env = dict(os.environ)
+        env["SLA_TPU_THREADS"] = threads
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, timeout=300)
+        assert r.returncode == 0, r.stderr.decode()[-2000:]
+        outs[threads] = r.stdout
+    assert outs["1"] == outs["4"] and len(outs["1"]) > 1000
