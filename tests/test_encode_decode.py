@@ -260,3 +260,44 @@ def test_decode_block_level_api():
         offset += consumed
     out = np.concatenate(parts, axis=1)
     assert np.array_equal(out, pcm)
+
+
+@pytest.mark.parametrize(
+    "wtype",
+    [
+        sla.WindowFunctionType.HANN,
+        sla.WindowFunctionType.BLACKMAN,
+        sla.WindowFunctionType.VORBIS,
+    ],
+)
+def test_nonpreset_windows_roundtrip_and_cross_decode(ref_binary, tmp_path, wtype):
+    """The analysis windows outside the preset table (SLA.h:52-58) must
+    round-trip losslessly and produce streams the reference binary decodes
+    (window choice shapes coefficients only — the stream stays decodable
+    by any conforming decoder)."""
+    import subprocess
+
+    from sla_tpu import wavio
+
+    pcm = gen_wave("chirp", 20000, 2, 16, 0, seed=int(wtype))
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
+    base = sla.PRESETS[2]
+    enc.set_encode_parameter(
+        sla.EncodeParameter(
+            base.parcor_order, base.longterm_order, base.lms_order_per_filter,
+            base.ch_process_method, wtype, base.max_num_block_samples,
+        )
+    )
+    blob = enc.encode_whole(pcm)
+    dec = sla.Decoder()
+    _, out = dec.decode_whole(blob)
+    assert np.array_equal(out, pcm)
+    sla_path = tmp_path / f"w{int(wtype)}.sla"
+    sla_path.write_bytes(blob)
+    wav_path = tmp_path / f"w{int(wtype)}.wav"
+    subprocess.run(
+        [str(ref_binary), "-d", "-q", str(sla_path), str(wav_path)],
+        check=True, capture_output=True,
+    )
+    assert np.array_equal(wavio.read_wav(str(wav_path)).data, pcm)
