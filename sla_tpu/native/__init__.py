@@ -99,6 +99,10 @@ def _load() -> ctypes.CDLL | None:
         p_f64, i32, i64, p_i64_arr, i32, i64, p_i64_arr, i32, p_i64_arr,
         i32, i32, p_f64,
     ]
+    lib.sla_span_autocorr_multi_onepass.restype = i32
+    lib.sla_span_autocorr_multi_onepass.argtypes = (
+        lib.sla_span_autocorr_multi.argtypes
+    )
     lib.sla_span_cost.restype = i32
     lib.sla_span_cost.argtypes = [p_f64, p_f64, i32, i32, i32, i32, p_f64]
     lib.sla_encode_block.restype = i64
@@ -824,8 +828,17 @@ def span_autocorr_multi(
     W, S = off.size, sp.shape[0]
     out = np.empty((W, S, C, order + 1), dtype=np.float64)
     p_i64 = ctypes.POINTER(ctypes.c_int64)
+    # one sweep accumulating all lags beats the per-lag passes while the
+    # striped accumulators stay in registers (17 zmm at order 16); higher
+    # orders spill and take the per-lag variant. Values differ between the
+    # two only by float association, far inside the near-tie margin.
+    fn = (
+        lib.sla_span_autocorr_multi_onepass
+        if order <= 19
+        else lib.sla_span_autocorr_multi
+    )
     rc = int(
-        lib.sla_span_autocorr_multi(
+        fn(
             _f64ptr(data), C, N,
             off.ctypes.data_as(p_i64), W, int(win_len),
             pos.ctypes.data_as(p_i64), pos.size,

@@ -1434,6 +1434,123 @@ int32_t sla_span_autocorr_multi(const double* data, int32_t C, int64_t file_n,
   return 0;
 }
 
+// One-pass variant: a single sweep over each window accumulates ALL lags'
+// products (17 striped v8df accumulators, explicit FMA — this is the fast
+// estimator, not byte-identity-pinned arithmetic; -ffp-contract=off keeps
+// protecting the exact FFT/LPC elsewhere). Snapshots land at 8-aligned
+// block boundaries with a scalar overshoot correction per event, so the
+// memory traffic drops from lags passes over the window to one. Values
+// differ from the per-lag variant only by float association (~1e-16
+// relative), ten orders below the near-tie exact-reprice margin.
+int32_t sla_span_autocorr_multi_onepass(
+    const double* data, int32_t C, int64_t file_n, const int64_t* win_off,
+    int32_t W, int64_t win_len, const int64_t* positions, int32_t V,
+    const int64_t* spans, int32_t S, int32_t order, double* out) {
+  if (S <= 0 || 2 * S > 4096 || W <= 0 || order > 32) return -1;
+  (void)V;
+  const int32_t lags = order + 1;
+  // phase 1: per-lag snapshot positions + per-span prefix indices (same
+  // geometry logic as the per-lag variant)
+  std::vector<int64_t> qpos((size_t)lags * 2 * S);
+  std::vector<int32_t> nu_k(lags), sidx((size_t)lags * S), eidx((size_t)lags * S);
+  struct Event { int64_t pos; int32_t lag; int32_t j; };
+  std::vector<Event> events;
+  events.reserve((size_t)lags * 2 * S);
+  for (int32_t k = 0; k < lags; ++k) {
+    int64_t* qp = qpos.data() + (size_t)k * 2 * S;
+    int64_t tmp[4096];
+    int32_t nq = 0;
+    for (int32_t s = 0; s < S; ++s) {
+      int64_t st = positions[spans[2 * s]];
+      int64_t e = positions[spans[2 * s + 1]] - k;
+      if (e < st) e = st;
+      tmp[nq++] = st;
+      tmp[nq++] = e;
+    }
+    std::sort(tmp, tmp + nq);
+    int32_t nu = 0;
+    for (int32_t i = 0; i < nq; ++i)
+      if (i == 0 || tmp[i] != tmp[i - 1]) qp[nu++] = tmp[i];
+    nu_k[k] = nu;
+    const int64_t limit = win_len - k;
+    for (int32_t j = 0; j < nu; ++j)
+      events.push_back({qp[j] < limit ? qp[j] : limit, k, j});
+    int32_t* si = sidx.data() + (size_t)k * S;
+    int32_t* ei = eidx.data() + (size_t)k * S;
+    for (int32_t s = 0; s < S; ++s) {
+      int64_t st = positions[spans[2 * s]];
+      int64_t e = positions[spans[2 * s + 1]] - k;
+      if (e < st) e = st;
+      int32_t lo = 0, hi = nu - 1;
+      while (lo <= hi) { int32_t mid = (lo + hi) / 2; if (qp[mid] < st) lo = mid + 1; else hi = mid - 1; }
+      si[s] = lo;
+      lo = 0; hi = nu - 1;
+      while (lo <= hi) { int32_t mid = (lo + hi) / 2; if (qp[mid] < e) lo = mid + 1; else hi = mid - 1; }
+      ei[s] = lo;
+    }
+  }
+  std::sort(events.begin(), events.end(),
+            [](const Event& a, const Event& b) { return a.pos < b.pos; });
+  // main loop can read x[pos + 7 + (lags-1)]; beyond this cap it finishes
+  // scalar per lag so no read ever passes the window end
+  const int64_t vec_end_cap = win_len - 8 - (lags - 1) + 1;  // pos < cap
+  std::vector<double> pf((size_t)lags * 2 * S);
+  for (int32_t w = 0; w < W; ++w) {
+    for (int32_t ch = 0; ch < C; ++ch) {
+      const double* x = data + (int64_t)ch * file_n + win_off[w];
+      v8df av[33];
+      for (int32_t k = 0; k < lags; ++k) av[k] = v8splat(0.0);
+      size_t ev = 0;
+      int64_t pos = 0;
+      auto vec_total = [&](int32_t k) {
+        return ((av[k][0] + av[k][1]) + (av[k][2] + av[k][3])) +
+               ((av[k][4] + av[k][5]) + (av[k][6] + av[k][7]));
+      };
+      while (pos + 8 <= vec_end_cap) {
+        // flush every event at or before the current aligned position:
+        // striped vector total minus the < 8-sample overshoot
+        while (ev < events.size() && events[ev].pos <= pos) {
+          const Event& e = events[ev++];
+          double t = vec_total(e.lag);
+          for (int64_t p = e.pos; p < pos; ++p) t -= x[p] * x[p + e.lag];
+          pf[(size_t)e.lag * 2 * S + e.j] = t;
+        }
+        const v8df xa = *(const v8df*)(x + pos);
+        for (int32_t k = 0; k < lags; ++k) {
+          const v8df xb = *(const v8df*)(x + pos + k);
+#if defined(__AVX512F__)
+          av[k] = (v8df)_mm512_fmadd_pd((__m512d)xa, (__m512d)xb, (__m512d)av[k]);
+#else
+          av[k] = av[k] + xa * xb;
+#endif
+        }
+        pos += 8;
+      }
+      // remaining events sit past the vector cap (or behind the final
+      // position): vector total plus a scalar run from `pos`
+      for (; ev < events.size(); ++ev) {
+        const Event& e = events[ev];
+        double t = vec_total(e.lag);
+        if (e.pos >= pos) {
+          for (int64_t p = pos; p < e.pos; ++p) t += x[p] * x[p + e.lag];
+        } else {
+          for (int64_t p = e.pos; p < pos; ++p) t -= x[p] * x[p + e.lag];
+        }
+        pf[(size_t)e.lag * 2 * S + e.j] = t;
+      }
+      for (int32_t k = 0; k < lags; ++k) {
+        const int32_t* si = sidx.data() + (size_t)k * S;
+        const int32_t* ei = eidx.data() + (size_t)k * S;
+        const double* pk = pf.data() + (size_t)k * 2 * S;
+        double* o = out + (((int64_t)w * S) * C + ch) * lags + k;
+        for (int32_t s = 0; s < S; ++s)
+          o[(int64_t)s * C * lags] = pk[ei[s]] - pk[si[s]];
+      }
+    }
+  }
+  return 0;
+}
+
 int32_t sla_span_autocorr(const double* data, int32_t C, int32_t N,
                           const int64_t* positions, int32_t V,
                           const int64_t* spans, int32_t S, int32_t order,

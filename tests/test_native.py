@@ -191,7 +191,10 @@ def test_convert_ms_matches_numpy():
 
 
 def test_span_autocorr_multi_matches_single():
-    """One batched multi-window call == per-window span_autocorr calls."""
+    """The batched multi-window call must match per-window span_autocorr
+    calls: bit-exactly on the per-lag variant (order > 19), and to float-
+    association precision on the one-pass FMA variant (order <= 19) —
+    whose drift the partition near-tie guard dwarfs by ~10 orders."""
     from sla_tpu.analysis.partition import _window_geometry
 
     rng = np.random.default_rng(3)
@@ -199,10 +202,16 @@ def test_span_autocorr_multi_matches_single():
     base = rng.normal(0, 0.2, (C, N))
     V, positions, spans, _sl = _window_geometry(wl, 2048, wl, 1024)
     offs = np.array([0, 4096, 8192, 12288], dtype=np.int64)
-    multi = native.span_autocorr_multi(base, offs, wl, positions, spans, 8)
+    # per-lag variant: exact
+    multi25 = native.span_autocorr_multi(base, offs, wl, positions, spans, 25)
+    for w, off in enumerate(offs):
+        single = native.span_autocorr(base[:, off : off + wl], positions, spans, 25)
+        assert np.array_equal(multi25[w], single)
+    # one-pass variant: same sums to association precision
+    multi8 = native.span_autocorr_multi(base, offs, wl, positions, spans, 8)
     for w, off in enumerate(offs):
         single = native.span_autocorr(base[:, off : off + wl], positions, spans, 8)
-        assert np.array_equal(multi[w], single)
+        np.testing.assert_allclose(multi8[w], single, rtol=1e-11, atol=1e-9)
 
 
 def test_threaded_entropy_stages_match_serial(monkeypatch):
