@@ -153,6 +153,14 @@ def _load() -> ctypes.CDLL | None:
     lib.sla_longterm_post.argtypes = [p_f64, i32, i32, i32, i32, p_i32, p_f64]
     lib.sla_lpc_analyze.restype = i32
     lib.sla_lpc_analyze.argtypes = [p_f64, i32, i32, i32, p_f64, p_f64]
+    lib.sla_lpc_analyze_rows_mt.restype = i32
+    lib.sla_lpc_analyze_rows_mt.argtypes = [
+        p_f64, i32, i32, i32, i32, p_f64, i32, p_f64, p_f64,
+    ]
+    lib.sla_longterm_autocorr_rows_mt.restype = i32
+    lib.sla_longterm_autocorr_rows_mt.argtypes = [
+        p_i32, p_i32, i32, i32, i32, p_f64, i32,
+    ]
     lib.sla_lpc_analyze_rows8.restype = i32
     lib.sla_lpc_analyze_rows8.argtypes = [p_f64, i32, i32, i32, p_f64, i32, p_f64, p_f64]
     lib.sla_make_window.restype = i32
@@ -382,34 +390,12 @@ def longterm_autocorr_rows(
     data = np.ascontiguousarray(data, dtype=np.int32)
     B, L = data.shape
     out = np.empty((B, out_lags), dtype=np.float64)
-    work8 = _aligned_f64(fft_size * 8)
     lens = np.ascontiguousarray(lengths, dtype=np.int32)
-    b = 0
-    while b + 8 <= B:
-        out8 = np.empty((8, out_lags), dtype=np.float64)
-        lib.sla_longterm_autocorr_rows8(
-            _i32ptr(data[b:]), _i32ptr(lens[b:]), L, _f64ptr(work8), fft_size,
-            _f64ptr(out8), out_lags,
-        )
-        out[b : b + 8] = out8
-        b += 8
-    tail = B - b
-    if tail >= 4:
-        # pad the straggler group with zero-length rows: the interleaved FFT
-        # costs ~4 scalar FFTs, so padding wins from 4 real rows up
-        pad_data = np.zeros((8, L), dtype=np.int32)
-        pad_data[:tail] = data[b:]
-        pad_lens = np.zeros(8, dtype=np.int32)
-        pad_lens[:tail] = lens[b:]
-        out8 = np.empty((8, out_lags), dtype=np.float64)
-        lib.sla_longterm_autocorr_rows8(
-            _i32ptr(pad_data), _i32ptr(pad_lens), L, _f64ptr(work8), fft_size,
-            _f64ptr(out8), out_lags,
-        )
-        out[b:] = out8[:tail]
-    else:
-        for i in range(b, B):
-            out[i] = longterm_autocorr(data[i, : int(lens[i])], fft_size, out_lags)
+    # one call: 8-row interleaved exact FFTs with a zero-padded tail group,
+    # sharded across worker threads on multi-core hosts
+    lib.sla_longterm_autocorr_rows_mt(
+        _i32ptr(data), _i32ptr(lens), B, L, fft_size, _f64ptr(out), out_lags
+    )
     return out
 
 
@@ -1095,45 +1081,14 @@ def lpc_analyze_rows(
         window = np.ascontiguousarray(window, dtype=np.float64)
         win_ptr = _f64ptr(window)
     emph = 1 if emphasis else 0
-
-    def preprocess(rows: np.ndarray) -> np.ndarray:
-        # scalar-path equivalent of the fused fill
-        rows = rows.copy()
-        if window is not None:
-            rows *= window
-        if emphasis:
-            rows[..., 1:] -= rows[..., :-1] * ((2.0 ** 5 - 1.0) * 2.0 ** -5)
-        return rows
-
-    b = 0
-    while b + 8 <= B:
-        lib.sla_lpc_analyze_rows8(
-            _f64ptr(data[b:]), n, order, bits_per_sample, win_ptr, emph,
-            _f64ptr(parcor[b:]), _f64ptr(lengths[b:]),
-        )
-        b += 8
-    tail = B - b
-    if tail >= 2:  # scalar rows cost ~6-8x an interleaved row: pad from 2 up
-        # pad the straggler group with zero rows (zeros analyze to zero
-        # coefficients / zero length and are discarded)
-        pad = np.zeros((8, n), dtype=np.float64)
-        pad[:tail] = data[b:]
-        pc8 = np.zeros((8, order + 1), dtype=np.float64)
-        ln8 = np.zeros(8, dtype=np.float64)
-        lib.sla_lpc_analyze_rows8(
-            _f64ptr(pad), n, order, bits_per_sample, win_ptr, emph,
-            _f64ptr(pc8), _f64ptr(ln8)
-        )
-        parcor[b:] = pc8[:tail]
-        lengths[b:] = ln8[:tail]
-    elif tail:
-        rows = preprocess(data[b:])
-        for i in range(tail):
-            lib.sla_lpc_analyze(
-                _f64ptr(rows[i]), n, order, bits_per_sample,
-                _f64ptr(parcor[b + i]), lengths[b + i : b + i + 1].ctypes.data_as(
-                    ctypes.POINTER(ctypes.c_double)),
-            )
+    # one call: 8-row interleaved groups with a zero-padded tail, sharded
+    # across worker threads on multi-core hosts (identical per-row values)
+    rc = lib.sla_lpc_analyze_rows_mt(
+        _f64ptr(data), B, n, order, bits_per_sample, win_ptr, emph,
+        _f64ptr(parcor), _f64ptr(lengths),
+    )
+    if rc != 0:
+        raise ValueError(f"lpc_analyze_rows: native analysis failed ({rc})")
     return parcor, lengths
 
 

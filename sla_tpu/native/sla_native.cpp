@@ -2559,6 +2559,107 @@ int32_t sla_lpc_analyze_rows8(const double* data, int32_t n, int32_t order,
   return 0;
 }
 
+// Whole-batch exact LPC analysis: groups of 8 rows through the
+// interleaved kernel (zero-padded tail group — zero rows analyze to zero
+// coefficients / zero length), sharded across worker threads on
+// multi-core hosts (rows are independent). data: B x n contiguous.
+int32_t sla_lpc_analyze_rows_mt(const double* data, int32_t B, int32_t n,
+                                int32_t order, int32_t bits_per_sample,
+                                const double* window, int32_t emphasis,
+                                double* parcor /* B x (order+1) */,
+                                double* length_per_sample /* B */) {
+  if (order < 1 || order > 64) return -1;
+  const int32_t G = (B + 7) / 8;  // 8-row groups, last zero-padded
+  const int T0 = entropy_threads();
+  const int T = T0 > G ? (G > 0 ? G : 1) : T0;
+  std::atomic<int32_t> err{0};
+  auto run_range = [&](int32_t g0, int32_t g1) {
+    std::vector<double> pad;  // per-thread tail scratch
+    for (int32_t g = g0; g < g1; ++g) {
+      const int32_t b = g * 8;
+      if (b + 8 <= B) {
+        if (sla_lpc_analyze_rows8(data + (int64_t)b * n, n, order,
+                                  bits_per_sample, window, emphasis,
+                                  parcor + (int64_t)b * (order + 1),
+                                  length_per_sample + b) != 0)
+          err.store(-1);
+        continue;
+      }
+      const int32_t tail = B - b;
+      pad.assign((size_t)8 * n, 0.0);
+      std::memcpy(pad.data(), data + (int64_t)b * n,
+                  sizeof(double) * (size_t)tail * n);
+      double pc8[8 * 65], ln8[8];
+      if (sla_lpc_analyze_rows8(pad.data(), n, order, bits_per_sample,
+                                window, emphasis, pc8, ln8) != 0) {
+        err.store(-1);
+        continue;
+      }
+      std::memcpy(parcor + (int64_t)b * (order + 1), pc8,
+                  sizeof(double) * (size_t)tail * (order + 1));
+      std::memcpy(length_per_sample + b, ln8, sizeof(double) * (size_t)tail);
+    }
+  };
+  if (T > 1 && G >= 2 * T) {
+    std::vector<std::thread> ws;
+    for (int t = 0; t < T; ++t)
+      ws.emplace_back(run_range, (int32_t)((int64_t)G * t / T),
+                      (int32_t)((int64_t)G * (t + 1) / T));
+    for (auto& th : ws) th.join();
+  } else {
+    run_range(0, G);
+  }
+  return err.load();
+}
+
+// Whole-batch long-term autocorrelation: 8-row interleaved exact FFTs,
+// zero-padded tail group, sharded across worker threads (per-thread FFT
+// work buffers; the twiddle tables are thread_local).
+int32_t sla_longterm_autocorr_rows_mt(const int32_t* data,
+                                      const int32_t* lengths, int32_t B,
+                                      int32_t row_stride, int32_t fft_size,
+                                      double* out, int32_t out_lags) {
+  const int32_t G = (B + 7) / 8;
+  const int T0 = entropy_threads();
+  const int T = T0 > G ? (G > 0 ? G : 1) : T0;
+  auto run_range = [&](int32_t g0, int32_t g1) {
+    std::vector<double> workv((size_t)fft_size * 8 + 8);
+    double* work = workv.data();
+    work += ((64 - ((uintptr_t)work & 63)) & 63) / sizeof(double);
+    std::vector<int32_t> padd;
+    for (int32_t g = g0; g < g1; ++g) {
+      const int32_t b = g * 8;
+      if (b + 8 <= B) {
+        sla_longterm_autocorr_rows8(data + (int64_t)b * row_stride,
+                                    lengths + b, row_stride, work, fft_size,
+                                    out + (int64_t)b * out_lags, out_lags);
+        continue;
+      }
+      const int32_t tail = B - b;
+      padd.assign((size_t)8 * row_stride, 0);
+      std::memcpy(padd.data(), data + (int64_t)b * row_stride,
+                  sizeof(int32_t) * (size_t)tail * row_stride);
+      int32_t lens8[8] = {0};
+      std::memcpy(lens8, lengths + b, sizeof(int32_t) * (size_t)tail);
+      std::vector<double> out8((size_t)8 * out_lags);
+      sla_longterm_autocorr_rows8(padd.data(), lens8, row_stride, work,
+                                  fft_size, out8.data(), out_lags);
+      std::memcpy(out + (int64_t)b * out_lags, out8.data(),
+                  sizeof(double) * (size_t)tail * out_lags);
+    }
+  };
+  if (T > 1 && G >= 2 * T) {
+    std::vector<std::thread> ws;
+    for (int t = 0; t < T; ++t)
+      ws.emplace_back(run_range, (int32_t)((int64_t)G * t / T),
+                      (int32_t)((int64_t)G * (t + 1) / T));
+    for (auto& th : ws) th.join();
+  } else {
+    run_range(0, G);
+  }
+  return 0;
+}
+
 int32_t sla_lpc_analyze(const double* data, int32_t n, int32_t order,
                         int32_t bits_per_sample, double* parcor,
                         double* length_per_sample) {
