@@ -257,6 +257,7 @@ class Encoder:
             data, 32 - wf.bit_per_sample, 32 - wf.bit_per_sample + wf.offset_lshift
         )
         plans = self._plan_blocks(int32_plan, dbl, num_samples)
+        del int32_plan  # planning view done; frees ~N*C*4 bytes when lshift != 0
         self.stage_times["partition"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         self._analyze_blocks(int32_blk, dbl, plans)
