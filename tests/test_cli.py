@@ -201,3 +201,31 @@ def test_cli_corpus_filter_batch(tmp_path):
                      str(in_dir), str(out_b)]) == 0
     for i in range(3):
         assert (out_a / f"t{i}.sla").read_bytes() == (out_b / f"t{i}.sla").read_bytes()
+
+
+def test_api_result_codes_match_reference_header():
+    """ApiResult's numeric values must track SLAApiResult (SLA.h:26-43)
+    positionally — callers porting from the C API rely on the codes.
+    (The reference's INVAILD_CHPROCESSMETHOD typo is intentionally fixed
+    in our name; the value is what carries.)"""
+    import pathlib
+    import re
+
+    from sla_tpu.errors import ApiResult
+
+    hdr = pathlib.Path("/root/reference/src/include/public/SLA.h")
+    if not hdr.exists():
+        import pytest
+
+        pytest.skip("reference source unavailable")
+    names = re.findall(r"SLA_APIRESULT_([A-Z_]+)", hdr.read_text())
+    seen = []
+    for n in names:
+        if n not in seen:
+            seen.append(n)
+    assert len(seen) == len(ApiResult)
+    for value, name in enumerate(seen):
+        ours = ApiResult(value).name
+        assert ours == name or (name, ours) == (
+            "INVAILD_CHPROCESSMETHOD", "INVALID_CHPROCESSMETHOD"
+        ), (value, name, ours)
