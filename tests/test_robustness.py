@@ -143,3 +143,19 @@ def test_oversized_block_sample_counts_bounded(stream):
     bad[8:10] = crc16(bytes(bad[10:43])).to_bytes(2, "big")
     with pytest.raises(SLAError):
         decode(bytes(bad), crc=False)
+
+
+def test_corruption_fuzzer_smoke():
+    """A committed slice of tools/fuzz_corruption.py: random mutants must
+    never crash the native parsers (full sweeps run per round)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, str(repo / "tools" / "fuzz_corruption.py"), "25", "77"],
+        capture_output=True, text=True, timeout=240,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
