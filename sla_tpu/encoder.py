@@ -216,7 +216,18 @@ class Encoder:
 
     # -- whole-file encode ----------------------------------------------------
     def encode_whole(self, data: np.ndarray) -> bytes:
-        """data: (num_channels, num_samples) canonical left-justified int32."""
+        """data: (num_channels, num_samples) canonical left-justified int32.
+
+        Long streams encode in segments of whole search windows so peak
+        memory stays O(segment) instead of O(file); segment boundaries
+        never change a window or silent-run decision (planning carries the
+        tail into the next segment), so the bytes are identical to the
+        one-shot path. SLA_TPU_SEGMENT_SAMPLES tunes the threshold."""
+        seg = self._segment_samples()
+        if data.shape[1] > seg:
+            return self._encode_whole_segmented(
+                np.ascontiguousarray(data, dtype=np.int32), seg
+            )
         num_samples, plans = self._stage_encode(data)
         t0 = time.perf_counter()
         self._run_filters(data, plans)
@@ -233,6 +244,79 @@ class Encoder:
                 + f"  total {total * 1e3:.1f}ms"
             )
         return blob
+
+    def _segment_samples(self) -> int:
+        """Samples per encode segment: a multiple of the window size, from
+        SLA_TPU_SEGMENT_SAMPLES (default ~16.7M samples/channel — about six
+        minutes of 44.1 kHz audio; at least four windows)."""
+        self._require_params()
+        m = self._encode_param.max_num_block_samples
+        v = int(os.environ.get("SLA_TPU_SEGMENT_SAMPLES", 1 << 24))
+        return max(4 * m, (v // m) * m)
+
+    def _encode_whole_segmented(self, data: np.ndarray, seg: int) -> bytes:
+        """Rolling-window encode for long streams (see encode_whole)."""
+        self._require_params()
+        wf, ep = self._wave_format, self._encode_param
+        if data.shape[0] != wf.num_channels:
+            raise SLAError(ApiResult.INVALID_ARGUMENT, "channel count mismatch")
+        num_samples = data.shape[1]
+        wf.offset_lshift = self.calculate_left_shift_offset(data, wf.bit_per_sample)
+        shift_a = 32 - wf.bit_per_sample
+        shift_b = shift_a + wf.offset_lshift
+        self.stage_times = {}
+        use_native = native.available() and not os.environ.get(
+            "SLA_TPU_DEVICE_ENTROPY"
+        )
+        payloads: list[bytes] = []
+        total_blocks = 0
+        max_block_size = 0
+        max_bps = 0
+        offset = 0
+        while offset < num_samples:
+            seg_end = min(offset + seg, num_samples)
+            final = seg_end == num_samples
+            sdata = np.ascontiguousarray(data[:, offset:seg_end])
+            int32_plan, int32_blk, dbl = self._convert_views(sdata, shift_a, shift_b)
+            plans, consumed = self._plan_blocks(
+                int32_plan, dbl, seg_end - offset, final=final
+            )
+            del int32_plan
+            assert consumed > 0, "segment shorter than one window"
+            self._analyze_blocks(int32_blk, dbl, plans)
+            del dbl
+            self._run_filters(sdata, plans)
+            if use_native:
+                payload, sizes, nsamp = self._serialize_blocks_native(plans)
+                payloads.append(payload)
+                if len(plans):
+                    max_block_size = max(max_block_size, int(sizes.max()))
+                    bps = ((8 * sizes * wf.sampling_rate) & 0xFFFFFFFF) // nsamp
+                    max_bps = max(max_bps, int(bps.max()))
+            else:
+                for plan in plans:
+                    blob = self._encode_block_payload(plan)
+                    payloads.append(blob)
+                    max_block_size = max(max_block_size, len(blob))
+                    bps = ((8 * len(blob) * wf.sampling_rate) & 0xFFFFFFFF) // plan.num_samples
+                    max_bps = max(max_bps, bps)
+            total_blocks += len(plans)
+            offset += consumed
+            if self.config.verbose:
+                print(
+                    f"progress:{100 * offset // num_samples:2d}%",
+                    end="\r",
+                    flush=True,
+                )
+        header = HeaderInfo(
+            wave_format=wf,
+            encode_param=ep,
+            num_samples=num_samples,
+            num_blocks=total_blocks,
+            max_block_size=max_block_size,
+            max_bit_per_second=max_bps,
+        )
+        return encode_header(header) + b"".join(payloads)
 
     def _stage_encode(self, data: np.ndarray) -> tuple[int, list["_BlockPlan"]]:
         """Checks + left-shift detection + block planning + float64 analysis
@@ -256,7 +340,7 @@ class Encoder:
         int32_plan, int32_blk, dbl = self._convert_views(
             data, 32 - wf.bit_per_sample, 32 - wf.bit_per_sample + wf.offset_lshift
         )
-        plans = self._plan_blocks(int32_plan, dbl, num_samples)
+        plans, _ = self._plan_blocks(int32_plan, dbl, num_samples)
         del int32_plan  # planning view done; frees ~N*C*4 bytes when lshift != 0
         self.stage_times["partition"] = time.perf_counter() - t0
         t0 = time.perf_counter()
@@ -309,11 +393,12 @@ class Encoder:
         )
         return encode_header(header) + b"".join(blobs)
 
-    def _finalize_encode_native(
-        self, num_samples: int, plans: list["_BlockPlan"]
-    ) -> bytes:
+    def _serialize_blocks_native(
+        self, plans: list["_BlockPlan"]
+    ) -> tuple[bytes, np.ndarray, np.ndarray]:
         """One native call serializes every block back to back (identical
-        bytes to the per-block path — blocks are byte-aligned)."""
+        bytes to the per-block path — blocks are byte-aligned). Returns
+        (payload, per-block byte sizes, per-block sample counts)."""
         wf, ep = self._wave_format, self._encode_param
         C, p, T = wf.num_channels, ep.parcor_order, ep.longterm_order
         W = len(plans)
@@ -347,6 +432,14 @@ class Encoder:
             nsamp, btype, p, T, wf.bit_per_sample, LONGTERM_MIN_PITCH_THRESHOLD,
             code, rshift, pitch, ltm, init, rows, raw_bits,
         )
+        return payload, sizes, nsamp
+
+    def _finalize_encode_native(
+        self, num_samples: int, plans: list["_BlockPlan"]
+    ) -> bytes:
+        wf, ep = self._wave_format, self._encode_param
+        payload, sizes, nsamp = self._serialize_blocks_native(plans)
+        W = len(plans)
         max_block_size = int(sizes.max()) if W else 0
         # uint32 arithmetic as in the reference (SLAEncoder.c:895)
         bps = ((8 * sizes * wf.sampling_rate) & 0xFFFFFFFF) // nsamp
@@ -362,21 +455,30 @@ class Encoder:
 
     # -- step 2: block planning ----------------------------------------------
     def _plan_blocks(
-        self, int32_ms: np.ndarray, dbl_ms: np.ndarray, num_samples: int
-    ) -> list[_BlockPlan]:
+        self, int32_ms: np.ndarray, dbl_ms: np.ndarray, num_samples: int,
+        final: bool = True,
+    ) -> tuple[list[_BlockPlan], int]:
         """Two-phase planning: a cheap sequential pass fixes the window
         boundaries (they depend only on the silence scan), then ALL
         partition-search windows analyze in one batched pass.
 
         int32_ms: (C, N) MS-transformed samples at the no-lshift scale (the
         silence scan's view, SLAEncoder.c:381-408); dbl_ms: (C, N) float64
-        MS-transformed signal."""
+        MS-transformed signal.
+
+        When `final` is False (a segment of a longer stream), planning
+        stops before any window that would not see a full
+        max_num_block_samples of data — the tail carries into the next
+        segment, so segment boundaries can never change a window or
+        silent-run decision. Returns (plans, samples consumed)."""
         wf, ep = self._wave_format, self._encode_param
         plans: list = []
         windows: list[tuple[int, int, int]] = []  # (offset, window_len, min_block)
         offset = 0
         while offset < num_samples:
             remain = num_samples - offset
+            if not final and remain < ep.max_num_block_samples:
+                break  # next segment sees the full window
             window_len = min(ep.max_num_block_samples, remain)
             min_block = min(SLA_MIN_BLOCK_NUM_SAMPLES, remain)
             int32 = int32_ms[:, offset : offset + window_len]
@@ -389,8 +491,9 @@ class Encoder:
             windows.append((offset, window_len, min_block))
             plans.append(None)  # placeholder, expanded below
             offset += window_len
+        consumed = offset
         if not windows:
-            return plans
+            return plans, consumed
 
         wdata = [dbl_ms[:, off : off + wl] for off, wl, _ in windows]
         sizes_list = search_optimal_partitions_batch(
@@ -414,7 +517,7 @@ class Encoder:
                 out.append(_BlockPlan(off, n))
                 off += n
             wi += 1
-        return out
+        return out, consumed
 
     # -- step 3: per-block float64 analysis -----------------------------------
     def _analyze_blocks(

@@ -301,3 +301,32 @@ def test_nonpreset_windows_roundtrip_and_cross_decode(ref_binary, tmp_path, wtyp
         check=True, capture_output=True,
     )
     assert np.array_equal(wavio.read_wav(str(wav_path)).data, pcm)
+
+
+def test_segmented_encode_byte_identical(monkeypatch):
+    """Long streams encode in rolling window segments; the bytes must be
+    identical to the one-shot path even when silent runs cross segment
+    boundaries (planning carries partial windows into the next segment)."""
+    rng = np.random.default_rng(31)
+    n = 60000
+    pcm = gen_wave("chirp", n, 2, 16, 0, seed=31)
+    # silent spans engineered to straddle the forced segment boundaries
+    pcm[:, 7000:12000] = 0
+    pcm[:, 29000:34000] = 0
+    ep = sla.EncodeParameter(
+        8, 1, 4, sla.ChannelProcessMethod.STEREO_MS, sla.WindowFunctionType.SIN, 4096
+    )
+
+    def encode():
+        enc = sla.Encoder()
+        enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
+        enc.set_encode_parameter(ep)
+        return enc.encode_whole(pcm)
+
+    whole = encode()
+    monkeypatch.setenv("SLA_TPU_SEGMENT_SAMPLES", "16384")  # 4-window segments
+    segmented = encode()
+    assert segmented == whole
+    dec = sla.Decoder()
+    _, out = dec.decode_whole(segmented)
+    assert np.array_equal(out, pcm)
