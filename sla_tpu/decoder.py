@@ -281,27 +281,68 @@ class Decoder:
         t0 = time.perf_counter()
         blocks = self.scan_blocks(data, header.num_samples)
         self.stage_times["headers"] = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        payloads: list[np.ndarray | None]
-        comp = [
-            i for i, b in enumerate(blocks)
-            if b.block_type == BlockDataType.COMPRESSDATA
-        ]
-        if native.available() and comp and not self.config.verbose:
-            # one native call entropy-decodes every compressed payload
-            decoded = native.get_data_arrays(
-                data,
-                np.asarray([blocks[i].payload_bit_offset for i in comp]),
-                np.asarray([blocks[i].num_samples for i in comp]),
-                np.asarray([blocks[i].init_rice for i in comp]),
-            )
-            payloads = [None] * len(blocks)
-            for i, rows in zip(comp, decoded):
-                payloads[i] = rows
-            for i, b in enumerate(blocks):
-                if payloads[i] is None:
-                    payloads[i] = self._decode_payload(data, b)
+        if native.available() and not self.config.verbose:
+            # bounded groups: entropy-decode, synthesize, and assemble each
+            # group of blocks before touching the next, so peak memory is
+            # O(group) (~100 MB of synthesis rows) even for hour-long
+            # streams; per-block arithmetic is untouched (blocks are
+            # independent), so bytes/PCM are identical to one-shot decode
+            C = wf.num_channels
+            L = ep.max_num_block_samples
+            group = max(1, (100 << 20) // (C * L * 4))
+            out = np.empty((C, header.num_samples), dtype=np.int32)
+            t_ent = t_syn = 0.0
+            off = 0
+            for g0 in range(0, len(blocks), group):
+                grp = blocks[g0 : g0 + group]
+                t0 = time.perf_counter()
+                comp = [
+                    i for i, b in enumerate(grp)
+                    if b.block_type == BlockDataType.COMPRESSDATA
+                ]
+                payloads: list[np.ndarray | None] = [None] * len(grp)
+                if comp:
+                    decoded = native.get_data_arrays(
+                        data,
+                        np.asarray([grp[i].payload_bit_offset for i in comp]),
+                        np.asarray([grp[i].num_samples for i in comp]),
+                        np.asarray([grp[i].init_rice for i in comp]),
+                    )
+                    for i, rows in zip(comp, decoded):
+                        payloads[i] = rows
+                for i, b in enumerate(grp):
+                    if payloads[i] is None:
+                        payloads[i] = self._decode_payload(data, b)
+                t_ent += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                outputs = self._synth_outputs(grp, payloads)
+                srcs: list[np.ndarray] = []
+                offs = np.empty(len(grp), dtype=np.int64)
+                ns = np.empty(len(grp), dtype=np.int32)
+                for i, b in enumerate(grp):
+                    # bound every native write: a malformed stream whose
+                    # block sample counts overrun the header total must
+                    # fail loudly, not scribble past the PCM buffer
+                    if off + b.num_samples > header.num_samples:
+                        raise SLAError(
+                            ApiResult.DETECT_DATA_CORRUPTION,
+                            "block sample counts exceed the header total",
+                        )
+                    src = outputs.get(i)
+                    srcs.append(payloads[i] if src is None else src)
+                    offs[i] = off
+                    ns[i] = b.num_samples
+                    off += b.num_samples
+                native.ms_shift_blocks(
+                    srcs, offs, ns, out,
+                    32 - wf.bit_per_sample + wf.offset_lshift,
+                    ep.ch_process_method == ChannelProcessMethod.STEREO_MS,
+                )
+                t_syn += time.perf_counter() - t0
+            self.stage_times["entropy"] = t_ent
+            self.stage_times["synthesis"] = t_syn
         else:
+            t0 = time.perf_counter()
             payloads = []
             done = 0
             for b in blocks:
@@ -314,40 +355,11 @@ class Decoder:
                         end="\r",
                         flush=True,
                     )
-        self.stage_times["entropy"] = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        if native.available():
-            # fused final assembly: MS inverse + left shift straight into
-            # the (C, total) PCM buffer, no per-block temporaries/concat
-            outputs = self._synth_outputs(blocks, payloads)
-            out = np.empty((wf.num_channels, header.num_samples), dtype=np.int32)
-            srcs: list[np.ndarray] = []
-            offs = np.empty(len(blocks), dtype=np.int64)
-            ns = np.empty(len(blocks), dtype=np.int32)
-            off = 0
-            for i, b in enumerate(blocks):
-                # bound every native write: a malformed stream whose block
-                # sample counts overrun the header total must fail loudly,
-                # not scribble past the PCM buffer
-                if off + b.num_samples > header.num_samples:
-                    raise SLAError(
-                        ApiResult.DETECT_DATA_CORRUPTION,
-                        "block sample counts exceed the header total",
-                    )
-                src = outputs.get(i)
-                srcs.append(payloads[i] if src is None else src)
-                offs[i] = off
-                ns[i] = b.num_samples
-                off += b.num_samples
-            native.ms_shift_blocks(
-                srcs, offs, ns, out,
-                32 - wf.bit_per_sample + wf.offset_lshift,
-                ep.ch_process_method == ChannelProcessMethod.STEREO_MS,
-            )
-        else:
+            self.stage_times["entropy"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
             pcm = self.synthesize_blocks(blocks, payloads)
             out = np.concatenate(pcm, axis=1)
-        self.stage_times["synthesis"] = time.perf_counter() - t0
+            self.stage_times["synthesis"] = time.perf_counter() - t0
         if self.config.verbose:
             st = self.stage_times
             print(
