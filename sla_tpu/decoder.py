@@ -281,7 +281,7 @@ class Decoder:
         t0 = time.perf_counter()
         blocks = self.scan_blocks(data, header.num_samples)
         self.stage_times["headers"] = time.perf_counter() - t0
-        if native.available() and not self.config.verbose:
+        if native.available():
             # bounded groups: entropy-decode, synthesize, and assemble each
             # group of blocks before touching the next, so peak memory is
             # O(group) (~100 MB of synthesis rows) even for hour-long
@@ -339,6 +339,14 @@ class Decoder:
                     ep.ch_process_method == ChannelProcessMethod.STEREO_MS,
                 )
                 t_syn += time.perf_counter() - t0
+                if self.config.verbose:
+                    # progress per group (SLADecoder.c:721-725 prints per
+                    # block; the grouped pipeline reports at group bounds)
+                    print(
+                        f"progress:{100 * off // max(header.num_samples, 1):2d}%",
+                        end="\r",
+                        flush=True,
+                    )
             self.stage_times["entropy"] = t_ent
             self.stage_times["synthesis"] = t_syn
         else:

@@ -264,7 +264,8 @@ class Encoder:
         wf.offset_lshift = self.calculate_left_shift_offset(data, wf.bit_per_sample)
         shift_a = 32 - wf.bit_per_sample
         shift_b = shift_a + wf.offset_lshift
-        self.stage_times = {}
+        self.stage_times = {"partition": 0.0, "analysis": 0.0,
+                            "filters": 0.0, "entropy": 0.0}
         use_native = native.available() and not os.environ.get(
             "SLA_TPU_DEVICE_ENTROPY"
         )
@@ -276,30 +277,39 @@ class Encoder:
         while offset < num_samples:
             seg_end = min(offset + seg, num_samples)
             final = seg_end == num_samples
+            t0 = time.perf_counter()
             sdata = np.ascontiguousarray(data[:, offset:seg_end])
             int32_plan, int32_blk, dbl = self._convert_views(sdata, shift_a, shift_b)
             plans, consumed = self._plan_blocks(
                 int32_plan, dbl, seg_end - offset, final=final
             )
             del int32_plan
-            assert consumed > 0, "segment shorter than one window"
+            if consumed <= 0:  # unreachable while seg >= 4 windows; keep loud
+                raise SLAError(
+                    ApiResult.NG, "segmented planning made no progress"
+                )
+            self.stage_times["partition"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
             self._analyze_blocks(int32_blk, dbl, plans)
             del dbl
+            self.stage_times["analysis"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
             self._run_filters(sdata, plans)
+            self.stage_times["filters"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
             if use_native:
                 payload, sizes, nsamp = self._serialize_blocks_native(plans)
                 payloads.append(payload)
-                if len(plans):
-                    max_block_size = max(max_block_size, int(sizes.max()))
-                    bps = ((8 * sizes * wf.sampling_rate) & 0xFFFFFFFF) // nsamp
-                    max_bps = max(max_bps, int(bps.max()))
+                bs, bb = self._header_stats(sizes, nsamp)
             else:
-                for plan in plans:
-                    blob = self._encode_block_payload(plan)
-                    payloads.append(blob)
-                    max_block_size = max(max_block_size, len(blob))
-                    bps = ((8 * len(blob) * wf.sampling_rate) & 0xFFFFFFFF) // plan.num_samples
-                    max_bps = max(max_bps, bps)
+                blobs = [self._encode_block_payload(plan) for plan in plans]
+                payloads.extend(blobs)
+                bs, bb = self._header_stats(
+                    [len(b) for b in blobs], [p.num_samples for p in plans]
+                )
+            max_block_size = max(max_block_size, bs)
+            max_bps = max(max_bps, bb)
+            self.stage_times["entropy"] += time.perf_counter() - t0
             total_blocks += len(plans)
             offset += consumed
             if self.config.verbose:
@@ -308,6 +318,13 @@ class Encoder:
                     end="\r",
                     flush=True,
                 )
+        if self.config.verbose:
+            st = self.stage_times
+            print(
+                "stages: "
+                + "  ".join(f"{k} {v * 1e3:.1f}ms" for k, v in st.items())
+                + f"  total {sum(st.values()) * 1e3:.1f}ms"
+            )
         header = HeaderInfo(
             wave_format=wf,
             encode_param=ep,
@@ -357,10 +374,8 @@ class Encoder:
             and not self.config.verbose  # per-block progress stays on the loop
         ):
             return self._finalize_encode_native(num_samples, plans)
-        # entropy-code blocks, track header statistics
+        # entropy-code blocks (the semantic-reference per-block loop)
         blobs: list[bytes] = []
-        max_block_size = 0
-        max_bps = 0
         done_samples = 0
         out_size = 0
         for plan in plans:
@@ -377,12 +392,9 @@ class Encoder:
                     end="\r",
                     flush=True,
                 )
-            max_block_size = max(max_block_size, len(blob))
-            # uint32 arithmetic as in the reference (SLAEncoder.c:895):
-            # 8 * block_size * rate wraps mod 2^32 before the division
-            bps = ((8 * len(blob) * wf.sampling_rate) & 0xFFFFFFFF) // plan.num_samples
-            max_bps = max(max_bps, bps)
-
+        max_block_size, max_bps = self._header_stats(
+            [len(b) for b in blobs], [p.num_samples for p in plans]
+        )
         header = HeaderInfo(
             wave_format=wf,
             encode_param=ep,
@@ -392,6 +404,17 @@ class Encoder:
             max_bit_per_second=max_bps,
         )
         return encode_header(header) + b"".join(blobs)
+
+    def _header_stats(self, sizes, nsamp) -> tuple[int, int]:
+        """(max_block_size, max_bit_per_second) from per-block byte sizes
+        and sample counts — the reference's uint32-wrapping arithmetic
+        (SLAEncoder.c:895), the single authoritative copy."""
+        sizes = np.asarray(sizes, dtype=np.int64)
+        nsamp = np.asarray(nsamp, dtype=np.int64)
+        if sizes.size == 0:
+            return 0, 0
+        bps = ((8 * sizes * self._wave_format.sampling_rate) & 0xFFFFFFFF) // nsamp
+        return int(sizes.max()), int(bps.max())
 
     def _serialize_blocks_native(
         self, plans: list["_BlockPlan"]
@@ -439,17 +462,14 @@ class Encoder:
     ) -> bytes:
         wf, ep = self._wave_format, self._encode_param
         payload, sizes, nsamp = self._serialize_blocks_native(plans)
-        W = len(plans)
-        max_block_size = int(sizes.max()) if W else 0
-        # uint32 arithmetic as in the reference (SLAEncoder.c:895)
-        bps = ((8 * sizes * wf.sampling_rate) & 0xFFFFFFFF) // nsamp
+        max_block_size, max_bps = self._header_stats(sizes, nsamp)
         header = HeaderInfo(
             wave_format=wf,
             encode_param=ep,
             num_samples=num_samples,
-            num_blocks=W,
+            num_blocks=len(plans),
             max_block_size=max_block_size,
-            max_bit_per_second=int(bps.max()) if W else 0,
+            max_bit_per_second=max_bps,
         )
         return encode_header(header) + payload
 

@@ -803,8 +803,14 @@ def span_autocorr_multi(
 ) -> np.ndarray:
     """span_autocorr over W same-geometry windows of one (C, N) base
     signal in a single call (per-lag boundary sort and span index lookups
-    amortized across windows). Returns (W, S, C, order+1) — identical
-    values to per-window span_autocorr calls."""
+    amortized across windows). Returns (W, S, C, order+1).
+
+    For order <= 19 the one-pass FMA kernel runs: values differ from
+    per-window span_autocorr only by float association (~1e-16 relative)
+    — this is the fast partition estimator, whose rounding headroom the
+    0.25-byte near-tie exact-reprice margin covers by ~10 orders (see
+    analysis/partition.py). Higher orders use the per-lag kernel, whose
+    values match per-window calls bit for bit."""
     lib = _load()
     data = np.ascontiguousarray(data, dtype=np.float64)
     C, N = data.shape

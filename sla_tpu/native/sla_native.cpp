@@ -11,6 +11,7 @@
 #include <algorithm>
 #include <atomic>
 #include <climits>
+#include <mutex>
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
@@ -1866,11 +1867,29 @@ int64_t sla_encode_blocks(int32_t W, int32_t C, int32_t parcor_order,
   const int T = entropy_threads();
   if (T > 1 && W >= 2 * T) {
     // block-parallel serialization: blocks are independent and
-    // byte-aligned, so threads serialize disjoint ranges into private
+    // byte-aligned, so threads serialize disjoint ranges into pooled
     // buffers which then concatenate in block order (identical bytes to
-    // the serial loop). CRC tables initialize before spawning.
+    // the serial loop). CRC tables initialize before spawning. Buffers
+    // come from a process-wide pool (mutex-guarded) so repeated calls
+    // reuse pages instead of first-touching fresh ones, and the
+    // per-thread budget scales with the caller's `cap` so its
+    // grow-and-retry contract still terminates on pathological blocks.
     if (!crc16_init_done) crc16_init();
+    static std::mutex pool_mu;
+    static std::vector<std::vector<uint8_t>> pool;
+    int64_t base_total = 0;
+    for (int32_t b = 0; b < W; ++b)
+      base_total += 2LL * 4 * C * nsamp[b] + 4096;
+    const double scale =
+        base_total > 0 && cap > base_total ? (double)cap / base_total : 1.0;
     std::vector<std::vector<uint8_t>> bufs(T);
+    {
+      std::lock_guard<std::mutex> g(pool_mu);
+      for (int t = 0; t < T && !pool.empty(); ++t) {
+        bufs[t] = std::move(pool.back());
+        pool.pop_back();
+      }
+    }
     std::vector<int64_t> used(T, 0);
     std::atomic<int64_t> err{0};
     std::vector<std::thread> workers;
@@ -1878,35 +1897,47 @@ int64_t sla_encode_blocks(int32_t W, int32_t C, int32_t parcor_order,
       const int32_t b0 = (int32_t)((int64_t)W * t / T);
       const int32_t b1 = (int32_t)((int64_t)W * (t + 1) / T);
       workers.emplace_back([&, t, b0, b1]() {
-        int64_t local_cap = 0;
-        for (int32_t b = b0; b < b1; ++b)
-          local_cap += 8LL * 4 * C * nsamp[b] + 4096;
-        bufs[t].resize((size_t)local_cap);
-        int64_t pos = 0;
-        for (int32_t b = b0; b < b1; ++b) {
-          int64_t n = encode_block_core(
-              nsamp[b], btype[b], C, parcor_order, num_taps, bits_per_sample,
-              pitch_threshold, parcor_code + (int64_t)b * C * pc,
-              parcor_rshift + (int64_t)b * C, pitch + (int64_t)b * C,
-              ltm_coef + (int64_t)b * C * mt, init_rice + (int64_t)b * C,
-              (const int32_t*)(uintptr_t)res_ptrs[b], res_strides[b],
-              raw_bits, bufs[t].data() + pos, local_cap - pos);
-          if (n < 0) { err.store(n); return; }
-          sizes_out[b] = n;
-          pos += n;
+        try {
+          int64_t local_cap = 64;
+          for (int32_t b = b0; b < b1; ++b)
+            local_cap += (int64_t)((2LL * 4 * C * nsamp[b] + 4096) * scale);
+          if ((int64_t)bufs[t].size() < local_cap)
+            bufs[t].resize((size_t)local_cap);
+          int64_t pos = 0;
+          for (int32_t b = b0; b < b1; ++b) {
+            int64_t n = encode_block_core(
+                nsamp[b], btype[b], C, parcor_order, num_taps, bits_per_sample,
+                pitch_threshold, parcor_code + (int64_t)b * C * pc,
+                parcor_rshift + (int64_t)b * C, pitch + (int64_t)b * C,
+                ltm_coef + (int64_t)b * C * mt, init_rice + (int64_t)b * C,
+                (const int32_t*)(uintptr_t)res_ptrs[b], res_strides[b],
+                raw_bits, bufs[t].data() + pos, local_cap - pos);
+            if (n < 0) { err.store(n); return; }
+            sizes_out[b] = n;
+            pos += n;
+          }
+          used[t] = pos;
+        } catch (...) {
+          err.store(-1);  // allocation failure -> caller grows and retries
         }
-        used[t] = pos;
       });
     }
     for (auto& th : workers) th.join();
-    if (int64_t e = err.load()) return e;
+    int64_t e = err.load();
     int64_t pos = 0;
-    for (int t = 0; t < T; ++t) {
-      if (pos + used[t] > cap) return -1;
-      std::memcpy(out + pos, bufs[t].data(), (size_t)used[t]);
-      pos += used[t];
+    if (!e) {
+      for (int t = 0; t < T; ++t) {
+        if (pos + used[t] > cap) { e = -1; break; }
+        std::memcpy(out + pos, bufs[t].data(), (size_t)used[t]);
+        pos += used[t];
+      }
     }
-    return pos;
+    {
+      std::lock_guard<std::mutex> g(pool_mu);
+      for (int t = 0; t < T && pool.size() < 16; ++t)
+        pool.push_back(std::move(bufs[t]));
+    }
+    return e ? e : pos;
   }
   int64_t pos = 0;
   for (int32_t b = 0; b < W; ++b) {
