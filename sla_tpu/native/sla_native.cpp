@@ -1556,6 +1556,7 @@ int32_t sla_span_autocorr(const double* data, int32_t C, int32_t N,
                           const int64_t* positions, int32_t V,
                           const int64_t* spans, int32_t S, int32_t order,
                           double* out) {
+  (void)V;  // geometry arg kept for ABI symmetry with the multi variants
   if (S <= 0 || 2 * S > 4096) return -1;  // scratch capacity bound
   const int32_t lags = order + 1;
   // scratch: query positions and prefix values per lag
