@@ -140,6 +140,11 @@ def dijkstra_partition(adj: np.ndarray, num_nodes: int) -> list[int]:
             if not used[i] and cost[i] < best:
                 best = cost[i]
                 target = i
+        if best >= _BIGWEIGHT:
+            # no reachable unvisited node: a degenerate geometry (e.g.
+            # min_block > window) has no path to the goal — fail loudly
+            # instead of spinning on the already-used source node
+            raise ValueError("partition graph has no path to the goal node")
         if target == goal:
             break
         relax = adj[target] + cost[target]

@@ -102,13 +102,20 @@ def encode_corpus(
     out_dir = pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     if process_index is None or process_count is None:
+        # only ask jax for the process grid when a backend is ALREADY live:
+        # jax.process_index() would otherwise initialize one, a minutes-long
+        # handshake on tunneled platforms (CLAUDE.md invariant 3)
+        process_index, process_count = 0, 1
         try:
-            import jax
+            from jax._src import xla_bridge
 
-            process_index = jax.process_index()
-            process_count = jax.process_count()
+            if xla_bridge._backends:
+                import jax
+
+                process_index = jax.process_index()
+                process_count = jax.process_count()
         except Exception:
-            process_index, process_count = 0, 1
+            pass
 
     all_paths = [pathlib.Path(f) for f in files]
     mine = shard_files(all_paths, process_index, process_count)

@@ -24,6 +24,7 @@ from .bitio import BitReader, uint32_to_sint32
 from .constants import (
     LONGTERM_PERIOD_NUM_BITS,
     SLA_BLOCK_CRC16_CALC_START_OFFSET,
+    SLA_MINIMUM_BLOCK_HEADER_SIZE,
     SLA_BLOCK_SYNC_CODE,
     SLA_HEADER_SIZE,
     SLA_MIN_BLOCK_NUM_SAMPLES,
@@ -85,6 +86,11 @@ class Decoder:
             or ep.max_num_block_samples < SLA_MIN_BLOCK_NUM_SAMPLES
         ):
             raise SLAError(ApiResult.EXCEED_HANDLE_CAPACITY)
+        if ep.longterm_order > 5 or (ep.longterm_order and ep.longterm_order % 2 == 0):
+            # the reference requires odd tap counts (SLAPredictor.c:808-810)
+            # and caps at 5 (main.c:94-98); the native kernels size their
+            # tap scratch accordingly
+            raise SLAError(ApiResult.INVALID_ARGUMENT, "longterm_order must be odd and <= 5")
         self._encode_param = dataclasses.replace(ep)
 
     def _require_params(self):
@@ -98,6 +104,14 @@ class Decoder:
 
     # -- block header parsing (SLADecoder.c:309-420) ---------------------------
     def parse_block_header(self, data: bytes, offset: int) -> _Block:
+        wf, ep = self._wave_format, self._encode_param
+        try:
+            return self._parse_block_header_impl(data, offset)
+        except IndexError:
+            # the bit reader ran off the end of a truncated buffer
+            raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE) from None
+
+    def _parse_block_header_impl(self, data: bytes, offset: int) -> _Block:
         wf, ep = self._wave_format, self._encode_param
         r = BitReader(data)
         r.seek_bytes(offset)
@@ -180,7 +194,7 @@ class Decoder:
         offset = SLA_HEADER_SIZE
         done = 0
         while done < num_samples:
-            if offset > len(data):
+            if offset + SLA_MINIMUM_BLOCK_HEADER_SIZE > len(data):
                 raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE)
             blk = self.parse_block_header(data, offset)
             if blk.block_size > len(data) - offset:
@@ -219,37 +233,9 @@ class Decoder:
         return np.stack(res)
 
     def _select_backend(self, row_samples: int) -> str:
-        backend = self.config.backend
-        if backend != "auto":
-            return backend
-        if not native.available():
-            return "device"
-        import os
+        from .pipeline import select_backend
 
-        threshold = int(os.environ.get("SLA_TPU_DEVICE_THRESHOLD", 16_000_000))
-        if row_samples < threshold:
-            return "host"
-        # Big batch: the device wins only when the link can feed it (the
-        # filter stages move ~8 bytes/sample each way). Asking JAX for the
-        # platform would *initialize* the backend — on tunneled platforms
-        # that is a minutes-long handshake — so only consider the device
-        # when a backend is already live in this process; then require a
-        # genuine local TPU runtime and a PCIe-class bandwidth probe.
-        try:
-            from jax._src import xla_bridge
-
-            initialized = bool(xla_bridge._backends)
-        except Exception:
-            initialized = False
-        if not initialized:
-            return "host"
-        import jax
-
-        if jax.default_backend() != "tpu":
-            return "host"
-        from .pipeline import measured_link_bandwidth
-
-        return "device" if measured_link_bandwidth() >= 200e6 else "host"
+        return select_backend(self.config.backend, row_samples)
 
     # -- whole-stream decode -----------------------------------------------------
     def decode_block(self, data: bytes, offset: int = 0) -> tuple[np.ndarray, int]:

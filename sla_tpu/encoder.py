@@ -115,6 +115,11 @@ class Encoder:
             or ep.max_num_block_samples < SLA_MIN_BLOCK_NUM_SAMPLES
         ):
             raise SLAError(ApiResult.EXCEED_HANDLE_CAPACITY)
+        if ep.longterm_order > 5 or (ep.longterm_order and ep.longterm_order % 2 == 0):
+            # the reference requires odd tap counts (SLAPredictor.c:808-810)
+            # and caps at 5 (main.c:94-98); the native kernels size their
+            # tap scratch accordingly
+            raise SLAError(ApiResult.INVALID_ARGUMENT, "longterm_order must be odd and <= 5")
         if ep.ch_process_method == ChannelProcessMethod.STEREO_MS:
             if self._wave_format is not None and self._wave_format.num_channels != 2:
                 raise SLAError(ApiResult.INVALID_CHPROCESSMETHOD)
@@ -144,6 +149,19 @@ class Encoder:
             raise SLAError(
                 ApiResult.INVALID_ARGUMENT,
                 f"samples use {used_width} bits but bit_per_sample={bit_per_sample}",
+            )
+        if used_width >= 32:
+            # The format cannot encode a full 32-bit dynamic range
+            # losslessly: the PARCOR rshift would need 16 (the stream's
+            # field is 4 bits, SLAEncoder.c:683) and the MS mid channel
+            # loses the 33-bit sum. The reference encodes anyway and
+            # corrupts silently (its guarding asserts are compiled out,
+            # SLAInternal.h:49-54); we fail loudly instead — a documented
+            # deviation (PARITY.md "Known deviations").
+            raise SLAError(
+                ApiResult.INVALID_ARGUMENT,
+                "full 32-bit dynamic range cannot encode losslessly; "
+                "reduce to <= 31 effective bits",
             )
         return bit_per_sample - used_width
 
@@ -211,7 +229,7 @@ class Encoder:
         plan = _BlockPlan(0, n)
         int32_blk, _, dbl = self._convert_views(data, shift, shift)
         self._analyze_blocks(int32_blk, dbl, [plan])
-        self._run_filters(data, [plan])
+        self._run_filters([plan])
         return self._encode_block_payload(plan)
 
     # -- whole-file encode ----------------------------------------------------
@@ -230,7 +248,7 @@ class Encoder:
             )
         num_samples, plans = self._stage_encode(data)
         t0 = time.perf_counter()
-        self._run_filters(data, plans)
+        self._run_filters(plans)
         self.stage_times["filters"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         blob = self._finalize_encode(num_samples, plans)
@@ -294,7 +312,7 @@ class Encoder:
             del dbl
             self.stage_times["analysis"] += time.perf_counter() - t0
             t0 = time.perf_counter()
-            self._run_filters(sdata, plans)
+            self._run_filters(plans)
             self.stage_times["filters"] += time.perf_counter() - t0
             t0 = time.perf_counter()
             if use_native:
@@ -642,46 +660,13 @@ class Encoder:
                     plan.parcor_coef = coef_b[j]
 
     def _select_backend(self, row_samples: int) -> str:
-        backend = self.config.backend
-        if backend != "auto":
-            return backend
-        if not native.available():
-            return "device"
-        threshold = int(os.environ.get("SLA_TPU_DEVICE_THRESHOLD", 16_000_000))
-        if row_samples < threshold:
-            return "host"
-        # Big batch: the device wins only when the link can feed it (the
-        # filter stages move ~8 bytes/sample each way). Asking JAX for the
-        # platform would *initialize* the backend — on tunneled platforms
-        # that is a minutes-long handshake — so only consider the device
-        # when a backend is already live in this process; then require a
-        # genuine local TPU runtime and a PCIe-class bandwidth probe.
-        try:
-            from jax._src import xla_bridge
+        from .pipeline import select_backend
 
-            initialized = bool(xla_bridge._backends)
-        except Exception:
-            initialized = False
-        if not initialized:
-            return "host"
-        import jax
-
-        ndev = len(jax.devices())
-        plat = jax.default_backend()
-        if plat == "tpu":
-            from .pipeline import measured_link_bandwidth
-
-            if measured_link_bandwidth() < 200e6:
-                return "host"
-            return "mesh" if ndev > 1 else "device"
-        if plat == "cpu" and ndev > 1:
-            # multi-device CPU runtime (xla_force_host_platform_device_count
-            # or a real multi-host CPU mesh): shard the batch
-            return "mesh"
-        return "host"
+        return select_backend(self.config.backend, row_samples)
 
     # -- step 4: filters + pitch analysis --------------------------------------
-    def _run_filters(self, data: np.ndarray, plans: list[_BlockPlan]) -> None:
+    def _run_filters(self, plans: list[_BlockPlan]) -> None:
+        """Filters read each plan's raw_int32 view — no whole-file input."""
         comp = [pl for pl in plans if pl.block_type == BlockDataType.COMPRESSDATA]
         if comp:
             self._run_filter_groups([(self._wave_format.num_channels, comp)])

@@ -1003,6 +1003,8 @@ def partition_solve(
             _i32ptr(hops), _i32ptr(needs),
         )
     )
+    if rc == -3:
+        raise ValueError("partition_solve: partition graph has no path to the goal")
     if rc != 0:
         raise ValueError("partition_solve: window exceeds native capacity")
     return hops, needs

@@ -1176,6 +1176,7 @@ int32_t sla_synth_chunk(
     for (int32_t i = 0; i < lt_hist_len; ++i) lt_ring[i] = lt_hist[i];
   }
   int32_t q15c[8];
+  if (num_taps > 8) return -1;
   for (int32_t j = 0; j < num_taps; ++j) q15c[j] = ltm_coef[j] >> 16;
 
   for (int32_t s = 0; s < n; ++s) {
@@ -1999,6 +2000,7 @@ int32_t sla_partition_solve(const double* costs, const int64_t* spans,
       double best = kBig;
       for (int32_t i = 0; i < V; ++i)
         if (!used[i] && cost[i] < best) { best = cost[i]; target = i; }
+      if (best >= kBig) return -3;  // unreachable goal: degenerate geometry
       if (target == goal) break;
       for (int32_t j = 0; j < V; ++j) {
         double relax = adj[target][j] + cost[target];
@@ -2200,6 +2202,7 @@ static int32_t predict_stage2_rowsT(const int32_t* in, int32_t* out,
     if (pitch8[r] > 0) {
       const int32_t max_delay = pitch8[r] + num_taps / 2;
       int32_t q15c[8];
+    if (num_taps > 8) return -1;
       for (int32_t j = 0; j < num_taps; ++j) q15c[j] = ltm[r * num_taps + j] >> 16;
       const int32_t warm = max_delay < n ? max_delay : n;
       for (int32_t s = 0; s < warm; ++s) orow[s] = row[s];
@@ -2245,6 +2248,7 @@ static int32_t synth_rowsT(const int32_t* residual, int32_t* out, int32_t n,
     if (pitch8[r] <= 0) continue;
     const int32_t max_delay = pitch8[r] + num_taps / 2;
     int32_t q15c[8];
+    if (num_taps > 8) return -1;
     for (int32_t j = 0; j < num_taps; ++j) q15c[j] = ltm[r * num_taps + j] >> 16;
     int32_t* x = out + (int64_t)r * n;
     const int32_t min_lag = max_delay - (num_taps - 1);  // shallowest lag

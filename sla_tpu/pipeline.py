@@ -317,6 +317,48 @@ def decode_stage(
     )
 
 
+def select_backend(configured: str, row_samples: int) -> str:
+    """Shared filter-backend selection for the encoder and decoder handles:
+    'host' (native C++ cascade) for batches too small to amortize device
+    dispatch, 'device' / 'mesh' for big batches on runtimes that can feed
+    them. NEVER initializes a JAX backend (CLAUDE.md invariant: that is a
+    minutes-long handshake on tunneled platforms) — the device tiers are
+    only considered when a backend is already live in this process, and a
+    live TPU additionally needs a PCIe-class link probe."""
+    import os
+
+    from . import native
+
+    if configured != "auto":
+        return configured
+    if not native.available():
+        return "device"
+    threshold = int(os.environ.get("SLA_TPU_DEVICE_THRESHOLD", 16_000_000))
+    if row_samples < threshold:
+        return "host"
+    try:
+        from jax._src import xla_bridge
+
+        initialized = bool(xla_bridge._backends)
+    except Exception:
+        initialized = False
+    if not initialized:
+        return "host"
+    import jax
+
+    ndev = len(jax.devices())
+    plat = jax.default_backend()
+    if plat == "tpu":
+        if measured_link_bandwidth() < 200e6:
+            return "host"
+        return "mesh" if ndev > 1 else "device"
+    if plat == "cpu" and ndev > 1:
+        # multi-device CPU runtime (xla_force_host_platform_device_count or
+        # a real multi-host CPU mesh): shard the batch
+        return "mesh"
+    return "host"
+
+
 def _longterm_chunk(pitch, num_taps: int, length: int, platform: str | None = None) -> int:
     """Largest power-of-two scan chunk (<= 64) that every active row's
     feedback lag permits: the shallowest read is max_delay - (num_taps-1)

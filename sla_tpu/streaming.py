@@ -35,10 +35,12 @@ from .dsp.channel import ms_to_lr_int32
 from .errors import ApiResult, SLAError
 from .format import EncodeParameter, WaveFormat
 
-# SLAInternal.h:21-26
-STREAMING_DECODE_NUM_SAMPLES_MARGIN = 1.05
-STREAMING_DECODE_MAX_NUM_PACKETS = 8
-SLA_MINIMUM_BLOCK_HEADER_SIZE = 11
+from .constants import (  # noqa: E402  (canonical copies, SLAInternal.h:21-26)
+    SLA_MINIMUM_BLOCK_HEADER_SIZE,
+    STREAMING_DECODE_MAX_NUM_PACKETS,
+    STREAMING_DECODE_NUM_SAMPLES_MARGIN,
+)
+
 _LT_HIST_LEN = LONGTERM_MAX_PERIOD + 2
 
 

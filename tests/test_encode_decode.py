@@ -330,3 +330,44 @@ def test_segmented_encode_byte_identical(monkeypatch):
     dec = sla.Decoder()
     _, out = dec.decode_whole(segmented)
     assert np.array_equal(out, pcm)
+
+
+def test_full_32bit_dynamic_range_rejected():
+    """Full 32-bit dynamic range cannot encode losslessly (4-bit rshift
+    field, MS mid-channel headroom); the reference corrupts silently —
+    we raise a structured error instead (documented deviation)."""
+    pcm = np.empty((2, 8000), dtype=np.int32)
+    rng = np.random.default_rng(8)
+    pcm[:] = rng.integers(-(1 << 31), (1 << 31) - 1, (2, 8000), dtype=np.int64)
+    pcm[0, 0] = np.int32(-(1 << 31))
+    pcm[1, 1] = np.int32((1 << 31) - 1)  # odd value -> 32 used bits
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(2, 32, 44100))
+    enc.set_encode_parameter(sla.PRESETS[2])
+    with pytest.raises(sla.SLAError):
+        enc.encode_whole(pcm)
+    # 24 effective bits in a 32-bit container stay fine (the covered case)
+    pcm24 = gen_wave("sine", 8000, 2, 24, 0, seed=8).astype(np.int32)
+    enc2 = sla.Encoder()
+    enc2.set_wave_format(sla.WaveFormat(2, 32, 44100))
+    enc2.set_encode_parameter(sla.PRESETS[2])
+    blob = enc2.encode_whole(pcm24)
+    dec = sla.Decoder()
+    _, out = dec.decode_whole(blob)
+    assert np.array_equal(out, pcm24)
+
+
+def test_invalid_longterm_order_rejected():
+    """Tap counts must be odd and <= 5 (SLAPredictor.c:808-810, main.c
+    caps): even or oversized orders raise instead of smashing native
+    scratch."""
+    enc = sla.Encoder(sla.EncoderConfig(max_longterm_order=9))
+    enc.set_wave_format(sla.WaveFormat(1, 16, 44100))
+    for bad in (2, 4, 7, 9):
+        with pytest.raises(sla.SLAError):
+            enc.set_encode_parameter(
+                sla.EncodeParameter(8, bad, 4, sla.ChannelProcessMethod.NONE)
+            )
+    enc.set_encode_parameter(
+        sla.EncodeParameter(8, 5, 4, sla.ChannelProcessMethod.NONE)
+    )  # odd and in range: accepted
