@@ -159,3 +159,14 @@ def test_corruption_fuzzer_smoke():
         env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
     )
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_truncation_structured_error_without_native(stream, monkeypatch):
+    """The pure-Python scan path must surface truncation as a structured
+    SLAError, never an IndexError from the bit reader — covering cuts at
+    block boundaries and inside block headers."""
+    blob, _ = stream
+    monkeypatch.setattr("sla_tpu.decoder.native.available", lambda: False)
+    for cut in (43, 44, 50, 53, 54, len(blob) // 2, len(blob) - 1):
+        with pytest.raises(SLAError):
+            decode(blob[:cut], crc=False)
