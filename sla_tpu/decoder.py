@@ -208,6 +208,15 @@ class Decoder:
     def _decode_payload(self, data: bytes, blk: _Block) -> np.ndarray:
         """Returns (C, n) int32: residual for COMPRESSDATA, samples for
         RAWDATA, zeros for SILENT."""
+        try:
+            return self._decode_payload_impl(data, blk)
+        except IndexError:
+            # pure-Python bit reader ran off a truncated/corrupt payload;
+            # the native reader zero-fills and reports the over-read —
+            # surface the same structured error here
+            raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE) from None
+
+    def _decode_payload_impl(self, data: bytes, blk: _Block) -> np.ndarray:
         wf, ep = self._wave_format, self._encode_param
         C = wf.num_channels
         n = blk.num_samples

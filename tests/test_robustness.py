@@ -170,3 +170,18 @@ def test_truncation_structured_error_without_native(stream, monkeypatch):
     for cut in (43, 44, 50, 53, 54, len(blob) // 2, len(blob) - 1):
         with pytest.raises(SLAError):
             decode(blob[:cut], crc=False)
+
+
+def test_corrupt_payload_structured_error_without_native(stream, monkeypatch):
+    """A corrupt payload that drives the pure-Python Rice reader past the
+    buffer must raise SLAError, not IndexError (the native reader
+    zero-fills and reports the over-read; the fallback must match)."""
+    blob, _ = stream
+    monkeypatch.setattr("sla_tpu.decoder.native.available", lambda: False)
+    bad = bytearray(blob)
+    # stomp the tail of the payload so the adaptive decode overruns
+    bad[-40:] = bytes(40)
+    try:
+        decode(bytes(bad), crc=False)
+    except SLAError:
+        pass  # structured is the contract; lossy output is also acceptable
