@@ -371,3 +371,22 @@ def test_invalid_longterm_order_rejected():
     enc.set_encode_parameter(
         sla.EncodeParameter(8, 5, 4, sla.ChannelProcessMethod.NONE)
     )  # odd and in range: accepted
+
+
+def test_pure_python_decode_matches_native(monkeypatch):
+    """The toolchain-free decode path (pure-Python entropy + scan filters
+    on CPU) must reconstruct native-encoded streams exactly — fallbacks
+    are correctness twins, not approximations."""
+    pcm = gen_wave("chirp", 25000, 2, 16, 0, seed=44)
+    pcm[:, 6000:9000] = 0
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
+    enc.set_encode_parameter(sla.PRESETS[2])
+    blob = enc.encode_whole(pcm)
+
+    import sla_tpu.decoder as dmod
+
+    monkeypatch.setattr(dmod.native, "available", lambda: False)
+    dec = sla.Decoder()
+    _, out = dec.decode_whole(blob)
+    assert np.array_equal(out, pcm)
