@@ -148,6 +148,10 @@ class Decoder:
                     coef[ch, ord_] = (np.int32(v) << (16 - qbits)) >> rshift
                 if r.get(1):
                     pitch[ch] = r.get(LONGTERM_PERIOD_NUM_BITS)
+                    if pitch[ch] < T // 2 + 1 or pitch[ch] > 256:
+                        # out of any real encoder's range: corruption (and a
+                        # non-positive feedback lag would stall synthesis)
+                        raise SLAError(ApiResult.DETECT_DATA_CORRUPTION)
                     for t in range(T):
                         q15 = uint32_to_sint32(r.get(16))
                         ltm[ch, t] = np.int32(q15) << 16

@@ -424,6 +424,10 @@ static inline uint32_t get_recursive_rice(BitReader& r, RiceState& st) {
 // CRC16-IBM, reflected, poly 0xA001 (reference src/SLAUtility.c:322-339)
 static uint16_t crc16_table[8][256];  // slice-by-8 (same CRC, 8 bytes/step)
 static bool crc16_init_done = false;
+static void crc16_init();
+// build the tables at library load (a global constructor): lazy init from
+// concurrently calling threads would race on crc16_init_done
+static const bool crc16_tables_ready = (crc16_init(), true);
 static void crc16_init() {
   for (uint32_t i = 0; i < 256; ++i) {
     uint32_t c = i;
@@ -608,15 +612,20 @@ int32_t sla_get_data_array_partial(const uint8_t* in, int64_t in_size,
       for (int ch = 0; ch < C; ++ch)
         out[(int64_t)ch * num_samples + s] = unzigzag(get_golomb(r, eff_params[ch]));
   } else {
+    if (C > 64) return -1;
+    // load the adaptive states once per call, not per symbol: the 120 Hz
+    // streaming tick decodes hundreds of symbols and the per-symbol
+    // memcpy round-trips defeated keeping the parameters in registers
+    RiceState st[64];
+    for (int ch = 0; ch < C; ++ch)
+      std::memcpy(st[ch].params, param_state + ch * kNumRecursiveParams,
+                  sizeof(st[ch].params));
     for (int s = 0; s < num_samples; ++s)
-      for (int ch = 0; ch < C; ++ch) {
-        RiceState st;
-        std::memcpy(st.params, param_state + ch * kNumRecursiveParams,
-                    sizeof(st.params));
-        out[(int64_t)ch * num_samples + s] = unzigzag(get_recursive_rice(r, st));
-        std::memcpy(param_state + ch * kNumRecursiveParams, st.params,
-                    sizeof(st.params));
-      }
+      for (int ch = 0; ch < C; ++ch)
+        out[(int64_t)ch * num_samples + s] = unzigzag(get_recursive_rice(r, st[ch]));
+    for (int ch = 0; ch < C; ++ch)
+      std::memcpy(param_state + ch * kNumRecursiveParams, st[ch].params,
+                  sizeof(st[ch].params));
   }
   *bit_pos = r.pos();
   return 0;
@@ -1173,6 +1182,7 @@ int32_t sla_synth_chunk(
   const int32_t lt_mask = 1023;
   int32_t lt_head = lt_hist_len;  // position of the NEXT write
   if (pitch > 0) {
+    if (lt_hist_len > 1024) return -1;  // scratch capacity: don't trust callers
     for (int32_t i = 0; i < lt_hist_len; ++i) lt_ring[i] = lt_hist[i];
   }
   int32_t q15c[8];
@@ -1263,7 +1273,10 @@ int32_t sla_synth_chunk(
 // too small to amortize device dispatch + transfer, with identical wrapping
 // int32 semantics (cross-checked by tests against the JAX path).
 //
-// in/out may alias. pitch 0 disables the long-term stage.
+// in/out may alias for stage 1 (per-sample read-then-write). Stage 2's
+// long-term FIR reads lagged INPUT history, so its in/out must be
+// DISTINCT buffers — aliasing would replace the history with residuals
+// and diverge from the JAX kernel. pitch 0 disables the long-term stage.
 // Stage 1: pre-emphasis + lattice predict (produces the residual the pitch
 // analysis runs on).
 int32_t sla_predict_stage1(const int32_t* in, int32_t* out, int32_t n,
@@ -1351,6 +1364,40 @@ int32_t sla_predict_stage2(const int32_t* in, int32_t* out, int32_t n,
 // association as the NumPy reduceat path it replaces). data: C x N row-major
 // float64; spans: S x 2 node indices; positions: V sample offsets.
 // out: S x C x (order+1).
+// Shared per-lag span geometry: sorted unique boundary positions (span
+// starts and clamped ends) plus each span's prefix indices into them.
+// ONE implementation serves all three span-autocorrelation variants —
+// this clamp/boundary logic must never fork.
+static int32_t span_lag_geometry(const int64_t* positions, const int64_t* spans,
+                                 int32_t S, int32_t k, int64_t* qp,
+                                 int32_t* si, int32_t* ei) {
+  int64_t tmp[4096];
+  int32_t nq = 0;
+  for (int32_t s = 0; s < S; ++s) {
+    int64_t st = positions[spans[2 * s]];
+    int64_t e = positions[spans[2 * s + 1]] - k;
+    if (e < st) e = st;
+    tmp[nq++] = st;
+    tmp[nq++] = e;
+  }
+  std::sort(tmp, tmp + nq);
+  int32_t nu = 0;
+  for (int32_t i = 0; i < nq; ++i)
+    if (i == 0 || tmp[i] != tmp[i - 1]) qp[nu++] = tmp[i];
+  for (int32_t s = 0; s < S; ++s) {
+    int64_t st = positions[spans[2 * s]];
+    int64_t e = positions[spans[2 * s + 1]] - k;
+    if (e < st) e = st;
+    int32_t lo = 0, hi = nu - 1;
+    while (lo <= hi) { int32_t mid = (lo + hi) / 2; if (qp[mid] < st) lo = mid + 1; else hi = mid - 1; }
+    si[s] = lo;
+    lo = 0; hi = nu - 1;
+    while (lo <= hi) { int32_t mid = (lo + hi) / 2; if (qp[mid] < e) lo = mid + 1; else hi = mid - 1; }
+    ei[s] = lo;
+  }
+  return nu;
+}
+
 // Multi-window variant: W windows of identical geometry (same positions,
 // spans, and window length) over one (C, file_n) base signal. The per-lag
 // boundary sort and the per-span prefix-index binary searches run ONCE and
@@ -1370,34 +1417,10 @@ int32_t sla_span_autocorr_multi(const double* data, int32_t C, int64_t file_n,
   std::vector<int64_t> qpos((size_t)lags * 2 * S);
   std::vector<int32_t> nu_k(lags), sidx((size_t)lags * S), eidx((size_t)lags * S);
   for (int32_t k = 0; k < lags; ++k) {
-    int64_t* qp = qpos.data() + (size_t)k * 2 * S;
-    int64_t tmp[4096];
-    int32_t nq = 0;
-    for (int32_t s = 0; s < S; ++s) {
-      int64_t st = positions[spans[2 * s]];
-      int64_t e = positions[spans[2 * s + 1]] - k;
-      if (e < st) e = st;
-      tmp[nq++] = st;
-      tmp[nq++] = e;
-    }
-    std::sort(tmp, tmp + nq);
-    int32_t nu = 0;
-    for (int32_t i = 0; i < nq; ++i)
-      if (i == 0 || tmp[i] != tmp[i - 1]) qp[nu++] = tmp[i];
-    nu_k[k] = nu;
-    int32_t* si = sidx.data() + (size_t)k * S;
-    int32_t* ei = eidx.data() + (size_t)k * S;
-    for (int32_t s = 0; s < S; ++s) {
-      int64_t st = positions[spans[2 * s]];
-      int64_t e = positions[spans[2 * s + 1]] - k;
-      if (e < st) e = st;
-      int32_t lo = 0, hi = nu - 1;
-      while (lo <= hi) { int32_t mid = (lo + hi) / 2; if (qp[mid] < st) lo = mid + 1; else hi = mid - 1; }
-      si[s] = lo;
-      lo = 0; hi = nu - 1;
-      while (lo <= hi) { int32_t mid = (lo + hi) / 2; if (qp[mid] < e) lo = mid + 1; else hi = mid - 1; }
-      ei[s] = lo;
-    }
+    nu_k[k] = span_lag_geometry(positions, spans, S, k,
+                                qpos.data() + (size_t)k * 2 * S,
+                                sidx.data() + (size_t)k * S,
+                                eidx.data() + (size_t)k * S);
   }
   // phase 2: window-outer product passes — each window's samples stay
   // cache-resident across all lags instead of streaming the whole base
@@ -1460,36 +1483,13 @@ int32_t sla_span_autocorr_multi_onepass(
   events.reserve((size_t)lags * 2 * S);
   for (int32_t k = 0; k < lags; ++k) {
     int64_t* qp = qpos.data() + (size_t)k * 2 * S;
-    int64_t tmp[4096];
-    int32_t nq = 0;
-    for (int32_t s = 0; s < S; ++s) {
-      int64_t st = positions[spans[2 * s]];
-      int64_t e = positions[spans[2 * s + 1]] - k;
-      if (e < st) e = st;
-      tmp[nq++] = st;
-      tmp[nq++] = e;
-    }
-    std::sort(tmp, tmp + nq);
-    int32_t nu = 0;
-    for (int32_t i = 0; i < nq; ++i)
-      if (i == 0 || tmp[i] != tmp[i - 1]) qp[nu++] = tmp[i];
+    const int32_t nu = span_lag_geometry(positions, spans, S, k, qp,
+                                         sidx.data() + (size_t)k * S,
+                                         eidx.data() + (size_t)k * S);
     nu_k[k] = nu;
     const int64_t limit = win_len - k;
     for (int32_t j = 0; j < nu; ++j)
       events.push_back({qp[j] < limit ? qp[j] : limit, k, j});
-    int32_t* si = sidx.data() + (size_t)k * S;
-    int32_t* ei = eidx.data() + (size_t)k * S;
-    for (int32_t s = 0; s < S; ++s) {
-      int64_t st = positions[spans[2 * s]];
-      int64_t e = positions[spans[2 * s + 1]] - k;
-      if (e < st) e = st;
-      int32_t lo = 0, hi = nu - 1;
-      while (lo <= hi) { int32_t mid = (lo + hi) / 2; if (qp[mid] < st) lo = mid + 1; else hi = mid - 1; }
-      si[s] = lo;
-      lo = 0; hi = nu - 1;
-      while (lo <= hi) { int32_t mid = (lo + hi) / 2; if (qp[mid] < e) lo = mid + 1; else hi = mid - 1; }
-      ei[s] = lo;
-    }
   }
   std::sort(events.begin(), events.end(),
             [](const Event& a, const Event& b) { return a.pos < b.pos; });
@@ -1560,24 +1560,12 @@ int32_t sla_span_autocorr(const double* data, int32_t C, int32_t N,
   (void)V;  // geometry arg kept for ABI symmetry with the multi variants
   if (S <= 0 || 2 * S > 4096) return -1;  // scratch capacity bound
   const int32_t lags = order + 1;
-  // scratch: query positions and prefix values per lag
+  // scratch: query positions, span prefix indices, prefix values per lag
   int64_t qpos[4096];
+  int32_t sidx[2048], eidx[2048];
   double pf[4096];  // prefix values, reused per channel
   for (int32_t k = 0; k < lags; ++k) {
-    // collect unique sorted query positions: starts and max(end-k, start)
-    int64_t tmp[4096];
-    int32_t nq = 0;
-    for (int32_t s = 0; s < S; ++s) {
-      int64_t st = positions[spans[2 * s]];
-      int64_t e = positions[spans[2 * s + 1]] - k;
-      if (e < st) e = st;
-      tmp[nq++] = st;
-      tmp[nq++] = e;
-    }
-    std::sort(tmp, tmp + nq);
-    int32_t nu = 0;
-    for (int32_t i = 0; i < nq; ++i)
-      if (i == 0 || tmp[i] != tmp[i - 1]) qpos[nu++] = tmp[i];
+    const int32_t nu = span_lag_geometry(positions, spans, S, k, qpos, sidx, eidx);
     const int64_t limit = N - k;
     for (int32_t ch = 0; ch < C; ++ch) {
       const double* x = data + (int64_t)ch * N;
@@ -1603,17 +1591,7 @@ int32_t sla_span_autocorr(const double* data, int32_t C, int32_t N,
         pf[j] = acc;
       }
       for (int32_t s = 0; s < S; ++s) {
-        int64_t st = positions[spans[2 * s]];
-        int64_t e = positions[spans[2 * s + 1]] - k;
-        if (e < st) e = st;
-        // binary search qpos
-        int32_t lo = 0, hi = nu - 1, si = 0, ei = 0;
-        while (lo <= hi) { int32_t mid = (lo + hi) / 2; if (qpos[mid] < st) lo = mid + 1; else hi = mid - 1; }
-        si = lo;
-        lo = 0; hi = nu - 1;
-        while (lo <= hi) { int32_t mid = (lo + hi) / 2; if (qpos[mid] < e) lo = mid + 1; else hi = mid - 1; }
-        ei = lo;
-        out[((int64_t)s * C + ch) * lags + k] = pf[ei] - pf[si];
+        out[((int64_t)s * C + ch) * lags + k] = pf[eidx[s]] - pf[sidx[s]];
       }
     }
   }
@@ -2158,6 +2136,17 @@ static int32_t predict_stage1_rowsT(const int32_t* in, int32_t* out,
   typedef typename VI<R>::v vsi;
   const vsi vzero = {};
   const vsi half = vzero + (1 << 14);
+  if (p == 0) {  // degenerate order: pre-emphasis only (lattice = identity)
+    vsi x_prev0 = vzero;
+    for (int32_t s = 0; s < n; ++s) {
+      vsi raw;
+      for (int32_t r = 0; r < R; ++r) raw[r] = in[(int64_t)r * n + s];
+      const vsi o = raw - ((x_prev0 * 31) >> 5);
+      x_prev0 = raw;
+      for (int32_t r = 0; r < R; ++r) out[(int64_t)r * n + s] = o[r];
+    }
+    return 0;
+  }
   vsi c[64];
   for (int32_t k = 0; k < p; ++k)
     for (int32_t r = 0; r < R; ++r) c[k][r] = parcor_coef[r * p + k];
@@ -2272,6 +2261,17 @@ static int32_t synth_rowsT(const int32_t* residual, int32_t* out, int32_t n,
     typedef typename VI<R>::v vsi;
     const vsi vzero = {};
     const vsi half = vzero + (1 << 14);
+    if (p == 0) {  // degenerate order: de-emphasis only (lattice = identity)
+      vsi deemph0 = vzero;
+      for (int32_t s = 0; s < n; ++s) {
+        vsi v;
+        for (int32_t r = 0; r < R; ++r) v[r] = out[(int64_t)r * n + s];
+        v += (deemph0 * 31) >> 5;
+        deemph0 = v;
+        for (int32_t r = 0; r < R; ++r) out[(int64_t)r * n + s] = v[r];
+      }
+      return 0;
+    }
     vsi c[64];
     for (int32_t k = 0; k < p; ++k)
       for (int32_t r = 0; r < R; ++r) c[k][r] = parcor_coef[r * p + k];
@@ -2396,6 +2396,11 @@ int64_t sla_parse_block_headers(
         }
         if (r.get(1)) {
           pit[ch] = (int32_t)r.get(10);
+          // a real encoder only emits pitch in [taps/2+1, 255]
+          // (SLAPredictor.c:866-924 walk bounds + the min-lag requirement);
+          // anything else is corruption — reject instead of letting the
+          // synthesis chunking loop stall on a non-positive feedback lag
+          if (pit[ch] < num_taps / 2 + 1 || pit[ch] > 256) return -11;
           for (int32_t t = 0; t < num_taps; ++t) {
             int32_t q15 = unzigzag((uint32_t)r.get(16));
             ltm[ch * Tdim + t] = q15 << 16;
@@ -2700,17 +2705,15 @@ int32_t sla_lpc_analyze(const double* data, int32_t n, int32_t order,
                         int32_t bits_per_sample, double* parcor,
                         double* length_per_sample) {
   if (order < 1 || order > 64) return -1;  // scratch capacity bound
-  constexpr double kFltEps = 1.1920928955078125e-07;   // FLT_EPSILON
-  constexpr double kFltMin = 1.1754943508222875e-38;   // FLT_MIN
-  constexpr double kBetaLaplace = 1.9426950408889634;  // sqrt(2 e^2)
   for (int32_t i = 0; i <= order; ++i) parcor[i] = 0.0;
 
+  // term-reuse autocorrelation (the reference's exact loop structure and
+  // summation order, SLAPredictor.c:331-388)
   double auto_corr[64 + 1];
+  for (int32_t i = 0; i <= order; ++i) auto_corr[i] = 0.0;
   if (n >= order) {
     int32_t lags = order + 1;
     if (lags > n) lags = n;
-    for (int32_t i = 0; i < lags; ++i) auto_corr[i] = 0.0;
-    for (int32_t i = lags; i <= order; ++i) auto_corr[i] = 0.0;
     for (int32_t i = 0; i < n; ++i) auto_corr[0] += data[i] * data[i];
     for (int32_t lag = 1; lag < lags; ++lag) {
       const int32_t lag2 = lag << 1;
@@ -2722,51 +2725,13 @@ int32_t sla_lpc_analyze(const double* data, int32_t n, int32_t order,
       for (int32_t i = 0; i < n - Llag2 - lag; ++i)
         auto_corr[lag] += data[Llag2 + lag + i] * data[Llag2 + i];
     }
-    // Levinson-Durbin (serial gamma dot products)
-    if (std::fabs(auto_corr[0]) >= kFltEps) {
-      double a_vec[64 + 2], e_vec[64 + 2], u_vec[64 + 2], v_vec[64 + 2];
-      for (int32_t i = 0; i < order + 2; ++i) a_vec[i] = u_vec[i] = v_vec[i] = 0.0;
-      a_vec[0] = 1.0;
-      e_vec[0] = auto_corr[0];
-      a_vec[1] = -auto_corr[1] / auto_corr[0];
-      parcor[0] = 0.0;
-      parcor[1] = auto_corr[1] / e_vec[0];
-      e_vec[1] = auto_corr[0] + auto_corr[1] * a_vec[1];
-      u_vec[0] = 1.0; u_vec[1] = 0.0;
-      v_vec[0] = 0.0; v_vec[1] = 1.0;
-      for (int32_t delay = 1; delay < order; ++delay) {
-        double gamma = 0.0;
-        for (int32_t i = 0; i < delay + 1; ++i)
-          gamma += a_vec[i] * auto_corr[delay + 1 - i];
-        gamma /= (-e_vec[delay]);
-        e_vec[delay + 1] = (1.0 - gamma * gamma) * e_vec[delay];
-        for (int32_t i = 0; i < delay; ++i)
-          u_vec[i + 1] = v_vec[delay - i] = a_vec[i + 1];
-        u_vec[0] = 1.0; u_vec[delay + 1] = 0.0;
-        v_vec[0] = 0.0; v_vec[delay + 1] = 1.0;
-        for (int32_t i = 0; i < delay + 2; ++i)
-          a_vec[i] = u_vec[i] + gamma * v_vec[i];
-        parcor[delay + 1] = -gamma;
-      }
-    }
   }
-
-  // code-length estimate (SLALPCCalculator_EstimateCodeLength)
   double power = 0.0;
   for (int32_t i = 0; i < n; ++i) power += data[i] * data[i];
-  power *= std::pow(2.0, (double)(2 * (bits_per_sample - 1)));
-  if (std::fabs(power) <= kFltMin) {
-    *length_per_sample = 0.0;
-    return 0;
-  }
-  double log2_mean = std::log2(power) - std::log2((double)n);
-  double log2_var = 0.0;
-  for (int32_t ord = 1; ord <= order; ++ord)
-    log2_var += std::log2(1.0 - parcor[ord] * parcor[ord]);
-  double len = kBetaLaplace + 0.5 * (log2_mean + log2_var);
-  len /= 8.0;
-  if (len <= 0) len = 1.0 / 8;
-  *length_per_sample = len;
+  // Levinson-Durbin + code-length: ONE shared implementation with the
+  // 8-row path (byte-identity-critical float64 — never fork this tail)
+  lpc_finish_row(auto_corr, n, order, bits_per_sample, power, parcor,
+                 length_per_sample);
   return 0;
 }
 
