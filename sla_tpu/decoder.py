@@ -130,7 +130,10 @@ class Decoder:
             if calc != stored_crc:
                 raise SLAError(ApiResult.DETECT_DATA_CORRUPTION)
         num_samples = r.get(16)
-        btype = BlockDataType(r.get(2))
+        type_bits = r.get(2)
+        if type_bits > 2:  # only COMPRESS/SILENT/RAW exist
+            raise SLAError(ApiResult.DETECT_DATA_CORRUPTION)
+        btype = BlockDataType(type_bits)
         blk = _Block(offset, block_size, num_samples, btype)
         if btype == BlockDataType.COMPRESSDATA:
             C = wf.num_channels
@@ -184,7 +187,7 @@ class Decoder:
             for i in range(res["num_blocks"]):
                 blk = _Block(
                     int(res["offsets"][i]), int(res["sizes"][i]),
-                    int(res["num_samples"][i]), BlockDataType(int(res["types"][i])),
+                    int(res["num_samples"][i]), BlockDataType(int(res["types"][i])),  # native parser rejects type 3
                 )
                 if blk.block_type == BlockDataType.COMPRESSDATA:
                     blk.parcor_coef = res["coef"][i]

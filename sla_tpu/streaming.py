@@ -254,7 +254,10 @@ class StreamingDecoder:
             if calc != stored_crc:
                 raise SLAError(ApiResult.DETECT_DATA_CORRUPTION)
         num_samples = r.get(16)
-        btype = BlockDataType(r.get(2))
+        type_bits = r.get(2)
+        if type_bits > 2:  # only COMPRESS/SILENT/RAW exist (SLAInternal.h:67-72)
+            raise SLAError(ApiResult.DETECT_DATA_CORRUPTION)
+        btype = BlockDataType(type_bits)
         blk = _BlockHeader(block_size, num_samples, btype)
         if btype == BlockDataType.COMPRESSDATA:
             C, p, T = wf.num_channels, ep.parcor_order, ep.longterm_order

@@ -185,3 +185,21 @@ def test_corrupt_payload_structured_error_without_native(stream, monkeypatch):
         decode(bytes(bad), crc=False)
     except SLAError:
         pass  # structured is the contract; lossy output is also acceptable
+
+
+def test_invalid_block_type_structured_error(stream):
+    """The 2-bit block-type field only defines values 0..2; a crafted
+    type 3 (CRC re-stamped so it reaches the parser) must raise
+    DETECT_DATA_CORRUPTION in batch and streaming decode — it previously
+    fell through to the entropy-cursor path as an AttributeError."""
+    from sla_tpu.crc16 import crc16 as _crc16
+
+    blob, _ = stream
+    bad = bytearray(blob)
+    # first block header: type bits are the top 2 bits of byte 43+10
+    bsize = int.from_bytes(bad[45:49], "big") + 6
+    bad[53] |= 0xC0  # set both type bits -> 3
+    bad[49:51] = _crc16(memoryview(bad)[43 + 8 : 43 + bsize]).to_bytes(2, "big")
+    with pytest.raises(SLAError) as e:
+        decode(bytes(bad), crc=True)
+    assert e.value.result == ApiResult.DETECT_DATA_CORRUPTION
