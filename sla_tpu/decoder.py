@@ -133,6 +133,8 @@ class Decoder:
         type_bits = r.get(2)
         if type_bits > 2:  # only COMPRESS/SILENT/RAW exist
             raise SLAError(ApiResult.DETECT_DATA_CORRUPTION)
+        if num_samples == 0:  # no real encoder emits empty blocks
+            raise SLAError(ApiResult.DETECT_DATA_CORRUPTION)
         btype = BlockDataType(type_bits)
         blk = _Block(offset, block_size, num_samples, btype)
         if btype == BlockDataType.COMPRESSDATA:

@@ -2375,6 +2375,7 @@ int64_t sla_parse_block_headers(
     int32_t nsamp = (int32_t)r.get(16);
     int32_t btype = (int32_t)r.get(2);
     if (btype > 2) return -11;  // only COMPRESS/SILENT/RAW exist: corruption
+    if (nsamp == 0) return -11;  // no real encoder emits empty blocks
     block_offsets[nb] = offset;
     block_sizes[nb] = block_size;
     num_samples_out[nb] = nsamp;

@@ -257,6 +257,8 @@ class StreamingDecoder:
         type_bits = r.get(2)
         if type_bits > 2:  # only COMPRESS/SILENT/RAW exist (SLAInternal.h:67-72)
             raise SLAError(ApiResult.DETECT_DATA_CORRUPTION)
+        if num_samples == 0:  # no real encoder emits empty blocks
+            raise SLAError(ApiResult.DETECT_DATA_CORRUPTION)
         btype = BlockDataType(type_bits)
         blk = _BlockHeader(block_size, num_samples, btype)
         if btype == BlockDataType.COMPRESSDATA:

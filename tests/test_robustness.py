@@ -203,3 +203,18 @@ def test_invalid_block_type_structured_error(stream):
     with pytest.raises(SLAError) as e:
         decode(bytes(bad), crc=True)
     assert e.value.result == ApiResult.DETECT_DATA_CORRUPTION
+
+
+def test_zero_sample_block_rejected(stream):
+    """A crafted block claiming zero samples (CRC re-stamped) must raise
+    DETECT_DATA_CORRUPTION — it previously divided by zero in the
+    streaming estimator."""
+    from sla_tpu.crc16 import crc16 as _crc16
+
+    blob, _ = stream
+    bad = bytearray(blob)
+    bsize = int.from_bytes(bad[45:49], "big") + 6
+    bad[51:53] = (0).to_bytes(2, "big")  # num_samples field of block 1
+    bad[49:51] = _crc16(memoryview(bad)[43 + 8 : 43 + bsize]).to_bytes(2, "big")
+    with pytest.raises(SLAError):
+        decode(bytes(bad), crc=True)
