@@ -130,17 +130,38 @@ def encode_corpus(
     # to different processes must still get distinct outputs/markers
     names = output_names(all_paths)
 
-    def publish(path: pathlib.Path, blob: bytes) -> None:
+    # sweep temp files a killed earlier incarnation of THIS shard left behind
+    # (shards are disjoint, so only our own names — and our manifest slot —
+    # can carry stale temps; other live workers' temps are never touched)
+    for path in mine:
+        for stale in out_dir.glob(names[path] + ".sla.tmp*"):
+            try:
+                stale.unlink()
+            except OSError:
+                pass
+    for stale in out_dir.glob(f"manifest_{process_index}.json.tmp*"):
+        try:
+            stale.unlink()
+        except OSError:
+            pass
+
+    def publish(path: pathlib.Path, blob: bytes,
+                stage_times: dict | None = None) -> None:
         nonlocal encoded, in_bytes, out_bytes
         out_path = out_dir / (names[path] + ".sla")
-        tmp = out_path.with_suffix(".sla.tmp")
+        # pid-suffixed temp: concurrent workers (or a resumed incarnation
+        # racing a straggler) never clobber each other's in-flight writes
+        tmp = out_path.parent / (out_path.name + f".tmp{os.getpid()}")
         tmp.write_bytes(blob)
         os.replace(tmp, out_path)  # atomic publish
         (out_dir / (names[path] + ".done")).touch()
         encoded += 1
         in_bytes += path.stat().st_size
         out_bytes += len(blob)
-        manifest[str(path)] = {"out": out_path.name, "bytes": len(blob)}
+        entry: dict = {"out": out_path.name, "bytes": len(blob)}
+        if stage_times:
+            entry["stage_seconds"] = {k: round(v, 6) for k, v in stage_times.items()}
+        manifest[str(path)] = entry
         if verbose:
             print(f"{path.name}: {path.stat().st_size} -> {len(blob)}")
 
@@ -158,14 +179,24 @@ def encode_corpus(
                 WaveFormat(wav.num_channels, wav.bits_per_sample, wav.sampling_rate)
             )
             enc.set_encode_parameter(preset_parameter(preset, wav.num_channels))
-            publish(path, enc.encode_whole(wav.data))
+            publish(path, enc.encode_whole(wav.data), enc.stage_times)
         except (SLAError, ValueError, OSError) as e:
             record_failure(path, e)
 
     todo: list[pathlib.Path] = []
     for path in mine:
-        if resume and (out_dir / (names[path] + ".done")).exists():
+        done = out_dir / (names[path] + ".done")
+        if resume and done.exists():
             skipped += 1
+            # record the already-published output so a resumed run's manifest
+            # (and any merge over manifests) still covers every file
+            out_path = out_dir / (names[path] + ".sla")
+            entry: dict = {"out": out_path.name, "skipped": True}
+            try:
+                entry["bytes"] = out_path.stat().st_size
+            except OSError:
+                pass
+            manifest[str(path)] = entry
         else:
             todo.append(path)
 
@@ -216,7 +247,43 @@ def encode_corpus(
         seconds=time.time() - t0,
     )
     manifest_path = out_dir / f"manifest_{process_index}.json"
-    manifest_path.write_text(
+    tmp = out_dir / f"manifest_{process_index}.json.tmp{os.getpid()}"
+    tmp.write_text(
         json.dumps({"result": dataclasses.asdict(result), "files": manifest}, indent=1)
     )
+    os.replace(tmp, manifest_path)  # atomic: a killed worker never leaves torn JSON
     return result
+
+
+def merge_manifests(out_dir: str | pathlib.Path) -> dict:
+    """Merge every per-process ``manifest_<i>.json`` in out_dir into one
+    ``manifest.json`` covering the whole corpus.
+
+    Each process's shard is disjoint (``shard_files``), so file entries
+    cannot conflict except when a killed worker's resumed run re-reports a
+    file as ``skipped`` — the entry carrying real encode data wins. Totals
+    are re-derived from the merged file map (a resumed process's
+    ``skipped`` files were *encoded* by its earlier incarnation; summing
+    per-process counters would double-count them)."""
+    out_dir = pathlib.Path(out_dir)
+    files: dict = {}
+    processes = []
+    for part in sorted(out_dir.glob("manifest_*.json")):
+        if part.name == "manifest.json":
+            continue
+        data = json.loads(part.read_text())
+        processes.append({"manifest": part.name, "result": data.get("result", {})})
+        for path, entry in data.get("files", {}).items():
+            prev = files.get(path)
+            if prev is None or (prev.get("skipped") and not entry.get("skipped")):
+                files[path] = entry
+    merged = {
+        "total_files": len(files),
+        "encoded": sum(1 for e in files.values() if "out" in e),
+        "failed": sum(1 for e in files.values() if "error" in e),
+        "out_bytes": sum(e.get("bytes", 0) for e in files.values() if "out" in e),
+        "processes": processes,
+        "files": files,
+    }
+    (out_dir / "manifest.json").write_text(json.dumps(merged, indent=1))
+    return merged
