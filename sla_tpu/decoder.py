@@ -74,6 +74,14 @@ class Decoder:
     def set_wave_format(self, wf: WaveFormat) -> None:
         if wf.num_channels > self.config.max_num_channels or wf.bit_per_sample > 32:
             raise SLAError(ApiResult.EXCEED_HANDLE_CAPACITY)
+        # the reference only debug-asserts these (SLADecoder.c:549-550,
+        # compiled out under NDEBUG); a corrupt header with a re-stamped CRC
+        # would otherwise drive an out-of-range left shift (UB) through the
+        # final `<< (32 - bps + lshift)` assembly — found by UBSan fuzzing
+        if (wf.bit_per_sample <= 0 or wf.offset_lshift < 0
+                or wf.offset_lshift >= wf.bit_per_sample):
+            raise SLAError(ApiResult.INVALID_ARGUMENT,
+                           "offset_lshift must be < bit_per_sample")
         self._wave_format = dataclasses.replace(wf)
 
     def set_encode_parameter(self, ep: EncodeParameter) -> None:

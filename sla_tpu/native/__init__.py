@@ -18,23 +18,36 @@ from ..errors import ApiResult, SLAError
 
 _DIR = pathlib.Path(__file__).resolve().parent
 _SRC = _DIR / "sla_native.cpp"
-_LIB = _DIR / "libsla_native.so"
+# SLA_TPU_SANITIZE selects an ASan+UBSan instrumented build (separate .so so
+# the normal lib's cache is untouched). The instrumented lib only loads
+# correctly when libasan is preloaded before Python starts — use
+# tools/run_sanitized.py, which re-execs with LD_PRELOAD and strict
+# ASAN_OPTIONS; the fp flags stay identical so the sanitized build is
+# byte-identical too and identity fuzz can run under it.
+_SANITIZE = bool(os.environ.get("SLA_TPU_SANITIZE"))
+_LIB = _DIR / ("libsla_native_san.so" if _SANITIZE else "libsla_native.so")
 
 _lib: ctypes.CDLL | None = None
 _load_failed = False
 
 
 def _build() -> bool:
+    cmd = [
+        # -ffp-contract=off: FMA contraction would change the FFT's
+        # float64 rounding and break byte-identity with the reference
+        "g++", "-O3", "-march=native", "-funroll-loops",
+        "-ffp-contract=off", "-std=c++17", "-shared", "-fPIC", "-fwrapv",
+        "-pthread",  # block-parallel entropy stages
+    ]
+    if _SANITIZE:
+        # -fno-sanitize-recover: any finding aborts the fuzz run loudly.
+        # (-fwrapv already makes signed wrap defined, matching the wrapping
+        # int32 semantics the format needs, so UBSan won't flag those.)
+        cmd += ["-fsanitize=address,undefined", "-fno-sanitize-recover=all",
+                "-fno-omit-frame-pointer", "-g"]
     try:
         subprocess.run(
-            [
-                # -ffp-contract=off: FMA contraction would change the FFT's
-                # float64 rounding and break byte-identity with the reference
-                "g++", "-O3", "-march=native", "-funroll-loops",
-                "-ffp-contract=off", "-std=c++17", "-shared", "-fPIC", "-fwrapv",
-                "-pthread",  # block-parallel entropy stages
-                "-o", str(_LIB), str(_SRC),
-            ],
+            cmd + ["-o", str(_LIB), str(_SRC)],
             check=True,
             capture_output=True,
         )
@@ -55,7 +68,15 @@ def _load() -> ctypes.CDLL | None:
             return None
     try:
         lib = ctypes.CDLL(str(_LIB))
-    except OSError:
+    except OSError as e:
+        if _SANITIZE:
+            # never silently fall back to Python in sanitizer mode — the
+            # whole point is exercising the native code under ASan
+            raise RuntimeError(
+                "SLA_TPU_SANITIZE is set but the instrumented lib failed to "
+                "load; launch via tools/run_sanitized.py (libasan must be "
+                f"LD_PRELOADed before Python): {e}"
+            ) from e
         _load_failed = True
         return None
 

@@ -389,6 +389,58 @@ static inline void put_rice_pair(BitWriter& w, RiceState& st0, RiceState& st1,
   }
 }
 
+static inline uint32_t get_recursive_rice(BitReader& r, RiceState& st);
+
+// Branchless recursive-Rice symbol decode with validate-before-commit.
+// The serial get loop's cost is dominated by data-dependent branches
+// (stage-0 vs stage-1 is ~60/40 at typical ratios -> constant
+// mispredicts); this variant finds the unary run with one clz over the
+// exposed cache window and selects stage via arithmetic masks, so the
+// only data-dependent branch left is the combined rare-case test (gamma
+// escape, or fewer cached bits than the symbol needs — the caller then
+// falls back to the byte-exact slow path from UNTOUCHED state). Safe at
+// any ncache, so a stereo loop can refill once per sample instead of per
+// symbol (the refill is ~1/3 of the skeleton cost). Bit consumption is
+// identical to get_recursive_rice; measured ~1.7-1.9x on the decode
+// entropy stage across 5.5-11 bits/sym payloads.
+static inline bool try_sym(BitReader& r, RiceState& st, uint32_t* out_val) {
+  uint32_t k0 = rice_param(st.params[0]);
+  int kb0 = log2_pow2(k0);
+  // (cache<<1)<<(63-ncache): == cache<<(64-ncache) for ncache>=1 and a
+  // defined all-zero window for ncache==0 (plain <<64 would be UB)
+  uint64_t win = (r.cache << 1) << (63 - r.ncache);
+  int lead = __builtin_clzll(win | 1);  // zeros before the terminating 1
+  uint32_t k1 = rice_param(st.params[1]);
+  int kb1 = log2_pow2(k1);
+  const uint32_t m32 = (uint32_t)-(int32_t)(lead != 0);  // ones iff stage 1
+  const int kb = kb0 ^ ((kb0 ^ kb1) & (int)m32);
+  const int consumed = lead + 1 + kb;
+  if (lead >= (int)kQuotThreshold || consumed > r.ncache) return false;
+  r.ncache -= consumed;
+  uint32_t rest = (uint32_t)((r.cache >> r.ncache) & ((1ull << kb) - 1));
+  r.cache &= (1ull << r.ncache) - 1;
+  uint32_t reduced = k1 * (uint32_t)(lead - 1) + rest;  // garbage at stage 0
+  uint32_t val = rest + ((k0 + reduced - rest) & m32);
+  st.params[0] = param_update(st.params[0], val);
+  uint64_t p1u = param_update(st.params[1], reduced);
+  const uint64_t m64 = (uint64_t)(int64_t)(int32_t)m32;
+  st.params[1] = (p1u & m64) | (st.params[1] & ~m64);
+  *out_val = val;
+  return true;
+}
+
+// Per-symbol driver: refill + branchless path while an 8-byte margin
+// holds, byte-exact slow path through the buffer tail where the
+// zero-fill/over-read semantics live (and for gamma escapes).
+static inline uint32_t get_sym_auto(BitReader& r, RiceState& st) {
+  if (r.next_byte + 8 <= r.size_bytes) {
+    r.refill32();
+    uint32_t v;
+    if (try_sym(r, st, &v)) return v;
+  }
+  return get_recursive_rice(r, st);
+}
+
 static inline uint32_t get_recursive_rice(BitReader& r, RiceState& st) {
   // specialized two-stage structure, mirror of put_recursive_rice
   static_assert(kNumRecursiveParams == 2, "two-stage structure assumed");
@@ -534,17 +586,26 @@ int64_t sla_get_data_array(const uint8_t* in, int64_t in_size,
   if (eff_sum / (uint32_t)C > kLowThreshold) {
     RiceState st[64];
     for (int ch = 0; ch < C; ++ch) st[ch].init(init_params[ch]);
-    if (C == 2) {  // stereo fast path: direct row pointers, no inner loop
+    if (C == 2) {  // stereo fast path: one refill per sample, two try_syms
       int32_t* o0 = out;
       int32_t* o1 = out + N;
-      for (int s = 0; s < N; ++s) {
+      int s = 0;
+      for (; s < N && r.next_byte + 8 <= r.size_bytes; ++s) {
+        r.refill32();
+        uint32_t u0, u1;
+        if (!try_sym(r, st[0], &u0)) u0 = get_recursive_rice(r, st[0]);
+        if (!try_sym(r, st[1], &u1)) u1 = get_recursive_rice(r, st[1]);
+        o0[s] = unzigzag(u0);
+        o1[s] = unzigzag(u1);
+      }
+      for (; s < N; ++s) {  // buffer tail: byte-exact slow path
         o0[s] = unzigzag(get_recursive_rice(r, st[0]));
         o1[s] = unzigzag(get_recursive_rice(r, st[1]));
       }
     } else {
       for (int s = 0; s < N; ++s)
         for (int ch = 0; ch < C; ++ch)
-          out[(int64_t)ch * N + s] = unzigzag(get_recursive_rice(r, st[ch]));
+          out[(int64_t)ch * N + s] = unzigzag(get_sym_auto(r, st[ch]));
     }
   } else {
     for (int s = 0; s < N; ++s)
@@ -552,6 +613,124 @@ int64_t sla_get_data_array(const uint8_t* in, int64_t in_size,
         out[(int64_t)ch * N + s] = unzigzag(get_golomb(r, eff[ch]));
   }
   return r.pos();
+}
+
+// ---- dual-stream block decode -------------------------------------------
+// The adaptive-Rice get loop is bounded by one serial dependency chain per
+// bitstream: cursor -> symbol length -> next cursor, plus the per-channel
+// parameter recurrence — single-stream decode leaves most of the core's
+// issue width idle. Blocks are independent bitstreams, so decoding two
+// blocks with their cursors interleaved in one loop keeps two chains in
+// flight per core. Composes with the block-parallel threading (each
+// thread pairs within its own range). Per-block bit consumption and
+// outputs are identical to the single-stream path.
+static bool rice_adaptive(const uint32_t* ip, int32_t C) {
+  uint64_t eff_sum = 0;
+  for (int32_t ch = 0; ch < C; ++ch)
+    eff_sum += param_get(param_set_fixed(ip[ch]));
+  return eff_sum / (uint32_t)C > kLowThreshold;
+}
+
+static int64_t decode_block_range(const uint8_t* in, int64_t in_size,
+                                  const int64_t* bit_offsets, int32_t C,
+                                  const int32_t* ns, const uint32_t* init,
+                                  int32_t* out, const int64_t* out_offs,
+                                  int32_t b0, int32_t b1) {
+  int32_t b = b0;
+  while (b < b1) {
+    const bool pairable =
+        (C == 1 || C == 2) && b + 1 < b1 &&
+        rice_adaptive(init + (int64_t)b * C, C) &&
+        rice_adaptive(init + (int64_t)(b + 1) * C, C);
+    if (!pairable) {
+      int64_t end = sla_get_data_array(in, in_size, bit_offsets[b], C, ns[b],
+                                       init + (int64_t)b * C, out + out_offs[b]);
+      if (end < 0) return -1;  // scratch bound (C too large), not an over-read
+      if (end > in_size * 8) return -((int64_t)b + 2);
+      ++b;
+      continue;
+    }
+    BitReader ra, rb;
+    ra.init(in, in_size, bit_offsets[b]);
+    rb.init(in, in_size, bit_offsets[b + 1]);
+    const int32_t na = ns[b], nb = ns[b + 1];
+    const int32_t m = na < nb ? na : nb;
+    if (C == 2) {
+      RiceState sa0, sa1, sb0, sb1;
+      sa0.init(init[(int64_t)b * 2]);
+      sa1.init(init[(int64_t)b * 2 + 1]);
+      sb0.init(init[(int64_t)(b + 1) * 2]);
+      sb1.init(init[(int64_t)(b + 1) * 2 + 1]);
+      int32_t* oa0 = out + out_offs[b];
+      int32_t* oa1 = oa0 + na;
+      int32_t* ob0 = out + out_offs[b + 1];
+      int32_t* ob1 = ob0 + nb;
+      // one refill per stream per sample; A/B alternation keeps maximal
+      // distance between dependent ops of the same cursor chain
+      int32_t s = 0;
+      for (; s < m; ++s) {
+        if (ra.next_byte + 8 > ra.size_bytes ||
+            rb.next_byte + 8 > rb.size_bytes)
+          break;
+        ra.refill32();
+        rb.refill32();
+        uint32_t va0, va1, vb0, vb1;
+        if (!try_sym(ra, sa0, &va0)) va0 = get_recursive_rice(ra, sa0);
+        if (!try_sym(rb, sb0, &vb0)) vb0 = get_recursive_rice(rb, sb0);
+        if (!try_sym(ra, sa1, &va1)) va1 = get_recursive_rice(ra, sa1);
+        if (!try_sym(rb, sb1, &vb1)) vb1 = get_recursive_rice(rb, sb1);
+        oa0[s] = unzigzag(va0);
+        oa1[s] = unzigzag(va1);
+        ob0[s] = unzigzag(vb0);
+        ob1[s] = unzigzag(vb1);
+      }
+      for (; s < m; ++s) {  // one stream hit its buffer tail
+        oa0[s] = unzigzag(get_sym_auto(ra, sa0));
+        ob0[s] = unzigzag(get_sym_auto(rb, sb0));
+        oa1[s] = unzigzag(get_sym_auto(ra, sa1));
+        ob1[s] = unzigzag(get_sym_auto(rb, sb1));
+      }
+      for (s = m; s < na; ++s) {
+        oa0[s] = unzigzag(get_sym_auto(ra, sa0));
+        oa1[s] = unzigzag(get_sym_auto(ra, sa1));
+      }
+      for (s = m; s < nb; ++s) {
+        ob0[s] = unzigzag(get_sym_auto(rb, sb0));
+        ob1[s] = unzigzag(get_sym_auto(rb, sb1));
+      }
+    } else {
+      RiceState sa, sb;
+      sa.init(init[b]);
+      sb.init(init[b + 1]);
+      int32_t* oa = out + out_offs[b];
+      int32_t* ob = out + out_offs[b + 1];
+      int32_t s = 0;
+      for (; s < m; ++s) {
+        if (ra.next_byte + 8 > ra.size_bytes ||
+            rb.next_byte + 8 > rb.size_bytes)
+          break;
+        ra.refill32();
+        rb.refill32();
+        uint32_t va, vb;
+        if (!try_sym(ra, sa, &va)) va = get_recursive_rice(ra, sa);
+        if (!try_sym(rb, sb, &vb)) vb = get_recursive_rice(rb, sb);
+        oa[s] = unzigzag(va);
+        ob[s] = unzigzag(vb);
+      }
+      for (; s < m; ++s) {
+        oa[s] = unzigzag(get_sym_auto(ra, sa));
+        ob[s] = unzigzag(get_sym_auto(rb, sb));
+      }
+      for (s = m; s < na; ++s)
+        oa[s] = unzigzag(get_sym_auto(ra, sa));
+      for (s = m; s < nb; ++s)
+        ob[s] = unzigzag(get_sym_auto(rb, sb));
+    }
+    if (ra.pos() > in_size * 8) return -((int64_t)b + 2);
+    if (rb.pos() > in_size * 8) return -((int64_t)b + 3);
+    b += 2;
+  }
+  return 0;
 }
 
 // Batched payload decode: every COMPRESSDATA block's residual in one call.
@@ -574,25 +753,16 @@ int64_t sla_get_data_arrays(const uint8_t* in, int64_t in_size, int32_t W,
       const int32_t b0 = (int32_t)((int64_t)W * t / T);
       const int32_t b1 = (int32_t)((int64_t)W * (t + 1) / T);
       workers.emplace_back([&, b0, b1]() {
-        for (int32_t b = b0; b < b1; ++b) {
-          int64_t end = sla_get_data_array(in, in_size, bit_offsets[b], C,
-                                           ns[b], init + (int64_t)b * C,
-                                           out + out_offs[b]);
-          if (end < 0) { err.store(-1); return; }
-          if (end > in_size * 8) { err.store(-((int64_t)b + 2)); return; }
-        }
+        int64_t e = decode_block_range(in, in_size, bit_offsets, C, ns, init,
+                                       out, out_offs, b0, b1);
+        if (e) err.store(e);
       });
     }
     for (auto& th : workers) th.join();
     return err.load();
   }
-  for (int32_t b = 0; b < W; ++b) {
-    int64_t end = sla_get_data_array(in, in_size, bit_offsets[b], C, ns[b],
-                                     init + (int64_t)b * C, out + out_offs[b]);
-    if (end < 0) return -1;
-    if (end > in_size * 8) return -((int64_t)b + 2);
-  }
-  return 0;
+  return decode_block_range(in, in_size, bit_offsets, C, ns, init, out,
+                            out_offs, 0, W);
 }
 
 // Resumable channel-interleaved payload decode for the streaming decoder:
@@ -622,7 +792,7 @@ int32_t sla_get_data_array_partial(const uint8_t* in, int64_t in_size,
                   sizeof(st[ch].params));
     for (int s = 0; s < num_samples; ++s)
       for (int ch = 0; ch < C; ++ch)
-        out[(int64_t)ch * num_samples + s] = unzigzag(get_recursive_rice(r, st[ch]));
+        out[(int64_t)ch * num_samples + s] = unzigzag(get_sym_auto(r, st[ch]));
     for (int ch = 0; ch < C; ++ch)
       std::memcpy(param_state + ch * kNumRecursiveParams, st[ch].params,
                   sizeof(st[ch].params));
@@ -2049,12 +2219,19 @@ static inline typename VI<R>::v lms_bitlen(typename VI<R>::v res) {
   vsi smask = res >> 31;
   vsi mag = (res ^ smask) - smask;  // |res| (INT_MIN wraps like scalar)
 #if defined(__AVX512CD__) && defined(__AVX512VL__)
+  // unaligned load/store intrinsics: the vsi vectors are only 4-aligned
+  // (aligned(4) attribute), so a direct __m512i* deref is UB (UBSan-found);
+  // codegen is identical (vmovdqu folds away on register values)
   if constexpr (R == 16) {
-    __m512i lz = _mm512_lzcnt_epi32(*(const __m512i*)&mag);
-    return (vzero + 32) - *(vsi*)&lz;
+    __m512i lz = _mm512_lzcnt_epi32(_mm512_loadu_si512((const void*)&mag));
+    vsi out;
+    _mm512_storeu_si512((void*)&out, lz);
+    return (vzero + 32) - out;
   } else {
-    __m256i lz8 = _mm256_lzcnt_epi32(*(const __m256i*)&mag);
-    return (vzero + 32) - *(vsi*)&lz8;
+    __m256i lz8 = _mm256_lzcnt_epi32(_mm256_loadu_si256((const __m256i*)&mag));
+    vsi out;
+    _mm256_storeu_si256((__m256i*)&out, lz8);
+    return (vzero + 32) - out;
   }
 #else
   vsi bl = vzero;

@@ -183,6 +183,13 @@ class StreamingDecoder:
             raise SLAError(ApiResult.EXCEED_HANDLE_CAPACITY)
         if wf.bit_per_sample > self.config.max_bit_per_sample:
             raise SLAError(ApiResult.EXCEED_HANDLE_CAPACITY)
+        # reference debug-assert made load-bearing (SLADecoder.c:464,549-550):
+        # out-of-range lshift from a corrupt header must fail structurally,
+        # not shift by >=32 in the synthesis assembly
+        if (wf.bit_per_sample <= 0 or wf.offset_lshift < 0
+                or wf.offset_lshift >= wf.bit_per_sample):
+            raise SLAError(ApiResult.INVALID_ARGUMENT,
+                           "offset_lshift must be < bit_per_sample")
         self._wave_format = dataclasses.replace(wf)
         self._samples_per_decode = int(
             math.ceil(

@@ -145,6 +145,32 @@ def test_oversized_block_sample_counts_bounded(stream):
         decode(bytes(bad), crc=False)
 
 
+def test_oversized_offset_lshift_rejected(stream):
+    """UBSan-found (round 3): a corrupt header with offset_lshift >=
+    bit_per_sample (CRC re-stamped so parsing proceeds) must raise a
+    structured error — the reference only debug-asserts this
+    (SLADecoder.c:549-550) before shifting by 32-bps+lshift, which is UB
+    for out-of-range values."""
+    from sla_tpu.crc16 import crc16
+
+    blob, _ = stream
+    for lshift in (16, 173, 255):  # byte 24; bit_per_sample (byte 23) is 16
+        bad = bytearray(blob)
+        bad[24] = lshift
+        bad[8:10] = crc16(bytes(bad[10:43])).to_bytes(2, "big")
+        for crc in (True, False):
+            with pytest.raises(SLAError):
+                decode(bytes(bad), crc=crc)
+        # streaming decoder takes the same header fields via set_wave_format
+        from sla_tpu.format import decode_header
+        from sla_tpu.streaming import StreamingDecoder, StreamingDecoderConfig
+
+        header, _ = decode_header(bytes(bad))
+        sd = StreamingDecoder(StreamingDecoderConfig())
+        with pytest.raises(SLAError):
+            sd.set_wave_format(header.wave_format)
+
+
 def test_corruption_fuzzer_smoke():
     """A committed slice of tools/fuzz_corruption.py: random mutants must
     never crash the native parsers (full sweeps run per round)."""
