@@ -313,21 +313,26 @@ class Decoder:
                     if b.block_type == BlockDataType.COMPRESSDATA
                 ]
                 payloads: list[np.ndarray | None] = [None] * len(grp)
+                premade = None
                 if comp:
-                    decoded = native.get_data_arrays(
+                    # decode straight into the (rows, L) synthesis batch
+                    # layout: the synthesis stage consumes it zero-copy
+                    batch, decoded = native.get_data_arrays_strided(
                         data,
                         np.asarray([grp[i].payload_bit_offset for i in comp]),
                         np.asarray([grp[i].num_samples for i in comp]),
                         np.asarray([grp[i].init_rice for i in comp]),
+                        L,
                     )
                     for i, rows in zip(comp, decoded):
                         payloads[i] = rows
+                    premade = batch
                 for i, b in enumerate(grp):
                     if payloads[i] is None:
                         payloads[i] = self._decode_payload(data, b)
                 t_ent += time.perf_counter() - t0
                 t0 = time.perf_counter()
-                outputs = self._synth_outputs(grp, payloads)
+                outputs = self._synth_outputs(grp, payloads, premade=premade)
                 srcs: list[np.ndarray] = []
                 offs = np.empty(len(grp), dtype=np.int64)
                 ns = np.empty(len(grp), dtype=np.int32)
@@ -408,10 +413,15 @@ class Decoder:
         return result
 
     def _synth_outputs(
-        self, blocks: list[_Block], payloads: list[np.ndarray]
+        self, blocks: list[_Block], payloads: list[np.ndarray],
+        premade: np.ndarray | None = None,
     ) -> dict[int, np.ndarray]:
         """Run the synthesis filter chain for every COMPRESSDATA block;
-        returns block index -> (C, n) rows (pre MS-inverse / left shift)."""
+        returns block index -> (C, n) rows (pre MS-inverse / left shift).
+
+        premade: optional (n_comp*C, L) residual batch already laid out in
+        block order (native.get_data_arrays_strided) — the host backend then
+        skips the assemble-into-batch copy."""
         import jax.numpy as jnp
 
         from .pipeline import decode_stage
@@ -428,19 +438,29 @@ class Decoder:
         backend = self._select_backend(total_row_samples)
         # bound the synthesis batch buffer (~100 MB) for very long streams
         max_group = max(1, (100 << 20) // (C * L * 4))
+        use_premade = (
+            premade is not None
+            and backend == "host"
+            and len(comp_all) <= max_group
+            and premade.shape == (len(comp_all) * C, L)
+        )
         for g in range(0, len(comp_all), max_group):
             comp_idx = comp_all[g : g + max_group]
             rows = len(comp_idx) * C
             # pow2 row padding only on the device path (see encoder)
             B = (1 << (rows - 1).bit_length()) if (backend != "host" and rows > 1) else rows
-            residual = np.zeros((B, L), dtype=np.int32)
             coef = np.zeros((B, p), dtype=np.int32)
             pitch = np.zeros((B,), dtype=np.int32)
             ltm = np.zeros((B, max(T, 1)), dtype=np.int32)
             lengths = np.zeros((B,), dtype=np.int64)
+            if use_premade:
+                residual = premade  # decoded straight into batch layout
+            else:
+                residual = np.zeros((B, L), dtype=np.int32)
             for bi, i in enumerate(comp_idx):
                 blk = blocks[i]
-                residual[bi * C : (bi + 1) * C, : blk.num_samples] = payloads[i]
+                if not use_premade:
+                    residual[bi * C : (bi + 1) * C, : blk.num_samples] = payloads[i]
                 coef[bi * C : (bi + 1) * C] = blk.parcor_coef[:, 1:]
                 pitch[bi * C : (bi + 1) * C] = blk.pitch
                 ltm[bi * C : (bi + 1) * C] = blk.ltm_coef

@@ -299,6 +299,82 @@ def put_raw(data: np.ndarray, bits_per_ch: list[int]) -> bytes:
     return out[:n].tobytes()
 
 
+def get_data_arrays_strided(
+    stream: bytes | memoryview | np.ndarray,
+    bit_offsets: np.ndarray,
+    num_samples: np.ndarray,
+    init_params: np.ndarray,
+    L: int,
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Entropy-decode many blocks straight into synthesis batch layout.
+
+    Like get_data_arrays, but each block's C rows land at row stride L in
+    one (W*C, L) buffer — exactly the layout the batched synthesis kernels
+    consume, so the decoder skips the assemble-into-batch copy entirely.
+    Returns (batch, per-block (C, n_b) strided views into it). Columns past
+    n_b are uninitialized; callers slice by length."""
+    lib = _load()
+    buf = (
+        stream if isinstance(stream, np.ndarray) else np.frombuffer(stream, dtype=np.uint8)
+    )
+    offs = np.ascontiguousarray(bit_offsets, dtype=np.int64)
+    ns = np.ascontiguousarray(num_samples, dtype=np.int32)
+    init = np.ascontiguousarray(init_params, dtype=np.uint32)
+    W, C = init.shape
+    if np.any(ns > L):
+        raise SLAError(
+            ApiResult.DETECT_DATA_CORRUPTION,
+            "block sample count exceeds the stream's max block size",
+        )
+    batch = np.empty((W * C, L), dtype=np.int32)
+    out_offs = np.arange(W, dtype=np.int64) * (C * L)
+    # native writes row ch of block b at out_offs[b] + ch*n_b; with a row
+    # stride of L that only matches when n_b == L, so short (tail) blocks
+    # decode into a compact scratch and are re-strided below
+    full = ns == L
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    if np.all(full):
+        rc = int(
+            lib.sla_get_data_arrays(
+                _u8ptr(buf), buf.size, W, offs.ctypes.data_as(p_i64), C,
+                _i32ptr(ns), _u32ptr(init), _i32ptr(batch),
+                out_offs.ctypes.data_as(p_i64),
+            )
+        )
+        _raise_get_arrays(rc, C)
+    else:
+        full_idx = np.flatnonzero(full)
+        if full_idx.size:
+            rc = int(
+                lib.sla_get_data_arrays(
+                    _u8ptr(buf), buf.size, int(full_idx.size),
+                    np.ascontiguousarray(offs[full_idx]).ctypes.data_as(p_i64),
+                    C, _i32ptr(np.ascontiguousarray(ns[full_idx])),
+                    _u32ptr(np.ascontiguousarray(init[full_idx])),
+                    _i32ptr(batch),
+                    np.ascontiguousarray(out_offs[full_idx]).ctypes.data_as(p_i64),
+                )
+            )
+            _raise_get_arrays(rc, C)
+        for b in np.flatnonzero(~full):
+            rows = get_data_array(buf, int(offs[b]), C, int(ns[b]), init[b])
+            batch[b * C : (b + 1) * C, : int(ns[b])] = rows
+    views = [
+        batch[b * C : (b + 1) * C, : int(ns[b])] for b in range(W)
+    ]
+    return batch, views
+
+
+def _raise_get_arrays(rc: int, C: int) -> None:
+    if rc == -1:
+        raise ValueError(f"get_data_arrays: too many channels for native scratch ({C})")
+    if rc < 0:
+        raise SLAError(
+            ApiResult.INSUFFICIENT_DATA_SIZE,
+            f"payload over-read in block {-rc - 2}",
+        )
+
+
 def get_data_arrays(
     stream: bytes | memoryview | np.ndarray,
     bit_offsets: np.ndarray,
@@ -666,7 +742,9 @@ def synth_rows(
     B, L = residual.shape
     p = parcor_coef.shape[1]
     M = lms_order
-    out = np.zeros_like(residual)
+    # empty, not zeros: every consumed (row, :length) region is written by
+    # a kernel below; zero-length rows are never read back
+    out = np.empty_like(residual)
     coef = np.ascontiguousarray(parcor_coef, dtype=np.int32)
     ltm = np.ascontiguousarray(ltm_coef, dtype=np.int32)
     lens = (

@@ -2241,14 +2241,136 @@ static inline typename VI<R>::v lms_bitlen(typename VI<R>::v res) {
 #endif
 }
 
+// ---- in-register tile transpose I/O --------------------------------------
+// The interleaved kernels walk R rows in lockstep; building each sample's
+// R-lane vector with scalar inserts costs a store-forwarding stall per
+// vector (a 64-byte load cannot forward from 16 separate 4-byte stores),
+// ~4 ns per row-sample of pure data movement. Loading an R x R tile with
+// R vector loads and transposing in registers amortizes that to ~3
+// shuffles per sample-step (~10x less, measured). Arithmetic order is
+// untouched — samples still step strictly in sequence — so streams stay
+// byte-identical.
+template <int R>
+static inline void tile_load_scalar(const int32_t* base, int64_t stride,
+                                    int32_t s0, typename VI<R>::v t[R]) {
+  for (int k = 0; k < R; ++k)
+    for (int r = 0; r < R; ++r) t[k][r] = base[r * stride + s0 + k];
+}
+template <int R>
+static inline void tile_store_scalar(int32_t* base, int64_t stride, int32_t s0,
+                                     const typename VI<R>::v t[R]) {
+  for (int k = 0; k < R; ++k)
+    for (int r = 0; r < R; ++r) base[r * stride + s0 + k] = t[k][r];
+}
+
+#if defined(__AVX512F__)
+static inline void tile_transpose16(__m512i m[16]) {
+  __m512i t[16], u[16], c[16];
+  for (int i = 0; i < 8; ++i) {
+    t[2 * i] = _mm512_unpacklo_epi32(m[2 * i], m[2 * i + 1]);
+    t[2 * i + 1] = _mm512_unpackhi_epi32(m[2 * i], m[2 * i + 1]);
+  }
+  for (int i = 0; i < 4; ++i) {
+    u[4 * i] = _mm512_unpacklo_epi64(t[4 * i], t[4 * i + 2]);
+    u[4 * i + 1] = _mm512_unpackhi_epi64(t[4 * i], t[4 * i + 2]);
+    u[4 * i + 2] = _mm512_unpacklo_epi64(t[4 * i + 1], t[4 * i + 3]);
+    u[4 * i + 3] = _mm512_unpackhi_epi64(t[4 * i + 1], t[4 * i + 3]);
+  }
+  for (int i = 0; i < 2; ++i)
+    for (int j = 0; j < 4; ++j) {
+      c[8 * i + j] = _mm512_shuffle_i32x4(u[8 * i + j], u[8 * i + 4 + j], 0x88);
+      c[8 * i + j + 4] =
+          _mm512_shuffle_i32x4(u[8 * i + j], u[8 * i + 4 + j], 0xdd);
+    }
+  for (int j = 0; j < 8; ++j) {
+    m[j] = _mm512_shuffle_i32x4(c[j], c[8 + j], 0x88);
+    m[j + 8] = _mm512_shuffle_i32x4(c[j], c[8 + j], 0xdd);
+  }
+}
+#endif
+#if defined(__AVX2__)
+static inline void tile_transpose8(__m256i m[8]) {
+  __m256i t[8], u[8];
+  for (int i = 0; i < 4; ++i) {
+    t[2 * i] = _mm256_unpacklo_epi32(m[2 * i], m[2 * i + 1]);
+    t[2 * i + 1] = _mm256_unpackhi_epi32(m[2 * i], m[2 * i + 1]);
+  }
+  for (int i = 0; i < 2; ++i) {
+    u[4 * i] = _mm256_unpacklo_epi64(t[4 * i], t[4 * i + 2]);
+    u[4 * i + 1] = _mm256_unpackhi_epi64(t[4 * i], t[4 * i + 2]);
+    u[4 * i + 2] = _mm256_unpacklo_epi64(t[4 * i + 1], t[4 * i + 3]);
+    u[4 * i + 3] = _mm256_unpackhi_epi64(t[4 * i + 1], t[4 * i + 3]);
+  }
+  for (int j = 0; j < 4; ++j) {
+    m[j] = _mm256_permute2x128_si256(u[j], u[4 + j], 0x20);
+    m[j + 4] = _mm256_permute2x128_si256(u[j], u[4 + j], 0x31);
+  }
+}
+#endif
+
+template <int R>
+static inline void tile_load(const int32_t* base, int64_t stride, int32_t s0,
+                             typename VI<R>::v t[R]) {
+#if defined(__AVX512F__)
+  if constexpr (R == 16) {
+    __m512i m[16];
+    for (int r = 0; r < 16; ++r)
+      m[r] = _mm512_loadu_si512((const void*)(base + r * stride + s0));
+    tile_transpose16(m);
+    for (int k = 0; k < 16; ++k) _mm512_storeu_si512((void*)&t[k], m[k]);
+    return;
+  }
+#endif
+#if defined(__AVX2__)
+  if constexpr (R == 8) {
+    __m256i m[8];
+    for (int r = 0; r < 8; ++r)
+      m[r] = _mm256_loadu_si256((const __m256i*)(base + r * stride + s0));
+    tile_transpose8(m);
+    for (int k = 0; k < 8; ++k) _mm256_storeu_si256((__m256i*)&t[k], m[k]);
+    return;
+  }
+#endif
+  tile_load_scalar<R>(base, stride, s0, t);
+}
+
+template <int R>
+static inline void tile_store(int32_t* base, int64_t stride, int32_t s0,
+                              typename VI<R>::v t[R]) {
+#if defined(__AVX512F__)
+  if constexpr (R == 16) {
+    __m512i m[16];
+    for (int k = 0; k < 16; ++k) m[k] = _mm512_loadu_si512((const void*)&t[k]);
+    tile_transpose16(m);
+    for (int r = 0; r < 16; ++r)
+      _mm512_storeu_si512((void*)(base + r * stride + s0), m[r]);
+    return;
+  }
+#endif
+#if defined(__AVX2__)
+  if constexpr (R == 8) {
+    __m256i m[8];
+    for (int k = 0; k < 8; ++k) m[k] = _mm256_loadu_si256((const __m256i*)&t[k]);
+    tile_transpose8(m);
+    for (int r = 0; r < 8; ++r)
+      _mm256_storeu_si256((__m256i*)(base + r * stride + s0), m[r]);
+    return;
+  }
+#endif
+  tile_store_scalar<R>(base, stride, s0, t);
+}
+
 // Hand-vectorized sign-sign LMS core over R interleaved rows: one code
 // path for both directions (SYNTH reconstructs x = res + pred, predict
 // derives res = x - pred; reference src/SLAPredictor.c:1202-1463).
 // Identical per-row arithmetic to the scalar kernel (vector lanes are
 // rows). in_rows/out_rows are R x n row-major and may be the same buffer.
-template <int R, bool SYNTH>
+template <int R, bool SYNTH, int MF>
 static void lms_rowsT(const int32_t* in_rows, int32_t* out_rows, int32_t n,
-                      int32_t M) {
+                      int32_t M_rt) {
+  // MF > 0 pins the LMS order at compile time (presets use 4/8): unrolled
+  // tap loops keep fc/ic and the ring windows in registers
+  const int32_t M = MF > 0 ? MF : M_rt;
   typedef typename VI<R>::v vsi;
   const vsi vzero = {};
   vsi fc[64], ic[64];
@@ -2261,13 +2383,11 @@ static void lms_rowsT(const int32_t* in_rows, int32_t* out_rows, int32_t n,
     xd[i] = vzero; pd[i] = vzero; xs[i] = vzero; ps[i] = vzero;
   }
   int32_t xpos = 64;
-  for (int32_t s = 0; s < n; ++s) {
+  auto sample_step = [&](int32_t s, vsi in_v) -> vsi {
     const vsi* xb = xd + xpos;
     const vsi* pb = pd + xpos;
     vsi acc = vzero + 512;
     for (int32_t i = 0; i < M; ++i) acc += fc[i] * xb[i] + ic[i] * pb[i];
-    vsi in_v;
-    for (int32_t r = 0; r < R; ++r) in_v[r] = in_rows[(int64_t)r * n + s];
     const vsi pred = acc >> 10;
     const bool warm = s < M;
     vsi x, res;
@@ -2297,7 +2417,21 @@ static void lms_rowsT(const int32_t* in_rows, int32_t* out_rows, int32_t n,
     pd[xpos] = pnew;
     xs[xpos] = (x < vzero) - (x > vzero);
     ps[xpos] = (pnew < vzero) - (pnew > vzero);
-    const vsi emit = warm ? in_v : (SYNTH ? x : res);
+    return warm ? in_v : (SYNTH ? x : res);
+  };
+  // R-sample tiles transposed in registers (the full tile is read before
+  // its region is written, so in_rows == out_rows stays safe)
+  int32_t s = 0;
+  for (; s + R <= n; s += R) {
+    vsi t[R];
+    tile_load<R>(in_rows, n, s, t);
+    for (int32_t k = 0; k < R; ++k) t[k] = sample_step(s + k, t[k]);
+    tile_store<R>(out_rows, n, s, t);
+  }
+  for (; s < n; ++s) {  // tail columns
+    vsi in_v;
+    for (int32_t r = 0; r < R; ++r) in_v[r] = in_rows[(int64_t)r * n + s];
+    const vsi emit = sample_step(s, in_v);
     for (int32_t r = 0; r < R; ++r) out_rows[(int64_t)r * n + s] = emit[r];
   }
 }
@@ -2305,25 +2439,19 @@ static void lms_rowsT(const int32_t* in_rows, int32_t* out_rows, int32_t n,
 // Row-interleaved encode stage 1: pre-emphasis + lattice predict, R rows
 // interleaved for SIMD (R=8 fills a 256-bit int32 vector, R=16 a 512-bit
 // one; per-row arithmetic is identical for any R). in/out: R rows x n.
-template <int R>
-static int32_t predict_stage1_rowsT(const int32_t* in, int32_t* out,
+// Lattice predict core. P > 0 pins the order at compile time (presets use
+// 8/16/32): the fully-unrolled stage loops keep the m/fpart suffix-sum
+// chains in zmm registers instead of round-tripping the stack per stage —
+// the store->load latency through those arrays dominated the pass.
+template <int R, int P>
+static int32_t predict_stage1_coreT(const int32_t* in, int32_t* out,
                                     int32_t n,
                                     const int32_t* parcor_coef /* R x p */,
-                                    int32_t p) {
+                                    int32_t p_rt) {
+  const int32_t p = P > 0 ? P : p_rt;
   typedef typename VI<R>::v vsi;
   const vsi vzero = {};
   const vsi half = vzero + (1 << 14);
-  if (p == 0) {  // degenerate order: pre-emphasis only (lattice = identity)
-    vsi x_prev0 = vzero;
-    for (int32_t s = 0; s < n; ++s) {
-      vsi raw;
-      for (int32_t r = 0; r < R; ++r) raw[r] = in[(int64_t)r * n + s];
-      const vsi o = raw - ((x_prev0 * 31) >> 5);
-      x_prev0 = raw;
-      for (int32_t r = 0; r < R; ++r) out[(int64_t)r * n + s] = o[r];
-    }
-    return 0;
-  }
   vsi c[64];
   for (int32_t k = 0; k < p; ++k)
     for (int32_t r = 0; r < R; ++r) c[k][r] = parcor_coef[r * p + k];
@@ -2331,9 +2459,7 @@ static int32_t predict_stage1_rowsT(const int32_t* in, int32_t* out,
   for (int32_t k = 0; k <= p; ++k) b[k] = vzero;
   vsi x_prev = vzero;
   vsi m[64], fp[64];
-  for (int32_t s = 0; s < n; ++s) {
-    vsi raw;
-    for (int32_t r = 0; r < R; ++r) raw[r] = in[(int64_t)r * n + s];
+  auto sample_step = [&](vsi raw) -> vsi {
     vsi x = raw - ((x_prev * 31) >> 5);
     x_prev = raw;
     // every stage term uses PREVIOUS state only (the JAX kernel's
@@ -2347,10 +2473,48 @@ static int32_t predict_stage1_rowsT(const int32_t* in, int32_t* out,
     for (int32_t k = p - 1; k >= 0; --k)
       b[k + 1] = b[k] - ((c[k] * fp[k] + half) >> 15);
     b[0] = x;
-    const vsi o = fp[p - 1] - m[p - 1];
+    return fp[p - 1] - m[p - 1];
+  };
+  int32_t s = 0;
+  for (; s + R <= n; s += R) {  // transposed register tiles (see tile_load)
+    vsi t[R];
+    tile_load<R>(in, n, s, t);
+    for (int32_t k = 0; k < R; ++k) t[k] = sample_step(t[k]);
+    tile_store<R>(out, n, s, t);
+  }
+  for (; s < n; ++s) {
+    vsi raw;
+    for (int32_t r = 0; r < R; ++r) raw[r] = in[(int64_t)r * n + s];
+    const vsi o = sample_step(raw);
     for (int32_t r = 0; r < R; ++r) out[(int64_t)r * n + s] = o[r];
   }
   return 0;
+}
+
+template <int R>
+static int32_t predict_stage1_rowsT(const int32_t* in, int32_t* out,
+                                    int32_t n,
+                                    const int32_t* parcor_coef /* R x p */,
+                                    int32_t p) {
+  typedef typename VI<R>::v vsi;
+  const vsi vzero = {};
+  if (p == 0) {  // degenerate order: pre-emphasis only (lattice = identity)
+    vsi x_prev0 = vzero;
+    for (int32_t s = 0; s < n; ++s) {
+      vsi raw;
+      for (int32_t r = 0; r < R; ++r) raw[r] = in[(int64_t)r * n + s];
+      const vsi o = raw - ((x_prev0 * 31) >> 5);
+      x_prev0 = raw;
+      for (int32_t r = 0; r < R; ++r) out[(int64_t)r * n + s] = o[r];
+    }
+    return 0;
+  }
+  switch (p) {  // compile-time orders for the preset values
+    case 8:  return predict_stage1_coreT<R, 8>(in, out, n, parcor_coef, p);
+    case 16: return predict_stage1_coreT<R, 16>(in, out, n, parcor_coef, p);
+    case 32: return predict_stage1_coreT<R, 32>(in, out, n, parcor_coef, p);
+    default: return predict_stage1_coreT<R, 0>(in, out, n, parcor_coef, p);
+  }
 }
 
 // Row-interleaved encode stage 2: long-term FIR (history = input, no
@@ -2385,8 +2549,58 @@ static int32_t predict_stage2_rowsT(const int32_t* in, int32_t* out,
     }
   }
   // LMS predict in place over `out` via the hand-vectorized core
-  lms_rowsT<R, false>(out, out, n, M);
+  switch (M) {
+    case 4: lms_rowsT<R, false, 4>(out, out, n, M); break;
+    case 8: lms_rowsT<R, false, 8>(out, out, n, M); break;
+    default: lms_rowsT<R, false, 0>(out, out, n, M); break;
+  }
   return 0;
+}
+
+// Lattice synthesis + de-emphasis core (pass C of synth_rowsT), in place
+// over `out`. P > 0 pins the order at compile time (see predict core).
+template <int R, int P>
+static void lattice_synth_coreT(int32_t* out, int32_t n,
+                                const int32_t* parcor_coef /* R x p */,
+                                int32_t p_rt) {
+  const int32_t p = P > 0 ? P : p_rt;
+  typedef typename VI<R>::v vsi;
+  const vsi vzero = {};
+  const vsi half = vzero + (1 << 14);
+  vsi c[64];
+  for (int32_t k = 0; k < p; ++k)
+    for (int32_t r = 0; r < R; ++r) c[k][r] = parcor_coef[r * p + k];
+  vsi lat[65];
+  for (int32_t k = 0; k <= p; ++k) lat[k] = vzero;
+  vsi deemph = vzero;
+  vsi m[64], fpart[64];
+  auto sample_step = [&](vsi y) -> vsi {
+    // suffix-sum formulation: stage terms use previous state only, so
+    // k and r both vectorize
+    for (int32_t k = 0; k < p; ++k) m[k] = (c[k] * lat[k] + half) >> 15;
+    fpart[p - 1] = y + m[p - 1];
+    for (int32_t k = p - 2; k >= 0; --k) fpart[k] = fpart[k + 1] + m[k];
+    for (int32_t k = p - 1; k >= 0; --k)
+      lat[k + 1] = lat[k] - ((c[k] * fpart[k] + half) >> 15);
+    vsi v = fpart[0];
+    lat[0] = v;
+    v += (deemph * 31) >> 5;
+    deemph = v;
+    return v;
+  };
+  int32_t s = 0;
+  for (; s + R <= n; s += R) {  // transposed register tiles, in place
+    vsi t[R];
+    tile_load<R>(out, n, s, t);
+    for (int32_t k = 0; k < R; ++k) t[k] = sample_step(t[k]);
+    tile_store<R>(out, n, s, t);
+  }
+  for (; s < n; ++s) {
+    vsi y;
+    for (int32_t r = 0; r < R; ++r) y[r] = out[(int64_t)r * n + s];
+    const vsi v = sample_step(y);
+    for (int32_t r = 0; r < R; ++r) out[(int64_t)r * n + s] = v[r];
+  }
 }
 
 // Eight-row synthesis: same cascade as sla_synth_chunk, restructured as
@@ -2407,7 +2621,11 @@ static int32_t synth_rowsT(const int32_t* residual, int32_t* out, int32_t n,
 
   // ---- pass A: LMS synthesis, rows interleaved, into `out`
   // (hand-vectorized core; identical arithmetic to the scalar loop)
-  lms_rowsT<R, true>(residual, out, n, M);
+  switch (M) {
+    case 4: lms_rowsT<R, true, 4>(residual, out, n, M); break;
+    case 8: lms_rowsT<R, true, 8>(residual, out, n, M); break;
+    default: lms_rowsT<R, true, 0>(residual, out, n, M); break;
+  }
 
   // ---- pass B: long-term synthesis, per row, chunked over samples
   for (int32_t r = 0; r < R; ++r) {
@@ -2433,45 +2651,26 @@ static int32_t synth_rowsT(const int32_t* residual, int32_t* out, int32_t n,
   }
 
   // ---- pass C: PARCOR lattice synthesis + de-emphasis, rows interleaved
-  // (hand-vectorized: lanes = rows, same suffix-sum formulation)
-  {
+  // (hand-vectorized: lanes = rows, same suffix-sum formulation; order
+  // pinned at compile time for the preset values — see predict core)
+  if (p == 0) {  // degenerate order: de-emphasis only (lattice = identity)
     typedef typename VI<R>::v vsi;
     const vsi vzero = {};
-    const vsi half = vzero + (1 << 14);
-    if (p == 0) {  // degenerate order: de-emphasis only (lattice = identity)
-      vsi deemph0 = vzero;
-      for (int32_t s = 0; s < n; ++s) {
-        vsi v;
-        for (int32_t r = 0; r < R; ++r) v[r] = out[(int64_t)r * n + s];
-        v += (deemph0 * 31) >> 5;
-        deemph0 = v;
-        for (int32_t r = 0; r < R; ++r) out[(int64_t)r * n + s] = v[r];
-      }
-      return 0;
-    }
-    vsi c[64];
-    for (int32_t k = 0; k < p; ++k)
-      for (int32_t r = 0; r < R; ++r) c[k][r] = parcor_coef[r * p + k];
-    vsi lat[65];
-    for (int32_t k = 0; k <= p; ++k) lat[k] = vzero;
-    vsi deemph = vzero;
-    vsi m[64], fpart[64];
+    vsi deemph0 = vzero;
     for (int32_t s = 0; s < n; ++s) {
-      vsi y;
-      for (int32_t r = 0; r < R; ++r) y[r] = out[(int64_t)r * n + s];
-      // suffix-sum formulation: stage terms use previous state only, so
-      // k and r both vectorize
-      for (int32_t k = 0; k < p; ++k) m[k] = (c[k] * lat[k] + half) >> 15;
-      fpart[p - 1] = y + m[p - 1];
-      for (int32_t k = p - 2; k >= 0; --k) fpart[k] = fpart[k + 1] + m[k];
-      for (int32_t k = p - 1; k >= 0; --k)
-        lat[k + 1] = lat[k] - ((c[k] * fpart[k] + half) >> 15);
-      vsi v = fpart[0];
-      lat[0] = v;
-      v += (deemph * 31) >> 5;
-      deemph = v;
+      vsi v;
+      for (int32_t r = 0; r < R; ++r) v[r] = out[(int64_t)r * n + s];
+      v += (deemph0 * 31) >> 5;
+      deemph0 = v;
       for (int32_t r = 0; r < R; ++r) out[(int64_t)r * n + s] = v[r];
     }
+    return 0;
+  }
+  switch (p) {
+    case 8:  lattice_synth_coreT<R, 8>(out, n, parcor_coef, p); break;
+    case 16: lattice_synth_coreT<R, 16>(out, n, parcor_coef, p); break;
+    case 32: lattice_synth_coreT<R, 32>(out, n, parcor_coef, p); break;
+    default: lattice_synth_coreT<R, 0>(out, n, parcor_coef, p); break;
   }
   return 0;
 }
