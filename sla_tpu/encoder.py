@@ -74,6 +74,12 @@ class EncoderConfig:
     max_lms_order_per_filter: int = 40
     verbose: bool = False
     backend: str = "auto"
+    # entropy symbol computation on-device: 'auto' = whenever the filter
+    # batch already runs on the device/mesh backend (the residual is
+    # on-chip; the host keeps only the branch-free pack — rice_device.py),
+    # 'off' = always host entropy. SLA_TPU_DEVICE_ENTROPY=1 forces the
+    # device coder even for host-backend blocks (test/bench knob).
+    device_entropy: str = "auto"
 
 
 @dataclasses.dataclass
@@ -90,6 +96,9 @@ class _BlockPlan:
     init_rice: list[int] | None = None  # (C,) initial Rice params
     residual: np.ndarray | None = None  # (C, n) int32 final residual
     raw_int32: np.ndarray | None = None  # (C, n) int32 (for RAWDATA blocks)
+    # device-coded Rice symbol parts ((n, C, 4) values, lengths) when the
+    # entropy symbols were computed on-chip alongside the filters
+    device_parts: tuple[np.ndarray, np.ndarray] | None = None
 
 
 class Encoder:
@@ -284,9 +293,6 @@ class Encoder:
         shift_b = shift_a + wf.offset_lshift
         self.stage_times = {"partition": 0.0, "analysis": 0.0,
                             "filters": 0.0, "entropy": 0.0}
-        use_native = native.available() and not os.environ.get(
-            "SLA_TPU_DEVICE_ENTROPY"
-        )
         payloads: list[bytes] = []
         total_blocks = 0
         max_block_size = 0
@@ -315,6 +321,11 @@ class Encoder:
             self._run_filters(plans)
             self.stage_times["filters"] += time.perf_counter() - t0
             t0 = time.perf_counter()
+            use_native = (
+                native.available()
+                and not os.environ.get("SLA_TPU_DEVICE_ENTROPY")
+                and not getattr(self, "_device_entropy_active", False)
+            )
             if use_native:
                 payload, sizes, nsamp = self._serialize_blocks_native(plans)
                 payloads.append(payload)
@@ -389,6 +400,7 @@ class Encoder:
         if (
             native.available()
             and not os.environ.get("SLA_TPU_DEVICE_ENTROPY")
+            and not getattr(self, "_device_entropy_active", False)
             and not self.config.verbose  # per-block progress stays on the loop
         ):
             return self._finalize_encode_native(num_samples, plans)
@@ -667,6 +679,7 @@ class Encoder:
     # -- step 4: filters + pitch analysis --------------------------------------
     def _run_filters(self, plans: list[_BlockPlan]) -> None:
         """Filters read each plan's raw_int32 view — no whole-file input."""
+        self._device_entropy_active = False  # set per run by attach step
         comp = [pl for pl in plans if pl.block_type == BlockDataType.COMPRESSDATA]
         if comp:
             self._run_filter_groups([(self._wave_format.num_channels, comp)])
@@ -849,12 +862,52 @@ class Encoder:
                 if init_all is not None
                 else rice.calculate_initial_params(list(pl.residual))
             )
+        if init_all is not None and self._device_entropy_on(backend):
+            self._attach_device_parts(rows_meta, residual2, init_all)
+
+    def _device_entropy_on(self, backend: str) -> bool:
+        """Device entropy policy (VERDICT r2 #7): on-chip symbol coding is
+        the default whenever the filter batch already ran on the device or
+        mesh backend (the residual is on-chip and the host keeps only the
+        branch-free pack); SLA_TPU_DEVICE_ENTROPY forces it regardless."""
+        if os.environ.get("SLA_TPU_DEVICE_ENTROPY"):
+            return True
+        if getattr(self.config, "device_entropy", "auto") == "off":
+            return False
+        return backend in ("device", "mesh")
+
+    def _attach_device_parts(self, rows_meta, residual2, init_all) -> None:
+        """ONE batched on-device Rice symbol pass for the whole filter
+        chunk (rice_device.rice_encode_parts over (B, L)); per-plan part
+        slices attach for payload time. Blocks that land on the static
+        Golomb branch or turn RAWDATA simply ignore their parts."""
+        import jax.numpy as jnp
+
+        from .rice_device import rice_encode_parts
+
+        values, lengths = rice_encode_parts(
+            jnp.asarray(residual2),
+            jnp.asarray(np.asarray(init_all, dtype=np.uint32)),
+        )
+        v = np.asarray(values)  # (L, B, 4) sample-major
+        l = np.asarray(lengths)
+        for pl, C, r0 in rows_meta:
+            if pl.block_type == BlockDataType.COMPRESSDATA:
+                pl.device_parts = (
+                    v[: pl.num_samples, r0 : r0 + C],
+                    l[: pl.num_samples, r0 : r0 + C],
+                )
+        self._device_entropy_active = True
 
     # -- step 5: block serialization (SLAEncoder.c:458-801) -------------------
     def _encode_block_payload(self, plan: _BlockPlan) -> bytes:
         wf, ep = self._wave_format, self._encode_param
         C = wf.num_channels
-        if native.available() and not os.environ.get("SLA_TPU_DEVICE_ENTROPY"):
+        if (
+            native.available()
+            and not os.environ.get("SLA_TPU_DEVICE_ENTROPY")
+            and plan.device_parts is None
+        ):
             # whole-block framing + payload + CRC in one native call; the
             # Python writer below stays as the semantic reference/fallback
             p, T = ep.parcor_order, ep.longterm_order
@@ -920,12 +973,16 @@ class Encoder:
                     for ch in range(C):
                         w.put(int(zz[ch][s]), bits[ch])
         elif plan.block_type == BlockDataType.COMPRESSDATA:
-            if os.environ.get("SLA_TPU_DEVICE_ENTROPY"):
+            if plan.device_parts is not None or os.environ.get("SLA_TPU_DEVICE_ENTROPY"):
                 # device-coded symbols + branch-free host pack (north-star
                 # split, rice_device.py); byte-identical to the host coder
                 from .rice_device import encode_block_payload_device
 
-                w.put_bytes(encode_block_payload_device(plan.residual, plan.init_rice))
+                w.put_bytes(
+                    encode_block_payload_device(
+                        plan.residual, plan.init_rice, parts=plan.device_parts
+                    )
+                )
             elif use_native:
                 w.put_bytes(native.put_data_array(plan.residual, plan.init_rice))
             else:

@@ -165,6 +165,93 @@ def _lms_kernel(data_ref, out_ref, state, *, lms_order, tile_l, synthesize):
     jax.lax.fori_loop(0, tile_l, body, jnp.int32(0))
 
 
+_LT_HIST_D = 264  # ring depth: > max lag (pitch<256 + taps//2 <= 257), 8-aligned
+
+
+def _longterm_synth_kernel(res_ref, prm_ref, out_ref, hist, *, num_taps,
+                           tile_l, hist_d):
+    """Long-term (pitch) synthesis: out[n] = res[n] + (sum_j q15_j *
+    out[n - (max_delay - j)] + 2^14) >> 15 once n >= max_delay, per-row
+    delays (SLAPredictor.c:1031-1130 with the Q31->Q15 reduction noted in
+    kernels/longterm.py).
+
+    The per-lane variable lag becomes a one-hot select over a (D, TB)
+    output ring in VMEM: slot pos % D holds out[pos]; tap j of lane b
+    reads slot (pos - lag_bj) % D. The sum over the ring has exactly one
+    nonzero term per tap, so int32 is exact. The Q15 x int32 product needs
+    47 bits — Mosaic has no i64, so the product is computed in three exact
+    12-bit limbs (S2*2^24 + S1*2^12 + S0) and the +2^14 >> 15 rounding is
+    reassembled limb-wise; verified identical to the int64 form over the
+    full int32 range.
+
+    prm_ref: (1+T, TB) — row 0 max_delay (0 = inactive row), rows 1..T the
+    q15 coefficients. hist: (D, TB) scratch ring, persists across l."""
+    T = num_taps
+    D = hist_d
+    TB = res_ref.shape[1]
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _():
+        hist[:] = jnp.zeros_like(hist)
+
+    max_delay = prm_ref[0, :][None, :]  # (1, TB)
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, (D, TB), 0)
+
+    def body(s, carry):
+        s32, wp = carry  # int32 sample counter and ring write slot
+        pos = l * tile_l + s32
+        r = res_ref[s, :][None, :]
+        h = hist[:]
+        S0 = jnp.zeros_like(r)
+        S1 = jnp.zeros_like(r)
+        S2 = jnp.zeros_like(r)
+        for j in range(T):
+            lag = max_delay - j
+            rp = wp - lag
+            rp = jnp.where(rp < 0, rp + D, rp)
+            rp = jnp.where(rp >= D, rp - D, rp)  # inactive rows: lag <= 0
+            mask = (d_iota == rp).astype(jnp.int32)
+            sel = jnp.sum(mask * h, axis=0, keepdims=True, dtype=jnp.int32)
+            q = prm_ref[1 + j, :][None, :]
+            S0 = S0 + q * (sel & 0xFFF)
+            S1 = S1 + q * ((sel >> 12) & 0xFFF)
+            S2 = S2 + q * (sel >> 24)
+        u_h = (S0 + _HALF) >> 12
+        pred = (S2 << 9) + ((S1 + u_h) >> 3)
+        use = jnp.logical_and(max_delay > 0, pos >= max_delay)
+        out = jnp.where(use, r + pred, r)
+        hist[:] = jnp.where(d_iota == wp, out, h)
+        out_ref[s, :] = out[0]
+        wp = wp + 1
+        wp = jnp.where(wp == D, jnp.int32(0), wp)
+        return (s32 + jnp.int32(1), wp)
+
+    jax.lax.fori_loop(
+        0, tile_l, body,
+        (jnp.int32(0), jnp.mod(l * jnp.int32(tile_l), jnp.int32(D))),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_taps", "interpret"))
+def longterm_synth_tl(data_t, prm_t, num_taps, interpret=False):
+    """data_t: (L, B) int32 residual after LMS synthesis; prm_t: (1+T, B)
+    packed per-row parameters (see kernel). Returns (L, B)."""
+    kernel = functools.partial(
+        _longterm_synth_kernel,
+        num_taps=num_taps,
+        tile_l=TILE_L,
+        hist_d=_LT_HIST_D,
+    )
+    nl = data_t.shape[0] // TILE_L
+    prm_tiled = jnp.tile(prm_t, (nl, 1))  # fresh block per L-step (Mosaic)
+    prm_spec = pl.BlockSpec(
+        (1 + num_taps, TILE_B), lambda b, l: (l, b), memory_space=pltpu.VMEM
+    )
+    scratch = [pltpu.VMEM((_LT_HIST_D, TILE_B), jnp.int32)]
+    return _filter_call(kernel, data_t, [prm_tiled], [prm_spec], scratch, interpret)
+
+
 def _filter_call(kernel, data_t, extra_inputs, extra_specs, scratch, interpret=False):
     """Common pallas_call wiring: grid (B/TB, L/TL) with the L axis fastest
     so VMEM scratch state persists sample order within each row group."""

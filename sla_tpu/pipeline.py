@@ -259,16 +259,24 @@ def _decode_stage_pallas(
     lms_order: int,
     lt_chunk: int = 1,
 ):
-    from .kernels.pallas_filters import TILE_B, lattice_filter_tl, lms_filter_tl
+    from .kernels.pallas_filters import (
+        TILE_B,
+        lattice_filter_tl,
+        lms_filter_tl,
+        longterm_synth_tl,
+    )
 
     B = residual.shape[0]
     res_p = _pad_rows(residual, TILE_B)
     out = lms_filter_tl(res_p.T, lms_order, synthesize=True).T[:B]
     if num_taps > 0:
-        lt_out, _ = longterm_synthesize(
-            out, pitch, ltm_coef, num_taps, longterm_init_state(B), chunk=lt_chunk
-        )
-        out = jnp.where((pitch > 0)[:, None], lt_out, out)
+        # Pallas ring kernel: per-lane variable lags as one-hot selects over
+        # a VMEM output ring (was the 0.18 G row-samples/s decode bound as
+        # an XLA scan; inactive rows pass through inside the kernel)
+        md = jnp.where(pitch > 0, pitch + (num_taps // 2), 0).astype(jnp.int32)
+        q15 = (ltm_coef >> 16).astype(jnp.int32)  # (B, T)
+        prm_p = _pad_rows(jnp.concatenate([md[:, None], q15], axis=1), TILE_B)
+        out = longterm_synth_tl(_pad_rows(out, TILE_B).T, prm_p.T, num_taps).T[:B]
     out_p = _pad_rows(out, TILE_B)
     coef_p = _pad_rows(parcor_coef, TILE_B)
     # lattice synthesis with de-emphasis folded into the kernel

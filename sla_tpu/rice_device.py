@@ -141,22 +141,33 @@ def rice_encode_parts(residual: jnp.ndarray, init_params: jnp.ndarray):
     return values, lengths  # (L, B, 4)
 
 
-def encode_block_payload_device(residual: np.ndarray, init_params: list[int]) -> bytes:
+def encode_block_payload_device(
+    residual: np.ndarray,
+    init_params: list[int],
+    parts: tuple[np.ndarray, np.ndarray] | None = None,
+) -> bytes:
     """Full device-coded payload for one block: returns the byte-aligned
     channel-interleaved payload, byte-identical to the host coder.
 
     residual: (C, n) int32. Falls back to the host coder for the static
-    Golomb branch (cross-channel mean parameter <= 8)."""
+    Golomb branch (cross-channel mean parameter <= 8). parts: optional
+    precomputed ((n, C, 4) values, lengths) from a batched on-chip pass
+    over the whole filter chunk (encoder._attach_device_parts) — then no
+    per-block device dispatch happens at all."""
     from . import native, rice
 
     eff = [rice.effective_init_param(p) for p in init_params]
     if sum(eff) // len(eff) <= CODER_LOW_THRESHOLD_PARAMETER:
         return native.put_data_array(residual, init_params)
     C, n = residual.shape
-    values, lengths = rice_encode_parts(
-        jnp.asarray(residual), jnp.asarray(init_params, dtype=np.uint32)
-    )
-    # (L, C, 4) sample-major with channel-minor order == stream order
-    v = np.asarray(values).reshape(n * C * 4)
-    l = np.asarray(lengths).reshape(n * C * 4)
+    if parts is None:
+        values, lengths = rice_encode_parts(
+            jnp.asarray(residual), jnp.asarray(init_params, dtype=np.uint32)
+        )
+        v_np, l_np = np.asarray(values), np.asarray(lengths)
+    else:
+        v_np, l_np = parts
+    # (n, C, 4) sample-major with channel-minor order == stream order
+    v = np.ascontiguousarray(v_np).reshape(n * C * 4)
+    l = np.ascontiguousarray(l_np).reshape(n * C * 4)
     return native.pack_parts(v, l)

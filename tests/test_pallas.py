@@ -55,3 +55,32 @@ def test_lms_interpret(batch, synthesize):
         lms_filter_tl(jnp.asarray(data.T), 8, synthesize=synthesize, interpret=True)
     ).T
     assert np.array_equal(out, np.asarray(ref))
+
+
+@pytest.mark.parametrize("num_taps", [1, 3, 5])
+def test_longterm_synth_interpret(num_taps):
+    """Pallas ring-select long-term synthesis vs the XLA scan reference,
+    mixed active/inactive rows, multi-tile L (state persists across l)."""
+    from sla_tpu.kernels.longterm import longterm_init_state, longterm_synthesize
+    from sla_tpu.kernels.pallas_filters import longterm_synth_tl
+
+    rng = np.random.default_rng(7)
+    L2 = 2 * TILE_L
+    data = rng.integers(-(1 << 23), 1 << 23, (B, L2), dtype=np.int32)
+    pitch = rng.integers(0, 256, (B,), dtype=np.int32)
+    pitch[::3] = 0  # inactive rows pass through
+    pitch[(pitch > 0) & (pitch < num_taps)] += num_taps  # valid short lags
+    coef = (rng.integers(-32768, 32768, (B, num_taps), dtype=np.int32) << 16)
+
+    ref, _ = longterm_synthesize(
+        jnp.asarray(data), jnp.asarray(pitch), jnp.asarray(coef), num_taps,
+        longterm_init_state(B),
+    )
+    ref = np.where((pitch > 0)[:, None], np.asarray(ref), data)
+    md = np.where(pitch > 0, pitch + num_taps // 2, 0).astype(np.int32)
+    prm = np.concatenate([md[:, None], coef >> 16], axis=1).astype(np.int32)
+    out = np.asarray(
+        longterm_synth_tl(jnp.asarray(data.T), jnp.asarray(prm.T), num_taps,
+                          interpret=True)
+    ).T
+    assert np.array_equal(out, ref)

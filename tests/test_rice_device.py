@@ -50,3 +50,27 @@ def test_encoder_with_device_entropy_env(monkeypatch):
     base = encode()
     monkeypatch.setenv("SLA_TPU_DEVICE_ENTROPY", "1")
     assert encode() == base
+
+
+def test_device_entropy_default_on_mesh_backend():
+    """VERDICT r2 #7: with the mesh filter backend the entropy symbols are
+    coded on-device BY DEFAULT (one batched pass attached at filter time),
+    and the stream stays byte-identical to the pure-host encode."""
+    pcm = gen_wave("chirp", 30000, 2, 16, 0, seed=11)
+
+    def encode(cfg):
+        enc = sla.Encoder(cfg)
+        enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
+        enc.set_encode_parameter(sla.PRESETS[2])
+        blob = enc.encode_whole(pcm)
+        return enc, blob
+
+    _, host_blob = encode(sla.EncoderConfig(backend="host"))
+    enc_mesh, mesh_blob = encode(sla.EncoderConfig(backend="mesh"))
+    assert mesh_blob == host_blob
+    assert getattr(enc_mesh, "_device_entropy_active", False), (
+        "mesh backend should have attached device entropy parts by default")
+    enc_off, off_blob = encode(
+        sla.EncoderConfig(backend="mesh", device_entropy="off"))
+    assert off_blob == host_blob
+    assert not getattr(enc_off, "_device_entropy_active", False)

@@ -90,6 +90,31 @@ def main() -> int:
     ok &= match
     print(f"lms synth        (compiled): {'OK' if match else 'MISMATCH'}", flush=True)
 
+    # 2b. long-term synthesis ring kernel (per-lane variable lags), all tap
+    # counts, mixed active/inactive rows
+    from sla_tpu.kernels.longterm import longterm_init_state, longterm_synthesize
+    from sla_tpu.kernels.pallas_filters import longterm_synth_tl
+
+    for T in (1, 3, 5):
+        pitch = rng.integers(0, 256, (B,), dtype=np.int32)
+        pitch[::3] = 0
+        pitch[(pitch > 0) & (pitch < T)] += T
+        ltc = rng.integers(-32768, 32768, (B, T), dtype=np.int32) << 16
+        ref_lt, _ = longterm_synthesize(
+            jnp.asarray(data), jnp.asarray(pitch), jnp.asarray(ltc), T,
+            longterm_init_state(B),
+        )
+        ref_lt = np.where((pitch > 0)[:, None], np.asarray(ref_lt), data)
+        md = np.where(pitch > 0, pitch + T // 2, 0).astype(np.int32)
+        prm = np.concatenate([md[:, None], ltc >> 16], axis=1).astype(np.int32)
+        got_lt = np.asarray(
+            longterm_synth_tl(jnp.asarray(data.T), jnp.asarray(prm.T), T)
+        ).T
+        match = np.array_equal(got_lt, ref_lt)
+        ok &= match
+        print(f"longterm synth T={T} (compiled): {'OK' if match else 'MISMATCH'}",
+              flush=True)
+
     # 3. full encode, device backend vs host backend, byte equality
     n = 6 * 12288
     t = np.arange(n) / 44100.0
@@ -110,6 +135,18 @@ def main() -> int:
     print(f"device-vs-host encode ({len(blob_host)} bytes): "
           f"{'OK' if match else 'MISMATCH'}", flush=True)
 
+    # 3b. device-entropy path: Rice symbol computation on-chip
+    import os
+
+    os.environ["SLA_TPU_DEVICE_ENTROPY"] = "1"
+    try:
+        blob_dev_ent = encode("device")
+    finally:
+        del os.environ["SLA_TPU_DEVICE_ENTROPY"]
+    match = blob_dev_ent == blob_host
+    ok &= match
+    print(f"device-entropy encode: {'OK' if match else 'MISMATCH'}", flush=True)
+
     # 4. full decode, device backend vs host backend (exercises the compiled
     # Pallas synthesis + the single-tap long-term select path on hardware)
     def decode(backend_name: str) -> np.ndarray:
@@ -126,7 +163,8 @@ def main() -> int:
     status = "all bit-identical" if ok else "MISMATCH DETECTED"
     print(
         f"BASELINE-RECORD: | {stamp} | {device.device_kind} ({backend}) | "
-        f"compiled Pallas lattice+LMS vs scan, device-vs-host encode+decode | {status} |"
+        f"compiled Pallas lattice+LMS+longterm vs scan, device-vs-host "
+        f"encode+decode, device-entropy encode | {status} |"
     )
     print(f"total {time.time() - t0:.1f}s")
     return 0 if ok else 1
