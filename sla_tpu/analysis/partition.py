@@ -174,16 +174,30 @@ def exact_span_costs(
 ) -> np.ndarray:
     """The reference's exact edge cost: a fresh per-(span, channel) LPC
     analysis on the unwindowed double data with the reference's own float64
-    summation order (SLAPredictor.c:1632-1654)."""
+    summation order (SLAPredictor.c:1632-1654). Uses the native rows when
+    available, else the pure-Python exact twin (same bits, slower)."""
     from .. import native
 
+    use_native = native.available()
+    if not use_native:
+        from .. import exact
     cost = np.zeros(len(spans), dtype=np.float64)
     for si, (i0, _j0) in enumerate(spans):
         start = int(positions[i0])
         n_sp = int(min(span_len[si], num_samples - start))
         rows = np.ascontiguousarray(data[:, start : start + n_sp])
-        _, lens = native.lpc_analyze_rows(rows, order, bits_per_sample)
-        cost[si] = (n_sp * lens).sum()
+        if use_native:
+            _, lens = native.lpc_analyze_rows(rows, order, bits_per_sample)
+        else:
+            lens = np.array([
+                exact.lpc_analyze(rows[ch], order, bits_per_sample)[1]
+                for ch in range(rows.shape[0])
+            ])
+        # per-channel n*len summed in channel order (SLAEncoder.c loop)
+        acc = 0.0
+        for ch in range(rows.shape[0]):
+            acc += n_sp * float(lens[ch])
+        cost[si] = acc
     return cost + _ESTIMATE_BLOCK_HEADER_SIZE + OPTIMAL_ESTIMATOR_LONGPATH_PENALTY
 
 
@@ -242,7 +256,7 @@ def search_optimal_partitions_batch(
     # reference byte-for-byte on every fuzz corpus (cost differences sit at
     # byte scale vs ulp noise), but near-ties are theoretically possible;
     # this switch removes even that.
-    exact = bool(os.environ.get("SLA_TPU_EXACT_PARTITION")) and use_native
+    exact = bool(os.environ.get("SLA_TPU_EXACT_PARTITION"))
     order = parcor_order
     geos = [
         _window_geometry(n, mb, xb, delta)
@@ -375,8 +389,9 @@ def search_optimal_partitions_batch(
                 adj[spans[:, 0], spans[:, 1]] = cost_all[consumed : consumed + S]
                 consumed += S
         hops = dijkstra_partition(adj, V)
-        if spans is not None and not exact and use_native:
-            # Near-tie guard (non-batched fallback): see above
+        if spans is not None and not exact:
+            # Near-tie guard (non-batched fallback, also the no-native
+            # path — exact_span_costs has a pure-Python exact twin)
             if min_offpath_slack(adj, V, hops) < PARTITION_TIE_EPS:
                 adj[spans[:, 0], spans[:, 1]] = exact_span_costs(
                     data, positions, spans, span_len, num_samples, order,

@@ -86,12 +86,10 @@ def longterm_coef_rows(
     the predictor is disabled (silent / no peak / unstable / too short a
     lag), matching the encoder's fallback (SLAEncoder.c:628-632).
 
-    When the native module is present, the autocorrelation uses the
-    reference's exact FFT arithmetic and the normal equations its exact LU
-    solver, so every pitch decision and coefficient bit matches the C
-    encoder. The NumPy fallback is mathematically equivalent but may differ
-    in the last float64 ulp (streams remain valid and losslessly decodable,
-    just not guaranteed byte-identical)."""
+    Both paths are byte-identical to the C encoder: the native module runs
+    the reference's exact FFT arithmetic and LU solver (8-row interleaved);
+    without it the pure-Python twins in sla_tpu.exact replicate the same
+    float64 op order, so the guarantee holds toolchain-free (slowly)."""
     assert num_taps % 2 == 1, "tap count must be odd"
     assert 2 * num_samples <= fft_size
     from .. import native
@@ -114,35 +112,17 @@ def longterm_coef_rows(
             LongTermResult(int(pitch_all[r]), coef_all[r])
             for r in range(data.shape[0])
         ]
-    # pure-NumPy fallback (no g++): mathematically equivalent analysis,
-    # last-ulp float64 differences possible (streams valid, not guaranteed
-    # byte-identical — see the module docstring)
-    ac = _fft_autocorr_rows(data[:, :num_samples], fft_size)
-    results: list[LongTermResult] = []
-    zeros = np.zeros(num_taps, dtype=np.float64)
+    # toolchain-free exact path (no g++): pure-Python twins of the exact
+    # FFT autocorrelation, pitch walk, and refined LU solve — bit-identical
+    # to the native analysis (sla_tpu.exact), just slow
+    from .. import exact
+
+    results = []
     for row in range(data.shape[0]):
-        acr = ac[row]
-        if abs(acr[0]) <= _FLT_MIN:
-            results.append(LongTermResult(0, zeros.copy()))
-            continue
-        pitch = _find_pitch(acr, LONGTERM_MAX_PERIOD)
-        if pitch == 0 or pitch < (num_taps // 2) + 1 or pitch >= LONGTERM_MAX_PERIOD:
-            results.append(LongTermResult(0, zeros.copy()))
-            continue
-        # Toeplitz normal equations: R_mat[j][k] = ac[|j-k|]
-        idx = np.abs(np.arange(num_taps)[:, None] - np.arange(num_taps)[None, :])
-        R = acr[idx]
-        rhs = acr[np.arange(num_taps) + pitch - num_taps // 2]
-        try:
-            coef = np.linalg.solve(R, rhs)
-        except np.linalg.LinAlgError:
-            results.append(LongTermResult(0, zeros.copy()))
-            continue
-        if not np.all(np.isfinite(coef)):
-            results.append(LongTermResult(0, zeros.copy()))
-            continue
-        if np.abs(coef).sum() >= 1.0:
-            coef = zeros.copy()
-            coef[num_taps // 2] = acr[pitch] / acr[0]
-        results.append(LongTermResult(int(pitch), coef))
+        acr = exact.longterm_autocorr(
+            np.ascontiguousarray(data[row, :num_samples]), num_samples,
+            fft_size, out_lags,
+        )
+        pitch, coef = exact.longterm_post(acr, num_taps, LONGTERM_MAX_PERIOD)
+        results.append(LongTermResult(pitch, coef))
     return results

@@ -90,6 +90,13 @@ def _make_window_uncached(
 
     if use_native and native.available() and kind_int <= 4:
         return native.make_window(kind_int, n)
+    if kind_int <= 4:
+        # toolchain-free exact path: CPython's math module calls the same
+        # libm as the compiled generator, with the reference's association
+        # (sla_tpu.exact.make_window) — byte-identity holds without g++
+        from .. import exact
+
+        return exact.make_window(kind_int, n)
     if kind == WindowFunctionType.RECTANGULAR:
         return rectangular(n)
     if kind == WindowFunctionType.SIN:

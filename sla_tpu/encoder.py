@@ -624,14 +624,20 @@ class Encoder:
                 parcor = parcor_r.reshape(batch_dbl.shape[:-1] + (p + 1,))
                 code_len = len_r.reshape(batch_dbl.shape[:-1])
             else:
-                # windowing + double pre-emphasis (NumPy materializes the RHS
-                # temp before the in-place subtract, so no defensive copy of
-                # the shifted view is needed)
-                batch_dbl *= window
-                coef = (2.0 ** 5 - 1.0) * 2.0 ** -5
-                batch_dbl[..., 1:] -= batch_dbl[..., :-1] * coef
-                parcor = calculate_parcor(batch_dbl, p)  # (Nb, C, p+1)
-                code_len = estimate_code_length(batch_dbl, wf.bit_per_sample, parcor, p)
+                # toolchain-free exact path: pure-Python twins of the exact
+                # windowed + pre-emphasized analysis (sla_tpu.exact),
+                # bit-identical to the native rows — slow, per row
+                from . import exact
+
+                flat = batch_dbl.reshape(-1, n)
+                parcor = np.zeros((flat.shape[0], p + 1), dtype=np.float64)
+                code_len = np.zeros(flat.shape[0], dtype=np.float64)
+                for r in range(flat.shape[0]):
+                    parcor[r], code_len[r] = exact.lpc_analyze(
+                        flat[r], p, wf.bit_per_sample, window=window, emphasis=True
+                    )
+                parcor = parcor.reshape(batch_dbl.shape[:-1] + (p + 1,))
+                code_len = code_len.reshape(batch_dbl.shape[:-1])
             ratio = 8.0 * code_len / wf.bit_per_sample
             comp_rows: list[int] = []
             comp_plans: list[_BlockPlan] = []

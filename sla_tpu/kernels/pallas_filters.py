@@ -184,8 +184,9 @@ def _longterm_synth_kernel(res_ref, prm_ref, out_ref, hist, *, num_taps,
     reassembled limb-wise; verified identical to the int64 form over the
     full int32 range.
 
-    prm_ref: (1+T, TB) — row 0 max_delay (0 = inactive row), rows 1..T the
-    q15 coefficients. hist: (D, TB) scratch ring, persists across l."""
+    prm_ref: (8, TB) — row 0 max_delay (0 = inactive row), rows 1..T the
+    q15 coefficients, rest zero padding (Mosaic requires the sublane dim
+    divisible by 8). hist: (D, TB) scratch ring, persists across l."""
     T = num_taps
     D = hist_d
     TB = res_ref.shape[1]
@@ -244,10 +245,13 @@ def longterm_synth_tl(data_t, prm_t, num_taps, interpret=False):
         hist_d=_LT_HIST_D,
     )
     nl = data_t.shape[0] // TILE_L
+    if prm_t.shape[0] < 8:  # pad sublanes to 8 (Mosaic block-shape rule)
+        prm_t = jnp.concatenate(
+            [prm_t, jnp.zeros((8 - prm_t.shape[0], prm_t.shape[1]), prm_t.dtype)],
+            axis=0,
+        )
     prm_tiled = jnp.tile(prm_t, (nl, 1))  # fresh block per L-step (Mosaic)
-    prm_spec = pl.BlockSpec(
-        (1 + num_taps, TILE_B), lambda b, l: (l, b), memory_space=pltpu.VMEM
-    )
+    prm_spec = pl.BlockSpec((8, TILE_B), lambda b, l: (l, b), memory_space=pltpu.VMEM)
     scratch = [pltpu.VMEM((_LT_HIST_D, TILE_B), jnp.int32)]
     return _filter_call(kernel, data_t, [prm_tiled], [prm_spec], scratch, interpret)
 

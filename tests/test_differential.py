@@ -135,3 +135,34 @@ def test_a_wav_both_directions(ref_binary, a_wav, tmp_path):
     p.write_bytes(ours)
     out2 = ref_decode(ref_binary, p, tmp_path / "a_dec.wav")
     assert np.array_equal(out2.data, wav.data)
+
+
+@pytest.mark.parametrize("kind,ch,width,mode,n", [
+    ("sine", 2, 16, 2, 20000),   # stereo MS + longterm + partition
+    ("gauss", 1, 16, 1, 14000),  # mono, different preset
+    ("chirp", 2, 16, 3, 16000),  # multi-tap longterm (exact LU path)
+])
+def test_no_native_byte_identity(kind, ch, width, mode, n, ref_binary, tmp_path):
+    """VERDICT r2 #4: toolchain-free byte-identity. With the native library
+    disabled (SLA_TPU_NO_NATIVE=1) the pure-Python exact twins
+    (sla_tpu.exact: four1/realft, term-reuse autocorrelation, Levinson,
+    libm windows, long-double-refined LU) must still reproduce the
+    reference C stream bit for bit. Small cases — the exact Python path is
+    deliberately slow."""
+    import os
+    import sys
+
+    pcm = gen_wave(kind, n, ch, width, 0, seed=123)
+    wav_path = tmp_path / "in.wav"
+    wavio.write_wav(str(wav_path), wavio.WavFile(ch, 44100, width, pcm))
+    out = tmp_path / "ours.sla"
+    env = {**os.environ, "SLA_TPU_NO_NATIVE": "1", "JAX_PLATFORMS": "cpu"}
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # never touch the TPU tunnel
+    r = subprocess.run(
+        [sys.executable, "-m", "sla_tpu", "-e", "-q", "-m", str(mode),
+         str(wav_path), str(out)],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    ref_blob = ref_encode(ref_binary, wav_path, tmp_path / "ref.sla", mode)
+    assert out.read_bytes() == ref_blob
