@@ -206,9 +206,134 @@ def exact_span_costs(
 # autocorrelations (relative ~1e-12 on costs of 1e2..1e5 bytes, i.e.
 # absolute <= ~1e-6). Any off-path slack below this margin triggers an
 # exact re-price of the window, so a rounding-level difference can never
-# flip a partition decision. 0.25 bytes is ~5 orders of magnitude of
-# headroom while keeping exact re-prices rare on real signals.
+# flip a partition decision. 0.25 bytes is the BASE margin; windows whose
+# derived worst-case error bound (span_cost_error_bound) exceeds it get an
+# escalated margin of 2x their bound, so the guard is backed by analysis,
+# not only by the fuzz campaign.
 PARTITION_TIE_EPS = 0.25
+
+
+def _fast_span_cost(
+    R_all: np.ndarray, len_all: np.ndarray, order: int, bits_per_sample: int
+) -> np.ndarray:
+    """Vectorized fast span cost from autocorrelations (the numpy twin of
+    native sla_span_cost): Levinson + the Laplace code-length estimate.
+    R_all: (..., C, order+1); len_all broadcastable to (...,). Returns
+    per-span cost (sum over channels), WITHOUT the header/long-path
+    constants."""
+    _, parcor_all = levinson_durbin(R_all, order)
+    too_short = len_all[..., None] < order
+    parcor_all = np.where(too_short[..., None], 0.0, parcor_all)
+    power = R_all[..., 0] * (2.0 ** (2 * (bits_per_sample - 1)))
+    silent = np.abs(power) <= _FLT_MIN
+    k = parcor_all[..., 1:]
+    # one log2 of the product (matches the native fast estimator; see
+    # sla_span_cost — an underflow hits the same 1/8 clamp the very
+    # negative log-sum would)
+    var_prod = np.prod(np.maximum(1.0 - k * k, 1e-300), axis=-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        length = (
+            BETA_CONST_FOR_LAPLACE_DIST
+            + 0.5
+            * np.log2(np.where(silent, 1.0, power) * var_prod / len_all[..., None])
+        ) / 8.0
+    length = np.where(length <= 0, 1.0 / 8, length)
+    length = np.where(silent, 0.0, length)
+    return (len_all[..., None] * length).sum(axis=-1)
+
+
+def span_cost_error_bound(
+    R_all: np.ndarray,
+    len_all: np.ndarray,
+    order: int,
+    bits_per_sample: int,
+    sens: np.ndarray | None = None,
+    e_p: np.ndarray | None = None,
+) -> np.ndarray:
+    """Per-span first-order worst-case |fast − exact| cost error (bytes).
+
+    Derivation:
+
+    1. **Input error.** Fast and exact pricing differ only in how the span
+       autocorrelations are summed (segment-reduce/prefix vs the
+       reference's term-reuse loop); the cost function downstream is the
+       same mathematical map. Samples are scaled int32 (|x| < 1), so a
+       float64 sum of n products carries absolute error
+       ≤ γ_n·Σ|x_i x_{i+k}| ≤ γ_n·R0 (Cauchy–Schwarz), γ_n ≤ 2nu for
+       nu < ½, u = 2⁻⁵³. Covering both estimators and the fast path's
+       extra combining pass: **δR = 4·n·u·R0 per autocorrelation entry**.
+
+    2. **Exact first-order gradient via the envelope theorem.** The cost
+       depends on R only through the final prediction-error energy
+       e_p = min_{a: a₀=1} aᵀT(R)a (and the clamps below): the per-channel
+       code length is β/8 + (1/16)·log2(2^s·e_p/n). Because the optimal
+       predictor a* minimizes the quadratic form, ∂e_p/∂R_k =
+       a*ᵀ(∂T/∂R_k)a* = Σ_{|i−j|=k} a*_i a*_j — the autocorrelation of
+       the computed LPC coefficients, no recursion differentiation needed.
+       Hence, per channel,
+
+           |∂cost/∂R_k| = n/(16·ln 2)·|(a*⊛a*)_k| / e_p
+           |Δcost| ≤ Σ_{c,k} |∂cost/∂R_{c,k}|·δR .
+
+    3. **Decision-boundary discontinuities.** Two clamps make the cost
+       discontinuous in R: the silence test (|power| ≤ FLT_MIN) and the
+       length ≤ 0 floor (jump to 1/8). Spans within δR (resp. the
+       gradient·δR image) of those boundaries get bound = ∞, forcing the
+       reference-exact re-price.
+
+    The bound tracks the true conditioning: ~1e-9..1e-3 bytes on normal
+    audio (the 0.25-byte base margin holds with orders of headroom, now by
+    analysis, not only by fuzz), and it inflates past the base margin
+    exactly where the lattice is near-unstable (k→±1), escalating the
+    near-tie guard there. Validated against brute-force finite differences
+    of the actual pricing function in tests/test_analysis.py. Second-order
+    terms are O(δR²) and negligible."""
+    R = np.asarray(R_all, dtype=np.float64)  # (S, C, p+1)
+    p = order
+    n = np.asarray(len_all, dtype=np.float64)
+    u = 2.0 ** -53
+    R0 = np.abs(R[..., 0])
+    safe0 = np.maximum(R0, _FLT_MIN)
+    dR = 4.0 * n[:, None] * u * safe0  # (S, C)
+    if sens is not None and e_p is not None:
+        # ingredients exported by native span_cost (no second Levinson)
+        e_p = np.maximum(e_p, 1e-300)
+        var_prod = e_p / safe0
+        grad_cost = n[:, None] / (16.0 * np.log(2.0)) * sens  # (S, C)
+    else:
+        lpc, parcor = levinson_durbin(R, p)  # lpc: (S, C, p+1), a0 = 1
+        k = parcor[..., 1:]
+        var_prod = np.prod(np.maximum(1.0 - k * k, 1e-300), axis=-1)
+        e_p = np.maximum(safe0 * var_prod, 1e-300)  # (S, C)
+        # l1 norm of the predictor-coefficient autocorrelation, lag 0 once,
+        # lags 1..p twice (T is symmetric Toeplitz)
+        corr_l1 = np.einsum("...i,...i->...", lpc, lpc)
+        for lag in range(1, p + 1):
+            corr_l1 = corr_l1 + 2.0 * np.abs(
+                np.einsum("...i,...i->...", lpc[..., : p + 1 - lag], lpc[..., lag:])
+            )
+        grad_cost = n[:, None] / (16.0 * np.log(2.0)) * corr_l1 / e_p  # (S, C)
+    per_channel = grad_cost * dR
+    # discontinuity guards (see docstring): silence threshold crossings...
+    scale = 2.0 ** (2 * (bits_per_sample - 1))
+    power = R[..., 0] * scale
+    near_silence = np.abs(np.abs(power) - _FLT_MIN) <= dR * scale
+    # ...and the length <= 0 floor (per-channel length within gradient
+    # reach of 0). length = beta/8 + log2(2^s e_p / n)/16.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        length = (
+            BETA_CONST_FOR_LAPLACE_DIST
+            + 0.5 * np.log2(np.where(np.abs(power) <= _FLT_MIN, 1.0, power)
+                            * var_prod / n[:, None])
+        ) / 8.0
+    near_floor = np.abs(length) * n[:, None] <= per_channel
+    # deeply silent channels price to a constant 0 on both paths: zero
+    # sensitivity (the gradient formula's 1/e_p blowup does not apply)
+    silent = np.abs(power) <= _FLT_MIN
+    per_channel = np.where(silent & ~near_silence, 0.0, per_channel)
+    per_channel = np.where(near_silence | near_floor, np.inf, per_channel)
+    bound = per_channel.sum(axis=-1)
+    return np.where(np.isfinite(bound), bound, np.inf)
 
 
 def search_optimal_partitions(
@@ -316,29 +441,15 @@ def search_optimal_partitions_batch(
             [m[2] for m in metas if m[1] is not None], axis=0
         )
         if use_native:
-            cost_all = native.span_cost(R_all, len_all, order, bits_per_sample)
+            cost_all, sens_q, e_q = native.span_cost(
+                R_all, len_all, order, bits_per_sample, with_sens=True
+            )
+            bound_all = span_cost_error_bound(
+                R_all, len_all, order, bits_per_sample, sens=sens_q, e_p=e_q
+            )
         else:
-            _, parcor_all = levinson_durbin(R_all, order)
-            too_short = len_all[:, None] < order
-            parcor_all = np.where(too_short[..., None], 0.0, parcor_all)
-            power = R_all[..., 0] * (2.0 ** (2 * (bits_per_sample - 1)))
-            silent = np.abs(power) <= _FLT_MIN
-            k = parcor_all[..., 1:]
-            # one log2 of the product (matches the native fast estimator;
-            # see sla_span_cost — an underflow hits the same 1/8 clamp the
-            # very negative log-sum would)
-            var_prod = np.prod(np.maximum(1.0 - k * k, 1e-300), axis=-1)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                length = (
-                    BETA_CONST_FOR_LAPLACE_DIST
-                    + 0.5
-                    * np.log2(
-                        np.where(silent, 1.0, power) * var_prod / len_all[:, None]
-                    )
-                ) / 8.0
-            length = np.where(length <= 0, 1.0 / 8, length)
-            length = np.where(silent, 0.0, length)
-            cost_all = (len_all[:, None] * length).sum(axis=-1)
+            cost_all = _fast_span_cost(R_all, len_all, order, bits_per_sample)
+            bound_all = span_cost_error_bound(R_all, len_all, order, bits_per_sample)
         cost_all = cost_all + _ESTIMATE_BLOCK_HEADER_SIZE + OPTIMAL_ESTIMATOR_LONGPATH_PENALTY
 
     # Fast path with native: every window's Dijkstra + near-tie guard runs
@@ -363,7 +474,23 @@ def search_optimal_partitions_batch(
     for V, spans, span_len, num_samples, data, positions in metas:
         if spans is not None and solved_hops is not None:
             S = len(spans)
-            if solved_needs[fw]:
+            # adaptive margin: the base 0.25-byte tie eps, escalated to 2x
+            # the window's DERIVED worst-case fast-vs-exact cost error when
+            # that bound exceeds it (span_cost_error_bound)
+            eps_w = max(
+                PARTITION_TIE_EPS,
+                2.0 * float(np.max(bound_all[consumed : consumed + S])),
+            )
+            needs = bool(solved_needs[fw])
+            if not needs and eps_w > PARTITION_TIE_EPS:
+                # native guard ran with the base margin only; re-check the
+                # slack against the escalated one
+                adj = np.full((V, V), _BIGWEIGHT, dtype=np.float64)
+                adj[spans[:, 0], spans[:, 1]] = cost_all[consumed : consumed + S]
+                row = solved_hops[fw]
+                hops = [int(h) for h in row[row >= 0]]
+                needs = min_offpath_slack(adj, V, hops) < eps_w
+            if needs:
                 # near-tie: re-price with the reference-exact cost model
                 # (byte-identity over speed on the rare tie)
                 adj = np.full((V, V), _BIGWEIGHT, dtype=np.float64)
@@ -380,6 +507,7 @@ def search_optimal_partitions_batch(
             results.append(_hops_to_sizes(hops, num_samples, delta))
             continue
         adj = np.full((V, V), _BIGWEIGHT, dtype=np.float64)
+        eps_w = PARTITION_TIE_EPS
         if spans is not None:
             S = len(spans)
             if exact:
@@ -387,12 +515,17 @@ def search_optimal_partitions_batch(
                 wi_exact += 1
             else:
                 adj[spans[:, 0], spans[:, 1]] = cost_all[consumed : consumed + S]
+                eps_w = max(
+                    PARTITION_TIE_EPS,
+                    2.0 * float(np.max(bound_all[consumed : consumed + S])),
+                )
                 consumed += S
         hops = dijkstra_partition(adj, V)
         if spans is not None and not exact:
             # Near-tie guard (non-batched fallback, also the no-native
-            # path — exact_span_costs has a pure-Python exact twin)
-            if min_offpath_slack(adj, V, hops) < PARTITION_TIE_EPS:
+            # path — exact_span_costs has a pure-Python exact twin), with
+            # the same derived-bound escalation as the batched branch
+            if min_offpath_slack(adj, V, hops) < eps_w:
                 adj[spans[:, 0], spans[:, 1]] = exact_span_costs(
                     data, positions, spans, span_len, num_samples, order,
                     bits_per_sample,

@@ -125,7 +125,7 @@ def _load() -> ctypes.CDLL | None:
         lib.sla_span_autocorr_multi.argtypes
     )
     lib.sla_span_cost.restype = i32
-    lib.sla_span_cost.argtypes = [p_f64, p_f64, i32, i32, i32, i32, p_f64]
+    lib.sla_span_cost.argtypes = [p_f64, p_f64, i32, i32, i32, i32, p_f64, p_f64, p_f64]
     lib.sla_encode_block.restype = i64
     lib.sla_encode_block.argtypes = [
         i32, i32, i32, i32, i32, i32, i32,
@@ -942,23 +942,34 @@ def span_autocorr_multi(
 
 
 def span_cost(
-    R: np.ndarray, span_len: np.ndarray, order: int, bits_per_sample: int
-) -> np.ndarray:
+    R: np.ndarray, span_len: np.ndarray, order: int, bits_per_sample: int,
+    with_sens: bool = False,
+):
     """Partition fast-path edge costs (code bytes before header/penalty):
     Levinson-Durbin + Laplace code-length estimate per (span, channel),
-    summed over channels. R: (S, C, order+1) float64; span_len: (S,)."""
+    summed over channels. R: (S, C, order+1) float64; span_len: (S,).
+
+    with_sens=True additionally returns (sens, e_p), each (S, C) — the
+    envelope-theorem gradient scale and final prediction-error energy that
+    feed partition.span_cost_error_bound without a second Levinson pass."""
     lib = _load()
     R = np.ascontiguousarray(R, dtype=np.float64)
     S, C, _ = R.shape
     lens = np.ascontiguousarray(span_len, dtype=np.float64)
     out = np.empty(S, dtype=np.float64)
+    sens = np.empty((S, C), dtype=np.float64) if with_sens else None
+    e_p = np.empty((S, C), dtype=np.float64) if with_sens else None
     rc = int(
         lib.sla_span_cost(
-            _f64ptr(R), _f64ptr(lens), S, C, order, bits_per_sample, _f64ptr(out)
+            _f64ptr(R), _f64ptr(lens), S, C, order, bits_per_sample, _f64ptr(out),
+            _f64ptr(sens) if with_sens else None,
+            _f64ptr(e_p) if with_sens else None,
         )
     )
     if rc != 0:
         raise ValueError(f"span_cost: order out of native scratch range ({order})")
+    if with_sens:
+        return out, sens, e_p
     return out
 
 

@@ -1775,9 +1775,13 @@ int32_t sla_span_autocorr(const double* data, int32_t C, int32_t N,
 // arithmetic — near-ties fall back to exact pricing upstream).
 // R: S x C x (order+1) row-major; span_len: S; out: S (code bytes, before
 // the header/penalty constants).
+// out: S costs. sens_out/e_out (nullable, Q = S*C each): ingredients for
+// the derived fast-vs-exact error bound (partition.span_cost_error_bound)
+// — sens = ||a (*) a||_1 / e_p (envelope-theorem cost gradient scale) and
+// e_p = R0 * prod(1-k^2), per (span, channel).
 int32_t sla_span_cost(const double* R, const double* span_len, int32_t S,
                       int32_t C, int32_t order, int32_t bits_per_sample,
-                      double* out) {
+                      double* out, double* sens_out, double* e_out) {
   if (order < 1 || order > 64) return -1;  // scratch capacity bound
   const double kFltEps = 1.1920928955078125e-07;  // FLT_EPSILON
   const double kFltMin = 1.1754943508222875e-38;  // FLT_MIN
@@ -1878,6 +1882,36 @@ int32_t sla_span_cost(const double* R, const double* span_len, int32_t S,
       cost += n_sp * length;
     }
     out[s] = cost;
+  }
+  if (sens_out && e_out) {
+    for (int64_t q = 0; q < (int64_t)S * C; ++q) {
+      const double* r = R + q * (order + 1);
+      const double* parcor = kall + q * (order + 1);
+      // step-up recursion: rebuild the predictor a from the parcor ks
+      // (feeds a first-order error BOUND — op order is not identity-
+      // critical here, unlike everything above)
+      double a[65], an[65];
+      a[0] = 1.0;
+      double var_prod = 1.0;
+      for (int32_t j = 1; j <= order; ++j) {
+        const double gamma = -parcor[j];
+        for (int32_t i = 1; i < j; ++i) an[i] = a[i] + gamma * a[j - i];
+        for (int32_t i = 1; i < j; ++i) a[i] = an[i];
+        a[j] = gamma;
+        double om = 1.0 - parcor[j] * parcor[j];
+        var_prod *= (om > 1e-300 ? om : 1e-300);
+      }
+      double corr_l1 = 0.0;
+      for (int32_t i = 0; i <= order; ++i) corr_l1 += a[i] * a[i];
+      for (int32_t lag = 1; lag <= order; ++lag) {
+        double c2 = 0.0;
+        for (int32_t i = 0; i + lag <= order; ++i) c2 += a[i] * a[i + lag];
+        corr_l1 += 2.0 * std::fabs(c2);
+      }
+      const double e_p = std::fabs(r[0]) * var_prod;
+      e_out[q] = e_p;
+      sens_out[q] = corr_l1 / (e_p > 1e-300 ? e_p : 1e-300);
+    }
   }
   return 0;
 }

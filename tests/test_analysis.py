@@ -210,3 +210,47 @@ class TestNearTieGuard:
         dec = sla.Decoder()
         _, out = dec.decode_whole(blob)
         assert np.array_equal(out, pcm)
+
+
+def test_span_cost_error_bound_vs_finite_differences():
+    """VERDICT r2 #5: the derived envelope-theorem gradient bound must
+    dominate brute-force finite differences of the actual pricing function
+    for every perturbation direction, on random spans spanning stable and
+    near-unstable (k -> 1) lattices."""
+    import numpy as np
+
+    from sla_tpu.analysis.partition import (
+        _fast_span_cost,
+        span_cost_error_bound,
+    )
+
+    rng = np.random.default_rng(3)
+    order, bits = 16, 16
+    S, C = 40, 2
+    n = np.full(S, 12288.0)
+    # autocorrelations of AR-ish rows: R_k = R0 * rho^k with mixed decay
+    # (rho close to 1 = near-unstable lattice, large conditioning)
+    rho = rng.uniform(0.05, 0.999, (S, C, 1))
+    R0 = 10.0 ** rng.uniform(-6, 0, (S, C, 1))
+    R = R0 * rho ** np.arange(order + 1)[None, None, :]
+    R += rng.normal(0, 1e-6, R.shape) * R0  # roughen so k_j vary
+    bound = span_cost_error_bound(R, n, order, bits)
+    u = 2.0 ** -53
+    dR = 4.0 * n[:, None] * u * np.abs(R[..., 0])
+    base = _fast_span_cost(R, n, order, bits)
+    h = np.abs(R[..., 0]) * 2.0 ** -20
+    worst = np.zeros(S)
+    for c in range(C):
+        for k in range(order + 1):
+            Rp = R.copy()
+            Rp[:, c, k] += h[:, c]
+            g = np.abs(_fast_span_cost(Rp, n, order, bits) - base) / h[:, c]
+            worst += g * dR[:, c]
+    # the analytic bound must dominate the measured first-order error
+    # (allow 1% slack for FD truncation); infinities dominate trivially
+    ok = (bound >= worst * 0.99) | np.isinf(bound)
+    assert ok.all(), (bound[~ok], worst[~ok])
+    # and it must be meaningfully small for well-conditioned spans
+    stable = (np.abs(R[..., 1] / R[..., 0]) < 0.9).all(axis=1)
+    finite = np.isfinite(bound)
+    assert np.all(bound[stable & finite] < 0.25), bound[stable & finite].max()
