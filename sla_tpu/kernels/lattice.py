@@ -42,6 +42,23 @@ def _qmul(c: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return (c * v + _HALF) >> 15
 
 
+def _check_qmul(c: jnp.ndarray, v: jnp.ndarray, what: str) -> None:
+    """Debug-assert twin of the reference's NDEBUG'd invariants for the
+    Q15 stage products (the lattice analog of SLAPredictor.c:1265-1271):
+    the quantized coefficient must be a true Q15 value and the rounded
+    stage product must fit int32 — a violation means the int32 wrap the
+    fast kernels rely on changed a value. Traced only under
+    SLA_TPU_DEBUG_ASSERTS (checkify)."""
+    from .. import debug
+
+    q = (c.astype(jnp.int64) * v.astype(jnp.int64) + _HALF) >> 15
+    debug.check(
+        jnp.all(jnp.abs(c) <= (1 << 15))
+        & jnp.all((q <= jnp.int64(2**31 - 1)) & (q >= jnp.int64(-(2**31)))),
+        f"lattice {what} stage product overflows int32",
+    )
+
+
 def lattice_predict(
     data: jnp.ndarray, coef: jnp.ndarray, backward: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -51,13 +68,20 @@ def lattice_predict(
     backward: (B, p+1) int32 state. Returns (residual (B,N), new state).
     """
     c = coef.astype(jnp.int32)
+    from .. import debug
+
+    embed_asserts = debug.asserts_enabled()
 
     def step(b_prev, x):
+        if embed_asserts:
+            _check_qmul(c, b_prev[:, :-1], "predict")
         # m[k-1] = (c[k] * b_prev[k-1] + h) >> 15 for k = 1..p
         m = _qmul(c, b_prev[:, :-1])
         # cumsum pinned to int32: wraparound semantics as in the C loop
         f = x[:, None] - jnp.cumsum(m, axis=1, dtype=jnp.int32)  # f[1..p]
         f_prev = jnp.concatenate([x[:, None], f[:, :-1]], axis=1)  # f[0..p-1]
+        if embed_asserts:
+            _check_qmul(c, f_prev, "predict-update")
         b_hi = b_prev[:, :-1] - _qmul(c, f_prev)        # b[1..p]
         b_new = jnp.concatenate([x[:, None], b_hi], axis=1)
         return b_new, f[:, -1]
@@ -75,12 +99,19 @@ def lattice_synthesize(
     Returns (output (B,N), new state).
     """
     c = coef.astype(jnp.int32)
+    from .. import debug
+
+    embed_asserts = debug.asserts_enabled()
 
     def step(b_prev, r):
+        if embed_asserts:
+            _check_qmul(c, b_prev[:, :-1], "synth")
         m = _qmul(c, b_prev[:, :-1])                    # stage terms k=1..p
         # suffix sums: f after processing stages p..k equals r + sum_{j>=k} m[j]
         suf = jnp.cumsum(m[:, ::-1], axis=1, dtype=jnp.int32)[:, ::-1]
         f_partial = r[:, None] + suf                    # f after stage k, k=1..p
+        if embed_asserts:
+            _check_qmul(c, f_partial, "synth-update")
         b_hi = b_prev[:, :-1] - _qmul(c, f_partial)     # b[1..p]
         out = f_partial[:, 0]                           # all stages applied
         b_new = jnp.concatenate([out[:, None], b_hi], axis=1)

@@ -122,12 +122,25 @@ def longterm_synthesize(
         active_row1 = pitch > 0
         q0 = q[:, 0]
 
+        from .. import debug
+
+        embed_asserts = debug.asserts_enabled()
+
         def step1(carry, r):
             h, t = carry  # h: (B, D) int32
             sel = jnp.sum(mask * h, axis=1)  # single nonzero -> exact
-            pred = (
-                (q0 * sel.astype(jnp.int64) + (1 << 14)) >> 15
-            ).astype(jnp.int32)
+            pred64 = (q0 * sel.astype(jnp.int64) + (1 << 14)) >> 15
+            if embed_asserts:
+                # the reference computes the prediction in int64 and casts
+                # to int32 (SLAPredictor.c:1083-1087, cast at the update);
+                # assert the cast is value-preserving, mirroring the LMS
+                # overflow asserts' intent (SLAPredictor.c:1265-1271)
+                debug.check(
+                    jnp.all((pred64 <= jnp.int64(2**31 - 1))
+                            & (pred64 >= jnp.int64(-(2**31)))),
+                    "long-term prediction overflows int32",
+                )
+            pred = pred64.astype(jnp.int32)
             use = active_row1 & (t >= max_delay)
             out = jnp.where(use, r + pred, r)
             h = jnp.concatenate([h[:, 1:], out[:, None]], axis=1)
@@ -147,10 +160,21 @@ def longterm_synthesize(
         kern = kern.at[jnp.arange(B), pos].add(q[:, j])
     active_row = pitch > 0
 
+    from .. import debug
+
+    embed_asserts = debug.asserts_enabled()
+
     def step(carry, r):
         h, t = carry  # h: (B, D) int64, t: (B,) int32
         s = jnp.sum(kern * h, axis=1)
-        pred = ((s + (1 << 14)) >> 15).astype(jnp.int32)
+        pred64 = (s + (1 << 14)) >> 15
+        if embed_asserts:
+            debug.check(
+                jnp.all((pred64 <= jnp.int64(2**31 - 1))
+                        & (pred64 >= jnp.int64(-(2**31)))),
+                "long-term prediction overflows int32",
+            )
+        pred = pred64.astype(jnp.int32)
         use = active_row & (t >= max_delay)
         out = jnp.where(use, r + pred, r)
         h = jnp.concatenate([h[:, 1:], out[:, None].astype(jnp.int64)], axis=1)
@@ -192,13 +216,23 @@ def _longterm_synthesize_chunked(
         lambda row, st: jax.lax.dynamic_slice_in_dim(row, st, chunk)
     )
     active_row = pitch > 0
+    from .. import debug
+
+    embed_asserts = debug.asserts_enabled()
 
     def step(carry, r):
         h, t = carry  # h: (B, D) int64, t: (B,) int32
         acc = jnp.zeros((B, chunk), dtype=jnp.int64)
         for j in range(num_taps):
             acc = acc + q[:, j : j + 1] * slice_rows(h, starts[j])
-        pred = ((acc + (1 << 14)) >> 15).astype(jnp.int32)
+        pred64 = (acc + (1 << 14)) >> 15
+        if embed_asserts:
+            debug.check(
+                jnp.all((pred64 <= jnp.int64(2**31 - 1))
+                        & (pred64 >= jnp.int64(-(2**31)))),
+                "long-term prediction overflows int32",
+            )
+        pred = pred64.astype(jnp.int32)
         pos = t[:, None] + c_idx
         use = active_row[:, None] & (pos >= max_delay[:, None])
         out = jnp.where(use, r + pred, r)

@@ -25,7 +25,16 @@ _SRC = _DIR / "sla_native.cpp"
 # ASAN_OPTIONS; the fp flags stay identical so the sanitized build is
 # byte-identical too and identity fuzz can run under it.
 _SANITIZE = bool(os.environ.get("SLA_TPU_SANITIZE"))
-_LIB = _DIR / ("libsla_native_san.so" if _SANITIZE else "libsla_native.so")
+# SLA_TPU_NATIVE_DEBUG selects a -DSLA_TPU_DEBUG build whose cascades carry
+# the reference's SLA_Assert-equivalent invariant checks (LMS tap products,
+# lattice stage products, long-term prediction range, Levinson e>=0 and
+# |gamma|<1) — compiled out of the production lib exactly like NDEBUG.
+_NATIVE_DEBUG = bool(os.environ.get("SLA_TPU_NATIVE_DEBUG"))
+_LIB = _DIR / (
+    "libsla_native_san.so" if _SANITIZE
+    else "libsla_native_dbg.so" if _NATIVE_DEBUG
+    else "libsla_native.so"
+)
 
 _lib: ctypes.CDLL | None = None
 _load_failed = False
@@ -45,6 +54,8 @@ def _build() -> bool:
         # int32 semantics the format needs, so UBSan won't flag those.)
         cmd += ["-fsanitize=address,undefined", "-fno-sanitize-recover=all",
                 "-fno-omit-frame-pointer", "-g"]
+    if _NATIVE_DEBUG:
+        cmd += ["-DSLA_TPU_DEBUG"]
     try:
         subprocess.run(
             cmd + ["-o", str(_LIB), str(_SRC)],

@@ -22,6 +22,25 @@
 #include <immintrin.h>
 #endif
 
+// Debug-build invariant checks (SLA_TPU_NATIVE_DEBUG=1 builds with
+// -DSLA_TPU_DEBUG): the native twin of the reference's SLA_Assert
+// (SLAInternal.h:49-54, compiled out by NDEBUG in release — same policy
+// here: zero overhead unless the debug lib is selected). A violation
+// aborts loudly so tests can catch it at process level.
+#ifdef SLA_TPU_DEBUG
+#include <cstdio>
+#define SLA_DBG_ASSERT(cond, msg)                                          \
+  do {                                                                     \
+    if (!(cond)) {                                                         \
+      std::fprintf(stderr, "SLA debug assert failed: %s (%s:%d)\n", msg,   \
+                   __FILE__, __LINE__);                                    \
+      std::abort();                                                        \
+    }                                                                      \
+  } while (0)
+#else
+#define SLA_DBG_ASSERT(cond, msg) ((void)0)
+#endif
+
 namespace {
 
 // Worker-thread count for the block-parallel entropy stages: the format's
@@ -2420,6 +2439,17 @@ static void lms_rowsT(const int32_t* in_rows, int32_t* out_rows, int32_t n,
   auto sample_step = [&](int32_t s, vsi in_v) -> vsi {
     const vsi* xb = xd + xpos;
     const vsi* pb = pd + xpos;
+#ifdef SLA_TPU_DEBUG
+    for (int32_t i = 0; i < M; ++i)
+      for (int32_t r = 0; r < R; ++r) {
+        const int64_t fir = ((int64_t)fc[i][r] * xb[i][r]) >> 10;
+        const int64_t iir = ((int64_t)ic[i][r] * pb[i][r]) >> 10;
+        SLA_DBG_ASSERT(fir <= INT32_MAX && fir >= INT32_MIN,
+                       "LMS fir tap product overflows int32");
+        SLA_DBG_ASSERT(iir <= INT32_MAX && iir >= INT32_MIN,
+                       "LMS iir tap product overflows int32");
+      }
+#endif
     vsi acc = vzero + 512;
     for (int32_t i = 0; i < M; ++i) acc += fc[i] * xb[i] + ic[i] * pb[i];
     const vsi pred = acc >> 10;
@@ -2496,6 +2526,14 @@ static int32_t predict_stage1_coreT(const int32_t* in, int32_t* out,
   auto sample_step = [&](vsi raw) -> vsi {
     vsi x = raw - ((x_prev * 31) >> 5);
     x_prev = raw;
+#ifdef SLA_TPU_DEBUG
+    for (int32_t k = 0; k < p; ++k)
+      for (int32_t r = 0; r < R; ++r) {
+        const int64_t q = (((int64_t)c[k][r] * b[k][r]) + (1 << 14)) >> 15;
+        SLA_DBG_ASSERT(q <= INT32_MAX && q >= INT32_MIN,
+                       "lattice predict stage product overflows int32");
+      }
+#endif
     // every stage term uses PREVIOUS state only (the JAX kernel's
     // formulation): m[k] = q(c[k+1], b_prev[k]) — fully parallel over k, r
     for (int32_t k = 0; k < p; ++k) m[k] = (c[k] * b[k] + half) >> 15;
@@ -2609,6 +2647,14 @@ static void lattice_synth_coreT(int32_t* out, int32_t n,
   vsi deemph = vzero;
   vsi m[64], fpart[64];
   auto sample_step = [&](vsi y) -> vsi {
+#ifdef SLA_TPU_DEBUG
+    for (int32_t k = 0; k < p; ++k)
+      for (int32_t r = 0; r < R; ++r) {
+        const int64_t q = (((int64_t)c[k][r] * lat[k][r]) + (1 << 14)) >> 15;
+        SLA_DBG_ASSERT(q <= INT32_MAX && q >= INT32_MIN,
+                       "lattice synth stage product overflows int32");
+      }
+#endif
     // suffix-sum formulation: stage terms use previous state only, so
     // k and r both vectorize
     for (int32_t k = 0; k < p; ++k) m[k] = (c[k] * lat[k] + half) >> 15;
@@ -2679,6 +2725,9 @@ static int32_t synth_rowsT(const int32_t* residual, int32_t* out, int32_t n,
         int64_t acc = 0;
         for (int32_t j = 0; j < num_taps; ++j)
           acc += (int64_t)q15c[j] * x[s - (max_delay - j)];
+        SLA_DBG_ASSERT(((acc + (1 << 14)) >> 15) <= INT32_MAX &&
+                           ((acc + (1 << 14)) >> 15) >= INT32_MIN,
+                       "long-term prediction overflows int32");
         x[s] += (int32_t)((acc + (1 << 14)) >> 15);
       }
     }
@@ -2900,10 +2949,14 @@ static void lpc_finish_row(const double* auto_corr, int32_t n, int32_t order,
     u_vec[0] = 1.0; u_vec[1] = 0.0;
     v_vec[0] = 0.0; v_vec[1] = 1.0;
     for (int32_t delay = 1; delay < order; ++delay) {
+      SLA_DBG_ASSERT(e_vec[delay] >= 0.0f,
+                     "Levinson prediction error went negative");
       double gamma = 0.0;
       for (int32_t i = 0; i < delay + 1; ++i)
         gamma += a_vec[i] * auto_corr[delay + 1 - i];
       gamma /= (-e_vec[delay]);
+      SLA_DBG_ASSERT(std::fabs(gamma) < 1.0f,
+                     "Levinson reflection coefficient out of range");
       e_vec[delay + 1] = (1.0 - gamma * gamma) * e_vec[delay];
       for (int32_t i = 0; i < delay; ++i)
         u_vec[i + 1] = v_vec[delay - i] = a_vec[i + 1];

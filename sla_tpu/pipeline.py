@@ -117,6 +117,14 @@ def encode_stage1(data: jnp.ndarray, parcor_coef: jnp.ndarray, parcor_order: int
 
     Returns the PARCOR residual (B, L). On TPU the sample loop runs as a
     VMEM-resident Pallas kernel; elsewhere as a lax.scan (bit-identical)."""
+    from . import debug
+
+    if debug.asserts_enabled():
+        # the lattice kernel's debug checks (kernels/lattice.py) need the
+        # checkify functionalization, like stage 2 / decode below
+        return debug.run_checked(
+            _encode_stage1_scan, data, parcor_coef, parcor_order=parcor_order
+        )
     if _use_pallas() and data.shape[1] % 2048 == 0:
         return _encode_stage1_pallas(data, parcor_coef, parcor_order)
     return _encode_stage1_scan(data, parcor_coef, parcor_order)

@@ -229,3 +229,104 @@ def test_api_result_codes_match_reference_header():
         assert ours == name or (name, ours) == (
             "INVAILD_CHPROCESSMETHOD", "INVALID_CHPROCESSMETHOD"
         ), (value, name, ours)
+
+
+def test_debug_assert_traps_lattice_overflow():
+    """A forced lattice stage-product overflow raises through the
+    checkified scan (VERDICT r2 #6: assert breadth beyond LMS)."""
+    import os
+
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from sla_tpu import debug
+    from sla_tpu.kernels.lattice import lattice_synthesize
+
+    os.environ["SLA_TPU_DEBUG_ASSERTS"] = "1"
+    try:
+        B, p = 1, 4
+        # the only q15 corner that overflows: c = -2^15 and v = INT32_MIN
+        # ((c*v + 2^14) >> 15 == 2^31 > INT32_MAX)
+        coef = jnp.full((B, p), -32768, jnp.int32)
+        state = jnp.full((B, p + 1), -(2**31), jnp.int32)
+        data = jnp.full((B, 4), 1, jnp.int32)
+        with _pytest.raises(Exception, match="lattice synth stage product"):
+            debug.run_checked(lattice_synthesize, data, coef, state)
+    finally:
+        del os.environ["SLA_TPU_DEBUG_ASSERTS"]
+
+
+def test_debug_assert_traps_longterm_overflow():
+    """A forced long-term prediction overflow raises through the
+    checkified scan."""
+    import os
+
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from sla_tpu import debug
+    from sla_tpu.kernels.longterm import longterm_init_state, longterm_synthesize
+
+    os.environ["SLA_TPU_DEBUG_ASSERTS"] = "1"
+    try:
+        B = 1
+        pitch = jnp.full((B,), 8, jnp.int32)
+        # the overflowing corner: q15 = -2^15 with history = INT32_MIN
+        coef = jnp.full((B, 1), -(2**31), jnp.int32)  # q15 (>>16) = -32768
+        hist, _t = longterm_init_state(B)
+        hist = jnp.full_like(hist, -(2**31))
+        res = jnp.full((B, 16), 0, jnp.int32)
+        state = (hist, jnp.full((B,), 1000, jnp.int32))  # past warmup
+
+        def run(r, p, c, s):
+            return longterm_synthesize(r, p, c, 1, s, chunk=1)
+
+        with _pytest.raises(Exception, match="long-term prediction overflows"):
+            debug.run_checked(run, res, pitch, coef, state)
+    finally:
+        del os.environ["SLA_TPU_DEBUG_ASSERTS"]
+
+
+def test_native_debug_build_roundtrip_and_trap(tmp_path):
+    """SLA_TPU_NATIVE_DEBUG=1 builds the -DSLA_TPU_DEBUG native lib whose
+    cascades carry the reference's SLA_Assert-equivalent checks: a normal
+    encode/decode round-trip passes, and a seeded LMS tap overflow aborts
+    the process (caught at subprocess level, like assert())."""
+    import os
+    import subprocess
+    import sys
+
+    env = {**os.environ, "SLA_TPU_NATIVE_DEBUG": "1", "JAX_PLATFORMS": "cpu"}
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    ok_src = (
+        "import numpy as np, sla_tpu as sla\n"
+        "from tests.test_encode_decode import gen_wave\n"
+        "pcm = gen_wave('chirp', 9000, 2, 16, 0, seed=4)\n"
+        "enc = sla.Encoder(); enc.set_wave_format(sla.WaveFormat(2, 16, 44100))\n"
+        "enc.set_encode_parameter(sla.PRESETS[1])\n"
+        "blob = enc.encode_whole(pcm)\n"
+        "dec = sla.Decoder()\n"
+        "assert np.array_equal(dec.decode_whole(blob)[1], pcm)\n"
+        "print('debug-build round-trip ok')\n"
+    )
+    r = subprocess.run([sys.executable, "-c", ok_src], capture_output=True,
+                       text=True, timeout=600, env=env, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "round-trip ok" in r.stdout
+
+    trap_src = (
+        # constant huge residuals: the sign-sign LMS coefficients grow ~15
+        # per sample, so by sample ~150 the fir tap product tops int32
+        "import numpy as np\n"
+        "from sla_tpu import native\n"
+        "res = np.full((16, 512), 2**30, np.int32)\n"
+        "coef = np.zeros((16, 4), np.int32)\n"
+        "pitch = np.zeros(16, np.int32)\n"
+        "ltm = np.zeros((16, 1), np.int32)\n"
+        "native.synth_rows(res, coef, pitch, ltm, 1, 8)\n"
+        "print('should have aborted')\n"
+    )
+    r = subprocess.run([sys.executable, "-c", trap_src], capture_output=True,
+                       text=True, timeout=600, env=env, cwd="/root/repo")
+    assert r.returncode != 0 and "should have aborted" not in r.stdout
+    assert "SLA debug assert failed" in r.stderr, r.stderr[-2000:]
