@@ -31,18 +31,6 @@ class LongTermResult:
     coef: np.ndarray  # (num_taps,) float64 (zeros when unusable)
 
 
-def _fft_autocorr_rows(data: np.ndarray, fft_size: int) -> np.ndarray:
-    """Circular autocorrelation (unnormalized scale) of int32 rows.
-
-    data: (rows, n) int32, n <= fft_size // 2. Returns (rows, fft_size)."""
-    buf = data.astype(np.float64) * (2.0 ** -31)
-    spec = np.fft.rfft(buf, n=fft_size, axis=-1)
-    power = spec.real * spec.real + spec.imag * spec.imag
-    # Scale by fft_size to match the reference's unnormalized inverse FFT
-    # up to the (harmless) constant factor noted in the module docstring.
-    return np.fft.irfft(power, n=fft_size, axis=-1) * fft_size
-
-
 def _find_pitch(ac: np.ndarray, max_pitch: int) -> int:
     """Zero-crossing-bracketed local-peak search; returns pitch lag or 0."""
     candidates: list[int] = []

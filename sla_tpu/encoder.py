@@ -45,12 +45,7 @@ from .constants import (
 from .crc16 import crc16
 from .dsp import windows as win
 from .dsp.channel import lr_to_ms_double, lr_to_ms_int32
-from .dsp.lpc import (
-    calculate_parcor,
-    data_bit_width,
-    estimate_code_length,
-    width_from_maxabs,
-)
+from .dsp.lpc import data_bit_width, width_from_maxabs
 from .dsp.quantize import quantize_longterm, quantize_parcor, rshift_for_sint32
 from .errors import ApiResult, SLAError
 from .format import EncodeParameter, HeaderInfo, WaveFormat, encode_header

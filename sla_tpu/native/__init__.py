@@ -211,6 +211,8 @@ def _load() -> ctypes.CDLL | None:
     lib.sla_predict_stage1_rows16.argtypes = [p_i32, p_i32, i32, p_i32, i32]
     lib.sla_predict_stage2_rows8.restype = i32
     lib.sla_predict_stage2_rows8.argtypes = [p_i32, p_i32, i32, p_i32, p_i32, i32, i32]
+    lib.sla_predict_stage2_rows16.restype = i32
+    lib.sla_predict_stage2_rows16.argtypes = [p_i32, p_i32, i32, p_i32, p_i32, i32, i32]
     lib.sla_synth_rows8.restype = i32
     lib.sla_synth_rows8.argtypes = [
         p_i32, p_i32, i32, p_i32, i32, p_i32, p_i32, i32, i32,
@@ -689,11 +691,16 @@ def predict_stage2_rows(
     lms_order: int,
     lengths: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Host long-term + LMS predict over a (B, L) batch, row-serial."""
+    """Host long-term + LMS predict over a (B, L) batch, row-serial.
+
+    Equal-length rows run sixteen (AVX-512 lanes) or eight at a time
+    through the interleaved SIMD cascade, like synth_rows."""
     lib = _load()
     residual = np.ascontiguousarray(residual, dtype=np.int32)
     B, L = residual.shape
-    out = np.zeros_like(residual)
+    # empty, not zeros: every consumed (row, :length) region is written by
+    # a kernel below; zero-length rows are never read back
+    out = np.empty_like(residual)
     ltm = np.ascontiguousarray(ltm_coef, dtype=np.int32)
     lens = (
         np.asarray(lengths, dtype=np.int64)
@@ -708,24 +715,30 @@ def predict_stage2_rows(
         rows = _pad_group(rows)
         g = 0
         while g + 8 <= len(rows):
-            idx = rows[g : g + 8]
+            take = 16 if g + 16 <= len(rows) else 8
+            fn = (
+                lib.sla_predict_stage2_rows16
+                if take == 16
+                else lib.sla_predict_stage2_rows8
+            )
+            idx = rows[g : g + take]
             i0 = idx[0]
             pit8 = np.ascontiguousarray(pitch[idx].astype(np.int32))
             ltm8 = np.ascontiguousarray(ltm[idx])
-            if n == L and idx == list(range(i0, i0 + 8)):
-                lib.sla_predict_stage2_rows8(
+            if n == L and idx == list(range(i0, i0 + take)):
+                fn(
                     _i32ptr(residual[i0:]), _i32ptr(out[i0:]), n,
                     _i32ptr(pit8), _i32ptr(ltm8), num_taps, lms_order,
                 )
             else:
                 in8 = np.ascontiguousarray(residual[idx, :n])
                 out8 = np.empty_like(in8)
-                lib.sla_predict_stage2_rows8(
+                fn(
                     _i32ptr(in8), _i32ptr(out8), n, _i32ptr(pit8), _i32ptr(ltm8),
                     num_taps, lms_order,
                 )
                 out[idx, :n] = out8
-            g += 8
+            g += take
         for b in rows[g:]:
             row = np.empty(n, dtype=np.int32)
             lib.sla_predict_stage2(_i32ptr(residual[b]), _i32ptr(row), n,
