@@ -1045,6 +1045,13 @@ def encode_whole_batch(
         for enc, (_, plans) in zip(encs, staged)
     ]
     encs[0]._run_filter_groups(groups)
+    # the filter run (and a possible device-entropy attach) happened on
+    # encs[0]; every job's finalize must observe the same mode so attached
+    # parts are consumed instead of silently re-coded by the native path
+    for enc in encs[1:]:
+        enc._device_entropy_active = getattr(
+            encs[0], "_device_entropy_active", False
+        )
     return [
         enc._finalize_encode(num_samples, plans)
         for enc, (num_samples, plans) in zip(encs, staged)

@@ -234,16 +234,23 @@ def _longterm_synth_kernel(res_ref, prm_ref, out_ref, hist, *, num_taps,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_taps", "interpret"))
-def longterm_synth_tl(data_t, prm_t, num_taps, interpret=False):
+@functools.partial(jax.jit, static_argnames=("num_taps", "interpret", "hist_d"))
+def longterm_synth_tl(data_t, prm_t, num_taps, interpret=False,
+                      hist_d=_LT_HIST_D):
     """data_t: (L, B) int32 residual after LMS synthesis; prm_t: (1+T, B)
-    packed per-row parameters (see kernel). Returns (L, B)."""
+    packed per-row parameters (see kernel). Returns (L, B).
+
+    hist_d (static): ring depth — must exceed the batch's maximum lag
+    (max_delay). The per-step masked select/insert work is linear in the
+    ring depth, so callers dispatch the smallest sufficient size
+    (longterm_ring_depth); most audio sits under pitch 128."""
     kernel = functools.partial(
         _longterm_synth_kernel,
         num_taps=num_taps,
         tile_l=TILE_L,
-        hist_d=_LT_HIST_D,
+        hist_d=hist_d,
     )
+    D = hist_d
     nl = data_t.shape[0] // TILE_L
     if prm_t.shape[0] < 8:  # pad sublanes to 8 (Mosaic block-shape rule)
         prm_t = jnp.concatenate(
@@ -252,8 +259,17 @@ def longterm_synth_tl(data_t, prm_t, num_taps, interpret=False):
         )
     prm_tiled = jnp.tile(prm_t, (nl, 1))  # fresh block per L-step (Mosaic)
     prm_spec = pl.BlockSpec((8, TILE_B), lambda b, l: (l, b), memory_space=pltpu.VMEM)
-    scratch = [pltpu.VMEM((_LT_HIST_D, TILE_B), jnp.int32)]
+    scratch = [pltpu.VMEM((D, TILE_B), jnp.int32)]
     return _filter_call(kernel, data_t, [prm_tiled], [prm_spec], scratch, interpret)
+
+
+def longterm_ring_depth(max_lag: int) -> int:
+    """Smallest supported ring depth > max_lag (bounded set of sizes keeps
+    the jit specializations bounded; all are 8-aligned)."""
+    for d in (72, 136, _LT_HIST_D):
+        if max_lag < d:
+            return d
+    raise ValueError(f"long-term lag {max_lag} exceeds the ring capacity")
 
 
 def _filter_call(kernel, data_t, extra_inputs, extra_specs, scratch, interpret=False):

@@ -255,7 +255,8 @@ def _decode_stage_scan(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("parcor_order", "num_taps", "lms_order", "lt_chunk")
+    jax.jit,
+    static_argnames=("parcor_order", "num_taps", "lms_order", "lt_chunk", "lt_ring"),
 )
 def _decode_stage_pallas(
     residual: jnp.ndarray,
@@ -266,6 +267,7 @@ def _decode_stage_pallas(
     num_taps: int,
     lms_order: int,
     lt_chunk: int = 1,
+    lt_ring: int = 264,
 ):
     from .kernels.pallas_filters import (
         TILE_B,
@@ -284,7 +286,9 @@ def _decode_stage_pallas(
         md = jnp.where(pitch > 0, pitch + (num_taps // 2), 0).astype(jnp.int32)
         q15 = (ltm_coef >> 16).astype(jnp.int32)  # (B, T)
         prm_p = _pad_rows(jnp.concatenate([md[:, None], q15], axis=1), TILE_B)
-        out = longterm_synth_tl(_pad_rows(out, TILE_B).T, prm_p.T, num_taps).T[:B]
+        out = longterm_synth_tl(
+            _pad_rows(out, TILE_B).T, prm_p.T, num_taps, hist_d=lt_ring
+        ).T[:B]
     out_p = _pad_rows(out, TILE_B)
     coef_p = _pad_rows(parcor_coef, TILE_B)
     # lattice synthesis with de-emphasis folded into the kernel
@@ -323,9 +327,21 @@ def decode_stage(
         pass
     lt_chunk = _longterm_chunk(pitch, num_taps, residual.shape[1], platform=plat)
     if _use_pallas() and residual.shape[1] % 2048 == 0:
+        # smallest sufficient ring for the Pallas long-term kernel (the
+        # per-step masked work is linear in the ring depth; pitch is
+        # concrete here, like the lt_chunk derivation above)
+        from .kernels.pallas_filters import longterm_ring_depth
+
+        max_lag = 0
+        if num_taps > 0:
+            import numpy as np
+
+            p_np = np.asarray(pitch)
+            if p_np.size and (p_np > 0).any():
+                max_lag = int(p_np[p_np > 0].max()) + num_taps // 2
         return _decode_stage_pallas(
             residual, parcor_coef, pitch, ltm_coef, parcor_order, num_taps,
-            lms_order, lt_chunk=lt_chunk,
+            lms_order, lt_chunk=lt_chunk, lt_ring=longterm_ring_depth(max_lag),
         )
     return _decode_stage_scan(
         residual, parcor_coef, pitch, ltm_coef, parcor_order, num_taps,

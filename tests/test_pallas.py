@@ -84,3 +84,31 @@ def test_longterm_synth_interpret(num_taps):
                           interpret=True)
     ).T
     assert np.array_equal(out, ref)
+
+
+@pytest.mark.parametrize("hist_d,max_pitch", [(72, 64), (136, 128)])
+def test_longterm_synth_small_rings(hist_d, max_pitch):
+    """Size-dispatched VMEM rings (per-step work is linear in ring depth)
+    must stay bit-identical to the scan for lags under their capacity."""
+    from sla_tpu.kernels.longterm import longterm_init_state, longterm_synthesize
+    from sla_tpu.kernels.pallas_filters import longterm_ring_depth, longterm_synth_tl
+
+    assert longterm_ring_depth(max_pitch + 1) == hist_d
+    rng = np.random.default_rng(17)
+    data = rng.integers(-(1 << 23), 1 << 23, (B, TILE_L), dtype=np.int32)
+    pitch = rng.integers(0, max_pitch + 1, (B,), dtype=np.int32)
+    pitch[(pitch > 0) & (pitch < 3)] = 3
+    coef = rng.integers(-32768, 32768, (B, 3), dtype=np.int32) << 16
+
+    ref, _ = longterm_synthesize(
+        jnp.asarray(data), jnp.asarray(pitch), jnp.asarray(coef), 3,
+        longterm_init_state(B),
+    )
+    ref = np.where((pitch > 0)[:, None], np.asarray(ref), data)
+    md = np.where(pitch > 0, pitch + 1, 0).astype(np.int32)
+    prm = np.concatenate([md[:, None], coef >> 16], axis=1).astype(np.int32)
+    out = np.asarray(
+        longterm_synth_tl(jnp.asarray(data.T), jnp.asarray(prm.T), 3,
+                          interpret=True, hist_d=hist_d)
+    ).T
+    assert np.array_equal(out, ref)

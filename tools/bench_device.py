@@ -72,9 +72,17 @@ def main() -> int:
 
     import numpy as np
 
+    # second decode config: lags under 128 dispatch the smaller VMEM ring
+    # (typical music pitch; the per-step masked work is linear in ring depth)
+    pitch_low = jax.random.randint(k3, (B,), 40, 120, dtype=jnp.int32)
+
+    def decode_pipeline_low(d, c, pi, lt):
+        return _sum32(decode_stage(d, c, pitch_low, lt, p, T, M))
+
     for name, fn, per_call in [
         ("encode stage1+2", encode_pipeline, K),
         ("decode cascade ", decode_pipeline, 1),
+        ("decode cascade (pitch<120)", decode_pipeline_low, 1),
     ]:
         # warm the exact chained pattern below: compiles both shapes and
         # absorbs the tunnel's first-dispatch stall. On tunneled runtimes
