@@ -277,8 +277,10 @@ def _decode_stage_pallas(
     )
 
     B = residual.shape[0]
-    res_p = _pad_rows(residual, TILE_B)
-    out = lms_filter_tl(res_p.T, lms_order, synthesize=True).T[:B]
+    # the whole cascade stays in the kernels' (L, B) layout: one transpose
+    # in and one out instead of two per stage (each was a full-batch XLA
+    # transpose between kernels)
+    out_t = lms_filter_tl(_pad_rows(residual, TILE_B).T, lms_order, synthesize=True)
     if num_taps > 0:
         # Pallas ring kernel: per-lane variable lags as one-hot selects over
         # a VMEM output ring (was the 0.18 G row-samples/s decode bound as
@@ -286,16 +288,13 @@ def _decode_stage_pallas(
         md = jnp.where(pitch > 0, pitch + (num_taps // 2), 0).astype(jnp.int32)
         q15 = (ltm_coef >> 16).astype(jnp.int32)  # (B, T)
         prm_p = _pad_rows(jnp.concatenate([md[:, None], q15], axis=1), TILE_B)
-        out = longterm_synth_tl(
-            _pad_rows(out, TILE_B).T, prm_p.T, num_taps, hist_d=lt_ring
-        ).T[:B]
-    out_p = _pad_rows(out, TILE_B)
+        out_t = longterm_synth_tl(out_t, prm_p.T, num_taps, hist_d=lt_ring)
     coef_p = _pad_rows(parcor_coef, TILE_B)
     # lattice synthesis with de-emphasis folded into the kernel
-    out = lattice_filter_tl(
-        out_p.T, coef_p.T, parcor_order, pre_emphasis=True, synthesize=True
-    ).T[:B]
-    return out
+    out_t = lattice_filter_tl(
+        out_t, coef_p.T, parcor_order, pre_emphasis=True, synthesize=True
+    )
+    return out_t.T[:B]
 
 
 def decode_stage(
