@@ -70,39 +70,56 @@ def _lattice_kernel(data_ref, coef_ref, out_ref, b_state, x_prev, *, parcor_orde
         b_state[:] = jnp.zeros_like(b_state)
         x_prev[:] = jnp.zeros_like(x_prev)
 
+    if synthesize:
+        _lattice_synth_body(data_ref, coef_ref, out_ref, b_state, x_prev,
+                            p=p, tile_l=tile_l, pre_emphasis=pre_emphasis)
+        return
+
     c = coef_ref[:]  # (p, TB)
 
     def body(s, _):
         x = data_ref[s, :][None, :]  # (1, TB)
         b_prev = b_state[:]  # (p+1, TB)
-        if not synthesize:
-            # pre-emphasis folded in: y = x - ((x[-1] * 31) >> 5)
-            if pre_emphasis:
-                y = x - ((x_prev[:] * 31) >> 5)
-                x_prev[:] = x
-            else:
-                y = x
-            m = (c * b_prev[:p, :] + _HALF) >> 15  # (p, TB)
-            incl = _cumsum_sublanes(m, p)
-            f_prev = y - (incl - m)  # f[0..p-1]
-            b_hi = b_prev[:p, :] - ((c * f_prev + _HALF) >> 15)
-            b_state[:] = jnp.concatenate([y, b_hi], axis=0)
-            out_ref[s, :] = (y - incl[p - 1 : p, :])[0]
+        # pre-emphasis folded in: y = x - ((x[-1] * 31) >> 5)
+        if pre_emphasis:
+            y = x - ((x_prev[:] * 31) >> 5)
+            x_prev[:] = x
         else:
-            # synthesis: f_partial_k = r + suffix_sum(m)[k]; out = f_partial_1
-            r = x
-            m = (c * b_prev[:p, :] + _HALF) >> 15
-            suf = _suffix_sum_sublanes(m, p)
-            f_partial = r + suf  # (p, TB), stage k at row k-1
-            b_hi = b_prev[:p, :] - ((c * f_partial + _HALF) >> 15)
-            out = f_partial[0:1, :]
-            b_state[:] = jnp.concatenate([out, b_hi], axis=0)
-            if pre_emphasis:  # de-emphasis folded in on the synthesis side
-                y = out + ((x_prev[:] * 31) >> 5)
-                x_prev[:] = y
-                out_ref[s, :] = y[0]
-            else:
-                out_ref[s, :] = out[0]
+            y = x
+        m = (c * b_prev[:p, :] + _HALF) >> 15  # (p, TB)
+        incl = _cumsum_sublanes(m, p)
+        f_prev = y - (incl - m)  # f[0..p-1]
+        b_hi = b_prev[:p, :] - ((c * f_prev + _HALF) >> 15)
+        b_state[:] = jnp.concatenate([y, b_hi], axis=0)
+        out_ref[s, :] = (y - incl[p - 1 : p, :])[0]
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(0, tile_l, body, jnp.int32(0))
+
+
+def _lattice_synth_body(data_ref, coef_ref, out_ref, b_state, x_prev, *, p,
+                        tile_l, pre_emphasis=True):
+    """Lattice synthesis (+ optional de-emphasis) sample loop; shared by the
+    standalone lattice kernel and the fused decode cascade (state resets
+    belong to the caller)."""
+    c = coef_ref[:p, :]  # (p, TB)
+
+    def body(s, _):
+        r = data_ref[s, :][None, :]  # (1, TB)
+        b_prev = b_state[:]  # (p+1, TB)
+        # synthesis: f_partial_k = r + suffix_sum(m)[k]; out = f_partial_1
+        m = (c * b_prev[:p, :] + _HALF) >> 15
+        suf = _suffix_sum_sublanes(m, p)
+        f_partial = r + suf  # (p, TB), stage k at row k-1
+        b_hi = b_prev[:p, :] - ((c * f_partial + _HALF) >> 15)
+        out = f_partial[0:1, :]
+        b_state[:] = jnp.concatenate([out, b_hi], axis=0)
+        if pre_emphasis:  # de-emphasis folded in on the synthesis side
+            y = out + ((x_prev[:] * 31) >> 5)
+            x_prev[:] = y
+            out_ref[s, :] = y[0]
+        else:
+            out_ref[s, :] = out[0]
         return jnp.int32(0)
 
     jax.lax.fori_loop(0, tile_l, body, jnp.int32(0))
@@ -111,12 +128,19 @@ def _lattice_kernel(data_ref, coef_ref, out_ref, b_state, x_prev, *, parcor_orde
 def _lms_kernel(data_ref, out_ref, state, *, lms_order, tile_l, synthesize):
     """Sign-sign LMS cascade. state: (4*M, TB) scratch packing
     fc | ic | xb | pb rows."""
-    M = lms_order
     l = pl.program_id(1)
 
     @pl.when(l == 0)
     def _():
         state[:] = jnp.zeros_like(state)
+
+    _lms_kernel_body(data_ref, out_ref, state, lms_order=lms_order,
+                     tile_l=tile_l, synthesize=synthesize, l=l)
+
+
+def _lms_kernel_body(data_ref, out_ref, state, *, lms_order, tile_l,
+                     synthesize, l):
+    M = lms_order
 
     def body(s, s32):
         # s is int64 under jax_enable_x64 and Mosaic can neither use it in
@@ -170,6 +194,18 @@ _LT_HIST_D = 264  # ring depth: > max lag (pitch<256 + taps//2 <= 257), 8-aligne
 
 def _longterm_synth_kernel(res_ref, prm_ref, out_ref, hist, *, num_taps,
                            tile_l, hist_d):
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _():
+        hist[:] = jnp.zeros_like(hist)
+
+    _longterm_body(res_ref, prm_ref, out_ref, hist, num_taps=num_taps,
+                   tile_l=tile_l, hist_d=hist_d, l=l)
+
+
+def _longterm_body(res_ref, prm_ref, out_ref, hist, *, num_taps, tile_l,
+                   hist_d, l):
     """Long-term (pitch) synthesis: out[n] = res[n] + (sum_j q15_j *
     out[n - (max_delay - j)] + 2^14) >> 15 once n >= max_delay, per-row
     delays (SLAPredictor.c:1031-1130 with the Q31->Q15 reduction noted in
@@ -190,12 +226,6 @@ def _longterm_synth_kernel(res_ref, prm_ref, out_ref, hist, *, num_taps,
     T = num_taps
     D = hist_d
     TB = res_ref.shape[1]
-    l = pl.program_id(1)
-
-    @pl.when(l == 0)
-    def _():
-        hist[:] = jnp.zeros_like(hist)
-
     max_delay = prm_ref[0, :][None, :]  # (1, TB)
     d_iota = jax.lax.broadcasted_iota(jnp.int32, (D, TB), 0)
 
@@ -261,6 +291,78 @@ def longterm_synth_tl(data_t, prm_t, num_taps, interpret=False,
     prm_spec = pl.BlockSpec((8, TILE_B), lambda b, l: (l, b), memory_space=pltpu.VMEM)
     scratch = [pltpu.VMEM((D, TILE_B), jnp.int32)]
     return _filter_call(kernel, data_t, [prm_tiled], [prm_spec], scratch, interpret)
+
+
+def _fused_synth_kernel(res_ref, coef_ref, prm_ref, out_ref, lms_state, hist,
+                        b_state, x_prev, *, parcor_order, num_taps, tile_l,
+                        hist_d):
+    """Whole decode cascade (LMS synth -> long-term synth -> lattice synth
+    + de-emphasis) in ONE kernel: the tile makes one HBM->VMEM round trip
+    instead of three. The stages have no cross-feedback (decoder.py
+    synth_rowsT has the same three-pass argument), so running each stage's
+    sample loop to completion over the tile — with its own state carried
+    across the L grid — produces values identical to the separate kernels.
+    Intermediates live in the out_ref VMEM block, rewritten in place."""
+    p = parcor_order
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _():
+        lms_state[:] = jnp.zeros_like(lms_state)
+        b_state[:] = jnp.zeros_like(b_state)
+        x_prev[:] = jnp.zeros_like(x_prev)
+        if num_taps > 0:
+            hist[:] = jnp.zeros_like(hist)
+
+    # ---- pass A: LMS synthesis, res_ref -> out_ref
+    _lms_kernel_body(res_ref, out_ref, lms_state, lms_order=lms_state.shape[0] // 4,
+                     tile_l=tile_l, synthesize=True, l=l)
+    # ---- pass B: long-term ring synthesis, out_ref in place
+    if num_taps > 0:
+        _longterm_body(out_ref, prm_ref, out_ref, hist, num_taps=num_taps,
+                       tile_l=tile_l, hist_d=hist_d, l=l)
+    # ---- pass C: lattice synthesis + de-emphasis, out_ref in place
+    _lattice_synth_body(out_ref, coef_ref, out_ref, b_state, x_prev, p=p,
+                        tile_l=tile_l)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("parcor_order", "num_taps", "lms_order", "hist_d", "interpret"),
+)
+def fused_synth_tl(data_t, coef_t, prm_t, parcor_order, num_taps, lms_order,
+                   hist_d=_LT_HIST_D, interpret=False):
+    """Fused decode cascade. data_t: (L, B) residual; coef_t: (p, B);
+    prm_t: (1+T, B) long-term params (ignored when num_taps == 0).
+    Returns (L, B) PCM rows (pre MS-inverse / left shift)."""
+    p = parcor_order
+    kernel = functools.partial(
+        _fused_synth_kernel,
+        parcor_order=p,
+        num_taps=num_taps,
+        tile_l=TILE_L,
+        hist_d=hist_d,
+    )
+    nl = data_t.shape[0] // TILE_L
+    coef_tiled = jnp.tile(coef_t, (nl, 1))
+    coef_spec = pl.BlockSpec((p, TILE_B), lambda b, l: (l, b), memory_space=pltpu.VMEM)
+    if prm_t.shape[0] < 8:
+        prm_t = jnp.concatenate(
+            [prm_t, jnp.zeros((8 - prm_t.shape[0], prm_t.shape[1]), prm_t.dtype)],
+            axis=0,
+        )
+    prm_tiled = jnp.tile(prm_t, (nl, 1))
+    prm_spec = pl.BlockSpec((8, TILE_B), lambda b, l: (l, b), memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((4 * lms_order, TILE_B), jnp.int32),
+        pltpu.VMEM((hist_d, TILE_B), jnp.int32),
+        pltpu.VMEM((p + 1, TILE_B), jnp.int32),
+        pltpu.VMEM((1, TILE_B), jnp.int32),
+    ]
+    return _filter_call(
+        kernel, data_t, [coef_tiled, prm_tiled], [coef_spec, prm_spec],
+        scratch, interpret,
+    )
 
 
 def longterm_ring_depth(max_lag: int) -> int:

@@ -269,30 +269,27 @@ def _decode_stage_pallas(
     lt_chunk: int = 1,
     lt_ring: int = 264,
 ):
-    from .kernels.pallas_filters import (
-        TILE_B,
-        lattice_filter_tl,
-        lms_filter_tl,
-        longterm_synth_tl,
-    )
+    from .kernels.pallas_filters import TILE_B, fused_synth_tl
 
     B = residual.shape[0]
-    # the whole cascade stays in the kernels' (L, B) layout: one transpose
-    # in and one out instead of two per stage (each was a full-batch XLA
-    # transpose between kernels)
-    out_t = lms_filter_tl(_pad_rows(residual, TILE_B).T, lms_order, synthesize=True)
-    if num_taps > 0:
-        # Pallas ring kernel: per-lane variable lags as one-hot selects over
-        # a VMEM output ring (was the 0.18 G row-samples/s decode bound as
-        # an XLA scan; inactive rows pass through inside the kernel)
-        md = jnp.where(pitch > 0, pitch + (num_taps // 2), 0).astype(jnp.int32)
-        q15 = (ltm_coef >> 16).astype(jnp.int32)  # (B, T)
-        prm_p = _pad_rows(jnp.concatenate([md[:, None], q15], axis=1), TILE_B)
-        out_t = longterm_synth_tl(out_t, prm_p.T, num_taps, hist_d=lt_ring)
-    coef_p = _pad_rows(parcor_coef, TILE_B)
-    # lattice synthesis with de-emphasis folded into the kernel
-    out_t = lattice_filter_tl(
-        out_t, coef_p.T, parcor_order, pre_emphasis=True, synthesize=True
+    # ONE fused kernel for the whole cascade (LMS synth -> long-term ring
+    # -> lattice synth + de-emphasis): each tile makes a single HBM<->VMEM
+    # round trip instead of three, and the batch is transposed into the
+    # kernels' (L, B) layout exactly once each way. The long-term ring is
+    # size-dispatched on the batch's max lag (lt_ring); per-lane variable
+    # lags run as one-hot selects over the VMEM output ring (was the
+    # 0.18 G row-samples/s decode bound as an XLA scan).
+    md = jnp.where(pitch > 0, pitch + (num_taps // 2), 0).astype(jnp.int32)
+    q15 = (ltm_coef >> 16).astype(jnp.int32)  # (B, max(T,1))
+    prm_p = _pad_rows(jnp.concatenate([md[:, None], q15], axis=1), TILE_B)
+    out_t = fused_synth_tl(
+        _pad_rows(residual, TILE_B).T,
+        _pad_rows(parcor_coef, TILE_B).T,
+        prm_p.T,
+        parcor_order,
+        num_taps,
+        lms_order,
+        hist_d=lt_ring,
     )
     return out_t.T[:B]
 

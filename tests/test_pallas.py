@@ -112,3 +112,45 @@ def test_longterm_synth_small_rings(hist_d, max_pitch):
                           interpret=True, hist_d=hist_d)
     ).T
     assert np.array_equal(out, ref)
+
+
+@pytest.mark.parametrize("num_taps", [0, 1, 3])
+def test_fused_synth_interpret(num_taps):
+    """The single-kernel fused decode cascade (LMS -> long-term -> lattice
+    + de-emphasis, one HBM round trip) must match the three-stage scan
+    chain bit for bit."""
+    from sla_tpu.kernels.lattice import lattice_init_state, lattice_synthesize
+    from sla_tpu.kernels.lms import lms_init_state, lms_synthesize
+    from sla_tpu.kernels.longterm import longterm_init_state, longterm_synthesize
+    from sla_tpu.kernels.emphasis import de_emphasis
+    from sla_tpu.kernels.pallas_filters import fused_synth_tl
+
+    rng = np.random.default_rng(23)
+    p, M = 16, 8
+    L2 = 2 * TILE_L
+    res = rng.integers(-(1 << 20), 1 << 20, (B, L2), dtype=np.int32)
+    coef = rng.integers(-25000, 25000, (B, p), dtype=np.int32)
+    pitch = rng.integers(0, 256, (B,), dtype=np.int32)
+    pitch[::3] = 0
+    if num_taps:
+        pitch[(pitch > 0) & (pitch < num_taps)] += num_taps
+    ltc = rng.integers(-32768, 32768, (B, max(num_taps, 1)), dtype=np.int32) << 16
+
+    ref, _ = lms_synthesize(jnp.asarray(res), lms_init_state(B, M), M)
+    if num_taps:
+        lt, _ = longterm_synthesize(
+            ref, jnp.asarray(pitch), jnp.asarray(ltc), num_taps,
+            longterm_init_state(B),
+        )
+        ref = jnp.where((pitch > 0)[:, None], lt, ref)
+    ref, _ = lattice_synthesize(ref, jnp.asarray(coef), lattice_init_state(B, p))
+    ref, _ = de_emphasis(ref, jnp.zeros((B,), jnp.int32))
+    ref = np.asarray(ref)
+
+    md = np.where(pitch > 0, pitch + num_taps // 2, 0).astype(np.int32)
+    prm = np.concatenate([md[:, None], ltc >> 16], axis=1).astype(np.int32)
+    out = np.asarray(
+        fused_synth_tl(jnp.asarray(res.T), jnp.asarray(coef.T),
+                       jnp.asarray(prm.T), p, num_taps, M, interpret=True)
+    ).T
+    assert np.array_equal(out, ref)
