@@ -619,6 +619,34 @@ class PayloadCursor:
 
 
 
+def _threads() -> int:
+    """Worker threads for the row-group filter stages (mirrors the native
+    entropy_threads policy: SLA_TPU_THREADS override, else cpu count capped
+    at 8)."""
+    v = os.environ.get("SLA_TPU_THREADS")
+    if v:
+        try:
+            return max(1, int(v))
+        except ValueError:
+            return 1
+    return max(1, min(os.cpu_count() or 1, 8))
+
+
+def _run_jobs(jobs: list) -> None:
+    """Run row-group closures serially or on a thread pool. The native
+    calls release the GIL and every job writes a disjoint output region,
+    so any schedule is byte-identical to the serial loop."""
+    if len(jobs) > 1 and _threads() > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(_threads(), len(jobs))) as ex:
+            for _ in ex.map(lambda f: f(), jobs):
+                pass
+    else:
+        for f in jobs:
+            f()
+
+
 def _pad_group(rows: list) -> list:
     """Pad a row group to a multiple of 8 by repeating the last row when the
     tail is big enough that one extra interleaved call beats scalar calls
@@ -650,6 +678,7 @@ def predict_stage1_rows(
     for b in range(B):
         if lens[b] > 0:
             by_len.setdefault(int(lens[b]), []).append(b)
+    jobs = []
     for n, rows in by_len.items():
         rows = _pad_group(rows)
         g = 0
@@ -668,18 +697,32 @@ def predict_stage1_rows(
             # no gather copy in, no scatter copy out
             if n == L and idx == list(range(i0, i0 + take)):
                 coef8 = np.ascontiguousarray(coef[i0 : i0 + take])
-                fn(_i32ptr(data[i0:]), _i32ptr(out[i0:]), n, _i32ptr(coef8), p)
+
+                def run(fn=fn, i0=i0, n=n, coef8=coef8):
+                    fn(_i32ptr(data[i0:]), _i32ptr(out[i0:]), n, _i32ptr(coef8), p)
+
             else:
                 in8 = np.ascontiguousarray(data[idx, :n])
-                out8 = np.empty_like(in8)
                 coef8 = np.ascontiguousarray(coef[idx])
-                fn(_i32ptr(in8), _i32ptr(out8), n, _i32ptr(coef8), p)
-                out[idx, :n] = out8
+
+                def run(fn=fn, idx=idx, n=n, in8=in8, coef8=coef8):
+                    out8 = np.empty_like(in8)
+                    fn(_i32ptr(in8), _i32ptr(out8), n, _i32ptr(coef8), p)
+                    out[idx, :n] = out8
+
+            jobs.append(run)
             g += take
         for b in rows[g:]:
-            row = np.empty(n, dtype=np.int32)
-            lib.sla_predict_stage1(_i32ptr(data[b]), _i32ptr(row), n, _i32ptr(coef[b]), p)
-            out[b, :n] = row
+
+            def run(b=b, n=n):
+                row = np.empty(n, dtype=np.int32)
+                lib.sla_predict_stage1(
+                    _i32ptr(data[b]), _i32ptr(row), n, _i32ptr(coef[b]), p
+                )
+                out[b, :n] = row
+
+            jobs.append(run)
+    _run_jobs(jobs)
     return out
 
 
@@ -711,6 +754,7 @@ def predict_stage2_rows(
     for b in range(B):
         if lens[b] > 0:
             by_len.setdefault(int(lens[b]), []).append(b)
+    jobs = []
     for n, rows in by_len.items():
         rows = _pad_group(rows)
         g = 0
@@ -726,24 +770,38 @@ def predict_stage2_rows(
             pit8 = np.ascontiguousarray(pitch[idx].astype(np.int32))
             ltm8 = np.ascontiguousarray(ltm[idx])
             if n == L and idx == list(range(i0, i0 + take)):
-                fn(
-                    _i32ptr(residual[i0:]), _i32ptr(out[i0:]), n,
-                    _i32ptr(pit8), _i32ptr(ltm8), num_taps, lms_order,
-                )
+
+                def run(fn=fn, i0=i0, n=n, pit8=pit8, ltm8=ltm8):
+                    fn(
+                        _i32ptr(residual[i0:]), _i32ptr(out[i0:]), n,
+                        _i32ptr(pit8), _i32ptr(ltm8), num_taps, lms_order,
+                    )
+
             else:
                 in8 = np.ascontiguousarray(residual[idx, :n])
-                out8 = np.empty_like(in8)
-                fn(
-                    _i32ptr(in8), _i32ptr(out8), n, _i32ptr(pit8), _i32ptr(ltm8),
-                    num_taps, lms_order,
-                )
-                out[idx, :n] = out8
+
+                def run(fn=fn, idx=idx, n=n, in8=in8, pit8=pit8, ltm8=ltm8):
+                    out8 = np.empty_like(in8)
+                    fn(
+                        _i32ptr(in8), _i32ptr(out8), n, _i32ptr(pit8),
+                        _i32ptr(ltm8), num_taps, lms_order,
+                    )
+                    out[idx, :n] = out8
+
+            jobs.append(run)
             g += take
         for b in rows[g:]:
-            row = np.empty(n, dtype=np.int32)
-            lib.sla_predict_stage2(_i32ptr(residual[b]), _i32ptr(row), n,
-                                   int(pitch[b]), _i32ptr(ltm[b]), num_taps, lms_order)
-            out[b, :n] = row
+
+            def run(b=b, n=n):
+                row = np.empty(n, dtype=np.int32)
+                lib.sla_predict_stage2(
+                    _i32ptr(residual[b]), _i32ptr(row), n, int(pitch[b]),
+                    _i32ptr(ltm[b]), num_taps, lms_order,
+                )
+                out[b, :n] = row
+
+            jobs.append(run)
+    _run_jobs(jobs)
     return out
 
 
@@ -782,6 +840,7 @@ def synth_rows(
         if lens[b] > 0:
             by_len.setdefault(int(lens[b]), []).append(b)
 
+    jobs = []
     for n, rows in by_len.items():
         rows = _pad_group(rows)
         g = 0
@@ -795,18 +854,27 @@ def synth_rows(
             ltm8 = np.ascontiguousarray(ltm[idx])
             if n == L and idx == list(range(i0, i0 + take)):
                 # consecutive full-width group: views straight through
-                fn(
-                    _i32ptr(residual[i0:]), _i32ptr(out[i0:]), n, _i32ptr(coef8),
-                    p, _i32ptr(pit8), _i32ptr(ltm8), num_taps, M,
-                )
+
+                def run(fn=fn, i0=i0, n=n, coef8=coef8, pit8=pit8, ltm8=ltm8):
+                    fn(
+                        _i32ptr(residual[i0:]), _i32ptr(out[i0:]), n,
+                        _i32ptr(coef8), p, _i32ptr(pit8), _i32ptr(ltm8),
+                        num_taps, M,
+                    )
+
             else:
                 res8 = np.ascontiguousarray(residual[idx, :n])
-                out8 = np.empty_like(res8)
-                fn(
-                    _i32ptr(res8), _i32ptr(out8), n, _i32ptr(coef8), p,
-                    _i32ptr(pit8), _i32ptr(ltm8), num_taps, M,
-                )
-                out[idx, :n] = out8
+
+                def run(fn=fn, idx=idx, n=n, res8=res8, coef8=coef8,
+                        pit8=pit8, ltm8=ltm8):
+                    out8 = np.empty_like(res8)
+                    fn(
+                        _i32ptr(res8), _i32ptr(out8), n, _i32ptr(coef8), p,
+                        _i32ptr(pit8), _i32ptr(ltm8), num_taps, M,
+                    )
+                    out[idx, :n] = out8
+
+            jobs.append(run)
             g += take
         for b in rows[g:]:
             lat = np.zeros(p + 1, np.int32)
@@ -819,6 +887,7 @@ def synth_rows(
                 residual[b, :n], coef[b], lat, int(pitch[b]), ltm[b], num_taps,
                 hist, ltp, M, lms, lmsp, de,
             )
+    _run_jobs(jobs)
     return out
 
 

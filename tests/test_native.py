@@ -250,3 +250,30 @@ def test_threaded_entropy_stages_match_serial(monkeypatch):
         assert r.returncode == 0, r.stderr.decode()[-2000:]
         outs[threads] = r.stdout
     assert outs["1"] == outs["4"] and len(outs["1"]) > 1000
+
+
+def test_threaded_filter_cascades_byte_identical(monkeypatch):
+    """SLA_TPU_THREADS>1 threads the row-group filter cascades (stage1,
+    stage2, synthesis) over a pool; disjoint outputs + GIL-released ctypes
+    calls make any schedule byte-identical to the serial loop."""
+    import numpy as np
+
+    import sla_tpu as sla
+    from tests.test_encode_decode import gen_wave
+
+    pcm = gen_wave("chirp", 60000, 2, 16, 0, seed=77)
+
+    def run():
+        enc = sla.Encoder(sla.EncoderConfig(backend="host"))
+        enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
+        enc.set_encode_parameter(sla.PRESETS[2])
+        blob = enc.encode_whole(pcm)
+        dec = sla.Decoder(sla.DecoderConfig(backend="host"))
+        return blob, dec.decode_whole(blob)[1]
+
+    monkeypatch.delenv("SLA_TPU_THREADS", raising=False)
+    base_blob, base_pcm = run()
+    monkeypatch.setenv("SLA_TPU_THREADS", "4")
+    blob4, pcm4 = run()
+    assert blob4 == base_blob
+    assert np.array_equal(pcm4, base_pcm)
