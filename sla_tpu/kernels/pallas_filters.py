@@ -31,6 +31,9 @@ from jax.experimental.pallas import tpu as pltpu
 _HALF = 1 << 14
 TILE_B = 128
 TILE_L = 2048
+_UNROLL = 8  # samples per fori iteration: Mosaic's loop overhead is per
+# iteration, and trace-level unrolling amortizes it (sample order unchanged)
+
 
 
 def _cumsum_sublanes(m: jnp.ndarray, p: int) -> jnp.ndarray:
@@ -77,7 +80,9 @@ def _lattice_kernel(data_ref, coef_ref, out_ref, b_state, x_prev, *, parcor_orde
 
     c = coef_ref[:]  # (p, TB)
 
-    def body(s, _):
+    def body(s, _unused=None):
+        # s is the carried int32 sample counter (the fori index is int64
+        # under jax_enable_x64 and Mosaic rejects arithmetic on it)
         x = data_ref[s, :][None, :]  # (1, TB)
         b_prev = b_state[:]  # (p+1, TB)
         # pre-emphasis folded in: y = x - ((x[-1] * 31) >> 5)
@@ -92,9 +97,14 @@ def _lattice_kernel(data_ref, coef_ref, out_ref, b_state, x_prev, *, parcor_orde
         b_hi = b_prev[:p, :] - ((c * f_prev + _HALF) >> 15)
         b_state[:] = jnp.concatenate([y, b_hi], axis=0)
         out_ref[s, :] = (y - incl[p - 1 : p, :])[0]
-        return jnp.int32(0)
+        return s + jnp.int32(1)
 
-    jax.lax.fori_loop(0, tile_l, body, jnp.int32(0))
+    def body_u(i, s32):
+        for _ in range(_UNROLL):
+            s32 = body(s32)
+        return s32
+
+    jax.lax.fori_loop(0, tile_l // _UNROLL, body_u, jnp.int32(0))
 
 
 def _lattice_synth_body(data_ref, coef_ref, out_ref, b_state, x_prev, *, p,
@@ -104,7 +114,8 @@ def _lattice_synth_body(data_ref, coef_ref, out_ref, b_state, x_prev, *, p,
     belong to the caller)."""
     c = coef_ref[:p, :]  # (p, TB)
 
-    def body(s, _):
+    def body(s, _unused=None):
+        # s: carried int32 sample counter (see predict body note)
         r = data_ref[s, :][None, :]  # (1, TB)
         b_prev = b_state[:]  # (p+1, TB)
         # synthesis: f_partial_k = r + suffix_sum(m)[k]; out = f_partial_1
@@ -120,9 +131,14 @@ def _lattice_synth_body(data_ref, coef_ref, out_ref, b_state, x_prev, *, p,
             out_ref[s, :] = y[0]
         else:
             out_ref[s, :] = out[0]
-        return jnp.int32(0)
+        return s + jnp.int32(1)
 
-    jax.lax.fori_loop(0, tile_l, body, jnp.int32(0))
+    def body_u(i, s32):
+        for _ in range(_UNROLL):
+            s32 = body(s32)
+        return s32
+
+    jax.lax.fori_loop(0, tile_l // _UNROLL, body_u, jnp.int32(0))
 
 
 def _lms_kernel(data_ref, out_ref, state, *, lms_order, tile_l, synthesize):
@@ -142,10 +158,10 @@ def _lms_kernel_body(data_ref, out_ref, state, *, lms_order, tile_l,
                      synthesize, l):
     M = lms_order
 
-    def body(s, s32):
-        # s is int64 under jax_enable_x64 and Mosaic can neither use it in
-        # arithmetic nor convert it — carry an int32 counter instead
-        x = data_ref[s, :][None, :]  # (1, TB)
+    def body(s32):
+        # the carried int32 counter doubles as the ref index (the fori
+        # index is int64 under jax_enable_x64; Mosaic rejects it)
+        x = data_ref[s32, :][None, :]  # (1, TB)
         fc = state[0:M, :]
         ic = state[M : 2 * M, :]
         xb = state[2 * M : 3 * M, :]
@@ -183,10 +199,15 @@ def _lms_kernel_body(data_ref, out_ref, state, *, lms_order, tile_l,
         state[M : 2 * M, :] = ic
         state[2 * M : 3 * M, :] = xb
         state[3 * M : 4 * M, :] = pb
-        out_ref[s, :] = jnp.where(warm, x, out)[0]
+        out_ref[s32, :] = jnp.where(warm, x, out)[0]
         return s32 + jnp.int32(1)
 
-    jax.lax.fori_loop(0, tile_l, body, jnp.int32(0))
+    def body_u(i, s32):
+        for _ in range(_UNROLL):
+            s32 = body(s32)
+        return s32
+
+    jax.lax.fori_loop(0, tile_l // _UNROLL, body_u, jnp.int32(0))
 
 
 _LT_HIST_D = 264  # ring depth: > max lag (pitch<256 + taps//2 <= 257), 8-aligned
@@ -229,10 +250,11 @@ def _longterm_body(res_ref, prm_ref, out_ref, hist, *, num_taps, tile_l,
     max_delay = prm_ref[0, :][None, :]  # (1, TB)
     d_iota = jax.lax.broadcasted_iota(jnp.int32, (D, TB), 0)
 
-    def body(s, carry):
-        s32, wp = carry  # int32 sample counter and ring write slot
+    def body(carry):
+        s32, wp = carry  # int32 sample counter (also the ref index) and
+        # ring write slot; the int64 fori index is unusable in Mosaic
         pos = l * tile_l + s32
-        r = res_ref[s, :][None, :]
+        r = res_ref[s32, :][None, :]
         h = hist[:]
         S0 = jnp.zeros_like(r)
         S1 = jnp.zeros_like(r)
@@ -253,13 +275,18 @@ def _longterm_body(res_ref, prm_ref, out_ref, hist, *, num_taps, tile_l,
         use = jnp.logical_and(max_delay > 0, pos >= max_delay)
         out = jnp.where(use, r + pred, r)
         hist[:] = jnp.where(d_iota == wp, out, h)
-        out_ref[s, :] = out[0]
+        out_ref[s32, :] = out[0]
         wp = wp + 1
         wp = jnp.where(wp == D, jnp.int32(0), wp)
         return (s32 + jnp.int32(1), wp)
 
+    def body_u(i, carry):
+        for _ in range(_UNROLL):
+            carry = body(carry)
+        return carry
+
     jax.lax.fori_loop(
-        0, tile_l, body,
+        0, tile_l // _UNROLL, body_u,
         (jnp.int32(0), jnp.mod(l * jnp.int32(tile_l), jnp.int32(D))),
     )
 
