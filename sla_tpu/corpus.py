@@ -21,6 +21,7 @@ mesh). Design:
 from __future__ import annotations
 
 import dataclasses
+import glob as _glob
 import hashlib
 import json
 import os
@@ -134,7 +135,9 @@ def encode_corpus(
     # (shards are disjoint, so only our own names — and our manifest slot —
     # can carry stale temps; other live workers' temps are never touched)
     for path in mine:
-        for stale in out_dir.glob(names[path] + ".sla.tmp*"):
+        # glob.escape: a '[' or '?' in the stem must match literally, not as a
+        # pattern — an unescaped stem could sweep ANOTHER worker's live temp
+        for stale in out_dir.glob(_glob.escape(names[path] + ".sla.tmp") + "*"):
             try:
                 stale.unlink()
             except OSError:

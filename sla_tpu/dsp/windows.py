@@ -63,8 +63,13 @@ def tukey(n: int, alpha: float) -> np.ndarray:
 
 def make_window(kind: WindowFunctionType, n: int) -> np.ndarray:
     # NumPy's vectorized trig differs from libm in the last ulp, which leaks
-    # into quantized coefficients; the native generator reproduces the
-    # reference's exact values (the formulas below are the semantic fallback).
+    # into quantized coefficients; both generators below (native and
+    # sla_tpu.exact) call libm per sample with the reference's association,
+    # so every enum kind is exact. The vectorized formulas above are kept as
+    # the readable semantic reference (PARITY.md row 13) and for callers
+    # that want a window without the identity guarantee (e.g. Tukey, which
+    # the reference exposes as a utility but never selects via the enum:
+    # SLAUtility.c:192).
     # Cached: per-sample libm sin/cos is ~0.25 ms per 12288-sample window
     # and corpus runs regenerate the same few shapes constantly. The native
     # flag is part of the key (availability can flip via SLA_TPU_NO_NATIVE),
@@ -77,34 +82,17 @@ def make_window(kind: WindowFunctionType, n: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=32)
 def _make_window_cached(kind_int: int, n: int, use_native: bool) -> np.ndarray:
-    kind = WindowFunctionType(kind_int)
-    w = _make_window_uncached(kind, kind_int, n, use_native)
-    w.setflags(write=False)
-    return w
-
-
-def _make_window_uncached(
-    kind: WindowFunctionType, kind_int: int, n: int, use_native: bool
-) -> np.ndarray:
+    WindowFunctionType(kind_int)  # reject unknown kinds (raises ValueError)
     from .. import native
 
-    if use_native and native.available() and kind_int <= 4:
-        return native.make_window(kind_int, n)
-    if kind_int <= 4:
+    if use_native and native.available():
+        w = native.make_window(kind_int, n)
+    else:
         # toolchain-free exact path: CPython's math module calls the same
         # libm as the compiled generator, with the reference's association
         # (sla_tpu.exact.make_window) — byte-identity holds without g++
         from .. import exact
 
-        return exact.make_window(kind_int, n)
-    if kind == WindowFunctionType.RECTANGULAR:
-        return rectangular(n)
-    if kind == WindowFunctionType.SIN:
-        return sin_window(n)
-    if kind == WindowFunctionType.HANN:
-        return hann(n)
-    if kind == WindowFunctionType.BLACKMAN:
-        return blackman(n)
-    if kind == WindowFunctionType.VORBIS:
-        return vorbis(n)
-    raise ValueError(f"invalid window function type: {kind}")
+        w = exact.make_window(kind_int, n)
+    w.setflags(write=False)
+    return w

@@ -750,6 +750,7 @@ class Encoder:
             lengths[r0 : r0 + C] = pl.num_samples
 
         res1_dev = None
+        res2_dev = None
         mesh = None
         if backend == "mesh":
             # explicit multi-chip mode: rows shard across every device on a
@@ -824,11 +825,11 @@ class Encoder:
             ltm3[:B, 0] = ltm
             d_pitch = shard_batch(mesh, pitch3[..., None])[0][..., 0]
             d_ltm = shard_batch(mesh, ltm3)[0]
-            residual2 = np.asarray(
-                sharded_encode_stage2(
-                    res1_dev, d_pitch, d_ltm, T, ep.lms_order_per_filter, mesh
-                )
-            )[:B, 0]
+            res2_full = sharded_encode_stage2(
+                res1_dev, d_pitch, d_ltm, T, ep.lms_order_per_filter, mesh
+            )
+            res2_dev = res2_full[:, 0]  # (NB, L) device-side view
+            residual2 = np.asarray(res2_full)[:B, 0]
         elif backend == "host":
             residual2 = native.predict_stage2_rows(
                 residual1, pitches, ltm, T, ep.lms_order_per_filter, lengths
@@ -840,15 +841,14 @@ class Encoder:
 
             from .pipeline import fetch_int32
 
-            residual2 = fetch_int32(
-                encode_stage2(
-                    res1_dev,
-                    jnp.asarray(pitches),
-                    jnp.asarray(ltm),
-                    T,
-                    ep.lms_order_per_filter,
-                )
+            res2_dev = encode_stage2(
+                res1_dev,
+                jnp.asarray(pitches),
+                jnp.asarray(ltm),
+                T,
+                ep.lms_order_per_filter,
             )
+            residual2 = fetch_int32(res2_dev)
         init_all = (
             native.initial_params_rows(residual2, lengths)
             if native.available()
@@ -864,7 +864,12 @@ class Encoder:
                 else rice.calculate_initial_params(list(pl.residual))
             )
         if init_all is not None and self._device_entropy_on(backend):
-            self._attach_device_parts(rows_meta, residual2, init_all)
+            # pass the LIVE device residual when the filter batch ran
+            # on-chip — the symbol pass reads it from HBM with no re-upload
+            # over PCIe (the host copy is only for the part-less fallbacks)
+            self._attach_device_parts(
+                rows_meta, residual2 if res2_dev is None else res2_dev, init_all
+            )
 
     def _device_entropy_on(self, backend: str) -> bool:
         """Device entropy policy (VERDICT r2 #7): on-chip symbol coding is
@@ -886,10 +891,12 @@ class Encoder:
 
         from .rice_device import rice_encode_parts
 
-        values, lengths = rice_encode_parts(
-            jnp.asarray(residual2),
-            jnp.asarray(np.asarray(init_all, dtype=np.uint32)),
-        )
+        res = jnp.asarray(residual2)  # no-op when already device-resident
+        # the mesh batch carries padding rows beyond the init-param count;
+        # pad the params to match (padded rows' parts are never read)
+        ip = np.zeros((int(res.shape[0]),), dtype=np.uint32)
+        ip[: len(init_all)] = np.asarray(init_all, dtype=np.uint32)
+        values, lengths = rice_encode_parts(res, jnp.asarray(ip))
         v = np.asarray(values)  # (L, B, 4) sample-major
         l = np.asarray(lengths)
         for pl, C, r0 in rows_meta:

@@ -368,6 +368,10 @@ def get_data_arrays_strided(
                     np.ascontiguousarray(out_offs[full_idx]).ctypes.data_as(p_i64),
                 )
             )
+            # rc indexes within the filtered full-block subset; map back to
+            # the caller's block numbering before surfacing it
+            if rc < -1:
+                rc = -2 - int(full_idx[-rc - 2])
             _raise_get_arrays(rc, C)
         for b in np.flatnonzero(~full):
             rows = get_data_array(buf, int(offs[b]), C, int(ns[b]), init[b])

@@ -256,7 +256,7 @@ def _decode_stage_scan(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("parcor_order", "num_taps", "lms_order", "lt_chunk", "lt_ring"),
+    static_argnames=("parcor_order", "num_taps", "lms_order", "lt_ring"),
 )
 def _decode_stage_pallas(
     residual: jnp.ndarray,
@@ -266,7 +266,6 @@ def _decode_stage_pallas(
     parcor_order: int,
     num_taps: int,
     lms_order: int,
-    lt_chunk: int = 1,
     lt_ring: int = 264,
 ):
     from .kernels.pallas_filters import TILE_B, fused_synth_tl
@@ -321,11 +320,12 @@ def decode_stage(
         plat = next(iter(residual.devices())).platform
     except Exception:
         pass
-    lt_chunk = _longterm_chunk(pitch, num_taps, residual.shape[1], platform=plat)
-    if _use_pallas() and residual.shape[1] % 2048 == 0:
+    # the ring sizing below needs concrete pitches; under an outer jit
+    # (traced pitch) the scan path handles it (_longterm_chunk returns 1)
+    pitch_concrete = not isinstance(pitch, jax.core.Tracer)
+    if _use_pallas() and residual.shape[1] % 2048 == 0 and pitch_concrete:
         # smallest sufficient ring for the Pallas long-term kernel (the
-        # per-step masked work is linear in the ring depth; pitch is
-        # concrete here, like the lt_chunk derivation above)
+        # per-step masked work is linear in the ring depth)
         from .kernels.pallas_filters import longterm_ring_depth
 
         max_lag = 0
@@ -337,8 +337,9 @@ def decode_stage(
                 max_lag = int(p_np[p_np > 0].max()) + num_taps // 2
         return _decode_stage_pallas(
             residual, parcor_coef, pitch, ltm_coef, parcor_order, num_taps,
-            lms_order, lt_chunk=lt_chunk, lt_ring=longterm_ring_depth(max_lag),
+            lms_order, lt_ring=longterm_ring_depth(max_lag),
         )
+    lt_chunk = _longterm_chunk(pitch, num_taps, residual.shape[1], platform=plat)
     return _decode_stage_scan(
         residual, parcor_coef, pitch, ltm_coef, parcor_order, num_taps,
         lms_order, lt_chunk=lt_chunk,

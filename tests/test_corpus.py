@@ -117,6 +117,27 @@ def test_same_stem_different_dirs_no_collision(tmp_path):
     assert res2.skipped == 2 and res2.encoded == 0
 
 
+def test_glob_metachar_stem_sweeps_only_own_temps(tmp_path):
+    """A '[...]' in a file stem must be matched literally by the stale-temp
+    sweep: without escaping, 'mix [fin].sla.tmp*' would miss this shard's
+    own stale temp AND delete a concurrent worker's in-flight
+    'mix f.sla.tmp<pid>' (the class matches the single char 'f')."""
+    pcm = gen_wave("sine", 3000, 1, 16, 0, seed=7)
+    bracket = tmp_path / "mix [fin].wav"
+    wavio.write_wav(str(bracket), wavio.WavFile(1, 44100, 16, pcm))
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    own_stale = out_dir / "mix [fin].sla.tmp424242"
+    own_stale.write_bytes(b"stale")
+    other_live = out_dir / "mix f.sla.tmp999"
+    other_live.write_bytes(b"another worker's in-flight temp")
+    res = encode_corpus([bracket], out_dir, preset=0)
+    assert res.encoded == 1 and res.failed == 0
+    assert not own_stale.exists()  # swept (literal match)
+    assert other_live.exists()  # untouched (no character-class match)
+    assert (out_dir / "mix [fin].sla").exists()
+
+
 def test_filter_batch_byte_identical(corpus, tmp_path):
     """filter_batch fuses many files' blocks into one filter batch; outputs
     must equal per-file encoding byte for byte."""
