@@ -274,3 +274,43 @@ def py_synth_chunk(
     if pitch > 0:
         lt_hist[:] = hist
     return out
+
+
+def py_synth_chunk_rows(
+    residual: np.ndarray,
+    parcor_coef: np.ndarray,
+    lattice_state: np.ndarray,
+    pitch: np.ndarray,
+    ltm_coef: np.ndarray,
+    num_taps: int,
+    lt_hist: np.ndarray,
+    lt_processed: np.ndarray,
+    lms_order: int,
+    lms_state: np.ndarray,
+    lms_processed: np.ndarray,
+    deemph_prev: np.ndarray,
+    ms: bool = False,
+    shift: int = 0,
+) -> np.ndarray:
+    """All-channel streaming-tick synthesis with the mid/side inverse and
+    left shift fused — the pure-Python twin of native.synth_chunk_rows
+    (same stacked (C, ...) state layout, mutates in place)."""
+    from .dsp.channel import ms_to_lr_int32
+
+    residual = np.ascontiguousarray(residual, dtype=np.int32)
+    C, n = residual.shape
+    out = np.empty((C, n), dtype=np.int32)
+    for ch in range(C):
+        out[ch] = py_synth_chunk(
+            residual[ch], parcor_coef[ch], lattice_state[ch], int(pitch[ch]),
+            ltm_coef[ch], num_taps, lt_hist[ch], lt_processed[ch], lms_order,
+            lms_state[ch], lms_processed[ch], deemph_prev[ch],
+        )
+    if ms:
+        if C != 2:
+            raise ValueError("mid/side requires exactly 2 channels")
+        left, right = ms_to_lr_int32(out[0], out[1])
+        out = np.stack([left, right])
+    if shift:
+        out = (out << np.int32(shift)).astype(np.int32)
+    return out

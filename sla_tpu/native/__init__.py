@@ -233,6 +233,18 @@ def _load() -> ctypes.CDLL | None:
         i32, p_i32, p_i32,  # lms_order, lms_state, lms_processed
         p_i32,  # deemph_prev
     ]
+    # void* pointer args: accepts both POINTER(c_int32) objects and raw
+    # .ctypes.data integers — the streaming tick prebinds the latter
+    vp = ctypes.c_void_p
+    lib.sla_synth_chunk_rows.restype = i32
+    lib.sla_synth_chunk_rows.argtypes = [
+        vp, vp, i32, i32,  # residual, out, C, n
+        vp, i32, i32, vp,  # parcor_coef, coef_stride, order, lattice_state
+        vp, vp, i32, i32,  # pitch, ltm_coef, ltm_stride, num_taps
+        vp, i32, vp,  # lt_hist, lt_hist_len, lt_processed
+        i32, vp, vp, vp,  # lms_order, lms_state, lms_processed, deemph_prev
+        i32, i32,  # ms, shift
+    ]
 
     _lib = lib
     return lib
@@ -604,6 +616,19 @@ class PayloadCursor:
             _u32ptr(self.eff_params), ctypes.byref(use_golomb),
         )
         self.use_golomb = int(use_golomb.value)
+        # prebound fast-read binding (indexing the CDLL makes a fresh
+        # function object, so relaxing its argtypes to void* doesn't touch
+        # the shared declaration used by read())
+        self._fast = lib["sla_get_data_array_partial"]
+        self._fast.restype = ctypes.c_int32
+        self._fast.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_void_p,
+        ]
+        self._pos_ref = ctypes.byref(self.bit_pos)
+        self._ps_ptr = self.param_state.ctypes.data
+        self._ep_ptr = self.eff_params.ctypes.data
 
     def read(self, stream: bytes | memoryview | np.ndarray, num_samples: int) -> np.ndarray:
         """Decode the next `num_samples` interleaved symbols -> (C, n) int32."""
@@ -620,6 +645,15 @@ class PayloadCursor:
             _u32ptr(self.eff_params), self.use_golomb, _i32ptr(out),
         )
         return out
+
+    def read_into(self, buf: np.ndarray, out: np.ndarray) -> None:
+        """Prebound fast read for the streaming hot path: buf is a uint8
+        view of the feed buffer (re-fetched per call — the bytearray can
+        move), out a contiguous (C, n) int32 the symbols land in."""
+        self._fast(
+            buf.ctypes.data, buf.size, self._pos_ref, self.C, out.shape[1],
+            self._ps_ptr, self._ep_ptr, self.use_golomb, out.ctypes.data,
+        )
 
 
 
@@ -927,6 +961,93 @@ def synth_chunk(
         _i32ptr(deemph_prev),
     )
     return out
+
+
+def synth_chunk_rows(
+    residual: np.ndarray,
+    parcor_coef: np.ndarray,
+    lattice_state: np.ndarray,
+    pitch: np.ndarray,
+    ltm_coef: np.ndarray,
+    num_taps: int,
+    lt_hist: np.ndarray,
+    lt_processed: np.ndarray,
+    lms_order: int,
+    lms_state: np.ndarray,
+    lms_processed: np.ndarray,
+    deemph_prev: np.ndarray,
+    ms: bool = False,
+    shift: int = 0,
+) -> np.ndarray:
+    """Streaming-tick synthesis of ALL channels in ONE native call, with the
+    mid/side inverse and final left shift fused in (the per-channel variant
+    above costs ~10 ctypes casts per call, which dominates 120 Hz ticks).
+
+    residual: (C, n) int32; parcor_coef: (C, p) orders 1..p; stacked state
+    arrays as _reset_filter_state lays them out. Mutates the states."""
+    lib = _load()
+    residual = np.ascontiguousarray(residual, dtype=np.int32)
+    C, n = residual.shape
+    out = np.empty_like(residual)
+    coef = np.ascontiguousarray(parcor_coef, dtype=np.int32)
+    ltm = np.ascontiguousarray(ltm_coef, dtype=np.int32)
+    rc = int(
+        lib.sla_synth_chunk_rows(
+            _i32ptr(residual), _i32ptr(out), C, n,
+            _i32ptr(coef), coef.shape[1], coef.shape[1],
+            _i32ptr(lattice_state),
+            _i32ptr(np.ascontiguousarray(pitch, dtype=np.int32)),
+            _i32ptr(ltm), ltm.shape[1], num_taps,
+            _i32ptr(lt_hist), lt_hist.shape[1], _i32ptr(lt_processed),
+            lms_order, _i32ptr(lms_state), _i32ptr(lms_processed),
+            _i32ptr(deemph_prev), 1 if ms else 0, int(shift),
+        )
+    )
+    if rc != 0:
+        raise ValueError(f"synth_chunk_rows: invalid geometry (rc={rc})")
+    return out
+
+
+class StreamTick:
+    """Per-block prebound synthesis tick for the streaming decoder.
+
+    All state/coefficient pointers are captured once at block start, so the
+    120 Hz hot path costs ONE FFI call with four varying integers instead of
+    ~12 ctypes pointer casts per tick (which dominated small tick chunks).
+    Arrays must be contiguous int32 in the _reset_filter_state layout; the
+    instance keeps references so the buffers outlive the bound pointers."""
+
+    def __init__(self, parcor_coef, lattice_state, pitch, ltm_coef, num_taps,
+                 lt_hist, lt_processed, lms_order, lms_state, lms_processed,
+                 deemph_prev, ms, shift):
+        lib = _load()
+        self._fn = lib.sla_synth_chunk_rows
+        coef = np.ascontiguousarray(parcor_coef, dtype=np.int32)
+        pit = np.ascontiguousarray(pitch, dtype=np.int32)
+        ltm = np.ascontiguousarray(ltm_coef, dtype=np.int32)
+        self._keep = (coef, pit, ltm, lattice_state, lt_hist, lt_processed,
+                      lms_state, lms_processed, deemph_prev)
+        self.C = int(lattice_state.shape[0])
+        self._tail = (
+            coef.ctypes.data, coef.shape[1], coef.shape[1],
+            lattice_state.ctypes.data, pit.ctypes.data,
+            ltm.ctypes.data, ltm.shape[1], int(num_taps),
+            lt_hist.ctypes.data, lt_hist.shape[1], lt_processed.ctypes.data,
+            int(lms_order), lms_state.ctypes.data, lms_processed.ctypes.data,
+            deemph_prev.ctypes.data, 1 if ms else 0, int(shift),
+        )
+
+    def run(self, residual: np.ndarray) -> np.ndarray:
+        """Synthesize one (C, n) int32 contiguous residual chunk; mutates
+        the bound state arrays (MS inverse + left shift applied)."""
+        out = np.empty_like(residual)
+        rc = self._fn(
+            residual.ctypes.data, out.ctypes.data, self.C,
+            residual.shape[1], *self._tail
+        )
+        if rc != 0:
+            raise ValueError(f"synth tick: invalid geometry (rc={rc})")
+        return out
 
 
 def convert_ms(

@@ -65,6 +65,12 @@ def _synth_chunk(*args):
     return hostref.py_synth_chunk(*args)
 
 
+def _synth_chunk_rows(*args, **kw):
+    if native.available():
+        return native.synth_chunk_rows(*args, **kw)
+    return hostref.py_synth_chunk_rows(*args, **kw)
+
+
 def calculate_sufficient_block_size(
     num_channels: int, num_samples: int, bit_per_sample: int
 ) -> int:
@@ -163,6 +169,7 @@ class StreamingDecoder:
         self._consumed_bits = 0  # payload cursor within the current block
         self._filter_state: dict | None = None
         self._payload_cursor: native.PayloadCursor | None = None
+        self._tick = None  # prebound per-block native synth (native.StreamTick)
 
     def reset(self) -> None:
         """Reset stream position and buffers (SLAStreamingDecoder_Reset,
@@ -174,6 +181,7 @@ class StreamingDecoder:
         self._consumed_bits = 0
         self._filter_state = None
         self._payload_cursor = None
+        self._tick = None
         self.queue = DataPacketQueue()
 
     # -- parameter setting ---------------------------------------------------
@@ -307,6 +315,37 @@ class StreamingDecoder:
             "deemph": np.zeros((C, 1), dtype=np.int32),
         }
 
+    def _bind_tick(self) -> None:
+        """Prebind the native per-tick synthesis call for the current block
+        (native.StreamTick: state pointers captured once, one FFI call per
+        tick). None on the pure-Python path or for RAWDATA blocks."""
+        self._tick = None
+        blk = self._block
+        if not native.available() or blk.block_type == BlockDataType.RAWDATA:
+            return
+        wf, ep = self._wave_format, self._encode_param
+        C = wf.num_channels
+        st = self._filter_state
+        self._tick = native.StreamTick(
+            blk.parcor_coef[:, 1:]
+            if blk.parcor_coef is not None
+            else np.zeros((C, ep.parcor_order), dtype=np.int32),
+            st["lattice"],
+            blk.pitch if blk.pitch is not None else np.zeros(C, dtype=np.int32),
+            blk.ltm_coef
+            if blk.ltm_coef is not None
+            else np.zeros((C, max(ep.longterm_order, 1)), dtype=np.int32),
+            ep.longterm_order,
+            st["lt_hist"],
+            st["lt_processed"],
+            ep.lms_order_per_filter,
+            st["lms"],
+            st["lms_processed"],
+            st["deemph"],
+            ms=ep.ch_process_method == ChannelProcessMethod.STEREO_MS,
+            shift=32 - wf.bit_per_sample + wf.offset_lshift,
+        )
+
     def _snapshot_state(self) -> dict:
         snap = {
             "consumed_bits": self._consumed_bits,
@@ -319,7 +358,10 @@ class StreamingDecoder:
 
     def _restore_state(self, snap: dict) -> None:
         self._consumed_bits = snap["consumed_bits"]
-        self._filter_state = snap["filter"]
+        # copy INTO the live arrays (not a dict swap): the prebound native
+        # tick holds their data pointers for the rest of the block
+        for k, v in snap["filter"].items():
+            self._filter_state[k][...] = v
         if self._payload_cursor is not None and "cursor_pos" in snap:
             self._payload_cursor.bit_pos.value = snap["cursor_pos"]
             self._payload_cursor.param_state[:] = snap["cursor_params"]
@@ -384,6 +426,7 @@ class StreamingDecoder:
                     self._payload_cursor = _payload_cursor(
                         self._block.init_rice, C, self._block.header_bytes * 8
                     )
+                self._bind_tick()
                 # update the bytes/sample estimate from real block stats
                 # (SLADecoder.c:1042-1044)
                 self._estimated_bytes_per_sample = (
@@ -414,6 +457,7 @@ class StreamingDecoder:
                 self._pending_drop = blk.block_size - take
                 self._block = None
                 self._payload_cursor = None
+                self._tick = None
         return out[:, :progress]
 
     def _decode_wave_data(self, n: int) -> np.ndarray:
@@ -422,6 +466,19 @@ class StreamingDecoder:
         C = wf.num_channels
         blk = self._block
         shift = 32 - wf.bit_per_sample + wf.offset_lshift
+
+        if blk.block_type == BlockDataType.COMPRESSDATA and self._tick is not None:
+            # prebound fast path: one native read + one native synth call
+            residual = np.empty((C, n), dtype=np.int32)
+            buf_view = np.frombuffer(self._buffer, dtype=np.uint8)
+            try:
+                self._payload_cursor.read_into(buf_view, residual)
+            finally:
+                del buf_view
+            self._consumed_bits = int(self._payload_cursor.bit_pos.value) - blk.header_bytes * 8
+            if blk.header_bytes * 8 + self._consumed_bits > 8 * len(self._buffer):
+                raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE, "streaming underrun")
+            return self._tick.run(residual)
 
         if blk.block_type == BlockDataType.SILENT:
             residual = np.zeros((C, n), dtype=np.int32)
@@ -440,7 +497,15 @@ class StreamingDecoder:
                 pcm = np.stack([left, right])
             return (pcm.astype(np.int32) << shift).astype(np.int32)
         else:
-            residual = self._payload_cursor.read(bytes(self._buffer), n)
+            # zero-copy view of the feed buffer for the native read (the
+            # per-tick bytes() copy was O(buffer) every 120 Hz tick); the
+            # view must not outlive this call — the bytearray is resized by
+            # append/advance and an open export would make those raise
+            buf_view = np.frombuffer(self._buffer, dtype=np.uint8)
+            try:
+                residual = self._payload_cursor.read(buf_view, n)
+            finally:
+                del buf_view
             self._consumed_bits = int(self._payload_cursor.bit_pos.value) - blk.header_bytes * 8
 
         # underrun detection: the bit reader zero-fills past the buffered
@@ -449,27 +514,27 @@ class StreamingDecoder:
             raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE, "streaming underrun")
 
         st = self._filter_state
-        pcm = np.empty((C, n), dtype=np.int32)
-        for ch in range(C):
-            pcm[ch] = _synth_chunk(
-                residual[ch],
-                np.ascontiguousarray(blk.parcor_coef[ch, 1:])
-                if blk.parcor_coef is not None
-                else np.zeros(ep.parcor_order, dtype=np.int32),
-                st["lattice"][ch],
-                int(blk.pitch[ch]) if blk.pitch is not None else 0,
-                np.ascontiguousarray(blk.ltm_coef[ch])
-                if blk.ltm_coef is not None
-                else np.zeros(max(ep.longterm_order, 1), dtype=np.int32),
-                ep.longterm_order,
-                st["lt_hist"][ch],
-                st["lt_processed"][ch],
-                ep.lms_order_per_filter,
-                st["lms"][ch],
-                st["lms_processed"][ch],
-                st["deemph"][ch],
-            )
-        if ep.ch_process_method == ChannelProcessMethod.STEREO_MS:
-            left, right = ms_to_lr_int32(pcm[0], pcm[1])
-            pcm = np.stack([left, right])
-        return (pcm.astype(np.int32) << shift).astype(np.int32)
+        # ONE fused call for every channel's cascade + MS inverse + shift:
+        # per-channel FFI crossings dominate small 120 Hz tick chunks
+        return _synth_chunk_rows(
+            residual,
+            np.ascontiguousarray(blk.parcor_coef[:, 1:])
+            if blk.parcor_coef is not None
+            else np.zeros((C, ep.parcor_order), dtype=np.int32),
+            st["lattice"],
+            blk.pitch
+            if blk.pitch is not None
+            else np.zeros(C, dtype=np.int32),
+            blk.ltm_coef
+            if blk.ltm_coef is not None
+            else np.zeros((C, max(ep.longterm_order, 1)), dtype=np.int32),
+            ep.longterm_order,
+            st["lt_hist"],
+            st["lt_processed"],
+            ep.lms_order_per_filter,
+            st["lms"],
+            st["lms_processed"],
+            st["deemph"],
+            ms=ep.ch_process_method == ChannelProcessMethod.STEREO_MS,
+            shift=shift,
+        )
