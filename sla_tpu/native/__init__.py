@@ -245,6 +245,18 @@ def _load() -> ctypes.CDLL | None:
         i32, vp, vp, vp,  # lms_order, lms_state, lms_processed, deemph_prev
         i32, i32,  # ms, shift
     ]
+    lib.sla_stream_tick.restype = i32
+    lib.sla_stream_tick.argtypes = [
+        vp, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),  # buf, len, pos
+        vp, vp, i32,  # param_state, eff_params, use_golomb
+        vp,  # residual_scratch
+        vp, i32, i32,  # out, C, n
+        vp, i32, i32, vp,  # parcor_coef, coef_stride, order, lattice_state
+        vp, vp, i32, i32,  # pitch, ltm_coef, ltm_stride, num_taps
+        vp, i32, vp,  # lt_hist, lt_hist_len, lt_processed
+        i32, vp, vp, vp,  # lms_order, lms_state, lms_processed, deemph_prev
+        i32, i32,  # ms, shift
+    ]
 
     _lib = lib
     return lib
@@ -616,19 +628,6 @@ class PayloadCursor:
             _u32ptr(self.eff_params), ctypes.byref(use_golomb),
         )
         self.use_golomb = int(use_golomb.value)
-        # prebound fast-read binding (indexing the CDLL makes a fresh
-        # function object, so relaxing its argtypes to void* doesn't touch
-        # the shared declaration used by read())
-        self._fast = lib["sla_get_data_array_partial"]
-        self._fast.restype = ctypes.c_int32
-        self._fast.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int32, ctypes.c_void_p,
-        ]
-        self._pos_ref = ctypes.byref(self.bit_pos)
-        self._ps_ptr = self.param_state.ctypes.data
-        self._ep_ptr = self.eff_params.ctypes.data
 
     def read(self, stream: bytes | memoryview | np.ndarray, num_samples: int) -> np.ndarray:
         """Decode the next `num_samples` interleaved symbols -> (C, n) int32."""
@@ -645,16 +644,6 @@ class PayloadCursor:
             _u32ptr(self.eff_params), self.use_golomb, _i32ptr(out),
         )
         return out
-
-    def read_into(self, buf: np.ndarray, out: np.ndarray) -> None:
-        """Prebound fast read for the streaming hot path: buf is a uint8
-        view of the feed buffer (re-fetched per call — the bytearray can
-        move), out a contiguous (C, n) int32 the symbols land in."""
-        self._fast(
-            buf.ctypes.data, buf.size, self._pos_ref, self.C, out.shape[1],
-            self._ps_ptr, self._ep_ptr, self.use_golomb, out.ctypes.data,
-        )
-
 
 
 def _threads() -> int:
@@ -1009,25 +998,33 @@ def synth_chunk_rows(
 
 
 class StreamTick:
-    """Per-block prebound synthesis tick for the streaming decoder.
+    """Per-block prebound fused decode tick for the streaming decoder.
 
-    All state/coefficient pointers are captured once at block start, so the
-    120 Hz hot path costs ONE FFI call with four varying integers instead of
-    ~12 ctypes pointer casts per tick (which dominated small tick chunks).
-    Arrays must be contiguous int32 in the _reset_filter_state layout; the
-    instance keeps references so the buffers outlive the bound pointers."""
+    All cursor/state/coefficient pointers are captured once at block start,
+    so the 120 Hz hot path costs ONE FFI call (sla_stream_tick: entropy read
+    + underrun check with native cursor rollback + all-channel synthesis +
+    MS inverse + shift) instead of ~12 ctypes pointer casts, a residual
+    round-trip, and a 7-array Python-side snapshot per tick. Arrays must be
+    contiguous int32 in the _reset_filter_state layout; the instance keeps
+    references so the buffers outlive the bound pointers."""
 
-    def __init__(self, parcor_coef, lattice_state, pitch, ltm_coef, num_taps,
+    def __init__(self, cursor: PayloadCursor,
+                 parcor_coef, lattice_state, pitch, ltm_coef, num_taps,
                  lt_hist, lt_processed, lms_order, lms_state, lms_processed,
                  deemph_prev, ms, shift):
         lib = _load()
-        self._fn = lib.sla_synth_chunk_rows
+        self._fn = lib.sla_stream_tick
         coef = np.ascontiguousarray(parcor_coef, dtype=np.int32)
         pit = np.ascontiguousarray(pitch, dtype=np.int32)
         ltm = np.ascontiguousarray(ltm_coef, dtype=np.int32)
+        self._scratch = np.empty(0, dtype=np.int32)
         self._keep = (coef, pit, ltm, lattice_state, lt_hist, lt_processed,
-                      lms_state, lms_processed, deemph_prev)
+                      lms_state, lms_processed, deemph_prev, cursor)
         self.C = int(lattice_state.shape[0])
+        self._cursor_head = (
+            ctypes.byref(cursor.bit_pos), cursor.param_state.ctypes.data,
+            cursor.eff_params.ctypes.data, cursor.use_golomb,
+        )
         self._tail = (
             coef.ctypes.data, coef.shape[1], coef.shape[1],
             lattice_state.ctypes.data, pit.ctypes.data,
@@ -1037,17 +1034,21 @@ class StreamTick:
             deemph_prev.ctypes.data, 1 if ms else 0, int(shift),
         )
 
-    def run(self, residual: np.ndarray) -> np.ndarray:
-        """Synthesize one (C, n) int32 contiguous residual chunk; mutates
-        the bound state arrays (MS inverse + left shift applied)."""
-        out = np.empty_like(residual)
+    def run(self, buf: np.ndarray, out: np.ndarray) -> int:
+        """One fused tick: read C*n symbols from the uint8 feed-buffer view
+        `buf` at the bound cursor, synthesize into the contiguous (C, n)
+        int32 `out`, mutating the bound states. Returns 0, or 1 on underrun
+        (cursor rolled back, filter state untouched — feed and retry)."""
+        n = out.shape[1]
+        if self._scratch.size < self.C * n:
+            self._scratch = np.empty(self.C * n, dtype=np.int32)
         rc = self._fn(
-            residual.ctypes.data, out.ctypes.data, self.C,
-            residual.shape[1], *self._tail
+            buf.ctypes.data, buf.size, *self._cursor_head,
+            self._scratch.ctypes.data, out.ctypes.data, self.C, n, *self._tail
         )
-        if rc != 0:
-            raise ValueError(f"synth tick: invalid geometry (rc={rc})")
-        return out
+        if rc not in (0, 1):
+            raise ValueError(f"stream tick: invalid geometry (rc={rc})")
+        return rc
 
 
 def convert_ms(

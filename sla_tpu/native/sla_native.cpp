@@ -1532,6 +1532,49 @@ int32_t sla_synth_chunk_rows(
   return 0;
 }
 
+// One fused streaming decode tick: resumable entropy read + underrun check
+// + all-channel synthesis (+ MS inverse + left shift), replacing three FFI
+// crossings and a Python-side filter-state snapshot per 120 Hz tick. On
+// underrun (*bit_pos past the buffered end, i.e. the feed contract of
+// SLADecoder.c:1008-1097 was violated) the cursor state is rolled back and
+// 1 is returned with the filter state untouched — the cascade only runs
+// after the check passes, mirroring the Python-path ordering in
+// streaming._decode_wave_data. residual_scratch must hold C*n int32s.
+int32_t sla_stream_tick(
+    const uint8_t* buf, int64_t buf_len, int64_t* bit_pos,
+    uint64_t* param_state, const uint32_t* eff_params, int32_t use_golomb,
+    int32_t* residual_scratch,
+    int32_t* out, int32_t C, int32_t n,
+    const int32_t* parcor_coef, int32_t coef_stride, int32_t parcor_order,
+    int32_t* lattice_state, const int32_t* pitch,
+    const int32_t* ltm_coef, int32_t ltm_stride, int32_t num_taps,
+    int32_t* lt_hist, int32_t lt_hist_len, int32_t* lt_processed,
+    int32_t lms_order, int32_t* lms_state, int32_t* lms_processed,
+    int32_t* deemph_prev, int32_t ms, int32_t shift) {
+  if (C > 64) return -1;
+  const int64_t save_pos = *bit_pos;
+  uint64_t save_params[64 * kNumRecursiveParams];
+  if (!use_golomb)
+    std::memcpy(save_params, param_state,
+                sizeof(uint64_t) * (size_t)C * kNumRecursiveParams);
+  int32_t rc = sla_get_data_array_partial(buf, buf_len, bit_pos, C, n,
+                                          param_state, eff_params, use_golomb,
+                                          residual_scratch);
+  if (rc != 0) return rc;
+  if (*bit_pos > 8 * buf_len) {
+    *bit_pos = save_pos;
+    if (!use_golomb)
+      std::memcpy(param_state, save_params,
+                  sizeof(uint64_t) * (size_t)C * kNumRecursiveParams);
+    return 1;  // underrun: caller feeds more data and retries this tick
+  }
+  return sla_synth_chunk_rows(
+      residual_scratch, out, C, n, parcor_coef, coef_stride, parcor_order,
+      lattice_state, pitch, ltm_coef, ltm_stride, num_taps, lt_hist,
+      lt_hist_len, lt_processed, lms_order, lms_state, lms_processed,
+      deemph_prev, ms, shift);
+}
+
 // Encode-side filter cascade for one channel row: pre-emphasis -> PARCOR
 // lattice predict -> long-term predict -> LMS predict (SLAEncoder.c:598-672
 // order), whole block in one call. This is the host backend of the

@@ -316,17 +316,23 @@ class StreamingDecoder:
         }
 
     def _bind_tick(self) -> None:
-        """Prebind the native per-tick synthesis call for the current block
-        (native.StreamTick: state pointers captured once, one FFI call per
-        tick). None on the pure-Python path or for RAWDATA blocks."""
+        """Prebind the native fused decode tick for the current block
+        (native.StreamTick: cursor + state pointers captured once, one FFI
+        call per tick doing read + underrun rollback + synthesis). None on
+        the pure-Python path and for RAWDATA/SILENT blocks."""
         self._tick = None
         blk = self._block
-        if not native.available() or blk.block_type == BlockDataType.RAWDATA:
+        if (
+            not native.available()
+            or blk.block_type != BlockDataType.COMPRESSDATA
+            or not isinstance(self._payload_cursor, native.PayloadCursor)
+        ):
             return
         wf, ep = self._wave_format, self._encode_param
         C = wf.num_channels
         st = self._filter_state
         self._tick = native.StreamTick(
+            self._payload_cursor,
             blk.parcor_coef[:, 1:]
             if blk.parcor_coef is not None
             else np.zeros((C, ep.parcor_order), dtype=np.int32),
@@ -347,10 +353,10 @@ class StreamingDecoder:
         )
 
     def _snapshot_state(self) -> dict:
-        snap = {
-            "consumed_bits": self._consumed_bits,
-            "filter": {k: v.copy() for k, v in self._filter_state.items()},
-        }
+        # cursor-only: every _decode_wave_data path checks for underrun
+        # BEFORE running the filter cascade, so on the rollback exception
+        # only the entropy cursor and consumed-bits count have been mutated
+        snap: dict = {"consumed_bits": self._consumed_bits}
         if self._payload_cursor is not None:
             snap["cursor_pos"] = int(self._payload_cursor.bit_pos.value)
             snap["cursor_params"] = self._payload_cursor.param_state.copy()
@@ -358,12 +364,10 @@ class StreamingDecoder:
 
     def _restore_state(self, snap: dict) -> None:
         self._consumed_bits = snap["consumed_bits"]
-        # copy INTO the live arrays (not a dict swap): the prebound native
-        # tick holds their data pointers for the rest of the block
-        for k, v in snap["filter"].items():
-            self._filter_state[k][...] = v
         if self._payload_cursor is not None and "cursor_pos" in snap:
             self._payload_cursor.bit_pos.value = snap["cursor_pos"]
+            # copy INTO the live array (not a rebind): the native reader is
+            # bound to its data pointer
             self._payload_cursor.param_state[:] = snap["cursor_params"]
 
     def _worst_case_header_bytes(self) -> int:
@@ -394,7 +398,7 @@ class StreamingDecoder:
         goal = self._samples_per_decode
         if max_samples is not None:
             goal = min(goal, max_samples)
-        out = np.zeros((C, goal), dtype=np.int32)
+        out = np.empty((C, goal), dtype=np.int32)  # [:progress] fully written
         progress = 0
         while progress < goal:
             if self._pending_drop:
@@ -436,14 +440,16 @@ class StreamingDecoder:
             n = min(goal - progress, blk.num_samples - self._block_sample_offset)
             if n == 0:
                 break
-            # snapshot entropy + filter state so a mid-chunk underrun can be
-            # rolled back instead of corrupting the decode
-            snap = self._snapshot_state()
+            # snapshot the entropy cursor so a mid-chunk underrun can be
+            # rolled back instead of corrupting the decode (the fused native
+            # tick rolls itself back, so the fast path skips this)
+            snap = None if self._tick is not None else self._snapshot_state()
             try:
                 chunk = self._decode_wave_data(n)
             except SLAError as e:
                 if e.result == ApiResult.INSUFFICIENT_DATA_SIZE:
-                    self._restore_state(snap)
+                    if snap is not None:
+                        self._restore_state(snap)
                     break  # caller feeds more data and retries
                 raise
             out[:, progress : progress + n] = chunk
@@ -467,18 +473,20 @@ class StreamingDecoder:
         blk = self._block
         shift = 32 - wf.bit_per_sample + wf.offset_lshift
 
-        if blk.block_type == BlockDataType.COMPRESSDATA and self._tick is not None:
-            # prebound fast path: one native read + one native synth call
-            residual = np.empty((C, n), dtype=np.int32)
+        if self._tick is not None:
+            # prebound fast path: the WHOLE tick (entropy read + underrun
+            # check/rollback + synthesis) is one native call; on underrun
+            # nothing was mutated, so decode() needs no snapshot here
+            out = np.empty((C, n), dtype=np.int32)
             buf_view = np.frombuffer(self._buffer, dtype=np.uint8)
             try:
-                self._payload_cursor.read_into(buf_view, residual)
+                status = self._tick.run(buf_view, out)
             finally:
                 del buf_view
-            self._consumed_bits = int(self._payload_cursor.bit_pos.value) - blk.header_bytes * 8
-            if blk.header_bytes * 8 + self._consumed_bits > 8 * len(self._buffer):
+            if status:
                 raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE, "streaming underrun")
-            return self._tick.run(residual)
+            self._consumed_bits = int(self._payload_cursor.bit_pos.value) - blk.header_bytes * 8
+            return out
 
         if blk.block_type == BlockDataType.SILENT:
             residual = np.zeros((C, n), dtype=np.int32)
