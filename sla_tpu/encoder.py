@@ -442,7 +442,7 @@ class Encoder:
         return int(sizes.max()), int(bps.max())
 
     def _serialize_blocks_native(
-        self, plans: list["_BlockPlan"]
+        self, plans: list["_BlockPlan"], prefix_reserve: int = 0
     ) -> tuple[bytes, np.ndarray, np.ndarray]:
         """One native call serializes every block back to back (identical
         bytes to the per-block path — blocks are byte-aligned). Returns
@@ -479,6 +479,7 @@ class Encoder:
         payload, sizes = native.encode_blocks(
             nsamp, btype, p, T, wf.bit_per_sample, LONGTERM_MIN_PITCH_THRESHOLD,
             code, rshift, pitch, ltm, init, rows, raw_bits,
+            prefix_reserve=prefix_reserve,
         )
         return payload, sizes, nsamp
 
@@ -486,7 +487,13 @@ class Encoder:
         self, num_samples: int, plans: list["_BlockPlan"]
     ) -> bytes:
         wf, ep = self._wave_format, self._encode_param
-        payload, sizes, nsamp = self._serialize_blocks_native(plans)
+        # Reserve the 43-byte header slot in the serialization buffer so
+        # the stream materializes with ONE copy (header patched in place)
+        # instead of tobytes() followed by header+payload concatenation —
+        # both full-stream copies on fresh pages (~5us/4KB fault here).
+        stream, sizes, nsamp = self._serialize_blocks_native(
+            plans, prefix_reserve=SLA_HEADER_SIZE
+        )
         max_block_size, max_bps = self._header_stats(sizes, nsamp)
         header = HeaderInfo(
             wave_format=wf,
@@ -496,7 +503,10 @@ class Encoder:
             max_block_size=max_block_size,
             max_bit_per_second=max_bps,
         )
-        return encode_header(header) + payload
+        stream[:SLA_HEADER_SIZE] = np.frombuffer(
+            encode_header(header), dtype=np.uint8
+        )
+        return stream.tobytes()
 
     # -- step 2: block planning ----------------------------------------------
     def _plan_blocks(

@@ -11,6 +11,7 @@ import ctypes
 import os
 import pathlib
 import subprocess
+import threading
 
 import numpy as np
 
@@ -1206,13 +1207,22 @@ def encode_blocks(
     init_rice: np.ndarray,
     residual_rows: list[np.ndarray],
     raw_bits,
+    prefix_reserve: int = 0,
 ) -> tuple[bytes, np.ndarray]:
     """Serialize every block of a stream in ONE native call.
 
     residual_rows: per-block (C, n_b) int32 arrays (row views into the
     batch filter output are fine — base pointer + row stride pass through,
     no gather copies). Returns (whole stream payload bytes, per-block byte
-    sizes). Grows the output buffer and retries on overflow."""
+    sizes). Grows the output buffer and retries on overflow.
+
+    With prefix_reserve > 0 the payload starts that many bytes into the
+    returned array and the first element of the tuple is a uint8 VIEW into
+    a persistent scratch buffer (prefix bytes uninitialized, for the
+    caller's header) — consume it before the next call. The persistent
+    buffer exists either way: on this host first-touch page faults on a
+    fresh ~20 MB output run ~5 us/4 KB, so reallocating per call costs
+    more than the serialization itself on early runs."""
     lib = _load()
     W = len(residual_rows)
     C = int(parcor_code.shape[1])
@@ -1240,22 +1250,39 @@ def encode_blocks(
     p_u64 = ctypes.POINTER(ctypes.c_uint64)
     p_i64 = ctypes.POINTER(ctypes.c_int64)
     while True:
-        out = np.empty(cap, dtype=np.uint8)
+        out = _scratch_u8(prefix_reserve + cap)
+        pay = out[prefix_reserve:]
         n = int(
             lib.sla_encode_blocks(
                 W, C, parcor_order, num_taps, bits_per_sample, pitch_threshold,
                 _i32ptr(nsamp), _i32ptr(btype), _i32ptr(code), _i32ptr(rshift),
                 _i32ptr(pit), _i32ptr(ltm), _u32ptr(ir),
                 ptrs.ctypes.data_as(p_u64), strides.ctypes.data_as(p_i64),
-                _i32ptr(rb), _u8ptr(out), cap, sizes.ctypes.data_as(p_i64),
+                _i32ptr(rb), _u8ptr(pay), cap, sizes.ctypes.data_as(p_i64),
             )
         )
         if n >= 0:
             del keep
-            return out[:n].tobytes(), sizes
+            if prefix_reserve:
+                return out[: prefix_reserve + n], sizes
+            return pay[:n].tobytes(), sizes
         if n == -2:
             raise ValueError(f"encode_blocks: too many channels for native scratch ({C})")
         cap *= 2
+
+
+_eb_scratch = threading.local()
+
+
+def _scratch_u8(size: int) -> np.ndarray:
+    """Persistent grow-only uint8 scratch (per thread): repeated serialize
+    calls reuse the same pages instead of first-touching a fresh multi-MB
+    allocation each time."""
+    buf = getattr(_eb_scratch, "buf", None)
+    if buf is None or buf.size < size:
+        buf = np.empty(size, dtype=np.uint8)
+        _eb_scratch.buf = buf
+    return buf
 
 
 def encode_block(
