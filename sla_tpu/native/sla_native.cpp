@@ -1915,6 +1915,58 @@ int32_t sla_span_autocorr(const double* data, int32_t C, int32_t N,
 // R: S x C x (order+1) row-major; span_len: S; out: S (code bytes, before
 // the header/penalty constants).
 // out: S costs. sens_out/e_out (nullable, Q = S*C each): ingredients for
+#if defined(__AVX512F__)
+// 8x8 float64 in-register transpose (same rationale as tile_transpose16
+// below: lane-filling vectors with scalar inserts stalls on store
+// forwarding; 8 loads + 24 shuffles do not).
+static inline void transpose8d(__m512d m[8]) {
+  __m512d t[8], u[8];
+  for (int i = 0; i < 4; ++i) {
+    t[2 * i] = _mm512_unpacklo_pd(m[2 * i], m[2 * i + 1]);
+    t[2 * i + 1] = _mm512_unpackhi_pd(m[2 * i], m[2 * i + 1]);
+  }
+  for (int h = 0; h < 2; ++h) {
+    u[4 * h + 0] = _mm512_shuffle_f64x2(t[4 * h + 0], t[4 * h + 2], 0x88);
+    u[4 * h + 1] = _mm512_shuffle_f64x2(t[4 * h + 1], t[4 * h + 3], 0x88);
+    u[4 * h + 2] = _mm512_shuffle_f64x2(t[4 * h + 0], t[4 * h + 2], 0xdd);
+    u[4 * h + 3] = _mm512_shuffle_f64x2(t[4 * h + 1], t[4 * h + 3], 0xdd);
+  }
+  for (int j = 0; j < 4; ++j) {
+    m[j] = _mm512_shuffle_f64x2(u[j], u[4 + j], 0x88);
+    m[4 + j] = _mm512_shuffle_f64x2(u[j], u[4 + j], 0xdd);
+  }
+}
+
+// Load 8 consecutive rows of a (rows, lags) float64 matrix into column
+// vectors col[0..lags): 8-column transposed tiles + a scalar remainder.
+static inline void rows8_load_cols(const double* base, int64_t lags,
+                                   v8df* col) {
+  int64_t c = 0;
+  for (; c + 8 <= lags; c += 8) {
+    __m512d m[8];
+    for (int l = 0; l < 8; ++l) m[l] = _mm512_loadu_pd(base + l * lags + c);
+    transpose8d(m);
+    for (int j = 0; j < 8; ++j) col[c + j] = (v8df)m[j];
+  }
+  for (; c < lags; ++c)
+    for (int l = 0; l < 8; ++l) col[c][l] = base[l * lags + c];
+}
+
+// Transposed store of column vectors back into 8 consecutive rows.
+static inline void rows8_store_cols(double* base, int64_t lags,
+                                    const v8df* col) {
+  int64_t c = 0;
+  for (; c + 8 <= lags; c += 8) {
+    __m512d m[8];
+    for (int j = 0; j < 8; ++j) m[j] = (__m512d)col[c + j];
+    transpose8d(m);
+    for (int l = 0; l < 8; ++l) _mm512_storeu_pd(base + l * lags + c, m[l]);
+  }
+  for (; c < lags; ++c)
+    for (int l = 0; l < 8; ++l) base[l * lags + c] = col[c][l];
+}
+#endif
+
 // the derived fast-vs-exact error bound (partition.span_cost_error_bound)
 // — sens = ||a (*) a||_1 / e_p (envelope-theorem cost gradient scale) and
 // e_p = R0 * prod(1-k^2), per (span, channel).
@@ -1939,9 +1991,13 @@ int32_t sla_span_cost(const double* R, const double* span_len, int32_t S,
     int64_t q0 = 0;
     for (; q0 + 8 <= Q; q0 += 8) {
       v8df r[65];
+#if defined(__AVX512F__)
+      rows8_load_cols(R + q0 * (order + 1), order + 1, r);
+#else
       for (int32_t i = 0; i <= order; ++i)
         for (int32_t l = 0; l < 8; ++l)
           r[i][l] = R[(q0 + l) * (order + 1) + i];
+#endif
       const v8df R0 = r[0];
       v8df e = R0 + r[1] * (v8splat(0.0) - r[1] / R0);
       v8df a[65], anew[65], k[65];
@@ -1962,6 +2018,20 @@ int32_t sla_span_cost(const double* R, const double* span_len, int32_t S,
         a[delay + 1] = gamma;
         k[delay + 1] = v8splat(0.0) - gamma;
       }
+#if defined(__AVX512F__)
+      {
+        __mmask8 live = 0;
+        for (int32_t l = 0; l < 8; ++l) {
+          const double n_sp = span_len[(q0 + l) / C];
+          if (std::fabs(r[0][l]) >= kFltEps && n_sp >= order)
+            live |= (__mmask8)(1u << l);
+        }
+        k[0] = v8splat(0.0);
+        for (int32_t i = 1; i <= order; ++i)
+          k[i] = (v8df)_mm512_maskz_mov_pd(live, (__m512d)k[i]);
+        rows8_store_cols(kall + q0 * (order + 1), order + 1, k);
+      }
+#else
       for (int32_t l = 0; l < 8; ++l) {
         const double n_sp = span_len[(q0 + l) / C];
         const bool live = std::fabs(r[0][l]) >= kFltEps && n_sp >= order;
@@ -1969,6 +2039,7 @@ int32_t sla_span_cost(const double* R, const double* span_len, int32_t S,
           for (int32_t i = 1; i <= order; ++i)
             kall[(q0 + l) * (order + 1) + i] = k[i][l];
       }
+#endif
     }
     // scalar tail
     double a[65];
@@ -2023,7 +2094,44 @@ int32_t sla_span_cost(const double* R, const double* span_len, int32_t S,
     out[s] = cost;
   }
   if (sens_out && e_out) {
-    for (int64_t q = 0; q < (int64_t)S * C; ++q) {
+    int64_t q = 0;
+#if defined(__AVX512F__)
+    // 8 pairs per vector op, same recurrences as the scalar loop below
+    // (dead lanes read the zeros the epilogue stored: a = [1,0..], the
+    // exact values the scalar pass computes for them)
+    for (; q + 8 <= (int64_t)S * C; q += 8) {
+      v8df kv[65];
+      rows8_load_cols(kall + q * (order + 1), order + 1, kv);
+      v8df a[65], an[65];
+      a[0] = v8splat(1.0);
+      v8df var_prod = v8splat(1.0);
+      for (int32_t j = 1; j <= order; ++j) {
+        const v8df gamma = v8splat(0.0) - kv[j];
+        for (int32_t i = 1; i < j; ++i) an[i] = a[i] + gamma * a[j - i];
+        for (int32_t i = 1; i < j; ++i) a[i] = an[i];
+        a[j] = gamma;
+        v8df om = v8splat(1.0) - kv[j] * kv[j];
+        om = (v8df)_mm512_max_pd((__m512d)om, (__m512d)v8splat(1e-300));
+        var_prod = var_prod * om;
+      }
+      v8df corr = v8splat(0.0);
+      for (int32_t i = 0; i <= order; ++i) corr = corr + a[i] * a[i];
+      for (int32_t lag = 1; lag <= order; ++lag) {
+        v8df c2 = v8splat(0.0);
+        for (int32_t i = 0; i + lag <= order; ++i)
+          c2 = c2 + a[i] * a[i + lag];
+        corr = corr + v8splat(2.0) * (v8df)_mm512_abs_pd((__m512d)c2);
+      }
+      v8df r0v;
+      for (int32_t l = 0; l < 8; ++l) r0v[l] = R[(q + l) * (order + 1)];
+      const v8df e_p = (v8df)_mm512_abs_pd((__m512d)r0v) * var_prod;
+      const v8df denom =
+          (v8df)_mm512_max_pd((__m512d)e_p, (__m512d)v8splat(1e-300));
+      _mm512_storeu_pd(e_out + q, (__m512d)e_p);
+      _mm512_storeu_pd(sens_out + q, (__m512d)(corr / denom));
+    }
+#endif
+    for (; q < (int64_t)S * C; ++q) {
       const double* r = R + q * (order + 1);
       const double* parcor = kall + q * (order + 1);
       // step-up recursion: rebuild the predictor a from the parcor ks
