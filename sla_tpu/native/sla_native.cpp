@@ -1776,6 +1776,78 @@ int32_t sla_span_autocorr_multi(const double* data, int32_t C, int64_t file_n,
 // memory traffic drops from lags passes over the window to one. Values
 // differ from the per-lag variant only by float association (~1e-16
 // relative), ten orders below the near-tie exact-reprice margin.
+struct OnepassEvent { int64_t pos; int32_t lag; int32_t j; };
+
+extern "C++" {  // templates are not C-linkage entities
+// Register-resident segment kernel for the one-pass sweep: LAGS striped
+// accumulators held in named zmm registers across a whole event-free run
+// (the array-indexed form spills — GCC emits a stack load + store of
+// av[k] around every FMA, making the sweep store-port-bound; measured
+// ~2x). Returns the advanced position.
+template <int32_t LAGS>
+static inline int64_t onepass_run_segment(const double* x, int64_t pos,
+                                          int64_t seg_end, v8df* av) {
+  v8df a[LAGS];
+  for (int32_t k = 0; k < LAGS; ++k) a[k] = av[k];
+  for (; pos + 8 <= seg_end; pos += 8) {
+    const v8df xa = *(const v8df*)(x + pos);
+    for (int32_t k = 0; k < LAGS; ++k) {
+      const v8df xb = *(const v8df*)(x + pos + k);
+#if defined(__AVX512F__)
+      a[k] = (v8df)_mm512_fmadd_pd((__m512d)xa, (__m512d)xb, (__m512d)a[k]);
+#else
+      a[k] = a[k] + xa * xb;
+#endif
+    }
+  }
+  for (int32_t k = 0; k < LAGS; ++k) av[k] = a[k];
+  return pos;
+}
+
+// Whole-(window, channel) sweep with compile-time lag count: snapshot
+// events flush once per 1024-sample segment instead of per 8-sample step.
+// Events sit within `order` samples below node boundaries (multiples of
+// 1024), so the backward overshoot correction stays <= order + 7 samples;
+// values differ from the per-step flush only by float association, which
+// the partition near-tie margin covers by ~10 orders.
+template <int32_t LAGS>
+static void onepass_sweep_reg(const double* x, int64_t vec_end_cap,
+                              int64_t win_len, const OnepassEvent* events,
+                              size_t n_events, double* pf, int64_t twoS) {
+  (void)win_len;
+  v8df av[LAGS];
+  for (int32_t k = 0; k < LAGS; ++k) av[k] = v8splat(0.0);
+  auto vec_total = [&](int32_t k) {
+    return ((av[k][0] + av[k][1]) + (av[k][2] + av[k][3])) +
+           ((av[k][4] + av[k][5]) + (av[k][6] + av[k][7]));
+  };
+  size_t ev = 0;
+  int64_t pos = 0;
+  while (pos + 8 <= vec_end_cap) {
+    while (ev < n_events && events[ev].pos <= pos) {
+      const OnepassEvent& e = events[ev++];
+      double t = vec_total(e.lag);
+      for (int64_t p = e.pos; p < pos; ++p) t -= x[p] * x[p + e.lag];
+      pf[(size_t)e.lag * twoS + e.j] = t;
+    }
+    int64_t seg_end = ((pos >> 10) + 1) << 10;  // next 1024 boundary
+    if (seg_end > vec_end_cap) seg_end = vec_end_cap;
+    pos = onepass_run_segment<LAGS>(x, pos, seg_end, av);
+    if (pos + 8 > seg_end && seg_end == vec_end_cap) break;
+  }
+  for (; ev < n_events; ++ev) {
+    const OnepassEvent& e = events[ev];
+    double t = vec_total(e.lag);
+    if (e.pos >= pos) {
+      for (int64_t p = pos; p < e.pos; ++p) t += x[p] * x[p + e.lag];
+    } else {
+      for (int64_t p = e.pos; p < pos; ++p) t -= x[p] * x[p + e.lag];
+    }
+    pf[(size_t)e.lag * twoS + e.j] = t;
+  }
+}
+}  // extern "C++"
+
 int32_t sla_span_autocorr_multi_onepass(
     const double* data, int32_t C, int64_t file_n, const int64_t* win_off,
     int32_t W, int64_t win_len, const int64_t* positions, int32_t V,
@@ -1787,7 +1859,7 @@ int32_t sla_span_autocorr_multi_onepass(
   // geometry logic as the per-lag variant)
   std::vector<int64_t> qpos((size_t)lags * 2 * S);
   std::vector<int32_t> nu_k(lags), sidx((size_t)lags * S), eidx((size_t)lags * S);
-  struct Event { int64_t pos; int32_t lag; int32_t j; };
+  typedef OnepassEvent Event;
   std::vector<Event> events;
   events.reserve((size_t)lags * 2 * S);
   for (int32_t k = 0; k < lags; ++k) {
@@ -1809,6 +1881,25 @@ int32_t sla_span_autocorr_multi_onepass(
   for (int32_t w = 0; w < W; ++w) {
     for (int32_t ch = 0; ch < C; ++ch) {
       const double* x = data + (int64_t)ch * file_n + win_off[w];
+      // compile-time lag counts for the preset orders keep the striped
+      // accumulators in registers (see onepass_run_segment)
+      if (order == 16 || order == 8) {
+        if (order == 16)
+          onepass_sweep_reg<17>(x, vec_end_cap, win_len, events.data(),
+                                events.size(), pf.data(), 2 * S);
+        else
+          onepass_sweep_reg<9>(x, vec_end_cap, win_len, events.data(),
+                               events.size(), pf.data(), 2 * S);
+        for (int32_t k = 0; k < lags; ++k) {
+          const int32_t* si = sidx.data() + (size_t)k * S;
+          const int32_t* ei = eidx.data() + (size_t)k * S;
+          const double* pk = pf.data() + (size_t)k * 2 * S;
+          double* o = out + (((int64_t)w * S) * C + ch) * lags + k;
+          for (int32_t s = 0; s < S; ++s)
+            o[(int64_t)s * C * lags] = pk[ei[s]] - pk[si[s]];
+        }
+        continue;
+      }
       v8df av[33];
       for (int32_t k = 0; k < lags; ++k) av[k] = v8splat(0.0);
       size_t ev = 0;
