@@ -903,6 +903,10 @@ void sla_initial_params(const int32_t* data, int32_t C, int32_t N,
 // encoder's pitch decisions depend on the exact float64 rounding of this
 // specific butterfly order, so the operation sequence is replicated
 // precisely — a different (faster) FFT would change streams.
+#if defined(__AVX512F__)
+// defined in the filter section (inside its extern "C" block)
+extern "C" { static inline void transpose8d(__m512d m[8]); }
+#endif
 namespace {
 
 void four1(double* data, unsigned long nn, int isign) {
@@ -1146,10 +1150,62 @@ static const unsigned long FFT_V8_BASE_LEN = 512;  // 32 KB block, L1-resident
 // (a combine butterfly writes doubles (m, m+1) and (m+mmax, m+mmax+1); the
 // front pair needs front outputs of BOTH halves, so the recursion passes
 // min(need, half) down). Callers that read everything pass need = len.
+// Fused two-stage combine over [base+1 .. base+len]: applies stage
+// mmax=len/4 (pairs (A,B) and (C,D) across the four quarters) then stage
+// mmax=len/2 (pairs (A,C) and (B,D)) with the intermediate values held in
+// registers. Exactly the butterflies the two separate sweeps would run, in
+// a valid dependency order (only independent butterflies interleave), so
+// the float64 results are bit-identical — at half the memory traffic: one
+// read+write of the block instead of two.
+static void fft_v8_combine2(v8df* data, unsigned long base, unsigned long len,
+                            const TwiddleTables& tw) {
+  const unsigned long Q = len >> 2;
+  const double* w1r = tw.wr.data() + tw.offs[stage_index(Q)];
+  const double* w1i = tw.wi.data() + tw.offs[stage_index(Q)];
+  const double* w2r = tw.wr.data() + tw.offs[stage_index(2 * Q)];
+  const double* w2i = tw.wi.data() + tw.offs[stage_index(2 * Q)];
+  const unsigned long Qh = Q >> 1;  // twiddle index offset for m + Q
+  for (unsigned long m = 1, t = 0; m < Q; m += 2, ++t) {
+    const v8df w1rv = v8splat(w1r[t]), w1iv = v8splat(w1i[t]);
+    const v8df w2rv = v8splat(w2r[t]), w2iv = v8splat(w2i[t]);
+    const v8df w3rv = v8splat(w2r[t + Qh]), w3iv = v8splat(w2i[t + Qh]);
+    const unsigned long ia = base + m, ib = ia + Q, ic = ib + Q, id = ic + Q;
+    v8df ar = data[ia], ai = data[ia + 1];
+    v8df br = data[ib], bi = data[ib + 1];
+    v8df cr = data[ic], ci = data[ic + 1];
+    v8df dr = data[id], di = data[id + 1];
+    // stage mmax=Q: butterfly (a,b) and (c,d), shared twiddle
+    v8df tr = w1rv * br - w1iv * bi, ti = w1rv * bi + w1iv * br;
+    br = ar - tr; bi = ai - ti; ar = ar + tr; ai = ai + ti;
+    tr = w1rv * dr - w1iv * di; ti = w1rv * di + w1iv * dr;
+    dr = cr - tr; di = ci - ti; cr = cr + tr; ci = ci + ti;
+    // stage mmax=2Q: butterfly (a,c) at offset m, (b,d) at offset m+Q
+    tr = w2rv * cr - w2iv * ci; ti = w2rv * ci + w2iv * cr;
+    cr = ar - tr; ci = ai - ti; ar = ar + tr; ai = ai + ti;
+    tr = w3rv * dr - w3iv * di; ti = w3rv * di + w3iv * dr;
+    dr = br - tr; di = bi - ti; br = br + tr; bi = bi + ti;
+    data[ia] = ar; data[ia + 1] = ai;
+    data[ib] = br; data[ib + 1] = bi;
+    data[ic] = cr; data[ic + 1] = ci;
+    data[id] = dr; data[id + 1] = di;
+  }
+}
+
 static void fft_v8_rec(v8df* data, unsigned long base, unsigned long len,
                        unsigned long need, const TwiddleTables& tw) {
   if (len <= FFT_V8_BASE_LEN) {
     fft_v8_base(data, base, len, tw);
+    return;
+  }
+  if (need >= len && len >= (FFT_V8_BASE_LEN << 2)) {
+    // unpruned path: recurse to quarters, then one fused double-stage
+    // combine sweep (half the combine traffic of two single sweeps)
+    const unsigned long q = len >> 2;
+    fft_v8_rec(data, base, q, q, tw);
+    fft_v8_rec(data, base + q, q, q, tw);
+    fft_v8_rec(data, base + 2 * q, q, q, tw);
+    fft_v8_rec(data, base + 3 * q, q, q, tw);
+    fft_v8_combine2(data, base, len, tw);
     return;
   }
   unsigned long half = len >> 1;
@@ -1173,6 +1229,17 @@ static void fft_v8_rec(v8df* data, unsigned long base, unsigned long len,
   }
 }
 
+// Butterfly stages only — callers must already have the data in
+// bit-reversed order (either via four1_v8's swap pass or a scatter fill).
+static void four1_v8_core(v8df* data, unsigned long n, int isign,
+                          unsigned long need_doubles) {
+  static thread_local TwiddleTables tw_fwd, tw_inv;
+  TwiddleTables& tw = (isign == 1) ? tw_fwd : tw_inv;
+  tw.build(n, isign);
+  unsigned long need = (need_doubles == 0 || need_doubles > n) ? n : need_doubles;
+  fft_v8_rec(data, 0, n, need, tw);
+}
+
 void four1_v8(double* data_s, unsigned long nn, int isign,
               unsigned long need_doubles = 0) {
   v8df* data = (v8df*)data_s;  // element i == data_s[i*FFTR .. i*FFTR+7]
@@ -1187,11 +1254,7 @@ void four1_v8(double* data_s, unsigned long nn, int isign,
     while (m >= 2 && j > m) { j -= m; m >>= 1; }
     j += m;
   }
-  static thread_local TwiddleTables tw_fwd, tw_inv;
-  TwiddleTables& tw = (isign == 1) ? tw_fwd : tw_inv;
-  tw.build(n, isign);
-  unsigned long need = (need_doubles == 0 || need_doubles > n) ? n : need_doubles;
-  fft_v8_rec(data, 0, n, need, tw);
+  four1_v8_core(data, n, isign, need_doubles);
 }
 
 void realft_v8(double* data_s, unsigned long n, int isign,
@@ -1239,6 +1302,196 @@ void realft_v8(double* data_s, unsigned long n, int isign,
   }
 }
 
+// Fused spectral pass for the Wiener-Khinchin autocorrelation: the forward
+// realft recombination, the power spectrum, and the inverse realft
+// pre-recombination in ONE sweep. Each quad (front bin + mirrored back bin)
+// is independent across the three original loops, so doing all three per
+// quad computes exactly the values the three separate passes would — with
+// identical float64 rounding, including zero signs (the power loop's +0.0
+// imaginary parts are substituted literally) — at a third of the traffic.
+// Caller runs four1_v8(+1) before and four1_v8(-1, need) after.
+static void realft_power_fused_v8(double* data_s, unsigned long n) {
+  v8df* data = (v8df*)data_s;
+  const double c1 = 0.5;
+  // forward recombination recurrence (realft isign=1: c2 = -0.5)
+  double thetaF = 3.141592653589793 / (double)(n >> 1);
+  double wtempF = std::sin(0.5 * thetaF);
+  double wprF = -2.0 * wtempF * wtempF;
+  double wpiF = std::sin(thetaF);
+  double wrF = 1.0 + wprF, wiF = wpiF;
+  // inverse pre-recombination recurrence (realft isign=-1: c2 = +0.5)
+  double thetaI = -thetaF;
+  double wtempI = std::sin(0.5 * thetaI);
+  double wprI = -2.0 * wtempI * wtempI;
+  double wpiI = std::sin(thetaI);
+  double wrI = 1.0 + wprI, wiI = wpiI;
+  const unsigned long np3 = n + 3;
+  const v8df c1v = v8splat(c1);
+  const v8df c2vF = v8splat(0.5), c2pvF = v8splat(-0.5);  // -c2, c2 (fwd)
+  const v8df c2vI = v8splat(-0.5), c2pvI = v8splat(0.5);  // -c2, c2 (inv)
+  const v8df zero = v8splat(0.0);
+  for (unsigned long i = 2; i <= (n >> 2); i++) {
+    const unsigned long i1 = i + i - 1, i2 = 1 + i1, i3 = np3 - i2, i4 = 1 + i3;
+    // forward recombination (realft_v8 isign=1 loop body)
+    {
+      const v8df wrv = v8splat(wrF), wiv = v8splat(wiF);
+      v8df p1 = data[i1], p2 = data[i2], p3 = data[i3], p4 = data[i4];
+      v8df h1r = c1v * (p1 + p3);
+      v8df h1i = c1v * (p2 - p4);
+      v8df h2r = c2vF * (p2 + p4);
+      v8df h2i = c2pvF * (p1 - p3);
+      data[i1] = h1r + wrv * h2r - wiv * h2i;
+      data[i2] = h1i + wrv * h2i + wiv * h2r;
+      data[i3] = h1r - wrv * h2r + wiv * h2i;
+      data[i4] = -h1i + wrv * h2i + wiv * h2r;
+      wrF = (wtempF = wrF) * wprF - wiF * wpiF + wrF;
+      wiF = wiF * wprF + wtempF * wpiF + wiF;
+    }
+    // power spectrum for the two bins this quad owns (re*re + im*im, im=0)
+    {
+      v8df re = data[i1], im = data[i2];
+      data[i1] = re * re + im * im;
+      re = data[i3]; im = data[i4];
+      data[i3] = re * re + im * im;
+    }
+    // inverse pre-recombination on the powered values (imaginaries +0.0)
+    {
+      const v8df wrv = v8splat(wrI), wiv = v8splat(wiI);
+      v8df p1 = data[i1], p3 = data[i3];
+      const v8df p2 = zero, p4 = zero;
+      v8df h1r = c1v * (p1 + p3);
+      v8df h1i = c1v * (p2 - p4);
+      v8df h2r = c2vI * (p2 + p4);
+      v8df h2i = c2pvI * (p1 - p3);
+      data[i1] = h1r + wrv * h2r - wiv * h2i;
+      data[i2] = h1i + wrv * h2i + wiv * h2r;
+      data[i3] = h1r - wrv * h2r + wiv * h2i;
+      data[i4] = -h1i + wrv * h2i + wiv * h2r;
+      wrI = (wtempI = wrI) * wprI - wiI * wpiI + wrI;
+      wiI = wiI * wprI + wtempI * wpiI + wiI;
+    }
+  }
+  // specials, disjoint from the quad loop's positions:
+  // forward tail: DC/Nyquist unpack (realft isign=1 epilogue)
+  v8df h1r = data[1];
+  data[1] = h1r + data[2];
+  data[2] = h1r - data[2];
+  // power at DC, Nyquist, and the self-conjugate middle bin n/4 (the quad
+  // loop covers bins 1..n/4-1 and n/4+1..n/2-1)
+  data[1] *= data[1];
+  data[2] *= data[2];
+  {
+    const unsigned long mid = (n >> 1) + 1;  // doubles (mid, mid+1), 1-indexed
+    v8df re = data[mid], im = data[mid + 1];
+    data[mid] = re * re + im * im;
+    data[mid + 1] = zero;
+  }
+  // inverse head: DC/Nyquist re-pack (realft isign=-1 epilogue)
+  h1r = data[1];
+  data[1] = c1v * (h1r + data[2]);
+  data[2] = c1v * (h1r - data[2]);
+}
+
+#if defined(__AVX512F__)
+// four1's complex bit-reversal permutation, cached per size
+struct BitrevTable {
+  uint32_t nn = 0;
+  std::vector<uint32_t> rev;
+  void build(uint32_t nn_) {
+    if (nn == nn_) return;
+    nn = nn_;
+    rev.assign(nn, 0);
+    const int bits = __builtin_ctz(nn);
+    for (uint32_t c = 0; c < nn; ++c) {
+      uint32_t r = 0, x = c;
+      for (int b = 0; b < bits; ++b) { r = (r << 1) | (x & 1u); x >>= 1; }
+      rev[c] = r;
+    }
+  }
+};
+
+// Scatter-fill for the 8-row FFT: convert int32 samples to scaled float64
+// lanes (cvt then *2^-31 — the scalar fill's exact arithmetic) and write
+// each complex element directly at its bit-reversed position, replacing
+// the sequential fill + four1 swap pass (one 2 MB pass instead of two-plus,
+// identical buffer contents including +0.0 padding). Rows transpose in
+// registers (lane-filling with scalar inserts stalls on store forwarding).
+static void fill_bitrev_rows8(const int32_t* data, const int32_t* lengths,
+                              int32_t row_stride, double* work,
+                              int32_t fft_size) {
+  static thread_local BitrevTable rt;
+  const uint32_t nn = (uint32_t)fft_size >> 1;  // complex elements
+  rt.build(nn);
+  const uint32_t* rev = rt.rev.data();
+  const __m512d scale = _mm512_set1_pd(0x1p-31);
+  const __m512d zerod = _mm512_setzero_pd();
+  v8df* wv = (v8df*)work;
+  int32_t maxlen = 0;
+  for (int r = 0; r < FFTR; ++r) maxlen = std::max(maxlen, lengths[r]);
+  uint32_t g = 0;
+  const uint32_t ngroups = nn / 8;  // nn is a power of two
+  for (; g < ngroups; ++g) {  // 8 complex = 16 samples per chunk
+    const int32_t s0 = (int32_t)(16 * g);
+    if (s0 >= maxlen) break;  // the rest of the padded buffer is zeros
+    const uint32_t c0 = 8 * g;
+    __m512d T0[8], T1[8];
+    bool full = true;
+    for (int r = 0; r < FFTR; ++r) full &= (s0 + 16 <= lengths[r]);
+    if (full) {
+      for (int r = 0; r < FFTR; ++r) {
+        __m512i v = _mm512_loadu_si512(
+            (const void*)(data + (int64_t)r * row_stride + s0));
+        T0[r] = _mm512_mul_pd(
+            _mm512_cvtepi32_pd(_mm512_castsi512_si256(v)), scale);
+        T1[r] = _mm512_mul_pd(
+            _mm512_cvtepi32_pd(_mm512_extracti64x4_epi64(v, 1)), scale);
+      }
+      transpose8d(T0);
+      transpose8d(T1);
+    } else {
+      // chunk straddles a row end: scalar per-lane pad (at most one
+      // chunk per distinct row length)
+      alignas(64) double buf[16][FFTR];
+      for (int r = 0; r < FFTR; ++r) {
+        const int32_t nr = lengths[r];
+        const int32_t* src = data + (int64_t)r * row_stride;
+        for (int d = 0; d < 16; ++d) {
+          const int32_t s = s0 + d;
+          buf[d][r] = (s < nr) ? (double)src[s] * 0x1p-31 : 0.0;
+        }
+      }
+      for (int d = 0; d < 8; ++d) T0[d] = _mm512_load_pd(buf[d]);
+      for (int d = 0; d < 8; ++d) T1[d] = _mm512_load_pd(buf[8 + d]);
+    }
+    for (int k = 0; k < 4; ++k) {
+      const uint32_t p = rev[c0 + k], q = rev[c0 + 4 + k];
+      wv[2 * p] = (v8df)T0[2 * k];
+      wv[2 * p + 1] = (v8df)T0[2 * k + 1];
+      wv[2 * q] = (v8df)T1[2 * k];
+      wv[2 * q + 1] = (v8df)T1[2 * k + 1];
+    }
+  }
+  for (; g < ngroups; ++g) {  // zero padding, scattered like the data
+    const uint32_t c0 = 8 * g;
+    for (int k = 0; k < 8; ++k) {
+      const uint32_t p = rev[c0 + k];
+      wv[2 * p] = (v8df)zerod;
+      wv[2 * p + 1] = (v8df)zerod;
+    }
+  }
+  for (uint32_t c = ngroups * 8; c < nn; ++c) {  // nn < 8: scalar fallback
+    const uint32_t p = rev[c];
+    for (int r = 0; r < FFTR; ++r) {
+      const int32_t nr = lengths[r];
+      const int32_t* src = data + (int64_t)r * row_stride;
+      const int32_t sa = 2 * (int32_t)c, sb = sa + 1;
+      wv[2 * p][r] = (sa < nr) ? (double)src[sa] * 0x1p-31 : 0.0;
+      wv[2 * p + 1][r] = (sb < nr) ? (double)src[sb] * 0x1p-31 : 0.0;
+    }
+  }
+}
+#endif  // __AVX512F__
+
 }  // namespace
 
 extern "C" {
@@ -1257,27 +1510,27 @@ void sla_longterm_autocorr_rows8(const int32_t* data, const int32_t* lengths,
                                  int32_t row_stride, double* work /* fft*8 */,
                                  int32_t fft_size, double* out,
                                  int32_t out_lags) {
+#if defined(__AVX512F__)
+  // scatter-fill straight into bit-reversed order, then butterflies only
+  // (saves the sequential fill + swap passes; identical buffer contents)
+  fill_bitrev_rows8(data, lengths, row_stride, work, fft_size);
+  four1_v8_core((v8df*)work - 1, (unsigned long)fft_size, 1, 0);
+#else
   const double scale = std::ldexp(1.0, -31);
   for (int i = 0; i < fft_size; ++i)
     for (int r = 0; r < FFTR; ++r)
       work[i * FFTR + r] =
           (i < lengths[r]) ? (double)data[(int64_t)r * row_stride + i] * scale : 0.0;
-  realft_v8(work - FFTR, (unsigned long)fft_size, 1);
-  {
-    v8df* w = (v8df*)work;
-    w[0] *= w[0];
-    w[1] *= w[1];
-    const v8df zero = v8splat(0.0);
-    for (int i = 1; i < fft_size / 2; ++i) {
-      v8df re = w[2 * i], im = w[2 * i + 1];
-      w[2 * i] = re * re + im * im;
-      w[2 * i + 1] = zero;
-    }
-  }
+  four1_v8(work - FFTR, (unsigned long)fft_size >> 1, 1);
+#endif
+  // fused sweep: forward realft recombination + power spectrum + inverse
+  // realft pre-recombination (one pass over the 2 MB buffer instead of
+  // three — bit-identical per-quad arithmetic, see realft_power_fused_v8)
+  realft_power_fused_v8(work - FFTR, (unsigned long)fft_size);
   // only the first out_lags autocorrelation values are read: prune the
   // inverse transform's unread outputs (identical arithmetic for the rest)
-  realft_v8(work - FFTR, (unsigned long)fft_size, -1,
-            ((unsigned long)out_lags + 1) & ~1ul);
+  four1_v8(work - FFTR, (unsigned long)fft_size >> 1, -1,
+           ((unsigned long)out_lags + 1) & ~1ul);
   for (int i = 0; i < out_lags; ++i)
     for (int r = 0; r < FFTR; ++r) out[(int64_t)r * out_lags + i] = work[i * FFTR + r];
 }
