@@ -1191,10 +1191,79 @@ static void fft_v8_combine2(v8df* data, unsigned long base, unsigned long len,
   }
 }
 
+// Fused three-stage combine (radix-8 schedule): stages mmax = len/8,
+// len/4, len/2 applied to the eight eighths with intermediates in
+// registers. Same butterflies, valid dependency order, one pass of
+// traffic instead of three.
+static void fft_v8_combine3(v8df* data, unsigned long base, unsigned long len,
+                            const TwiddleTables& tw) {
+  const unsigned long E = len >> 3;
+  const double* w1r = tw.wr.data() + tw.offs[stage_index(E)];
+  const double* w1i = tw.wi.data() + tw.offs[stage_index(E)];
+  const double* w2r = tw.wr.data() + tw.offs[stage_index(2 * E)];
+  const double* w2i = tw.wi.data() + tw.offs[stage_index(2 * E)];
+  const double* w4r = tw.wr.data() + tw.offs[stage_index(4 * E)];
+  const double* w4i = tw.wi.data() + tw.offs[stage_index(4 * E)];
+  const unsigned long Eh = E >> 1;
+  v8df re[8], im[8];
+  for (unsigned long m = 1, t = 0; m < E; m += 2, ++t) {
+    for (int e = 0; e < 8; ++e) {
+      re[e] = data[base + m + (unsigned long)e * E];
+      im[e] = data[base + m + (unsigned long)e * E + 1];
+    }
+    // stage mmax=E: (0,1) (2,3) (4,5) (6,7), twiddle offset m
+    {
+      const v8df wr = v8splat(w1r[t]), wi = v8splat(w1i[t]);
+      for (int e = 0; e < 8; e += 2) {
+        v8df tr = wr * re[e + 1] - wi * im[e + 1];
+        v8df ti = wr * im[e + 1] + wi * re[e + 1];
+        re[e + 1] = re[e] - tr; im[e + 1] = im[e] - ti;
+        re[e] = re[e] + tr; im[e] = im[e] + ti;
+      }
+    }
+    // stage mmax=2E: (0,2) (4,6) at offset m; (1,3) (5,7) at offset m+E
+    {
+      const v8df war = v8splat(w2r[t]), wai = v8splat(w2i[t]);
+      const v8df wbr = v8splat(w2r[t + Eh]), wbi = v8splat(w2i[t + Eh]);
+      for (int e = 0; e < 8; e += 4) {
+        v8df tr = war * re[e + 2] - wai * im[e + 2];
+        v8df ti = war * im[e + 2] + wai * re[e + 2];
+        re[e + 2] = re[e] - tr; im[e + 2] = im[e] - ti;
+        re[e] = re[e] + tr; im[e] = im[e] + ti;
+        tr = wbr * re[e + 3] - wbi * im[e + 3];
+        ti = wbr * im[e + 3] + wbi * re[e + 3];
+        re[e + 3] = re[e + 1] - tr; im[e + 3] = im[e + 1] - ti;
+        re[e + 1] = re[e + 1] + tr; im[e + 1] = im[e + 1] + ti;
+      }
+    }
+    // stage mmax=4E: (e, e+4) at offsets m + e*E, twiddles t + e*Eh
+    for (int e = 0; e < 4; ++e) {
+      const v8df wr = v8splat(w4r[t + (unsigned long)e * Eh]);
+      const v8df wi = v8splat(w4i[t + (unsigned long)e * Eh]);
+      v8df tr = wr * re[e + 4] - wi * im[e + 4];
+      v8df ti = wr * im[e + 4] + wi * re[e + 4];
+      re[e + 4] = re[e] - tr; im[e + 4] = im[e] - ti;
+      re[e] = re[e] + tr; im[e] = im[e] + ti;
+    }
+    for (int e = 0; e < 8; ++e) {
+      data[base + m + (unsigned long)e * E] = re[e];
+      data[base + m + (unsigned long)e * E + 1] = im[e];
+    }
+  }
+}
+
 static void fft_v8_rec(v8df* data, unsigned long base, unsigned long len,
                        unsigned long need, const TwiddleTables& tw) {
   if (len <= FFT_V8_BASE_LEN) {
     fft_v8_base(data, base, len, tw);
+    return;
+  }
+  if (need >= len && len >= (FFT_V8_BASE_LEN << 3)) {
+    // unpruned path: recurse to eighths, then one fused triple-stage
+    // combine sweep (a third of the combine traffic)
+    const unsigned long e = len >> 3;
+    for (int k = 0; k < 8; ++k) fft_v8_rec(data, base + k * e, e, e, tw);
+    fft_v8_combine3(data, base, len, tw);
     return;
   }
   if (need >= len && len >= (FFT_V8_BASE_LEN << 2)) {
@@ -1302,97 +1371,6 @@ void realft_v8(double* data_s, unsigned long n, int isign,
   }
 }
 
-// Fused spectral pass for the Wiener-Khinchin autocorrelation: the forward
-// realft recombination, the power spectrum, and the inverse realft
-// pre-recombination in ONE sweep. Each quad (front bin + mirrored back bin)
-// is independent across the three original loops, so doing all three per
-// quad computes exactly the values the three separate passes would — with
-// identical float64 rounding, including zero signs (the power loop's +0.0
-// imaginary parts are substituted literally) — at a third of the traffic.
-// Caller runs four1_v8(+1) before and four1_v8(-1, need) after.
-static void realft_power_fused_v8(double* data_s, unsigned long n) {
-  v8df* data = (v8df*)data_s;
-  const double c1 = 0.5;
-  // forward recombination recurrence (realft isign=1: c2 = -0.5)
-  double thetaF = 3.141592653589793 / (double)(n >> 1);
-  double wtempF = std::sin(0.5 * thetaF);
-  double wprF = -2.0 * wtempF * wtempF;
-  double wpiF = std::sin(thetaF);
-  double wrF = 1.0 + wprF, wiF = wpiF;
-  // inverse pre-recombination recurrence (realft isign=-1: c2 = +0.5)
-  double thetaI = -thetaF;
-  double wtempI = std::sin(0.5 * thetaI);
-  double wprI = -2.0 * wtempI * wtempI;
-  double wpiI = std::sin(thetaI);
-  double wrI = 1.0 + wprI, wiI = wpiI;
-  const unsigned long np3 = n + 3;
-  const v8df c1v = v8splat(c1);
-  const v8df c2vF = v8splat(0.5), c2pvF = v8splat(-0.5);  // -c2, c2 (fwd)
-  const v8df c2vI = v8splat(-0.5), c2pvI = v8splat(0.5);  // -c2, c2 (inv)
-  const v8df zero = v8splat(0.0);
-  for (unsigned long i = 2; i <= (n >> 2); i++) {
-    const unsigned long i1 = i + i - 1, i2 = 1 + i1, i3 = np3 - i2, i4 = 1 + i3;
-    // forward recombination (realft_v8 isign=1 loop body)
-    {
-      const v8df wrv = v8splat(wrF), wiv = v8splat(wiF);
-      v8df p1 = data[i1], p2 = data[i2], p3 = data[i3], p4 = data[i4];
-      v8df h1r = c1v * (p1 + p3);
-      v8df h1i = c1v * (p2 - p4);
-      v8df h2r = c2vF * (p2 + p4);
-      v8df h2i = c2pvF * (p1 - p3);
-      data[i1] = h1r + wrv * h2r - wiv * h2i;
-      data[i2] = h1i + wrv * h2i + wiv * h2r;
-      data[i3] = h1r - wrv * h2r + wiv * h2i;
-      data[i4] = -h1i + wrv * h2i + wiv * h2r;
-      wrF = (wtempF = wrF) * wprF - wiF * wpiF + wrF;
-      wiF = wiF * wprF + wtempF * wpiF + wiF;
-    }
-    // power spectrum for the two bins this quad owns (re*re + im*im, im=0)
-    {
-      v8df re = data[i1], im = data[i2];
-      data[i1] = re * re + im * im;
-      re = data[i3]; im = data[i4];
-      data[i3] = re * re + im * im;
-    }
-    // inverse pre-recombination on the powered values (imaginaries +0.0)
-    {
-      const v8df wrv = v8splat(wrI), wiv = v8splat(wiI);
-      v8df p1 = data[i1], p3 = data[i3];
-      const v8df p2 = zero, p4 = zero;
-      v8df h1r = c1v * (p1 + p3);
-      v8df h1i = c1v * (p2 - p4);
-      v8df h2r = c2vI * (p2 + p4);
-      v8df h2i = c2pvI * (p1 - p3);
-      data[i1] = h1r + wrv * h2r - wiv * h2i;
-      data[i2] = h1i + wrv * h2i + wiv * h2r;
-      data[i3] = h1r - wrv * h2r + wiv * h2i;
-      data[i4] = -h1i + wrv * h2i + wiv * h2r;
-      wrI = (wtempI = wrI) * wprI - wiI * wpiI + wrI;
-      wiI = wiI * wprI + wtempI * wpiI + wiI;
-    }
-  }
-  // specials, disjoint from the quad loop's positions:
-  // forward tail: DC/Nyquist unpack (realft isign=1 epilogue)
-  v8df h1r = data[1];
-  data[1] = h1r + data[2];
-  data[2] = h1r - data[2];
-  // power at DC, Nyquist, and the self-conjugate middle bin n/4 (the quad
-  // loop covers bins 1..n/4-1 and n/4+1..n/2-1)
-  data[1] *= data[1];
-  data[2] *= data[2];
-  {
-    const unsigned long mid = (n >> 1) + 1;  // doubles (mid, mid+1), 1-indexed
-    v8df re = data[mid], im = data[mid + 1];
-    data[mid] = re * re + im * im;
-    data[mid + 1] = zero;
-  }
-  // inverse head: DC/Nyquist re-pack (realft isign=-1 epilogue)
-  h1r = data[1];
-  data[1] = c1v * (h1r + data[2]);
-  data[2] = c1v * (h1r - data[2]);
-}
-
-#if defined(__AVX512F__)
 // four1's complex bit-reversal permutation, cached per size
 struct BitrevTable {
   uint32_t nn = 0;
@@ -1409,7 +1387,87 @@ struct BitrevTable {
     }
   }
 };
+thread_local BitrevTable g_revtab;
 
+// Scatter form of realft_power_fused_v8: identical per-quad arithmetic,
+// but each result complex element lands in `outv` (0-indexed v8df pairs)
+// at its FOUR1 BIT-REVERSED position, so the inverse transform needs no
+// swap pass at all — its base stages read `outv` contiguously. `rev` is
+// the n/2-element complex bit-reversal table.
+static void realft_power_scatter_v8(const double* data_s, v8df* outv,
+                                    const uint32_t* rev, unsigned long n) {
+  const v8df* data = (const v8df*)data_s;  // 1-indexed like realft
+  const double c1 = 0.5;
+  double thetaF = 3.141592653589793 / (double)(n >> 1);
+  double wtempF = std::sin(0.5 * thetaF);
+  double wprF = -2.0 * wtempF * wtempF;
+  double wpiF = std::sin(thetaF);
+  double wrF = 1.0 + wprF, wiF = wpiF;
+  double thetaI = -thetaF;
+  double wtempI = std::sin(0.5 * thetaI);
+  double wprI = -2.0 * wtempI * wtempI;
+  double wpiI = std::sin(thetaI);
+  double wrI = 1.0 + wprI, wiI = wpiI;
+  const unsigned long np3 = n + 3;
+  const v8df c1v = v8splat(c1);
+  const v8df c2vF = v8splat(0.5), c2pvF = v8splat(-0.5);
+  const v8df c2vI = v8splat(-0.5), c2pvI = v8splat(0.5);
+  const v8df zero = v8splat(0.0);
+  for (unsigned long i = 2; i <= (n >> 2); i++) {
+    const unsigned long i1 = i + i - 1, i2 = 1 + i1, i3 = np3 - i2, i4 = 1 + i3;
+    v8df q1, q2, q3, q4;
+    {  // forward recombination
+      const v8df wrv = v8splat(wrF), wiv = v8splat(wiF);
+      v8df p1 = data[i1], p2 = data[i2], p3 = data[i3], p4 = data[i4];
+      v8df h1r = c1v * (p1 + p3);
+      v8df h1i = c1v * (p2 - p4);
+      v8df h2r = c2vF * (p2 + p4);
+      v8df h2i = c2pvF * (p1 - p3);
+      q1 = h1r + wrv * h2r - wiv * h2i;
+      q2 = h1i + wrv * h2i + wiv * h2r;
+      q3 = h1r - wrv * h2r + wiv * h2i;
+      q4 = -h1i + wrv * h2i + wiv * h2r;
+      wrF = (wtempF = wrF) * wprF - wiF * wpiF + wrF;
+      wiF = wiF * wprF + wtempF * wpiF + wiF;
+    }
+    q1 = q1 * q1 + q2 * q2;  // power spectrum, imaginaries +0.0
+    q3 = q3 * q3 + q4 * q4;
+    {  // inverse pre-recombination, scattered to bit-reversed positions
+      const v8df wrv = v8splat(wrI), wiv = v8splat(wiI);
+      const v8df p2 = zero, p4 = zero;
+      v8df h1r = c1v * (q1 + q3);
+      v8df h1i = c1v * (p2 - p4);
+      v8df h2r = c2vI * (p2 + p4);
+      v8df h2i = c2pvI * (q1 - q3);
+      const unsigned long pf = rev[i - 1];               // front bin i-1
+      const unsigned long pb = rev[(n >> 1) - i + 1];    // back bin n/2-i+1
+      outv[2 * pf] = h1r + wrv * h2r - wiv * h2i;
+      outv[2 * pf + 1] = h1i + wrv * h2i + wiv * h2r;
+      outv[2 * pb] = h1r - wrv * h2r + wiv * h2i;
+      outv[2 * pb + 1] = -h1i + wrv * h2i + wiv * h2r;
+      wrI = (wtempI = wrI) * wprI - wiI * wpiI + wrI;
+      wiI = wiI * wprI + wtempI * wpiI + wiI;
+    }
+  }
+  // specials: DC/Nyquist (bin 0, rev[0] == 0) and the self-conjugate
+  // middle bin n/4
+  v8df h1r = data[1];
+  v8df dc = h1r + data[2];
+  v8df ny = h1r - data[2];
+  dc = dc * dc;
+  ny = ny * ny;
+  outv[0] = c1v * (dc + ny);
+  outv[1] = c1v * (dc - ny);
+  {
+    const unsigned long mid = (n >> 1) + 1;
+    v8df re = data[mid], im = data[mid + 1];
+    const unsigned long pm = rev[n >> 2];
+    outv[2 * pm] = re * re + im * im;
+    outv[2 * pm + 1] = zero;
+  }
+}
+
+#if defined(__AVX512F__)
 // Scatter-fill for the 8-row FFT: convert int32 samples to scaled float64
 // lanes (cvt then *2^-31 — the scalar fill's exact arithmetic) and write
 // each complex element directly at its bit-reversed position, replacing
@@ -1419,10 +1477,9 @@ struct BitrevTable {
 static void fill_bitrev_rows8(const int32_t* data, const int32_t* lengths,
                               int32_t row_stride, double* work,
                               int32_t fft_size) {
-  static thread_local BitrevTable rt;
   const uint32_t nn = (uint32_t)fft_size >> 1;  // complex elements
-  rt.build(nn);
-  const uint32_t* rev = rt.rev.data();
+  g_revtab.build(nn);
+  const uint32_t* rev = g_revtab.rev.data();
   const __m512d scale = _mm512_set1_pd(0x1p-31);
   const __m512d zerod = _mm512_setzero_pd();
   v8df* wv = (v8df*)work;
@@ -1510,6 +1567,29 @@ void sla_longterm_autocorr_rows8(const int32_t* data, const int32_t* lengths,
                                  int32_t row_stride, double* work /* fft*8 */,
                                  int32_t fft_size, double* out,
                                  int32_t out_lags) {
+  if (fft_size < 8) {  // tiny transforms: the plain in-place sequence
+    const double scale = std::ldexp(1.0, -31);
+    for (int i = 0; i < fft_size; ++i)
+      for (int r = 0; r < FFTR; ++r)
+        work[i * FFTR + r] =
+            (i < lengths[r]) ? (double)data[(int64_t)r * row_stride + i] * scale : 0.0;
+    realft_v8(work - FFTR, (unsigned long)fft_size, 1);
+    v8df* w = (v8df*)work;
+    w[0] *= w[0];
+    w[1] *= w[1];
+    const v8df zero = v8splat(0.0);
+    for (int i = 1; i < fft_size / 2; ++i) {
+      v8df re = w[2 * i], im = w[2 * i + 1];
+      w[2 * i] = re * re + im * im;
+      w[2 * i + 1] = zero;
+    }
+    realft_v8(work - FFTR, (unsigned long)fft_size, -1,
+              ((unsigned long)out_lags + 1) & ~1ul);
+    for (int i = 0; i < out_lags; ++i)
+      for (int r = 0; r < FFTR; ++r)
+        out[(int64_t)r * out_lags + i] = work[i * FFTR + r];
+    return;
+  }
 #if defined(__AVX512F__)
   // scatter-fill straight into bit-reversed order, then butterflies only
   // (saves the sequential fill + swap passes; identical buffer contents)
@@ -1524,15 +1604,24 @@ void sla_longterm_autocorr_rows8(const int32_t* data, const int32_t* lengths,
   four1_v8(work - FFTR, (unsigned long)fft_size >> 1, 1);
 #endif
   // fused sweep: forward realft recombination + power spectrum + inverse
-  // realft pre-recombination (one pass over the 2 MB buffer instead of
-  // three — bit-identical per-quad arithmetic, see realft_power_fused_v8)
-  realft_power_fused_v8(work - FFTR, (unsigned long)fft_size);
+  // realft pre-recombination, scattered straight into the inverse
+  // transform's bit-reversed input order in a second buffer — one pass,
+  // and the inverse transform needs no swap pass at all
+  g_revtab.build((uint32_t)fft_size >> 1);
+  static thread_local std::vector<double> buf2_store;
+  if (buf2_store.size() < (size_t)fft_size * FFTR + 8)
+    buf2_store.resize((size_t)fft_size * FFTR + 8);
+  double* b2 = buf2_store.data();
+  b2 += (8 - (((uintptr_t)b2 & 63) >> 3)) & 7;  // 64B align
+  v8df* b2v = (v8df*)b2;
+  realft_power_scatter_v8(work - FFTR, b2v, g_revtab.rev.data(),
+                          (unsigned long)fft_size);
   // only the first out_lags autocorrelation values are read: prune the
   // inverse transform's unread outputs (identical arithmetic for the rest)
-  four1_v8(work - FFTR, (unsigned long)fft_size >> 1, -1,
-           ((unsigned long)out_lags + 1) & ~1ul);
+  four1_v8_core(b2v - 1, (unsigned long)fft_size, -1,
+                ((unsigned long)out_lags + 1) & ~1ul);
   for (int i = 0; i < out_lags; ++i)
-    for (int r = 0; r < FFTR; ++r) out[(int64_t)r * out_lags + i] = work[i * FFTR + r];
+    for (int r = 0; r < FFTR; ++r) out[(int64_t)r * out_lags + i] = b2[i * FFTR + r];
 }
 
 // Linear solve with iterative refinement (SLALESolver_Solve semantics,
