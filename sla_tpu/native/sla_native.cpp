@@ -41,6 +41,14 @@
 #define SLA_DBG_ASSERT(cond, msg) ((void)0)
 #endif
 
+#if defined(__AVX512F__)
+// defined in the filter section (inside its extern "C" block)
+extern "C" {
+static inline void transpose8d(__m512d m[8]);
+static inline void tile_transpose8(__m256i m[8]);
+}
+#endif
+
 namespace {
 
 // Worker-thread count for the block-parallel entropy stages: the format's
@@ -621,6 +629,274 @@ int64_t sla_get_data_array(const uint8_t* in, int64_t in_size,
   return r.pos();
 }
 
+#if defined(__AVX512F__) && defined(__AVX512CD__) && defined(__AVX512BW__) && \
+    defined(__AVX512DQ__)
+// ---- 8-lane vectorized block decode --------------------------------------
+// Blocks are independent byte-aligned bitstreams, so eight decode cursors
+// ride the 64-bit lanes of one zmm register set. The branchless
+// validate-before-commit symbol step (try_sym) vectorizes lane-for-lane:
+// window expose via variable shifts, unary run via vplzcntq, stage select
+// and parameter updates via masks. A lane that fails validation (gamma
+// escape, or fewer cached bits than the symbol needs) keeps its state
+// UNTOUCHED and re-decodes that one symbol through the byte-exact scalar
+// path, so bit consumption, parameter evolution, and outputs are identical
+// to the serial loop for every stream, valid or corrupt.
+
+extern "C++" {
+
+static inline __m512i vdec_bswap64(__m512i v) {
+  const __m128i bs = _mm_set_epi8(8, 9, 10, 11, 12, 13, 14, 15,
+                                  0, 1, 2, 3, 4, 5, 6, 7);
+  return _mm512_shuffle_epi8(v, _mm512_broadcast_i32x4(bs));
+}
+
+// Scalar remainder of one lane's block (same structure as
+// sla_get_data_array's stereo/mono loops), from an evolved reader state.
+template <int CH>
+static void vdec_finish_lane(BitReader& r, RiceState* st, int32_t** o,
+                             int32_t s, int32_t N) {
+  for (; s < N && r.next_byte + 8 <= r.size_bytes; ++s) {
+    r.refill32();
+    for (int ch = 0; ch < CH; ++ch) {
+      uint32_t u;
+      if (!try_sym(r, st[ch], &u)) u = get_recursive_rice(r, st[ch]);
+      o[ch][s] = unzigzag(u);
+    }
+  }
+  for (; s < N; ++s)  // buffer tail: byte-exact slow path
+    for (int ch = 0; ch < CH; ++ch)
+      o[ch][s] = unzigzag(get_recursive_rice(r, st[ch]));
+}
+
+// Eight adaptive-Rice blocks b..b+7, CH channels each, decoded in lanes.
+// Returns 0 or -(block+2) on an over-read (caller semantics).
+template <int CH>
+static int64_t decode_blocks_v8(const uint8_t* in, int64_t in_size,
+                                const int64_t* bit_offsets, int32_t C,
+                                const int32_t* ns, const uint32_t* init,
+                                int32_t* out, const int64_t* out_offs,
+                                int32_t b) {
+  // lane state spill area (vector<->scalar round trips on rare fallbacks)
+  alignas(64) uint64_t a_cache[8], a_nc[8], a_nb[8], a_p[CH][2][8];
+  int32_t* optr[CH][8];
+  int32_t nmin = INT32_MAX;
+  for (int l = 0; l < 8; ++l) {
+    const int32_t blk = b + l;
+    BitReader r;
+    r.init(in, in_size, bit_offsets[blk]);
+    a_cache[l] = r.cache;
+    a_nc[l] = (uint64_t)r.ncache;
+    a_nb[l] = (uint64_t)r.next_byte;
+    for (int ch = 0; ch < CH; ++ch) {
+      const uint64_t p = param_set_fixed(init[(int64_t)blk * C + ch]);
+      a_p[ch][0][l] = p;
+      a_p[ch][1][l] = p;
+      optr[ch][l] = out + out_offs[blk] + (int64_t)ch * ns[blk];
+    }
+    nmin = ns[blk] < nmin ? ns[blk] : nmin;
+  }
+  __m512i vcache = _mm512_load_si512(a_cache);
+  __m512i vnc = _mm512_load_si512(a_nc);
+  __m512i vnb = _mm512_load_si512(a_nb);
+  __m512i vp[CH][2];
+  for (int ch = 0; ch < CH; ++ch) {
+    vp[ch][0] = _mm512_load_si512(a_p[ch][0]);
+    vp[ch][1] = _mm512_load_si512(a_p[ch][1]);
+  }
+  const __m512i v0 = _mm512_setzero_si512();
+  const __m512i v1 = _mm512_set1_epi64(1);
+  const __m512i v16 = _mm512_set1_epi64(16);
+  const __m512i v63 = _mm512_set1_epi64(63);
+  const __m512i v64 = _mm512_set1_epi64(64);
+  const __m512i vhalf = _mm512_set1_epi64((long long)kHalf);
+  const __m512i vrnd = _mm512_set1_epi64(1 << 6);
+  const __m512i vu32 = _mm512_set1_epi64(0xFFFFFFFFll);
+  const __m512i vsz8 = _mm512_set1_epi64(in_size - 8);
+
+  // spill/reload helpers for the rare scalar fallback
+  auto spill = [&]() {
+    _mm512_store_si512(a_cache, vcache);
+    _mm512_store_si512(a_nc, vnc);
+    _mm512_store_si512(a_nb, vnb);
+    for (int ch = 0; ch < CH; ++ch) {
+      _mm512_store_si512(a_p[ch][0], vp[ch][0]);
+      _mm512_store_si512(a_p[ch][1], vp[ch][1]);
+    }
+  };
+  auto reload = [&]() {
+    vcache = _mm512_load_si512(a_cache);
+    vnc = _mm512_load_si512(a_nc);
+    vnb = _mm512_load_si512(a_nb);
+    for (int ch = 0; ch < CH; ++ch) {
+      vp[ch][0] = _mm512_load_si512(a_p[ch][0]);
+      vp[ch][1] = _mm512_load_si512(a_p[ch][1]);
+    }
+  };
+
+  alignas(64) uint32_t tile[CH][8][8];  // [ch][sample-in-tile][lane]
+  int32_t s = 0;
+  for (; s < nmin;) {
+    // margin (scalar loop gate): every lane has next_byte + 8 <= size
+    if (_mm512_cmpgt_epi64_mask(vnb, vsz8) != 0) break;
+    const int32_t tlim = (nmin - s) < 8 ? (nmin - s) : 8;
+    int32_t ti = 0;
+    for (; ti < tlim; ++ti) {
+      if (_mm512_cmpgt_epi64_mask(vnb, vsz8) != 0) break;
+      // refill32 bulk path, all lanes in margin: nb = (63 - ncache) >> 3
+      {
+        const __m512i nb = _mm512_srli_epi64(_mm512_sub_epi64(v63, vnc), 3);
+        const __mmask8 dorf = _mm512_cmpgt_epi64_mask(nb, v0);
+        __m512i raw = _mm512_mask_i64gather_epi64(v0, dorf, vnb, in, 1);
+        raw = vdec_bswap64(raw);
+        const __m512i sh8 = _mm512_slli_epi64(nb, 3);
+        const __m512i newc = _mm512_or_si512(
+            _mm512_sllv_epi64(vcache, sh8),
+            _mm512_srlv_epi64(raw, _mm512_sub_epi64(v64, sh8)));
+        vcache = _mm512_mask_mov_epi64(vcache, dorf, newc);
+        vnb = _mm512_mask_add_epi64(vnb, dorf, vnb, nb);
+        vnc = _mm512_mask_add_epi64(vnc, dorf, vnc, sh8);
+      }
+      for (int ch = 0; ch < CH; ++ch) {
+        __m512i p0 = vp[ch][0], p1 = vp[ch][1];
+        // k parameters and their log2 (rice_param + log2_pow2):
+        // kb = 64 - lzcnt(h - 1) == log2ceil(h), 0 for h == 1
+        __m512i h0 = _mm512_srli_epi64(
+            _mm512_add_epi64(_mm512_srli_epi64(p0, 1), vhalf), kFrac);
+        h0 = _mm512_max_epu64(h0, v1);
+        const __m512i kb0 =
+            _mm512_sub_epi64(v64, _mm512_lzcnt_epi64(_mm512_sub_epi64(h0, v1)));
+        __m512i h1 = _mm512_srli_epi64(
+            _mm512_add_epi64(_mm512_srli_epi64(p1, 1), vhalf), kFrac);
+        h1 = _mm512_max_epu64(h1, v1);
+        const __m512i kb1 =
+            _mm512_sub_epi64(v64, _mm512_lzcnt_epi64(_mm512_sub_epi64(h1, v1)));
+        // exposed window + unary run (try_sym)
+        const __m512i win = _mm512_sllv_epi64(_mm512_slli_epi64(vcache, 1),
+                                              _mm512_sub_epi64(v63, vnc));
+        const __m512i lead = _mm512_lzcnt_epi64(_mm512_or_si512(win, v1));
+        const __mmask8 mstage = _mm512_cmpneq_epi64_mask(lead, v0);
+        const __m512i kb = _mm512_mask_mov_epi64(kb0, mstage, kb1);
+        const __m512i consumed =
+            _mm512_add_epi64(_mm512_add_epi64(lead, v1), kb);
+        const __mmask8 fail = _mm512_cmpge_epu64_mask(lead, v16) |
+                              _mm512_cmpgt_epu64_mask(consumed, vnc);
+        const __mmask8 ok = (__mmask8)(~fail);
+        const __m512i nc2 = _mm512_sub_epi64(vnc, consumed);
+        const __m512i rest = _mm512_and_si512(
+            _mm512_srlv_epi64(vcache, nc2),
+            _mm512_sub_epi64(_mm512_sllv_epi64(v1, kb), v1));
+        const __m512i cache2 = _mm512_and_si512(
+            vcache, _mm512_sub_epi64(_mm512_sllv_epi64(v1, nc2), v1));
+        // reduced = k1 * (lead - 1) + rest, uint32 wrap like the scalar
+        const __m512i reduced = _mm512_and_si512(
+            _mm512_add_epi64(
+                _mm512_sllv_epi64(_mm512_sub_epi64(lead, v1), kb1), rest),
+            vu32);
+        const __m512i k0v = _mm512_sllv_epi64(v1, kb0);
+        const __m512i val = _mm512_and_si512(
+            _mm512_mask_add_epi64(rest, mstage, k0v, reduced), vu32);
+        // param_update(p, code) = (119 p + 9 (code << kFrac) + 64) >> 7
+        // with the uint32 wrap of the 9*(code<<kFrac) term preserved
+        const __m512i t0m = _mm512_and_si512(_mm512_slli_epi64(val, kFrac), vu32);
+        const __m512i t0 = _mm512_and_si512(
+            _mm512_add_epi64(_mm512_slli_epi64(t0m, 3), t0m), vu32);
+        const __m512i p0x119 = _mm512_sub_epi64(
+            _mm512_slli_epi64(p0, 7),
+            _mm512_add_epi64(_mm512_slli_epi64(p0, 3), p0));
+        const __m512i p0n = _mm512_srli_epi64(
+            _mm512_add_epi64(_mm512_add_epi64(p0x119, t0), vrnd), 7);
+        const __m512i t1m =
+            _mm512_and_si512(_mm512_slli_epi64(reduced, kFrac), vu32);
+        const __m512i t1 = _mm512_and_si512(
+            _mm512_add_epi64(_mm512_slli_epi64(t1m, 3), t1m), vu32);
+        const __m512i p1x119 = _mm512_sub_epi64(
+            _mm512_slli_epi64(p1, 7),
+            _mm512_add_epi64(_mm512_slli_epi64(p1, 3), p1));
+        const __m512i p1n = _mm512_srli_epi64(
+            _mm512_add_epi64(_mm512_add_epi64(p1x119, t1), vrnd), 7);
+        vp[ch][0] = _mm512_mask_mov_epi64(p0, ok, p0n);
+        vp[ch][1] = _mm512_mask_mov_epi64(p1, (__mmask8)(ok & mstage), p1n);
+        vcache = _mm512_mask_mov_epi64(vcache, ok, cache2);
+        vnc = _mm512_mask_mov_epi64(vnc, ok, nc2);
+        // stage the unzigzagged values into the lane tile
+        __m256i v32 = _mm512_cvtepi64_epi32(val);
+        v32 = _mm256_xor_si256(
+            _mm256_srli_epi32(v32, 1),
+            _mm256_sub_epi32(_mm256_setzero_si256(),
+                             _mm256_and_si256(v32, _mm256_set1_epi32(1))));
+        _mm256_store_si256((__m256i*)tile[ch][ti], v32);
+        if (fail) {
+          // rare: escape or cache-short — redo those lanes byte-exactly
+          // from their untouched state
+          spill();
+          for (int l = 0; l < 8; ++l) {
+            if (!(fail & (1 << l))) continue;
+            BitReader r;
+            r.buf = in;
+            r.size_bytes = in_size;
+            r.next_byte = (int64_t)a_nb[l];
+            r.cache = a_cache[l];
+            r.ncache = (int)a_nc[l];
+            RiceState st;
+            st.params[0] = a_p[ch][0][l];
+            st.params[1] = a_p[ch][1][l];
+            const uint32_t u = get_recursive_rice(r, st);
+            tile[ch][ti][l] = (uint32_t)unzigzag(u);
+            a_nb[l] = (uint64_t)r.next_byte;
+            a_cache[l] = r.cache;
+            a_nc[l] = (uint64_t)(int64_t)r.ncache;
+            a_p[ch][0][l] = st.params[0];
+            a_p[ch][1][l] = st.params[1];
+          }
+          reload();
+        }
+      }
+    }
+    // flush the tile: transpose lanes to rows, contiguous per-lane stores
+    for (int ch = 0; ch < CH; ++ch) {
+      if (ti == 8) {
+        __m256i m[8];
+        for (int k = 0; k < 8; ++k) m[k] = _mm256_load_si256((__m256i*)tile[ch][k]);
+        tile_transpose8(m);
+        for (int l = 0; l < 8; ++l)
+          _mm256_storeu_si256((__m256i*)(optr[ch][l] + s), m[l]);
+      } else {
+        for (int k = 0; k < ti; ++k)
+          for (int l = 0; l < 8; ++l)
+            optr[ch][l][s + k] = (int32_t)tile[ch][k][l];
+      }
+    }
+    s += ti;
+    if (ti < tlim) break;  // a lane left the 8-byte margin: scalar finish
+  }
+  // finish every lane through the scalar path (tails, margins, and any
+  // lanes whose blocks are longer than nmin)
+  spill();
+  for (int l = 0; l < 8; ++l) {
+    const int32_t blk = b + l;
+    BitReader r;
+    r.buf = in;
+    r.size_bytes = in_size;
+    r.next_byte = (int64_t)a_nb[l];
+    r.cache = a_cache[l];
+    r.ncache = (int)a_nc[l];
+    RiceState st[CH];
+    int32_t* o[CH];
+    for (int ch = 0; ch < CH; ++ch) {
+      st[ch].params[0] = a_p[ch][0][l];
+      st[ch].params[1] = a_p[ch][1][l];
+      o[ch] = optr[ch][l];
+    }
+    vdec_finish_lane<CH>(r, st, o, s, ns[blk]);
+    if (r.pos() > in_size * 8) return -((int64_t)blk + 2);
+  }
+  return 0;
+}
+
+}  // extern "C++"
+#define SLA_HAVE_VDEC8 1
+#endif  // AVX512 vector decode
+
 // ---- dual-stream block decode -------------------------------------------
 // The adaptive-Rice get loop is bounded by one serial dependency chain per
 // bitstream: cursor -> symbol length -> next cursor, plus the per-channel
@@ -644,6 +920,24 @@ static int64_t decode_block_range(const uint8_t* in, int64_t in_size,
                                   int32_t b0, int32_t b1) {
   int32_t b = b0;
   while (b < b1) {
+#if defined(SLA_HAVE_VDEC8)
+    if ((C == 1 || C == 2) && b + 8 <= b1) {
+      bool all_adaptive = true;
+      for (int l = 0; l < 8 && all_adaptive; ++l)
+        all_adaptive = rice_adaptive(init + (int64_t)(b + l) * C, C);
+      if (all_adaptive) {
+        const int64_t e =
+            (C == 2)
+                ? decode_blocks_v8<2>(in, in_size, bit_offsets, C, ns, init,
+                                      out, out_offs, b)
+                : decode_blocks_v8<1>(in, in_size, bit_offsets, C, ns, init,
+                                      out, out_offs, b);
+        if (e) return e;
+        b += 8;
+        continue;
+      }
+    }
+#endif
     const bool pairable =
         (C == 1 || C == 2) && b + 1 < b1 &&
         rice_adaptive(init + (int64_t)b * C, C) &&
@@ -903,10 +1197,6 @@ void sla_initial_params(const int32_t* data, int32_t C, int32_t N,
 // encoder's pitch decisions depend on the exact float64 rounding of this
 // specific butterfly order, so the operation sequence is replicated
 // precisely — a different (faster) FFT would change streams.
-#if defined(__AVX512F__)
-// defined in the filter section (inside its extern "C" block)
-extern "C" { static inline void transpose8d(__m512d m[8]); }
-#endif
 namespace {
 
 void four1(double* data, unsigned long nn, int isign) {
