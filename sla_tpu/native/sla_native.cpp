@@ -893,6 +893,227 @@ static int64_t decode_blocks_v8(const uint8_t* in, int64_t in_size,
   return 0;
 }
 
+// ---- 8-lane vectorized payload encode ------------------------------------
+// The put-side twin: eight blocks' payloads emit concurrently, one block
+// per 64-bit lane, each into its own byte buffer via 8-byte scattered
+// drains. encode_recursive_rice vectorizes directly (it is already
+// branchless); the rare gamma escape exports that lane's writer state and
+// emits the escape through the scalar path, so every lane's byte stream
+// is identical to the serial BitWriter's.
+
+// Scalar remainder of one lane's payload from evolved writer state.
+template <int CH>
+static void venc_finish_lane(BitWriter& w, RiceState* st,
+                             const int32_t* const* d, int32_t s, int32_t N) {
+  if (CH == 2) {
+    for (; s < N; ++s)
+      put_rice_pair(w, st[0], st[1], zigzag(d[0][s]), zigzag(d[1][s]));
+  } else {
+    for (; s < N; ++s) put_recursive_rice(w, st[0], zigzag(d[0][s]));
+  }
+}
+
+// Encode payloads for eight adaptive COMPRESSDATA blocks into the eight
+// lane buffers (each with >= cap bytes plus 8 slack). d[l*CH+ch] are the
+// residual rows, n[l] the sample counts, init[l*CH+ch] the initial Rice
+// parameters. Payload byte sizes (byte-aligned, flush-padded) land in
+// psize[l]. Returns 0, or -1 if a lane approached its buffer cap (caller
+// falls back to the scalar per-block path, which does exact cap checks).
+template <int CH>
+static int32_t encode_payloads_v8(const int32_t* const* d, const int32_t* n,
+                                  const uint32_t* init, uint8_t* const* bufs,
+                                  int64_t cap, int64_t* psize) {
+  alignas(64) uint64_t a_acc[8], a_nacc[8], a_nbytes[8], a_p[CH][2][8],
+      a_addr[8];
+  int32_t nmin = INT32_MAX;
+  for (int l = 0; l < 8; ++l) {
+    a_acc[l] = 0;
+    a_nacc[l] = 0;
+    a_nbytes[l] = 0;
+    a_addr[l] = (uint64_t)(uintptr_t)bufs[l];
+    for (int ch = 0; ch < CH; ++ch) {
+      const uint64_t p = param_set_fixed(init[l * CH + ch]);
+      a_p[ch][0][l] = p;
+      a_p[ch][1][l] = p;
+    }
+    nmin = n[l] < nmin ? n[l] : nmin;
+  }
+  __m512i vacc = _mm512_load_si512(a_acc);
+  __m512i vnacc = _mm512_load_si512(a_nacc);
+  __m512i vnbytes = _mm512_load_si512(a_nbytes);
+  const __m512i vaddr = _mm512_load_si512(a_addr);
+  __m512i vp[CH][2];
+  for (int ch = 0; ch < CH; ++ch) {
+    vp[ch][0] = _mm512_load_si512(a_p[ch][0]);
+    vp[ch][1] = _mm512_load_si512(a_p[ch][1]);
+  }
+  const __m512i v0 = _mm512_setzero_si512();
+  const __m512i v1 = _mm512_set1_epi64(1);
+  const __m512i v7 = _mm512_set1_epi64(7);
+  const __m512i v16 = _mm512_set1_epi64(16);
+  const __m512i v64 = _mm512_set1_epi64(64);
+  const __m512i vhalf = _mm512_set1_epi64((long long)kHalf);
+  const __m512i vrnd = _mm512_set1_epi64(1 << 6);
+  const __m512i vu32 = _mm512_set1_epi64(0xFFFFFFFFll);
+  const __m512i vcapg = _mm512_set1_epi64(cap - 64);
+
+  auto spill = [&]() {
+    _mm512_store_si512(a_acc, vacc);
+    _mm512_store_si512(a_nacc, vnacc);
+    _mm512_store_si512(a_nbytes, vnbytes);
+    for (int ch = 0; ch < CH; ++ch) {
+      _mm512_store_si512(a_p[ch][0], vp[ch][0]);
+      _mm512_store_si512(a_p[ch][1], vp[ch][1]);
+    }
+  };
+  auto reload_w = [&]() {
+    vacc = _mm512_load_si512(a_acc);
+    vnacc = _mm512_load_si512(a_nacc);
+    vnbytes = _mm512_load_si512(a_nbytes);
+  };
+
+  int32_t s = 0;
+  bool capped = false;
+  for (; s + 8 <= nmin && !capped;) {
+    // stage: zigzag 8 consecutive samples per lane per channel, transpose
+    // to per-sample lane vectors
+    __m256i vals[CH][8];
+    for (int ch = 0; ch < CH; ++ch) {
+      __m256i m[8];
+      for (int l = 0; l < 8; ++l) {
+        __m256i x = _mm256_loadu_si256((const __m256i*)(d[l * CH + ch] + s));
+        m[l] = _mm256_xor_si256(_mm256_slli_epi32(x, 1),
+                                _mm256_srai_epi32(x, 31));
+      }
+      tile_transpose8(m);
+      for (int k = 0; k < 8; ++k) vals[ch][k] = m[k];
+    }
+    for (int k = 0; k < 8; ++k) {
+      for (int ch = 0; ch < CH; ++ch) {
+        const __m512i val = _mm512_cvtepu32_epi64(vals[ch][k]);
+        __m512i p0 = vp[ch][0], p1 = vp[ch][1];
+        __m512i h0 = _mm512_srli_epi64(
+            _mm512_add_epi64(_mm512_srli_epi64(p0, 1), vhalf), kFrac);
+        h0 = _mm512_max_epu64(h0, v1);
+        const __m512i kb0 =
+            _mm512_sub_epi64(v64, _mm512_lzcnt_epi64(_mm512_sub_epi64(h0, v1)));
+        __m512i h1 = _mm512_srli_epi64(
+            _mm512_add_epi64(_mm512_srli_epi64(p1, 1), vhalf), kFrac);
+        h1 = _mm512_max_epu64(h1, v1);
+        const __m512i kb1 =
+            _mm512_sub_epi64(v64, _mm512_lzcnt_epi64(_mm512_sub_epi64(h1, v1)));
+        const __m512i k0v = _mm512_sllv_epi64(v1, kb0);
+        const __mmask8 mstage = _mm512_cmpge_epu64_mask(val, k0v);
+        const __m512i reduced =
+            _mm512_and_si512(_mm512_sub_epi64(val, k0v), vu32);
+        const __m512i tail_quot =
+            _mm512_add_epi64(v1, _mm512_srlv_epi64(reduced, kb1));
+        // parameter updates commit BEFORE the escape branch, exactly like
+        // encode_recursive_rice
+        const __m512i t0m = _mm512_and_si512(_mm512_slli_epi64(val, kFrac), vu32);
+        const __m512i t0 = _mm512_and_si512(
+            _mm512_add_epi64(_mm512_slli_epi64(t0m, 3), t0m), vu32);
+        const __m512i p0x119 = _mm512_sub_epi64(
+            _mm512_slli_epi64(p0, 7),
+            _mm512_add_epi64(_mm512_slli_epi64(p0, 3), p0));
+        vp[ch][0] = _mm512_srli_epi64(
+            _mm512_add_epi64(_mm512_add_epi64(p0x119, t0), vrnd), 7);
+        const __m512i t1m =
+            _mm512_and_si512(_mm512_slli_epi64(reduced, kFrac), vu32);
+        const __m512i t1 = _mm512_and_si512(
+            _mm512_add_epi64(_mm512_slli_epi64(t1m, 3), t1m), vu32);
+        const __m512i p1x119 = _mm512_sub_epi64(
+            _mm512_slli_epi64(p1, 7),
+            _mm512_add_epi64(_mm512_slli_epi64(p1, 3), p1));
+        const __m512i p1n = _mm512_srli_epi64(
+            _mm512_add_epi64(_mm512_add_epi64(p1x119, t1), vrnd), 7);
+        vp[ch][1] = _mm512_mask_mov_epi64(p1, mstage, p1n);
+        const __mmask8 esc =
+            mstage & _mm512_cmpge_epu64_mask(tail_quot, v16);
+        const __mmask8 put = (__mmask8)(~esc);
+        const __m512i kb = _mm512_mask_mov_epi64(kb0, mstage, kb1);
+        const __m512i rest = _mm512_and_si512(
+            _mm512_mask_mov_epi64(val, mstage, reduced),
+            _mm512_sub_epi64(_mm512_sllv_epi64(v1, kb), v1));
+        const __m512i code =
+            _mm512_or_si512(_mm512_sllv_epi64(v1, kb), rest);
+        const __m512i nbits = _mm512_add_epi64(
+            _mm512_add_epi64(v1, kb),
+            _mm512_maskz_mov_epi64(mstage, tail_quot));
+        // put: acc = (acc << nbits) | code on non-escape lanes
+        vacc = _mm512_mask_mov_epi64(
+            vacc, put,
+            _mm512_or_si512(_mm512_sllv_epi64(vacc, nbits), code));
+        vnacc = _mm512_mask_add_epi64(vnacc, put, vnacc, nbits);
+        // drain whole bytes: one scattered 8-byte store per lane (tail
+        // slack overwritten by the next drain, like BitWriter::drain)
+        const __m512i outb = _mm512_srli_epi64(vnacc, 3);
+        const __m512i keep = _mm512_and_si512(vnacc, v7);
+        const __m512i be = vdec_bswap64(_mm512_sllv_epi64(
+            _mm512_srlv_epi64(vacc, keep),
+            _mm512_sub_epi64(v64, _mm512_slli_epi64(outb, 3))));
+        _mm512_i64scatter_epi64(
+            (void*)0, _mm512_add_epi64(vaddr, vnbytes), be, 1);
+        vnbytes = _mm512_add_epi64(vnbytes, outb);
+        vnacc = keep;
+        vacc = _mm512_and_si512(
+            vacc, _mm512_sub_epi64(_mm512_sllv_epi64(v1, keep), v1));
+        if (esc) {
+          // rare gamma escape: emit through the scalar writer per lane
+          spill();
+          for (int l = 0; l < 8; ++l) {
+            if (!(esc & (1 << l))) continue;
+            BitWriter w;
+            w.buf = bufs[l];
+            w.cap = cap;
+            w.nbytes = (int64_t)a_nbytes[l];
+            w.acc = a_acc[l];
+            w.nacc = (int)a_nacc[l];
+            w.overflow = false;
+            RiceParts prt;
+            prt.escape = true;
+            alignas(64) uint64_t kb1_a[8], red_a[8];
+            _mm512_store_si512(kb1_a, kb1);
+            _mm512_store_si512(red_a, reduced);
+            prt.reduced = (uint32_t)red_a[l];
+            prt.kb1 = (int32_t)kb1_a[l];
+            write_rice_parts(w, prt);
+            a_nbytes[l] = (uint64_t)w.nbytes;
+            a_acc[l] = w.acc;
+            a_nacc[l] = (uint64_t)(int64_t)w.nacc;
+          }
+          reload_w();
+        }
+      }
+    }
+    s += 8;
+    if (_mm512_cmpgt_epi64_mask(vnbytes, vcapg) != 0) capped = true;
+  }
+  // scalar tails from evolved state
+  spill();
+  for (int l = 0; l < 8; ++l) {
+    BitWriter w;
+    w.buf = bufs[l];
+    w.cap = cap;
+    w.nbytes = (int64_t)a_nbytes[l];
+    w.acc = a_acc[l];
+    w.nacc = (int)a_nacc[l];
+    w.overflow = false;
+    RiceState st[CH];
+    const int32_t* dl[CH];
+    for (int ch = 0; ch < CH; ++ch) {
+      st[ch].params[0] = a_p[ch][0][l];
+      st[ch].params[1] = a_p[ch][1][l];
+      dl[ch] = d[l * CH + ch];
+    }
+    venc_finish_lane<CH>(w, st, dl, s, n[l]);
+    w.flush();
+    if (w.overflow) return -1;
+    psize[l] = w.nbytes;
+  }
+  return 0;
+}
+
 }  // extern "C++"
 #define SLA_HAVE_VDEC8 1
 #endif  // AVX512 vector decode
@@ -2901,7 +3122,10 @@ static int64_t encode_block_core(
     const int32_t* parcor_rshift /* C */, const int32_t* pitch /* C */,
     const int32_t* ltm_coef /* C x max(T,1) */, const uint32_t* init_rice,
     const int32_t* residual /* C rows */, int64_t row_stride,
-    const int32_t* raw_bits /* C, raw only */, uint8_t* out, int64_t cap) {
+    const int32_t* raw_bits /* C, raw only */, uint8_t* out, int64_t cap,
+    // pre-encoded byte-aligned payload (vectorized lane encoder output);
+    // when set, the COMPRESSDATA payload is appended verbatim
+    const uint8_t* vpayload = nullptr, int64_t vpayload_len = 0) {
   if (C <= 0 || C > 64) return -2;  // scratch capacity, not an overflow
   BitWriter w;
   w.init(out, cap);
@@ -2929,7 +3153,11 @@ static int64_t encode_block_core(
     }
   }
   w.flush();
-  if (block_type == 0) {
+  if (block_type == 0 && vpayload != nullptr) {
+    if (w.nbytes + vpayload_len > cap) return -1;
+    std::memcpy(out + w.nbytes, vpayload, (size_t)vpayload_len);
+    w.nbytes += vpayload_len;
+  } else if (block_type == 0) {
     uint64_t eff_sum = 0;
     uint32_t eff[64];
     for (int32_t ch = 0; ch < C; ++ch) {
@@ -3002,6 +3230,94 @@ int64_t sla_encode_block(int32_t num_samples, int32_t block_type, int32_t C,
 // (views into the batch filter output — no gather copies). Returns total
 // bytes, -1 on out-capacity overflow (caller grows and retries), -2 on a
 // scratch bound violation.
+// Serialize blocks [b0, b1) back to back into `out` (capacity `cap`).
+// Runs of eight adjacent adaptive COMPRESSDATA blocks encode their
+// payloads through the 8-lane vector coder (identical bytes); everything
+// else takes the scalar per-block path. Returns bytes written or the
+// encode_block_core error codes.
+static int64_t encode_block_run(
+    int32_t b0, int32_t b1, int32_t C, int32_t parcor_order, int32_t num_taps,
+    int32_t bits_per_sample, int32_t pitch_threshold, const int32_t* nsamp,
+    const int32_t* btype, const int32_t* parcor_code,
+    const int32_t* parcor_rshift, const int32_t* pitch,
+    const int32_t* ltm_coef, const uint32_t* init_rice,
+    const uint64_t* res_ptrs, const int64_t* res_strides,
+    const int32_t* raw_bits, uint8_t* out, int64_t cap, int64_t* sizes_out) {
+  const int32_t pc = parcor_order + 1;
+  const int32_t mt = num_taps > 0 ? num_taps : 1;
+  int64_t pos = 0;
+  int32_t b = b0;
+  while (b < b1) {
+#if defined(SLA_HAVE_VDEC8)
+    if ((C == 1 || C == 2) && b + 8 <= b1) {
+      bool ok8 = true;
+      int32_t nmax = 0;
+      for (int l = 0; l < 8 && ok8; ++l) {
+        ok8 = btype[b + l] == 0 &&
+              rice_adaptive(init_rice + (int64_t)(b + l) * C, C);
+        if (nsamp[b + l] > nmax) nmax = nsamp[b + l];
+      }
+      if (ok8 && nmax > 0) {
+        const int64_t lane_cap = 16LL * nmax * C + 1024;
+        static thread_local std::vector<uint8_t> pool;
+        if ((int64_t)pool.size() < 8 * lane_cap)
+          pool.resize((size_t)(8 * lane_cap));
+        const int32_t* dptr[16];
+        uint8_t* bufs[8];
+        int32_t nn8[8];
+        uint32_t ini8[16];
+        for (int l = 0; l < 8; ++l) {
+          bufs[l] = pool.data() + (size_t)l * lane_cap;
+          nn8[l] = nsamp[b + l];
+          const int32_t* base = (const int32_t*)(uintptr_t)res_ptrs[b + l];
+          for (int ch = 0; ch < C; ++ch) {
+            dptr[l * C + ch] = base + (int64_t)ch * res_strides[b + l];
+            ini8[l * C + ch] = init_rice[(int64_t)(b + l) * C + ch];
+          }
+        }
+        int64_t ps[8];
+        const int32_t rc =
+            (C == 2)
+                ? encode_payloads_v8<2>(dptr, nn8, ini8, bufs, lane_cap, ps)
+                : encode_payloads_v8<1>(dptr, nn8, ini8, bufs, lane_cap, ps);
+        if (rc == 0) {
+          int l = 0;
+          for (; l < 8; ++l) {
+            const int32_t blk = b + l;
+            const int64_t nby = encode_block_core(
+                nsamp[blk], 0, C, parcor_order, num_taps, bits_per_sample,
+                pitch_threshold, parcor_code + (int64_t)blk * C * pc,
+                parcor_rshift + (int64_t)blk * C, pitch + (int64_t)blk * C,
+                ltm_coef + (int64_t)blk * C * mt,
+                init_rice + (int64_t)blk * C,
+                (const int32_t*)(uintptr_t)res_ptrs[blk], res_strides[blk],
+                raw_bits, out + pos, cap - pos, bufs[l], ps[l]);
+            if (nby < 0) return nby;
+            sizes_out[blk] = nby;
+            pos += nby;
+          }
+          b += 8;
+          continue;
+        }
+        // lane buffer capped (pathological block): scalar path below
+      }
+    }
+#endif
+    const int64_t nby = encode_block_core(
+        nsamp[b], btype[b], C, parcor_order, num_taps, bits_per_sample,
+        pitch_threshold, parcor_code + (int64_t)b * C * pc,
+        parcor_rshift + (int64_t)b * C, pitch + (int64_t)b * C,
+        ltm_coef + (int64_t)b * C * mt, init_rice + (int64_t)b * C,
+        (const int32_t*)(uintptr_t)res_ptrs[b], res_strides[b], raw_bits,
+        out + pos, cap - pos);
+    if (nby < 0) return nby;
+    sizes_out[b] = nby;
+    pos += nby;
+    ++b;
+  }
+  return pos;
+}
+
 int64_t sla_encode_blocks(int32_t W, int32_t C, int32_t parcor_order,
                           int32_t num_taps, int32_t bits_per_sample,
                           int32_t pitch_threshold, const int32_t* nsamp,
@@ -3057,19 +3373,12 @@ int64_t sla_encode_blocks(int32_t W, int32_t C, int32_t parcor_order,
             local_cap += (int64_t)((2LL * 4 * C * nsamp[b] + 4096) * scale);
           if ((int64_t)bufs[t].size() < local_cap)
             bufs[t].resize((size_t)local_cap);
-          int64_t pos = 0;
-          for (int32_t b = b0; b < b1; ++b) {
-            int64_t n = encode_block_core(
-                nsamp[b], btype[b], C, parcor_order, num_taps, bits_per_sample,
-                pitch_threshold, parcor_code + (int64_t)b * C * pc,
-                parcor_rshift + (int64_t)b * C, pitch + (int64_t)b * C,
-                ltm_coef + (int64_t)b * C * mt, init_rice + (int64_t)b * C,
-                (const int32_t*)(uintptr_t)res_ptrs[b], res_strides[b],
-                raw_bits, bufs[t].data() + pos, local_cap - pos);
-            if (n < 0) { err.store(n); return; }
-            sizes_out[b] = n;
-            pos += n;
-          }
+          const int64_t pos = encode_block_run(
+              b0, b1, C, parcor_order, num_taps, bits_per_sample,
+              pitch_threshold, nsamp, btype, parcor_code, parcor_rshift,
+              pitch, ltm_coef, init_rice, res_ptrs, res_strides, raw_bits,
+              bufs[t].data(), local_cap, sizes_out);
+          if (pos < 0) { err.store(pos); return; }
           used[t] = pos;
         } catch (...) {
           err.store(-1);  // allocation failure -> caller grows and retries
@@ -3093,20 +3402,10 @@ int64_t sla_encode_blocks(int32_t W, int32_t C, int32_t parcor_order,
     }
     return e ? e : pos;
   }
-  int64_t pos = 0;
-  for (int32_t b = 0; b < W; ++b) {
-    int64_t n = encode_block_core(
-        nsamp[b], btype[b], C, parcor_order, num_taps, bits_per_sample,
-        pitch_threshold, parcor_code + (int64_t)b * C * pc,
-        parcor_rshift + (int64_t)b * C, pitch + (int64_t)b * C,
-        ltm_coef + (int64_t)b * C * mt, init_rice + (int64_t)b * C,
-        (const int32_t*)(uintptr_t)res_ptrs[b], res_strides[b], raw_bits,
-        out + pos, cap - pos);
-    if (n < 0) return n;
-    sizes_out[b] = n;
-    pos += n;
-  }
-  return pos;
+  return encode_block_run(0, W, C, parcor_order, num_taps, bits_per_sample,
+                          pitch_threshold, nsamp, btype, parcor_code,
+                          parcor_rshift, pitch, ltm_coef, init_rice, res_ptrs,
+                          res_strides, raw_bits, out, cap, sizes_out);
 }
 
 // Partition decisions for many windows at once: adjacency assembly from
