@@ -606,7 +606,6 @@ class Encoder:
         ]
         for n, idxs in grouped:
             window = win.make_window(ep.window_function_type, n)
-            batch_dbl = np.empty((len(idxs), C, n), dtype=np.float64)
             stats = None
             if native.available():
                 # one native pass per group: per-channel max/min feed both
@@ -624,19 +623,32 @@ class Encoder:
                         plan.block_type = BlockDataType.SILENT
                 elif not np.any(plan.raw_int32):
                     plan.block_type = BlockDataType.SILENT
-                batch_dbl[row] = dbl_ms[:, plan.offset : plan.offset + n]
             if native.available():
                 # exact-order analysis: byte-identity needs the reference's
                 # float64 summation order (see native sla_lpc_analyze).
                 # Windowing + double pre-emphasis (SLAEncoder.c:540-543)
-                # fuse into the native interleave fill.
-                rows = batch_dbl.reshape(-1, n)
-                parcor_r, len_r = native.lpc_analyze_rows(
-                    rows, p, wf.bit_per_sample, window=window, emphasis=True
+                # fuse into the native interleave fill, which reads the
+                # rows in place as (channel, offset) slices of dbl_ms — no
+                # (B, C, n) gather copy.
+                N = dbl_ms.shape[1]
+                offs = np.asarray(
+                    [
+                        ch * N + plans[i].offset
+                        for i in idxs
+                        for ch in range(C)
+                    ],
+                    dtype=np.int64,
                 )
-                parcor = parcor_r.reshape(batch_dbl.shape[:-1] + (p + 1,))
-                code_len = len_r.reshape(batch_dbl.shape[:-1])
+                parcor_r, len_r = native.lpc_analyze_rows_at(
+                    dbl_ms, offs, n, p, wf.bit_per_sample,
+                    window=window, emphasis=True,
+                )
+                parcor = parcor_r.reshape((len(idxs), C, p + 1))
+                code_len = len_r.reshape((len(idxs), C))
             else:
+                batch_dbl = np.empty((len(idxs), C, n), dtype=np.float64)
+                for row, i in enumerate(idxs):
+                    batch_dbl[row] = dbl_ms[:, plans[i].offset : plans[i].offset + n]
                 # toolchain-free exact path: pure-Python twins of the exact
                 # windowed + pre-emphasized analysis (sla_tpu.exact),
                 # bit-identical to the native rows — slow, per row

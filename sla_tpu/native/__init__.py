@@ -196,6 +196,10 @@ def _load() -> ctypes.CDLL | None:
     ]
     lib.sla_lpc_analyze_rows8.restype = i32
     lib.sla_lpc_analyze_rows8.argtypes = [p_f64, i32, i32, i32, p_f64, i32, p_f64, p_f64]
+    lib.sla_lpc_analyze_rows_off_mt.restype = i32
+    lib.sla_lpc_analyze_rows_off_mt.argtypes = [
+        p_f64, p_i64, i32, i32, i32, i32, p_f64, i32, p_f64, p_f64,
+    ]
     lib.sla_make_window.restype = i32
     lib.sla_make_window.argtypes = [i32, i32, p_f64]
     lib.sla_pack_parts.restype = i64
@@ -1453,6 +1457,40 @@ def lpc_analyze_rows(
     )
     if rc != 0:
         raise ValueError(f"lpc_analyze_rows: native analysis failed ({rc})")
+    return parcor, lengths
+
+
+def lpc_analyze_rows_at(
+    base: np.ndarray,
+    offsets: np.ndarray,
+    n: int,
+    order: int,
+    bits_per_sample: int,
+    window: np.ndarray | None = None,
+    emphasis: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """lpc_analyze_rows over rows that live as slices of one contiguous
+    float64 buffer: row b = base_flat[offsets[b] : offsets[b] + n]. Skips
+    the (B, n) gather copy; per-row arithmetic identical."""
+    lib = _load()
+    base = np.ascontiguousarray(base, dtype=np.float64)
+    offs = np.ascontiguousarray(offsets, dtype=np.int64)
+    B = offs.size
+    parcor = np.zeros((B, order + 1), dtype=np.float64)
+    lengths = np.zeros((B,), dtype=np.float64)
+    if not (1 <= order <= 64):
+        raise ValueError(f"lpc_analyze_rows_at: order out of native scratch range ({order})")
+    win_ptr = None
+    if window is not None:
+        window = np.ascontiguousarray(window, dtype=np.float64)
+        win_ptr = _f64ptr(window)
+    rc = lib.sla_lpc_analyze_rows_off_mt(
+        _f64ptr(base), offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        B, n, order, bits_per_sample, win_ptr, 1 if emphasis else 0,
+        _f64ptr(parcor), _f64ptr(lengths),
+    )
+    if rc != 0:
+        raise ValueError(f"lpc_analyze_rows_at: native analysis failed ({rc})")
     return parcor, lengths
 
 

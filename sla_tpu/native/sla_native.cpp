@@ -4243,10 +4243,15 @@ static void lpc_finish_row(const double* auto_corr, int32_t n, int32_t order,
 // SLAEncoder.c:540-543 analysis preprocessing, fused here so the caller
 // skips three full passes over the batch). Per-element float64 ops and
 // order match the unfused form exactly.
-int32_t sla_lpc_analyze_rows8(const double* data, int32_t n, int32_t order,
-                              int32_t bits_per_sample, const double* window,
-                              int32_t emphasis, double* parcor,
-                              double* length_per_sample) {
+// Core with per-row source offsets into one base buffer, so callers can
+// analyze rows that live as slices of a larger (C, N) signal without a
+// gather copy (same fill arithmetic as the contiguous entry).
+static int32_t lpc_analyze_rows8_core(const double* base, const int64_t* offs,
+                                      int32_t n, int32_t order,
+                                      int32_t bits_per_sample,
+                                      const double* window, int32_t emphasis,
+                                      double* parcor,
+                                      double* length_per_sample) {
   if (order < 1 || order > 64) return -1;
   enum { R = 8 };
   constexpr double kEmph = 31.0 / 32.0;  // (2^5 - 1) * 2^-5, exact
@@ -4258,7 +4263,7 @@ int32_t sla_lpc_analyze_rows8(const double* data, int32_t n, int32_t order,
   for (int32_t i = 0; i < n; ++i) {
     double cur[R];
     for (int32_t r = 0; r < R; ++r) {
-      double v = data[(size_t)r * n + i];
+      double v = base[offs[r] + i];
       if (window) v *= window[i];
       cur[r] = v;
     }
@@ -4313,6 +4318,68 @@ int32_t sla_lpc_analyze_rows8(const double* data, int32_t n, int32_t order,
                    parcor + (size_t)r * (order + 1), length_per_sample + r);
   }
   return 0;
+}
+
+int32_t sla_lpc_analyze_rows8(const double* data, int32_t n, int32_t order,
+                              int32_t bits_per_sample, const double* window,
+                              int32_t emphasis, double* parcor,
+                              double* length_per_sample) {
+  int64_t offs[8];
+  for (int r = 0; r < 8; ++r) offs[r] = (int64_t)r * n;
+  return lpc_analyze_rows8_core(data, offs, n, order, bits_per_sample, window,
+                                emphasis, parcor, length_per_sample);
+}
+
+// Offsets form of the batched analysis: rows live at base + row_offs[b]
+// (each n doubles), e.g. window slices of one (C, N) signal — no gather
+// copy. Tail groups pad with row 0 (lane results past B are discarded).
+int32_t sla_lpc_analyze_rows_off_mt(const double* base, const int64_t* row_offs,
+                                    int32_t B, int32_t n, int32_t order,
+                                    int32_t bits_per_sample,
+                                    const double* window, int32_t emphasis,
+                                    double* parcor /* B x (order+1) */,
+                                    double* length_per_sample /* B */) {
+  if (order < 1 || order > 64) return -1;
+  const int32_t G = (B + 7) / 8;
+  const int T0 = entropy_threads();
+  const int T = T0 > G ? (G > 0 ? G : 1) : T0;
+  std::atomic<int32_t> err{0};
+  auto run_range = [&](int32_t g0, int32_t g1) {
+    for (int32_t g = g0; g < g1; ++g) {
+      const int32_t b = g * 8;
+      if (b + 8 <= B) {
+        if (lpc_analyze_rows8_core(base, row_offs + b, n, order,
+                                   bits_per_sample, window, emphasis,
+                                   parcor + (int64_t)b * (order + 1),
+                                   length_per_sample + b) != 0)
+          err.store(-1);
+        continue;
+      }
+      const int32_t tail = B - b;
+      int64_t offs8[8];
+      for (int32_t r = 0; r < 8; ++r)
+        offs8[r] = row_offs[r < tail ? b + r : b];
+      double pc8[8 * 65], ln8[8];
+      if (lpc_analyze_rows8_core(base, offs8, n, order, bits_per_sample,
+                                 window, emphasis, pc8, ln8) != 0) {
+        err.store(-1);
+        continue;
+      }
+      std::memcpy(parcor + (int64_t)b * (order + 1), pc8,
+                  sizeof(double) * (size_t)tail * (order + 1));
+      std::memcpy(length_per_sample + b, ln8, sizeof(double) * (size_t)tail);
+    }
+  };
+  if (T > 1 && G >= 2 * T) {
+    std::vector<std::thread> ws;
+    for (int t = 0; t < T; ++t)
+      ws.emplace_back(run_range, (int32_t)((int64_t)G * t / T),
+                      (int32_t)((int64_t)G * (t + 1) / T));
+    for (auto& th : ws) th.join();
+  } else {
+    run_range(0, G);
+  }
+  return err.load();
 }
 
 // Whole-batch exact LPC analysis: groups of 8 rows through the
