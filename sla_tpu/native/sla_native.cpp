@@ -1311,9 +1311,28 @@ int32_t sla_get_data_array_partial(const uint8_t* in, int64_t in_size,
     for (int ch = 0; ch < C; ++ch)
       std::memcpy(st[ch].params, param_state + ch * kNumRecursiveParams,
                   sizeof(st[ch].params));
-    for (int s = 0; s < num_samples; ++s)
-      for (int ch = 0; ch < C; ++ch)
-        out[(int64_t)ch * num_samples + s] = unzigzag(get_sym_auto(r, st[ch]));
+    if (C == 2) {  // stereo fast path: one refill per sample (same bit
+                   // consumption as per-symbol get_sym_auto)
+      int32_t* o0 = out;
+      int32_t* o1 = out + num_samples;
+      int s = 0;
+      for (; s < num_samples && r.next_byte + 8 <= r.size_bytes; ++s) {
+        r.refill32();
+        uint32_t u0, u1;
+        if (!try_sym(r, st[0], &u0)) u0 = get_recursive_rice(r, st[0]);
+        if (!try_sym(r, st[1], &u1)) u1 = get_recursive_rice(r, st[1]);
+        o0[s] = unzigzag(u0);
+        o1[s] = unzigzag(u1);
+      }
+      for (; s < num_samples; ++s) {  // buffer tail: byte-exact slow path
+        o0[s] = unzigzag(get_sym_auto(r, st[0]));
+        o1[s] = unzigzag(get_sym_auto(r, st[1]));
+      }
+    } else {
+      for (int s = 0; s < num_samples; ++s)
+        for (int ch = 0; ch < C; ++ch)
+          out[(int64_t)ch * num_samples + s] = unzigzag(get_sym_auto(r, st[ch]));
+    }
     for (int ch = 0; ch < C; ++ch)
       std::memcpy(param_state + ch * kNumRecursiveParams, st[ch].params,
                   sizeof(st[ch].params));
@@ -2322,6 +2341,137 @@ static int32_t synth_chunk_impl(
   return 0;
 }
 
+// Two-channel interleaved resumable synthesis: both channels' cascades
+// advance in lockstep within one sample loop. Each chain is latency-bound
+// (its per-sample dependency runs through the LMS update, long-term ring,
+// and p lattice stages), so a second independent chain in the out-of-order
+// window roughly doubles throughput; per-channel arithmetic and state
+// evolution are identical to synth_chunk_impl.
+static int32_t synth_chunk2_impl(
+    const int32_t* residual /* 2 x n */, int32_t* out /* 2 x n */, int32_t n,
+    const int32_t* parcor_coef /* 2 x coef_stride */, int32_t coef_stride,
+    int32_t parcor_order, int32_t* lattice_state /* 2 x (p+1) */,
+    const int32_t* pitch /* 2 */, const int32_t* ltm_coef /* 2 x stride */,
+    int32_t ltm_stride, int32_t num_taps, int32_t* lt_hist /* 2 x len */,
+    int32_t lt_hist_len, int32_t* lt_processed /* 2 */, int32_t lms_order,
+    int32_t* lms_state /* 2 x 4M */, int32_t* lms_processed /* 2 */,
+    int32_t* deemph_prev /* 2 */) {
+  const int32_t p = parcor_order;
+  const int32_t M = lms_order;
+  if (p > 64 || M > 64 || num_taps > 8) return -1;
+  if (lt_hist_len > 1024) return -1;
+  int32_t pc[2][64], lat[2][65], fcl[2][64], icl[2][64];
+  int32_t xd[2][128], pd[2][128], lt_ring[2][1024], q15c[2][8];
+  int32_t deemph[2], xpos[2], lt_head[2], lms_proc[2], lt_proc[2], mdel[2];
+  for (int c = 0; c < 2; ++c) {
+    for (int32_t i = 0; i < p; ++i) pc[c][i] = parcor_coef[(int64_t)c * coef_stride + i];
+    for (int32_t i = 0; i <= p; ++i) lat[c][i] = lattice_state[(int64_t)c * (p + 1) + i];
+    int32_t* ls = lms_state + (int64_t)c * 4 * M;
+    for (int32_t i = 0; i < M; ++i) fcl[c][i] = ls[i];
+    for (int32_t i = 0; i < M; ++i) icl[c][i] = ls[M + i];
+    deemph[c] = deemph_prev[c];
+    xpos[c] = 64;
+    for (int32_t i = 0; i < M; ++i) {
+      xd[c][64 + i] = ls[2 * M + i];
+      pd[c][64 + i] = ls[3 * M + i];
+    }
+    lt_head[c] = lt_hist_len;
+    if (pitch[c] > 0)
+      for (int32_t i = 0; i < lt_hist_len; ++i)
+        lt_ring[c][i] = lt_hist[(int64_t)c * lt_hist_len + i];
+    for (int32_t j = 0; j < num_taps; ++j)
+      q15c[c][j] = ltm_coef[(int64_t)c * ltm_stride + j] >> 16;
+    lms_proc[c] = lms_processed[c];
+    lt_proc[c] = lt_processed[c];
+    mdel[c] = pitch[c] + num_taps / 2;
+  }
+  const int32_t lt_mask = 1023;
+  for (int32_t s = 0; s < n; ++s) {
+    for (int c = 0; c < 2; ++c) {
+      // ---- LMS synthesis
+      int32_t x = residual[(int64_t)c * n + s];
+      const int32_t* xb = xd[c] + xpos[c];
+      const int32_t* pb = pd[c] + xpos[c];
+      int32_t acc = 512;
+      for (int32_t i = 0; i < M; ++i) acc += fcl[c][i] * xb[i];
+      for (int32_t i = 0; i < M; ++i) acc += icl[c][i] * pb[i];
+      int32_t pred = acc >> 10;
+      bool warm = lms_proc[c] < M;
+      int32_t res = x;
+      int32_t y = x + pred;
+      if (!warm) {
+        uint32_t mag = (uint32_t)(res < 0 ? -res : res);
+        int32_t bl = (mag == 0) ? 0 : (32 - __builtin_clz(mag));
+        int32_t step = ((res > 0) - (res < 0)) * (bl >> 1);
+        for (int32_t i = 0; i < M; ++i) {
+          fcl[c][i] += step * ((xb[i] > 0) - (xb[i] < 0));
+          icl[c][i] += step * ((pb[i] > 0) - (pb[i] < 0));
+        }
+      }
+      int32_t new_sample = y;
+      int32_t ins_p = warm ? new_sample : pred;
+      if (xpos[c] == 0) {  // refill headroom
+        for (int32_t i = M - 1; i >= 0; --i) {
+          xd[c][64 + i] = xd[c][i];
+          pd[c][64 + i] = pd[c][i];
+        }
+        xpos[c] = 64;
+      }
+      --xpos[c];
+      xd[c][xpos[c]] = new_sample;
+      pd[c][xpos[c]] = ins_p;
+      if (warm) y = x;
+      ++lms_proc[c];
+      // ---- long-term synthesis
+      if (pitch[c] > 0) {
+        int64_t s64 = 0;
+        for (int32_t j = 0; j < num_taps; ++j) {
+          int32_t back = mdel[c] - j;
+          s64 += (int64_t)q15c[c][j] * lt_ring[c][(lt_head[c] - back) & lt_mask];
+        }
+        int32_t lpred = (int32_t)((s64 + (1 << 14)) >> 15);
+        int32_t lout = (lt_proc[c] >= mdel[c]) ? y + lpred : y;
+        lt_ring[c][lt_head[c] & lt_mask] = lout;
+        ++lt_head[c];
+        y = lout;
+      }
+      ++lt_proc[c];
+      // ---- PARCOR lattice synthesis
+      {
+        int32_t f = y;
+        for (int32_t k = p; k >= 1; --k) {
+          f += qmul15(pc[c][k - 1], lat[c][k - 1]);
+          lat[c][k] = lat[c][k - 1] - qmul15(pc[c][k - 1], f);
+        }
+        lat[c][0] = f;
+        y = f;
+      }
+      // ---- de-emphasis
+      y = y + ((deemph[c] * 31) >> 5);
+      deemph[c] = y;
+      out[(int64_t)c * n + s] = y;
+    }
+  }
+  for (int c = 0; c < 2; ++c) {
+    for (int32_t i = 0; i <= p; ++i) lattice_state[(int64_t)c * (p + 1) + i] = lat[c][i];
+    int32_t* ls = lms_state + (int64_t)c * 4 * M;
+    for (int32_t i = 0; i < M; ++i) ls[i] = fcl[c][i];
+    for (int32_t i = 0; i < M; ++i) ls[M + i] = icl[c][i];
+    lms_processed[c] = lms_proc[c];
+    lt_processed[c] = lt_proc[c];
+    deemph_prev[c] = deemph[c];
+    for (int32_t i = 0; i < M; ++i) {
+      ls[2 * M + i] = xd[c][xpos[c] + i];
+      ls[3 * M + i] = pd[c][xpos[c] + i];
+    }
+    if (pitch[c] > 0)
+      for (int32_t i = 0; i < lt_hist_len; ++i)
+        lt_hist[(int64_t)c * lt_hist_len + i] =
+            lt_ring[c][(lt_head[c] - lt_hist_len + i) & lt_mask];
+  }
+  return 0;
+}
+
 extern "C" {
 
 int32_t sla_synth_chunk(
@@ -2357,6 +2507,14 @@ int32_t sla_synth_chunk_rows(
     int32_t* deemph_prev,
     int32_t ms, int32_t shift) {
   if (ms && C != 2) return -2;
+  if (C == 2) {
+    const int32_t rc = synth_chunk2_impl(
+        residual, out, n, parcor_coef, coef_stride, parcor_order,
+        lattice_state, pitch, ltm_coef, ltm_stride, num_taps, lt_hist,
+        lt_hist_len, lt_processed, lms_order, lms_state, lms_processed,
+        deemph_prev);
+    if (rc != 0) return rc;
+  } else
   for (int32_t ch = 0; ch < C; ++ch) {
     int32_t rc = sla_synth_chunk(
         residual + (int64_t)ch * n, out + (int64_t)ch * n, n,
@@ -2407,6 +2565,8 @@ int32_t sla_stream_tick(
   if (C > 64) return -1;
   const int64_t save_pos = *bit_pos;
   uint64_t save_params[64 * kNumRecursiveParams];
+  // (sla_stream_tick_packed below passes these same arguments through one
+  // int64 block — a 120 Hz caller marshals one pointer instead of 27)
   if (!use_golomb)
     std::memcpy(save_params, param_state,
                 sizeof(uint64_t) * (size_t)C * kNumRecursiveParams);
@@ -2426,6 +2586,24 @@ int32_t sla_stream_tick(
       lattice_state, pitch, ltm_coef, ltm_stride, num_taps, lt_hist,
       lt_hist_len, lt_processed, lms_order, lms_state, lms_processed,
       deemph_prev, ms, shift);
+}
+
+// Packed-argument form of sla_stream_tick: `a` is a 27-slot int64 block
+// (pointers as integers, scalars widened). ctypes marshaling of 27
+// arguments measured ~18 us per call — at a 120 Hz tick cadence that was
+// a third of the whole tick; one pointer is ~1.5 us.
+int32_t sla_stream_tick_packed(const int64_t* a) {
+  return sla_stream_tick(
+      (const uint8_t*)(uintptr_t)a[0], a[1], (int64_t*)(uintptr_t)a[2],
+      (uint64_t*)(uintptr_t)a[3], (const uint32_t*)(uintptr_t)a[4],
+      (int32_t)a[5], (int32_t*)(uintptr_t)a[6], (int32_t*)(uintptr_t)a[7],
+      (int32_t)a[8], (int32_t)a[9], (const int32_t*)(uintptr_t)a[10],
+      (int32_t)a[11], (int32_t)a[12], (int32_t*)(uintptr_t)a[13],
+      (const int32_t*)(uintptr_t)a[14], (const int32_t*)(uintptr_t)a[15],
+      (int32_t)a[16], (int32_t)a[17], (int32_t*)(uintptr_t)a[18],
+      (int32_t)a[19], (int32_t*)(uintptr_t)a[20], (int32_t)a[21],
+      (int32_t*)(uintptr_t)a[22], (int32_t*)(uintptr_t)a[23],
+      (int32_t*)(uintptr_t)a[24], (int32_t)a[25], (int32_t)a[26]);
 }
 
 // Encode-side filter cascade for one channel row: pre-emphasis -> PARCOR
