@@ -160,7 +160,7 @@ def _load() -> ctypes.CDLL | None:
     lib.sla_get_data_arrays.restype = i64
     lib.sla_get_data_arrays.argtypes = [
         p_u8, i64, i32, ctypes.POINTER(ctypes.c_int64), i32, p_i32, p_u32,
-        p_i32, ctypes.POINTER(ctypes.c_int64),
+        p_i32, ctypes.POINTER(ctypes.c_int64), i64,
     ]
     lib.sla_get_data_array_partial.restype = i32
     lib.sla_get_data_array_partial.argtypes = [
@@ -355,8 +355,9 @@ def get_data_arrays_strided(
     Like get_data_arrays, but each block's C rows land at row stride L in
     one (W*C, L) buffer — exactly the layout the batched synthesis kernels
     consume, so the decoder skips the assemble-into-batch copy entirely.
-    Returns (batch, per-block (C, n_b) strided views into it). Columns past
-    n_b are uninitialized; callers slice by length."""
+    Short (tail) blocks decode in place too: the native coders take the row
+    stride directly. Returns (batch, per-block (C, n_b) strided views into
+    it). Columns past n_b are uninitialized; callers slice by length."""
     lib = _load()
     buf = (
         stream if isinstance(stream, np.ndarray) else np.frombuffer(stream, dtype=np.uint8)
@@ -372,41 +373,15 @@ def get_data_arrays_strided(
         )
     batch = np.empty((W * C, L), dtype=np.int32)
     out_offs = np.arange(W, dtype=np.int64) * (C * L)
-    # native writes row ch of block b at out_offs[b] + ch*n_b; with a row
-    # stride of L that only matches when n_b == L, so short (tail) blocks
-    # decode into a compact scratch and are re-strided below
-    full = ns == L
     p_i64 = ctypes.POINTER(ctypes.c_int64)
-    if np.all(full):
-        rc = int(
-            lib.sla_get_data_arrays(
-                _u8ptr(buf), buf.size, W, offs.ctypes.data_as(p_i64), C,
-                _i32ptr(ns), _u32ptr(init), _i32ptr(batch),
-                out_offs.ctypes.data_as(p_i64),
-            )
+    rc = int(
+        lib.sla_get_data_arrays(
+            _u8ptr(buf), buf.size, W, offs.ctypes.data_as(p_i64), C,
+            _i32ptr(ns), _u32ptr(init), _i32ptr(batch),
+            out_offs.ctypes.data_as(p_i64), L,
         )
-        _raise_get_arrays(rc, C)
-    else:
-        full_idx = np.flatnonzero(full)
-        if full_idx.size:
-            rc = int(
-                lib.sla_get_data_arrays(
-                    _u8ptr(buf), buf.size, int(full_idx.size),
-                    np.ascontiguousarray(offs[full_idx]).ctypes.data_as(p_i64),
-                    C, _i32ptr(np.ascontiguousarray(ns[full_idx])),
-                    _u32ptr(np.ascontiguousarray(init[full_idx])),
-                    _i32ptr(batch),
-                    np.ascontiguousarray(out_offs[full_idx]).ctypes.data_as(p_i64),
-                )
-            )
-            # rc indexes within the filtered full-block subset; map back to
-            # the caller's block numbering before surfacing it
-            if rc < -1:
-                rc = -2 - int(full_idx[-rc - 2])
-            _raise_get_arrays(rc, C)
-        for b in np.flatnonzero(~full):
-            rows = get_data_array(buf, int(offs[b]), C, int(ns[b]), init[b])
-            batch[b * C : (b + 1) * C, : int(ns[b])] = rows
+    )
+    _raise_get_arrays(rc, C)
     views = [
         batch[b * C : (b + 1) * C, : int(ns[b])] for b in range(W)
     ]
@@ -451,7 +426,7 @@ def get_data_arrays(
         lib.sla_get_data_arrays(
             _u8ptr(buf), buf.size, W, offs.ctypes.data_as(p_i64), C,
             _i32ptr(ns), _u32ptr(init), _i32ptr(out),
-            out_offs.ctypes.data_as(p_i64),
+            out_offs.ctypes.data_as(p_i64), 0,
         )
     )
     if rc == -1:

@@ -585,9 +585,10 @@ int64_t sla_put_data_array(const int32_t* data, int32_t C, int32_t N,
 // Channel-interleaved payload decode (semantics: SLACoder_GetDataArray).
 // in/in_size: whole stream buffer; bit_offset: payload start (byte-aligned).
 // out: C*N int32, row-major. Returns the bit position after the payload.
-int64_t sla_get_data_array(const uint8_t* in, int64_t in_size,
-                           int64_t bit_offset, int32_t C, int32_t N,
-                           const uint32_t* init_params, int32_t* out) {
+static int64_t get_data_array_rs(const uint8_t* in, int64_t in_size,
+                                 int64_t bit_offset, int32_t C, int32_t N,
+                                 const uint32_t* init_params, int32_t* out,
+                                 int64_t rs /* channel-row stride, >= N */) {
   if (C <= 0 || C > 64) return -2;  // scratch capacity: don't trust callers
   BitReader r;
   r.init(in, in_size, bit_offset);
@@ -602,7 +603,7 @@ int64_t sla_get_data_array(const uint8_t* in, int64_t in_size,
     for (int ch = 0; ch < C; ++ch) st[ch].init(init_params[ch]);
     if (C == 2) {  // stereo fast path: one refill per sample, two try_syms
       int32_t* o0 = out;
-      int32_t* o1 = out + N;
+      int32_t* o1 = out + rs;
       int s = 0;
       for (; s < N && r.next_byte + 8 <= r.size_bytes; ++s) {
         r.refill32();
@@ -619,14 +620,20 @@ int64_t sla_get_data_array(const uint8_t* in, int64_t in_size,
     } else {
       for (int s = 0; s < N; ++s)
         for (int ch = 0; ch < C; ++ch)
-          out[(int64_t)ch * N + s] = unzigzag(get_sym_auto(r, st[ch]));
+          out[(int64_t)ch * rs + s] = unzigzag(get_sym_auto(r, st[ch]));
     }
   } else {
     for (int s = 0; s < N; ++s)
       for (int ch = 0; ch < C; ++ch)
-        out[(int64_t)ch * N + s] = unzigzag(get_golomb(r, eff[ch]));
+        out[(int64_t)ch * rs + s] = unzigzag(get_golomb(r, eff[ch]));
   }
   return r.pos();
+}
+
+int64_t sla_get_data_array(const uint8_t* in, int64_t in_size,
+                           int64_t bit_offset, int32_t C, int32_t N,
+                           const uint32_t* init_params, int32_t* out) {
+  return get_data_array_rs(in, in_size, bit_offset, C, N, init_params, out, N);
 }
 
 #if defined(__AVX512F__) && defined(__AVX512CD__) && defined(__AVX512BW__) && \
@@ -675,7 +682,7 @@ static int64_t decode_blocks_v8(const uint8_t* in, int64_t in_size,
                                 const int64_t* bit_offsets, int32_t C,
                                 const int32_t* ns, const uint32_t* init,
                                 int32_t* out, const int64_t* out_offs,
-                                int32_t b) {
+                                int64_t row_stride, int32_t b) {
   // lane state spill area (vector<->scalar round trips on rare fallbacks)
   alignas(64) uint64_t a_cache[8], a_nc[8], a_nb[8], a_p[CH][2][8];
   int32_t* optr[CH][8];
@@ -691,7 +698,9 @@ static int64_t decode_blocks_v8(const uint8_t* in, int64_t in_size,
       const uint64_t p = param_set_fixed(init[(int64_t)blk * C + ch]);
       a_p[ch][0][l] = p;
       a_p[ch][1][l] = p;
-      optr[ch][l] = out + out_offs[blk] + (int64_t)ch * ns[blk];
+      optr[ch][l] =
+          out + out_offs[blk] +
+          (int64_t)ch * (row_stride ? row_stride : (int64_t)ns[blk]);
     }
     nmin = ns[blk] < nmin ? ns[blk] : nmin;
   }
@@ -757,6 +766,27 @@ static int64_t decode_blocks_v8(const uint8_t* in, int64_t in_size,
         vnc = _mm512_mask_add_epi64(vnc, dorf, vnc, sh8);
       }
       for (int ch = 0; ch < CH; ++ch) {
+        if (CH >= 3 && ch > 0) {
+          // many channels can drain the 64-bit cache mid-sample: top up
+          // lanes running low (refill cadence does not affect the bits
+          // any symbol consumes, so outputs are unchanged)
+          const __mmask8 low =
+              _mm512_cmple_epi64_mask(vnc, _mm512_set1_epi64(40)) &
+              _mm512_cmple_epi64_mask(vnb, vsz8);  // keep the 8-byte margin
+          if (low) {
+            const __m512i nb = _mm512_srli_epi64(_mm512_sub_epi64(v63, vnc), 3);
+            const __mmask8 dorf = low & _mm512_cmpgt_epi64_mask(nb, v0);
+            __m512i raw = _mm512_mask_i64gather_epi64(v0, dorf, vnb, in, 1);
+            raw = vdec_bswap64(raw);
+            const __m512i sh8 = _mm512_slli_epi64(nb, 3);
+            const __m512i newc = _mm512_or_si512(
+                _mm512_sllv_epi64(vcache, sh8),
+                _mm512_srlv_epi64(raw, _mm512_sub_epi64(v64, sh8)));
+            vcache = _mm512_mask_mov_epi64(vcache, dorf, newc);
+            vnb = _mm512_mask_add_epi64(vnb, dorf, vnb, nb);
+            vnc = _mm512_mask_add_epi64(vnc, dorf, vnc, sh8);
+          }
+        }
         __m512i p0 = vp[ch][0], p1 = vp[ch][1];
         // k parameters and their log2 (rice_param + log2_pow2):
         // kb = 64 - lzcnt(h - 1) == log2ceil(h), 0 for h == 1
@@ -905,11 +935,12 @@ static int64_t decode_blocks_v8(const uint8_t* in, int64_t in_size,
 template <int CH>
 static void venc_finish_lane(BitWriter& w, RiceState* st,
                              const int32_t* const* d, int32_t s, int32_t N) {
-  if (CH == 2) {
-    for (; s < N; ++s)
-      put_rice_pair(w, st[0], st[1], zigzag(d[0][s]), zigzag(d[1][s]));
-  } else {
-    for (; s < N; ++s) put_recursive_rice(w, st[0], zigzag(d[0][s]));
+  for (; s < N; ++s) {  // fused pairs + odd remainder, like the serial path
+    int ch = 0;
+    for (; ch + 2 <= CH; ch += 2)
+      put_rice_pair(w, st[ch], st[ch + 1], zigzag(d[ch][s]),
+                    zigzag(d[ch + 1][s]));
+    if (ch < CH) put_recursive_rice(w, st[ch], zigzag(d[ch][s]));
   }
 }
 
@@ -1138,21 +1169,29 @@ static int64_t decode_block_range(const uint8_t* in, int64_t in_size,
                                   const int64_t* bit_offsets, int32_t C,
                                   const int32_t* ns, const uint32_t* init,
                                   int32_t* out, const int64_t* out_offs,
-                                  int32_t b0, int32_t b1) {
+                                  int64_t row_stride, int32_t b0, int32_t b1) {
+  const auto rs = [&](int32_t b) {
+    return row_stride ? row_stride : (int64_t)ns[b];
+  };
   int32_t b = b0;
   while (b < b1) {
 #if defined(SLA_HAVE_VDEC8)
-    if ((C == 1 || C == 2) && b + 8 <= b1) {
+    if (C >= 1 && C <= 8 && b + 8 <= b1) {
       bool all_adaptive = true;
       for (int l = 0; l < 8 && all_adaptive; ++l)
         all_adaptive = rice_adaptive(init + (int64_t)(b + l) * C, C);
       if (all_adaptive) {
-        const int64_t e =
-            (C == 2)
-                ? decode_blocks_v8<2>(in, in_size, bit_offsets, C, ns, init,
-                                      out, out_offs, b)
-                : decode_blocks_v8<1>(in, in_size, bit_offsets, C, ns, init,
-                                      out, out_offs, b);
+        int64_t e = 0;
+        switch (C) {
+          case 1: e = decode_blocks_v8<1>(in, in_size, bit_offsets, C, ns, init, out, out_offs, row_stride, b); break;
+          case 2: e = decode_blocks_v8<2>(in, in_size, bit_offsets, C, ns, init, out, out_offs, row_stride, b); break;
+          case 3: e = decode_blocks_v8<3>(in, in_size, bit_offsets, C, ns, init, out, out_offs, row_stride, b); break;
+          case 4: e = decode_blocks_v8<4>(in, in_size, bit_offsets, C, ns, init, out, out_offs, row_stride, b); break;
+          case 5: e = decode_blocks_v8<5>(in, in_size, bit_offsets, C, ns, init, out, out_offs, row_stride, b); break;
+          case 6: e = decode_blocks_v8<6>(in, in_size, bit_offsets, C, ns, init, out, out_offs, row_stride, b); break;
+          case 7: e = decode_blocks_v8<7>(in, in_size, bit_offsets, C, ns, init, out, out_offs, row_stride, b); break;
+          case 8: e = decode_blocks_v8<8>(in, in_size, bit_offsets, C, ns, init, out, out_offs, row_stride, b); break;
+        }
         if (e) return e;
         b += 8;
         continue;
@@ -1164,8 +1203,9 @@ static int64_t decode_block_range(const uint8_t* in, int64_t in_size,
         rice_adaptive(init + (int64_t)b * C, C) &&
         rice_adaptive(init + (int64_t)(b + 1) * C, C);
     if (!pairable) {
-      int64_t end = sla_get_data_array(in, in_size, bit_offsets[b], C, ns[b],
-                                       init + (int64_t)b * C, out + out_offs[b]);
+      int64_t end = get_data_array_rs(in, in_size, bit_offsets[b], C, ns[b],
+                                      init + (int64_t)b * C, out + out_offs[b],
+                                      rs(b));
       if (end < 0) return -1;  // scratch bound (C too large), not an over-read
       if (end > in_size * 8) return -((int64_t)b + 2);
       ++b;
@@ -1183,9 +1223,9 @@ static int64_t decode_block_range(const uint8_t* in, int64_t in_size,
       sb0.init(init[(int64_t)(b + 1) * 2]);
       sb1.init(init[(int64_t)(b + 1) * 2 + 1]);
       int32_t* oa0 = out + out_offs[b];
-      int32_t* oa1 = oa0 + na;
+      int32_t* oa1 = oa0 + rs(b);
       int32_t* ob0 = out + out_offs[b + 1];
-      int32_t* ob1 = ob0 + nb;
+      int32_t* ob1 = ob0 + rs(b + 1);
       // one refill per stream per sample; A/B alternation keeps maximal
       // distance between dependent ops of the same cursor chain
       int32_t s = 0;
@@ -1263,7 +1303,8 @@ static int64_t decode_block_range(const uint8_t* in, int64_t in_size,
 int64_t sla_get_data_arrays(const uint8_t* in, int64_t in_size, int32_t W,
                             const int64_t* bit_offsets, int32_t C,
                             const int32_t* ns, const uint32_t* init /* W x C */,
-                            int32_t* out, const int64_t* out_offs) {
+                            int32_t* out, const int64_t* out_offs,
+                            int64_t row_stride /* 0: compact (ns[b]) */) {
   if (C <= 0 || C > 64) return -1;
   const int T = entropy_threads();
   if (T > 1 && W >= 2 * T) {
@@ -1275,7 +1316,7 @@ int64_t sla_get_data_arrays(const uint8_t* in, int64_t in_size, int32_t W,
       const int32_t b1 = (int32_t)((int64_t)W * (t + 1) / T);
       workers.emplace_back([&, b0, b1]() {
         int64_t e = decode_block_range(in, in_size, bit_offsets, C, ns, init,
-                                       out, out_offs, b0, b1);
+                                       out, out_offs, row_stride, b0, b1);
         if (e) err.store(e);
       });
     }
@@ -1283,7 +1324,7 @@ int64_t sla_get_data_arrays(const uint8_t* in, int64_t in_size, int32_t W,
     return err.load();
   }
   return decode_block_range(in, in_size, bit_offsets, C, ns, init, out,
-                            out_offs, 0, W);
+                            out_offs, row_stride, 0, W);
 }
 
 // Resumable channel-interleaved payload decode for the streaming decoder:
@@ -3427,7 +3468,7 @@ static int64_t encode_block_run(
   int32_t b = b0;
   while (b < b1) {
 #if defined(SLA_HAVE_VDEC8)
-    if ((C == 1 || C == 2) && b + 8 <= b1) {
+    if (C >= 1 && C <= 8 && b + 8 <= b1) {
       bool ok8 = true;
       int32_t nmax = 0;
       for (int l = 0; l < 8 && ok8; ++l) {
@@ -3440,10 +3481,10 @@ static int64_t encode_block_run(
         static thread_local std::vector<uint8_t> pool;
         if ((int64_t)pool.size() < 8 * lane_cap)
           pool.resize((size_t)(8 * lane_cap));
-        const int32_t* dptr[16];
+        const int32_t* dptr[64];
         uint8_t* bufs[8];
         int32_t nn8[8];
-        uint32_t ini8[16];
+        uint32_t ini8[64];
         for (int l = 0; l < 8; ++l) {
           bufs[l] = pool.data() + (size_t)l * lane_cap;
           nn8[l] = nsamp[b + l];
@@ -3454,10 +3495,17 @@ static int64_t encode_block_run(
           }
         }
         int64_t ps[8];
-        const int32_t rc =
-            (C == 2)
-                ? encode_payloads_v8<2>(dptr, nn8, ini8, bufs, lane_cap, ps)
-                : encode_payloads_v8<1>(dptr, nn8, ini8, bufs, lane_cap, ps);
+        int32_t rc = -1;
+        switch (C) {
+          case 1: rc = encode_payloads_v8<1>(dptr, nn8, ini8, bufs, lane_cap, ps); break;
+          case 2: rc = encode_payloads_v8<2>(dptr, nn8, ini8, bufs, lane_cap, ps); break;
+          case 3: rc = encode_payloads_v8<3>(dptr, nn8, ini8, bufs, lane_cap, ps); break;
+          case 4: rc = encode_payloads_v8<4>(dptr, nn8, ini8, bufs, lane_cap, ps); break;
+          case 5: rc = encode_payloads_v8<5>(dptr, nn8, ini8, bufs, lane_cap, ps); break;
+          case 6: rc = encode_payloads_v8<6>(dptr, nn8, ini8, bufs, lane_cap, ps); break;
+          case 7: rc = encode_payloads_v8<7>(dptr, nn8, ini8, bufs, lane_cap, ps); break;
+          case 8: rc = encode_payloads_v8<8>(dptr, nn8, ini8, bufs, lane_cap, ps); break;
+        }
         if (rc == 0) {
           int l = 0;
           for (; l < 8; ++l) {

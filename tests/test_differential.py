@@ -116,6 +116,32 @@ def test_reference_to_ours(kind, ch, width, mode, ref_binary, tmp_path):
     assert np.array_equal(out, pcm)
 
 
+@pytest.mark.parametrize("ch", [3, 8])
+def test_multichannel_lane_byte_identity(ch, ref_binary, tmp_path):
+    """Long multichannel streams (>= 16 blocks) drive the 8-lane vector
+    entropy coders' C>2 template instantiations (runs of eight adjacent
+    adaptive blocks per lane set); the streams must stay byte-identical to
+    the reference encoder and round-trip through its decoder."""
+    pcm = gen_wave("chirp", 80000, ch, 16, 0, seed=77)
+    p0 = sla.PRESETS[0]
+    ep = sla.EncodeParameter(
+        p0.parcor_order, p0.longterm_order, p0.lms_order_per_filter,
+        sla.ChannelProcessMethod.NONE, p0.window_function_type,
+        p0.max_num_block_samples,
+    )
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(ch, 16, 44100))
+    enc.set_encode_parameter(ep)
+    blob = enc.encode_whole(pcm)
+    wav_path = tmp_path / "in.wav"
+    wavio.write_wav(str(wav_path), wavio.WavFile(ch, 44100, 16, pcm))
+    ref_blob = ref_encode(ref_binary, wav_path, tmp_path / "ref.sla", 0)
+    assert blob == ref_blob
+    dec = sla.Decoder()
+    _, out = dec.decode_whole(blob)
+    assert np.array_equal(out, pcm)
+
+
 def test_a_wav_both_directions(ref_binary, a_wav, tmp_path):
     wav = wavio.read_wav(str(a_wav))
     # reference encode -> our decode

@@ -35,6 +35,41 @@ def test_data_array_matches_python(scale, channels):
     assert np.array_equal(out, data)
 
 
+@pytest.mark.parametrize("channels", [1, 2, 3, 5, 8])
+def test_batched_decode_multichannel_lanes(channels):
+    """get_data_arrays' 8-lane vector path now covers C=1..8; runs of
+    eight adaptive blocks ride the lanes (incl. the mid-sample cache
+    top-up for C>=3), the remainder takes the serial path, and the
+    strided variant lands short tail blocks at row stride L natively."""
+    rng = np.random.default_rng(97 + channels)
+    W = 19  # two full v8 runs + 3 serial blocks
+    ns = rng.integers(700, 1400, W).astype(np.int32)
+    ns[-1] = 137  # short tail, exercises the strided scalar fallback
+    blocks = [
+        rng.integers(-3000, 3000, (channels, int(n))).astype(np.int32)
+        for n in ns
+    ]
+    inits, payloads = [], []
+    for blk in blocks:
+        init = rice.calculate_initial_params(list(blk))
+        inits.append(init)
+        payloads.append(native.put_data_array(blk, init))
+    sizes = np.array([len(p) for p in payloads], dtype=np.int64)
+    offs = np.zeros(W, dtype=np.int64)
+    np.cumsum(sizes[:-1] * 8, out=offs[1:])
+    stream = b"".join(payloads)
+    init_arr = np.array(inits, dtype=np.uint32).reshape(W, channels)
+
+    outs = native.get_data_arrays(stream, offs, ns, init_arr)
+    for got, want in zip(outs, blocks):
+        assert np.array_equal(got, want)
+
+    L = int(ns.max())
+    _, views = native.get_data_arrays_strided(stream, offs, ns, init_arr, L)
+    for got, want in zip(views, blocks):
+        assert np.array_equal(got, want)
+
+
 def test_data_array_nonaligned_offset():
     """Payload parked mid-stream at a byte-aligned but nonzero offset."""
     rng = np.random.default_rng(0)
