@@ -682,13 +682,13 @@ static int64_t decode_blocks_v8(const uint8_t* in, int64_t in_size,
                                 const int64_t* bit_offsets, int32_t C,
                                 const int32_t* ns, const uint32_t* init,
                                 int32_t* out, const int64_t* out_offs,
-                                int64_t row_stride, int32_t b) {
+                                int64_t row_stride, const int32_t* blks) {
   // lane state spill area (vector<->scalar round trips on rare fallbacks)
   alignas(64) uint64_t a_cache[8], a_nc[8], a_nb[8], a_p[CH][2][8];
   int32_t* optr[CH][8];
   int32_t nmin = INT32_MAX;
   for (int l = 0; l < 8; ++l) {
-    const int32_t blk = b + l;
+    const int32_t blk = blks[l];
     BitReader r;
     r.init(in, in_size, bit_offsets[blk]);
     a_cache[l] = r.cache;
@@ -903,7 +903,7 @@ static int64_t decode_blocks_v8(const uint8_t* in, int64_t in_size,
   // lanes whose blocks are longer than nmin)
   spill();
   for (int l = 0; l < 8; ++l) {
-    const int32_t blk = b + l;
+    const int32_t blk = blks[l];
     BitReader r;
     r.buf = in;
     r.size_bytes = in_size;
@@ -1169,7 +1169,15 @@ static int64_t decode_block_range(const uint8_t* in, int64_t in_size,
                                   const int64_t* bit_offsets, int32_t C,
                                   const int32_t* ns, const uint32_t* init,
                                   int32_t* out, const int64_t* out_offs,
-                                  int64_t row_stride, int32_t b0, int32_t b1) {
+                                  int64_t row_stride, const int32_t* order,
+                                  int32_t b0, int32_t b1) {
+  // order (nullable): position -> block id. The batched entry sorts
+  // positions by descending sample count so the 8 lanes of a vector group
+  // carry near-equal lengths (the vector loop runs to the GROUP MINIMUM;
+  // unsorted variable-size partitions left most samples on the scalar
+  // finish path). Blocks are independent bitstreams with disjoint output
+  // rows, so processing order cannot affect any output byte.
+  const auto ord = [&](int32_t i) { return order ? order[i] : i; };
   const auto rs = [&](int32_t b) {
     return row_stride ? row_stride : (int64_t)ns[b];
   };
@@ -1178,19 +1186,22 @@ static int64_t decode_block_range(const uint8_t* in, int64_t in_size,
 #if defined(SLA_HAVE_VDEC8)
     if (C >= 1 && C <= 8 && b + 8 <= b1) {
       bool all_adaptive = true;
-      for (int l = 0; l < 8 && all_adaptive; ++l)
-        all_adaptive = rice_adaptive(init + (int64_t)(b + l) * C, C);
+      int32_t blks[8];
+      for (int l = 0; l < 8 && all_adaptive; ++l) {
+        blks[l] = ord(b + l);
+        all_adaptive = rice_adaptive(init + (int64_t)blks[l] * C, C);
+      }
       if (all_adaptive) {
         int64_t e = 0;
         switch (C) {
-          case 1: e = decode_blocks_v8<1>(in, in_size, bit_offsets, C, ns, init, out, out_offs, row_stride, b); break;
-          case 2: e = decode_blocks_v8<2>(in, in_size, bit_offsets, C, ns, init, out, out_offs, row_stride, b); break;
-          case 3: e = decode_blocks_v8<3>(in, in_size, bit_offsets, C, ns, init, out, out_offs, row_stride, b); break;
-          case 4: e = decode_blocks_v8<4>(in, in_size, bit_offsets, C, ns, init, out, out_offs, row_stride, b); break;
-          case 5: e = decode_blocks_v8<5>(in, in_size, bit_offsets, C, ns, init, out, out_offs, row_stride, b); break;
-          case 6: e = decode_blocks_v8<6>(in, in_size, bit_offsets, C, ns, init, out, out_offs, row_stride, b); break;
-          case 7: e = decode_blocks_v8<7>(in, in_size, bit_offsets, C, ns, init, out, out_offs, row_stride, b); break;
-          case 8: e = decode_blocks_v8<8>(in, in_size, bit_offsets, C, ns, init, out, out_offs, row_stride, b); break;
+          case 1: e = decode_blocks_v8<1>(in, in_size, bit_offsets, C, ns, init, out, out_offs, row_stride, blks); break;
+          case 2: e = decode_blocks_v8<2>(in, in_size, bit_offsets, C, ns, init, out, out_offs, row_stride, blks); break;
+          case 3: e = decode_blocks_v8<3>(in, in_size, bit_offsets, C, ns, init, out, out_offs, row_stride, blks); break;
+          case 4: e = decode_blocks_v8<4>(in, in_size, bit_offsets, C, ns, init, out, out_offs, row_stride, blks); break;
+          case 5: e = decode_blocks_v8<5>(in, in_size, bit_offsets, C, ns, init, out, out_offs, row_stride, blks); break;
+          case 6: e = decode_blocks_v8<6>(in, in_size, bit_offsets, C, ns, init, out, out_offs, row_stride, blks); break;
+          case 7: e = decode_blocks_v8<7>(in, in_size, bit_offsets, C, ns, init, out, out_offs, row_stride, blks); break;
+          case 8: e = decode_blocks_v8<8>(in, in_size, bit_offsets, C, ns, init, out, out_offs, row_stride, blks); break;
         }
         if (e) return e;
         b += 8;
@@ -1198,34 +1209,36 @@ static int64_t decode_block_range(const uint8_t* in, int64_t in_size,
       }
     }
 #endif
+    const int32_t ba = ord(b);
+    const int32_t bb = b + 1 < b1 ? ord(b + 1) : -1;
     const bool pairable =
         (C == 1 || C == 2) && b + 1 < b1 &&
-        rice_adaptive(init + (int64_t)b * C, C) &&
-        rice_adaptive(init + (int64_t)(b + 1) * C, C);
+        rice_adaptive(init + (int64_t)ba * C, C) &&
+        rice_adaptive(init + (int64_t)bb * C, C);
     if (!pairable) {
-      int64_t end = get_data_array_rs(in, in_size, bit_offsets[b], C, ns[b],
-                                      init + (int64_t)b * C, out + out_offs[b],
-                                      rs(b));
+      int64_t end = get_data_array_rs(in, in_size, bit_offsets[ba], C, ns[ba],
+                                      init + (int64_t)ba * C,
+                                      out + out_offs[ba], rs(ba));
       if (end < 0) return -1;  // scratch bound (C too large), not an over-read
-      if (end > in_size * 8) return -((int64_t)b + 2);
+      if (end > in_size * 8) return -((int64_t)ba + 2);
       ++b;
       continue;
     }
     BitReader ra, rb;
-    ra.init(in, in_size, bit_offsets[b]);
-    rb.init(in, in_size, bit_offsets[b + 1]);
-    const int32_t na = ns[b], nb = ns[b + 1];
+    ra.init(in, in_size, bit_offsets[ba]);
+    rb.init(in, in_size, bit_offsets[bb]);
+    const int32_t na = ns[ba], nb = ns[bb];
     const int32_t m = na < nb ? na : nb;
     if (C == 2) {
       RiceState sa0, sa1, sb0, sb1;
-      sa0.init(init[(int64_t)b * 2]);
-      sa1.init(init[(int64_t)b * 2 + 1]);
-      sb0.init(init[(int64_t)(b + 1) * 2]);
-      sb1.init(init[(int64_t)(b + 1) * 2 + 1]);
-      int32_t* oa0 = out + out_offs[b];
-      int32_t* oa1 = oa0 + rs(b);
-      int32_t* ob0 = out + out_offs[b + 1];
-      int32_t* ob1 = ob0 + rs(b + 1);
+      sa0.init(init[(int64_t)ba * 2]);
+      sa1.init(init[(int64_t)ba * 2 + 1]);
+      sb0.init(init[(int64_t)bb * 2]);
+      sb1.init(init[(int64_t)bb * 2 + 1]);
+      int32_t* oa0 = out + out_offs[ba];
+      int32_t* oa1 = oa0 + rs(ba);
+      int32_t* ob0 = out + out_offs[bb];
+      int32_t* ob1 = ob0 + rs(bb);
       // one refill per stream per sample; A/B alternation keeps maximal
       // distance between dependent ops of the same cursor chain
       int32_t s = 0;
@@ -1261,10 +1274,10 @@ static int64_t decode_block_range(const uint8_t* in, int64_t in_size,
       }
     } else {
       RiceState sa, sb;
-      sa.init(init[b]);
-      sb.init(init[b + 1]);
-      int32_t* oa = out + out_offs[b];
-      int32_t* ob = out + out_offs[b + 1];
+      sa.init(init[ba]);
+      sb.init(init[bb]);
+      int32_t* oa = out + out_offs[ba];
+      int32_t* ob = out + out_offs[bb];
       int32_t s = 0;
       for (; s < m; ++s) {
         if (ra.next_byte + 8 > ra.size_bytes ||
@@ -1287,8 +1300,8 @@ static int64_t decode_block_range(const uint8_t* in, int64_t in_size,
       for (s = m; s < nb; ++s)
         ob[s] = unzigzag(get_sym_auto(rb, sb));
     }
-    if (ra.pos() > in_size * 8) return -((int64_t)b + 2);
-    if (rb.pos() > in_size * 8) return -((int64_t)b + 3);
+    if (ra.pos() > in_size * 8) return -((int64_t)ba + 2);
+    if (rb.pos() > in_size * 8) return -((int64_t)bb + 2);
     b += 2;
   }
   return 0;
@@ -1306,25 +1319,52 @@ int64_t sla_get_data_arrays(const uint8_t* in, int64_t in_size, int32_t W,
                             int32_t* out, const int64_t* out_offs,
                             int64_t row_stride /* 0: compact (ns[b]) */) {
   if (C <= 0 || C > 64) return -1;
+  // Sort positions by descending sample count (stable) so each vector
+  // group's 8 lanes carry near-equal lengths; identity order when the
+  // blocks are already uniform (the common fixed-block case).
+  std::vector<int32_t> order_v;
+  const int32_t* order = nullptr;
+  {
+    bool uniform = true;
+    for (int32_t i = 1; i < W && uniform; ++i) uniform = ns[i] == ns[0];
+    if (!uniform) {
+      order_v.resize((size_t)W);
+      for (int32_t i = 0; i < W; ++i) order_v[i] = i;
+      std::stable_sort(order_v.begin(), order_v.end(),
+                       [&](int32_t a, int32_t b) { return ns[a] > ns[b]; });
+      order = order_v.data();
+    }
+  }
   const int T = entropy_threads();
   if (T > 1 && W >= 2 * T) {
-    // block-parallel decode: disjoint output regions, read-only input
+    // block-parallel decode: disjoint output regions, read-only input.
+    // Split by cumulative samples (sorted order front-loads the big
+    // blocks; equal block COUNTS would leave thread 0 with most work).
+    int64_t total = 0;
+    for (int32_t i = 0; i < W; ++i) total += ns[i];
     std::atomic<int64_t> err{0};
     std::vector<std::thread> workers;
+    int32_t b0 = 0;
+    int64_t acc = 0;
     for (int t = 0; t < T; ++t) {
-      const int32_t b0 = (int32_t)((int64_t)W * t / T);
-      const int32_t b1 = (int32_t)((int64_t)W * (t + 1) / T);
+      const int64_t target = total * (t + 1) / T;
+      int32_t b1 = b0;
+      while (b1 < W && (acc < target || b1 == b0)) acc += ns[order ? order[b1] : b1], ++b1;
+      if (t == T - 1) b1 = W;
+      if (b1 == b0) continue;
       workers.emplace_back([&, b0, b1]() {
         int64_t e = decode_block_range(in, in_size, bit_offsets, C, ns, init,
-                                       out, out_offs, row_stride, b0, b1);
+                                       out, out_offs, row_stride, order, b0,
+                                       b1);
         if (e) err.store(e);
       });
+      b0 = b1;
     }
     for (auto& th : workers) th.join();
     return err.load();
   }
   return decode_block_range(in, in_size, bit_offsets, C, ns, init, out,
-                            out_offs, row_stride, 0, W);
+                            out_offs, row_stride, order, 0, W);
 }
 
 // Resumable channel-interleaved payload decode for the streaming decoder:
