@@ -656,14 +656,54 @@ def _run_jobs(jobs: list) -> None:
             f()
 
 
-def _pad_group(rows: list) -> list:
-    """Pad a row group to a multiple of 8 by repeating the last row when the
-    tail is big enough that one extra interleaved call beats scalar calls
-    (duplicate rows recompute identical values; fancy-index writes agree)."""
-    tail = len(rows) % 8
-    if tail >= 4:
-        rows = rows + [rows[-1]] * (8 - tail)
-    return rows
+def _row_groups(lens) -> tuple[list, list]:
+    """Group nonzero-length rows into SIMD lane groups of 8/16.
+
+    Equal-length rows group exactly (preserving the consecutive zero-copy
+    view path); each bucket's leftovers pool across buckets, sorted by
+    descending length, into mixed-length groups that run to the GROUP MAX
+    (short rows' inputs zero-pad; outputs past a row's own length are
+    discarded, so every written sample is identical to a per-row run).
+    Without pooling, the optimal partition's variable block sizes fragment
+    the buckets into sub-8 tails that fall to the scalar path.
+
+    Returns (groups, singles): groups as (n, idx, row_lens) with
+    row_lens None for exact groups; singles as (n, b) scalar rows."""
+    by_len: dict[int, list[int]] = {}
+    for b, n in enumerate(lens):
+        if n > 0:
+            by_len.setdefault(int(n), []).append(b)
+    groups: list = []
+    pool: list = []
+    for n, rows in by_len.items():
+        g = 0
+        while g + 8 <= len(rows):
+            take = 16 if g + 16 <= len(rows) else 8
+            groups.append((n, rows[g : g + take], None))
+            g += take
+        pool.extend((n, b) for b in rows[g:])
+    pool.sort(key=lambda t: -t[0])
+    g = 0
+    while g + 8 <= len(pool):
+        take = 16 if g + 16 <= len(pool) else 8
+        chunk = pool[g : g + take]
+        if chunk[0][0] == chunk[-1][0]:  # equal lengths after all
+            groups.append((chunk[0][0], [b for _, b in chunk], None))
+        else:
+            groups.append(
+                (chunk[0][0], [b for _, b in chunk], [n for n, _ in chunk])
+            )
+        g += take
+    tail = pool[g:]
+    if len(tail) >= 4:  # pad with duplicates of the last (shortest) row
+        idx = [b for _, b in tail] + [tail[-1][1]] * (8 - len(tail))
+        rl = [n for n, _ in tail] + [tail[-1][0]] * (8 - len(tail))
+        if rl[0] == rl[-1]:
+            groups.append((rl[0], idx, None))
+        else:
+            groups.append((rl[0], idx, rl))
+        tail = []
+    return groups, tail
 
 def predict_stage1_rows(
     data: np.ndarray, parcor_coef: np.ndarray, lengths: np.ndarray | None = None
@@ -683,54 +723,59 @@ def predict_stage1_rows(
         if lengths is not None
         else np.full(B, L, dtype=np.int64)
     )
-    by_len: dict[int, list[int]] = {}
-    for b in range(B):
-        if lens[b] > 0:
-            by_len.setdefault(int(lens[b]), []).append(b)
+    groups, singles = _row_groups(lens)
     jobs = []
-    for n, rows in by_len.items():
-        rows = _pad_group(rows)
-        g = 0
-        while g + 8 <= len(rows):
-            # 16-row groups fill a 512-bit int32 vector (measurably faster
-            # for the lattice); identical per-row arithmetic either way
-            take = 16 if g + 16 <= len(rows) else 8
-            fn = (
-                lib.sla_predict_stage1_rows16
-                if take == 16
-                else lib.sla_predict_stage1_rows8
+    for n, idx, row_lens in groups:
+        # 16-row groups fill a 512-bit int32 vector (measurably faster
+        # for the lattice); identical per-row arithmetic either way
+        take = len(idx)
+        fn = (
+            lib.sla_predict_stage1_rows16
+            if take == 16
+            else lib.sla_predict_stage1_rows8
+        )
+        i0 = idx[0]
+        # consecutive full-width groups pass views straight through —
+        # no gather copy in, no scatter copy out
+        if row_lens is None and n == L and idx == list(range(i0, i0 + take)):
+            coef8 = np.ascontiguousarray(coef[i0 : i0 + take])
+
+            def run(fn=fn, i0=i0, n=n, coef8=coef8):
+                fn(_i32ptr(data[i0:]), _i32ptr(out[i0:]), n, _i32ptr(coef8), p)
+
+        elif row_lens is None:
+            in8 = np.ascontiguousarray(data[idx, :n])
+            coef8 = np.ascontiguousarray(coef[idx])
+
+            def run(fn=fn, idx=idx, n=n, in8=in8, coef8=coef8):
+                out8 = np.empty_like(in8)
+                fn(_i32ptr(in8), _i32ptr(out8), n, _i32ptr(coef8), p)
+                out[idx, :n] = out8
+
+        else:
+            in8 = np.zeros((take, n), dtype=np.int32)
+            for i, (b, nb) in enumerate(zip(idx, row_lens)):
+                in8[i, :nb] = data[b, :nb]
+            coef8 = np.ascontiguousarray(coef[idx])
+
+            def run(fn=fn, idx=idx, n=n, in8=in8, coef8=coef8,
+                    row_lens=row_lens):
+                out8 = np.empty_like(in8)
+                fn(_i32ptr(in8), _i32ptr(out8), n, _i32ptr(coef8), p)
+                for i, (b, nb) in enumerate(zip(idx, row_lens)):
+                    out[b, :nb] = out8[i, :nb]
+
+        jobs.append(run)
+    for n, b in singles:
+
+        def run(b=b, n=n):
+            row = np.empty(n, dtype=np.int32)
+            lib.sla_predict_stage1(
+                _i32ptr(data[b]), _i32ptr(row), n, _i32ptr(coef[b]), p
             )
-            idx = rows[g : g + take]
-            i0 = idx[0]
-            # consecutive full-width groups pass views straight through —
-            # no gather copy in, no scatter copy out
-            if n == L and idx == list(range(i0, i0 + take)):
-                coef8 = np.ascontiguousarray(coef[i0 : i0 + take])
+            out[b, :n] = row
 
-                def run(fn=fn, i0=i0, n=n, coef8=coef8):
-                    fn(_i32ptr(data[i0:]), _i32ptr(out[i0:]), n, _i32ptr(coef8), p)
-
-            else:
-                in8 = np.ascontiguousarray(data[idx, :n])
-                coef8 = np.ascontiguousarray(coef[idx])
-
-                def run(fn=fn, idx=idx, n=n, in8=in8, coef8=coef8):
-                    out8 = np.empty_like(in8)
-                    fn(_i32ptr(in8), _i32ptr(out8), n, _i32ptr(coef8), p)
-                    out[idx, :n] = out8
-
-            jobs.append(run)
-            g += take
-        for b in rows[g:]:
-
-            def run(b=b, n=n):
-                row = np.empty(n, dtype=np.int32)
-                lib.sla_predict_stage1(
-                    _i32ptr(data[b]), _i32ptr(row), n, _i32ptr(coef[b]), p
-                )
-                out[b, :n] = row
-
-            jobs.append(run)
+        jobs.append(run)
     _run_jobs(jobs)
     return out
 
@@ -759,57 +804,64 @@ def predict_stage2_rows(
         if lengths is not None
         else np.full(B, L, dtype=np.int64)
     )
-    by_len: dict[int, list[int]] = {}
-    for b in range(B):
-        if lens[b] > 0:
-            by_len.setdefault(int(lens[b]), []).append(b)
+    groups, singles = _row_groups(lens)
     jobs = []
-    for n, rows in by_len.items():
-        rows = _pad_group(rows)
-        g = 0
-        while g + 8 <= len(rows):
-            take = 16 if g + 16 <= len(rows) else 8
-            fn = (
-                lib.sla_predict_stage2_rows16
-                if take == 16
-                else lib.sla_predict_stage2_rows8
-            )
-            idx = rows[g : g + take]
-            i0 = idx[0]
-            pit8 = np.ascontiguousarray(pitch[idx].astype(np.int32))
-            ltm8 = np.ascontiguousarray(ltm[idx])
-            if n == L and idx == list(range(i0, i0 + take)):
+    for n, idx, row_lens in groups:
+        take = len(idx)
+        fn = (
+            lib.sla_predict_stage2_rows16
+            if take == 16
+            else lib.sla_predict_stage2_rows8
+        )
+        i0 = idx[0]
+        pit8 = np.ascontiguousarray(pitch[idx].astype(np.int32))
+        ltm8 = np.ascontiguousarray(ltm[idx])
+        if row_lens is None and n == L and idx == list(range(i0, i0 + take)):
 
-                def run(fn=fn, i0=i0, n=n, pit8=pit8, ltm8=ltm8):
-                    fn(
-                        _i32ptr(residual[i0:]), _i32ptr(out[i0:]), n,
-                        _i32ptr(pit8), _i32ptr(ltm8), num_taps, lms_order,
-                    )
-
-            else:
-                in8 = np.ascontiguousarray(residual[idx, :n])
-
-                def run(fn=fn, idx=idx, n=n, in8=in8, pit8=pit8, ltm8=ltm8):
-                    out8 = np.empty_like(in8)
-                    fn(
-                        _i32ptr(in8), _i32ptr(out8), n, _i32ptr(pit8),
-                        _i32ptr(ltm8), num_taps, lms_order,
-                    )
-                    out[idx, :n] = out8
-
-            jobs.append(run)
-            g += take
-        for b in rows[g:]:
-
-            def run(b=b, n=n):
-                row = np.empty(n, dtype=np.int32)
-                lib.sla_predict_stage2(
-                    _i32ptr(residual[b]), _i32ptr(row), n, int(pitch[b]),
-                    _i32ptr(ltm[b]), num_taps, lms_order,
+            def run(fn=fn, i0=i0, n=n, pit8=pit8, ltm8=ltm8):
+                fn(
+                    _i32ptr(residual[i0:]), _i32ptr(out[i0:]), n,
+                    _i32ptr(pit8), _i32ptr(ltm8), num_taps, lms_order,
                 )
-                out[b, :n] = row
 
-            jobs.append(run)
+        elif row_lens is None:
+            in8 = np.ascontiguousarray(residual[idx, :n])
+
+            def run(fn=fn, idx=idx, n=n, in8=in8, pit8=pit8, ltm8=ltm8):
+                out8 = np.empty_like(in8)
+                fn(
+                    _i32ptr(in8), _i32ptr(out8), n, _i32ptr(pit8),
+                    _i32ptr(ltm8), num_taps, lms_order,
+                )
+                out[idx, :n] = out8
+
+        else:
+            in8 = np.zeros((take, n), dtype=np.int32)
+            for i, (b, nb) in enumerate(zip(idx, row_lens)):
+                in8[i, :nb] = residual[b, :nb]
+
+            def run(fn=fn, idx=idx, n=n, in8=in8, pit8=pit8, ltm8=ltm8,
+                    row_lens=row_lens):
+                out8 = np.empty_like(in8)
+                fn(
+                    _i32ptr(in8), _i32ptr(out8), n, _i32ptr(pit8),
+                    _i32ptr(ltm8), num_taps, lms_order,
+                )
+                for i, (b, nb) in enumerate(zip(idx, row_lens)):
+                    out[b, :nb] = out8[i, :nb]
+
+        jobs.append(run)
+    for n, b in singles:
+
+        def run(b=b, n=n):
+            row = np.empty(n, dtype=np.int32)
+            lib.sla_predict_stage2(
+                _i32ptr(residual[b]), _i32ptr(row), n, int(pitch[b]),
+                _i32ptr(ltm[b]), num_taps, lms_order,
+            )
+            out[b, :n] = row
+
+        jobs.append(run)
     _run_jobs(jobs)
     return out
 
@@ -844,58 +896,64 @@ def synth_rows(
         else np.full(B, L, dtype=np.int64)
     )
 
-    by_len: dict[int, list[int]] = {}
-    for b in range(B):
-        if lens[b] > 0:
-            by_len.setdefault(int(lens[b]), []).append(b)
-
+    groups, singles = _row_groups(lens)
     jobs = []
-    for n, rows in by_len.items():
-        rows = _pad_group(rows)
-        g = 0
-        while g + 8 <= len(rows):
-            take = 16 if g + 16 <= len(rows) else 8
-            fn = lib.sla_synth_rows16 if take == 16 else lib.sla_synth_rows8
-            idx = rows[g : g + take]
-            i0 = idx[0]
-            coef8 = np.ascontiguousarray(coef[idx])
-            pit8 = np.ascontiguousarray(pitch[idx].astype(np.int32))
-            ltm8 = np.ascontiguousarray(ltm[idx])
-            if n == L and idx == list(range(i0, i0 + take)):
-                # consecutive full-width group: views straight through
+    for n, idx, row_lens in groups:
+        take = len(idx)
+        fn = lib.sla_synth_rows16 if take == 16 else lib.sla_synth_rows8
+        i0 = idx[0]
+        coef8 = np.ascontiguousarray(coef[idx])
+        pit8 = np.ascontiguousarray(pitch[idx].astype(np.int32))
+        ltm8 = np.ascontiguousarray(ltm[idx])
+        if row_lens is None and n == L and idx == list(range(i0, i0 + take)):
+            # consecutive full-width group: views straight through
 
-                def run(fn=fn, i0=i0, n=n, coef8=coef8, pit8=pit8, ltm8=ltm8):
-                    fn(
-                        _i32ptr(residual[i0:]), _i32ptr(out[i0:]), n,
-                        _i32ptr(coef8), p, _i32ptr(pit8), _i32ptr(ltm8),
-                        num_taps, M,
-                    )
+            def run(fn=fn, i0=i0, n=n, coef8=coef8, pit8=pit8, ltm8=ltm8):
+                fn(
+                    _i32ptr(residual[i0:]), _i32ptr(out[i0:]), n,
+                    _i32ptr(coef8), p, _i32ptr(pit8), _i32ptr(ltm8),
+                    num_taps, M,
+                )
 
-            else:
-                res8 = np.ascontiguousarray(residual[idx, :n])
+        elif row_lens is None:
+            res8 = np.ascontiguousarray(residual[idx, :n])
 
-                def run(fn=fn, idx=idx, n=n, res8=res8, coef8=coef8,
-                        pit8=pit8, ltm8=ltm8):
-                    out8 = np.empty_like(res8)
-                    fn(
-                        _i32ptr(res8), _i32ptr(out8), n, _i32ptr(coef8), p,
-                        _i32ptr(pit8), _i32ptr(ltm8), num_taps, M,
-                    )
-                    out[idx, :n] = out8
+            def run(fn=fn, idx=idx, n=n, res8=res8, coef8=coef8,
+                    pit8=pit8, ltm8=ltm8):
+                out8 = np.empty_like(res8)
+                fn(
+                    _i32ptr(res8), _i32ptr(out8), n, _i32ptr(coef8), p,
+                    _i32ptr(pit8), _i32ptr(ltm8), num_taps, M,
+                )
+                out[idx, :n] = out8
 
-            jobs.append(run)
-            g += take
-        for b in rows[g:]:
-            lat = np.zeros(p + 1, np.int32)
-            hist = np.zeros(258, np.int32)
-            ltp = np.zeros(1, np.int32)
-            lms = np.zeros(4 * M, np.int32)
-            lmsp = np.zeros(1, np.int32)
-            de = np.zeros(1, np.int32)
-            out[b, :n] = synth_chunk(
-                residual[b, :n], coef[b], lat, int(pitch[b]), ltm[b], num_taps,
-                hist, ltp, M, lms, lmsp, de,
-            )
+        else:
+            res8 = np.zeros((take, n), dtype=np.int32)
+            for i, (b, nb) in enumerate(zip(idx, row_lens)):
+                res8[i, :nb] = residual[b, :nb]
+
+            def run(fn=fn, idx=idx, n=n, res8=res8, coef8=coef8,
+                    pit8=pit8, ltm8=ltm8, row_lens=row_lens):
+                out8 = np.empty_like(res8)
+                fn(
+                    _i32ptr(res8), _i32ptr(out8), n, _i32ptr(coef8), p,
+                    _i32ptr(pit8), _i32ptr(ltm8), num_taps, M,
+                )
+                for i, (b, nb) in enumerate(zip(idx, row_lens)):
+                    out[b, :nb] = out8[i, :nb]
+
+        jobs.append(run)
+    for n, b in singles:
+        lat = np.zeros(p + 1, np.int32)
+        hist = np.zeros(258, np.int32)
+        ltp = np.zeros(1, np.int32)
+        lms = np.zeros(4 * M, np.int32)
+        lmsp = np.zeros(1, np.int32)
+        de = np.zeros(1, np.int32)
+        out[b, :n] = synth_chunk(
+            residual[b, :n], coef[b], lat, int(pitch[b]), ltm[b], num_taps,
+            hist, ltp, M, lms, lmsp, de,
+        )
     _run_jobs(jobs)
     return out
 
