@@ -3490,10 +3490,14 @@ int64_t sla_encode_block(int32_t num_samples, int32_t block_type, int32_t C,
 // bytes, -1 on out-capacity overflow (caller grows and retries), -2 on a
 // scratch bound violation.
 // Serialize blocks [b0, b1) back to back into `out` (capacity `cap`).
-// Runs of eight adjacent adaptive COMPRESSDATA blocks encode their
-// payloads through the 8-lane vector coder (identical bytes); everything
-// else takes the scalar per-block path. Returns bytes written or the
-// encode_block_core error codes.
+// A pre-pass runs every eligible adaptive COMPRESSDATA block's payload
+// through the 8-lane vector coder in SIZE-SORTED groups of eight (the
+// vector loop runs to the group minimum, so near-equal lane lengths keep
+// it off the scalar finish path; payload bytes are identical either way
+// and blocks are independent, so grouping order cannot change the
+// stream). Framing then walks [b0, b1) in block order, splicing the
+// prebuilt payloads. Returns bytes written or the encode_block_core
+// error codes.
 static int64_t encode_block_run(
     int32_t b0, int32_t b1, int32_t C, int32_t parcor_order, int32_t num_taps,
     int32_t bits_per_sample, int32_t pitch_threshold, const int32_t* nsamp,
@@ -3504,21 +3508,30 @@ static int64_t encode_block_run(
     const int32_t* raw_bits, uint8_t* out, int64_t cap, int64_t* sizes_out) {
   const int32_t pc = parcor_order + 1;
   const int32_t mt = num_taps > 0 ? num_taps : 1;
-  int64_t pos = 0;
-  int32_t b = b0;
-  while (b < b1) {
+  const int32_t R = b1 - b0;
+  // per-block prebuilt payload (offset into arena, size); -1 = none
+  std::vector<int64_t> poff, psz;
 #if defined(SLA_HAVE_VDEC8)
-    if (C >= 1 && C <= 8 && b + 8 <= b1) {
-      bool ok8 = true;
-      int32_t nmax = 0;
-      for (int l = 0; l < 8 && ok8; ++l) {
-        ok8 = btype[b + l] == 0 &&
-              rice_adaptive(init_rice + (int64_t)(b + l) * C, C);
-        if (nsamp[b + l] > nmax) nmax = nsamp[b + l];
-      }
-      if (ok8 && nmax > 0) {
+  static thread_local std::vector<uint8_t> arena;
+  if (C >= 1 && C <= 8 && R >= 8) {
+    std::vector<int32_t> elig;
+    elig.reserve((size_t)R);
+    for (int32_t b = b0; b < b1; ++b)
+      if (btype[b] == 0 && nsamp[b] > 0 &&
+          rice_adaptive(init_rice + (int64_t)b * C, C))
+        elig.push_back(b);
+    if ((int32_t)elig.size() >= 8) {
+      std::stable_sort(elig.begin(), elig.end(), [&](int32_t a, int32_t b) {
+        return nsamp[a] > nsamp[b];
+      });
+      poff.assign((size_t)R, -1);
+      psz.assign((size_t)R, 0);
+      static thread_local std::vector<uint8_t> pool;
+      int64_t arena_used = 0;
+      for (size_t g = 0; g + 8 <= elig.size(); g += 8) {
+        const int32_t* grp = elig.data() + g;
+        const int32_t nmax = nsamp[grp[0]];  // sorted descending
         const int64_t lane_cap = 16LL * nmax * C + 1024;
-        static thread_local std::vector<uint8_t> pool;
         if ((int64_t)pool.size() < 8 * lane_cap)
           pool.resize((size_t)(8 * lane_cap));
         const int32_t* dptr[64];
@@ -3526,12 +3539,13 @@ static int64_t encode_block_run(
         int32_t nn8[8];
         uint32_t ini8[64];
         for (int l = 0; l < 8; ++l) {
+          const int32_t blk = grp[l];
           bufs[l] = pool.data() + (size_t)l * lane_cap;
-          nn8[l] = nsamp[b + l];
-          const int32_t* base = (const int32_t*)(uintptr_t)res_ptrs[b + l];
+          nn8[l] = nsamp[blk];
+          const int32_t* base = (const int32_t*)(uintptr_t)res_ptrs[blk];
           for (int ch = 0; ch < C; ++ch) {
-            dptr[l * C + ch] = base + (int64_t)ch * res_strides[b + l];
-            ini8[l * C + ch] = init_rice[(int64_t)(b + l) * C + ch];
+            dptr[l * C + ch] = base + (int64_t)ch * res_strides[blk];
+            ini8[l * C + ch] = init_rice[(int64_t)blk * C + ch];
           }
         }
         int64_t ps[8];
@@ -3546,40 +3560,54 @@ static int64_t encode_block_run(
           case 7: rc = encode_payloads_v8<7>(dptr, nn8, ini8, bufs, lane_cap, ps); break;
           case 8: rc = encode_payloads_v8<8>(dptr, nn8, ini8, bufs, lane_cap, ps); break;
         }
-        if (rc == 0) {
-          int l = 0;
-          for (; l < 8; ++l) {
-            const int32_t blk = b + l;
-            const int64_t nby = encode_block_core(
-                nsamp[blk], 0, C, parcor_order, num_taps, bits_per_sample,
-                pitch_threshold, parcor_code + (int64_t)blk * C * pc,
-                parcor_rshift + (int64_t)blk * C, pitch + (int64_t)blk * C,
-                ltm_coef + (int64_t)blk * C * mt,
-                init_rice + (int64_t)blk * C,
-                (const int32_t*)(uintptr_t)res_ptrs[blk], res_strides[blk],
-                raw_bits, out + pos, cap - pos, bufs[l], ps[l]);
-            if (nby < 0) return nby;
-            sizes_out[blk] = nby;
-            pos += nby;
-          }
-          b += 8;
-          continue;
+        if (rc != 0) continue;  // lane cap hit: these frame via scalar path
+        int64_t add = 0;
+        for (int l = 0; l < 8; ++l) add += ps[l];
+        if ((int64_t)arena.size() < arena_used + add)
+          arena.resize((size_t)(arena_used + add + (arena_used + add) / 2));
+        for (int l = 0; l < 8; ++l) {
+          std::memcpy(arena.data() + arena_used, bufs[l], (size_t)ps[l]);
+          poff[(size_t)(grp[l] - b0)] = arena_used;
+          psz[(size_t)(grp[l] - b0)] = ps[l];
+          arena_used += ps[l];
         }
-        // lane buffer capped (pathological block): scalar path below
       }
+      // (the arena may reallocate while growing, so blocks record offsets;
+      // the framing loop resolves pointers after the last insertion)
+    }
+  }
+#endif
+  int64_t pos = 0;
+  for (int32_t b = b0; b < b1; ++b) {
+    const uint8_t* vp = nullptr;
+    int64_t vl = 0;
+#if defined(SLA_HAVE_VDEC8)
+    if (!poff.empty() && poff[(size_t)(b - b0)] >= 0) {
+      vp = arena.data() + poff[(size_t)(b - b0)];
+      vl = psz[(size_t)(b - b0)];
     }
 #endif
-    const int64_t nby = encode_block_core(
-        nsamp[b], btype[b], C, parcor_order, num_taps, bits_per_sample,
-        pitch_threshold, parcor_code + (int64_t)b * C * pc,
-        parcor_rshift + (int64_t)b * C, pitch + (int64_t)b * C,
-        ltm_coef + (int64_t)b * C * mt, init_rice + (int64_t)b * C,
-        (const int32_t*)(uintptr_t)res_ptrs[b], res_strides[b], raw_bits,
-        out + pos, cap - pos);
+    int64_t nby;
+    if (vl > 0) {
+      nby = encode_block_core(
+          nsamp[b], 0, C, parcor_order, num_taps, bits_per_sample,
+          pitch_threshold, parcor_code + (int64_t)b * C * pc,
+          parcor_rshift + (int64_t)b * C, pitch + (int64_t)b * C,
+          ltm_coef + (int64_t)b * C * mt, init_rice + (int64_t)b * C,
+          (const int32_t*)(uintptr_t)res_ptrs[b], res_strides[b], raw_bits,
+          out + pos, cap - pos, vp, vl);
+    } else {
+      nby = encode_block_core(
+          nsamp[b], btype[b], C, parcor_order, num_taps, bits_per_sample,
+          pitch_threshold, parcor_code + (int64_t)b * C * pc,
+          parcor_rshift + (int64_t)b * C, pitch + (int64_t)b * C,
+          ltm_coef + (int64_t)b * C * mt, init_rice + (int64_t)b * C,
+          (const int32_t*)(uintptr_t)res_ptrs[b], res_strides[b], raw_bits,
+          out + pos, cap - pos);
+    }
     if (nby < 0) return nby;
     sizes_out[b] = nby;
     pos += nby;
-    ++b;
   }
   return pos;
 }
