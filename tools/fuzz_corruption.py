@@ -30,14 +30,23 @@ from test_encode_decode import gen_wave  # noqa: E402
 
 def make_stream(rng) -> bytes:
     kind = rng.choice(["sine", "chirp", "noise", "gauss"])
-    ch = int(rng.choice([1, 2]))
+    # weighted toward stereo; 3..8 channels drive the multichannel vector
+    # decode lanes through the corrupt-input parsers
+    ch = int(rng.choice([1, 2, 2, 2, 3, 6, 8]))
+    width = int(rng.choice([16, 16, 24]))
     n = int(rng.integers(4000, 40000))
-    pcm = gen_wave(str(kind), n, ch, 16, 0, seed=int(rng.integers(1 << 30)))
+    pcm = gen_wave(str(kind), n, ch, width, 0, seed=int(rng.integers(1 << 30)))
     if rng.random() < 0.3:
         pcm[:, n // 3 : n // 2] = 0  # silent block
     enc = sla.Encoder()
-    enc.set_wave_format(sla.WaveFormat(ch, 16, 44100))
+    enc.set_wave_format(sla.WaveFormat(ch, width, 44100))
     ep = sla.PRESETS[2 if ch == 2 else 0]
+    if ch != 2:
+        ep = sla.EncodeParameter(
+            ep.parcor_order, ep.longterm_order, ep.lms_order_per_filter,
+            sla.ChannelProcessMethod.NONE, ep.window_function_type,
+            ep.max_num_block_samples,
+        )
     enc.set_encode_parameter(ep)
     return enc.encode_whole(pcm)
 
