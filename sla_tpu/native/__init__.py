@@ -715,7 +715,10 @@ def predict_stage1_rows(
     lib = _load()
     data = np.ascontiguousarray(data, dtype=np.int32)
     B, L = data.shape
-    out = np.zeros_like(data)
+    # empty + per-row tail zeroing: a full np.zeros memset of the ~10 MB
+    # batch costs milliseconds under this host's page-fault pricing, and
+    # every consumed (row, :length) region is written by a kernel below
+    out = np.empty_like(data)
     coef = np.ascontiguousarray(parcor_coef, dtype=np.int32)
     p = coef.shape[1]
     lens = (
@@ -723,6 +726,8 @@ def predict_stage1_rows(
         if lengths is not None
         else np.full(B, L, dtype=np.int64)
     )
+    for b in np.nonzero(lens < L)[0]:  # keep the zero-padded contract
+        out[b, lens[b] :] = 0
     groups, singles = _row_groups(lens)
     jobs = []
     for n, idx, row_lens in groups:

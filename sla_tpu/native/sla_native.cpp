@@ -17,6 +17,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <thread>
+#include <type_traits>
 #include <vector>
 #if defined(__x86_64__)
 #include <immintrin.h>
@@ -2280,12 +2281,342 @@ static inline int32_t qmul15(int32_t c, int32_t v) {
 
 }  // extern "C" (reopened after the static impl below)
 
+// ---- tap-vectorized resumable synthesis (AVX-512) --------------------------
+//
+// The scalar cascade below is bound by its per-sample dependency chain:
+// the lattice alone chains p dependent imuls (~3 cycles each), so one
+// channel-sample costs ~230 cycles. Re-expressing the lattice in the
+// suffix-sum form the batch kernels already use (lattice_synth_coreT)
+// puts the p taps in the LANES of one vector: the f-dependent multiply
+// happens ONCE on the whole fpart vector, and the suffix sum runs in
+// log2(p) shifted adds. All regrouped additions are wrapping int32
+// (-fwrapv) — associative and commutative — and every multiply sees
+// identical operands, so the output is bit-identical to the scalar loop
+// for EVERY input, valid or corrupt (same argument as synth_rowsT).
+// Debug builds keep the scalar path (it carries the SLA_DBG_ASSERTs).
+#if defined(__AVX512F__) && defined(__AVX512VL__)
+namespace tapvec {
+
+// inclusive suffix sum over 16 int32 lanes: s[k] = sum_{j>=k} s[j]
+static inline __attribute__((always_inline)) __m512i suffix_scan16(__m512i s) {
+  const __m512i z = _mm512_setzero_si512();
+  s = _mm512_add_epi32(s, _mm512_alignr_epi32(z, s, 1));
+  s = _mm512_add_epi32(s, _mm512_alignr_epi32(z, s, 2));
+  s = _mm512_add_epi32(s, _mm512_alignr_epi32(z, s, 4));
+  s = _mm512_add_epi32(s, _mm512_alignr_epi32(z, s, 8));
+  return s;
+}
+
+static inline __attribute__((always_inline)) __m512i q15v(__m512i c, __m512i v) {
+  const __m512i half = _mm512_set1_epi32(1 << 14);
+  return _mm512_srai_epi32(
+      _mm512_add_epi32(_mm512_mullo_epi32(c, v), half), 15);
+}
+
+// PARCOR lattice synthesis, p taps in vector lanes. NZ = 1 covers p <= 16,
+// NZ = 2 covers p <= 32. Coefficient lanes >= p are zero, which makes
+// their m lanes exactly 0 ((0*x + 2^14) >> 15 == 0), so padding never
+// leaks into the suffix sums.
+template <int NZ>
+struct LatticeVec {
+  __m512i vc[NZ], vlat[NZ], vt[NZ];
+  int32_t p;
+  bool stepped;
+  void load(const int32_t* coef, const int32_t* state, int32_t p_) {
+    p = p_;
+    stepped = false;
+    alignas(64) int32_t tmp[NZ * 16];
+    for (int32_t i = 0; i < NZ * 16; ++i) tmp[i] = i < p ? coef[i] : 0;
+    for (int z = 0; z < NZ; ++z)
+      vc[z] = _mm512_load_si512((const void*)(tmp + 16 * z));
+    for (int32_t i = 0; i < NZ * 16; ++i) tmp[i] = i < p ? state[i] : 0;
+    for (int z = 0; z < NZ; ++z)
+      vlat[z] = _mm512_load_si512((const void*)(tmp + 16 * z));
+  }
+  inline __attribute__((always_inline)) int32_t step(int32_t y) {
+    if constexpr (NZ == 1) {
+      const __m512i m = q15v(vc[0], vlat[0]);
+      const __m512i fp =
+          _mm512_add_epi32(suffix_scan16(m), _mm512_set1_epi32(y));
+      vt[0] = _mm512_sub_epi32(vlat[0], q15v(vc[0], fp));
+      const int32_t f = _mm_cvtsi128_si32(_mm512_castsi512_si128(fp));
+      vlat[0] = _mm512_alignr_epi32(vt[0], _mm512_set1_epi32(f), 15);
+      return f;
+    }
+    const __m512i m0 = q15v(vc[0], vlat[0]);
+    const __m512i m1 = q15v(vc[1], vlat[1]);
+    const __m512i s1 = suffix_scan16(m1);
+    const __m512i vy = _mm512_set1_epi32(y);
+    // fp0 needs the FULL tail sum: all of m1 plus this zmm's own suffix
+    const __m512i tot1 = _mm512_broadcastd_epi32(_mm512_castsi512_si128(s1));
+    const __m512i fp0 = _mm512_add_epi32(
+        _mm512_add_epi32(suffix_scan16(m0), tot1), vy);
+    const __m512i fp1 = _mm512_add_epi32(s1, vy);
+    vt[0] = _mm512_sub_epi32(vlat[0], q15v(vc[0], fp0));
+    vt[1] = _mm512_sub_epi32(vlat[1], q15v(vc[1], fp1));
+    const int32_t f = _mm_cvtsi128_si32(_mm512_castsi512_si128(fp0));
+    vlat[0] = _mm512_alignr_epi32(vt[0], _mm512_set1_epi32(f), 15);
+    vlat[1] = _mm512_alignr_epi32(vt[1], vt[0], 15);
+    return f;
+  }
+  void store(int32_t* state) const {
+    alignas(64) int32_t tmp[NZ * 16 + 16];
+    for (int z = 0; z < NZ; ++z)
+      _mm512_store_si512((void*)(tmp + 16 * z), vlat[z]);
+    // lane p (== state[p]) only exists in the shifted-out tail when
+    // p == 16*NZ: take it from the last step's t vector
+    if (p == NZ * 16 && stepped) {
+      alignas(64) int32_t tt[16];
+      _mm512_store_si512((void*)tt, vt[NZ - 1]);
+      tmp[p] = tt[15];
+    } else if (p == NZ * 16) {
+      return;  // no samples processed: state unchanged
+    }
+    for (int32_t i = 0; i <= p; ++i) state[i] = tmp[i];
+  }
+};
+
+// Sign-sign LMS synthesis, M taps in vector lanes (M = 8 -> ymm, 4 -> xmm).
+// The x/pred history windows live IN REGISTERS, newest-first (the external
+// state layout), refreshed by a one-lane valignd shift-insert per sample —
+// a memory ring would make the next sample's vector load overlap this
+// sample's scalar store, a guaranteed store-forwarding stall (~20 cycles,
+// measured: the ring variant ran barely faster than the scalar cascade).
+template <int MV>
+struct LmsVec {
+  typedef typename std::conditional<MV == 8, __m256i, __m128i>::type vreg;
+  vreg fc, ic, xb, pb;
+  int32_t proc;
+  static inline vreg vload(const int32_t* x) {
+    if constexpr (MV == 8) return (vreg)_mm256_loadu_si256((const __m256i*)x);
+    else return (vreg)_mm_loadu_si128((const __m128i*)x);
+  }
+  static inline void vstore(int32_t* x, vreg v) {
+    if constexpr (MV == 8) _mm256_storeu_si256((__m256i*)x, (__m256i)v);
+    else _mm_storeu_si128((__m128i*)x, (__m128i)v);
+  }
+  static inline vreg vadd(vreg a, vreg b) {
+    if constexpr (MV == 8) return (vreg)_mm256_add_epi32((__m256i)a, (__m256i)b);
+    else return (vreg)_mm_add_epi32((__m128i)a, (__m128i)b);
+  }
+  static inline vreg vmul(vreg a, vreg b) {
+    if constexpr (MV == 8) return (vreg)_mm256_mullo_epi32((__m256i)a, (__m256i)b);
+    else return (vreg)_mm_mullo_epi32((__m128i)a, (__m128i)b);
+  }
+  static inline vreg vsign(vreg a, vreg b) {  // a * sign(b), 0 when b == 0
+    if constexpr (MV == 8) return (vreg)_mm256_sign_epi32((__m256i)a, (__m256i)b);
+    else return (vreg)_mm_sign_epi32((__m128i)a, (__m128i)b);
+  }
+  static inline vreg vset1(int32_t v) {
+    if constexpr (MV == 8) return (vreg)_mm256_set1_epi32(v);
+    else return (vreg)_mm_set1_epi32(v);
+  }
+  static inline int32_t hsum(vreg v) {  // wrapping adds: order-free
+    __m128i lo;
+    if constexpr (MV == 8) {
+      const __m256i w = (__m256i)v;
+      lo = _mm_add_epi32(_mm256_castsi256_si128(w),
+                         _mm256_extracti128_si256(w, 1));
+    } else {
+      lo = (__m128i)v;
+    }
+    lo = _mm_add_epi32(lo, _mm_shuffle_epi32(lo, 0x4e));
+    lo = _mm_add_epi32(lo, _mm_shuffle_epi32(lo, 0xb1));
+    return _mm_cvtsi128_si32(lo);
+  }
+  static inline vreg shift_insert(vreg w, int32_t v) {  // newest into lane 0
+    if constexpr (MV == 8)
+      return (vreg)_mm256_alignr_epi32((__m256i)w, _mm256_set1_epi32(v), 7);
+    else
+      return (vreg)_mm_alignr_epi32((__m128i)w, _mm_set1_epi32(v), 3);
+  }
+  void load(const int32_t* ls) {
+    fc = vload(ls);
+    ic = vload(ls + MV);
+    xb = vload(ls + 2 * MV);
+    pb = vload(ls + 3 * MV);
+  }
+  inline __attribute__((always_inline)) int32_t step(int32_t x) {
+    const int32_t acc = 512 + hsum(vadd(vmul(fc, xb), vmul(ic, pb)));
+    const int32_t pred = acc >> 10;
+    const bool warm = proc < MV;
+    int32_t y = x + pred;
+    if (!warm) {
+      const uint32_t mag = (uint32_t)(x < 0 ? -x : x);
+      const int32_t bl = (mag == 0) ? 0 : (32 - __builtin_clz(mag));
+      const int32_t step_v = ((x > 0) - (x < 0)) * (bl >> 1);
+      const vreg sv = vset1(step_v);
+      fc = vadd(fc, vsign(sv, xb));
+      ic = vadd(ic, vsign(sv, pb));
+    }
+    const int32_t new_sample = y;
+    const int32_t ins_p = warm ? new_sample : pred;
+    xb = shift_insert(xb, new_sample);
+    pb = shift_insert(pb, ins_p);
+    ++proc;
+    return warm ? x : y;
+  }
+  void store(int32_t* ls) const {
+    vstore(ls, fc);
+    vstore(ls + MV, ic);
+    vstore(ls + 2 * MV, xb);
+    vstore(ls + 3 * MV, pb);
+  }
+};
+
+// Full per-channel resumable cascade lane: LMS -> long-term -> lattice ->
+// de-emphasis, identical state layouts to synth_chunk_impl.
+template <int NZ, int MV>
+struct SynthLane {
+  LmsVec<MV> lms;
+  LatticeVec<NZ> lat;
+  int32_t lt_ring[1024];
+  int32_t q15c[8];
+  int32_t lt_head, lt_proc, pitch, max_delay, num_taps, deemph;
+  inline __attribute__((always_inline)) int32_t step(int32_t x) {
+    int32_t y = lms.step(x);
+    if (pitch > 0) {
+      int64_t s64 = 0;
+      for (int32_t j = 0; j < num_taps; ++j)
+        s64 += (int64_t)q15c[j] *
+               lt_ring[(lt_head - (max_delay - j)) & 1023];
+      const int32_t lpred = (int32_t)((s64 + (1 << 14)) >> 15);
+      const int32_t lout = (lt_proc >= max_delay) ? y + lpred : y;
+      lt_ring[lt_head & 1023] = lout;
+      ++lt_head;
+      y = lout;
+    }
+    ++lt_proc;
+    y = lat.step(y);
+    y += (deemph * 31) >> 5;
+    deemph = y;
+    return y;
+  }
+};
+
+// NCH-channel chunk with the scalar impls' exact state contracts.
+// noinline: each instantiation compiles as its own function — inlining all
+// of them into one impl body wrecked register allocation (measured ~5x).
+template <int NCH, int NZ, int MV>
+__attribute__((noinline)) static int32_t synth_chunk_vec(
+    const int32_t* residual, int32_t* out, int32_t n,
+    const int32_t* parcor_coef, int32_t coef_stride, int32_t parcor_order,
+    int32_t* lattice_state, const int32_t* pitch, const int32_t* ltm_coef,
+    int32_t ltm_stride, int32_t num_taps, int32_t* lt_hist,
+    int32_t lt_hist_len, int32_t* lt_processed, int32_t lms_order,
+    int32_t* lms_state, int32_t* lms_processed, int32_t* deemph_prev) {
+  (void)lms_order;
+  // Explicitly unrolled per-channel lanes (ln0/ln1 locals, never indexed
+  // by a runtime subscript): with the lanes in an array, the runtime
+  // ln[c] access blocked scalar-replacement and every step round-tripped
+  // the vector state through the stack (measured ~4x slower).
+  SynthLane<NZ, MV> ln0, ln1;
+  auto load_lane = [&](SynthLane<NZ, MV>& ln, int c) {
+    ln.lms.load(lms_state + (int64_t)c * 4 * MV);
+    ln.lms.proc = lms_processed[c];
+    ln.lat.load(parcor_coef + (int64_t)c * coef_stride,
+                lattice_state + (int64_t)c * (parcor_order + 1),
+                parcor_order);
+    ln.deemph = deemph_prev[c];
+    ln.pitch = pitch[c];
+    ln.num_taps = num_taps;
+    ln.max_delay = pitch[c] + num_taps / 2;
+    ln.lt_head = lt_hist_len;
+    ln.lt_proc = lt_processed[c];
+    if (pitch[c] > 0) {
+      // zeroed ring: degenerate corrupt-stream taps past the history must
+      // read deterministic zeros (matches the scalar impls + reference)
+      std::memset(ln.lt_ring, 0, sizeof(ln.lt_ring));
+      for (int32_t i = 0; i < lt_hist_len; ++i)
+        ln.lt_ring[i] = lt_hist[(int64_t)c * lt_hist_len + i];
+    }
+    for (int32_t j = 0; j < num_taps; ++j)
+      ln.q15c[j] = ltm_coef[(int64_t)c * ltm_stride + j] >> 16;
+  };
+  auto store_lane = [&](SynthLane<NZ, MV>& ln, int c) {
+    ln.lms.store(lms_state + (int64_t)c * 4 * MV);
+    lms_processed[c] = ln.lms.proc;
+    ln.lat.store(lattice_state + (int64_t)c * (parcor_order + 1));
+    deemph_prev[c] = ln.deemph;
+    lt_processed[c] = ln.lt_proc;
+    if (pitch[c] > 0)
+      for (int32_t i = 0; i < lt_hist_len; ++i)
+        lt_hist[(int64_t)c * lt_hist_len + i] =
+            ln.lt_ring[(ln.lt_head - lt_hist_len + i) & 1023];
+  };
+  load_lane(ln0, 0);
+  if constexpr (NCH == 2) load_lane(ln1, 1);
+  if (n > 0) {  // hoisted out of step(): one flag write, not one per sample
+    ln0.lat.stepped = true;
+    if constexpr (NCH == 2) ln1.lat.stepped = true;
+  }
+  if constexpr (NCH == 2) {
+    int32_t* out1 = out + n;
+    const int32_t* res1 = residual + n;
+    for (int32_t s = 0; s < n; ++s) {
+      out[s] = ln0.step(residual[s]);
+      out1[s] = ln1.step(res1[s]);
+    }
+  } else {
+    for (int32_t s = 0; s < n; ++s) out[s] = ln0.step(residual[s]);
+  }
+  store_lane(ln0, 0);
+  if constexpr (NCH == 2) store_lane(ln1, 1);
+  return 0;
+}
+
+// Dispatcher: 0 = not eligible (caller falls back to the scalar loop).
+template <int NCH>
+static inline bool synth_chunk_vec_dispatch(
+    const int32_t* residual, int32_t* out, int32_t n,
+    const int32_t* parcor_coef, int32_t coef_stride, int32_t parcor_order,
+    int32_t* lattice_state, const int32_t* pitch, const int32_t* ltm_coef,
+    int32_t ltm_stride, int32_t num_taps, int32_t* lt_hist,
+    int32_t lt_hist_len, int32_t* lt_processed, int32_t lms_order,
+    int32_t* lms_state, int32_t* lms_processed, int32_t* deemph_prev,
+    int32_t* rc) {
+  if (parcor_order > 32 || num_taps > 8 || lt_hist_len > 1024 ||
+      (lms_order != 4 && lms_order != 8))
+    return false;
+  const bool nz2 = parcor_order > 16;
+  if (lms_order == 8) {
+    *rc = nz2 ? synth_chunk_vec<NCH, 2, 8>(
+                    residual, out, n, parcor_coef, coef_stride, parcor_order,
+                    lattice_state, pitch, ltm_coef, ltm_stride, num_taps,
+                    lt_hist, lt_hist_len, lt_processed, lms_order, lms_state,
+                    lms_processed, deemph_prev)
+              : synth_chunk_vec<NCH, 1, 8>(
+                    residual, out, n, parcor_coef, coef_stride, parcor_order,
+                    lattice_state, pitch, ltm_coef, ltm_stride, num_taps,
+                    lt_hist, lt_hist_len, lt_processed, lms_order, lms_state,
+                    lms_processed, deemph_prev);
+  } else {
+    *rc = nz2 ? synth_chunk_vec<NCH, 2, 4>(
+                    residual, out, n, parcor_coef, coef_stride, parcor_order,
+                    lattice_state, pitch, ltm_coef, ltm_stride, num_taps,
+                    lt_hist, lt_hist_len, lt_processed, lms_order, lms_state,
+                    lms_processed, deemph_prev)
+              : synth_chunk_vec<NCH, 1, 4>(
+                    residual, out, n, parcor_coef, coef_stride, parcor_order,
+                    lattice_state, pitch, ltm_coef, ltm_stride, num_taps,
+                    lt_hist, lt_hist_len, lt_processed, lms_order, lms_state,
+                    lms_processed, deemph_prev);
+  }
+  return true;
+}
+
+}  // namespace tapvec
+#endif  // __AVX512F__ && __AVX512VL__
+
 // Runtime-order body with register-resident serial state (lattice,
 // LMS coefficient rows, processed counters, de-emphasis): measured ~6%
 // faster than the pointer-chasing original; compile-time preset-order
 // specializations were tried and did NOT pay off here — the scalar
 // cascade is bound by its loop-carried dependency chain, not by memory
-// (unlike the 8/16-row vectorized kernels, where they won big).
+// (unlike the 8/16-row vectorized kernels, where they won big). The
+// tap-vectorized AVX-512 form above breaks exactly that chain; this
+// scalar body remains the semantic reference, the non-AVX-512 fallback,
+// the debug-assert carrier, and the non-preset-order path.
 static int32_t synth_chunk_impl(
     const int32_t* residual, int32_t* out, int32_t n,
     // lattice
@@ -2301,6 +2632,17 @@ static int32_t synth_chunk_impl(
   const int32_t p = parcor_order;
   const int32_t M = lms_order;
   if (p > 64 || M > 64) return -1;  // scratch capacity: don't trust callers
+#if defined(__AVX512F__) && defined(__AVX512VL__) && \
+    !defined(SLA_TPU_DEBUG) && !defined(SLA_TPU_FORCE_SCALAR_SYNTH)
+  {
+    int32_t rc;
+    if (tapvec::synth_chunk_vec_dispatch<1>(
+            residual, out, n, parcor_coef, p, p, lattice_state, &pitch,
+            ltm_coef, num_taps, num_taps, lt_hist, lt_hist_len, lt_processed,
+            M, lms_state, lms_processed, deemph_prev, &rc))
+      return rc;
+  }
+#endif
   // register/L1-resident copies of the serial filter state (written back
   // at the end)
   int32_t pc[64];
@@ -2332,6 +2674,11 @@ static int32_t synth_chunk_impl(
   int32_t lt_head = lt_hist_len;  // position of the NEXT write
   if (pitch > 0) {
     if (lt_hist_len > 1024) return -1;  // scratch capacity: don't trust callers
+    // zero the whole ring first: degenerate (corrupt-stream) parameters —
+    // max_delay < num_taps, or a caller hist shorter than max_delay — make
+    // taps reach slots no history covers; the reference's ring is memset at
+    // reset, so those reads must be deterministic zeros, not stack garbage
+    std::memset(lt_ring, 0, sizeof(lt_ring));
     for (int32_t i = 0; i < lt_hist_len; ++i) lt_ring[i] = lt_hist[i];
   }
   int32_t q15c[8];
@@ -2441,6 +2788,17 @@ static int32_t synth_chunk2_impl(
   const int32_t M = lms_order;
   if (p > 64 || M > 64 || num_taps > 8) return -1;
   if (lt_hist_len > 1024) return -1;
+#if defined(__AVX512F__) && defined(__AVX512VL__) && \
+    !defined(SLA_TPU_DEBUG) && !defined(SLA_TPU_FORCE_SCALAR_SYNTH)
+  {
+    int32_t rc;
+    if (tapvec::synth_chunk_vec_dispatch<2>(
+            residual, out, n, parcor_coef, coef_stride, p, lattice_state,
+            pitch, ltm_coef, ltm_stride, num_taps, lt_hist, lt_hist_len,
+            lt_processed, M, lms_state, lms_processed, deemph_prev, &rc))
+      return rc;
+  }
+#endif
   int32_t pc[2][64], lat[2][65], fcl[2][64], icl[2][64];
   int32_t xd[2][128], pd[2][128], lt_ring[2][1024], q15c[2][8];
   int32_t deemph[2], xpos[2], lt_head[2], lms_proc[2], lt_proc[2], mdel[2];
@@ -2457,9 +2815,11 @@ static int32_t synth_chunk2_impl(
       pd[c][64 + i] = ls[3 * M + i];
     }
     lt_head[c] = lt_hist_len;
-    if (pitch[c] > 0)
+    if (pitch[c] > 0) {
+      std::memset(lt_ring[c], 0, sizeof(lt_ring[c]));  // see synth_chunk_impl
       for (int32_t i = 0; i < lt_hist_len; ++i)
         lt_ring[c][i] = lt_hist[(int64_t)c * lt_hist_len + i];
+    }
     for (int32_t j = 0; j < num_taps; ++j)
       q15c[c][j] = ltm_coef[(int64_t)c * ltm_stride + j] >> 16;
     lms_proc[c] = lms_processed[c];
