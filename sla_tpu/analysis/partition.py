@@ -374,6 +374,12 @@ def search_optimal_partitions_batch(
 
     from .. import native
 
+    def _resolve(d):
+        # window_data entries may be lazy thunks (encoder passes closures
+        # that materialize float64 MS slices on demand — only the exact
+        # re-price / fallback paths ever need the array)
+        return d() if callable(d) else d
+
     use_native = native.available()
     # SLA_TPU_EXACT_PARTITION=1 prices every candidate span with the
     # reference's own per-span analysis arithmetic (native sla_lpc_analyze)
@@ -397,12 +403,23 @@ def search_optimal_partitions_batch(
             if spans is not None:
                 key = (num_samples_list[i], min_blocks[i], max_blocks[i])
                 groups.setdefault(key, []).append(i)
+        lazy = hasattr(base, "materialize")  # LazyDoubleSource (int32 rows)
         for (n_win, _mb, _xb), idxs in groups.items():
             if len(idxs) < 2:
                 continue
             _V, positions, spans, _sl = geos[idxs[0]]
             offs = np.asarray([base_offsets[i] for i in idxs], dtype=np.int64)
-            Rm = native.span_autocorr_multi(base, offs, n_win, positions, spans, order)
+            if lazy:
+                # on-the-fly int32 -> float64 conversion inside the sweep
+                # (exact arithmetic, bit-identical sums; no whole-file
+                # double array)
+                Rm = native.span_autocorr_multi_i32(
+                    base.data, base.ms, offs, n_win, positions, spans, order
+                )
+            else:
+                Rm = native.span_autocorr_multi(
+                    base, offs, n_win, positions, spans, order
+                )
             for w, i in enumerate(idxs):
                 R_by_idx[i] = Rm[w]
     metas = []
@@ -420,8 +437,8 @@ def search_optimal_partitions_batch(
         if exact:
             exact_costs.append(
                 exact_span_costs(
-                    data, positions, spans, span_len, num_samples, order,
-                    bits_per_sample,
+                    _resolve(data), positions, spans, span_len, num_samples,
+                    order, bits_per_sample,
                 )
             )
             metas.append((V, spans, span_len, num_samples, data, positions))
@@ -429,9 +446,13 @@ def search_optimal_partitions_batch(
         if wi_data in R_by_idx:
             R = R_by_idx[wi_data]
         elif use_native:
-            R = native.span_autocorr(data[:, :num_samples], positions, spans, order)
+            R = native.span_autocorr(
+                _resolve(data)[:, :num_samples], positions, spans, order
+            )
         else:
-            R = span_autocorrelations(data[:, :num_samples], positions, spans, order)
+            R = span_autocorrelations(
+                _resolve(data)[:, :num_samples], positions, spans, order
+            )
         metas.append((V, spans, span_len, num_samples, data, positions))
         R_parts.append(R)
 
@@ -495,8 +516,8 @@ def search_optimal_partitions_batch(
                 # (byte-identity over speed on the rare tie)
                 adj = np.full((V, V), _BIGWEIGHT, dtype=np.float64)
                 adj[spans[:, 0], spans[:, 1]] = exact_span_costs(
-                    data, positions, spans, span_len, num_samples, order,
-                    bits_per_sample,
+                    _resolve(data), positions, spans, span_len, num_samples,
+                    order, bits_per_sample,
                 )
                 hops = dijkstra_partition(adj, V)
             else:
@@ -527,8 +548,8 @@ def search_optimal_partitions_batch(
             # the same derived-bound escalation as the batched branch
             if min_offpath_slack(adj, V, hops) < eps_w:
                 adj[spans[:, 0], spans[:, 1]] = exact_span_costs(
-                    data, positions, spans, span_len, num_samples, order,
-                    bits_per_sample,
+                    _resolve(data), positions, spans, span_len, num_samples,
+                    order, bits_per_sample,
                 )
                 hops = dijkstra_partition(adj, V)
         results.append(_hops_to_sizes(hops, num_samples, delta))

@@ -37,3 +37,33 @@ def lr_to_ms_double(left: np.ndarray, right: np.ndarray) -> tuple[np.ndarray, np
     mid = (left + right) / 2.0
     side = left - right
     return mid, side
+
+
+class LazyDoubleSource:
+    """Lazy float64 (MS-transformed) view of the original int32 signal.
+
+    The partition sweeps and analysis fills convert int32 -> float64 in
+    registers (native span_autocorr_multi_i32 / lpc_analyze_rows_at_i32),
+    so the whole-file 8-byte/sample array never materializes. Every
+    conversion step is EXACT in float64 — x*2^-31, (l+r)/2, l-r — so any
+    consumer sees bit-identical values to the materialized array. The
+    rare exact-reprice and no-native paths materialize slices on demand.
+
+    data: (C, N) canonical int32, rows possibly strided (segment views)."""
+
+    __slots__ = ("data", "ms")
+
+    def __init__(self, data: np.ndarray, ms: bool):
+        self.data = data
+        self.ms = bool(ms)
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        return self.data.shape
+
+    def materialize(self, start: int, stop: int) -> np.ndarray:
+        d = self.data[:, start:stop].astype(np.float64)
+        d *= 2.0 ** -31
+        if self.ms:
+            d[0], d[1] = lr_to_ms_double(d[0], d[1])
+        return d

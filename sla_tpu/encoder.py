@@ -44,7 +44,7 @@ from .constants import (
 )
 from .crc16 import crc16
 from .dsp import windows as win
-from .dsp.channel import lr_to_ms_double, lr_to_ms_int32
+from .dsp.channel import LazyDoubleSource, lr_to_ms_double, lr_to_ms_int32
 from .dsp.lpc import data_bit_width, width_from_maxabs
 from .dsp.quantize import quantize_longterm, quantize_parcor, rshift_for_sint32
 from .errors import ApiResult, SLAError
@@ -189,22 +189,25 @@ class Encoder:
 
     def _convert_views(
         self, data: np.ndarray, shift_a: int, shift_b: int
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """The three whole-file views every encode needs — int32 at two
-        shifts plus the scaled float64 signal, MS-transformed when
-        configured — in one native pass when available (identical
-        elementwise arithmetic to the NumPy forms). When the shifts match
-        (offset_lshift == 0, the common case) the int32 view is shared:
-        every consumer is read-only."""
+    ) -> tuple[np.ndarray, np.ndarray, LazyDoubleSource]:
+        """The whole-file views every encode needs — int32 at two shifts
+        (one native pass when available; identical elementwise arithmetic
+        to the NumPy forms) plus a LAZY float64 source: the partition and
+        analysis consumers convert int32 -> float64 in registers with
+        exact arithmetic, so the ~8 bytes/sample whole-file double array
+        never materializes (it was ~40 MB of pure memory traffic per CD
+        minute). When the shifts match (offset_lshift == 0, the common
+        case) the int32 view is shared: every consumer is read-only."""
         ms = self._encode_param.ch_process_method == ChannelProcessMethod.STEREO_MS
+        dbl = LazyDoubleSource(data, ms)
         if native.available():
-            out_a, out_b, out_d = native.convert_ms(
-                data, shift_a, shift_b, want_double=True, ms=ms
+            out_a, out_b, _ = native.convert_ms(
+                data, shift_a, shift_b, want_double=False, ms=ms
             )
-            return out_a, out_b if out_b is not None else out_a, out_d
+            return out_a, out_b if out_b is not None else out_a, dbl
         int32_a = self._ms_int32(data, shift_a)
         int32_b = int32_a if shift_b == shift_a else self._ms_int32(data, shift_b)
-        return int32_a, int32_b, self._ms_double(data)
+        return int32_a, int32_b, dbl
 
     # -- public block-level API (SLAEncoder.h:42-49) ---------------------------
     def encode_header(self, header: HeaderInfo) -> bytes:
@@ -510,7 +513,7 @@ class Encoder:
 
     # -- step 2: block planning ----------------------------------------------
     def _plan_blocks(
-        self, int32_ms: np.ndarray, dbl_ms: np.ndarray, num_samples: int,
+        self, int32_ms: np.ndarray, dbl_src: LazyDoubleSource, num_samples: int,
         final: bool = True,
     ) -> tuple[list[_BlockPlan], int]:
         """Two-phase planning: a cheap sequential pass fixes the window
@@ -518,8 +521,8 @@ class Encoder:
         partition-search windows analyze in one batched pass.
 
         int32_ms: (C, N) MS-transformed samples at the no-lshift scale (the
-        silence scan's view, SLAEncoder.c:381-408); dbl_ms: (C, N) float64
-        MS-transformed signal.
+        silence scan's view, SLAEncoder.c:381-408); dbl_src: the lazy
+        float64 MS source (LazyDoubleSource).
 
         When `final` is False (a segment of a longer stream), planning
         stops before any window that would not see a full
@@ -558,7 +561,13 @@ class Encoder:
         if not windows:
             return plans, consumed
 
-        wdata = [dbl_ms[:, off : off + wl] for off, wl, _ in windows]
+        # lazy window data: thunks materialize float64 MS slices only on
+        # the rare paths that need them (exact re-price, no-native); the
+        # fast path reads the int32 signal through `base` directly
+        wdata = [
+            (lambda off=off, wl=wl: dbl_src.materialize(off, off + wl))
+            for off, wl, _ in windows
+        ]
         sizes_list = search_optimal_partitions_batch(
             wdata,
             [w[1] for w in windows],
@@ -566,7 +575,7 @@ class Encoder:
             [w[1] for w in windows],
             ep.parcor_order,
             wf.bit_per_sample,
-            base=dbl_ms,
+            base=dbl_src,
             base_offsets=[w[0] for w in windows],
         )
         out: list[_BlockPlan] = []
@@ -584,10 +593,12 @@ class Encoder:
 
     # -- step 3: per-block float64 analysis -----------------------------------
     def _analyze_blocks(
-        self, int32_ms: np.ndarray, dbl_ms: np.ndarray, plans: list[_BlockPlan]
+        self, int32_ms: np.ndarray, dbl_src: LazyDoubleSource,
+        plans: list[_BlockPlan]
     ) -> None:
         """int32_ms: (C, N) MS-transformed samples at the block-analysis
-        scale (offset lshift removed); dbl_ms: (C, N) float64 MS signal."""
+        scale (offset lshift removed); dbl_src: the lazy float64 MS source
+        (LazyDoubleSource over the original int32 signal)."""
         wf, ep = self._wave_format, self._encode_param
         C = wf.num_channels
         p = ep.parcor_order
@@ -628,19 +639,28 @@ class Encoder:
                 # float64 summation order (see native sla_lpc_analyze).
                 # Windowing + double pre-emphasis (SLAEncoder.c:540-543)
                 # fuse into the native interleave fill, which reads the
-                # rows in place as (channel, offset) slices of dbl_ms — no
-                # (B, C, n) gather copy.
-                N = dbl_ms.shape[1]
-                offs = np.asarray(
-                    [
-                        ch * N + plans[i].offset
-                        for i in idxs
-                        for ch in range(C)
-                    ],
-                    dtype=np.int64,
-                )
-                parcor_r, len_r = native.lpc_analyze_rows_at(
-                    dbl_ms, offs, n, p, wf.bit_per_sample,
+                # ORIGINAL int32 rows in place and converts to float64 on
+                # the fly (exact arithmetic — identical doubles, and the
+                # whole-file float64 signal never materializes).
+                cstride = dbl_src.data.strides[0] // 4
+                if dbl_src.ms:
+                    offs = np.asarray(
+                        [plans[i].offset for i in idxs for _ in range(C)],
+                        dtype=np.int64,
+                    )
+                    modes = np.asarray([1, 2] * len(idxs), dtype=np.int32)
+                else:
+                    offs = np.asarray(
+                        [
+                            ch * cstride + plans[i].offset
+                            for i in idxs
+                            for ch in range(C)
+                        ],
+                        dtype=np.int64,
+                    )
+                    modes = np.zeros(len(idxs) * C, dtype=np.int32)
+                parcor_r, len_r = native.lpc_analyze_rows_at_i32(
+                    dbl_src.data, offs, modes, n, p, wf.bit_per_sample,
                     window=window, emphasis=True,
                 )
                 parcor = parcor_r.reshape((len(idxs), C, p + 1))
@@ -648,7 +668,9 @@ class Encoder:
             else:
                 batch_dbl = np.empty((len(idxs), C, n), dtype=np.float64)
                 for row, i in enumerate(idxs):
-                    batch_dbl[row] = dbl_ms[:, plans[i].offset : plans[i].offset + n]
+                    batch_dbl[row] = dbl_src.materialize(
+                        plans[i].offset, plans[i].offset + n
+                    )
                 # toolchain-free exact path: pure-Python twins of the exact
                 # windowed + pre-emphasized analysis (sla_tpu.exact),
                 # bit-identical to the native rows — slow, per row

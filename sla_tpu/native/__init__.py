@@ -136,6 +136,14 @@ def _load() -> ctypes.CDLL | None:
     lib.sla_span_autocorr_multi_onepass.argtypes = (
         lib.sla_span_autocorr_multi.argtypes
     )
+    _i32src_args = [
+        p_i32, i64, i32, i32, p_i64_arr, i32, i64, p_i64_arr, i32,
+        p_i64_arr, i32, i32, p_f64,
+    ]
+    lib.sla_span_autocorr_multi_i32.restype = i32
+    lib.sla_span_autocorr_multi_i32.argtypes = _i32src_args
+    lib.sla_span_autocorr_multi_onepass_i32.restype = i32
+    lib.sla_span_autocorr_multi_onepass_i32.argtypes = _i32src_args
     lib.sla_span_cost.restype = i32
     lib.sla_span_cost.argtypes = [p_f64, p_f64, i32, i32, i32, i32, p_f64, p_f64, p_f64]
     lib.sla_encode_block.restype = i64
@@ -199,6 +207,10 @@ def _load() -> ctypes.CDLL | None:
     lib.sla_lpc_analyze_rows_off_mt.restype = i32
     lib.sla_lpc_analyze_rows_off_mt.argtypes = [
         p_f64, p_i64, i32, i32, i32, i32, p_f64, i32, p_f64, p_f64,
+    ]
+    lib.sla_lpc_analyze_rows_off_i32_mt.restype = i32
+    lib.sla_lpc_analyze_rows_off_i32_mt.argtypes = [
+        p_i32, i64, p_i64, p_i32, i32, i32, i32, i32, p_f64, i32, p_f64, p_f64,
     ]
     lib.sla_make_window.restype = i32
     lib.sla_make_window.argtypes = [i32, i32, p_f64]
@@ -1223,6 +1235,50 @@ def span_autocorr_multi(
     return out
 
 
+def span_autocorr_multi_i32(
+    data_int32: np.ndarray,
+    ms: bool,
+    win_offsets: np.ndarray,
+    win_len: int,
+    positions: np.ndarray,
+    spans: np.ndarray,
+    order: int,
+) -> np.ndarray:
+    """span_autocorr_multi reading the ORIGINAL (C, N) canonical int32
+    signal: each (window, channel) row converts to float64 on the fly with
+    exactly convert_ms's arithmetic (every step exact), so the sums are
+    bit-identical to a materialized-double call while the whole-file
+    8-byte/sample array never exists. data_int32 rows may be strided
+    (segmented-encode views) — the channel stride passes through."""
+    lib = _load()
+    if data_int32.dtype != np.int32 or data_int32.strides[1] != 4:
+        data_int32 = np.ascontiguousarray(data_int32, dtype=np.int32)
+    C = data_int32.shape[0]
+    cstride = data_int32.strides[0] // 4
+    off = np.ascontiguousarray(win_offsets, dtype=np.int64)
+    pos = np.ascontiguousarray(positions, dtype=np.int64)
+    sp = np.ascontiguousarray(spans, dtype=np.int64)
+    W, S = off.size, sp.shape[0]
+    out = np.empty((W, S, C, order + 1), dtype=np.float64)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    fn = (
+        lib.sla_span_autocorr_multi_onepass_i32
+        if order <= 19
+        else lib.sla_span_autocorr_multi_i32
+    )
+    rc = int(
+        fn(
+            _i32ptr(data_int32), cstride, 1 if ms else 0, C,
+            off.ctypes.data_as(p_i64), W, int(win_len),
+            pos.ctypes.data_as(p_i64), pos.size,
+            sp.ctypes.data_as(p_i64), S, order, _f64ptr(out),
+        )
+    )
+    if rc != 0:
+        raise ValueError(f"span_autocorr_multi_i32: invalid geometry ({S})")
+    return out
+
+
 def span_cost(
     R: np.ndarray, span_len: np.ndarray, order: int, bits_per_sample: int,
     with_sens: bool = False,
@@ -1549,6 +1605,48 @@ def lpc_analyze_rows_at(
     )
     if rc != 0:
         raise ValueError(f"lpc_analyze_rows_at: native analysis failed ({rc})")
+    return parcor, lengths
+
+
+def lpc_analyze_rows_at_i32(
+    data_int32: np.ndarray,
+    offsets: np.ndarray,
+    modes: np.ndarray,
+    n: int,
+    order: int,
+    bits_per_sample: int,
+    window: np.ndarray | None = None,
+    emphasis: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """lpc_analyze_rows_at reading the ORIGINAL (C, N) canonical int32
+    signal: the interleave fill converts to float64 on the fly with
+    exactly convert_ms's arithmetic (every step exact — bit-identical
+    doubles, no whole-file float64 array). modes[b]: 0 = raw at
+    offsets[b] (offset includes the channel row), 1/2 = MS mid/side from
+    the two channel rows at sample offset offsets[b]."""
+    lib = _load()
+    if data_int32.dtype != np.int32 or data_int32.strides[1] != 4:
+        data_int32 = np.ascontiguousarray(data_int32, dtype=np.int32)
+    cstride = data_int32.strides[0] // 4
+    offs = np.ascontiguousarray(offsets, dtype=np.int64)
+    mds = np.ascontiguousarray(modes, dtype=np.int32)
+    B = offs.size
+    parcor = np.zeros((B, order + 1), dtype=np.float64)
+    lengths = np.zeros((B,), dtype=np.float64)
+    if not (1 <= order <= 64):
+        raise ValueError(f"lpc_analyze_rows_at_i32: order out of range ({order})")
+    win_ptr = None
+    if window is not None:
+        window = np.ascontiguousarray(window, dtype=np.float64)
+        win_ptr = _f64ptr(window)
+    rc = lib.sla_lpc_analyze_rows_off_i32_mt(
+        _i32ptr(data_int32), cstride,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), _i32ptr(mds),
+        B, n, order, bits_per_sample, win_ptr, 1 if emphasis else 0,
+        _f64ptr(parcor), _f64ptr(lengths),
+    )
+    if rc != 0:
+        raise ValueError(f"lpc_analyze_rows_at_i32: native analysis failed ({rc})")
     return parcor, lengths
 
 

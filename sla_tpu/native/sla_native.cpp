@@ -3186,14 +3186,27 @@ static int32_t span_lag_geometry(const int64_t* positions, const int64_t* spans,
 // avoids the per-window copies a view-based call would need. out:
 // W x S x C x (order+1). Same association as sla_span_autocorr, so costs
 // are identical.
-int32_t sla_span_autocorr_multi(const double* data, int32_t C, int64_t file_n,
-                                const int64_t* win_off, int32_t W,
-                                int64_t win_len, const int64_t* positions,
-                                int32_t V, const int64_t* spans, int32_t S,
-                                int32_t order, double* out) {
+static int32_t span_autocorr_multi_impl(
+    const double* data, const int32_t* ibase, int64_t icstride, int32_t ms,
+    int32_t C, int64_t file_n, const int64_t* win_off, int32_t W,
+    int64_t win_len, const int64_t* positions,
+    int32_t V, const int64_t* spans, int32_t S,
+    int32_t order, double* out) {
   if (S <= 0 || 2 * S > 4096 || W <= 0) return -1;
+  if (ibase && ms && C != 2) return -1;
   (void)V;
   const int32_t lags = order + 1;
+  // optional int32 source (see span_autocorr_multi_onepass_impl): rows
+  // convert into an L2-resident scratch with convert_ms's exact float64
+  // arithmetic, so sums are bit-identical to the materialized-double call
+  static thread_local std::vector<double> cbuf;
+  double* conv = nullptr;
+  if (ibase) {
+    cbuf.resize((size_t)win_len + 16);
+    conv = cbuf.data();
+    conv += ((64 - ((uintptr_t)conv & 63)) & 63) / sizeof(double);
+  }
+  const double cscale = std::ldexp(1.0, -31);
   // phase 1: per-lag geometry (boundary sort + span prefix indices), once
   std::vector<int64_t> qpos((size_t)lags * 2 * S);
   std::vector<int32_t> nu_k(lags), sidx((size_t)lags * S), eidx((size_t)lags * S);
@@ -3209,7 +3222,25 @@ int32_t sla_span_autocorr_multi(const double* data, int32_t C, int64_t file_n,
   double pf[4096];
   for (int32_t w = 0; w < W; ++w) {
     for (int32_t ch = 0; ch < C; ++ch) {
-      const double* x = data + (int64_t)ch * file_n + win_off[w];
+      const double* x;
+      if (ibase) {
+        if (ms) {
+          const int32_t* lp = ibase + win_off[w];
+          const int32_t* rp = ibase + icstride + win_off[w];
+          if (ch == 0)
+            for (int64_t i = 0; i < win_len; ++i)
+              conv[i] = ((double)lp[i] * cscale + (double)rp[i] * cscale) / 2.0;
+          else
+            for (int64_t i = 0; i < win_len; ++i)
+              conv[i] = (double)lp[i] * cscale - (double)rp[i] * cscale;
+        } else {
+          const int32_t* pp = ibase + (int64_t)ch * icstride + win_off[w];
+          for (int64_t i = 0; i < win_len; ++i) conv[i] = (double)pp[i] * cscale;
+        }
+        x = conv;
+      } else {
+        x = data + (int64_t)ch * file_n + win_off[w];
+      }
       for (int32_t k = 0; k < lags; ++k) {
         const int64_t* qp = qpos.data() + (size_t)k * 2 * S;
         const int32_t nu = nu_k[k];
@@ -3238,6 +3269,25 @@ int32_t sla_span_autocorr_multi(const double* data, int32_t C, int64_t file_n,
     }
   }
   return 0;
+}
+
+int32_t sla_span_autocorr_multi(const double* data, int32_t C, int64_t file_n,
+                                const int64_t* win_off, int32_t W,
+                                int64_t win_len, const int64_t* positions,
+                                int32_t V, const int64_t* spans, int32_t S,
+                                int32_t order, double* out) {
+  return span_autocorr_multi_impl(data, nullptr, 0, 0, C, file_n, win_off, W,
+                                  win_len, positions, V, spans, S, order, out);
+}
+
+int32_t sla_span_autocorr_multi_i32(
+    const int32_t* base, int64_t cstride, int32_t ms, int32_t C,
+    const int64_t* win_off, int32_t W, int64_t win_len,
+    const int64_t* positions, int32_t V, const int64_t* spans, int32_t S,
+    int32_t order, double* out) {
+  return span_autocorr_multi_impl(nullptr, base, cstride, ms, C, 0, win_off,
+                                  W, win_len, positions, V, spans, S, order,
+                                  out);
 }
 
 // One-pass variant: a single sweep over each window accumulates ALL lags'
@@ -3320,13 +3370,30 @@ static void onepass_sweep_reg(const double* x, int64_t vec_end_cap,
 }
 }  // extern "C++"
 
-int32_t sla_span_autocorr_multi_onepass(
-    const double* data, int32_t C, int64_t file_n, const int64_t* win_off,
+// Impl behind the two exports below. Either `data` (a materialized
+// float64 (C, file_n) signal) or `ibase` (the ORIGINAL int32 signal,
+// channel rows icstride elements apart, ms selecting the mid/side double
+// transform) feeds the sweep; the int32 source converts each (window,
+// channel) row into an L2-resident scratch with exactly convert_ms's
+// float64 arithmetic — every step (x*2^-31, (l+r)/2, l-r) is EXACT in
+// float64, so the sweep consumes bit-identical doubles while the
+// whole-file 8-byte/sample array never materializes.
+static int32_t span_autocorr_multi_onepass_impl(
+    const double* data, const int32_t* ibase, int64_t icstride, int32_t ms,
+    int32_t C, int64_t file_n, const int64_t* win_off,
     int32_t W, int64_t win_len, const int64_t* positions, int32_t V,
     const int64_t* spans, int32_t S, int32_t order, double* out) {
   if (S <= 0 || 2 * S > 4096 || W <= 0 || order > 32) return -1;
+  if (ibase && ms && C != 2) return -1;
   (void)V;
   const int32_t lags = order + 1;
+  static thread_local std::vector<double> cbuf;
+  double* conv = nullptr;
+  if (ibase) {
+    cbuf.resize((size_t)win_len + 16);
+    conv = cbuf.data();
+    conv += ((64 - ((uintptr_t)conv & 63)) & 63) / sizeof(double);  // 64B-align
+  }
   // phase 1: per-lag snapshot positions + per-span prefix indices (same
   // geometry logic as the per-lag variant)
   std::vector<int64_t> qpos((size_t)lags * 2 * S);
@@ -3350,9 +3417,28 @@ int32_t sla_span_autocorr_multi_onepass(
   // scalar per lag so no read ever passes the window end
   const int64_t vec_end_cap = win_len - 8 - (lags - 1) + 1;  // pos < cap
   std::vector<double> pf((size_t)lags * 2 * S);
+  const double scale = std::ldexp(1.0, -31);  // 2^-31, exact
   for (int32_t w = 0; w < W; ++w) {
     for (int32_t ch = 0; ch < C; ++ch) {
-      const double* x = data + (int64_t)ch * file_n + win_off[w];
+      const double* x;
+      if (ibase) {
+        if (ms) {
+          const int32_t* lp = ibase + win_off[w];
+          const int32_t* rp = ibase + icstride + win_off[w];
+          if (ch == 0)
+            for (int64_t i = 0; i < win_len; ++i)
+              conv[i] = ((double)lp[i] * scale + (double)rp[i] * scale) / 2.0;
+          else
+            for (int64_t i = 0; i < win_len; ++i)
+              conv[i] = (double)lp[i] * scale - (double)rp[i] * scale;
+        } else {
+          const int32_t* p = ibase + (int64_t)ch * icstride + win_off[w];
+          for (int64_t i = 0; i < win_len; ++i) conv[i] = (double)p[i] * scale;
+        }
+        x = conv;
+      } else {
+        x = data + (int64_t)ch * file_n + win_off[w];
+      }
       // compile-time lag counts for the preset orders keep the striped
       // accumulators in registers (see onepass_run_segment)
       if (order == 16 || order == 8) {
@@ -3423,6 +3509,27 @@ int32_t sla_span_autocorr_multi_onepass(
     }
   }
   return 0;
+}
+
+int32_t sla_span_autocorr_multi_onepass(
+    const double* data, int32_t C, int64_t file_n, const int64_t* win_off,
+    int32_t W, int64_t win_len, const int64_t* positions, int32_t V,
+    const int64_t* spans, int32_t S, int32_t order, double* out) {
+  return span_autocorr_multi_onepass_impl(
+      data, nullptr, 0, 0, C, file_n, win_off, W, win_len, positions, V,
+      spans, S, order, out);
+}
+
+// int32-source export: base = the original (C, N) canonical int32 signal
+// (rows cstride elements apart), ms selects the mid/side double transform.
+int32_t sla_span_autocorr_multi_onepass_i32(
+    const int32_t* base, int64_t cstride, int32_t ms, int32_t C,
+    const int64_t* win_off, int32_t W, int64_t win_len,
+    const int64_t* positions, int32_t V, const int64_t* spans, int32_t S,
+    int32_t order, double* out) {
+  return span_autocorr_multi_onepass_impl(
+      nullptr, base, cstride, ms, C, 0, win_off, W, win_len, positions, V,
+      spans, S, order, out);
 }
 
 int32_t sla_span_autocorr(const double* data, int32_t C, int32_t N,
@@ -4900,15 +5007,25 @@ static void lpc_finish_row(const double* auto_corr, int32_t n, int32_t order,
 // Core with per-row source offsets into one base buffer, so callers can
 // analyze rows that live as slices of a larger (C, N) signal without a
 // gather copy (same fill arithmetic as the contiguous entry).
+// Optional int32 source for the interleave fill: when ibase is set, row r
+// reads the ORIGINAL int32 signal and converts on the fly with exactly
+// convert_ms's float64 arithmetic (x*2^-31, (l+r)/2, l-r — every step
+// exact, so the fill sees bit-identical doubles without the whole-file
+// float64 array). modes[r]: 0 = raw at ibase+offs[r]; 1/2 = MS mid/side
+// from the channel rows at ibase+offs[r] and ibase+offs[r]+icstride.
 static int32_t lpc_analyze_rows8_core(const double* base, const int64_t* offs,
                                       int32_t n, int32_t order,
                                       int32_t bits_per_sample,
                                       const double* window, int32_t emphasis,
                                       double* parcor,
-                                      double* length_per_sample) {
+                                      double* length_per_sample,
+                                      const int32_t* ibase = nullptr,
+                                      int64_t icstride = 0,
+                                      const int32_t* modes = nullptr) {
   if (order < 1 || order > 64) return -1;
   enum { R = 8 };
   constexpr double kEmph = 31.0 / 32.0;  // (2^5 - 1) * 2^-5, exact
+  const double kScale = std::ldexp(1.0, -31);  // 2^-31, exact
   static thread_local std::vector<double> wbuf;
   wbuf.resize((size_t)n * R + R);
   double* w = wbuf.data();
@@ -4917,7 +5034,16 @@ static int32_t lpc_analyze_rows8_core(const double* base, const int64_t* offs,
   for (int32_t i = 0; i < n; ++i) {
     double cur[R];
     for (int32_t r = 0; r < R; ++r) {
-      double v = base[offs[r] + i];
+      double v;
+      if (!ibase) {
+        v = base[offs[r] + i];
+      } else if (modes[r] == 0) {
+        v = (double)ibase[offs[r] + i] * kScale;
+      } else {
+        const double dl = (double)ibase[offs[r] + i] * kScale;
+        const double dr = (double)ibase[offs[r] + icstride + i] * kScale;
+        v = (modes[r] == 1) ? (dl + dr) / 2.0 : dl - dr;
+      }
       if (window) v *= window[i];
       cur[r] = v;
     }
@@ -4987,12 +5113,13 @@ int32_t sla_lpc_analyze_rows8(const double* data, int32_t n, int32_t order,
 // Offsets form of the batched analysis: rows live at base + row_offs[b]
 // (each n doubles), e.g. window slices of one (C, N) signal — no gather
 // copy. Tail groups pad with row 0 (lane results past B are discarded).
-int32_t sla_lpc_analyze_rows_off_mt(const double* base, const int64_t* row_offs,
-                                    int32_t B, int32_t n, int32_t order,
-                                    int32_t bits_per_sample,
-                                    const double* window, int32_t emphasis,
-                                    double* parcor /* B x (order+1) */,
-                                    double* length_per_sample /* B */) {
+static int32_t lpc_analyze_rows_off_mt_impl(
+    const double* base, const int32_t* ibase, int64_t icstride,
+    const int32_t* row_modes, const int64_t* row_offs,
+    int32_t B, int32_t n, int32_t order, int32_t bits_per_sample,
+    const double* window, int32_t emphasis,
+    double* parcor /* B x (order+1) */,
+    double* length_per_sample /* B */) {
   if (order < 1 || order > 64) return -1;
   const int32_t G = (B + 7) / 8;
   const int T0 = entropy_threads();
@@ -5005,17 +5132,22 @@ int32_t sla_lpc_analyze_rows_off_mt(const double* base, const int64_t* row_offs,
         if (lpc_analyze_rows8_core(base, row_offs + b, n, order,
                                    bits_per_sample, window, emphasis,
                                    parcor + (int64_t)b * (order + 1),
-                                   length_per_sample + b) != 0)
+                                   length_per_sample + b, ibase, icstride,
+                                   row_modes ? row_modes + b : nullptr) != 0)
           err.store(-1);
         continue;
       }
       const int32_t tail = B - b;
       int64_t offs8[8];
-      for (int32_t r = 0; r < 8; ++r)
+      int32_t modes8[8] = {0};
+      for (int32_t r = 0; r < 8; ++r) {
         offs8[r] = row_offs[r < tail ? b + r : b];
+        if (row_modes) modes8[r] = row_modes[r < tail ? b + r : b];
+      }
       double pc8[8 * 65], ln8[8];
       if (lpc_analyze_rows8_core(base, offs8, n, order, bits_per_sample,
-                                 window, emphasis, pc8, ln8) != 0) {
+                                 window, emphasis, pc8, ln8, ibase, icstride,
+                                 row_modes ? modes8 : nullptr) != 0) {
         err.store(-1);
         continue;
       }
@@ -5034,6 +5166,30 @@ int32_t sla_lpc_analyze_rows_off_mt(const double* base, const int64_t* row_offs,
     run_range(0, G);
   }
   return err.load();
+}
+
+int32_t sla_lpc_analyze_rows_off_mt(const double* base, const int64_t* row_offs,
+                                    int32_t B, int32_t n, int32_t order,
+                                    int32_t bits_per_sample,
+                                    const double* window, int32_t emphasis,
+                                    double* parcor /* B x (order+1) */,
+                                    double* length_per_sample /* B */) {
+  return lpc_analyze_rows_off_mt_impl(base, nullptr, 0, nullptr, row_offs, B,
+                                      n, order, bits_per_sample, window,
+                                      emphasis, parcor, length_per_sample);
+}
+
+// int32-source form: rows read the ORIGINAL int32 signal and convert on
+// the fly (see lpc_analyze_rows8_core). row_modes[b]: 0 raw, 1 mid, 2 side.
+int32_t sla_lpc_analyze_rows_off_i32_mt(
+    const int32_t* base, int64_t cstride, const int64_t* row_offs,
+    const int32_t* row_modes, int32_t B, int32_t n, int32_t order,
+    int32_t bits_per_sample, const double* window, int32_t emphasis,
+    double* parcor /* B x (order+1) */, double* length_per_sample /* B */) {
+  return lpc_analyze_rows_off_mt_impl(nullptr, base, cstride, row_modes,
+                                      row_offs, B, n, order, bits_per_sample,
+                                      window, emphasis, parcor,
+                                      length_per_sample);
 }
 
 // Whole-batch exact LPC analysis: groups of 8 rows through the
