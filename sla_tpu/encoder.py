@@ -91,6 +91,11 @@ class _BlockPlan:
     init_rice: list[int] | None = None  # (C,) initial Rice params
     residual: np.ndarray | None = None  # (C, n) int32 final residual
     raw_int32: np.ndarray | None = None  # (C, n) int32 (for RAWDATA blocks)
+    # in-place source of raw_int32 (the whole-file analysis-scale int32
+    # view + this block's sample offset): the host stage-1 kernel reads
+    # rows straight from it, skipping the (B, L) batch assembly copy
+    raw_base: np.ndarray | None = None
+    raw_off: int = 0
     # device-coded Rice symbol parts ((n, C, 4) values, lengths) when the
     # entropy symbols were computed on-chip alongside the filters
     device_parts: tuple[np.ndarray, np.ndarray] | None = None
@@ -629,6 +634,8 @@ class Encoder:
             for row, i in enumerate(idxs):
                 plan = plans[i]
                 plan.raw_int32 = int32_ms[:, plan.offset : plan.offset + n]
+                plan.raw_base = int32_ms
+                plan.raw_off = plan.offset
                 if stats is not None:
                     if not (stats[0][row].any() or stats[1][row].any()):
                         plan.block_type = BlockDataType.SILENT
@@ -793,20 +800,33 @@ class Encoder:
         # the host path does exact-length rows and padding is pure waste)
         L = ep.max_num_block_samples
         B = (1 << (rows - 1).bit_length()) if (backend != "host" and rows > 1) else rows
-        # np.empty + explicit tail/padding zeroing: the data region is
-        # overwritten right below, and a full-batch np.zeros memset costs
-        # ~2 ms per 10 MB on this host's page-fault pricing
-        batch = np.empty((B, L), dtype=np.int32)
         coefs = np.zeros((B, p), dtype=np.int32)
         lengths = np.zeros((B,), dtype=np.int64)
         for pl, C, r0 in rows_meta:
-            batch[r0 : r0 + C, : pl.num_samples] = pl.raw_int32
-            if pl.num_samples < L:
-                batch[r0 : r0 + C, pl.num_samples :] = 0
             coefs[r0 : r0 + C] = pl.parcor_coef[:, 1:]
             lengths[r0 : r0 + C] = pl.num_samples
-        if rows < B:  # device-path pow2 padding rows
-            batch[rows:] = 0
+        # host backend reads its input rows IN PLACE from the whole-file
+        # int32 view (one shared base, contiguous) — the (B, L) batch
+        # materializes only for the device/mesh paths (which upload it)
+        base0 = rows_meta[0][0].raw_base
+        in_place = (
+            backend == "host"
+            and base0 is not None
+            and base0.flags.c_contiguous
+            and all(pl.raw_base is base0 for pl, _, _ in rows_meta)
+        )
+        batch = None
+        if not in_place:
+            # np.empty + explicit tail/padding zeroing: the data region is
+            # overwritten right below, and a full-batch np.zeros memset
+            # costs ~2 ms per 10 MB on this host's page-fault pricing
+            batch = np.empty((B, L), dtype=np.int32)
+            for pl, C, r0 in rows_meta:
+                batch[r0 : r0 + C, : pl.num_samples] = pl.raw_int32
+                if pl.num_samples < L:
+                    batch[r0 : r0 + C, pl.num_samples :] = 0
+            if rows < B:  # device-path pow2 padding rows
+                batch[rows:] = 0
 
         res1_dev = None
         res2_dev = None
@@ -834,7 +854,17 @@ class Encoder:
             res1_dev = sharded_encode_stage1(d_batch, d_coefs, p, mesh)
             residual1 = np.asarray(res1_dev)[:B, 0]
         elif backend == "host":
-            residual1 = native.predict_stage1_rows(batch, coefs, lengths)
+            if in_place:
+                cstride = base0.strides[0] // 4
+                offs = np.empty((B,), dtype=np.int64)
+                for pl, C, r0 in rows_meta:
+                    for ch in range(C):
+                        offs[r0 + ch] = ch * cstride + pl.raw_off
+                residual1 = native.predict_stage1_rows_at(
+                    base0, offs, coefs, lengths, L
+                )
+            else:
+                residual1 = native.predict_stage1_rows(batch, coefs, lengths)
         else:
             import jax.numpy as jnp
 

@@ -226,6 +226,10 @@ def _load() -> ctypes.CDLL | None:
     lib.sla_predict_stage1_rows8.argtypes = [p_i32, p_i32, i32, p_i32, i32]
     lib.sla_predict_stage1_rows16.restype = i32
     lib.sla_predict_stage1_rows16.argtypes = [p_i32, p_i32, i32, p_i32, i32]
+    lib.sla_predict_stage1_rows8_at.restype = i32
+    lib.sla_predict_stage1_rows8_at.argtypes = [p_i32, p_i64, p_i32, i32, p_i32, i32]
+    lib.sla_predict_stage1_rows16_at.restype = i32
+    lib.sla_predict_stage1_rows16_at.argtypes = [p_i32, p_i64, p_i32, i32, p_i32, i32]
     lib.sla_predict_stage2_rows8.restype = i32
     lib.sla_predict_stage2_rows8.argtypes = [p_i32, p_i32, i32, p_i32, p_i32, i32, i32]
     lib.sla_predict_stage2_rows16.restype = i32
@@ -789,6 +793,105 @@ def predict_stage1_rows(
             row = np.empty(n, dtype=np.int32)
             lib.sla_predict_stage1(
                 _i32ptr(data[b]), _i32ptr(row), n, _i32ptr(coef[b]), p
+            )
+            out[b, :n] = row
+
+        jobs.append(run)
+    _run_jobs(jobs)
+    return out
+
+
+def predict_stage1_rows_at(
+    base: np.ndarray,
+    row_offs: np.ndarray,
+    parcor_coef: np.ndarray,
+    lengths: np.ndarray,
+    L: int,
+) -> np.ndarray:
+    """predict_stage1_rows over rows that live IN PLACE as (channel,
+    offset) slices of the whole-file int32 signal: row b =
+    base_flat[row_offs[b] : row_offs[b] + lengths[b]]. Skips the (B, L)
+    batch assembly copy (~4 bytes/row-sample of pure traffic). Returns
+    the (B, L) residual, rows zero-padded past their length — identical
+    values to predict_stage1_rows on an assembled batch.
+
+    Mixed-length lane groups still gather (reading past a short row in
+    place could cross the array end); exact-length groups — the common
+    case — read in place."""
+    lib = _load()
+    if base.dtype != np.int32 or base.strides[-1] != 4:
+        base = np.ascontiguousarray(base, dtype=np.int32)
+    offs = np.asarray(row_offs, dtype=np.int64)
+    lens = np.asarray(lengths, dtype=np.int64)
+    B = offs.size
+    out = np.empty((B, L), dtype=np.int32)
+    for b in np.nonzero(lens < L)[0]:  # zero-padded contract, tails only
+        out[b, lens[b] :] = 0
+    coef = np.ascontiguousarray(parcor_coef, dtype=np.int32)
+    p = coef.shape[1]
+    base_ptr = _i32ptr(base)
+    base_addr = base.ctypes.data
+
+    def row_ptr(off):
+        return ctypes.cast(base_addr + 4 * int(off),
+                           ctypes.POINTER(ctypes.c_int32))
+
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    groups, singles = _row_groups(lens)
+    jobs = []
+    for n, idx, row_lens in groups:
+        take = len(idx)
+        coef8 = np.ascontiguousarray(coef[idx])
+        if row_lens is None:
+            fn = (
+                lib.sla_predict_stage1_rows16_at
+                if take == 16
+                else lib.sla_predict_stage1_rows8_at
+            )
+            off8 = np.ascontiguousarray(offs[idx])
+            i0 = idx[0]
+            if n == L and idx == list(range(i0, i0 + take)):
+
+                def run(fn=fn, off8=off8, i0=i0, n=n, coef8=coef8):
+                    fn(base_ptr, off8.ctypes.data_as(p_i64),
+                       _i32ptr(out[i0:]), n, _i32ptr(coef8), p)
+
+            else:
+
+                def run(fn=fn, off8=off8, idx=idx, n=n, coef8=coef8,
+                        take=take):
+                    out8 = np.empty((take, n), dtype=np.int32)
+                    fn(base_ptr, off8.ctypes.data_as(p_i64),
+                       _i32ptr(out8), n, _i32ptr(coef8), p)
+                    out[idx, :n] = out8
+
+        else:
+            # mixed lengths: gather with zero pad, exactly like the
+            # batch wrapper (outputs past a row's length are discarded)
+            fn = (
+                lib.sla_predict_stage1_rows16
+                if take == 16
+                else lib.sla_predict_stage1_rows8
+            )
+            in8 = np.zeros((take, n), dtype=np.int32)
+            flat = base.reshape(-1)
+            for i, (b, nb) in enumerate(zip(idx, row_lens)):
+                in8[i, :nb] = flat[offs[b] : offs[b] + nb]
+
+            def run(fn=fn, idx=idx, n=n, in8=in8, coef8=coef8,
+                    row_lens=row_lens):
+                out8 = np.empty_like(in8)
+                fn(_i32ptr(in8), _i32ptr(out8), n, _i32ptr(coef8), p)
+                for i, (b, nb) in enumerate(zip(idx, row_lens)):
+                    out[b, :nb] = out8[i, :nb]
+
+        jobs.append(run)
+    for n, b in singles:
+
+        def run(b=b, n=n):
+            row = np.empty(n, dtype=np.int32)
+            lib.sla_predict_stage1(
+                row_ptr(offs[b]), _i32ptr(row), n, _i32ptr(coef[b]), p
             )
             out[b, :n] = row
 

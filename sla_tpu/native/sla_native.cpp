@@ -4372,6 +4372,37 @@ static inline void tile_transpose8(__m256i m[8]) {
 }
 #endif
 
+// Per-row-pointer tile load: rows live anywhere (e.g. (channel, offset)
+// slices of the whole-file int32 signal) instead of a packed (R, n)
+// batch — the host stage-1 entry reads its input IN PLACE this way,
+// skipping the ~4 bytes/row-sample batch assembly copy.
+template <int R>
+static inline void tile_load_ptrs(const int32_t* const* rows, int32_t s0,
+                                  typename VI<R>::v t[R]) {
+#if defined(__AVX512F__)
+  if constexpr (R == 16) {
+    __m512i m[16];
+    for (int r = 0; r < 16; ++r)
+      m[r] = _mm512_loadu_si512((const void*)(rows[r] + s0));
+    tile_transpose16(m);
+    for (int k = 0; k < 16; ++k) _mm512_storeu_si512((void*)&t[k], m[k]);
+    return;
+  }
+#endif
+#if defined(__AVX2__)
+  if constexpr (R == 8) {
+    __m256i m[8];
+    for (int r = 0; r < 8; ++r)
+      m[r] = _mm256_loadu_si256((const __m256i*)(rows[r] + s0));
+    tile_transpose8(m);
+    for (int k = 0; k < 8; ++k) _mm256_storeu_si256((__m256i*)&t[k], m[k]);
+    return;
+  }
+#endif
+  for (int k = 0; k < R; ++k)
+    for (int r = 0; r < R; ++r) t[k][r] = rows[r][s0 + k];
+}
+
 template <int R>
 static inline void tile_load(const int32_t* base, int64_t stride, int32_t s0,
                              typename VI<R>::v t[R]) {
@@ -4519,8 +4550,8 @@ static void lms_rowsT(const int32_t* in_rows, int32_t* out_rows, int32_t n,
 // chains in zmm registers instead of round-tripping the stack per stage —
 // the store->load latency through those arrays dominated the pass.
 template <int R, int P>
-static int32_t predict_stage1_coreT(const int32_t* in, int32_t* out,
-                                    int32_t n,
+static int32_t predict_stage1_coreT(const int32_t* const* in_rows,
+                                    int32_t* out, int32_t n,
                                     const int32_t* parcor_coef /* R x p */,
                                     int32_t p_rt) {
   const int32_t p = P > 0 ? P : p_rt;
@@ -4561,13 +4592,13 @@ static int32_t predict_stage1_coreT(const int32_t* in, int32_t* out,
   int32_t s = 0;
   for (; s + R <= n; s += R) {  // transposed register tiles (see tile_load)
     vsi t[R];
-    tile_load<R>(in, n, s, t);
+    tile_load_ptrs<R>(in_rows, s, t);
     for (int32_t k = 0; k < R; ++k) t[k] = sample_step(t[k]);
     tile_store<R>(out, n, s, t);
   }
   for (; s < n; ++s) {
     vsi raw;
-    for (int32_t r = 0; r < R; ++r) raw[r] = in[(int64_t)r * n + s];
+    for (int32_t r = 0; r < R; ++r) raw[r] = in_rows[r][s];
     const vsi o = sample_step(raw);
     for (int32_t r = 0; r < R; ++r) out[(int64_t)r * n + s] = o[r];
   }
@@ -4575,17 +4606,17 @@ static int32_t predict_stage1_coreT(const int32_t* in, int32_t* out,
 }
 
 template <int R>
-static int32_t predict_stage1_rowsT(const int32_t* in, int32_t* out,
-                                    int32_t n,
-                                    const int32_t* parcor_coef /* R x p */,
-                                    int32_t p) {
+static int32_t predict_stage1_rowsT_at(const int32_t* const* rows,
+                                       int32_t* out, int32_t n,
+                                       const int32_t* parcor_coef /* R x p */,
+                                       int32_t p) {
   typedef typename VI<R>::v vsi;
   const vsi vzero = {};
   if (p == 0) {  // degenerate order: pre-emphasis only (lattice = identity)
     vsi x_prev0 = vzero;
     for (int32_t s = 0; s < n; ++s) {
       vsi raw;
-      for (int32_t r = 0; r < R; ++r) raw[r] = in[(int64_t)r * n + s];
+      for (int32_t r = 0; r < R; ++r) raw[r] = rows[r][s];
       const vsi o = raw - ((x_prev0 * 31) >> 5);
       x_prev0 = raw;
       for (int32_t r = 0; r < R; ++r) out[(int64_t)r * n + s] = o[r];
@@ -4593,11 +4624,21 @@ static int32_t predict_stage1_rowsT(const int32_t* in, int32_t* out,
     return 0;
   }
   switch (p) {  // compile-time orders for the preset values
-    case 8:  return predict_stage1_coreT<R, 8>(in, out, n, parcor_coef, p);
-    case 16: return predict_stage1_coreT<R, 16>(in, out, n, parcor_coef, p);
-    case 32: return predict_stage1_coreT<R, 32>(in, out, n, parcor_coef, p);
-    default: return predict_stage1_coreT<R, 0>(in, out, n, parcor_coef, p);
+    case 8:  return predict_stage1_coreT<R, 8>(rows, out, n, parcor_coef, p);
+    case 16: return predict_stage1_coreT<R, 16>(rows, out, n, parcor_coef, p);
+    case 32: return predict_stage1_coreT<R, 32>(rows, out, n, parcor_coef, p);
+    default: return predict_stage1_coreT<R, 0>(rows, out, n, parcor_coef, p);
   }
+}
+
+template <int R>
+static int32_t predict_stage1_rowsT(const int32_t* in, int32_t* out,
+                                    int32_t n,
+                                    const int32_t* parcor_coef /* R x p */,
+                                    int32_t p) {
+  const int32_t* rows[R];
+  for (int32_t r = 0; r < R; ++r) rows[r] = in + (int64_t)r * n;
+  return predict_stage1_rowsT_at<R>(rows, out, n, parcor_coef, p);
 }
 
 // Row-interleaved encode stage 2: long-term FIR (history = input, no
@@ -4780,6 +4821,22 @@ int32_t sla_predict_stage1_rows8(const int32_t* in, int32_t* out, int32_t n,
 int32_t sla_predict_stage1_rows16(const int32_t* in, int32_t* out, int32_t n,
                                   const int32_t* coef, int32_t p) {
   return predict_stage1_rowsT<16>(in, out, n, coef, p);
+}
+// In-place input forms: rows read base + offs[r] (element offsets into the
+// whole-file (C, N) int32 signal) — no (R, n) batch assembly copy.
+int32_t sla_predict_stage1_rows8_at(const int32_t* base, const int64_t* offs,
+                                    int32_t* out, int32_t n,
+                                    const int32_t* coef, int32_t p) {
+  const int32_t* rows[8];
+  for (int32_t r = 0; r < 8; ++r) rows[r] = base + offs[r];
+  return predict_stage1_rowsT_at<8>(rows, out, n, coef, p);
+}
+int32_t sla_predict_stage1_rows16_at(const int32_t* base, const int64_t* offs,
+                                     int32_t* out, int32_t n,
+                                     const int32_t* coef, int32_t p) {
+  const int32_t* rows[16];
+  for (int32_t r = 0; r < 16; ++r) rows[r] = base + offs[r];
+  return predict_stage1_rowsT_at<16>(rows, out, n, coef, p);
 }
 int32_t sla_predict_stage2_rows8(const int32_t* in, int32_t* out, int32_t n,
                                  const int32_t* pitch8, const int32_t* ltm,
