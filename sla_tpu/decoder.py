@@ -332,8 +332,6 @@ class Decoder:
                         payloads[i] = self._decode_payload(data, b)
                 t_ent += time.perf_counter() - t0
                 t0 = time.perf_counter()
-                outputs = self._synth_outputs(grp, payloads, premade=premade)
-                srcs: list[np.ndarray] = []
                 offs = np.empty(len(grp), dtype=np.int64)
                 ns = np.empty(len(grp), dtype=np.int32)
                 for i, b in enumerate(grp):
@@ -345,16 +343,28 @@ class Decoder:
                             ApiResult.DETECT_DATA_CORRUPTION,
                             "block sample counts exceed the header total",
                         )
-                    src = outputs.get(i)
-                    srcs.append(payloads[i] if src is None else src)
                     offs[i] = off
                     ns[i] = b.num_samples
                     off += b.num_samples
-                native.ms_shift_blocks(
-                    srcs, offs, ns, out,
-                    32 - wf.bit_per_sample + wf.offset_lshift,
-                    ep.ch_process_method == ChannelProcessMethod.STEREO_MS,
-                )
+                shift = 32 - wf.bit_per_sample + wf.offset_lshift
+                ms = ep.ch_process_method == ChannelProcessMethod.STEREO_MS
+                if self._synth_group_fused(
+                    grp, comp, payloads, premade, out, offs, shift, ms
+                ):
+                    t_syn += time.perf_counter() - t0
+                    if self.config.verbose:
+                        print(
+                            f"progress:{100 * off // max(header.num_samples, 1):2d}%",
+                            end="\r",
+                            flush=True,
+                        )
+                    continue
+                outputs = self._synth_outputs(grp, payloads, premade=premade)
+                srcs: list[np.ndarray] = []
+                for i, b in enumerate(grp):
+                    src = outputs.get(i)
+                    srcs.append(payloads[i] if src is None else src)
+                native.ms_shift_blocks(srcs, offs, ns, out, shift, ms)
                 t_syn += time.perf_counter() - t0
                 if self.config.verbose:
                     # progress per group (SLADecoder.c:721-725 prints per
@@ -411,6 +421,68 @@ class Decoder:
                 out = np.stack([left, right])
             result.append((out.astype(np.int32) << shift).astype(np.int32))
         return result
+
+    def _synth_group_fused(
+        self,
+        grp: list[_Block],
+        comp: list[int],
+        payloads: list[np.ndarray],
+        premade: np.ndarray | None,
+        out: np.ndarray,
+        offs: np.ndarray,
+        shift: int,
+        ms: bool,
+    ) -> bool:
+        """Host fast path for one block group: the synthesis cascade's
+        lattice pass stores STRAIGHT into the (C, N) PCM buffer with the
+        MS inverse and left shift fused (native.synth_rows_fused over the
+        premade residual batch) — no whole-batch ms_shift pass. RAW/SILENT
+        blocks scatter through ms_shift_blocks as before. Returns False
+        when ineligible (caller runs the general path)."""
+        wf, ep = self._wave_format, self._encode_param
+        C = wf.num_channels
+        p, T = ep.parcor_order, ep.longterm_order
+        if (
+            premade is None
+            or p <= 0
+            or not native.available()
+            or premade.shape[0] != len(comp) * C
+        ):
+            return False
+        total_row_samples = sum(grp[i].num_samples for i in comp) * C
+        if self._select_backend(total_row_samples) != "host":
+            return False
+        B = len(comp) * C
+        coef = np.zeros((B, p), dtype=np.int32)
+        pitch = np.zeros((B,), dtype=np.int32)
+        ltm = np.zeros((B, max(T, 1)), dtype=np.int32)
+        lengths = np.zeros((B,), dtype=np.int64)
+        dest_offs = np.zeros((B,), dtype=np.int64)
+        N = out.shape[-1]
+        for bi, i in enumerate(comp):
+            blk = grp[i]
+            coef[bi * C : (bi + 1) * C] = blk.parcor_coef[:, 1:]
+            pitch[bi * C : (bi + 1) * C] = blk.pitch
+            ltm[bi * C : (bi + 1) * C] = blk.ltm_coef
+            lengths[bi * C : (bi + 1) * C] = blk.num_samples
+            for ch in range(C):
+                dest_offs[bi * C + ch] = ch * N + offs[i]
+        native.synth_rows_fused(
+            premade, coef, pitch, ltm, T, ep.lms_order_per_filter,
+            lengths, out, dest_offs, ms, shift,
+        )
+        rest = [
+            i for i, b in enumerate(grp)
+            if b.block_type != BlockDataType.COMPRESSDATA
+        ]
+        if rest:
+            native.ms_shift_blocks(
+                [payloads[i] for i in rest],
+                offs[rest], np.asarray([grp[i].num_samples for i in rest],
+                                       dtype=np.int32),
+                out, shift, ms,
+            )
+        return True
 
     def _synth_outputs(
         self, blocks: list[_Block], payloads: list[np.ndarray],

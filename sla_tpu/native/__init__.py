@@ -230,6 +230,14 @@ def _load() -> ctypes.CDLL | None:
     lib.sla_predict_stage1_rows8_at.argtypes = [p_i32, p_i64, p_i32, i32, p_i32, i32]
     lib.sla_predict_stage1_rows16_at.restype = i32
     lib.sla_predict_stage1_rows16_at.argtypes = [p_i32, p_i64, p_i32, i32, p_i32, i32]
+    _synth_out_args = [
+        p_i32, i32, p_i32, i32, p_i32, p_i32, i32, i32,
+        p_i32, p_i64, i32, i32,
+    ]
+    lib.sla_synth_rows8_out.restype = i32
+    lib.sla_synth_rows8_out.argtypes = _synth_out_args
+    lib.sla_synth_rows16_out.restype = i32
+    lib.sla_synth_rows16_out.argtypes = _synth_out_args
     lib.sla_predict_stage2_rows8.restype = i32
     lib.sla_predict_stage2_rows8.argtypes = [p_i32, p_i32, i32, p_i32, p_i32, i32, i32]
     lib.sla_predict_stage2_rows16.restype = i32
@@ -1076,6 +1084,148 @@ def synth_rows(
         )
     _run_jobs(jobs)
     return out
+
+
+def synth_rows_fused(
+    residual: np.ndarray,
+    parcor_coef: np.ndarray,
+    pitch: np.ndarray,
+    ltm_coef: np.ndarray,
+    num_taps: int,
+    lms_order: int,
+    lengths: np.ndarray,
+    dest: np.ndarray,
+    dest_offs: np.ndarray,
+    ms: bool,
+    shift: int,
+) -> None:
+    """Decode-side cascade over a (B, L) batch with the OUTPUT fused:
+    each finished lane group stores straight into the (C, N) PCM buffer
+    `dest` at per-row element offsets `dest_offs`, with the mid/side
+    inverse (rows pair even=mid / odd=side) and the final left shift
+    applied in registers — the whole-batch ms_shift pass disappears.
+    CLOBBERS `residual` (it is the work buffer). Values are identical to
+    synth_rows followed by MS inverse + shift.
+
+    Mixed-length lane groups and singles synthesize in place and scatter
+    via NumPy (a masked fused store past a short row's length would
+    clobber the next block's PCM region); requires parcor_order > 0."""
+    lib = _load()
+    assert residual.dtype == np.int32 and residual.flags.c_contiguous
+    B, L = residual.shape
+    p = parcor_coef.shape[1]
+    if p <= 0:
+        raise ValueError("synth_rows_fused requires parcor_order > 0")
+    M = lms_order
+    coef = np.ascontiguousarray(parcor_coef, dtype=np.int32)
+    ltm = np.ascontiguousarray(ltm_coef, dtype=np.int32)
+    lens = np.asarray(lengths, dtype=np.int64)
+    doffs = np.asarray(dest_offs, dtype=np.int64)
+    dest_ptr = _i32ptr(dest)
+    dest_flat = dest.reshape(-1)
+    N = dest.shape[-1]
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+
+    groups, singles = _row_groups(lens)
+    jobs = []
+    leftover_rows: list[tuple[int, int]] = []  # (row, length)
+    for n, idx, row_lens in groups:
+        take = len(idx)
+        i0 = idx[0]
+        # MS pairing: lanes (2i, 2i+1) must be one block's (mid, side)
+        # rows — true by construction (C == 2 rows enter the length
+        # buckets together and group sizes are even), verified anyway
+        pair_ok = (not ms) or all(
+            idx[k] % 2 == 0 and idx[k + 1] == idx[k] + 1
+            for k in range(0, take, 2)
+        )
+        if row_lens is None and pair_ok:
+            fn = lib.sla_synth_rows16_out if take == 16 else lib.sla_synth_rows8_out
+            coef8 = np.ascontiguousarray(coef[idx])
+            pit8 = np.ascontiguousarray(pitch[idx].astype(np.int32))
+            ltm8 = np.ascontiguousarray(ltm[idx])
+            off8 = np.ascontiguousarray(doffs[idx])
+            if n == L and idx == list(range(i0, i0 + take)):
+
+                def run(fn=fn, i0=i0, n=n, coef8=coef8, pit8=pit8,
+                        ltm8=ltm8, off8=off8):
+                    fn(_i32ptr(residual[i0:]), n, _i32ptr(coef8), p,
+                       _i32ptr(pit8), _i32ptr(ltm8), num_taps, M,
+                       dest_ptr, off8.ctypes.data_as(p_i64),
+                       1 if ms else 0, int(shift))
+
+            else:
+
+                def run(fn=fn, idx=idx, n=n, coef8=coef8, pit8=pit8,
+                        ltm8=ltm8, off8=off8, take=take):
+                    res8 = np.ascontiguousarray(residual[idx, :n])
+                    fn(_i32ptr(res8), n, _i32ptr(coef8), p,
+                       _i32ptr(pit8), _i32ptr(ltm8), num_taps, M,
+                       dest_ptr, off8.ctypes.data_as(p_i64),
+                       1 if ms else 0, int(shift))
+
+            jobs.append(run)
+            continue
+        # mixed-length group: synthesize in place (original kernel), then
+        # scatter below with per-row true lengths
+        fn = lib.sla_synth_rows16 if take == 16 else lib.sla_synth_rows8
+        coef8 = np.ascontiguousarray(coef[idx])
+        pit8 = np.ascontiguousarray(pitch[idx].astype(np.int32))
+        ltm8 = np.ascontiguousarray(ltm[idx])
+        rl = row_lens if row_lens is not None else [n] * take
+        res8 = np.zeros((take, n), dtype=np.int32)
+        for i, (b, nb) in enumerate(zip(idx, rl)):
+            res8[i, :nb] = residual[b, :nb]
+
+        def run(fn=fn, idx=idx, n=n, res8=res8, coef8=coef8, pit8=pit8,
+                ltm8=ltm8, rl=rl):
+            out8 = np.empty_like(res8)
+            fn(_i32ptr(res8), _i32ptr(out8), n, _i32ptr(coef8), p,
+               _i32ptr(pit8), _i32ptr(ltm8), num_taps, M)
+            for i, (b, nb) in enumerate(zip(idx, rl)):
+                residual[b, :nb] = out8[i, :nb]
+
+        jobs.append(run)
+        leftover_rows.extend((b, nb) for b, nb in zip(idx, rl))
+    for n, b in singles:
+        lat = np.zeros(p + 1, np.int32)
+        hist = np.zeros(1024, np.int32)
+        ltp = np.zeros(1, np.int32)
+        lms = np.zeros(4 * M, np.int32)
+        lmsp = np.zeros(1, np.int32)
+        de = np.zeros(1, np.int32)
+        residual[b, :n] = synth_chunk(
+            residual[b, :n].copy(), coef[b], lat, int(pitch[b]), ltm[b],
+            num_taps, hist, ltp, M, lms, lmsp, de,
+        )
+        leftover_rows.append((b, n))
+    _run_jobs(jobs)
+    # scatter the leftovers (rare): NumPy MS inverse + shift per pair/row
+    if leftover_rows:
+        from ..dsp.channel import ms_to_lr_int32
+
+        done = set()
+        for b, nb in leftover_rows:
+            if b in done:
+                continue
+            if ms:
+                mb = b & ~1  # the pair's mid row
+                left, right = ms_to_lr_int32(
+                    residual[mb, :nb], residual[mb + 1, :nb]
+                )
+                with np.errstate(over="ignore"):
+                    dest_flat[doffs[mb] : doffs[mb] + nb] = left << np.int32(shift)
+                    dest_flat[doffs[mb + 1] : doffs[mb + 1] + nb] = (
+                        right << np.int32(shift)
+                    )
+                done.update((mb, mb + 1))
+            else:
+                with np.errstate(over="ignore"):
+                    dest_flat[doffs[b] : doffs[b] + nb] = (
+                        residual[b, :nb] << np.int32(shift)
+                    )
+                done.add(b)
+    _ = N  # dest row stride is encoded in dest_offs
 
 
 def synth_chunk(

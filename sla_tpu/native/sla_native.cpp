@@ -4735,6 +4735,190 @@ static void lattice_synth_coreT(int32_t* out, int32_t n,
   }
 }
 
+// Fused-output lattice pass: like lattice_synth_coreT, but instead of
+// writing the work buffer back it stores each finished R-sample tile
+// STRAIGHT into the caller's (C, N) PCM buffer at per-row destinations,
+// applying the mid/side inverse (rows pair as even=mid, odd=side) and the
+// final left shift in registers. Removes the decoder's whole-batch
+// ms_shift pass: one store instead of batch write-back + re-read + final
+// write. Arithmetic per row is identical to lattice_synth_coreT followed
+// by the reference's MStoLR + shift (SLADecoder.c:540-556, wrapping
+// int32); only WHERE values land changes.
+template <int R, int P>
+static void lattice_synth_out_coreT(const int32_t* work, int32_t n,
+                                    const int32_t* parcor_coef /* R x p */,
+                                    int32_t p_rt,
+                                    int32_t* const* dest /* R row ptrs */,
+                                    int32_t ms, int32_t shift) {
+  const int32_t p = P > 0 ? P : p_rt;
+  typedef typename VI<R>::v vsi;
+  const vsi vzero = {};
+  const vsi half = vzero + (1 << 14);
+  vsi c[64];
+  for (int32_t k = 0; k < p; ++k)
+    for (int32_t r = 0; r < R; ++r) c[k][r] = parcor_coef[r * p + k];
+  vsi lat[65];
+  for (int32_t k = 0; k <= p; ++k) lat[k] = vzero;
+  vsi deemph = vzero;
+  vsi m[64], fpart[64];
+  auto sample_step = [&](vsi y) -> vsi {
+    for (int32_t k = 0; k < p; ++k) m[k] = (c[k] * lat[k] + half) >> 15;
+    fpart[p - 1] = y + m[p - 1];
+    for (int32_t k = p - 2; k >= 0; --k) fpart[k] = fpart[k + 1] + m[k];
+    for (int32_t k = p - 1; k >= 0; --k)
+      lat[k + 1] = lat[k] - ((c[k] * fpart[k] + half) >> 15);
+    vsi v = fpart[0];
+    lat[0] = v;
+    v += (deemph * 31) >> 5;
+    deemph = v;
+    return v;
+  };
+  // row-major tile store with fused MS inverse + shift
+  auto store_tile = [&](vsi t[R], int32_t s0) {
+#if defined(__AVX512F__)
+    if constexpr (R == 16) {
+      __m512i mm[16];
+      for (int k = 0; k < 16; ++k)
+        mm[k] = _mm512_loadu_si512((const void*)&t[k]);
+      tile_transpose16(mm);
+      const __m128i sh = _mm_cvtsi32_si128(shift);
+      if (ms) {
+        const __m512i one = _mm512_set1_epi32(1);
+        for (int r = 0; r < 16; r += 2) {
+          const __m512i mid = mm[r], sd = mm[r + 1];
+          const __m512i full = _mm512_or_si512(_mm512_slli_epi32(mid, 1),
+                                               _mm512_and_si512(sd, one));
+          __m512i l = _mm512_srai_epi32(_mm512_add_epi32(full, sd), 1);
+          __m512i rr = _mm512_srai_epi32(_mm512_sub_epi32(full, sd), 1);
+          l = _mm512_sll_epi32(l, sh);
+          rr = _mm512_sll_epi32(rr, sh);
+          _mm512_storeu_si512((void*)(dest[r] + s0), l);
+          _mm512_storeu_si512((void*)(dest[r + 1] + s0), rr);
+        }
+      } else {
+        for (int r = 0; r < 16; ++r)
+          _mm512_storeu_si512((void*)(dest[r] + s0),
+                              _mm512_sll_epi32(mm[r], sh));
+      }
+      return;
+    }
+#endif
+#if defined(__AVX2__)
+    if constexpr (R == 8) {
+      __m256i mm[8];
+      for (int k = 0; k < 8; ++k)
+        mm[k] = _mm256_loadu_si256((const __m256i*)&t[k]);
+      tile_transpose8(mm);
+      const __m128i sh = _mm_cvtsi32_si128(shift);
+      if (ms) {
+        const __m256i one = _mm256_set1_epi32(1);
+        for (int r = 0; r < 8; r += 2) {
+          const __m256i mid = mm[r], sd = mm[r + 1];
+          const __m256i full = _mm256_or_si256(_mm256_slli_epi32(mid, 1),
+                                               _mm256_and_si256(sd, one));
+          __m256i l = _mm256_srai_epi32(_mm256_add_epi32(full, sd), 1);
+          __m256i rr = _mm256_srai_epi32(_mm256_sub_epi32(full, sd), 1);
+          l = _mm256_sll_epi32(l, sh);
+          rr = _mm256_sll_epi32(rr, sh);
+          _mm256_storeu_si256((__m256i*)(dest[r] + s0), l);
+          _mm256_storeu_si256((__m256i*)(dest[r + 1] + s0), rr);
+        }
+      } else {
+        for (int r = 0; r < 8; ++r)
+          _mm256_storeu_si256((__m256i*)(dest[r] + s0),
+                              _mm256_sll_epi32(mm[r], sh));
+      }
+      return;
+    }
+#endif
+    // scalar fallback (non-AVX builds / other widths)
+    for (int k = 0; k < R; ++k) {
+      if (ms) {
+        for (int r = 0; r < R; r += 2) {
+          const int32_t mid = t[k][r], sd = t[k][r + 1];
+          const int32_t full = (mid << 1) | (sd & 1);
+          dest[r][s0 + k] = ((full + sd) >> 1) << shift;
+          dest[r + 1][s0 + k] = ((full - sd) >> 1) << shift;
+        }
+      } else {
+        for (int r = 0; r < R; ++r) dest[r][s0 + k] = t[k][r] << shift;
+      }
+    }
+  };
+  int32_t s = 0;
+  for (; s + R <= n; s += R) {
+    vsi t[R];
+    tile_load<R>(work, n, s, t);
+    for (int32_t k = 0; k < R; ++k) t[k] = sample_step(t[k]);
+    store_tile(t, s);
+  }
+  for (; s < n; ++s) {
+    vsi y;
+    for (int32_t r = 0; r < R; ++r) y[r] = work[(int64_t)r * n + s];
+    const vsi v = sample_step(y);
+    if (ms) {
+      for (int32_t r = 0; r < R; r += 2) {
+        const int32_t mid = v[r], sd = v[r + 1];
+        const int32_t full = (mid << 1) | (sd & 1);
+        dest[r][s] = ((full + sd) >> 1) << shift;
+        dest[r + 1][s] = ((full - sd) >> 1) << shift;
+      }
+    } else {
+      for (int32_t r = 0; r < R; ++r) dest[r][s] = v[r] << shift;
+    }
+  }
+}
+
+// Fused-output synthesis: passes A/B run IN PLACE over `work` (clobbered),
+// pass C stores straight into the PCM destinations with MS inverse + left
+// shift fused (see lattice_synth_out_coreT). Requires p > 0 (the preset
+// decode paths); p == 0 falls back upstream.
+template <int R>
+static int32_t synth_rowsT_out(int32_t* work, int32_t n,
+                               const int32_t* parcor_coef /* R x p */,
+                               int32_t p, const int32_t* pitch8 /* R */,
+                               const int32_t* ltm /* R x T */,
+                               int32_t num_taps, int32_t lms_order,
+                               int32_t* dest_base,
+                               const int64_t* dest_offs /* R */, int32_t ms,
+                               int32_t shift) {
+  if (p <= 0 || (ms && (R & 1))) return -1;
+  const int32_t M = lms_order;
+  switch (M) {
+    case 4: lms_rowsT<R, true, 4>(work, work, n, M); break;
+    case 8: lms_rowsT<R, true, 8>(work, work, n, M); break;
+    default: lms_rowsT<R, true, 0>(work, work, n, M); break;
+  }
+  for (int32_t r = 0; r < R; ++r) {
+    if (pitch8[r] <= 0) continue;
+    const int32_t max_delay = pitch8[r] + num_taps / 2;
+    int32_t q15c[8];
+    if (num_taps > 8) return -1;
+    for (int32_t j = 0; j < num_taps; ++j) q15c[j] = ltm[r * num_taps + j] >> 16;
+    int32_t* x = work + (int64_t)r * n;
+    const int32_t min_lag = max_delay - (num_taps - 1);
+    for (int32_t s0 = max_delay; s0 < n; s0 += min_lag) {
+      int32_t e = s0 + min_lag < n ? s0 + min_lag : n;
+#pragma GCC ivdep
+      for (int32_t s = s0; s < e; ++s) {
+        int64_t acc = 0;
+        for (int32_t j = 0; j < num_taps; ++j)
+          acc += (int64_t)q15c[j] * x[s - (max_delay - j)];
+        x[s] += (int32_t)((acc + (1 << 14)) >> 15);
+      }
+    }
+  }
+  int32_t* dest[R];
+  for (int32_t r = 0; r < R; ++r) dest[r] = dest_base + dest_offs[r];
+  switch (p) {
+    case 8:  lattice_synth_out_coreT<R, 8>(work, n, parcor_coef, p, dest, ms, shift); break;
+    case 16: lattice_synth_out_coreT<R, 16>(work, n, parcor_coef, p, dest, ms, shift); break;
+    case 32: lattice_synth_out_coreT<R, 32>(work, n, parcor_coef, p, dest, ms, shift); break;
+    default: lattice_synth_out_coreT<R, 0>(work, n, parcor_coef, p, dest, ms, shift); break;
+  }
+  return 0;
+}
+
 // Eight-row synthesis: same cascade as sla_synth_chunk, restructured as
 // three passes — the stages have no cross-feedback (LMS sees only the
 // residual and its own state; long-term only LMS output and its own
@@ -4862,6 +5046,24 @@ int32_t sla_synth_rows16(const int32_t* residual, int32_t* out, int32_t n,
                          int32_t num_taps, int32_t lms_order) {
   return synth_rowsT<16>(residual, out, n, parcor_coef, p, pitch8, ltm,
                          num_taps, lms_order);
+}
+int32_t sla_synth_rows8_out(int32_t* work, int32_t n,
+                            const int32_t* parcor_coef, int32_t p,
+                            const int32_t* pitch8, const int32_t* ltm,
+                            int32_t num_taps, int32_t lms_order,
+                            int32_t* dest_base, const int64_t* dest_offs,
+                            int32_t ms, int32_t shift) {
+  return synth_rowsT_out<8>(work, n, parcor_coef, p, pitch8, ltm, num_taps,
+                            lms_order, dest_base, dest_offs, ms, shift);
+}
+int32_t sla_synth_rows16_out(int32_t* work, int32_t n,
+                             const int32_t* parcor_coef, int32_t p,
+                             const int32_t* pitch8, const int32_t* ltm,
+                             int32_t num_taps, int32_t lms_order,
+                             int32_t* dest_base, const int64_t* dest_offs,
+                             int32_t ms, int32_t shift) {
+  return synth_rowsT_out<16>(work, n, parcor_coef, p, pitch8, ltm, num_taps,
+                             lms_order, dest_base, dest_offs, ms, shift);
 }
 
 // Bulk block-header parse for the batch decoder (SLADecoder.c:309-420):
