@@ -312,3 +312,65 @@ def test_threaded_filter_cascades_byte_identical(monkeypatch):
     blob4, pcm4 = run()
     assert blob4 == base_blob
     assert np.array_equal(pcm4, base_pcm)
+
+
+def test_synth_rows_fused_matches_unfused():
+    """synth_rows_fused (lattice store straight into the PCM buffer with MS
+    inverse + shift fused) must equal synth_rows followed by the NumPy MS
+    inverse + shift — including mixed-length lane groups, singles, and the
+    leftover scatter, across channel counts and orders."""
+    import numpy as np
+
+    from sla_tpu import native
+    from sla_tpu.dsp.channel import ms_to_lr_int32
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    for trial, (C, p, T, M, ms, shift, nblocks) in enumerate([
+        (2, 16, 1, 8, True, 16, 9),     # CD preset-2 shape
+        (2, 32, 5, 8, True, 8, 3),      # preset-4 orders
+        (1, 8, 1, 4, False, 24, 5),     # mono preset-0
+        (6, 16, 1, 8, False, 8, 4),     # 5.1
+        (2, 16, 1, 8, True, 0, 17),     # pool/singles stress (odd lengths)
+    ]):
+        L = 4096
+        lens_blocks = rng.integers(64, L + 1, nblocks)
+        if trial == 4:  # force many distinct lengths -> mixed groups + tail
+            lens_blocks = rng.integers(64, 512, nblocks)
+        B = nblocks * C
+        lengths = np.repeat(lens_blocks, C).astype(np.int64)
+        residual = rng.integers(-(2**15), 2**15, (B, L)).astype(np.int32)
+        coef = rng.integers(-32768, 32768, (B, p)).astype(np.int32)
+        pitch = rng.choice([0, 40, 120, 255], B).astype(np.int32)
+        ltm = rng.integers(-(2**30), 2**30, (B, T)).astype(np.int32)
+        N = int(lens_blocks.sum())
+        # unfused reference: synth_rows + NumPy MS inverse + shift
+        ref_rows = native.synth_rows(
+            residual.copy(), coef, pitch, ltm, T, M, lengths
+        )
+        want = np.empty((C, N), dtype=np.int32)
+        off = 0
+        for bi, n in enumerate(lens_blocks):
+            rows = ref_rows[bi * C : (bi + 1) * C, :n]
+            if ms:
+                left, right = ms_to_lr_int32(rows[0], rows[1])
+                rows = np.stack([left, right])
+            with np.errstate(over="ignore"):
+                want[:, off : off + n] = rows << np.int32(shift)
+            off += n
+        # fused path
+        got = np.full((C, N), -12345, dtype=np.int32)
+        dest_offs = np.zeros(B, dtype=np.int64)
+        off = 0
+        for bi, n in enumerate(lens_blocks):
+            for ch in range(C):
+                dest_offs[bi * C + ch] = ch * N + off
+            off += int(n)
+        native.synth_rows_fused(
+            residual.copy(), coef, pitch, ltm, T, M, lengths,
+            got, dest_offs, ms, shift,
+        )
+        assert np.array_equal(got, want), (trial, C, p, ms)
