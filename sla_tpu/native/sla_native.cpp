@@ -2329,7 +2329,10 @@ struct LatticeVec {
     for (int32_t i = 0; i < NZ * 16; ++i) tmp[i] = i < p ? coef[i] : 0;
     for (int z = 0; z < NZ; ++z)
       vc[z] = _mm512_load_si512((const void*)(tmp + 16 * z));
-    for (int32_t i = 0; i < NZ * 16; ++i) tmp[i] = i < p ? state[i] : 0;
+    // state has p+1 live entries: lane p must survive a zero-sample chunk
+    // (the resumable API allows them), so it loads too when it fits; the
+    // p == NZ*16 overflow lane is handled at store via `stepped`
+    for (int32_t i = 0; i < NZ * 16; ++i) tmp[i] = i <= p ? state[i] : 0;
     for (int z = 0; z < NZ; ++z)
       vlat[z] = _mm512_load_si512((const void*)(tmp + 16 * z));
   }
@@ -2524,9 +2527,11 @@ __attribute__((noinline)) static int32_t synth_chunk_vec(
     ln.lt_head = lt_hist_len;
     ln.lt_proc = lt_processed[c];
     if (pitch[c] > 0) {
-      // zeroed ring: degenerate corrupt-stream taps past the history must
-      // read deterministic zeros (matches the scalar impls + reference)
-      std::memset(ln.lt_ring, 0, sizeof(ln.lt_ring));
+      // zeroed ring ONLY for degenerate corrupt-stream shapes: taps past
+      // the history must read deterministic zeros (matches the scalar
+      // impls + reference); normal parameters never reach unseeded slots
+      if (ln.max_delay < num_taps || ln.max_delay > lt_hist_len)
+        std::memset(ln.lt_ring, 0, sizeof(ln.lt_ring));
       for (int32_t i = 0; i < lt_hist_len; ++i)
         ln.lt_ring[i] = lt_hist[(int64_t)c * lt_hist_len + i];
     }
@@ -2674,11 +2679,15 @@ static int32_t synth_chunk_impl(
   int32_t lt_head = lt_hist_len;  // position of the NEXT write
   if (pitch > 0) {
     if (lt_hist_len > 1024) return -1;  // scratch capacity: don't trust callers
-    // zero the whole ring first: degenerate (corrupt-stream) parameters —
-    // max_delay < num_taps, or a caller hist shorter than max_delay — make
-    // taps reach slots no history covers; the reference's ring is memset at
-    // reset, so those reads must be deterministic zeros, not stack garbage
-    std::memset(lt_ring, 0, sizeof(lt_ring));
+    // Degenerate (corrupt-stream) parameters — max_delay < num_taps, or a
+    // caller hist shorter than max_delay — make taps reach slots no
+    // history covers; the reference's ring is memset at reset, so those
+    // reads must be deterministic zeros, not stack garbage. Normal
+    // parameters read only seeded or already-written slots, so the 4 KB
+    // memset (measurable at 120 Hz tick rate) is gated on the degenerate
+    // shapes.
+    if (max_delay < num_taps || max_delay > lt_hist_len)
+      std::memset(lt_ring, 0, sizeof(lt_ring));
     for (int32_t i = 0; i < lt_hist_len; ++i) lt_ring[i] = lt_hist[i];
   }
   int32_t q15c[8];
@@ -2816,7 +2825,9 @@ static int32_t synth_chunk2_impl(
     }
     lt_head[c] = lt_hist_len;
     if (pitch[c] > 0) {
-      std::memset(lt_ring[c], 0, sizeof(lt_ring[c]));  // see synth_chunk_impl
+      const int32_t md = pitch[c] + num_taps / 2;  // see synth_chunk_impl
+      if (md < num_taps || md > lt_hist_len)
+        std::memset(lt_ring[c], 0, sizeof(lt_ring[c]));
       for (int32_t i = 0; i < lt_hist_len; ++i)
         lt_ring[c][i] = lt_hist[(int64_t)c * lt_hist_len + i];
     }
