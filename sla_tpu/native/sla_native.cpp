@@ -512,10 +512,9 @@ static void crc16_init() {
 
 extern "C" {
 
-// CRC16-IBM over a byte buffer.
-uint16_t sla_crc16(const uint8_t* data, int64_t size) {
-  if (!crc16_init_done) crc16_init();
-  uint16_t crc = 0;
+// CRC16-IBM, table path (slice-by-8) with an arbitrary initial state.
+static uint16_t crc16_table_run(const uint8_t* data, int64_t size,
+                                uint16_t crc) {
   int64_t i = 0;
   for (; i + 8 <= size; i += 8) {
     uint64_t chunk;
@@ -533,6 +532,76 @@ uint16_t sla_crc16(const uint8_t* data, int64_t size) {
   for (; i < size; ++i)
     crc = (uint16_t)((crc >> 8) ^ crc16_table[0][(crc ^ data[i]) & 0xFF]);
   return crc;
+}
+
+// CRC16-IBM over a byte buffer.
+//
+// Bulk path: PCLMULQDQ folding in the reflected-clmul domain. The message
+// register loads little-endian, so register bit j holds the message bit of
+// degree 127-j; folding a 128-bit block across a distance of D bytes is
+// X -> clmul(X_lo64, rev64(x^(8D+63) mod P)) ^ clmul(X_hi64,
+// rev64(x^(8D-1) mod P)), where the extra ·x from the 127- vs 128-bit
+// reversal off-by-one is absorbed into the exponents (hence 63/-1 instead
+// of 64/0). Four independent lanes fold at distance 64 bytes so the ~7-
+// cycle clmul latencies overlap, then merge at distance 16. The final
+// 128-bit register, read back as 16 little-endian bytes, is by the same
+// encoding argument a MESSAGE with the identical CRC — so the reduction is
+// 16 table steps, no Barrett constants. Constants generated and the whole
+// dataflow validated against the bitwise CRC in a Python GF(2) model;
+// byte-exact by construction (the stream format depends on it).
+uint16_t sla_crc16(const uint8_t* data, int64_t size) {
+  if (!crc16_init_done) crc16_init();
+#if defined(__PCLMUL__) && defined(__SSE2__)
+  if (size >= 64) {
+    // rev64(x^e mod P) << 48 for e = 191 / 127 (distance 16 bytes) and
+    // e = 575 / 511 (distance 64 bytes)
+    const __m128i K1 = _mm_set_epi64x((int64_t)0xc100000000000000ull,
+                                      (int64_t)0xccd0000000000000ull);
+    const __m128i K4 = _mm_set_epi64x((int64_t)0x8101000000000000ull,
+                                      (int64_t)0xc450000000000000ull);
+    __m128i x0 = _mm_loadu_si128((const __m128i*)(data + 0));
+    __m128i x1 = _mm_loadu_si128((const __m128i*)(data + 16));
+    __m128i x2 = _mm_loadu_si128((const __m128i*)(data + 32));
+    __m128i x3 = _mm_loadu_si128((const __m128i*)(data + 48));
+    int64_t pos = 64;
+    for (; pos + 64 <= size; pos += 64) {
+      x0 = _mm_xor_si128(
+          _mm_xor_si128(_mm_clmulepi64_si128(x0, K4, 0x00),
+                        _mm_clmulepi64_si128(x0, K4, 0x11)),
+          _mm_loadu_si128((const __m128i*)(data + pos)));
+      x1 = _mm_xor_si128(
+          _mm_xor_si128(_mm_clmulepi64_si128(x1, K4, 0x00),
+                        _mm_clmulepi64_si128(x1, K4, 0x11)),
+          _mm_loadu_si128((const __m128i*)(data + pos + 16)));
+      x2 = _mm_xor_si128(
+          _mm_xor_si128(_mm_clmulepi64_si128(x2, K4, 0x00),
+                        _mm_clmulepi64_si128(x2, K4, 0x11)),
+          _mm_loadu_si128((const __m128i*)(data + pos + 32)));
+      x3 = _mm_xor_si128(
+          _mm_xor_si128(_mm_clmulepi64_si128(x3, K4, 0x00),
+                        _mm_clmulepi64_si128(x3, K4, 0x11)),
+          _mm_loadu_si128((const __m128i*)(data + pos + 48)));
+    }
+    __m128i y = x0;
+    y = _mm_xor_si128(_mm_xor_si128(_mm_clmulepi64_si128(y, K1, 0x00),
+                                    _mm_clmulepi64_si128(y, K1, 0x11)), x1);
+    y = _mm_xor_si128(_mm_xor_si128(_mm_clmulepi64_si128(y, K1, 0x00),
+                                    _mm_clmulepi64_si128(y, K1, 0x11)), x2);
+    y = _mm_xor_si128(_mm_xor_si128(_mm_clmulepi64_si128(y, K1, 0x00),
+                                    _mm_clmulepi64_si128(y, K1, 0x11)), x3);
+    for (; pos + 16 <= size; pos += 16) {
+      y = _mm_xor_si128(
+          _mm_xor_si128(_mm_clmulepi64_si128(y, K1, 0x00),
+                        _mm_clmulepi64_si128(y, K1, 0x11)),
+          _mm_loadu_si128((const __m128i*)(data + pos)));
+    }
+    alignas(16) uint8_t reg[16];
+    _mm_store_si128((__m128i*)reg, y);
+    uint16_t crc = crc16_table_run(reg, 16, 0);
+    return crc16_table_run(data + pos, size - pos, crc);
+  }
+#endif
+  return crc16_table_run(data, size, 0);
 }
 
 // Channel-interleaved payload encode (semantics: SLACoder_PutDataArray).
