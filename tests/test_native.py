@@ -374,3 +374,93 @@ def test_synth_rows_fused_matches_unfused():
             got, dest_offs, ms, shift,
         )
         assert np.array_equal(got, want), (trial, C, p, ms)
+
+
+def test_i32_source_fills_match_materialized():
+    """The int32-source partition sweep and analysis fill must produce
+    BIT-identical float64 results to the materialized-double calls (the
+    conversion steps are exact, so this is equality, not tolerance)."""
+    import numpy as np
+
+    from sla_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(21)
+    for ms in (False, True):
+        C = 2
+        N = 40960
+        data = (rng.integers(-(2**15), 2**15, (C, N)).astype(np.int32) << 16)
+        dbl = data.astype(np.float64) * 2.0**-31
+        if ms:
+            dbl[0], dbl[1] = (dbl[0] + dbl[1]) / 2.0, dbl[0] - dbl[1]
+        win_len = 12288
+        offs = np.asarray([0, 12288, 24576], dtype=np.int64)
+        V = win_len // 1024 + 1
+        positions = np.minimum(np.arange(V) * 1024, win_len).astype(np.int64)
+        ii, jj = np.triu_indices(V, k=1)
+        spans = np.stack([ii, jj], axis=1).astype(np.int64)
+        for order in (16, 32):  # onepass and per-lag variants
+            R_dbl = native.span_autocorr_multi(
+                dbl, offs, win_len, positions, spans, order
+            )
+            R_i32 = native.span_autocorr_multi_i32(
+                data, ms, offs, win_len, positions, spans, order
+            )
+            assert np.array_equal(R_dbl, R_i32), (ms, order)
+        # analysis fill: mid/side (or raw) rows with window + emphasis
+        from sla_tpu.native import make_window
+
+        n = 8192
+        window = make_window(2, n)  # hann-ish; any type works
+        boffs = np.asarray([0, 8192, 16384, 24576], dtype=np.int64)
+        if ms:
+            offs_rows = np.repeat(boffs, C)
+            modes = np.asarray([1, 2] * len(boffs), dtype=np.int32)
+            dbl_offs = np.asarray(
+                [ch * N + o for o in boffs for ch in range(C)], dtype=np.int64
+            )
+        else:
+            offs_rows = np.asarray(
+                [ch * N + o for o in boffs for ch in range(C)], dtype=np.int64
+            )
+            modes = np.zeros(len(boffs) * C, dtype=np.int32)
+            dbl_offs = offs_rows
+        pc_d, len_d = native.lpc_analyze_rows_at(
+            dbl, dbl_offs, n, 16, 16, window=window, emphasis=True
+        )
+        pc_i, len_i = native.lpc_analyze_rows_at_i32(
+            data, offs_rows, modes, n, 16, 16, window=window, emphasis=True
+        )
+        assert np.array_equal(pc_d, pc_i) and np.array_equal(len_d, len_i), ms
+
+
+def test_stage1_rows_at_matches_batch():
+    """In-place stage-1 input rows must equal the assembled-batch kernel."""
+    import numpy as np
+
+    from sla_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(22)
+    C, N, L = 2, 50000, 4096
+    base = rng.integers(-(2**15), 2**15, (C, N)).astype(np.int32)
+    boffs = [0, 4096, 8192, 12288, 20000, 30000]  # last two: short rows
+    lens_b = [4096, 4096, 4096, 4096, 3000, 1500]
+    B = len(boffs) * C
+    lengths = np.repeat(lens_b, C).astype(np.int64)
+    coefs = rng.integers(-32768, 32768, (B, 16)).astype(np.int32)
+    offs = np.asarray(
+        [ch * N + o for o in boffs for ch in range(C)], dtype=np.int64
+    )
+    batch = np.zeros((B, L), dtype=np.int32)
+    for b in range(B):
+        batch[b, : lengths[b]] = base.reshape(-1)[offs[b] : offs[b] + lengths[b]]
+    want = native.predict_stage1_rows(batch, coefs, lengths)
+    got = native.predict_stage1_rows_at(base, offs, coefs, lengths, L)
+    assert np.array_equal(want, got)
