@@ -383,9 +383,16 @@ class StreamingDecoder:
         return (bits + 7) // 8
 
     # -- core decode -----------------------------------------------------------
-    def decode(self, max_samples: int | None = None) -> np.ndarray:
+    def decode(
+        self, max_samples: int | None = None, out: np.ndarray | None = None
+    ) -> np.ndarray:
         """Decode the next batch; returns (C, n) canonical int32 PCM with
         n = min(max_samples, samples-per-decode, what's decodable).
+
+        `out`, when given, is a caller-owned (C, >= n) int32 buffer the
+        samples land in (the return value is a view of it) — the
+        reference's Decode writes into a caller buffer the same way
+        (SLADecoder.h:92-101); omitting it allocates per call.
 
         Like the reference (SLADecoder.c:1008-1097), decoding proceeds
         through *partially buffered* blocks: the caller keeps the buffer fed
@@ -398,7 +405,19 @@ class StreamingDecoder:
         goal = self._samples_per_decode
         if max_samples is not None:
             goal = min(goal, max_samples)
-        out = np.empty((C, goal), dtype=np.int32)  # [:progress] fully written
+        if out is None:
+            out = np.empty((C, goal), dtype=np.int32)  # [:progress] written
+        else:
+            if (
+                out.dtype != np.int32
+                or out.ndim != 2
+                or out.shape[0] != C
+                or out.shape[1] < goal
+            ):
+                raise SLAError(
+                    ApiResult.INVALID_ARGUMENT,
+                    f"out must be int32 ({C}, >={goal})",
+                )
         progress = 0
         while progress < goal:
             if self._pending_drop:
@@ -476,8 +495,17 @@ class StreamingDecoder:
         if self._tick is not None:
             # prebound fast path: the WHOLE tick (entropy read + underrun
             # check/rollback + synthesis) is one native call; on underrun
-            # nothing was mutated, so decode() needs no snapshot here
-            out = np.empty((C, n), dtype=np.int32)
+            # nothing was mutated, so decode() needs no snapshot here.
+            # The (C, n) landing buffer is an internal scratch (its contents
+            # are copied into the caller's array immediately by decode());
+            # the native tick needs CONTIGUOUS rows, so carve (C, n) from a
+            # flat pool rather than column-slicing a wider 2-D array
+            scr = getattr(self, "_tick_scratch", None)
+            if scr is None or scr.size < C * n:
+                scr = np.empty(C * max(n, self._samples_per_decode),
+                               dtype=np.int32)
+                self._tick_scratch = scr
+            out = scr[: C * n].reshape(C, n)
             buf_view = np.frombuffer(self._buffer, dtype=np.uint8)
             try:
                 status = self._tick.run(buf_view, out)

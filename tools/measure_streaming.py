@@ -46,6 +46,9 @@ def run_once(blob: bytes, pcm: np.ndarray) -> float:
     sd.set_wave_format(wf)
     sd.set_encode_parameter(header.encode_param)
     out = np.zeros((wf.num_channels, header.num_samples), dtype=np.int32)
+    tick_buf = np.empty(
+        (wf.num_channels, sd.output_samples_per_decode()), dtype=np.int32
+    )
     pos, done = 43, 0
     t0 = time.perf_counter()
     while done < header.num_samples:
@@ -54,7 +57,7 @@ def run_once(blob: bytes, pcm: np.ndarray) -> float:
             take = min(need, len(blob) - pos)
             sd.append_data_fragment(blob[pos : pos + take])
             pos += take
-        chunk = sd.decode()
+        chunk = sd.decode(out=tick_buf)
         n = chunk.shape[1]
         if n == 0:
             if pos >= len(blob):
