@@ -889,7 +889,15 @@ class Encoder:
                 for ch in range(C):
                     rows_by_len.setdefault(pl.num_samples, []).append(r0 + ch)
             for n, row_ids in rows_by_len.items():
-                res = longterm_coef_rows(residual1[row_ids, :n], n, T, fft_size)
+                i0 = row_ids[0]
+                if row_ids == list(range(i0, i0 + len(row_ids))):
+                    # consecutive rows (the common case: uniform block
+                    # lengths): a basic slice is a view — fancy indexing
+                    # would copy ~4 bytes/row-sample
+                    rows_in = residual1[i0 : i0 + len(row_ids), :n]
+                else:
+                    rows_in = residual1[row_ids, :n]
+                res = longterm_coef_rows(rows_in, n, T, fft_size)
                 keep = [
                     (r, lt)
                     for r, lt in zip(row_ids, res)
