@@ -821,19 +821,28 @@ static int64_t decode_blocks_v8(const uint8_t* in, int64_t in_size,
     int32_t ti = 0;
     for (; ti < tlim; ++ti) {
       if (_mm512_cmpgt_epi64_mask(vnb, vsz8) != 0) break;
-      // refill32 bulk path, all lanes in margin: nb = (63 - ncache) >> 3
+      // refill32 bulk path, all lanes in margin: nb = (63 - ncache) >> 3.
+      // LAZY: the gather (vpgatherqq, the loop's most expensive op) only
+      // runs when some lane is below 40 cached bits — a 64-bit cache feeds
+      // ~2 stereo samples per refill, and refill cadence cannot change the
+      // bits any symbol consumes (a genuinely cache-short symbol fails
+      // validation and re-decodes byte-exactly from untouched state)
       {
-        const __m512i nb = _mm512_srli_epi64(_mm512_sub_epi64(v63, vnc), 3);
-        const __mmask8 dorf = _mm512_cmpgt_epi64_mask(nb, v0);
-        __m512i raw = _mm512_mask_i64gather_epi64(v0, dorf, vnb, in, 1);
-        raw = vdec_bswap64(raw);
-        const __m512i sh8 = _mm512_slli_epi64(nb, 3);
-        const __m512i newc = _mm512_or_si512(
-            _mm512_sllv_epi64(vcache, sh8),
-            _mm512_srlv_epi64(raw, _mm512_sub_epi64(v64, sh8)));
-        vcache = _mm512_mask_mov_epi64(vcache, dorf, newc);
-        vnb = _mm512_mask_add_epi64(vnb, dorf, vnb, nb);
-        vnc = _mm512_mask_add_epi64(vnc, dorf, vnc, sh8);
+        const __mmask8 lowm =
+            _mm512_cmple_epi64_mask(vnc, _mm512_set1_epi64(40));
+        if (lowm) {
+          const __m512i nb = _mm512_srli_epi64(_mm512_sub_epi64(v63, vnc), 3);
+          const __mmask8 dorf = lowm & _mm512_cmpgt_epi64_mask(nb, v0);
+          __m512i raw = _mm512_mask_i64gather_epi64(v0, dorf, vnb, in, 1);
+          raw = vdec_bswap64(raw);
+          const __m512i sh8 = _mm512_slli_epi64(nb, 3);
+          const __m512i newc = _mm512_or_si512(
+              _mm512_sllv_epi64(vcache, sh8),
+              _mm512_srlv_epi64(raw, _mm512_sub_epi64(v64, sh8)));
+          vcache = _mm512_mask_mov_epi64(vcache, dorf, newc);
+          vnb = _mm512_mask_add_epi64(vnb, dorf, vnb, nb);
+          vnc = _mm512_mask_add_epi64(vnc, dorf, vnc, sh8);
+        }
       }
       for (int ch = 0; ch < CH; ++ch) {
         if (CH >= 3 && ch > 0) {
