@@ -1123,7 +1123,6 @@ def synth_rows_fused(
     doffs = np.asarray(dest_offs, dtype=np.int64)
     dest_ptr = _i32ptr(dest)
     dest_flat = dest.reshape(-1)
-    N = dest.shape[-1]
     p_i64 = ctypes.POINTER(ctypes.c_int64)
 
     groups, singles = _row_groups(lens)
@@ -1225,7 +1224,6 @@ def synth_rows_fused(
                         residual[b, :nb] << np.int32(shift)
                     )
                 done.add(b)
-    _ = N  # dest row stride is encoded in dest_offs
 
 
 def synth_chunk(
