@@ -24,7 +24,30 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
+def _probe_backend(timeout_s: int = 180) -> bool:
+    """Fail fast when the device tunnel is down: backend init on a dead
+    tunnel hangs indefinitely (observed: >40 min), so probe it in a
+    subprocess with a hard timeout before committing to the run."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> int:
+    if not _probe_backend():
+        print(
+            "verify_device: device backend unavailable (tunnel down or "
+            "init timed out) — aborting instead of hanging", file=sys.stderr,
+        )
+        return 2
+
     import jax
     import jax.numpy as jnp
 
