@@ -159,6 +159,7 @@ class StreamingDecoder:
             cc.max_num_channels, cc.max_num_block_samples, self.config.max_bit_per_sample
         )
         self._buffer = bytearray()
+        self._buf_view = None  # cached frombuffer export (see _buffer_view)
         self._estimated_bytes_per_sample = float(
             cc.max_num_channels * (self.config.max_bit_per_sample // 8)
         )
@@ -175,6 +176,7 @@ class StreamingDecoder:
         """Reset stream position and buffers (SLAStreamingDecoder_Reset,
         SLADecoder.c:735-749). Queued packets are dropped."""
         self._buffer = bytearray()
+        self._buf_view = None  # cached frombuffer export (see _buffer_view)
         self._block = None
         self._block_sample_offset = 0
         self._pending_drop = 0
@@ -235,9 +237,22 @@ class StreamingDecoder:
             buffer_remain -= self._block.header_bytes + (self._consumed_bits + 7) // 8
         return self.queue.remaining_size() + max(buffer_remain, 0)
 
+
+    def _buffer_view(self) -> np.ndarray:
+        """Cached zero-copy uint8 view of the feed buffer. A live
+        frombuffer export blocks bytearray resizes, so every mutation site
+        (append extend, block-end del) drops the cache FIRST — CPython
+        refcounting releases the export immediately. The view never
+        escapes this object; native calls only read it within one call."""
+        v = self._buf_view
+        if v is None or v.shape[0] != len(self._buffer):
+            self._buf_view = v = np.frombuffer(self._buffer, dtype=np.uint8)
+        return v
+
     # -- data supply ----------------------------------------------------------
     def append_data_fragment(self, data: bytes) -> None:
         self.queue.enqueue(data)
+        self._buf_view = None  # release the export before resizing
         while True:
             frag = self.queue.get_fragment(self._buffer_size - len(self._buffer))
             if frag is None:
@@ -422,6 +437,7 @@ class StreamingDecoder:
         while progress < goal:
             if self._pending_drop:
                 take = min(self._pending_drop, len(self._buffer))
+                self._buf_view = None  # release the export before resizing
                 del self._buffer[:take]
                 self._pending_drop -= take
                 if self._pending_drop:
@@ -478,6 +494,7 @@ class StreamingDecoder:
                 # block end: drop its bytes (any unreceived tail is skipped
                 # as it arrives), then the next iteration re-parses
                 take = min(blk.block_size, len(self._buffer))
+                self._buf_view = None  # release the export before resizing
                 del self._buffer[:take]
                 self._pending_drop = blk.block_size - take
                 self._block = None
@@ -506,11 +523,7 @@ class StreamingDecoder:
                                dtype=np.int32)
                 self._tick_scratch = scr
             out = scr[: C * n].reshape(C, n)
-            buf_view = np.frombuffer(self._buffer, dtype=np.uint8)
-            try:
-                status = self._tick.run(buf_view, out)
-            finally:
-                del buf_view
+            status = self._tick.run(self._buffer_view(), out)
             if status:
                 raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE, "streaming underrun")
             self._consumed_bits = int(self._payload_cursor.bit_pos.value) - blk.header_bytes * 8
@@ -537,11 +550,7 @@ class StreamingDecoder:
             # per-tick bytes() copy was O(buffer) every 120 Hz tick); the
             # view must not outlive this call — the bytearray is resized by
             # append/advance and an open export would make those raise
-            buf_view = np.frombuffer(self._buffer, dtype=np.uint8)
-            try:
-                residual = self._payload_cursor.read(buf_view, n)
-            finally:
-                del buf_view
+            residual = self._payload_cursor.read(self._buffer_view(), n)
             self._consumed_bits = int(self._payload_cursor.bit_pos.value) - blk.header_bytes * 8
 
         # underrun detection: the bit reader zero-fills past the buffered
