@@ -479,15 +479,24 @@ class StreamingDecoder:
             # rolled back instead of corrupting the decode (the fused native
             # tick rolls itself back, so the fast path skips this)
             snap = None if self._tick is not None else self._snapshot_state()
+            # common tick shape (whole call served by one mid-block chunk):
+            # the native tick lands straight in the caller's buffer
+            dest = (
+                out
+                if progress == 0 and n == out.shape[1]
+                and out.flags.c_contiguous
+                else None
+            )
             try:
-                chunk = self._decode_wave_data(n)
+                chunk = self._decode_wave_data(n, dest)
             except SLAError as e:
                 if e.result == ApiResult.INSUFFICIENT_DATA_SIZE:
                     if snap is not None:
                         self._restore_state(snap)
                     break  # caller feeds more data and retries
                 raise
-            out[:, progress : progress + n] = chunk
+            if chunk is not dest:
+                out[:, progress : progress + n] = chunk
             progress += n
             self._block_sample_offset += n
             if self._block_sample_offset >= blk.num_samples:
@@ -502,8 +511,13 @@ class StreamingDecoder:
                 self._tick = None
         return out[:, :progress]
 
-    def _decode_wave_data(self, n: int) -> np.ndarray:
-        """Resumable mid-block decode of n samples (SLADecoder_DecodeWaveData)."""
+    def _decode_wave_data(
+        self, n: int, dest: np.ndarray | None = None
+    ) -> np.ndarray:
+        """Resumable mid-block decode of n samples (SLADecoder_DecodeWaveData).
+
+        `dest`: optional contiguous (C, n) landing buffer for the fused
+        native tick (the caller skips its copy when the return IS dest)."""
         wf, ep = self._wave_format, self._encode_param
         C = wf.num_channels
         blk = self._block
@@ -517,12 +531,15 @@ class StreamingDecoder:
             # are copied into the caller's array immediately by decode());
             # the native tick needs CONTIGUOUS rows, so carve (C, n) from a
             # flat pool rather than column-slicing a wider 2-D array
-            scr = getattr(self, "_tick_scratch", None)
-            if scr is None or scr.size < C * n:
-                scr = np.empty(C * max(n, self._samples_per_decode),
-                               dtype=np.int32)
-                self._tick_scratch = scr
-            out = scr[: C * n].reshape(C, n)
+            if dest is not None and dest.shape == (C, n):
+                out = dest
+            else:
+                scr = getattr(self, "_tick_scratch", None)
+                if scr is None or scr.size < C * n:
+                    scr = np.empty(C * max(n, self._samples_per_decode),
+                                   dtype=np.int32)
+                    self._tick_scratch = scr
+                out = scr[: C * n].reshape(C, n)
             status = self._tick.run(self._buffer_view(), out)
             if status:
                 raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE, "streaming underrun")
