@@ -1356,20 +1356,33 @@ class StreamTick:
         a[26] = int(shift)
         self._args = a
         self._args_ptr = a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        # zero-copy int64 view of the cursor position (ctypes .value
+        # attribute access is several times costlier per tick)
+        self.bit_pos_view = np.frombuffer(cursor.bit_pos, dtype=np.int64)
 
     def run(self, buf: np.ndarray, out: np.ndarray) -> int:
         """One fused tick: read C*n symbols from the uint8 feed-buffer view
         `buf` at the bound cursor, synthesize into the contiguous (C, n)
         int32 `out`, mutating the bound states. Returns 0, or 1 on underrun
         (cursor rolled back, filter state untouched — feed and retry)."""
-        n = out.shape[1]
+        return self.run_ptr(buf.ctypes.data, buf.size, out)
+
+    def run_ptr(self, buf_ptr: int, buf_len: int, out: np.ndarray) -> int:
+        """run() with the feed buffer passed as a raw (pointer, length):
+        the streaming decoder's preallocated buffer never moves, so the
+        120 Hz path skips the per-call `.ctypes` adapter construction."""
+        return self.run_fast(buf_ptr, buf_len, out.ctypes.data, out.shape[1])
+
+    def run_fast(self, buf_ptr: int, buf_len: int, out_ptr: int, n: int) -> int:
+        """Fully raw-pointer tick: both buffers as (pointer, length) the
+        caller has validated/cached — the hot 120 Hz path."""
         if self._scratch.size < self.C * n:
             self._scratch = np.empty(self.C * n, dtype=np.int32)
             self._args[6] = self._scratch.ctypes.data
         a = self._args
-        a[0] = buf.ctypes.data
-        a[1] = buf.size
-        a[7] = out.ctypes.data
+        a[0] = buf_ptr
+        a[1] = buf_len
+        a[7] = out_ptr
         a[9] = n
         rc = self._fn(self._args_ptr)
         if rc not in (0, 1):

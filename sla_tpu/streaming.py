@@ -91,11 +91,21 @@ class DataPacketQueue:
     def __init__(self, capacity: int = STREAMING_DECODE_MAX_NUM_PACKETS):
         self.capacity = capacity
         self._packets: list[list] = []  # [data, used, collectable]
+        self._remaining = 0  # running sum of unconsumed bytes (O(1) queries)
 
     def enqueue(self, data: bytes) -> None:
         if len(self._packets) >= self.capacity:
             raise SLAError(ApiResult.EXCEED_HANDLE_CAPACITY, "packet queue full")
         self._packets.append([data, 0, False])
+        self._remaining += len(data)
+
+    def enqueue_consumed(self, data: bytes) -> None:
+        """Enqueue a packet the caller has already copied out in full, so
+        only the collect cursor ever sees it (the zero-copy fast path of
+        append_data_fragment)."""
+        if len(self._packets) >= self.capacity:
+            raise SLAError(ApiResult.EXCEED_HANDLE_CAPACITY, "packet queue full")
+        self._packets.append([data, len(data), False])
 
     def get_fragment(self, max_size: int) -> bytes | None:
         """Consume up to max_size bytes from the oldest unconsumed packet."""
@@ -106,6 +116,7 @@ class DataPacketQueue:
                 if take == 0:
                     return None
                 pkt[1] = used + take
+                self._remaining -= take
                 return data[used : used + take]
         return None
 
@@ -116,7 +127,7 @@ class DataPacketQueue:
         return None
 
     def remaining_size(self) -> int:
-        return sum(len(p[0]) - p[1] for p in self._packets)
+        return self._remaining
 
 
 @dataclasses.dataclass
@@ -158,11 +169,19 @@ class StreamingDecoder:
         self._buffer_size = 2 * calculate_sufficient_block_size(
             cc.max_num_channels, cc.max_num_block_samples, self.config.max_bit_per_sample
         )
-        self._buffer = bytearray()
-        self._buf_view = None  # cached frombuffer export (see _buffer_view)
+        # fixed-capacity feed buffer: a preallocated uint8 array with an
+        # explicit fill length. Unlike a bytearray it never reallocates, so
+        # its data pointer is stable for the native tick's lifetime and no
+        # per-tick frombuffer/export bookkeeping exists; block-end trims
+        # memmove the (small) unconsumed tail down once per block.
+        self._buf_arr = np.empty(self._buffer_size, dtype=np.uint8)
+        self._buf_mv = memoryview(self._buf_arr)  # cheap memcpy writes
+        self._buf_ptr = self._buf_arr.ctypes.data
+        self._buf_len = 0
         self._estimated_bytes_per_sample = float(
             cc.max_num_channels * (self.config.max_bit_per_sample // 8)
         )
+        self._min_need_cache: int | None = None  # estimate_minimum_… memo
         self._samples_per_decode = 0
         self._block: _BlockHeader | None = None
         self._block_sample_offset = 0
@@ -171,12 +190,17 @@ class StreamingDecoder:
         self._filter_state: dict | None = None
         self._payload_cursor: native.PayloadCursor | None = None
         self._tick = None  # prebound per-block native synth (native.StreamTick)
+        # decode(out=) validation memo: a strong reference to the last
+        # caller buffer plus its (width, data pointer | -1 when
+        # non-contiguous) — the held reference keeps the pointer valid
+        self._out_cache: np.ndarray | None = None
+        self._out_cache_w = 0
+        self._out_cache_ptr = -1
 
     def reset(self) -> None:
         """Reset stream position and buffers (SLAStreamingDecoder_Reset,
         SLADecoder.c:735-749). Queued packets are dropped."""
-        self._buffer = bytearray()
-        self._buf_view = None  # cached frombuffer export (see _buffer_view)
+        self._buf_len = 0
         self._block = None
         self._block_sample_offset = 0
         self._pending_drop = 0
@@ -208,6 +232,7 @@ class StreamingDecoder:
                 / self.config.decode_interval_hz
             )
         )
+        self._min_need_cache = None
 
     def set_encode_parameter(self, ep: EncodeParameter) -> None:
         cc = self.config.core
@@ -225,39 +250,61 @@ class StreamingDecoder:
         return self._samples_per_decode
 
     def estimate_minimum_necessary_data_size(self) -> int:
-        est = int(math.ceil(self._estimated_bytes_per_sample * self._samples_per_decode))
-        return max(est, SLA_MINIMUM_BLOCK_HEADER_SIZE)
+        # memoized: the inputs change only at set_wave_format / block parse
+        est = self._min_need_cache
+        if est is None:
+            est = int(
+                math.ceil(self._estimated_bytes_per_sample * self._samples_per_decode)
+            )
+            est = max(est, SLA_MINIMUM_BLOCK_HEADER_SIZE)
+            self._min_need_cache = est
+        return est
 
     def estimate_decodable_num_samples(self) -> int:
         return int(self.remaining_data_size() / self._estimated_bytes_per_sample)
 
     def remaining_data_size(self) -> int:
-        buffer_remain = len(self._buffer)
+        buffer_remain = self._buf_len
         if self._block is not None:
             buffer_remain -= self._block.header_bytes + (self._consumed_bits + 7) // 8
         return self.queue.remaining_size() + max(buffer_remain, 0)
 
 
     def _buffer_view(self) -> np.ndarray:
-        """Cached zero-copy uint8 view of the feed buffer. A live
-        frombuffer export blocks bytearray resizes, so every mutation site
-        (append extend, block-end del) drops the cache FIRST — CPython
-        refcounting releases the export immediately. The view never
-        escapes this object; native calls only read it within one call."""
-        v = self._buf_view
-        if v is None or v.shape[0] != len(self._buffer):
-            self._buf_view = v = np.frombuffer(self._buffer, dtype=np.uint8)
-        return v
+        """Zero-copy uint8 view of the buffered bytes (reads only; the
+        backing array is preallocated and never reallocates)."""
+        return self._buf_arr[: self._buf_len]
+
+    def _buffer_trim(self, take: int) -> None:
+        """Drop the first `take` buffered bytes (block-end advance)."""
+        keep = self._buf_len - take
+        if keep > 0:
+            # same-buffer overlap: route through a bytes copy (slice
+            # assignment does not guarantee memmove semantics)
+            self._buf_mv[:keep] = bytes(self._buf_mv[take : self._buf_len])
+        self._buf_len = keep
 
     # -- data supply ----------------------------------------------------------
     def append_data_fragment(self, data: bytes) -> None:
-        self.queue.enqueue(data)
-        self._buf_view = None  # release the export before resizing
+        n = len(data)
+        q = self.queue
+        if q._remaining == 0 and n <= self._buffer_size - self._buf_len:
+            # fast path (the steady 120 Hz case): no queued backlog and the
+            # fragment fits whole — one memcpy into the feed buffer, packet
+            # recorded as already-consumed for collect_data_fragments
+            q.enqueue_consumed(data)
+            end = self._buf_len + n
+            self._buf_mv[self._buf_len : end] = data
+            self._buf_len = end
+            return
+        q.enqueue(data)
         while True:
-            frag = self.queue.get_fragment(self._buffer_size - len(self._buffer))
+            frag = q.get_fragment(self._buffer_size - self._buf_len)
             if frag is None:
                 break
-            self._buffer.extend(frag)
+            k = len(frag)
+            self._buf_mv[self._buf_len : self._buf_len + k] = frag
+            self._buf_len += k
 
     def collect_data_fragments(self) -> list[bytes]:
         out = []
@@ -271,7 +318,7 @@ class StreamingDecoder:
     # -- block header parse (streaming variant of Decoder.parse_block_header) --
     def _parse_block_header(self) -> _BlockHeader:
         wf, ep = self._wave_format, self._encode_param
-        data = bytes(self._buffer)
+        data = self._buf_arr[: self._buf_len].tobytes()
         r = BitReader(data)
         sync = r.get(16)
         if sync != SLA_BLOCK_SYNC_CODE:
@@ -413,15 +460,18 @@ class StreamingDecoder:
         through *partially buffered* blocks: the caller keeps the buffer fed
         per `estimate_minimum_necessary_data_size`, and an actual underrun
         raises INSUFFICIENT_DATA_SIZE."""
-        if self._wave_format is None or self._encode_param is None:
+        wf = self._wave_format
+        if wf is None or self._encode_param is None:
             raise SLAError(ApiResult.PARAMETER_NOT_SET)
-        wf, ep = self._wave_format, self._encode_param
         C = wf.num_channels
         goal = self._samples_per_decode
         if max_samples is not None:
             goal = min(goal, max_samples)
         if out is None:
             out = np.empty((C, goal), dtype=np.int32)  # [:progress] written
+            out_w, out_ptr = goal, out.ctypes.data
+        elif out is self._out_cache:
+            out_w, out_ptr = self._out_cache_w, self._out_cache_ptr
         else:
             if (
                 out.dtype != np.int32
@@ -433,21 +483,53 @@ class StreamingDecoder:
                     ApiResult.INVALID_ARGUMENT,
                     f"out must be int32 ({C}, >={goal})",
                 )
+            out_w = out.shape[1]
+            out_ptr = out.ctypes.data if out.flags.c_contiguous else -1
+            self._out_cache = out
+            self._out_cache_w = out_w
+            self._out_cache_ptr = out_ptr
+        if out_w < goal:
+            raise SLAError(
+                ApiResult.INVALID_ARGUMENT, f"out must be int32 ({C}, >={goal})"
+            )
+        # fast path — the steady mid-block 120 Hz tick: prebound native
+        # tick, whole request inside the current block, caller buffer
+        # contiguous with exactly-goal-wide rows (the tick writes rows at
+        # stride n). One native call; on underrun nothing was mutated.
+        blk = self._block
+        tick = self._tick
+        if (
+            tick is not None
+            and blk is not None
+            and not self._pending_drop
+            and out_ptr > 0
+            and out_w == goal
+            and blk.num_samples - self._block_sample_offset >= goal
+        ):
+            status = tick.run_fast(self._buf_ptr, self._buf_len, out_ptr, goal)
+            if status:
+                return out[:, :0]  # underrun: caller feeds and retries
+            self._consumed_bits = int(tick.bit_pos_view[0]) - blk.header_bytes * 8
+            off = self._block_sample_offset + goal
+            if off >= blk.num_samples:
+                self._end_block(blk)
+            else:
+                self._block_sample_offset = off
+            return out
         progress = 0
         while progress < goal:
             if self._pending_drop:
-                take = min(self._pending_drop, len(self._buffer))
-                self._buf_view = None  # release the export before resizing
-                del self._buffer[:take]
+                take = min(self._pending_drop, self._buf_len)
+                self._buffer_trim(take)
                 self._pending_drop -= take
                 if self._pending_drop:
                     break  # still waiting for the tail of the previous block
             if self._block is None:
-                if len(self._buffer) < SLA_MINIMUM_BLOCK_HEADER_SIZE:
+                if self._buf_len < SLA_MINIMUM_BLOCK_HEADER_SIZE:
                     break  # not even a block header yet
                 # block size is in bytes 2..5; require the (bounded) header
-                bsize = int.from_bytes(self._buffer[2:6], "big") + 6
-                if len(self._buffer) < min(bsize, self._worst_case_header_bytes()):
+                bsize = int.from_bytes(self._buf_arr[2:6].tobytes(), "big") + 6
+                if self._buf_len < min(bsize, self._worst_case_header_bytes()):
                     break
                 # header parse gets the same wait-and-resume discipline as
                 # payload decode: an over-read (only possible if the
@@ -471,6 +553,7 @@ class StreamingDecoder:
                 self._estimated_bytes_per_sample = (
                     float(self._block.block_size) / self._block.num_samples
                 )
+                self._min_need_cache = None
             blk = self._block
             n = min(goal - progress, blk.num_samples - self._block_sample_offset)
             if n == 0:
@@ -481,12 +564,7 @@ class StreamingDecoder:
             snap = None if self._tick is not None else self._snapshot_state()
             # common tick shape (whole call served by one mid-block chunk):
             # the native tick lands straight in the caller's buffer
-            dest = (
-                out
-                if progress == 0 and n == out.shape[1]
-                and out.flags.c_contiguous
-                else None
-            )
+            dest = out if progress == 0 and n == out_w and out_ptr > 0 else None
             try:
                 chunk = self._decode_wave_data(n, dest)
             except SLAError as e:
@@ -500,16 +578,19 @@ class StreamingDecoder:
             progress += n
             self._block_sample_offset += n
             if self._block_sample_offset >= blk.num_samples:
-                # block end: drop its bytes (any unreceived tail is skipped
-                # as it arrives), then the next iteration re-parses
-                take = min(blk.block_size, len(self._buffer))
-                self._buf_view = None  # release the export before resizing
-                del self._buffer[:take]
-                self._pending_drop = blk.block_size - take
-                self._block = None
-                self._payload_cursor = None
-                self._tick = None
+                self._end_block(blk)
         return out[:, :progress]
+
+    def _end_block(self, blk: _BlockHeader) -> None:
+        """Finished block: drop its bytes (any unreceived tail is skipped
+        as it arrives via _pending_drop), then the next decode re-parses."""
+        take = min(blk.block_size, self._buf_len)
+        self._buffer_trim(take)
+        self._pending_drop = blk.block_size - take
+        self._block = None
+        self._block_sample_offset = 0
+        self._payload_cursor = None
+        self._tick = None
 
     def _decode_wave_data(
         self, n: int, dest: np.ndarray | None = None
@@ -540,7 +621,7 @@ class StreamingDecoder:
                                    dtype=np.int32)
                     self._tick_scratch = scr
                 out = scr[: C * n].reshape(C, n)
-            status = self._tick.run(self._buffer_view(), out)
+            status = self._tick.run_ptr(self._buf_ptr, self._buf_len, out)
             if status:
                 raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE, "streaming underrun")
             self._consumed_bits = int(self._payload_cursor.bit_pos.value) - blk.header_bytes * 8
@@ -553,9 +634,11 @@ class StreamingDecoder:
             if ep.ch_process_method == ChannelProcessMethod.STEREO_MS:
                 bits[1] += 1
             start_bit = blk.header_bytes * 8 + self._consumed_bits
-            residual = _get_raw(bytes(self._buffer), start_bit, C, n, bits)
+            residual = _get_raw(
+                self._buf_arr[: self._buf_len].tobytes(), start_bit, C, n, bits
+            )
             self._consumed_bits += n * sum(bits)
-            if blk.header_bytes * 8 + self._consumed_bits > 8 * len(self._buffer):
+            if blk.header_bytes * 8 + self._consumed_bits > 8 * self._buf_len:
                 raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE, "streaming underrun")
             pcm = residual
             if ep.ch_process_method == ChannelProcessMethod.STEREO_MS:
@@ -572,7 +655,7 @@ class StreamingDecoder:
 
         # underrun detection: the bit reader zero-fills past the buffered
         # end, so consuming beyond it means the feed contract was violated
-        if blk.header_bytes * 8 + self._consumed_bits > 8 * len(self._buffer):
+        if blk.header_bytes * 8 + self._consumed_bits > 8 * self._buf_len:
             raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE, "streaming underrun")
 
         st = self._filter_state
