@@ -130,20 +130,18 @@ def do_streaming_decode(in_file: str, out_file: str, enable_crc_check: bool,
     sd.set_encode_parameter(header.encode_param)
     pos = header.header_size if hasattr(header, "header_size") else 43
     out = np.zeros((wf.num_channels, header.num_samples), dtype=np.int32)
-    # per-tick samples land in a reusable caller buffer (the reference's
-    # Decode writes into a caller buffer the same way, main.c:370-410)
-    tick_buf = np.empty(
-        (wf.num_channels, sd.output_samples_per_decode()), dtype=np.int32
-    )
+    # per-tick samples land directly at the stream position of the output
+    # array (the reference's Decode writes through a buffer+offset pointer
+    # the same way, main.c:370-410)
+    total = header.num_samples
     done = 0
-    while done < header.num_samples:
+    while done < total:
         need = sd.estimate_minimum_necessary_data_size()
         if pos < len(blob) and sd.remaining_data_size() < need:
             take = min(need, len(blob) - pos)
             sd.append_data_fragment(blob[pos : pos + take])
             pos += take
-        chunk = sd.decode(out=tick_buf)
-        n = chunk.shape[1]
+        n = sd.decode_into(out, done, max_samples=total - done)
         if n == 0:
             if pos >= len(blob):
                 break
@@ -152,7 +150,6 @@ def do_streaming_decode(in_file: str, out_file: str, enable_crc_check: bool,
             take = min(need, len(blob) - pos)
             sd.append_data_fragment(blob[pos : pos + take])
             pos += take
-        out[:, done : done + n] = chunk
         done += n
         sd.collect_data_fragments()
     if done != header.num_samples:

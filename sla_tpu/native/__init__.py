@@ -276,6 +276,8 @@ def _load() -> ctypes.CDLL | None:
     ]
     lib.sla_stream_tick_packed.restype = i32
     lib.sla_stream_tick_packed.argtypes = [ctypes.POINTER(ctypes.c_int64)]
+    lib.sla_stream_tick_strided.restype = i32
+    lib.sla_stream_tick_strided.argtypes = [ctypes.POINTER(ctypes.c_int64)]
     lib.sla_stream_tick.restype = i32
     lib.sla_stream_tick.argtypes = [
         vp, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),  # buf, len, pos
@@ -1322,16 +1324,20 @@ class StreamTick:
                  deemph_prev, ms, shift):
         lib = _load()
         self._fn = lib.sla_stream_tick_packed
+        self._fn_strided = lib.sla_stream_tick_strided
         coef = np.ascontiguousarray(parcor_coef, dtype=np.int32)
         pit = np.ascontiguousarray(pitch, dtype=np.int32)
         ltm = np.ascontiguousarray(ltm_coef, dtype=np.int32)
         self._scratch = np.empty(0, dtype=np.int32)
+        self._scratch_n = 0
         self._keep = (coef, pit, ltm, lattice_state, lt_hist, lt_processed,
                       lms_state, lms_processed, deemph_prev, cursor)
         self.C = int(lattice_state.shape[0])
-        # one 27-slot int64 argument block: ctypes marshals ONE pointer per
-        # 120 Hz tick instead of 27 arguments (~18 us -> ~1.5 us measured)
-        a = np.zeros(27, dtype=np.int64)
+        # one int64 argument block: ctypes marshals ONE pointer per 120 Hz
+        # tick instead of 27 arguments (~18 us -> ~1.5 us measured).
+        # Slots 27 (synth scratch) / 28 (out row stride) serve the strided
+        # variant only.
+        a = np.zeros(29, dtype=np.int64)
         a[2] = ctypes.addressof(cursor.bit_pos)
         a[3] = cursor.param_state.ctypes.data
         a[4] = cursor.eff_params.ctypes.data
@@ -1373,18 +1379,43 @@ class StreamTick:
         120 Hz path skips the per-call `.ctypes` adapter construction."""
         return self.run_fast(buf_ptr, buf_len, out.ctypes.data, out.shape[1])
 
+    def _grow_scratch(self, n: int) -> None:
+        # one block: [0, C*n) residual scratch, [C*n, 2*C*n) synthesis
+        # scratch for the strided landing variant
+        self._scratch = np.empty(2 * self.C * n, dtype=np.int32)
+        self._scratch_n = n
+        self._args[6] = self._scratch.ctypes.data
+        self._args[27] = self._args[6] + 4 * self.C * n
+
     def run_fast(self, buf_ptr: int, buf_len: int, out_ptr: int, n: int) -> int:
         """Fully raw-pointer tick: both buffers as (pointer, length) the
         caller has validated/cached — the hot 120 Hz path."""
-        if self._scratch.size < self.C * n:
-            self._scratch = np.empty(self.C * n, dtype=np.int32)
-            self._args[6] = self._scratch.ctypes.data
+        if self._scratch_n < n:
+            self._grow_scratch(n)
         a = self._args
         a[0] = buf_ptr
         a[1] = buf_len
         a[7] = out_ptr
         a[9] = n
         rc = self._fn(self._args_ptr)
+        if rc not in (0, 1):
+            raise ValueError(f"stream tick: invalid geometry (rc={rc})")
+        return rc
+
+    def run_strided(
+        self, buf_ptr: int, buf_len: int, out_ptr: int, n: int, out_stride: int
+    ) -> int:
+        """run_fast landing the (C, n) result at row stride `out_stride`
+        int32 elements — the decode_into(out, offset) hot path."""
+        if self._scratch_n < n:
+            self._grow_scratch(n)
+        a = self._args
+        a[0] = buf_ptr
+        a[1] = buf_len
+        a[7] = out_ptr
+        a[9] = n
+        a[28] = out_stride
+        rc = self._fn_strided(self._args_ptr)
         if rc not in (0, 1):
             raise ValueError(f"stream tick: invalid geometry (rc={rc})")
         return rc

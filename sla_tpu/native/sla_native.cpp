@@ -3136,6 +3136,37 @@ int32_t sla_stream_tick_packed(const int64_t* a) {
       (int32_t*)(uintptr_t)a[24], (int32_t)a[25], (int32_t)a[26]);
 }
 
+// sla_stream_tick_packed with a strided landing buffer: a[27] is a second
+// C*n int32 scratch, a[28] the output ROW stride in elements. The tick
+// synthesizes into the contiguous scratch, then row-copies into
+// out + c*stride — so decode_into() can land samples at a column offset
+// of the caller's whole-stream array (the reference decodes through a
+// `buffer + offset` pointer the same way, SLADecoder.c:1008-1097) with no
+// Python-side copy. stride == n writes direct, no extra copy.
+int32_t sla_stream_tick_strided(const int64_t* a) {
+  const int32_t C = (int32_t)a[8];
+  const int32_t n = (int32_t)a[9];
+  const int64_t stride = a[28];
+  int32_t* out = (int32_t*)(uintptr_t)a[7];
+  int32_t* synth = (stride == n) ? out : (int32_t*)(uintptr_t)a[27];
+  const int32_t rc = sla_stream_tick(
+      (const uint8_t*)(uintptr_t)a[0], a[1], (int64_t*)(uintptr_t)a[2],
+      (uint64_t*)(uintptr_t)a[3], (const uint32_t*)(uintptr_t)a[4],
+      (int32_t)a[5], (int32_t*)(uintptr_t)a[6], synth,
+      C, n, (const int32_t*)(uintptr_t)a[10],
+      (int32_t)a[11], (int32_t)a[12], (int32_t*)(uintptr_t)a[13],
+      (const int32_t*)(uintptr_t)a[14], (const int32_t*)(uintptr_t)a[15],
+      (int32_t)a[16], (int32_t)a[17], (int32_t*)(uintptr_t)a[18],
+      (int32_t)a[19], (int32_t*)(uintptr_t)a[20], (int32_t)a[21],
+      (int32_t*)(uintptr_t)a[22], (int32_t*)(uintptr_t)a[23],
+      (int32_t*)(uintptr_t)a[24], (int32_t)a[25], (int32_t)a[26]);
+  if (rc == 0 && synth != out)
+    for (int32_t c = 0; c < C; ++c)
+      std::memcpy(out + (int64_t)c * stride, synth + (int64_t)c * n,
+                  sizeof(int32_t) * (size_t)n);
+  return rc;
+}
+
 // Encode-side filter cascade for one channel row: pre-emphasis -> PARCOR
 // lattice predict -> long-term predict -> LMS predict (SLAEncoder.c:598-672
 // order), whole block in one call. This is the host backend of the

@@ -191,11 +191,13 @@ class StreamingDecoder:
         self._payload_cursor: native.PayloadCursor | None = None
         self._tick = None  # prebound per-block native synth (native.StreamTick)
         # decode(out=) validation memo: a strong reference to the last
-        # caller buffer plus its (width, data pointer | -1 when
-        # non-contiguous) — the held reference keeps the pointer valid
+        # caller buffer plus its (width, data pointer | -1 when rows are
+        # not inner-contiguous, row stride in elements) — the held
+        # reference keeps the pointer valid
         self._out_cache: np.ndarray | None = None
         self._out_cache_w = 0
         self._out_cache_ptr = -1
+        self._out_cache_stride = 0
 
     def reset(self) -> None:
         """Reset stream position and buffers (SLAStreamingDecoder_Reset,
@@ -469,33 +471,21 @@ class StreamingDecoder:
             goal = min(goal, max_samples)
         if out is None:
             out = np.empty((C, goal), dtype=np.int32)  # [:progress] written
-            out_w, out_ptr = goal, out.ctypes.data
+            out_w, out_ptr, out_stride = goal, out.ctypes.data, goal
         elif out is self._out_cache:
-            out_w, out_ptr = self._out_cache_w, self._out_cache_ptr
+            out_w = self._out_cache_w
+            out_ptr = self._out_cache_ptr
+            out_stride = self._out_cache_stride
         else:
-            if (
-                out.dtype != np.int32
-                or out.ndim != 2
-                or out.shape[0] != C
-                or out.shape[1] < goal
-            ):
-                raise SLAError(
-                    ApiResult.INVALID_ARGUMENT,
-                    f"out must be int32 ({C}, >={goal})",
-                )
-            out_w = out.shape[1]
-            out_ptr = out.ctypes.data if out.flags.c_contiguous else -1
-            self._out_cache = out
-            self._out_cache_w = out_w
-            self._out_cache_ptr = out_ptr
+            out_w, out_ptr, out_stride = self._validate_out(out, C, goal)
         if out_w < goal:
             raise SLAError(
                 ApiResult.INVALID_ARGUMENT, f"out must be int32 ({C}, >={goal})"
             )
         # fast path — the steady mid-block 120 Hz tick: prebound native
-        # tick, whole request inside the current block, caller buffer
-        # contiguous with exactly-goal-wide rows (the tick writes rows at
-        # stride n). One native call; on underrun nothing was mutated.
+        # tick, whole request inside the current block, caller rows
+        # inner-contiguous. One native call; on underrun nothing was
+        # mutated.
         blk = self._block
         tick = self._tick
         if (
@@ -503,10 +493,11 @@ class StreamingDecoder:
             and blk is not None
             and not self._pending_drop
             and out_ptr > 0
-            and out_w == goal
             and blk.num_samples - self._block_sample_offset >= goal
         ):
-            status = tick.run_fast(self._buf_ptr, self._buf_len, out_ptr, goal)
+            status = tick.run_strided(
+                self._buf_ptr, self._buf_len, out_ptr, goal, out_stride
+            )
             if status:
                 return out[:, :0]  # underrun: caller feeds and retries
             self._consumed_bits = int(tick.bit_pos_view[0]) - blk.header_bytes * 8
@@ -515,7 +506,7 @@ class StreamingDecoder:
                 self._end_block(blk)
             else:
                 self._block_sample_offset = off
-            return out
+            return out if out_w == goal else out[:, :goal]
         progress = 0
         while progress < goal:
             if self._pending_drop:
@@ -564,7 +555,11 @@ class StreamingDecoder:
             snap = None if self._tick is not None else self._snapshot_state()
             # common tick shape (whole call served by one mid-block chunk):
             # the native tick lands straight in the caller's buffer
-            dest = out if progress == 0 and n == out_w and out_ptr > 0 else None
+            dest = (
+                out
+                if progress == 0 and n == out_w and out_stride == n and out_ptr > 0
+                else None
+            )
             try:
                 chunk = self._decode_wave_data(n, dest)
             except SLAError as e:
@@ -580,6 +575,88 @@ class StreamingDecoder:
             if self._block_sample_offset >= blk.num_samples:
                 self._end_block(blk)
         return out[:, :progress]
+
+    def _validate_out(self, out: np.ndarray, C: int, goal: int) -> tuple:
+        """Validate a caller decode buffer and memoize (width, base pointer
+        or -1 when rows are not inner-contiguous, row stride in elements)."""
+        if (
+            out.dtype != np.int32
+            or out.ndim != 2
+            or out.shape[0] != C
+            or out.shape[1] < goal
+        ):
+            raise SLAError(
+                ApiResult.INVALID_ARGUMENT, f"out must be int32 ({C}, >={goal})"
+            )
+        out_w = out.shape[1]
+        st = out.strides
+        if st[1] == 4 and st[0] % 4 == 0 and st[0] >= 0:
+            out_ptr = out.ctypes.data
+            out_stride = st[0] // 4
+        else:
+            out_ptr, out_stride = -1, 0
+        self._out_cache = out
+        self._out_cache_w = out_w
+        self._out_cache_ptr = out_ptr
+        self._out_cache_stride = out_stride
+        return out_w, out_ptr, out_stride
+
+    def decode_into(
+        self, out: np.ndarray, offset: int = 0, max_samples: int | None = None
+    ) -> int:
+        """decode() landing the samples at COLUMN `offset` of the caller's
+        (C, >= offset+n) int32 array, returning the sample count — the
+        zero-copy whole-stream loop (the reference's Decode writes through
+        a `buffer + offset` pointer the same way, SLADecoder.h:92-101).
+        On the steady mid-block tick this is one native call writing the
+        rows at the array's own stride; underrun returns 0 with nothing
+        consumed, exactly like decode() returning an empty chunk."""
+        wf = self._wave_format
+        if wf is None or self._encode_param is None:
+            raise SLAError(ApiResult.PARAMETER_NOT_SET)
+        C = wf.num_channels
+        goal = self._samples_per_decode
+        if max_samples is not None:
+            goal = min(goal, max_samples)
+        if out is self._out_cache:
+            out_w = self._out_cache_w
+            out_ptr = self._out_cache_ptr
+            out_stride = self._out_cache_stride
+        else:
+            out_w, out_ptr, out_stride = self._validate_out(out, C, goal + offset)
+        if out_w - offset < goal:
+            raise SLAError(
+                ApiResult.INVALID_ARGUMENT,
+                f"out must be int32 ({C}, >={offset + goal})",
+            )
+        blk = self._block
+        tick = self._tick
+        if (
+            tick is not None
+            and blk is not None
+            and not self._pending_drop
+            and out_ptr > 0
+            and blk.num_samples - self._block_sample_offset >= goal
+        ):
+            status = tick.run_strided(
+                self._buf_ptr, self._buf_len, out_ptr + 4 * offset, goal, out_stride
+            )
+            if status:
+                return 0  # underrun: caller feeds and retries
+            self._consumed_bits = int(tick.bit_pos_view[0]) - blk.header_bytes * 8
+            off = self._block_sample_offset + goal
+            if off >= blk.num_samples:
+                self._end_block(blk)
+            else:
+                self._block_sample_offset = off
+            return goal
+        # general path (block boundaries, RAW/SILENT blocks, no native,
+        # non-contiguous rows): decode into a fresh chunk and copy
+        chunk = self.decode(max_samples=goal)
+        n = chunk.shape[1]
+        if n:
+            out[:, offset : offset + n] = chunk
+        return n
 
     def _end_block(self, blk: _BlockHeader) -> None:
         """Finished block: drop its bytes (any unreceived tail is skipped

@@ -275,3 +275,85 @@ def test_streaming_random_fragmentation(seed):
         out[:, done : done + n] = chunk
         done += n
     assert np.array_equal(out, pcm)
+
+
+def stream_decode_into_all(blob, fragment_size=997, tick_hz=120.0):
+    """stream_decode_all via the zero-copy decode_into(out, offset) loop."""
+    header, _ = decode_header(blob)
+    wf = header.wave_format
+    sd = StreamingDecoder(
+        StreamingDecoderConfig(core=DecoderConfig(), decode_interval_hz=tick_hz,
+                               max_bit_per_sample=wf.bit_per_sample)
+    )
+    sd.set_wave_format(wf)
+    sd.set_encode_parameter(header.encode_param)
+    total = header.num_samples
+    out = np.zeros((wf.num_channels, total), dtype=np.int32)
+    pos, done = 43, 0
+    while done < total:
+        need = sd.estimate_minimum_necessary_data_size()
+        if pos < len(blob) and sd.remaining_data_size() < need:
+            take = min(max(need, fragment_size), len(blob) - pos)
+            sd.append_data_fragment(blob[pos : pos + take])
+            pos += take
+        n = sd.decode_into(out, done, max_samples=total - done)
+        if n == 0:
+            if pos >= len(blob):
+                break
+            take = min(need, len(blob) - pos)
+            sd.append_data_fragment(blob[pos : pos + take])
+            pos += take
+        done += n
+        sd.collect_data_fragments()
+    assert done == total
+    return out
+
+
+@pytest.mark.parametrize("kind,ch,width", [
+    ("chirp", 2, 16),
+    ("gauss", 2, 24),
+    ("sine", 1, 16),
+    ("silence", 1, 8),
+])
+def test_decode_into_matches_decode(kind, ch, width):
+    pcm = gen_wave(kind, 9000, ch, width, 0, seed=7)
+    blob = encode(pcm, ch, width)
+    via_decode = stream_decode_all(blob)
+    via_into = stream_decode_into_all(blob)
+    assert np.array_equal(via_decode, via_into)
+    assert np.array_equal(via_into, pcm)
+
+
+def test_decode_into_no_native(monkeypatch):
+    # the general fallback path (no prebound tick) must land identically
+    monkeypatch.setattr(native, "available", lambda: False)
+    pcm = gen_wave("chirp", 6000, 2, 16, 0, seed=8)
+    blob = encode(pcm, 2, 16)
+    assert np.array_equal(stream_decode_into_all(blob), pcm)
+
+
+def test_decode_into_validation():
+    pcm = gen_wave("sine", 4000, 2, 16, 0, seed=9)
+    blob = encode(pcm, 2, 16)
+    header, _ = decode_header(blob)
+    wf = header.wave_format
+    sd = StreamingDecoder(
+        StreamingDecoderConfig(core=DecoderConfig(),
+                               max_bit_per_sample=wf.bit_per_sample)
+    )
+    sd.set_wave_format(wf)
+    sd.set_encode_parameter(header.encode_param)
+    sd.append_data_fragment(blob[43:])
+    spd = sd.output_samples_per_decode()
+    # too-narrow landing window at the offset
+    big = np.zeros((2, spd + 5), dtype=np.int32)
+    with pytest.raises(SLAError):
+        sd.decode_into(big, 6)
+    # wrong dtype
+    with pytest.raises(SLAError):
+        sd.decode_into(np.zeros((2, spd), dtype=np.int64), 0)
+    # a valid strided view (rows of a wider array) decodes fine
+    wide = np.zeros((2, 4000), dtype=np.int32)
+    n = sd.decode_into(wide, 100)
+    assert n > 0
+    assert np.array_equal(wide[:, 100 : 100 + n], pcm[:, :n])

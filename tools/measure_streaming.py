@@ -46,26 +46,22 @@ def run_once(blob: bytes, pcm: np.ndarray) -> float:
     sd.set_wave_format(wf)
     sd.set_encode_parameter(header.encode_param)
     out = np.zeros((wf.num_channels, header.num_samples), dtype=np.int32)
-    tick_buf = np.empty(
-        (wf.num_channels, sd.output_samples_per_decode()), dtype=np.int32
-    )
+    total = header.num_samples
     pos, done = 43, 0
     t0 = time.perf_counter()
-    while done < header.num_samples:
+    while done < total:
         need = sd.estimate_minimum_necessary_data_size()
         if pos < len(blob) and sd.remaining_data_size() < need:
             take = min(need, len(blob) - pos)
             sd.append_data_fragment(blob[pos : pos + take])
             pos += take
-        chunk = sd.decode(out=tick_buf)
-        n = chunk.shape[1]
+        n = sd.decode_into(out, done, max_samples=total - done)
         if n == 0:
             if pos >= len(blob):
                 break
             take = min(need, len(blob) - pos)
             sd.append_data_fragment(blob[pos : pos + take])
             pos += take
-        out[:, done : done + n] = chunk
         done += n
         sd.collect_data_fragments()
     dt = time.perf_counter() - t0
