@@ -418,30 +418,40 @@ static inline uint32_t get_recursive_rice(BitReader& r, RiceState& st);
 // symbol (the refill is ~1/3 of the skeleton cost). Bit consumption is
 // identical to get_recursive_rice; measured ~1.7-1.9x on the decode
 // entropy stage across 5.5-11 bits/sym payloads.
-static inline bool try_sym(BitReader& r, RiceState& st, uint32_t* out_val) {
-  uint32_t k0 = rice_param(st.params[0]);
+// Scalar-reference form so callers can keep the whole loop-carried state
+// (bit cache + both adaptive parameters) in REGISTERS: with the state in
+// a RiceState stack array, every parameter update is a load+store on the
+// serial chain (~2x on the streaming partial decode below).
+static inline __attribute__((always_inline)) bool try_sym_regs(
+    uint64_t& cache, int& ncache, uint64_t& p0, uint64_t& p1,
+    uint32_t* out_val) {
+  uint32_t k0 = rice_param(p0);
   int kb0 = log2_pow2(k0);
   // (cache<<1)<<(63-ncache): == cache<<(64-ncache) for ncache>=1 and a
   // defined all-zero window for ncache==0 (plain <<64 would be UB)
-  uint64_t win = (r.cache << 1) << (63 - r.ncache);
+  uint64_t win = (cache << 1) << (63 - ncache);
   int lead = __builtin_clzll(win | 1);  // zeros before the terminating 1
-  uint32_t k1 = rice_param(st.params[1]);
+  uint32_t k1 = rice_param(p1);
   int kb1 = log2_pow2(k1);
   const uint32_t m32 = (uint32_t)-(int32_t)(lead != 0);  // ones iff stage 1
   const int kb = kb0 ^ ((kb0 ^ kb1) & (int)m32);
   const int consumed = lead + 1 + kb;
-  if (lead >= (int)kQuotThreshold || consumed > r.ncache) return false;
-  r.ncache -= consumed;
-  uint32_t rest = (uint32_t)((r.cache >> r.ncache) & ((1ull << kb) - 1));
-  r.cache &= (1ull << r.ncache) - 1;
+  if (lead >= (int)kQuotThreshold || consumed > ncache) return false;
+  ncache -= consumed;
+  uint32_t rest = (uint32_t)((cache >> ncache) & ((1ull << kb) - 1));
+  cache &= (1ull << ncache) - 1;
   uint32_t reduced = k1 * (uint32_t)(lead - 1) + rest;  // garbage at stage 0
   uint32_t val = rest + ((k0 + reduced - rest) & m32);
-  st.params[0] = param_update(st.params[0], val);
-  uint64_t p1u = param_update(st.params[1], reduced);
+  p0 = param_update(p0, val);
+  uint64_t p1u = param_update(p1, reduced);
   const uint64_t m64 = (uint64_t)(int64_t)(int32_t)m32;
-  st.params[1] = (p1u & m64) | (st.params[1] & ~m64);
+  p1 = (p1u & m64) | (p1 & ~m64);
   *out_val = val;
   return true;
+}
+
+static inline bool try_sym(BitReader& r, RiceState& st, uint32_t* out_val) {
+  return try_sym_regs(r.cache, r.ncache, st.params[0], st.params[1], out_val);
 }
 
 // Per-symbol driver: refill + branchless path while an 8-byte margin
@@ -1472,18 +1482,54 @@ int32_t sla_get_data_array_partial(const uint8_t* in, int64_t in_size,
       std::memcpy(st[ch].params, param_state + ch * kNumRecursiveParams,
                   sizeof(st[ch].params));
     if (C == 2) {  // stereo fast path: one refill per sample (same bit
-                   // consumption as per-symbol get_sym_auto)
+                   // consumption as per-symbol get_sym_auto), with the
+                   // whole loop-carried state — bit cache + 4 adaptive
+                   // params — in registers; the reader/state structs are
+                   // synced only around the rare escape calls
       int32_t* o0 = out;
       int32_t* o1 = out + num_samples;
       int s = 0;
-      for (; s < num_samples && r.next_byte + 8 <= r.size_bytes; ++s) {
-        r.refill32();
+      uint64_t cache = r.cache;
+      int ncache = r.ncache;
+      int64_t nxt = r.next_byte;
+      const uint8_t* bp = r.buf;
+      const int64_t sz = r.size_bytes;
+      uint64_t a0 = st[0].params[0], a1 = st[0].params[1];
+      uint64_t b0 = st[1].params[0], b1 = st[1].params[1];
+      auto writeback = [&]() {
+        r.cache = cache; r.ncache = ncache; r.next_byte = nxt;
+        st[0].params[0] = a0; st[0].params[1] = a1;
+        st[1].params[0] = b0; st[1].params[1] = b1;
+      };
+      auto reload = [&]() {
+        cache = r.cache; ncache = r.ncache; nxt = r.next_byte;
+        a0 = st[0].params[0]; a1 = st[0].params[1];
+        b0 = st[1].params[0]; b1 = st[1].params[1];
+      };
+      for (; s < num_samples && nxt + 8 <= sz; ++s) {
+        const int nb = (63 - ncache) >> 3;  // refill32, 8-byte margin form
+        if (nb > 0) {
+          uint64_t v;
+          std::memcpy(&v, bp + nxt, 8);
+          nxt += nb;
+          cache = (cache << (8 * nb)) | (__builtin_bswap64(v) >> (64 - 8 * nb));
+          ncache += 8 * nb;
+        }
         uint32_t u0, u1;
-        if (!try_sym(r, st[0], &u0)) u0 = get_recursive_rice(r, st[0]);
-        if (!try_sym(r, st[1], &u1)) u1 = get_recursive_rice(r, st[1]);
+        if (!try_sym_regs(cache, ncache, a0, a1, &u0)) {
+          writeback();
+          u0 = get_recursive_rice(r, st[0]);
+          reload();
+        }
+        if (!try_sym_regs(cache, ncache, b0, b1, &u1)) {
+          writeback();
+          u1 = get_recursive_rice(r, st[1]);
+          reload();
+        }
         o0[s] = unzigzag(u0);
         o1[s] = unzigzag(u1);
       }
+      writeback();
       for (; s < num_samples; ++s) {  // buffer tail: byte-exact slow path
         o0[s] = unzigzag(get_sym_auto(r, st[0]));
         o1[s] = unzigzag(get_sym_auto(r, st[1]));
