@@ -1534,6 +1534,42 @@ int32_t sla_get_data_array_partial(const uint8_t* in, int64_t in_size,
         o0[s] = unzigzag(get_sym_auto(r, st[0]));
         o1[s] = unzigzag(get_sym_auto(r, st[1]));
       }
+    } else if (C == 1) {  // mono: same register-resident loop, one channel
+      int s = 0;
+      uint64_t cache = r.cache;
+      int ncache = r.ncache;
+      int64_t nxt = r.next_byte;
+      const uint8_t* bp = r.buf;
+      const int64_t sz = r.size_bytes;
+      uint64_t a0 = st[0].params[0], a1 = st[0].params[1];
+      auto writeback = [&]() {
+        r.cache = cache; r.ncache = ncache; r.next_byte = nxt;
+        st[0].params[0] = a0; st[0].params[1] = a1;
+      };
+      auto reload = [&]() {
+        cache = r.cache; ncache = r.ncache; nxt = r.next_byte;
+        a0 = st[0].params[0]; a1 = st[0].params[1];
+      };
+      for (; s < num_samples && nxt + 8 <= sz; ++s) {
+        const int nb = (63 - ncache) >> 3;
+        if (nb > 0) {
+          uint64_t v;
+          std::memcpy(&v, bp + nxt, 8);
+          nxt += nb;
+          cache = (cache << (8 * nb)) | (__builtin_bswap64(v) >> (64 - 8 * nb));
+          ncache += 8 * nb;
+        }
+        uint32_t u;
+        if (!try_sym_regs(cache, ncache, a0, a1, &u)) {
+          writeback();
+          u = get_recursive_rice(r, st[0]);
+          reload();
+        }
+        out[s] = unzigzag(u);
+      }
+      writeback();
+      for (; s < num_samples; ++s)
+        out[s] = unzigzag(get_sym_auto(r, st[0]));
     } else {
       for (int s = 0; s < num_samples; ++s)
         for (int ch = 0; ch < C; ++ch)
