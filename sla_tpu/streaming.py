@@ -584,9 +584,11 @@ class StreamingDecoder:
             or out.ndim != 2
             or out.shape[0] != C
             or out.shape[1] < goal
+            or not out.flags.writeable
         ):
             raise SLAError(
-                ApiResult.INVALID_ARGUMENT, f"out must be int32 ({C}, >={goal})"
+                ApiResult.INVALID_ARGUMENT,
+                f"out must be a writeable int32 ({C}, >={goal})",
             )
         out_w = out.shape[1]
         st = out.strides

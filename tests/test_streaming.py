@@ -357,3 +357,41 @@ def test_decode_into_validation():
     n = sd.decode_into(wide, 100)
     assert n > 0
     assert np.array_equal(wide[:, 100 : 100 + n], pcm[:, :n])
+
+
+def test_decode_into_rejects_readonly():
+    pcm = gen_wave("sine", 3000, 2, 16, 0, seed=12)
+    blob = encode(pcm, 2, 16)
+    header, _ = decode_header(blob)
+    sd = StreamingDecoder(
+        StreamingDecoderConfig(core=DecoderConfig(),
+                               max_bit_per_sample=16)
+    )
+    sd.set_wave_format(header.wave_format)
+    sd.set_encode_parameter(header.encode_param)
+    sd.append_data_fragment(blob[43:])
+    ro = np.zeros((2, 3000), dtype=np.int32)
+    ro.flags.writeable = False
+    with pytest.raises(SLAError):
+        sd.decode_into(ro, 0)
+    with pytest.raises(SLAError):
+        sd.decode(out=ro)
+
+
+def test_packet_queue_remaining_counter():
+    """The O(1) remaining counter must track every cursor combination."""
+    q = DataPacketQueue()
+    q.enqueue(b"abcdef")
+    q.enqueue_consumed(b"xyz")          # copied out in full by the caller
+    q.enqueue(b"ghij")
+    assert q.remaining_size() == 10     # 6 + 4; consumed packet excluded
+    assert q.get_fragment(4) == b"abcd"
+    assert q.remaining_size() == 6
+    assert q.get_fragment(100) == b"ef"
+    assert q.remaining_size() == 4
+    assert q.dequeue() == b"abcdef"
+    assert q.dequeue() == b"xyz"        # consumed packet reclaimed in order
+    assert q.dequeue() is None          # "ghij" not fully consumed yet
+    assert q.get_fragment(100) == b"ghij"
+    assert q.remaining_size() == 0
+    assert q.dequeue() == b"ghij"
