@@ -293,6 +293,75 @@ class Decoder:
         t0 = time.perf_counter()
         blocks = self.scan_blocks(data, header.num_samples)
         self.stage_times["headers"] = time.perf_counter() - t0
+        out = self._decode_blocks(data, blocks, header.num_samples)
+        if self.config.verbose:
+            st = self.stage_times
+            print(
+                "stages: "
+                + "  ".join(f"{k} {v * 1e3:.1f}ms" for k, v in st.items())
+                + f"  total {sum(st.values()) * 1e3:.1f}ms"
+            )
+        return header, out
+
+    def decode_range(
+        self, data: bytes, start_sample: int, num_samples: int
+    ) -> tuple[HeaderInfo, np.ndarray]:
+        """Random-access decode: (header, (C, n) PCM) for the sample window
+        [start_sample, start_sample + num_samples), clamped to the stream.
+
+        Blocks are independent (every filter/entropy state resets at a
+        block start, SLADecoder.c:569-581), so only the blocks overlapping
+        the window are entropy-decoded and synthesized — a seek into an
+        hour-long stream costs one header walk plus O(window) work. The
+        reference API has no equivalent (whole-stream or 120 Hz streaming
+        only); bytes produced are identical to the decode_whole slice."""
+        if start_sample < 0 or num_samples < 0:
+            raise SLAError(ApiResult.INVALID_ARGUMENT, "negative range")
+        header, status = decode_header(data)
+        if status == ApiResult.DETECT_DATA_CORRUPTION and self.config.enable_crc_check:
+            raise SLAError(ApiResult.DETECT_DATA_CORRUPTION, "header CRC mismatch")
+        self.set_wave_format(header.wave_format)
+        self.set_encode_parameter(header.encode_param)
+        self._require_params()
+
+        import time
+
+        self.stage_times = {}
+        t0 = time.perf_counter()
+        blocks = self.scan_blocks(data, header.num_samples)
+        self.stage_times["headers"] = time.perf_counter() - t0
+        start = min(start_sample, header.num_samples)
+        end = min(start_sample + num_samples, header.num_samples)
+        # select the covering block run
+        sel: list[_Block] = []
+        pos = 0
+        first_pos = 0
+        for b in blocks:
+            if pos + b.num_samples > start and pos < end:
+                if not sel:
+                    first_pos = pos
+                sel.append(b)
+            pos += b.num_samples
+            if pos >= end:
+                break
+        C = self._wave_format.num_channels
+        if not sel:
+            return header, np.empty((C, 0), dtype=np.int32)
+        covered = sum(b.num_samples for b in sel)
+        out = self._decode_blocks(data, sel, covered)
+        lo = start - first_pos
+        return header, out[:, lo : lo + (end - start)]
+
+    def _decode_blocks(
+        self, data: bytes, blocks: list, total: int
+    ) -> np.ndarray:
+        """Entropy-decode + synthesize a run of blocks into a fresh
+        (C, total) canonical int32 PCM array (total = sum of their sample
+        counts); the grouped native pipeline when available."""
+        import time
+
+        wf, ep = self._wave_format, self._encode_param
+        total_samples = total
         if native.available():
             # bounded groups: entropy-decode, synthesize, and assemble each
             # group of blocks before touching the next, so peak memory is
@@ -302,7 +371,7 @@ class Decoder:
             C = wf.num_channels
             L = ep.max_num_block_samples
             group = max(1, (100 << 20) // (C * L * 4))
-            out = np.empty((C, header.num_samples), dtype=np.int32)
+            out = np.empty((C, total_samples), dtype=np.int32)
             t_ent = t_syn = 0.0
             off = 0
             for g0 in range(0, len(blocks), group):
@@ -338,7 +407,7 @@ class Decoder:
                     # bound every native write: a malformed stream whose
                     # block sample counts overrun the header total must
                     # fail loudly, not scribble past the PCM buffer
-                    if off + b.num_samples > header.num_samples:
+                    if off + b.num_samples > total_samples:
                         raise SLAError(
                             ApiResult.DETECT_DATA_CORRUPTION,
                             "block sample counts exceed the header total",
@@ -354,7 +423,7 @@ class Decoder:
                     t_syn += time.perf_counter() - t0
                     if self.config.verbose:
                         print(
-                            f"progress:{100 * off // max(header.num_samples, 1):2d}%",
+                            f"progress:{100 * off // max(total_samples, 1):2d}%",
                             end="\r",
                             flush=True,
                         )
@@ -370,7 +439,7 @@ class Decoder:
                     # progress per group (SLADecoder.c:721-725 prints per
                     # block; the grouped pipeline reports at group bounds)
                     print(
-                        f"progress:{100 * off // max(header.num_samples, 1):2d}%",
+                        f"progress:{100 * off // max(total_samples, 1):2d}%",
                         end="\r",
                         flush=True,
                     )
@@ -386,7 +455,7 @@ class Decoder:
                     # progress display (SLADecoder.c:721-725, main.c:406-409)
                     done += b.num_samples
                     print(
-                        f"progress:{100 * done // max(header.num_samples, 1):2d}%",
+                        f"progress:{100 * done // max(total_samples, 1):2d}%",
                         end="\r",
                         flush=True,
                     )
@@ -395,14 +464,7 @@ class Decoder:
             pcm = self.synthesize_blocks(blocks, payloads)
             out = np.concatenate(pcm, axis=1)
             self.stage_times["synthesis"] = time.perf_counter() - t0
-        if self.config.verbose:
-            st = self.stage_times
-            print(
-                "stages: "
-                + "  ".join(f"{k} {v * 1e3:.1f}ms" for k, v in st.items())
-                + f"  total {sum(st.values()) * 1e3:.1f}ms"
-            )
-        return header, out
+        return out
 
     def synthesize_blocks(
         self, blocks: list[_Block], payloads: list[np.ndarray]

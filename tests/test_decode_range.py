@@ -1,0 +1,78 @@
+"""Random-access decode: decode_range must equal the decode_whole slice.
+
+Blocks are independent (filter/entropy state resets at block starts,
+SLADecoder.c:569-581), which is what makes a seek-window decode exact."""
+
+import numpy as np
+import pytest
+
+import sla_tpu as sla
+from sla_tpu.decoder import Decoder
+from sla_tpu.errors import SLAError
+
+from .test_encode_decode import gen_wave
+
+
+def _encode(pcm, width=16, preset=2, rate=44100):
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(pcm.shape[0], width, rate))
+    enc.set_encode_parameter(sla.PRESETS[preset])
+    return enc.encode_whole(pcm)
+
+
+@pytest.fixture(scope="module")
+def stream():
+    pcm = gen_wave("chirp", 50000, 2, 16, 0, seed=21)
+    # mix in a silent span so the selection crosses SILENT blocks too
+    pcm[:, 20000:24500] = 0
+    return pcm, _encode(pcm)
+
+
+@pytest.mark.parametrize("start,count", [
+    (0, 1000),            # head
+    (4096, 4096),         # exactly one block
+    (5000, 9000),         # crosses block boundaries
+    (19500, 6000),        # spans the silent run
+    (49000, 5000),        # clamped tail
+    (0, 50000),           # full stream
+    (50000, 10),          # past the end -> empty
+    (1, 0),               # empty request
+])
+def test_range_equals_whole_slice(stream, start, count):
+    pcm, blob = stream
+    dec = Decoder()
+    hdr, whole = dec.decode_whole(blob)
+    hdr2, win = Decoder().decode_range(blob, start, count)
+    assert hdr2.num_samples == hdr.num_samples
+    lo = min(start, pcm.shape[1])
+    hi = min(start + count, pcm.shape[1])
+    assert np.array_equal(win, whole[:, lo:hi])
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_range_fuzz(stream, seed):
+    pcm, blob = stream
+    rng = np.random.default_rng(seed)
+    dec = Decoder()
+    for _ in range(8):
+        start = int(rng.integers(0, pcm.shape[1]))
+        count = int(rng.integers(1, 20000))
+        _, win = dec.decode_range(blob, start, count)
+        hi = min(start + count, pcm.shape[1])
+        assert np.array_equal(win, pcm[:, start:hi])
+
+
+def test_range_rejects_negative(stream):
+    _, blob = stream
+    with pytest.raises(SLAError):
+        Decoder().decode_range(blob, -1, 10)
+    with pytest.raises(SLAError):
+        Decoder().decode_range(blob, 0, -5)
+
+
+def test_range_no_native(stream, monkeypatch):
+    from sla_tpu import native
+    pcm, blob = stream
+    monkeypatch.setattr(native, "available", lambda: False)
+    _, win = Decoder().decode_range(blob, 7000, 3000)
+    assert np.array_equal(win, pcm[:, 7000:10000])
