@@ -1571,7 +1571,40 @@ int32_t sla_get_data_array_partial(const uint8_t* in, int64_t in_size,
       for (; s < num_samples; ++s)
         out[s] = unzigzag(get_sym_auto(r, st[0]));
     } else {
-      for (int s = 0; s < num_samples; ++s)
+      // multichannel (3..64ch): cursor in registers, one refill per
+      // sample; the adaptive params stay in st[] (runtime channel count),
+      // still saving the per-symbol refill/branch of get_sym_auto.
+      // kQuotThreshold+1+kb(<=32) bits per symbol can exceed the 56-bit
+      // cache for later channels, so try_sym's consumed>ncache guard
+      // falls back per symbol exactly like the stereo loop.
+      int s = 0;
+      uint64_t cache = r.cache;
+      int ncache = r.ncache;
+      int64_t nxt = r.next_byte;
+      const uint8_t* bp = r.buf;
+      const int64_t sz = r.size_bytes;
+      for (; s < num_samples && nxt + 8 <= sz; ++s) {
+        for (int ch = 0; ch < C; ++ch) {
+          if (ncache <= 33 && nxt + 8 <= sz) {  // top up before each symbol
+            const int nb = (63 - ncache) >> 3;
+            uint64_t v;
+            std::memcpy(&v, bp + nxt, 8);
+            nxt += nb;
+            cache = (cache << (8 * nb)) | (__builtin_bswap64(v) >> (64 - 8 * nb));
+            ncache += 8 * nb;
+          }
+          uint32_t u;
+          if (!try_sym_regs(cache, ncache, st[ch].params[0], st[ch].params[1],
+                            &u)) {
+            r.cache = cache; r.ncache = ncache; r.next_byte = nxt;
+            u = get_recursive_rice(r, st[ch]);
+            cache = r.cache; ncache = r.ncache; nxt = r.next_byte;
+          }
+          out[(int64_t)ch * num_samples + s] = unzigzag(u);
+        }
+      }
+      r.cache = cache; r.ncache = ncache; r.next_byte = nxt;
+      for (; s < num_samples; ++s)
         for (int ch = 0; ch < C; ++ch)
           out[(int64_t)ch * num_samples + s] = unzigzag(get_sym_auto(r, st[ch]));
     }

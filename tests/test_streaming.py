@@ -395,3 +395,12 @@ def test_packet_queue_remaining_counter():
     assert q.get_fragment(100) == b"ghij"
     assert q.remaining_size() == 0
     assert q.dequeue() == b"ghij"
+
+
+def test_streaming_multichannel_6ch():
+    """5.1-style stream exercises the multichannel (C>2) resumable
+    entropy loop and per-channel synthesis."""
+    pcm = gen_wave("gauss", 20000, 6, 16, 0, seed=13)
+    blob = encode(pcm, 6, 16)
+    assert np.array_equal(stream_decode_all(blob), pcm)
+    assert np.array_equal(stream_decode_into_all(blob), pcm)
