@@ -19,17 +19,23 @@ from sla_tpu.decoder import DecoderConfig, decode_header  # noqa: E402
 from sla_tpu.streaming import StreamingDecoder, StreamingDecoderConfig  # noqa: E402
 
 
-def make_stream(seconds: int) -> tuple[bytes, np.ndarray]:
+def make_stream(seconds: int, channels: int = 2) -> tuple[bytes, np.ndarray]:
     rng = np.random.default_rng(7)
     n = 44100 * seconds
     sig = 0.3 * np.sin(2 * np.pi * 440 * np.arange(n) / 44100.0)
     noise = np.stack(
-        [np.convolve(rng.normal(0, 0.02, n), np.ones(8) / 8, "same") for _ in range(2)]
+        [np.convolve(rng.normal(0, 0.02, n), np.ones(8) / 8, "same")
+         for _ in range(channels)]
     )
-    pcm = np.clip((sig[None] + noise) * 32767, -32768, 32767).astype(np.int32) << 16
+    gains = np.linspace(1.0, 0.7, channels)[:, None]
+    pcm = np.clip((sig[None] * gains + noise) * 32767, -32768, 32767).astype(np.int32) << 16
     enc = sla.Encoder()
-    enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
-    enc.set_encode_parameter(sla.PRESETS[2])
+    enc.set_wave_format(sla.WaveFormat(channels, 16, 44100))
+    import dataclasses
+    ep = sla.PRESETS[2]
+    if channels != 2:
+        ep = dataclasses.replace(ep, ch_process_method=sla.ChannelProcessMethod.NONE)
+    enc.set_encode_parameter(ep)
     return enc.encode_whole(pcm), pcm
 
 
@@ -75,13 +81,16 @@ def main() -> None:
     seconds = 60
     if "--seconds" in sys.argv:
         seconds = int(sys.argv[sys.argv.index("--seconds") + 1])
-    blob, pcm = make_stream(seconds)
+    channels = 2
+    if "--channels" in sys.argv:
+        channels = int(sys.argv[sys.argv.index("--channels") + 1])
+    blob, pcm = make_stream(seconds, channels)
     samples = pcm.size
     best = min(run_once(blob, pcm) for _ in range(repeats))
     print(
-        f"Streaming decode {seconds}s CD stereo preset2 @120Hz ticks: "
+        f"Streaming decode {seconds}s {channels}ch 44.1kHz preset2 @120Hz ticks: "
         f"{samples / best / 1e6:.2f} Msps (best of {repeats}, {best:.3f}s, "
-        f"{samples / 44100 / 2 / best:.1f}x realtime)"
+        f"{samples / 44100 / channels / best:.1f}x realtime)"
     )
 
 
