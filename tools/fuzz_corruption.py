@@ -92,6 +92,12 @@ def drive(mutant: bytes) -> None:
             assert out.shape[0] >= 1 and out.dtype == np.int32
         except (SLAError, ValueError, OverflowError):
             pass
+    # random-access window decode over the mutant
+    try:
+        _, win = sla.Decoder().decode_range(mutant, 3000, 5000)
+        assert win.dtype == np.int32
+    except (SLAError, ValueError, OverflowError):
+        pass
     # streaming decoder, fragment-fed
     from sla_tpu.decoder import DecoderConfig
     from sla_tpu.format import decode_header
