@@ -65,6 +65,16 @@ class _Block:
     payload_bit_offset: int = 0  # absolute bit offset of the residual payload
 
 
+@dataclasses.dataclass
+class SalvageSegment:
+    """One contiguous run of intact blocks recovered by decode_salvage."""
+
+    byte_offset: int  # where the run starts in the stream
+    gap_before_bytes: int  # corrupt bytes skipped to reach it (0 for first)
+    sample_offset: int | None  # exact only when known (first intact run)
+    pcm: np.ndarray  # (C, n) canonical int32
+
+
 class Decoder:
     def __init__(self, config: DecoderConfig | None = None):
         self.config = config or DecoderConfig()
@@ -352,6 +362,94 @@ class Decoder:
         lo = start - first_pos
         return header, out[:, lo : lo + (end - start)]
 
+    def decode_salvage(
+        self, data: bytes
+    ) -> tuple[HeaderInfo, list["SalvageSegment"]]:
+        """Best-effort decode of a DAMAGED stream: parse blocks until one
+        fails (bad sync / CRC mismatch / truncation), then hunt forward for
+        the next block whose sync code parses — and, with CRC checking on,
+        whose block CRC verifies — and keep decoding from there. The
+        reference aborts at the first corrupt block (SLADecoder.c:660-732);
+        this recovers every intact block after the damage.
+
+        Returns (header, segments): each segment's `pcm` is bit-exact with
+        the originally encoded blocks it covers. `sample_offset` is exact
+        for the first segment (0) and None after a gap — block headers
+        carry no absolute positions, so later anchors are unknowable in
+        general. With a SINGLE gap the tail anchor is recoverable as
+        header.num_samples - last_segment_samples. A fully intact stream
+        returns one segment equal to decode_whole's PCM."""
+        header, status = decode_header(data)
+        if status == ApiResult.DETECT_DATA_CORRUPTION and self.config.enable_crc_check:
+            raise SLAError(
+                ApiResult.DETECT_DATA_CORRUPTION,
+                "stream header CRC mismatch — nothing to anchor a salvage on",
+            )
+        self.set_wave_format(header.wave_format)
+        self.set_encode_parameter(header.encode_param)
+        self._require_params()
+        segments: list[SalvageSegment] = []
+        run: list[_Block] = []
+        run_start = SLA_HEADER_SIZE
+        gap_before = 0
+        offset = SLA_HEADER_SIZE
+        done = 0
+
+        def flush() -> None:
+            if run:
+                total = sum(b.num_samples for b in run)
+                pcm = self._decode_blocks(data, run, total)
+                segments.append(
+                    SalvageSegment(
+                        byte_offset=run_start,
+                        gap_before_bytes=gap_before,
+                        sample_offset=0 if not segments and gap_before == 0 else None,
+                        pcm=pcm,
+                    )
+                )
+
+        while done < header.num_samples and (
+            offset + SLA_MINIMUM_BLOCK_HEADER_SIZE <= len(data)
+        ):
+            try:
+                blk = self.parse_block_header(data, offset)
+                if blk.block_size > len(data) - offset:
+                    raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE)
+            except SLAError:
+                # resync: scan for the next parseable (and CRC-valid, when
+                # checking) block header — payload bytes can contain false
+                # 0xFFFF syncs, so each candidate must fully validate
+                flush()
+                run, found = [], None
+                pos = offset + 1
+                # each candidate validation can CRC up to its declared
+                # block size, so cap the attempts per gap — crafted
+                # sync-dense junk must not turn recovery quadratic
+                budget = 65536
+                while found is None and budget > 0:
+                    pos = data.find(b"\xff\xff", pos)
+                    if pos < 0 or pos + SLA_MINIMUM_BLOCK_HEADER_SIZE > len(data):
+                        break
+                    budget -= 1
+                    try:
+                        cand = self.parse_block_header(data, pos)
+                        if cand.block_size <= len(data) - pos:
+                            found = cand
+                    except SLAError:
+                        pass
+                    pos += 1 if found is None else 0
+                if found is None:
+                    break  # no further intact block (or hunt budget spent)
+                gap_before = pos - offset
+                run_start = pos
+                offset = pos
+                blk = found
+            run.append(blk)
+            offset += blk.block_size
+            done += blk.num_samples
+        flush()
+        return header, segments
+
     def _decode_blocks(
         self, data: bytes, blocks: list, total: int
     ) -> np.ndarray:
@@ -362,6 +460,8 @@ class Decoder:
 
         wf, ep = self._wave_format, self._encode_param
         total_samples = total
+        if not hasattr(self, "stage_times"):
+            self.stage_times = {}
         if native.available():
             # bounded groups: entropy-decode, synthesize, and assemble each
             # group of blocks before touching the next, so peak memory is

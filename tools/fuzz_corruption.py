@@ -98,6 +98,13 @@ def drive(mutant: bytes) -> None:
         assert win.dtype == np.int32
     except (SLAError, ValueError, OverflowError):
         pass
+    # salvage decode: must terminate with structured segments or an error
+    try:
+        _, segs = sla.Decoder().decode_salvage(mutant)
+        for seg in segs:
+            assert seg.pcm.dtype == np.int32
+    except (SLAError, ValueError, OverflowError):
+        pass
     # streaming decoder, fragment-fed
     from sla_tpu.decoder import DecoderConfig
     from sla_tpu.format import decode_header
