@@ -425,6 +425,11 @@ static inline uint32_t get_recursive_rice(BitReader& r, RiceState& st);
 static inline __attribute__((always_inline)) bool try_sym_regs(
     uint64_t& cache, int& ncache, uint64_t& p0, uint64_t& p1,
     uint32_t* out_val) {
+  // ncache == -1 is the over-read marker (get_zero_run's old-reader
+  // semantics): a PRIOR symbol's slow-path escape can leave it set, and
+  // the window shift below would be UB — fall back to the byte-exact
+  // slow path, which zero-fills consistently
+  if ((unsigned)ncache > 63u) return false;
   uint32_t k0 = rice_param(p0);
   int kb0 = log2_pow2(k0);
   // (cache<<1)<<(63-ncache): == cache<<(64-ncache) for ncache>=1 and a
