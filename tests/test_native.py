@@ -464,3 +464,19 @@ def test_stage1_rows_at_matches_batch():
     want = native.predict_stage1_rows(batch, coefs, lengths)
     got = native.predict_stage1_rows_at(base, offs, coefs, lengths, L)
     assert np.array_equal(want, got)
+
+
+def test_partial_read_overrun_marker():
+    """Over-reading a truncated payload must terminate with the cursor past
+    the end (the INSUFFICIENT_DATA_SIZE signal upstream), never crash — a
+    prior escape can leave the reader in the over-read marker state and the
+    NEXT channel's fast-path attempt must reject it (the UBSan-found
+    ncache=-1 shift, sla_native.cpp try_sym_regs guard)."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    for C in (1, 2, 6):
+        cur = native.PayloadCursor([5] * C, C, 0)
+        buf = np.frombuffer(b"\xa7\x01\x33", dtype=np.uint8)
+        out = cur.read(buf, 400)
+        assert out.shape == (C, 400)
+        assert int(cur.bit_pos.value) > 8 * buf.size  # over-read surfaced
