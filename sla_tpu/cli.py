@@ -49,6 +49,8 @@ def _make_spec() -> list[OptionSpec]:
                    "Corpus mode: INPUT is a directory of WAVs, OUTPUT a directory"),
         OptionSpec("f", "filter-batch", True,
                    "Corpus mode: fuse N files' blocks per filter dispatch default:1"),
+        OptionSpec("V", "verify", False,
+                   "Verify after encoding (decode the stream, compare with the input)"),
     ]
 
 
@@ -56,13 +58,13 @@ DEFAULT_PRESET = 2
 
 
 def do_encode(in_file: str, out_file: str, preset_no: int, verbose: bool,
-              trace_dir: str | None = None) -> int:
+              trace_dir: str | None = None, verify: bool = False) -> int:
     try:
         wav = wavio.read_wav(in_file)
     except Exception as e:
         print(f"Failed to open {in_file} ({e})", file=sys.stderr)
         return 1
-    enc = Encoder(EncoderConfig(verbose=verbose))
+    enc = Encoder(EncoderConfig(verbose=verbose, verify=verify))
     enc.set_wave_format(WaveFormat(wav.num_channels, wav.bits_per_sample, wav.sampling_rate))
     enc.set_encode_parameter(preset_parameter(preset_no, wav.num_channels))
     try:
@@ -242,7 +244,8 @@ def main(argv: list[str] | None = None) -> int:
                 )
             return 1 if res.failed else 0
         trace_dir = get_argument_string(spec, "trace") if get_option_acquired(spec, "trace") else None
-        if do_encode(positional[0], positional[1], preset_no, verbose, trace_dir) != 0:
+        if do_encode(positional[0], positional[1], preset_no, verbose, trace_dir,
+                     verify=get_option_acquired(spec, "verify")) != 0:
             return 1
     else:
         print(f"{prog}: decode(-d) or encode(-e) option must be specified.", file=sys.stderr)

@@ -69,6 +69,11 @@ class EncoderConfig:
     max_lms_order_per_filter: int = 40
     verbose: bool = False
     backend: str = "auto"
+    # decode every encoded stream back and compare with the input before
+    # returning it (flac -V style self-check; the reference has no
+    # equivalent). Decode runs 6-9x faster than encode here, so the
+    # overhead is a fraction of the encode cost.
+    verify: bool = False
     # entropy symbol computation on-device: 'auto' = whenever the filter
     # batch already runs on the device/mesh backend (the residual is
     # on-chip; the host keeps only the branch-free pack — rice_device.py),
@@ -255,9 +260,11 @@ class Encoder:
         one-shot path. SLA_TPU_SEGMENT_SAMPLES tunes the threshold."""
         seg = self._segment_samples()
         if data.shape[1] > seg:
-            return self._encode_whole_segmented(
+            blob = self._encode_whole_segmented(
                 np.ascontiguousarray(data, dtype=np.int32), seg
             )
+            self._maybe_verify(blob, data)
+            return blob
         num_samples, plans = self._stage_encode(data)
         t0 = time.perf_counter()
         self._run_filters(plans)
@@ -273,7 +280,27 @@ class Encoder:
                 + "  ".join(f"{k} {v * 1e3:.1f}ms" for k, v in st.items())
                 + f"  total {total * 1e3:.1f}ms"
             )
+        self._maybe_verify(blob, data)
         return blob
+
+    def _maybe_verify(self, blob: bytes, data: np.ndarray) -> None:
+        """config.verify: decode the finished stream back and require the
+        exact input PCM (encode-time self-check, flac -V style)."""
+        if not self.config.verify:
+            return
+        from .decoder import Decoder, DecoderConfig
+
+        dec = Decoder(DecoderConfig(max_num_channels=self.config.max_num_channels,
+                                    max_num_block_samples=self.config.max_num_block_samples,
+                                    max_parcor_order=self.config.max_parcor_order,
+                                    max_longterm_order=self.config.max_longterm_order,
+                                    max_lms_order_per_filter=self.config.max_lms_order_per_filter))
+        _, out = dec.decode_whole(blob)
+        if out.shape != data.shape or not np.array_equal(out, np.asarray(data, dtype=np.int32)):
+            raise SLAError(
+                ApiResult.DETECT_DATA_CORRUPTION,
+                "encode verification failed: decoded stream differs from the input",
+            )
 
     def _segment_samples(self) -> int:
         """Samples per encode segment: a multiple of the window size, from

@@ -330,3 +330,34 @@ def test_native_debug_build_roundtrip_and_trap(tmp_path):
                        text=True, timeout=600, env=env, cwd="/root/repo")
     assert r.returncode != 0 and "should have aborted" not in r.stdout
     assert "SLA debug assert failed" in r.stderr, r.stderr[-2000:]
+
+
+def test_encode_verify_flag(tmp_path, a_wav):
+    """-V: encode-time self-check decodes the stream and compares."""
+    out = tmp_path / "v.sla"
+    from sla_tpu.cli import main
+    assert main(["sla", "-e", "-V", "-q", str(a_wav), str(out)]) == 0
+    assert out.exists() and out.stat().st_size > 43
+
+
+def test_encode_verify_catches_mismatch(monkeypatch):
+    import numpy as np
+    import sla_tpu as sla
+    from sla_tpu import decoder as dec_mod
+    from sla_tpu.errors import SLAError
+
+    pcm = (np.arange(2 * 9000, dtype=np.int32).reshape(2, 9000) % 251 - 125) << 16
+    enc = sla.Encoder(sla.EncoderConfig(verify=True))
+    enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
+    enc.set_encode_parameter(sla.PRESETS[1])
+    orig = dec_mod.Decoder.decode_whole
+
+    def corrupted(self, blob):
+        h, out = orig(self, blob)
+        out = out.copy()
+        out[0, 100] ^= 4
+        return h, out
+
+    monkeypatch.setattr(dec_mod.Decoder, "decode_whole", corrupted)
+    with pytest.raises(SLAError):
+        enc.encode_whole(pcm)
