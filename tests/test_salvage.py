@@ -98,3 +98,29 @@ def test_salvage_corrupt_stream_header(stream):
     b[12] ^= 0x01  # inside the CRC-protected stream header
     with pytest.raises(SLAError):
         Decoder().decode_salvage(bytes(b))
+
+
+def test_salvage_with_raw_blocks():
+    """Damage in a stream whose middle blocks fell back to RAWDATA
+    (incompressible noise) — resync must recover across them too."""
+    rng = np.random.default_rng(77)
+    pcm = gen_wave("sine", 30000, 2, 16, 0, seed=41)
+    pcm[:, 8192:16384] = (rng.integers(-32768, 32768, (2, 8192), dtype=np.int64)
+                          .astype(np.int32) << 16)
+    blob = _encode(pcm)
+    hdr, segs = Decoder().decode_salvage(blob)
+    assert len(segs) == 1 and np.array_equal(segs[0].pcm, pcm)
+    # now corrupt the first block and salvage the rest
+    from sla_tpu.format import decode_header
+    dec = Decoder()
+    header, _ = decode_header(blob)
+    dec.set_wave_format(header.wave_format)
+    dec.set_encode_parameter(header.encode_param)
+    blocks = dec.scan_blocks(blob, header.num_samples)
+    b = bytearray(blob)
+    b[blocks[0].data_offset + 30] ^= 0x0F
+    hdr, segs = Decoder().decode_salvage(bytes(b))
+    assert segs, "nothing recovered"
+    tail = sum(s.pcm.shape[1] for s in segs)
+    assert np.array_equal(segs[-1].pcm, pcm[:, header.num_samples - segs[-1].pcm.shape[1]:])
+    assert tail == header.num_samples - blocks[0].num_samples

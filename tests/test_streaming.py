@@ -404,3 +404,41 @@ def test_streaming_multichannel_6ch():
     blob = encode(pcm, 6, 16)
     assert np.array_equal(stream_decode_all(blob), pcm)
     assert np.array_equal(stream_decode_into_all(blob), pcm)
+
+
+def test_streaming_reset_and_reuse():
+    """reset() must return the decoder to a clean stream start: feeding a
+    fresh stream after an aborted one decodes exactly (SLADecoder.c:735-749)."""
+    pcm1 = gen_wave("chirp", 12000, 2, 16, 0, seed=51)
+    pcm2 = gen_wave("gauss", 15000, 2, 16, 0, seed=52)
+    blob1, blob2 = encode(pcm1, 2, 16), encode(pcm2, 2, 16)
+    header, _ = decode_header(blob2)
+    sd = StreamingDecoder(
+        StreamingDecoderConfig(core=DecoderConfig(), max_bit_per_sample=16)
+    )
+    sd.set_wave_format(header.wave_format)
+    sd.set_encode_parameter(header.encode_param)
+    # consume part of stream 1, abandon it mid-block
+    sd.append_data_fragment(blob1[43:4096])
+    sd.decode()
+    sd.reset()
+    # stream 2 must decode exactly from a clean start
+    total = header.num_samples
+    out = np.zeros((2, total), dtype=np.int32)
+    pos, done = 43, 0
+    while done < total:
+        need = sd.estimate_minimum_necessary_data_size()
+        if pos < len(blob2) and sd.remaining_data_size() < need:
+            take = min(need, len(blob2) - pos)
+            sd.append_data_fragment(blob2[pos : pos + take])
+            pos += take
+        n = sd.decode_into(out, done, max_samples=total - done)
+        if n == 0:
+            if pos >= len(blob2):
+                break
+            take = min(need, len(blob2) - pos)
+            sd.append_data_fragment(blob2[pos : pos + take])
+            pos += take
+        done += n
+        sd.collect_data_fragments()
+    assert done == total and np.array_equal(out, pcm2)
