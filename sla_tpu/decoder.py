@@ -287,15 +287,21 @@ class Decoder:
         pcm = self.synthesize_blocks([blk], [payload])[0]
         return pcm, blk.block_size
 
-    def decode_whole(self, data: bytes) -> tuple[HeaderInfo, np.ndarray]:
-        """Returns (header, (C, num_samples) canonical int32 PCM)."""
+    def _open_stream(self, data: bytes) -> HeaderInfo:
+        """Shared preamble of every whole-stream decode entry point:
+        parse + CRC-gate the 43-byte stream header, adopt its format and
+        encode parameters."""
         header, status = decode_header(data)
         if status == ApiResult.DETECT_DATA_CORRUPTION and self.config.enable_crc_check:
             raise SLAError(ApiResult.DETECT_DATA_CORRUPTION, "header CRC mismatch")
         self.set_wave_format(header.wave_format)
         self.set_encode_parameter(header.encode_param)
         self._require_params()
-        wf, ep = self._wave_format, self._encode_param
+        return header
+
+    def decode_whole(self, data: bytes) -> tuple[HeaderInfo, np.ndarray]:
+        """Returns (header, (C, num_samples) canonical int32 PCM)."""
+        header = self._open_stream(data)
 
         import time
 
@@ -327,12 +333,7 @@ class Decoder:
         only); bytes produced are identical to the decode_whole slice."""
         if start_sample < 0 or num_samples < 0:
             raise SLAError(ApiResult.INVALID_ARGUMENT, "negative range")
-        header, status = decode_header(data)
-        if status == ApiResult.DETECT_DATA_CORRUPTION and self.config.enable_crc_check:
-            raise SLAError(ApiResult.DETECT_DATA_CORRUPTION, "header CRC mismatch")
-        self.set_wave_format(header.wave_format)
-        self.set_encode_parameter(header.encode_param)
-        self._require_params()
+        header = self._open_stream(data)
 
         import time
 
@@ -379,15 +380,7 @@ class Decoder:
         general. With a SINGLE gap the tail anchor is recoverable as
         header.num_samples - last_segment_samples. A fully intact stream
         returns one segment equal to decode_whole's PCM."""
-        header, status = decode_header(data)
-        if status == ApiResult.DETECT_DATA_CORRUPTION and self.config.enable_crc_check:
-            raise SLAError(
-                ApiResult.DETECT_DATA_CORRUPTION,
-                "stream header CRC mismatch — nothing to anchor a salvage on",
-            )
-        self.set_wave_format(header.wave_format)
-        self.set_encode_parameter(header.encode_param)
-        self._require_params()
+        header = self._open_stream(data)
         segments: list[SalvageSegment] = []
         run: list[_Block] = []
         run_start = SLA_HEADER_SIZE
@@ -396,17 +389,61 @@ class Decoder:
         done = 0
 
         def flush() -> None:
-            if run:
+            if not run:
+                return
+            try:
                 total = sum(b.num_samples for b in run)
-                pcm = self._decode_blocks(data, run, total)
                 segments.append(
                     SalvageSegment(
                         byte_offset=run_start,
                         gap_before_bytes=gap_before,
                         sample_offset=0 if not segments and gap_before == 0 else None,
-                        pcm=pcm,
+                        pcm=self._decode_blocks(data, run, total),
                     )
                 )
+                return
+            except SLAError:
+                pass
+            # a false-sync anchor (or payload damage block CRC checking was
+            # disabled for) can poison the grouped decode — salvage must
+            # not drop the intact blocks around it. Decode block-by-block,
+            # coalescing consecutive successes.
+            sub_pcms: list[np.ndarray] = []
+            sub_start = run_start
+            sub_gap = gap_before
+            pending_gap = 0
+            pos_b = run_start
+
+            def emit() -> None:
+                nonlocal sub_pcms, sub_gap
+                if sub_pcms:
+                    segments.append(
+                        SalvageSegment(
+                            byte_offset=sub_start,
+                            gap_before_bytes=sub_gap,
+                            sample_offset=0 if not segments and sub_gap == 0 else None,
+                            pcm=np.concatenate(sub_pcms, axis=1),
+                        )
+                    )
+                    sub_pcms = []
+                    sub_gap = 0
+
+            for b in run:
+                try:
+                    one = self._decode_blocks(data, [b], b.num_samples)
+                except SLAError:
+                    one = None
+                if one is not None:
+                    if not sub_pcms:
+                        sub_start = pos_b
+                        sub_gap += pending_gap
+                        pending_gap = 0
+                    sub_pcms.append(one)
+                else:
+                    emit()
+                    pending_gap += b.block_size
+                pos_b += b.block_size
+            emit()
 
         while done < header.num_samples and (
             offset + SLA_MINIMUM_BLOCK_HEADER_SIZE <= len(data)

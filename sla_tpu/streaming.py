@@ -473,9 +473,7 @@ class StreamingDecoder:
             out = np.empty((C, goal), dtype=np.int32)  # [:progress] written
             out_w, out_ptr, out_stride = goal, out.ctypes.data, goal
         elif out is self._out_cache:
-            out_w = self._out_cache_w
-            out_ptr = self._out_cache_ptr
-            out_stride = self._out_cache_stride
+            out_w, out_ptr, out_stride = self._cached_out(out)
         else:
             out_w, out_ptr, out_stride = self._validate_out(out, C, goal)
         if out_w < goal:
@@ -486,27 +484,12 @@ class StreamingDecoder:
         # tick, whole request inside the current block, caller rows
         # inner-contiguous. One native call; on underrun nothing was
         # mutated.
-        blk = self._block
-        tick = self._tick
-        if (
-            tick is not None
-            and blk is not None
-            and not self._pending_drop
-            and out_ptr > 0
-            and blk.num_samples - self._block_sample_offset >= goal
-        ):
-            status = tick.run_strided(
-                self._buf_ptr, self._buf_len, out_ptr, goal, out_stride
-            )
-            if status:
-                return out[:, :0]  # underrun: caller feeds and retries
-            self._consumed_bits = int(tick.bit_pos_view[0]) - blk.header_bytes * 8
-            off = self._block_sample_offset + goal
-            if off >= blk.num_samples:
-                self._end_block(blk)
-            else:
-                self._block_sample_offset = off
-            return out if out_w == goal else out[:, :goal]
+        if out_ptr > 0:
+            n = self._tick_fast(out_ptr, goal, out_stride)
+            if n is not None:
+                if n == 0:
+                    return out[:, :0]  # underrun: caller feeds and retries
+                return out if out_w == goal else out[:, :goal]
         progress = 0
         while progress < goal:
             if self._pending_drop:
@@ -603,6 +586,41 @@ class StreamingDecoder:
         self._out_cache_stride = out_stride
         return out_w, out_ptr, out_stride
 
+    def _cached_out(self, out: np.ndarray) -> tuple:
+        """Memoized validation lookup, re-checking the one property the
+        caller can legally flip between calls: a buffer frozen after it
+        was cached must not be written through its raw pointer."""
+        if not out.flags.writeable:
+            raise SLAError(
+                ApiResult.INVALID_ARGUMENT, "out buffer is no longer writeable"
+            )
+        return self._out_cache_w, self._out_cache_ptr, self._out_cache_stride
+
+    def _tick_fast(self, out_ptr: int, goal: int, out_stride: int) -> int | None:
+        """Shared steady-tick body for decode()/decode_into(): one native
+        strided call landing `goal` samples at `out_ptr`, advancing the
+        cursor and block state. Returns goal, 0 on underrun (nothing was
+        mutated), or None when the fast path does not apply (no prebound
+        tick, block boundary inside the request, pending drop)."""
+        blk = self._block
+        tick = self._tick
+        if (
+            tick is None
+            or blk is None
+            or self._pending_drop
+            or blk.num_samples - self._block_sample_offset < goal
+        ):
+            return None
+        if tick.run_strided(self._buf_ptr, self._buf_len, out_ptr, goal, out_stride):
+            return 0
+        self._consumed_bits = int(tick.bit_pos_view[0]) - blk.header_bytes * 8
+        off = self._block_sample_offset + goal
+        if off >= blk.num_samples:
+            self._end_block(blk)
+        else:
+            self._block_sample_offset = off
+        return goal
+
     def decode_into(
         self, out: np.ndarray, offset: int = 0, max_samples: int | None = None
     ) -> int:
@@ -621,9 +639,7 @@ class StreamingDecoder:
         if max_samples is not None:
             goal = min(goal, max_samples)
         if out is self._out_cache:
-            out_w = self._out_cache_w
-            out_ptr = self._out_cache_ptr
-            out_stride = self._out_cache_stride
+            out_w, out_ptr, out_stride = self._cached_out(out)
         else:
             out_w, out_ptr, out_stride = self._validate_out(out, C, goal + offset)
         if out_w - offset < goal:
@@ -631,27 +647,10 @@ class StreamingDecoder:
                 ApiResult.INVALID_ARGUMENT,
                 f"out must be int32 ({C}, >={offset + goal})",
             )
-        blk = self._block
-        tick = self._tick
-        if (
-            tick is not None
-            and blk is not None
-            and not self._pending_drop
-            and out_ptr > 0
-            and blk.num_samples - self._block_sample_offset >= goal
-        ):
-            status = tick.run_strided(
-                self._buf_ptr, self._buf_len, out_ptr + 4 * offset, goal, out_stride
-            )
-            if status:
-                return 0  # underrun: caller feeds and retries
-            self._consumed_bits = int(tick.bit_pos_view[0]) - blk.header_bytes * 8
-            off = self._block_sample_offset + goal
-            if off >= blk.num_samples:
-                self._end_block(blk)
-            else:
-                self._block_sample_offset = off
-            return goal
+        if out_ptr > 0:
+            n = self._tick_fast(out_ptr + 4 * offset, goal, out_stride)
+            if n is not None:
+                return n  # 0 = underrun: caller feeds and retries
         # general path (block boundaries, RAW/SILENT blocks, no native,
         # non-contiguous rows): decode into a fresh chunk and copy
         chunk = self.decode(max_samples=goal)

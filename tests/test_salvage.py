@@ -124,3 +124,26 @@ def test_salvage_with_raw_blocks():
     tail = sum(s.pcm.shape[1] for s in segs)
     assert np.array_equal(segs[-1].pcm, pcm[:, header.num_samples - segs[-1].pcm.shape[1]:])
     assert tail == header.num_samples - blocks[0].num_samples
+
+
+def test_salvage_poisoned_run_keeps_intact_blocks(stream, monkeypatch):
+    """If a resync run's grouped decode raises (false-sync anchor), the
+    per-block fallback must still deliver every individually intact block."""
+    pcm, blob = stream
+    header, blocks = _blocks(blob)
+    dec = Decoder()
+    orig = Decoder._decode_blocks
+    calls = {"n": 0}
+
+    def poisoned(self, data, blks, total):
+        # fail the first grouped (multi-block) decode once
+        if len(blks) > 1 and calls["n"] == 0:
+            calls["n"] = 1
+            raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE, "poisoned")
+        return orig(self, data, blks, total)
+
+    from sla_tpu.errors import ApiResult
+    monkeypatch.setattr(Decoder, "_decode_blocks", poisoned)
+    hdr, segs = dec.decode_salvage(blob)
+    got = np.concatenate([s.pcm for s in segs], axis=1)
+    assert np.array_equal(got, pcm)  # every block recovered block-by-block

@@ -442,3 +442,25 @@ def test_streaming_reset_and_reuse():
         done += n
         sd.collect_data_fragments()
     assert done == total and np.array_equal(out, pcm2)
+
+
+def test_decode_rejects_buffer_frozen_after_caching():
+    """A buffer validated+cached by a prior call must be re-checked for
+    writability: freezing it afterwards must raise, not be written through
+    the cached raw pointer."""
+    pcm = gen_wave("sine", 6000, 2, 16, 0, seed=14)
+    blob = encode(pcm, 2, 16)
+    header, _ = decode_header(blob)
+    sd = StreamingDecoder(
+        StreamingDecoderConfig(core=DecoderConfig(), max_bit_per_sample=16)
+    )
+    sd.set_wave_format(header.wave_format)
+    sd.set_encode_parameter(header.encode_param)
+    sd.append_data_fragment(blob[43:])
+    buf = np.zeros((2, sd.output_samples_per_decode()), dtype=np.int32)
+    assert sd.decode(out=buf).shape[1] > 0  # validates + caches buf
+    buf.flags.writeable = False
+    with pytest.raises(SLAError):
+        sd.decode(out=buf)
+    with pytest.raises(SLAError):
+        sd.decode_into(buf, 0)
