@@ -51,6 +51,8 @@ def _make_spec() -> list[OptionSpec]:
                    "Corpus mode: fuse N files' blocks per filter dispatch default:1"),
         OptionSpec("V", "verify", False,
                    "Verify after encoding (decode the stream, compare with the input)"),
+        OptionSpec("r", "recover", False,
+                   "Decode mode: salvage a damaged stream (resync past corrupt blocks)"),
     ]
 
 
@@ -165,6 +167,53 @@ def do_streaming_decode(in_file: str, out_file: str, enable_crc_check: bool,
     return 0
 
 
+def do_salvage_decode(in_file: str, out_file: str, enable_crc_check: bool,
+                      verbose: bool) -> int:
+    """Best-effort decode of a damaged stream (-d -r): recover every intact
+    block run via Decoder.decode_salvage, place the segments in a
+    zero-filled buffer of the declared length (first run exact; the last
+    run tail-anchored when a single gap makes its position certain; runs
+    between gaps placed sequentially, best effort), and report the gaps."""
+    try:
+        blob = pathlib.Path(in_file).read_bytes()
+    except Exception as e:
+        print(f"Failed to open {in_file} ({e})", file=sys.stderr)
+        return 1
+    dec = Decoder(DecoderConfig(enable_crc_check=enable_crc_check, verbose=verbose))
+    try:
+        header, segs = dec.decode_salvage(blob)
+    except SLAError as e:
+        print(f"Salvage error! {e}", file=sys.stderr)
+        return 1
+    wf = header.wave_format
+    out = np.zeros((wf.num_channels, header.num_samples), dtype=np.int32)
+    recovered = 0
+    pos = 0
+    for i, seg in enumerate(segs):
+        n = seg.pcm.shape[1]
+        if seg.sample_offset is not None:
+            pos = seg.sample_offset
+        elif i == len(segs) - 1 and len(segs) == 2:
+            # single gap: the tail run's position is certain from the total
+            pos = header.num_samples - n
+        take = min(n, header.num_samples - pos)
+        if take > 0:
+            out[:, pos : pos + take] = seg.pcm[:, :take]
+            recovered += take
+        pos += n
+    if verbose or len(segs) != 1 or segs[0].gap_before_bytes:
+        gaps = sum(1 for s_ in segs if s_.gap_before_bytes)
+        print(
+            f"salvage: {recovered}/{header.num_samples} samples recovered in "
+            f"{len(segs)} segment(s), {gaps} gap(s)",
+            file=sys.stderr,
+        )
+    wavio.write_wav(
+        out_file, wavio.WavFile(wf.num_channels, wf.sampling_rate, wf.bit_per_sample, out)
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv if argv is None else argv)
     prog = argv[0] if argv else "sla_tpu"
@@ -202,7 +251,11 @@ def main(argv: list[str] | None = None) -> int:
         enable_crc = True
         if get_option_acquired(spec, "crc-check"):
             enable_crc = get_argument_string(spec, "crc-check") == "yes"
-        if get_option_acquired(spec, "streaming"):
+        if get_option_acquired(spec, "recover"):
+            if do_salvage_decode(positional[0], positional[1], enable_crc, verbose) != 0:
+                print(f"{prog}: failed to salvage {positional[0]}.", file=sys.stderr)
+                return 1
+        elif get_option_acquired(spec, "streaming"):
             if do_streaming_decode(positional[0], positional[1], enable_crc, verbose) != 0:
                 print(f"{prog}: failed to streaming decode {positional[0]}.", file=sys.stderr)
                 return 1

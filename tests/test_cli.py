@@ -361,3 +361,38 @@ def test_encode_verify_catches_mismatch(monkeypatch):
     monkeypatch.setattr(dec_mod.Decoder, "decode_whole", corrupted)
     with pytest.raises(SLAError):
         enc.encode_whole(pcm)
+
+
+def test_salvage_cli_recovers(tmp_path, a_wav):
+    """-d -r: recover a damaged stream to a zero-gap-filled WAV."""
+    import numpy as np
+    from sla_tpu import wavio
+    from sla_tpu.cli import main
+    from sla_tpu.decoder import Decoder
+    from sla_tpu.format import decode_header
+
+    sla_path = tmp_path / "x.sla"
+    assert main(["sla", "-e", "-q", str(a_wav), str(sla_path)]) == 0
+    blob = bytearray(sla_path.read_bytes())
+    header, _ = decode_header(bytes(blob))
+    dec = Decoder()
+    dec.set_wave_format(header.wave_format)
+    dec.set_encode_parameter(header.encode_param)
+    blocks = dec.scan_blocks(bytes(blob), header.num_samples)
+    assert len(blocks) >= 3
+    victim = blocks[1]
+    blob[victim.data_offset + 20] ^= 0x3C
+    bad_path = tmp_path / "bad.sla"
+    bad_path.write_bytes(bytes(blob))
+    out_path = tmp_path / "rec.wav"
+    # plain decode fails on the corruption; -r recovers
+    assert main(["sla", "-d", "-q", str(bad_path), str(out_path)]) == 1
+    assert main(["sla", "-d", "-r", "-q", str(bad_path), str(out_path)]) == 0
+    orig = wavio.read_wav(str(a_wav)).data
+    rec = wavio.read_wav(str(out_path)).data
+    assert rec.shape == orig.shape
+    n0 = blocks[0].num_samples
+    lost = victim.num_samples
+    assert np.array_equal(rec[:, :n0], orig[:, :n0])
+    assert np.array_equal(rec[:, n0 : n0 + lost], np.zeros_like(rec[:, :lost]))
+    assert np.array_equal(rec[:, n0 + lost :], orig[:, n0 + lost :])
