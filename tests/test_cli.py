@@ -396,3 +396,27 @@ def test_salvage_cli_recovers(tmp_path, a_wav):
     assert np.array_equal(rec[:, :n0], orig[:, :n0])
     assert np.array_equal(rec[:, n0 : n0 + lost], np.zeros_like(rec[:, :lost]))
     assert np.array_equal(rec[:, n0 + lost :], orig[:, n0 + lost :])
+
+
+def test_encode_verify_segmented_path(monkeypatch):
+    """verify=True must also cover the segmented long-stream encode."""
+    import numpy as np
+    import sla_tpu as sla
+
+    monkeypatch.setenv("SLA_TPU_SEGMENT_SAMPLES", "1")  # floor: 4 windows
+    pcm = gen_cli_wave(60000)
+    enc = sla.Encoder(sla.EncoderConfig(verify=True))
+    enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
+    enc.set_encode_parameter(sla.PRESETS[1])
+    blob = enc.encode_whole(pcm)
+    _, out = sla.Decoder().decode_whole(blob)
+    assert np.array_equal(out, pcm)
+
+
+def gen_cli_wave(n):
+    import numpy as np
+    rng = np.random.default_rng(5)
+    t = np.arange(n) / 44100.0
+    sig = 0.3 * np.sin(2 * np.pi * 330 * t) + rng.normal(0, 0.01, n)
+    pcm = np.stack([sig, 0.8 * sig])
+    return (np.clip(pcm * 32767, -32768, 32767).astype(np.int32)) << 16
