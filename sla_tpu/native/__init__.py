@@ -179,6 +179,10 @@ def _load() -> ctypes.CDLL | None:
         p_u8, i64, i64, i64, i32, i32, i32, i32, i32, i64,
         p_i64, p_i64, p_i32, p_i32, p_i64, p_i32, p_i32, p_i32, p_u32,
     ]
+    lib.sla_parse_stream_block_header.restype = i64
+    lib.sla_parse_stream_block_header.argtypes = [
+        i64, i64, i32, i32, i32, i32, i32, p_i64, p_i32, p_i32, p_i32, p_u32,
+    ]
     lib.sla_find_pitch.restype = i32
     lib.sla_find_pitch.argtypes = [p_f64, i32]
     lib.sla_ms_shift_blocks.restype = None
@@ -632,6 +636,21 @@ class PayloadCursor:
         use_golomb = ctypes.c_int32(0)
         lib.sla_init_param_state(
             _u32ptr(np.asarray(init_params, dtype=np.uint32)), C,
+            self.param_state.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            _u32ptr(self.eff_params), ctypes.byref(use_golomb),
+        )
+        self.use_golomb = int(use_golomb.value)
+
+    def reinit(self, init_params, bit_offset: int) -> None:
+        """Re-seed the cursor for a new block IN PLACE: the bit_pos /
+        param_state / eff_params storage (and thus any pointers a prebound
+        StreamTick captured) stays put; only the values reset. use_golomb
+        can flip per block — rebind dependents (StreamTick slot 5)."""
+        lib = _load()
+        self.bit_pos.value = bit_offset
+        use_golomb = ctypes.c_int32(0)
+        lib.sla_init_param_state(
+            _u32ptr(np.asarray(init_params, dtype=np.uint32)), self.C,
             self.param_state.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             _u32ptr(self.eff_params), ctypes.byref(use_golomb),
         )
@@ -1366,6 +1385,11 @@ class StreamTick:
         # attribute access is several times costlier per tick)
         self.bit_pos_view = np.frombuffer(cursor.bit_pos, dtype=np.int64)
 
+    def set_use_golomb(self, v: int) -> None:
+        """Per-block rebind: the one argument-block slot that changes when
+        the bound cursor is reinit()ed for a new block."""
+        self._args[5] = v
+
     def run(self, buf: np.ndarray, out: np.ndarray) -> int:
         """One fused tick: read C*n symbols from the uint8 feed-buffer view
         `buf` at the bound cursor, synthesize into the contiguous (C, n)
@@ -1822,6 +1846,39 @@ def parse_block_headers(
         "payload_bits": payload_bits[:nb], "coef": coef[:nb],
         "pitch": pitch[:nb], "ltm": ltm[:nb], "init_rice": init_rice[:nb],
     }
+
+
+class StreamHeaderParser:
+    """Prebound one-shot block-header parse for the streaming decoder's
+    block transitions (sla_parse_stream_block_header): persistent output
+    arrays the native parse writes into, one FFI call per block instead of
+    ~50 Python-level BitReader reads. The arrays are REUSED across blocks —
+    callers must consume (or copy) a block's fields before parsing the next.
+
+    parse(buf_ptr, buf_len) returns 0 (fields valid), or the negative codes
+    -12 (bad sync), -11 (corruption), -9 (header extends past the buffered
+    bytes — feed more and retry)."""
+
+    def __init__(self, num_channels: int, parcor_order: int, num_taps: int,
+                 bits_per_sample: int, enable_crc: bool):
+        lib = _load()
+        self._fn = lib.sla_parse_stream_block_header
+        C = num_channels
+        self.meta = np.zeros(4, dtype=np.int64)  # size, nsamp, type, hdr_bytes
+        self.coef = np.zeros((C, parcor_order + 1), dtype=np.int32)
+        self.pitch = np.zeros(C, dtype=np.int32)
+        self.ltm = np.zeros((C, max(num_taps, 1)), dtype=np.int32)
+        self.init_rice = np.zeros(C, dtype=np.uint32)
+        self._scalars = (C, parcor_order, num_taps, bits_per_sample,
+                         1 if enable_crc else 0)
+        self._ptrs = (
+            self.meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            _i32ptr(self.coef), _i32ptr(self.pitch), _i32ptr(self.ltm),
+            _u32ptr(self.init_rice),
+        )
+
+    def parse(self, buf_ptr: int, buf_len: int) -> int:
+        return int(self._fn(buf_ptr, buf_len, *self._scalars, *self._ptrs))
 
 
 def find_pitch(ac: np.ndarray, max_pitch: int) -> int:

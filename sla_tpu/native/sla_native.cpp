@@ -5388,6 +5388,73 @@ int64_t sla_parse_block_headers(
   return (done >= total_samples) ? nb : -9;
 }
 
+// One-shot streaming block-header parse (the streaming decoder's per-block
+// transition; same wire layout as the bulk walk above, SLADecoder.c:309-420,
+// but on a PARTIALLY buffered block): `data` starts at the block's first
+// byte and holds `size` buffered bytes — the block may extend past the
+// buffer, so the CRC is checked only when the whole block is buffered
+// (streaming.py semantics). Checks happen in the Python parse's program
+// order so error precedence matches the pure-Python twin exactly: a read
+// crossing the buffered end maps to -9 (wait for more data) BEFORE any
+// corruption verdict that would have used the zero-filled value.
+// Fills out_meta = {block_size, num_samples, block_type, header_bytes} and
+// the per-channel field arrays. Returns 0, -12 (sync), -11 (corruption),
+// -9 (header extends past the buffered bytes).
+int64_t sla_parse_stream_block_header(
+    const uint8_t* data, int64_t size, int32_t C, int32_t order,
+    int32_t num_taps, int32_t bits_per_sample, int32_t enable_crc,
+    int64_t* out_meta, int32_t* coef /* C*(order+1) */,
+    int32_t* pitch /* C */, int32_t* ltm /* C*max(T,1) */,
+    uint32_t* init_rice /* C */) {
+  const int32_t Tdim = num_taps > 0 ? num_taps : 1;
+  const int64_t size_bits = size * 8;
+  BitReader r;
+  r.init(data, size, 0);
+  uint32_t sync = r.get(16);
+  if (r.pos() > size_bits) return -9;
+  if (sync != 0xFFFF) return -12;
+  int64_t block_size = (int64_t)r.get(32) + 6;
+  uint32_t stored_crc = (uint32_t)r.get(16);
+  if (r.pos() > size_bits) return -9;
+  if (enable_crc && block_size <= size) {
+    if (sla_crc16(data + 8, block_size - 8) != (uint16_t)stored_crc)
+      return -11;
+  }
+  int32_t nsamp = (int32_t)r.get(16);
+  int32_t btype = (int32_t)r.get(2);
+  if (r.pos() > size_bits) return -9;
+  if (btype > 2) return -11;  // only COMPRESS/SILENT/RAW exist
+  if (nsamp == 0) return -11;  // no real encoder emits empty blocks
+  for (int32_t i = 0; i < C * (order + 1); ++i) coef[i] = 0;
+  for (int32_t i = 0; i < C; ++i) pitch[i] = 0;
+  for (int32_t i = 0; i < C * Tdim; ++i) ltm[i] = 0;
+  for (int32_t i = 0; i < C; ++i) init_rice[i] = 0;
+  if (btype == 0) {  // COMPRESSDATA
+    for (int32_t ch = 0; ch < C; ++ch) {
+      int32_t rshift = (int32_t)r.get(4);
+      for (int32_t ord = 1; ord <= order; ++ord) {
+        int qbits = (ord < 4) ? 16 : 8;  // SLA_GET_PARCOR_QUANTIZE_BIT_WIDTH
+        int32_t v = unzigzag((uint32_t)r.get(qbits));
+        coef[ch * (order + 1) + ord] = (v << (16 - qbits)) >> rshift;
+      }
+      if (r.get(1)) {
+        pitch[ch] = (int32_t)r.get(10);
+        for (int32_t t = 0; t < num_taps; ++t) {
+          int32_t q15 = unzigzag((uint32_t)r.get(16));
+          ltm[ch * Tdim + t] = q15 << 16;
+        }
+      }
+      init_rice[ch] = (uint32_t)r.get(bits_per_sample);
+    }
+    if (r.pos() > size_bits) return -9;
+  }
+  out_meta[0] = block_size;
+  out_meta[1] = nsamp;
+  out_meta[2] = btype;
+  out_meta[3] = (r.pos() + 7) >> 3;  // byte-aligned header size
+  return 0;
+}
+
 // Zero-crossing-bracketed pitch peak search on an autocorrelation array
 // (SLALongTermCalculator_CalculateCoef peak walk, SLAPredictor.c:866-924):
 // scan candidate local peaks between negative->positive and

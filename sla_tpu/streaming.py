@@ -155,7 +155,7 @@ class _BlockHeader:
     parcor_coef: np.ndarray | None = None
     pitch: np.ndarray | None = None
     ltm_coef: np.ndarray | None = None
-    init_rice: list[int] | None = None
+    init_rice: "list[int] | np.ndarray | None" = None
     header_bytes: int = 0  # bytes consumed by the header incl. alignment
 
 
@@ -190,6 +190,14 @@ class StreamingDecoder:
         self._filter_state: dict | None = None
         self._payload_cursor: native.PayloadCursor | None = None
         self._tick = None  # prebound per-block native synth (native.StreamTick)
+        # persistent cross-block objects (native path): the one-FFI-call
+        # header parser with reused field arrays, the entropy cursor
+        # (reinit()ed in place each block), the StreamTick bound once to the
+        # parser/cursor/filter-state storage, and its contiguous coef copy
+        self._hdr_parser: native.StreamHeaderParser | None = None
+        self._cursor_obj: native.PayloadCursor | None = None
+        self._tick_obj = None
+        self._tick_coef: np.ndarray | None = None
         # decode(out=) validation memo: a strong reference to the last
         # caller buffer plus its (width, data pointer | -1 when rows are
         # not inner-contiguous, row stride in elements) — the held
@@ -210,7 +218,19 @@ class StreamingDecoder:
         self._filter_state = None
         self._payload_cursor = None
         self._tick = None
+        self._cursor_obj = None
+        self._tick_obj = None
         self.queue = DataPacketQueue()
+
+    def _invalidate_stream_objects(self) -> None:
+        """Drop every cross-block cached object whose shape/binding depends
+        on the wave format or encode parameters."""
+        self._hdr_parser = None
+        self._cursor_obj = None
+        self._tick_obj = None
+        self._tick_coef = None
+        self._filter_state = None
+        self._tick = None
 
     # -- parameter setting ---------------------------------------------------
     def set_wave_format(self, wf: WaveFormat) -> None:
@@ -227,6 +247,7 @@ class StreamingDecoder:
             raise SLAError(ApiResult.INVALID_ARGUMENT,
                            "offset_lshift must be < bit_per_sample")
         self._wave_format = dataclasses.replace(wf)
+        self._invalidate_stream_objects()
         self._samples_per_decode = int(
             math.ceil(
                 STREAMING_DECODE_NUM_SAMPLES_MARGIN
@@ -246,6 +267,7 @@ class StreamingDecoder:
         ):
             raise SLAError(ApiResult.EXCEED_HANDLE_CAPACITY)
         self._encode_param = dataclasses.replace(ep)
+        self._invalidate_stream_objects()
 
     # -- estimates (SLADecoder.c:863-935) ------------------------------------
     def output_samples_per_decode(self) -> int:
@@ -320,6 +342,38 @@ class StreamingDecoder:
     # -- block header parse (streaming variant of Decoder.parse_block_header) --
     def _parse_block_header(self) -> _BlockHeader:
         wf, ep = self._wave_format, self._encode_param
+        if native.available():
+            # one FFI call reading straight from the feed buffer (the
+            # pure-Python parse below is its bit-exact twin, kept for the
+            # toolchain-free path); field arrays are the parser's persistent
+            # storage, overwritten at the next block transition
+            hp = self._hdr_parser
+            if hp is None:
+                hp = self._hdr_parser = native.StreamHeaderParser(
+                    wf.num_channels, ep.parcor_order, ep.longterm_order,
+                    wf.bit_per_sample, self.config.core.enable_crc_check,
+                )
+            rc = hp.parse(self._buf_ptr, self._buf_len)
+            if rc == -9:
+                # header extends past the buffered bytes: wait for more
+                # (decode() catches IndexError exactly like the Python
+                # parse's BitReader over-read)
+                raise IndexError("block header extends past buffered data")
+            if rc == -12:
+                raise SLAError(ApiResult.FAILED_TO_FIND_SYNC_CODE)
+            if rc != 0:
+                raise SLAError(ApiResult.DETECT_DATA_CORRUPTION)
+            m = hp.meta
+            blk = _BlockHeader(
+                int(m[0]), int(m[1]), BlockDataType(int(m[2])),
+                header_bytes=int(m[3]),
+            )
+            if blk.block_type == BlockDataType.COMPRESSDATA:
+                blk.parcor_coef = hp.coef
+                blk.pitch = hp.pitch
+                blk.ltm_coef = hp.ltm
+                blk.init_rice = hp.init_rice
+            return blk
         data = self._buf_arr[: self._buf_len].tobytes()
         r = BitReader(data)
         sync = r.get(16)
@@ -367,7 +421,17 @@ class StreamingDecoder:
         return blk
 
     def _reset_filter_state(self) -> None:
-        """Block-start synthesizer reset (SLADecoder.c:569-581, mandatory)."""
+        """Block-start synthesizer reset (SLADecoder.c:569-581, mandatory).
+
+        Zeroes IN PLACE when the dict exists: a prebound StreamTick holds
+        raw pointers into these arrays, so their storage must stay put
+        across blocks (shape-changing reconfiguration goes through
+        _invalidate_stream_objects, which drops the dict)."""
+        st = self._filter_state
+        if st is not None:
+            for a in st.values():
+                a.fill(0)
+            return
         wf, ep = self._wave_format, self._encode_param
         C, p, M = wf.num_channels, ep.parcor_order, ep.lms_order_per_filter
         self._filter_state = {
@@ -383,38 +447,47 @@ class StreamingDecoder:
         """Prebind the native fused decode tick for the current block
         (native.StreamTick: cursor + state pointers captured once, one FFI
         call per tick doing read + underrun rollback + synthesis). None on
-        the pure-Python path and for RAWDATA/SILENT blocks."""
+        the pure-Python path and for RAWDATA/SILENT blocks.
+
+        The StreamTick object itself is built ONCE per stream: it binds the
+        persistent header-parser field arrays, the reinit()able cursor, and
+        the in-place-reset filter state, so a block transition costs one
+        small coef copy plus the use_golomb slot update."""
         self._tick = None
         blk = self._block
         if (
-            not native.available()
-            or blk.block_type != BlockDataType.COMPRESSDATA
+            blk.block_type != BlockDataType.COMPRESSDATA
             or not isinstance(self._payload_cursor, native.PayloadCursor)
+            or self._hdr_parser is None
         ):
             return
-        wf, ep = self._wave_format, self._encode_param
-        C = wf.num_channels
-        st = self._filter_state
-        self._tick = native.StreamTick(
-            self._payload_cursor,
-            blk.parcor_coef[:, 1:]
-            if blk.parcor_coef is not None
-            else np.zeros((C, ep.parcor_order), dtype=np.int32),
-            st["lattice"],
-            blk.pitch if blk.pitch is not None else np.zeros(C, dtype=np.int32),
-            blk.ltm_coef
-            if blk.ltm_coef is not None
-            else np.zeros((C, max(ep.longterm_order, 1)), dtype=np.int32),
-            ep.longterm_order,
-            st["lt_hist"],
-            st["lt_processed"],
-            ep.lms_order_per_filter,
-            st["lms"],
-            st["lms_processed"],
-            st["deemph"],
-            ms=ep.ch_process_method == ChannelProcessMethod.STEREO_MS,
-            shift=32 - wf.bit_per_sample + wf.offset_lshift,
-        )
+        tick = self._tick_obj
+        if tick is None:
+            wf, ep = self._wave_format, self._encode_param
+            hp = self._hdr_parser
+            st = self._filter_state
+            self._tick_coef = np.zeros(
+                (wf.num_channels, ep.parcor_order), dtype=np.int32
+            )
+            tick = self._tick_obj = native.StreamTick(
+                self._payload_cursor,
+                self._tick_coef,  # contiguous persistent copy target
+                st["lattice"],
+                hp.pitch,
+                hp.ltm,
+                ep.longterm_order,
+                st["lt_hist"],
+                st["lt_processed"],
+                ep.lms_order_per_filter,
+                st["lms"],
+                st["lms_processed"],
+                st["deemph"],
+                ms=ep.ch_process_method == ChannelProcessMethod.STEREO_MS,
+                shift=32 - wf.bit_per_sample + wf.offset_lshift,
+            )
+        self._tick_coef[:] = blk.parcor_coef[:, 1:]
+        tick.set_use_golomb(self._payload_cursor.use_golomb)
+        self._tick = tick
 
     def _snapshot_state(self) -> dict:
         # cursor-only: every _decode_wave_data path checks for underrun
@@ -518,9 +591,20 @@ class StreamingDecoder:
                 self._consumed_bits = 0
                 self._reset_filter_state()
                 if self._block.block_type == BlockDataType.COMPRESSDATA:
-                    self._payload_cursor = _payload_cursor(
-                        self._block.init_rice, C, self._block.header_bytes * 8
-                    )
+                    cur = self._cursor_obj
+                    if cur is not None:
+                        # persistent native cursor: reseed in place so the
+                        # prebound StreamTick's pointers stay valid
+                        cur.reinit(
+                            self._block.init_rice, self._block.header_bytes * 8
+                        )
+                        self._payload_cursor = cur
+                    else:
+                        self._payload_cursor = _payload_cursor(
+                            self._block.init_rice, C, self._block.header_bytes * 8
+                        )
+                        if isinstance(self._payload_cursor, native.PayloadCursor):
+                            self._cursor_obj = self._payload_cursor
                 self._bind_tick()
                 # update the bytes/sample estimate from real block stats
                 # (SLADecoder.c:1042-1044)

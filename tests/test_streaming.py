@@ -464,3 +464,57 @@ def test_decode_rejects_buffer_frozen_after_caching():
         sd.decode(out=buf)
     with pytest.raises(SLAError):
         sd.decode_into(buf, 0)
+
+
+@pytest.mark.skipif(not native.available(), reason="needs the native library")
+def test_header_parse_native_python_differential():
+    """The native one-shot block-header parse (sla_parse_stream_block_header)
+    and the pure-Python BitReader parse must agree on every mutated header:
+    same exception class, or same parsed fields — including the
+    wait-for-more-data outcome on truncation (IndexError -> empty decode)."""
+    rng = np.random.default_rng(41)
+    pcm = gen_wave("chirp", 20000, 2, 16, 0, seed=41)
+    blob = encode(pcm, 2, 16, mode=2)
+    header, _ = decode_header(blob)
+
+    def parse_outcome(body: bytes, use_python: bool):
+        import unittest.mock as mock
+
+        sd = StreamingDecoder(
+            StreamingDecoderConfig(core=DecoderConfig(), max_bit_per_sample=16)
+        )
+        sd.set_wave_format(header.wave_format)
+        sd.set_encode_parameter(header.encode_param)
+        sd.append_data_fragment(body)
+        try:
+            if use_python:
+                with mock.patch("sla_tpu.streaming.native.available", lambda: False):
+                    blk = sd._parse_block_header()
+            else:
+                blk = sd._parse_block_header()
+        except Exception as e:  # noqa: BLE001
+            return type(e).__name__, None
+        fields = (
+            blk.block_size, blk.num_samples, int(blk.block_type),
+            blk.header_bytes,
+            None if blk.parcor_coef is None else np.asarray(blk.parcor_coef).tolist(),
+            None if blk.pitch is None else np.asarray(blk.pitch).tolist(),
+            None if blk.ltm_coef is None else np.asarray(blk.ltm_coef).tolist(),
+            None if blk.init_rice is None else np.asarray(blk.init_rice, dtype=np.uint32).tolist(),
+        )
+        return "ok", fields
+
+    first_block = blob[43:]
+    cases = [first_block, first_block[:11], first_block[:40]]
+    for _ in range(200):
+        m = bytearray(first_block[: min(len(first_block), 400)])
+        for _ in range(int(rng.integers(1, 4))):
+            m[int(rng.integers(0, len(m)))] = int(rng.integers(0, 256))
+        cases.append(bytes(m))
+    # truncations right around the header boundary
+    for cut in range(8, 90, 7):
+        cases.append(first_block[:cut])
+    for i, body in enumerate(cases):
+        got_n = parse_outcome(body, use_python=False)
+        got_p = parse_outcome(body, use_python=True)
+        assert got_n == got_p, f"case {i}: native={got_n[0]} python={got_p[0]}"
