@@ -139,23 +139,27 @@ def do_streaming_decode(in_file: str, out_file: str, enable_crc_check: bool,
     # the same way, main.c:370-410)
     total = header.num_samples
     done = 0
-    while done < total:
-        need = sd.estimate_minimum_necessary_data_size()
-        if pos < len(blob) and sd.remaining_data_size() < need:
-            take = min(need, len(blob) - pos)
-            sd.append_data_fragment(blob[pos : pos + take])
-            pos += take
-        n = sd.decode_into(out, done, max_samples=total - done)
-        if n == 0:
-            if pos >= len(blob):
-                break
-            # entropy payload locally denser than the average-rate estimate:
-            # feed another fragment to guarantee progress
-            take = min(need, len(blob) - pos)
-            sd.append_data_fragment(blob[pos : pos + take])
-            pos += take
-        done += n
-        sd.collect_data_fragments()
+    try:
+        while done < total:
+            need = sd.estimate_minimum_necessary_data_size()
+            if pos < len(blob) and sd.remaining_data_size() < need:
+                take = min(need, len(blob) - pos)
+                sd.append_data_fragment(blob[pos : pos + take])
+                pos += take
+            n = sd.decode_into(out, done, max_samples=total - done)
+            if n == 0:
+                if pos >= len(blob):
+                    break
+                # entropy payload locally denser than the average-rate
+                # estimate: feed another fragment to guarantee progress
+                take = min(need, len(blob) - pos)
+                sd.append_data_fragment(blob[pos : pos + take])
+                pos += take
+            done += n
+            sd.collect_data_fragments()
+    except SLAError as e:
+        print(f"Decoding error! {e}", file=sys.stderr)
+        return 1
     if done != header.num_samples:
         print("Streaming decode ended early", file=sys.stderr)
         return 1
