@@ -518,3 +518,48 @@ def test_header_parse_native_python_differential():
         got_n = parse_outcome(body, use_python=False)
         got_p = parse_outcome(body, use_python=True)
         assert got_n == got_p, f"case {i}: native={got_n[0]} python={got_p[0]}"
+
+
+def test_streaming_reconfigure_different_format():
+    """Reconfiguring the SAME decoder to a different wave format / encode
+    parameter between streams must drop every persistent cross-block object
+    (header parser, entropy cursor, prebound tick — their array shapes and
+    captured pointers are format-dependent) and decode the new stream
+    exactly."""
+    pcm_a = gen_wave("chirp", 14000, 2, 16, 0, seed=61)
+    pcm_b = gen_wave("gauss", 16000, 1, 16, 0, seed=62)
+    pcm_c = gen_wave("sine", 12000, 6, 16, 0, seed=63)
+    runs = [
+        (encode(pcm_a, 2, 16, mode=2), pcm_a),
+        (encode(pcm_b, 1, 16, mode=3), pcm_b),  # order change too
+        (encode(pcm_c, 6, 16, mode=1), pcm_c),
+        (encode(pcm_a, 2, 16, mode=2), pcm_a),  # back to the first shape
+    ]
+    sd = StreamingDecoder(
+        StreamingDecoderConfig(core=DecoderConfig(), max_bit_per_sample=16)
+    )
+    for blob, pcm in runs:
+        header, _ = decode_header(blob)
+        sd.reset()
+        sd.set_wave_format(header.wave_format)
+        sd.set_encode_parameter(header.encode_param)
+        C, total = header.wave_format.num_channels, header.num_samples
+        out = np.zeros((C, total), dtype=np.int32)
+        pos, done = 43, 0
+        while done < total:
+            need = sd.estimate_minimum_necessary_data_size()
+            if pos < len(blob) and sd.remaining_data_size() < need:
+                take = min(need, len(blob) - pos)
+                sd.append_data_fragment(blob[pos : pos + take])
+                pos += take
+            n = sd.decode_into(out, done, max_samples=total - done)
+            if n == 0 and pos >= len(blob):
+                break
+            if n == 0:
+                take = min(need, len(blob) - pos)
+                sd.append_data_fragment(blob[pos : pos + take])
+                pos += take
+            done += n
+            sd.collect_data_fragments()
+        assert done == total
+        assert np.array_equal(out, pcm)
