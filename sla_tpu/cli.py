@@ -25,7 +25,7 @@ from .command_line import (
 )
 from .decoder import Decoder, DecoderConfig
 from .encoder import Encoder, EncoderConfig
-from .errors import SLAError
+from .errors import ApiResult, SLAError
 from .format import WaveFormat, decode_header
 
 
@@ -121,17 +121,24 @@ def do_streaming_decode(in_file: str, out_file: str, enable_crc_check: bool,
     except Exception as e:
         print(f"Failed to open {in_file} ({e})", file=sys.stderr)
         return 1
-    header, status = decode_header(blob)
-    wf = header.wave_format
-    sd = StreamingDecoder(
-        StreamingDecoderConfig(
-            core=DecoderConfig(enable_crc_check=enable_crc_check, verbose=verbose),
-            decode_interval_hz=120.0,
-            max_bit_per_sample=wf.bit_per_sample,
+    try:
+        header, status = decode_header(blob)
+        # same header CRC gate as Decoder._open_stream (the -d path)
+        if status == ApiResult.DETECT_DATA_CORRUPTION and enable_crc_check:
+            raise SLAError(ApiResult.DETECT_DATA_CORRUPTION, "header CRC mismatch")
+        wf = header.wave_format
+        sd = StreamingDecoder(
+            StreamingDecoderConfig(
+                core=DecoderConfig(enable_crc_check=enable_crc_check, verbose=verbose),
+                decode_interval_hz=120.0,
+                max_bit_per_sample=wf.bit_per_sample,
+            )
         )
-    )
-    sd.set_wave_format(wf)
-    sd.set_encode_parameter(header.encode_param)
+        sd.set_wave_format(wf)
+        sd.set_encode_parameter(header.encode_param)
+    except SLAError as e:
+        print(f"Decoding error! {e}", file=sys.stderr)
+        return 1
     pos = header.header_size if hasattr(header, "header_size") else 43
     out = np.zeros((wf.num_channels, header.num_samples), dtype=np.int32)
     # per-tick samples land directly at the stream position of the output

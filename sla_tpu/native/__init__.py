@@ -627,25 +627,20 @@ class PayloadCursor:
     """Resumable entropy-decode cursor over one block payload."""
 
     def __init__(self, init_params: list[int], num_channels: int, bit_offset: int):
-        lib = _load()
         C = num_channels
         self.C = C
-        self.bit_pos = ctypes.c_int64(bit_offset)
+        self.bit_pos = ctypes.c_int64(0)
         self.param_state = np.zeros(C * 2, dtype=np.uint64)
         self.eff_params = np.zeros(C, dtype=np.uint32)
-        use_golomb = ctypes.c_int32(0)
-        lib.sla_init_param_state(
-            _u32ptr(np.asarray(init_params, dtype=np.uint32)), C,
-            self.param_state.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-            _u32ptr(self.eff_params), ctypes.byref(use_golomb),
-        )
-        self.use_golomb = int(use_golomb.value)
+        self.reinit(init_params, bit_offset)
 
     def reinit(self, init_params, bit_offset: int) -> None:
-        """Re-seed the cursor for a new block IN PLACE: the bit_pos /
-        param_state / eff_params storage (and thus any pointers a prebound
-        StreamTick captured) stays put; only the values reset. use_golomb
-        can flip per block — rebind dependents (StreamTick slot 5)."""
+        """(Re-)seed the cursor IN PLACE — sla_init_param_state overwrites
+        every param_state/eff_params slot, so this serves both first
+        construction and block transitions: the storage (and thus any
+        pointers a prebound StreamTick captured) stays put; only the values
+        reset. use_golomb can flip per block — rebind dependents
+        (StreamTick slot 5)."""
         lib = _load()
         self.bit_pos.value = bit_offset
         use_golomb = ctypes.c_int32(0)

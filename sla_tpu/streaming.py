@@ -231,6 +231,14 @@ class StreamingDecoder:
         self._tick_coef = None
         self._filter_state = None
         self._tick = None
+        # the decode(out=) memo is format-dependent too: its row-count
+        # check (shape[0] == C) ran against the OLD channel count, so a
+        # cached buffer must be re-validated before its raw pointer is
+        # written through again
+        self._out_cache = None
+        self._out_cache_w = 0
+        self._out_cache_ptr = -1
+        self._out_cache_stride = 0
 
     # -- parameter setting ---------------------------------------------------
     def set_wave_format(self, wf: WaveFormat) -> None:

@@ -404,7 +404,7 @@ def test_encode_verify_segmented_path(monkeypatch):
     import sla_tpu as sla
 
     monkeypatch.setenv("SLA_TPU_SEGMENT_SAMPLES", "1")  # floor: 4 windows
-    pcm = gen_cli_wave(60000)
+    pcm = gen_wave("chirp", 60000, 2, 16, 0, seed=5)
     enc = sla.Encoder(sla.EncoderConfig(verify=True))
     enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
     enc.set_encode_parameter(sla.PRESETS[1])
@@ -413,10 +413,26 @@ def test_encode_verify_segmented_path(monkeypatch):
     assert np.array_equal(out, pcm)
 
 
-def gen_cli_wave(n):
-    import numpy as np
-    rng = np.random.default_rng(5)
-    t = np.arange(n) / 44100.0
-    sig = 0.3 * np.sin(2 * np.pi * 330 * t) + rng.normal(0, 0.01, n)
-    pcm = np.stack([sig, 0.8 * sig])
-    return (np.clip(pcm * 32767, -32768, 32767).astype(np.int32)) << 16
+
+def test_streaming_cli_corrupt_and_truncated_header(wav_file, tmp_path):
+    """The -s path must handle header-stage damage like the -d path: a
+    truncated file or a header CRC mismatch prints a clean error (exit 1),
+    never a traceback, and header CRC respects -c no."""
+    wav_path, _ = wav_file
+    sla_path = tmp_path / "out.sla"
+    assert main(["sla", "-e", "-q", str(wav_path), str(sla_path)]) == 0
+    blob = bytearray(sla_path.read_bytes())
+    dec_path = tmp_path / "dec.wav"
+    # truncated: shorter than the 43-byte stream header
+    trunc = tmp_path / "trunc.sla"
+    trunc.write_bytes(bytes(blob[:20]))
+    assert main(["sla", "-d", "-s", "-q", str(trunc), str(dec_path)]) == 1
+    # header CRC mismatch (flip a benign declared-field byte: num_samples
+    # low bits live past the CRC field and are covered by it)
+    bad = bytearray(blob)
+    bad[20] ^= 0x01
+    badf = tmp_path / "badhdr.sla"
+    badf.write_bytes(bytes(bad))
+    assert main(["sla", "-d", "-s", "-q", str(badf), str(dec_path)]) == 1
+    # same verdict as the bulk path
+    assert main(["sla", "-d", "-q", str(badf), str(dec_path)]) == 1

@@ -492,6 +492,11 @@ def test_header_parse_native_python_differential():
                     blk = sd._parse_block_header()
             else:
                 blk = sd._parse_block_header()
+        except SLAError as e:
+            # the ApiResult code matters: sync-miss (-12) vs corruption
+            # (-11) precedence must match between the parsers, not just
+            # "some SLAError"
+            return f"SLAError:{e.result.name}", None
         except Exception as e:  # noqa: BLE001
             return type(e).__name__, None
         fields = (
@@ -563,3 +568,31 @@ def test_streaming_reconfigure_different_format():
             sd.collect_data_fragments()
         assert done == total
         assert np.array_equal(out, pcm)
+
+
+def test_reconfigure_invalidates_out_buffer_memo():
+    """The decode(out=) validation memo must not survive reconfiguration:
+    a buffer cached as (2, N) under a 2-channel format would otherwise skip
+    shape validation after switching to 6 channels and take 6 rows of raw-
+    pointer writes (heap corruption past row 2)."""
+    pcm2 = gen_wave("chirp", 14000, 2, 16, 0, seed=71)
+    pcm6 = gen_wave("gauss", 14000, 6, 16, 0, seed=72)
+    blob2, blob6 = encode(pcm2, 2, 16, mode=2), encode(pcm6, 6, 16, mode=2)
+    h2, _ = decode_header(blob2)
+    h6, _ = decode_header(blob6)
+    sd = StreamingDecoder(
+        StreamingDecoderConfig(core=DecoderConfig(), max_bit_per_sample=16)
+    )
+    sd.set_wave_format(h2.wave_format)
+    sd.set_encode_parameter(h2.encode_param)
+    buf = np.zeros((2, 4096), dtype=np.int32)
+    sd.append_data_fragment(blob2[43:20000])
+    assert sd.decode(out=buf).shape[0] == 2  # buf is now memoized
+    sd.reset()
+    sd.set_wave_format(h6.wave_format)
+    sd.set_encode_parameter(h6.encode_param)
+    sd.append_data_fragment(blob6[43:20000])
+    with pytest.raises(SLAError):
+        sd.decode(out=buf)  # (2, N) buffer for a 6-channel stream
+    with pytest.raises(SLAError):
+        sd.decode_into(buf, 0)
