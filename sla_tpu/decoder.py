@@ -88,6 +88,9 @@ class Decoder:
         # compiled out under NDEBUG); a corrupt header with a re-stamped CRC
         # would otherwise drive an out-of-range left shift (UB) through the
         # final `<< (32 - bps + lshift)` assembly — found by UBSan fuzzing
+        if wf.num_channels <= 0:
+            raise SLAError(ApiResult.INVALID_ARGUMENT,
+                           "num_channels must be positive")
         if (wf.bit_per_sample <= 0 or wf.offset_lshift < 0
                 or wf.offset_lshift >= wf.bit_per_sample):
             raise SLAError(ApiResult.INVALID_ARGUMENT,
@@ -122,7 +125,6 @@ class Decoder:
 
     # -- block header parsing (SLADecoder.c:309-420) ---------------------------
     def parse_block_header(self, data: bytes, offset: int) -> _Block:
-        wf, ep = self._wave_format, self._encode_param
         try:
             return self._parse_block_header_impl(data, offset)
         except IndexError:
@@ -598,8 +600,18 @@ class Decoder:
                     )
             self.stage_times["entropy"] = time.perf_counter() - t0
             t0 = time.perf_counter()
+            # same overrun bound as the native path above: sample counts
+            # past the header total are corruption, not extra output
+            if sum(b.num_samples for b in blocks) > total_samples:
+                raise SLAError(
+                    ApiResult.DETECT_DATA_CORRUPTION,
+                    "block sample counts exceed the header total",
+                )
             pcm = self.synthesize_blocks(blocks, payloads)
-            out = np.concatenate(pcm, axis=1)
+            if pcm:
+                out = np.concatenate(pcm, axis=1)
+            else:  # zero-block stream: native path returns (C, 0) too
+                out = np.empty((wf.num_channels, 0), dtype=np.int32)
             self.stage_times["synthesis"] = time.perf_counter() - t0
         return out
 

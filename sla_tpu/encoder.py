@@ -117,6 +117,9 @@ class Encoder:
     def set_wave_format(self, wf: WaveFormat) -> None:
         if wf.num_channels > self.config.max_num_channels or wf.bit_per_sample > 32:
             raise SLAError(ApiResult.EXCEED_HANDLE_CAPACITY)
+        if wf.num_channels <= 0:
+            raise SLAError(ApiResult.INVALID_ARGUMENT,
+                           "num_channels must be positive")
         self._wave_format = dataclasses.replace(wf)
 
     def set_encode_parameter(self, ep: EncodeParameter) -> None:

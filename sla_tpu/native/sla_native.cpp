@@ -5439,6 +5439,12 @@ int64_t sla_parse_stream_block_header(
       }
       if (r.get(1)) {
         pitch[ch] = (int32_t)r.get(10);
+        // wait-for-data takes precedence over the range verdict (the
+        // Python twin's BitReader raises at the over-reading get itself)
+        if (r.pos() > size_bits) return -9;
+        // a real encoder only emits pitch in [taps/2+1, 256]
+        // (SLAPredictor.c:866-924 walk bounds + the min-lag requirement)
+        if (pitch[ch] < num_taps / 2 + 1 || pitch[ch] > 256) return -11;
         for (int32_t t = 0; t < num_taps; ++t) {
           int32_t q15 = unzigzag((uint32_t)r.get(16));
           ltm[ch * Tdim + t] = q15 << 16;

@@ -206,6 +206,8 @@ class StreamingDecoder:
         self._out_cache_w = 0
         self._out_cache_ptr = -1
         self._out_cache_stride = 0
+        self._out_cache_shape: tuple = ()
+        self._out_cache_strides: tuple = ()
 
     def reset(self) -> None:
         """Reset stream position and buffers (SLAStreamingDecoder_Reset,
@@ -250,6 +252,9 @@ class StreamingDecoder:
         # reference debug-assert made load-bearing (SLADecoder.c:464,549-550):
         # out-of-range lshift from a corrupt header must fail structurally,
         # not shift by >=32 in the synthesis assembly
+        if wf.num_channels <= 0:
+            raise SLAError(ApiResult.INVALID_ARGUMENT,
+                           "num_channels must be positive")
         if (wf.bit_per_sample <= 0 or wf.offset_lshift < 0
                 or wf.offset_lshift >= wf.bit_per_sample):
             raise SLAError(ApiResult.INVALID_ARGUMENT,
@@ -416,6 +421,10 @@ class StreamingDecoder:
                     coef[ch, ord_] = (np.int32(v) << (16 - qbits)) >> rshift
                 if r.get(1):
                     pitch[ch] = r.get(LONGTERM_PERIOD_NUM_BITS)
+                    if pitch[ch] < T // 2 + 1 or pitch[ch] > 256:
+                        # out of any real encoder's range (same verdict as
+                        # Decoder.parse_block_header / the native twin)
+                        raise SLAError(ApiResult.DETECT_DATA_CORRUPTION)
                     for t in range(T):
                         q15 = uint32_to_sint32(r.get(16))
                         ltm[ch, t] = np.int32(q15) << 16
@@ -554,7 +563,7 @@ class StreamingDecoder:
             out = np.empty((C, goal), dtype=np.int32)  # [:progress] written
             out_w, out_ptr, out_stride = goal, out.ctypes.data, goal
         elif out is self._out_cache:
-            out_w, out_ptr, out_stride = self._cached_out(out)
+            out_w, out_ptr, out_stride = self._cached_out(out, C, goal)
         else:
             out_w, out_ptr, out_stride = self._validate_out(out, C, goal)
         if out_w < goal:
@@ -676,16 +685,27 @@ class StreamingDecoder:
         self._out_cache_w = out_w
         self._out_cache_ptr = out_ptr
         self._out_cache_stride = out_stride
+        self._out_cache_shape = out.shape
+        self._out_cache_strides = st
         return out_w, out_ptr, out_stride
 
-    def _cached_out(self, out: np.ndarray) -> tuple:
-        """Memoized validation lookup, re-checking the one property the
-        caller can legally flip between calls: a buffer frozen after it
-        was cached must not be written through its raw pointer."""
+    def _cached_out(self, out: np.ndarray, C: int, goal: int) -> tuple:
+        """Memoized validation lookup, re-checking the properties the
+        caller can legally mutate IN PLACE between calls: writability
+        (a frozen buffer must not be written through its raw pointer) and
+        the shape/strides metadata (numpy allows `out.shape = ...`
+        reassignment on the same object — a stale layout would scatter the
+        strided native writes). Any layout change falls back to full
+        validation and re-memoizes. Residual trust: resize(refcheck=False)
+        swapping the allocation while restoring an identical layout is
+        undetectable without re-reading the data pointer every call."""
         if not out.flags.writeable:
             raise SLAError(
                 ApiResult.INVALID_ARGUMENT, "out buffer is no longer writeable"
             )
+        if (out.shape != self._out_cache_shape
+                or out.strides != self._out_cache_strides):
+            return self._validate_out(out, C, goal)
         return self._out_cache_w, self._out_cache_ptr, self._out_cache_stride
 
     def _tick_fast(self, out_ptr: int, goal: int, out_stride: int) -> int | None:
@@ -731,7 +751,7 @@ class StreamingDecoder:
         if max_samples is not None:
             goal = min(goal, max_samples)
         if out is self._out_cache:
-            out_w, out_ptr, out_stride = self._cached_out(out)
+            out_w, out_ptr, out_stride = self._cached_out(out, C, goal + offset)
         else:
             out_w, out_ptr, out_stride = self._validate_out(out, C, goal + offset)
         if out_w - offset < goal:
@@ -804,9 +824,9 @@ class StreamingDecoder:
             if ep.ch_process_method == ChannelProcessMethod.STEREO_MS:
                 bits[1] += 1
             start_bit = blk.header_bytes * 8 + self._consumed_bits
-            residual = _get_raw(
-                self._buf_arr[: self._buf_len].tobytes(), start_bit, C, n, bits
-            )
+            # zero-copy view, same as the COMPRESSDATA branch below — the
+            # per-tick bytes() copy was O(buffer) at 120 Hz
+            residual = _get_raw(self._buffer_view(), start_bit, C, n, bits)
             self._consumed_bits += n * sum(bits)
             if blk.header_bytes * 8 + self._consumed_bits > 8 * self._buf_len:
                 raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE, "streaming underrun")

@@ -244,3 +244,73 @@ def test_zero_sample_block_rejected(stream):
     bad[49:51] = _crc16(memoryview(bad)[43 + 8 : 43 + bsize]).to_bytes(2, "big")
     with pytest.raises(SLAError):
         decode(bytes(bad), crc=True)
+
+
+def test_oversized_block_counts_bounded_without_native(stream, monkeypatch):
+    """The pure-Python block path must enforce the same sample-count bound
+    as the native path — silent oversized output is a divergence."""
+    blob, _ = stream
+    monkeypatch.setattr("sla_tpu.decoder.native.available", lambda: False)
+    bad = bytearray(blob)
+    true_n = int.from_bytes(bad[17:21], "big")
+    bad[17:21] = (true_n // 2).to_bytes(4, "big")
+    from sla_tpu.crc16 import crc16
+
+    bad[8:10] = crc16(bytes(bad[10:43])).to_bytes(2, "big")
+    with pytest.raises(SLAError):
+        decode(bytes(bad), crc=False)
+
+
+@pytest.mark.parametrize("no_native", [False, True])
+def test_zero_sample_stream_decodes_empty(no_native, monkeypatch):
+    """A header-only stream (num_samples=0, no blocks) returns (C, 0) on
+    both backends instead of crashing in concatenate."""
+    from sla_tpu.format import HeaderInfo, encode_header
+
+    if no_native:
+        monkeypatch.setattr("sla_tpu.decoder.native.available", lambda: False)
+    hdr = HeaderInfo(
+        wave_format=sla.WaveFormat(2, 16, 44100),
+        encode_param=sla.PRESETS[2],
+        num_samples=0,
+    )
+    blob = encode_header(hdr)
+    _, out = decode(blob, crc=True)
+    assert out.shape == (2, 0)
+    assert out.dtype == np.int32
+
+
+def test_zero_channel_header_rejected():
+    """num_channels=0 in a crafted (CRC-restamped) header must raise a
+    structured error, not ZeroDivisionError in group sizing."""
+    from sla_tpu.crc16 import crc16
+    from sla_tpu.format import HeaderInfo, encode_header
+
+    hdr = HeaderInfo(
+        wave_format=sla.WaveFormat(1, 16, 44100),
+        encode_param=sla.PRESETS[2],
+        num_samples=100,
+    )
+    from sla_tpu.format import decode_header as dh
+
+    blob = bytearray(encode_header(hdr))
+    # locate the (1-byte) channel-count field by probing: zero one byte at
+    # a time, re-stamp the CRC, and keep the probe whose parsed header
+    # reports num_channels == 0 with everything else intact
+    crafted = None
+    for off in range(10, 43):
+        probe = bytearray(blob)
+        probe[off] = 0
+        probe[8:10] = crc16(bytes(probe[10:43])).to_bytes(2, "big")
+        try:
+            h, _ = dh(bytes(probe))
+        except SLAError:
+            continue
+        if (h.wave_format.num_channels == 0
+                and h.wave_format.bit_per_sample == 16
+                and h.num_samples == 100):
+            crafted = bytes(probe)
+            break
+    assert crafted is not None, "could not locate the channel field"
+    with pytest.raises(SLAError):
+        decode(crafted, crc=True)

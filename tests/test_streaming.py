@@ -596,3 +596,104 @@ def test_reconfigure_invalidates_out_buffer_memo():
         sd.decode(out=buf)  # (2, N) buffer for a 6-channel stream
     with pytest.raises(SLAError):
         sd.decode_into(buf, 0)
+
+
+def _craft_compress_header(pitch_value, order=1, taps=1, bps=16):
+    """Minimal mono COMPRESSDATA block header with an explicit pitch field
+    (wire layout of SLAEncoder.c:685-737)."""
+    from sla_tpu.bitio import BitWriter
+
+    w = BitWriter()
+    w.put(0xFFFF, 16)          # sync
+    w.put(5000, 32)            # next_offset (block extends past the buffer)
+    w.put(0, 16)               # crc (unchecked: block not fully buffered)
+    w.put(100, 16)             # num_samples
+    w.put(0, 2)                # COMPRESSDATA
+    w.put(0, 4)                # rshift
+    w.put(0, 16)               # parcor coef ord 1 (qbits 16)
+    w.put(1, 1)                # pitch flag
+    w.put(pitch_value, 10)
+    for _ in range(taps):
+        w.put(0, 16)
+    w.put(7, bps)              # init rice
+    w.put(0, 64)               # padding so the parse never hits the end
+    w.flush()
+    return w.getvalue()
+
+
+@pytest.mark.parametrize("use_python", [False, True])
+@pytest.mark.parametrize("pitch_value", [0, 257, 1023])
+def test_corrupt_pitch_rejected_in_streaming_parse(use_python, pitch_value):
+    """Out-of-range pitch from a corrupt header must be a structured
+    corruption verdict in BOTH streaming parser twins (same rule as
+    Decoder.parse_block_header) — not an IndexError deep in synthesis."""
+    import unittest.mock as mock
+
+    if use_python and not native.available():
+        pytest.skip("differential baseline needs native")
+    ep = sla.EncodeParameter(
+        1, 1, 1, sla.ChannelProcessMethod.NONE,
+        sla.PRESETS[2].window_function_type, 4096,
+    )
+    sd = StreamingDecoder(
+        StreamingDecoderConfig(core=DecoderConfig(), max_bit_per_sample=16)
+    )
+    sd.set_wave_format(sla.WaveFormat(1, 16, 44100))
+    sd.set_encode_parameter(ep)
+    sd.append_data_fragment(_craft_compress_header(pitch_value))
+    ctx = (
+        mock.patch("sla_tpu.streaming.native.available", lambda: False)
+        if use_python else mock.patch.dict({}, {})
+    )
+    with ctx:
+        with pytest.raises(SLAError) as e:
+            sd._parse_block_header()
+        assert e.value.result == ApiResult.DETECT_DATA_CORRUPTION
+    # boundary-valid pitch parses fine (min lag = taps//2 + 1 = 1)
+    sd.reset()
+    sd.append_data_fragment(_craft_compress_header(1))
+    with ctx:
+        blk = sd._parse_block_header()
+    assert int(blk.pitch[0]) == 1
+
+
+def test_zero_channels_rejected():
+    """A crafted header declaring num_channels=0 must fail structurally on
+    every handle, not crash with ZeroDivisionError downstream."""
+    wf0 = sla.WaveFormat(0, 16, 44100)
+    with pytest.raises(SLAError):
+        Decoder().set_wave_format(wf0)
+    sd = StreamingDecoder(
+        StreamingDecoderConfig(core=DecoderConfig(), max_bit_per_sample=16)
+    )
+    with pytest.raises(SLAError):
+        sd.set_wave_format(wf0)
+    with pytest.raises(SLAError):
+        sla.Encoder().set_wave_format(wf0)
+
+
+def test_out_cache_survives_inplace_shape_mutation():
+    """numpy allows reassigning .shape on the same object; the decode(out=)
+    memo must notice the layout change instead of writing through the stale
+    (width, stride) pair."""
+    pcm = gen_wave("chirp", 14000, 2, 16, 0, seed=81)
+    blob = encode(pcm, 2, 16, mode=2)
+    header, _ = decode_header(blob)
+    sd = StreamingDecoder(
+        StreamingDecoderConfig(core=DecoderConfig(), max_bit_per_sample=16)
+    )
+    sd.set_wave_format(header.wave_format)
+    sd.set_encode_parameter(header.encode_param)
+    sd.append_data_fragment(blob[43:])
+    buf = np.zeros((2, 8192), dtype=np.int32)
+    first = sd.decode(out=buf)
+    n1 = first.shape[1]
+    assert n1 > 0
+    want = np.array(first)
+    buf.shape = (4, 4096)  # in-place metadata change, same object
+    with pytest.raises(SLAError):
+        sd.decode(out=buf)  # 4 rows != 2 channels: full re-validation fails
+    buf.shape = (2, 8192)  # restore: memo re-validates and decode resumes
+    second = sd.decode(out=buf)
+    assert second.shape[1] > 0
+    assert np.array_equal(want, pcm[:, :n1])
