@@ -14,7 +14,7 @@ import sys
 import numpy as np
 
 from . import PRESETS, preset_parameter, wavio
-from .constants import SLA_VERSION_STRING
+from .constants import SLA_HEADER_SIZE, SLA_VERSION_STRING
 from .command_line import (
     OptionSpec,
     ParserResult,
@@ -139,7 +139,7 @@ def do_streaming_decode(in_file: str, out_file: str, enable_crc_check: bool,
     except SLAError as e:
         print(f"Decoding error! {e}", file=sys.stderr)
         return 1
-    pos = header.header_size if hasattr(header, "header_size") else 43
+    pos = SLA_HEADER_SIZE
     out = np.zeros((wf.num_channels, header.num_samples), dtype=np.int32)
     # per-tick samples land directly at the stream position of the output
     # array (the reference's Decode writes through a buffer+offset pointer
@@ -200,12 +200,18 @@ def do_salvage_decode(in_file: str, out_file: str, enable_crc_check: bool,
     out = np.zeros((wf.num_channels, header.num_samples), dtype=np.int32)
     recovered = 0
     pos = 0
+    gaps = sum(1 for s_ in segs if s_.gap_before_bytes)
     for i, seg in enumerate(segs):
         n = seg.pcm.shape[1]
         if seg.sample_offset is not None:
             pos = seg.sample_offset
-        elif i == len(segs) - 1 and len(segs) == 2:
-            # single gap: the tail run's position is certain from the total
+        elif i == len(segs) - 1 and gaps == 1:
+            # the stream's single gap precedes this final run (it is the
+            # only segment with an unknown offset), so the run must end at
+            # the declared total — tail-anchor it. Covers both the
+            # head-gap single-segment case and the prefix+gap+tail case;
+            # with >=2 gaps no position is certain and sequential
+            # placement stays best-effort.
             pos = header.num_samples - n
         take = min(n, header.num_samples - pos)
         if take > 0:
@@ -213,7 +219,6 @@ def do_salvage_decode(in_file: str, out_file: str, enable_crc_check: bool,
             recovered += take
         pos += n
     if verbose or len(segs) != 1 or segs[0].gap_before_bytes:
-        gaps = sum(1 for s_ in segs if s_.gap_before_bytes)
         print(
             f"salvage: {recovered}/{header.num_samples} samples recovered in "
             f"{len(segs)} segment(s), {gaps} gap(s)",
@@ -261,6 +266,9 @@ def main(argv: list[str] | None = None) -> int:
     if get_option_acquired(spec, "decode"):
         enable_crc = True
         if get_option_acquired(spec, "crc-check"):
+            # parity: the reference treats ANY value other than "yes" as
+            # "no" (main.c:499-503 strcmp ternary) — do not "fix" this to
+            # reject typos, it would diverge from the reference CLI
             enable_crc = get_argument_string(spec, "crc-check") == "yes"
         if get_option_acquired(spec, "recover"):
             if do_salvage_decode(positional[0], positional[1], enable_crc, verbose) != 0:
@@ -288,7 +296,13 @@ def main(argv: list[str] | None = None) -> int:
             from .corpus import encode_corpus
 
             in_dir = pathlib.Path(positional[0])
-            files = sorted(in_dir.glob("*.wav")) + sorted(in_dir.glob("*.WAV"))
+            # one pass with a case-insensitive suffix filter: two globs
+            # double-list every file on case-insensitive filesystems and
+            # still miss mixed-case extensions like .Wav
+            files = sorted(
+                p for p in in_dir.iterdir()
+                if p.is_file() and p.suffix.lower() == ".wav"
+            )
             if not files:
                 print(f"{prog}: no WAV files in {in_dir}.", file=sys.stderr)
                 return 1
@@ -299,8 +313,15 @@ def main(argv: list[str] | None = None) -> int:
                 except ValueError:
                     print(f"{prog}: invalid filter-batch value.", file=sys.stderr)
                     return 1
-            res = encode_corpus(files, positional[1], preset=preset_no,
-                                verbose=verbose, filter_batch=fb)
+            # corpus mode honors -V like the single-file path (the batch
+            # encoder runs the same _maybe_verify self-check per file)
+            res = encode_corpus(
+                files, positional[1], preset=preset_no, verbose=verbose,
+                filter_batch=fb,
+                encoder_config=EncoderConfig(
+                    verify=get_option_acquired(spec, "verify"),
+                ),
+            )
             if verbose:
                 print(
                     f"corpus: {res.encoded} encoded, {res.skipped} resumed, "

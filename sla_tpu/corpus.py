@@ -152,6 +152,13 @@ def encode_corpus(
                 stage_times: dict | None = None) -> None:
         nonlocal encoded, in_bytes, out_bytes
         out_path = out_dir / (names[path] + ".sla")
+        # stat the input BEFORE the .done marker exists: a late OSError
+        # (input deleted mid-run) must not leave a published+marked file
+        # recorded as failed in the manifest
+        try:
+            in_size = path.stat().st_size
+        except OSError:
+            in_size = 0
         # pid-suffixed temp: concurrent workers (or a resumed incarnation
         # racing a straggler) never clobber each other's in-flight writes
         tmp = out_path.parent / (out_path.name + f".tmp{os.getpid()}")
@@ -159,14 +166,14 @@ def encode_corpus(
         os.replace(tmp, out_path)  # atomic publish
         (out_dir / (names[path] + ".done")).touch()
         encoded += 1
-        in_bytes += path.stat().st_size
+        in_bytes += in_size
         out_bytes += len(blob)
         entry: dict = {"out": out_path.name, "bytes": len(blob)}
         if stage_times:
             entry["stage_seconds"] = {k: round(v, 6) for k, v in stage_times.items()}
         manifest[str(path)] = entry
         if verbose:
-            print(f"{path.name}: {path.stat().st_size} -> {len(blob)}")
+            print(f"{path.name}: {in_size} -> {len(blob)}")
 
     def record_failure(path: pathlib.Path, e: Exception) -> None:
         nonlocal failed

@@ -298,12 +298,34 @@ class Encoder:
                                     max_parcor_order=self.config.max_parcor_order,
                                     max_longterm_order=self.config.max_longterm_order,
                                     max_lms_order_per_filter=self.config.max_lms_order_per_filter))
-        _, out = dec.decode_whole(blob)
-        if out.shape != data.shape or not np.array_equal(out, np.asarray(data, dtype=np.int32)):
-            raise SLAError(
-                ApiResult.DETECT_DATA_CORRUPTION,
-                "encode verification failed: decoded stream differs from the input",
-            )
+        err = SLAError(
+            ApiResult.DETECT_DATA_CORRUPTION,
+            "encode verification failed: decoded stream differs from the input",
+        )
+        data = np.asarray(data, dtype=np.int32)
+        seg = self._segment_samples()
+        if data.shape[1] <= seg:
+            _, out = dec.decode_whole(blob)
+            if out.shape != data.shape or not np.array_equal(out, data):
+                raise err
+            return
+        # long streams verify in segment-sized decode_range windows so the
+        # check keeps the segmented encode's O(segment) peak memory instead
+        # of re-materializing the whole file's PCM a second time
+        from .format import decode_header
+
+        header, _ = decode_header(blob)
+        if (header.num_samples != data.shape[1]
+                or header.wave_format.num_channels != data.shape[0]):
+            raise err
+        pos = 0
+        while pos < data.shape[1]:
+            take = min(seg, data.shape[1] - pos)
+            _, win = dec.decode_range(blob, pos, take)
+            if (win.shape != (data.shape[0], take)
+                    or not np.array_equal(win, data[:, pos : pos + take])):
+                raise err
+            pos += take
 
     def _segment_samples(self) -> int:
         """Samples per encode segment: a multiple of the window size, from
@@ -1186,7 +1208,13 @@ def encode_whole_batch(
         enc._device_entropy_active = getattr(
             encs[0], "_device_entropy_active", False
         )
-    return [
+    blobs = [
         enc._finalize_encode(num_samples, plans)
         for enc, (num_samples, plans) in zip(encs, staged)
     ]
+    # config.verify applies to the fused path too (encode_whole runs it
+    # via _maybe_verify; dropping it here would silently skip the
+    # self-check exactly on the batched corpus mode)
+    for enc, blob, (_, _, data) in zip(encs, blobs, jobs):
+        enc._maybe_verify(blob, data)
+    return blobs

@@ -119,6 +119,12 @@ def decode_header(data: bytes) -> tuple[HeaderInfo, ApiResult]:
         status = ApiResult.DETECT_DATA_CORRUPTION
     if version != SLA_FORMAT_VERSION:
         raise SLAError(ApiResult.INVALID_HEADER_FORMAT, f"format version {version}")
+    try:
+        ch_method = ChannelProcessMethod(ch_method)
+    except ValueError:
+        # corrupt enum field: structured verdict, not a ValueError leak
+        raise SLAError(ApiResult.INVALID_HEADER_FORMAT,
+                       f"ch_process_method {ch_method}") from None
     header = HeaderInfo(
         wave_format=WaveFormat(
             num_channels=num_channels,
@@ -130,7 +136,7 @@ def decode_header(data: bytes) -> tuple[HeaderInfo, ApiResult]:
             parcor_order=parcor_order,
             longterm_order=longterm_order,
             lms_order_per_filter=lms_order,
-            ch_process_method=ChannelProcessMethod(ch_method),
+            ch_process_method=ch_method,
             window_function_type=WindowFunctionType.SIN,  # not stored in the container
             max_num_block_samples=max_block_samples,
         ),

@@ -43,6 +43,10 @@ def _find_chunks(buf: bytes) -> tuple[dict, int, int]:
         (csize,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
         body = pos + 8
         if cid == b"fmt ":
+            if body + 16 > len(buf) or csize < 16:
+                # truncated fmt body: structured error, not struct.error
+                raise SLAError(ApiResult.INVALID_HEADER_FORMAT,
+                               "truncated fmt chunk")
             audio_format, num_channels, sampling_rate = struct.unpack("<HHI", buf[body : body + 8])
             bits_per_sample = struct.unpack("<H", buf[body + 14 : body + 16])[0]
             if audio_format != 1:

@@ -436,3 +436,89 @@ def test_streaming_cli_corrupt_and_truncated_header(wav_file, tmp_path):
     assert main(["sla", "-d", "-s", "-q", str(badf), str(dec_path)]) == 1
     # same verdict as the bulk path
     assert main(["sla", "-d", "-q", str(badf), str(dec_path)]) == 1
+
+
+def test_cli_corrupt_enum_header_clean_error(wav_file, tmp_path):
+    """A corrupt ch_process_method byte in the stream header must produce a
+    clean exit-1 on every decode subcommand — decode_header maps the bad
+    enum to a structured SLAError, never a ValueError traceback."""
+    wav_path, _ = wav_file
+    sla_path = tmp_path / "out.sla"
+    assert main(["sla", "-e", "-q", str(wav_path), str(sla_path)]) == 0
+    from sla_tpu.crc16 import crc16
+    from sla_tpu.errors import SLAError
+    from sla_tpu.format import decode_header
+
+    blob = bytearray(sla_path.read_bytes())
+    # find the ch_process_method byte by probing: setting it to 7 (invalid)
+    # with a re-stamped CRC must flip decode_header into the SLAError
+    crafted = None
+    for off in range(10, 43):
+        probe = bytearray(blob)
+        probe[off] = 7
+        probe[8:10] = crc16(bytes(probe[10:43])).to_bytes(2, "big")
+        try:
+            decode_header(bytes(probe))
+        except SLAError:
+            crafted = bytes(probe)
+            break
+    assert crafted is not None, "could not locate the ch_process_method field"
+    bad = tmp_path / "badenum.sla"
+    bad.write_bytes(crafted)
+    dec_path = tmp_path / "dec.wav"
+    assert main(["sla", "-d", "-q", str(bad), str(dec_path)]) == 1
+    assert main(["sla", "-d", "-s", "-q", str(bad), str(dec_path)]) == 1
+    assert main(["sla", "-d", "-r", "-q", str(bad), str(dec_path)]) == 1
+
+
+def test_corpus_isolates_malformed_wav(tmp_path):
+    """One malformed WAV (fmt chunk truncated) must be recorded as failed
+    without aborting the corpus run."""
+    from .test_encode_decode import gen_wave as gw
+
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    pcm = gw("sine", 4000, 1, 16, 0, seed=3)
+    wavio.write_wav(str(in_dir / "good.wav"),
+                    wavio.WavFile(1, 44100, 16, pcm))
+    # RIFF/WAVE with a 2-byte fmt body: used to leak struct.error
+    bad = b"RIFF" + (30).to_bytes(4, "little") + b"WAVE" + b"fmt " + \
+        (2).to_bytes(4, "little") + b"\x01\x00"
+    (in_dir / "bad.wav").write_bytes(bad)
+    from sla_tpu.corpus import encode_corpus
+
+    res = encode_corpus(sorted(in_dir.glob("*.wav")), out_dir, preset=0)
+    assert res.encoded == 1
+    assert res.failed == 1
+    assert (out_dir / "good.sla").exists()
+
+
+def test_corpus_cli_honors_verify_flag(tmp_path, monkeypatch):
+    """-e -b -V must thread verify=True into the corpus encoders (it was
+    silently dropped): a decoder forced to lie makes every file fail."""
+    from .test_encode_decode import gen_wave as gw
+
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    for i in range(2):
+        pcm = gw("sine", 3000, 1, 16, 0, seed=i)
+        wavio.write_wav(str(in_dir / f"f{i}.wav"),
+                        wavio.WavFile(1, 44100, 16, pcm))
+    # verification passes normally…
+    assert main(["sla", "-e", "-q", "-b", "-V", str(in_dir), str(out_dir)]) == 0
+    # …and is really running: a sabotaged verify decode fails the run
+    import shutil
+    shutil.rmtree(out_dir)
+    import sla_tpu.decoder as dec_mod
+
+    def lie(self, blob):
+        import numpy as np
+        from sla_tpu.format import decode_header as dh
+        h, _ = dh(blob)
+        return h, np.zeros((h.wave_format.num_channels, h.num_samples),
+                           dtype=np.int32) + 12345
+
+    monkeypatch.setattr(dec_mod.Decoder, "decode_whole", lie)
+    assert main(["sla", "-e", "-q", "-b", "-V", str(in_dir), str(out_dir)]) == 1

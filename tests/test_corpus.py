@@ -324,3 +324,32 @@ def test_same_stem_across_process_shards(tmp_path):
     # resume on either shard skips its own file, never the other's
     r0b = encode_corpus(files, out_dir, preset=0, process_index=0, process_count=2)
     assert r0b.skipped == 1 and r0b.encoded == 0
+
+
+def test_encode_whole_batch_honors_verify(monkeypatch):
+    """The fused-batch path must run the same encode-time self-check as
+    encode_whole when config.verify is set."""
+    from .test_encode_decode import gen_wave
+
+    jobs = []
+    for i in range(3):
+        pcm = gen_wave("sine", 3000, 1, 16, 0, seed=40 + i)
+        jobs.append((sla.WaveFormat(1, 16, 44100),
+                     sla.preset_parameter(0, 1), pcm))
+    from sla_tpu.encoder import encode_whole_batch
+
+    blobs = encode_whole_batch(jobs, sla.EncoderConfig(verify=True))
+    assert len(blobs) == 3  # verification passed
+    # sabotage the verify decoder: the batch must now raise
+    import sla_tpu.decoder as dec_mod
+
+    def lie(self, blob):
+        from sla_tpu.format import decode_header as dh
+        h, _ = dh(blob)
+        return h, np.zeros((1, h.num_samples), dtype=np.int32) + 7
+
+    from sla_tpu.errors import SLAError
+
+    monkeypatch.setattr(dec_mod.Decoder, "decode_whole", lie)
+    with pytest.raises(SLAError):
+        encode_whole_batch(jobs, sla.EncoderConfig(verify=True))

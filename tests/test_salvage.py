@@ -147,3 +147,27 @@ def test_salvage_poisoned_run_keeps_intact_blocks(stream, monkeypatch):
     hdr, segs = dec.decode_salvage(blob)
     got = np.concatenate([s.pcm for s in segs], axis=1)
     assert np.array_equal(got, pcm)  # every block recovered block-by-block
+
+
+def test_salvage_cli_tail_anchors_head_gap(stream, tmp_path):
+    """Damage the FIRST block: salvage yields one segment with a head gap
+    whose position is still certain (total - n). The -r CLI must place the
+    recovered audio there, not at sample 0."""
+    from sla_tpu import wavio
+    from sla_tpu.cli import main
+
+    pcm, blob = stream
+    header, blocks = _blocks(blob)
+    victim = blocks[0]
+    b = bytearray(blob)
+    b[victim.data_offset + 40] ^= 0xFF
+    bad = tmp_path / "head_gap.sla"
+    bad.write_bytes(bytes(b))
+    out_wav = tmp_path / "rec.wav"
+    assert main(["sla", "-d", "-r", "-q", str(bad), str(out_wav)]) == 0
+    got = wavio.read_wav(str(out_wav)).data
+    n_rec = header.num_samples - victim.num_samples
+    # the recovered run sits tail-anchored; the lost head is silence
+    assert np.array_equal(got[:, victim.num_samples:], pcm[:, victim.num_samples:])
+    assert np.count_nonzero(got[:, :victim.num_samples]) == 0
+    assert n_rec == got.shape[1] - victim.num_samples
