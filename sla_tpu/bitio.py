@@ -72,7 +72,10 @@ class BitWriter:
             self.put(0, 8 - self._nacc)
 
     def tell(self) -> int:
-        """Current byte position (whole bytes emitted)."""
+        """Current byte position (whole bytes emitted). Byte-aligned only:
+        a mid-byte tell would underreport by one and a write_bytes_at
+        back-patch at that offset would corrupt the preceding byte."""
+        assert self._nacc == 0, "flush before tell"
         return len(self._buf)
 
     def getvalue(self) -> bytes:
@@ -133,7 +136,12 @@ class BitReader:
             pos += lead + 1  # consume the 1 bit too
             self._bitpos = pos
             return run
-        self._bitpos = nbits_total
+        # the run fell off the buffered end without its terminating 1:
+        # mark the over-read (pos = total + 1, like the native reader and
+        # hostref twin) so a later get() raises and the end-of-payload
+        # position checks see the overshoot — otherwise a stream truncated
+        # inside a zero tail decodes to silent garbage on the Python path
+        self._bitpos = nbits_total + 1
         return run
 
     def flush(self) -> None:

@@ -74,22 +74,32 @@ def parse_wav(buf: bytes) -> WavFile:
     fmt, off, size = _find_chunks(buf)
     ch = fmt["num_channels"]
     bps = fmt["bits_per_sample"]
+    # validate BEFORE any arithmetic: a crafted fmt chunk with ch=0 or
+    # bps<8 must be a structured error, not a ZeroDivisionError
+    if ch <= 0:
+        raise SLAError(ApiResult.INVALID_HEADER_FORMAT,
+                       f"bad channel count {ch}")
+    if bps not in (8, 16, 24, 32):
+        raise SLAError(ApiResult.INVALID_HEADER_FORMAT,
+                       f"unsupported bit depth {bps}")
     bytes_per = bps // 8
     frame = bytes_per * ch
+    # clamp to the bytes actually present: truncated files (or the common
+    # 0xFFFFFFFF streaming data-size placeholder) read the available whole
+    # frames instead of leaking a numpy buffer-size ValueError
+    size = min(size, len(buf) - off)
     nsamples = size // frame
     raw = np.frombuffer(buf, dtype=np.uint8, count=nsamples * frame, offset=off)
     if bps == 8:
         pcm = (raw.astype(np.int32) - 128) << 24
     elif bps == 16:
-        pcm = np.frombuffer(raw.tobytes(), dtype="<i2").astype(np.int32) << 16
+        pcm = raw.view("<i2").astype(np.int32) << 16
     elif bps == 24:
         b = raw.reshape(-1, 3).astype(np.uint32)
         u = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
         pcm = (u << 8).astype(np.int32)  # left-justify; sign via the top byte
-    elif bps == 32:
-        pcm = np.frombuffer(raw.tobytes(), dtype="<i4").astype(np.int32)
-    else:
-        raise SLAError(ApiResult.INVALID_HEADER_FORMAT, f"unsupported bit depth {bps}")
+    else:  # bps == 32
+        pcm = raw.view("<i4").astype(np.int32)
     data = pcm.reshape(nsamples, ch).T.copy()
     return WavFile(ch, fmt["sampling_rate"], bps, data)
 

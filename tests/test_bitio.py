@@ -68,3 +68,16 @@ def test_zigzag_array():
     # matches scalar definition
     for x in [0, 1, -1, 5, -5]:
         assert zigzag_encode_array(np.array([x], np.int32))[0] == sint32_to_uint32(x)
+
+
+def test_zero_run_overread_marker():
+    """A zero run falling off the buffered end must mark the over-read
+    (pos = total + 1) like the native reader and the hostref twin — a
+    truncated unary tail must not decode as a silently-complete run."""
+    r = BitReader(bytes([0x80, 0x00]))  # 1 then fifteen 0s, no terminator
+    assert r.get_zero_run() == 0  # consumes the leading 1
+    run = r.get_zero_run()  # rest of the buffer is all zeros
+    assert run == 15
+    assert r.tell() > 2  # ceil((16+1)/8) = 3: overshoot visible
+    with pytest.raises(IndexError):
+        r.get(1)

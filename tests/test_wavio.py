@@ -61,3 +61,36 @@ def test_reject_missing_data_chunk():
     blob = wavio.serialize_wav(wavio.WavFile(1, 44100, 16, np.zeros((1, 4), np.int32)))
     with pytest.raises(SLAError):
         wavio.parse_wav(blob[:36])  # truncate before the data chunk
+
+
+def test_malformed_fmt_values_structured_errors():
+    """Crafted fmt fields (0 channels, odd bit depths) must raise SLAError,
+    never ZeroDivisionError."""
+    import struct
+
+    def wav_with_fmt(ch, bps):
+        fmt = struct.pack("<HHIIHH", 1, ch, 44100, 44100 * 2, 2, bps)
+        data = b"\x00" * 8
+        return (b"RIFF" + (4 + 8 + len(fmt) + 8 + len(data)).to_bytes(4, "little")
+                + b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+                + b"data" + len(data).to_bytes(4, "little") + data)
+
+    for ch, bps in [(0, 16), (2, 0), (2, 12), (0, 0)]:
+        with pytest.raises(SLAError):
+            wavio.parse_wav(wav_with_fmt(ch, bps))
+
+
+def test_truncated_data_chunk_clamps():
+    """A data chunk whose declared size exceeds the file (truncation, or
+    the 0xFFFFFFFF streaming placeholder) reads the frames present."""
+    pcm = np.arange(-50, 50, dtype=np.int32).reshape(1, 100) << 16
+    blob = bytearray(wavio.serialize_wav(wavio.WavFile(1, 44100, 16, pcm)))
+    # find the data chunk size field and inflate it
+    i = blob.index(b"data")
+    blob[i + 4 : i + 8] = (0xFFFFFFFF).to_bytes(4, "little")
+    out = wavio.parse_wav(bytes(blob))
+    assert np.array_equal(out.data, pcm)
+    # hard truncation mid-data: whole frames only
+    cut = bytes(blob[: i + 8 + 41])  # 20 complete frames + 1 byte
+    out2 = wavio.parse_wav(cut)
+    assert np.array_equal(out2.data, pcm[:, :20])
