@@ -39,6 +39,7 @@ _LIB = _DIR / (
 
 _lib: ctypes.CDLL | None = None
 _load_failed = False
+_load_lock = threading.Lock()  # one build/load per process, no .so races
 
 
 def _build() -> bool:
@@ -57,14 +58,32 @@ def _build() -> bool:
                 "-fno-omit-frame-pointer", "-g"]
     if _NATIVE_DEBUG:
         cmd += ["-DSLA_TPU_DEBUG"]
+    # compile into a pid-suffixed temp and publish atomically: a build
+    # racing another process (or a stale-mtime rebuild racing a straggler)
+    # must never leave a half-written .so at the canonical path
+    tmp = _LIB.with_name(_LIB.name + f".tmp{os.getpid()}")
     try:
         subprocess.run(
-            cmd + ["-o", str(_LIB), str(_SRC)],
+            cmd + ["-o", str(tmp), str(_SRC)],
             check=True,
             capture_output=True,
         )
+        os.replace(tmp, _LIB)
         return True
-    except Exception:
+    except Exception as e:
+        try:
+            tmp.unlink()
+        except OSError:
+            pass
+        if _SANITIZE:
+            # never silently fall back to Python in sanitizer mode — a
+            # failed instrumented BUILD would otherwise let the fuzz run
+            # report clean with zero native code under ASan
+            detail = getattr(e, "stderr", b"")
+            raise RuntimeError(
+                "SLA_TPU_SANITIZE is set but the instrumented build failed "
+                f"(g++ needs -fsanitize support): {detail!r}"
+            ) from e
         return False
 
 
@@ -73,6 +92,16 @@ def _load() -> ctypes.CDLL | None:
     if _lib is not None:
         return _lib
     if _load_failed or os.environ.get("SLA_TPU_NO_NATIVE"):
+        return None
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked() -> ctypes.CDLL | None:
+    global _lib, _load_failed
+    if _lib is not None:  # raced another thread past the lock
+        return _lib
+    if _load_failed:
         return None
     if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
         if not _build():
@@ -317,7 +346,12 @@ def _u32ptr(a: np.ndarray):
 
 def crc16(data: bytes | bytearray | memoryview | np.ndarray) -> int:
     lib = _load()
-    buf = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
+    if isinstance(data, np.ndarray):
+        # reinterpret as bytes: .size on a wider dtype would CRC only the
+        # first 1/itemsize of the buffer through a reinterpreted pointer
+        buf = data.view(np.uint8) if data.dtype != np.uint8 else data
+    else:
+        buf = np.frombuffer(data, dtype=np.uint8)
     return int(lib.sla_crc16(_u8ptr(buf), buf.size))
 
 
@@ -459,13 +493,7 @@ def get_data_arrays(
             out_offs.ctypes.data_as(p_i64), 0,
         )
     )
-    if rc == -1:
-        raise ValueError(f"get_data_arrays: too many channels for native scratch ({C})")
-    if rc < 0:
-        raise SLAError(
-            ApiResult.INSUFFICIENT_DATA_SIZE,
-            f"payload over-read in block {-rc - 2}",
-        )
+    _raise_get_arrays(rc, C)
     return [
         out[int(out_offs[b]) : int(out_offs[b]) + C * int(ns[b])].reshape(C, int(ns[b]))
         for b in range(W)
@@ -491,13 +519,6 @@ def _f64ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
 
-def _aligned_f64(n: int, align: int = 64) -> np.ndarray:
-    """float64 scratch whose base address is `align`-byte aligned. The
-    interleaved FFT reads 64-byte vectors; a misaligned base makes every
-    access span two cache lines (~1.5x slower end to end)."""
-    raw = np.empty(n + align // 8, dtype=np.float64)
-    off = (-raw.ctypes.data % align) // 8
-    return raw[off : off + n]
 
 
 def fft(data: np.ndarray, sign: int) -> None:

@@ -58,14 +58,6 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(BLOCK_AXIS, CHANNEL_AXIS, None))
 
 
-def coef_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P(BLOCK_AXIS, CHANNEL_AXIS, None))
-
-
-def row_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P(BLOCK_AXIS, CHANNEL_AXIS))
-
-
 def _reject_assert_mode() -> None:
     """checkify.check calls embedded by SLA_TPU_DEBUG_ASSERTS=1 cannot be
     functionalized through shard_map; fail with a clear message (at trace

@@ -68,10 +68,11 @@ def measured_link_bandwidth() -> float:
         try:
             x = jnp.zeros((1 << 20,), jnp.int32) + 1
             np.asarray(x)  # absorb first-transfer warmup
+            y = (x * 2).block_until_ready()  # compile+run OFF the clock
             t0 = time.time()
-            np.asarray(x * 2)
+            np.asarray(y)  # timed: the transfer alone
             dt = max(time.time() - t0, 1e-6)
-            _link_bandwidth_cache.append(x.nbytes / dt)
+            _link_bandwidth_cache.append(y.nbytes / dt)
         except Exception:
             _link_bandwidth_cache.append(0.0)
     return _link_bandwidth_cache[0]
@@ -362,7 +363,10 @@ def select_backend(configured: str, row_samples: int) -> str:
         return configured
     if not native.available():
         return "device"
-    threshold = int(os.environ.get("SLA_TPU_DEVICE_THRESHOLD", 16_000_000))
+    try:
+        threshold = int(os.environ.get("SLA_TPU_DEVICE_THRESHOLD", 16_000_000))
+    except ValueError:  # malformed knob: fall back like SLA_TPU_THREADS
+        threshold = 16_000_000
     if row_samples < threshold:
         return "host"
     try:
