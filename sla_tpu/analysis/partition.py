@@ -24,6 +24,7 @@ from ..dsp.lpc import BETA_CONST_FOR_LAPLACE_DIST, levinson_durbin
 _BIGWEIGHT = float(1 << 24)
 _ESTIMATE_BLOCK_HEADER_SIZE = 50
 _FLT_MIN = float(np.finfo(np.float32).tiny)
+_FLT_EPSILON = float(np.finfo(np.float32).eps)
 
 
 def num_nodes_for(num_samples: int, delta: int = SLA_SEARCH_BLOCK_NUM_SAMPLES_DELTA) -> int:
@@ -75,9 +76,9 @@ def span_autocorrelations(
         bounds = qpos[:-1] if qpos.size and qpos[-1] == N - k else qpos
         if bounds.size == 0 or bounds[0] != 0:
             bounds = np.concatenate([[0], bounds])
+        # every bound is < N-k by construction (the == N-k entry was
+        # stripped above), so reduceat never sees an out-of-range index
         seg = np.add.reduceat(prod, bounds, axis=-1)
-        if bounds[-1] >= prod.shape[1]:  # reduceat quirk: empty tail segment
-            seg[..., -1] = 0.0
         prefix_at = np.concatenate(
             [np.zeros((C, 1)), np.cumsum(seg, axis=-1)], axis=-1
         )  # prefix value after each boundary
@@ -327,11 +328,23 @@ def span_cost_error_bound(
                             * var_prod / n[:, None])
         ) / 8.0
     near_floor = np.abs(length) * n[:, None] <= per_channel
+    # ...and the third discontinuity: the |R0| < FLT_EPSILON Levinson
+    # dead-row clamp (SLAPredictor.c:274-279, replicated by both
+    # estimators). A span whose fast and exact R0 straddle the threshold
+    # flips between zeroed coefficients and full LPC gain — far past any
+    # finite gradient bound — so escalate to the exact re-price.
+    near_dead = np.abs(R0 - _FLT_EPSILON) <= dR
     # deeply silent channels price to a constant 0 on both paths: zero
-    # sensitivity (the gradient formula's 1/e_p blowup does not apply)
+    # sensitivity (the gradient formula's 1/e_p blowup does not apply).
+    # Exclude them from near_floor: on the native-sens path e_p is exported
+    # as 0 (clamped 1e-300), whose huge 1/e_p gradient would otherwise trip
+    # near_floor and force-reprice EVERY window of mono-ish content even
+    # though the silent channel's true sensitivity is zero.
     silent = np.abs(power) <= _FLT_MIN
     per_channel = np.where(silent & ~near_silence, 0.0, per_channel)
-    per_channel = np.where(near_silence | near_floor, np.inf, per_channel)
+    per_channel = np.where(
+        near_silence | near_dead | (near_floor & ~silent), np.inf, per_channel
+    )
     bound = per_channel.sum(axis=-1)
     return np.where(np.isfinite(bound), bound, np.inf)
 

@@ -35,6 +35,16 @@ import math
 
 import numpy as np
 
+_INV_LOGE2 = 1.4426950408889634
+
+
+def _ref_log2(x: float) -> float:
+    """SLAUtility_Log2 replica: log(x) * (1/ln 2) with the reference's
+    exact constant (SLAUtility.c:442-446) — NOT math.log2, which differs
+    in the last ulp for ~19% of inputs."""
+    return math.log(x) * _INV_LOGE2
+
+
 _FLT_EPS = 1.1920928955078125e-07  # FLT_EPSILON
 _FLT_MIN = 1.1754943508222875e-38  # FLT_MIN
 _BETA_LAPLACE = 1.9426950408889634  # sqrt(2 e^2)
@@ -164,7 +174,10 @@ def make_window(kind_int: int, n: int) -> np.ndarray:
     elif kind_int == 3:
         for i in range(n):
             x = float(i) / (n - 1)
-            w[i] = 0.42 - 0.5 * math.cos(2.0 * pi * x) + 0.08 * math.cos(4.0 * pi * x)
+            # float literals 0.42f/0.08f promoted to double in the
+            # reference (SLAUtility.c:147) — np.float32 reproduces them
+            w[i] = (float(np.float32(0.42)) - 0.5 * math.cos(2.0 * pi * x)
+                    + float(np.float32(0.08)) * math.cos(4.0 * pi * x))
     elif kind_int == 4:
         for i in range(n):
             x = float(i) / (n - 1)
@@ -245,10 +258,10 @@ def _lpc_finish_row(
     power *= math.pow(2.0, float(2 * (bits_per_sample - 1)))
     if abs(power) <= _FLT_MIN:
         return parcor, 0.0
-    log2_mean = math.log2(power) - math.log2(float(n))
+    log2_mean = _ref_log2(power) - _ref_log2(float(n))
     log2_var = 0.0
     for ordn in range(1, order + 1):
-        log2_var += math.log2(1.0 - parcor[ordn] * parcor[ordn])
+        log2_var += _ref_log2(1.0 - parcor[ordn] * parcor[ordn])
     length = _BETA_LAPLACE + 0.5 * (log2_mean + log2_var)
     length /= 8.0
     if length <= 0:
@@ -380,7 +393,10 @@ def lesolve(A: np.ndarray, b: np.ndarray, iteration_count: int = 2) -> np.ndarra
         for row in range(dim):
             error = np.longdouble(-b[row])
             for col in range(dim):
-                error = error + np.longdouble(A[row, col]) * np.longdouble(x[col])
+                # product rounds to double FIRST (the reference multiplies
+                # two doubles, then accumulates long double,
+                # SLAUtility.c:654-656)
+                error = error + np.longdouble(np.float64(A[row, col] * x[col]))
             err[row] = np.float64(error)
         _lu_forward_back(A_lu, err, dim, change_index)
         for row in range(dim):

@@ -130,8 +130,9 @@ class PyPayloadCursor:
         )
 
     def read(self, stream, num_samples: int) -> np.ndarray:
-        if isinstance(stream, np.ndarray):
-            stream = stream.tobytes()
+        # _ZeroFillReader indexes a memoryview, which wraps a contiguous
+        # uint8 ndarray zero-copy — converting via tobytes() would re-copy
+        # the whole buffered stream every 120 Hz streaming tick
         r = _ZeroFillReader(stream, self.bit_pos.value)
         C = self.C
         out = np.empty((C, num_samples), dtype=np.int32)
@@ -202,7 +203,16 @@ def py_synth_chunk(
     prev = int(deemph_prev[0])
     pitch = int(pitch)
     max_delay = pitch + int(num_taps) // 2
-    hist = [int(v) for v in lt_hist]  # newest at the end
+    # 1024-entry ring exactly like the native lanes (sla_native.cpp
+    # lt_ring): history in slots [0, L), head at L, unseeded slots zero —
+    # degenerate corrupt-stream shapes (taps past the history, max_delay
+    # beyond the window) read deterministic zeros instead of raising or
+    # aliasing the wrong entries
+    L = len(lt_hist)
+    ring = [0] * 1024
+    for i in range(L):
+        ring[i] = int(lt_hist[i])
+    head = L
     q15c = [int(c) >> 16 for c in ltm_coef[: int(num_taps)]]
 
     out = np.empty(n, dtype=np.int32)
@@ -242,11 +252,11 @@ def py_synth_chunk(
         if pitch > 0:
             s64 = 0
             for j in range(len(q15c)):
-                s64 += q15c[j] * hist[-(max_delay - j)]
+                s64 += q15c[j] * ring[(head - (max_delay - j)) & 1023]
             lpred = _w32((s64 + (1 << 14)) >> 15)
             lout = _w32(y + lpred) if lt_proc >= max_delay else y
-            hist.append(lout)
-            hist.pop(0)
+            ring[head & 1023] = lout
+            head += 1
             y = lout
         lt_proc += 1
 
@@ -272,7 +282,8 @@ def py_synth_chunk(
     lt_processed[0] = lt_proc
     deemph_prev[0] = prev
     if pitch > 0:
-        lt_hist[:] = hist
+        for i in range(L):
+            lt_hist[i] = _w32(ring[(head - L + i) & 1023])
     return out
 
 

@@ -268,6 +268,13 @@ static inline uint32_t rice_param(uint64_t p) {
 static inline int log2_pow2(uint32_t k) {  // k is a power of two
   return 31 - __builtin_clz(k);
 }
+// SLAUtility_Log2 replica: log(x) * (1/ln 2) with the reference's exact
+// double constant (SLAUtility.c:442-446). NOT std::log2 — the two differ in
+// the last ulp for ~19% of inputs, and code-length estimates built on this
+// feed partition / raw-fallback decisions that byte-identity pins.
+static inline double sla_ref_log2(double x) {
+  return std::log(x) * 1.4426950408889634;
+}
 
 // --------------------------------------------------------------- gamma code
 static inline void put_gamma(BitWriter& w, uint32_t val) {
@@ -2451,7 +2458,9 @@ int32_t sla_lesolve(const double* A, double* b, int32_t dim,
     for (int row = 0; row < dim; ++row) {
       long double error = -b[row];
       for (int col = 0; col < dim; ++col)
-        error += (long double)A[row * dim + col] * x_vec[col];
+        // product rounds to DOUBLE first (the reference multiplies two
+        // doubles, then accumulates in long double — SLAUtility.c:654-656)
+        error += (long double)(A[row * dim + col] * x_vec[col]);
       err_vec[row] = (double)error;
     }
     lu_forward_back(A_lu, err_vec, dim, change_index);
@@ -5555,10 +5564,13 @@ static void lpc_finish_row(const double* auto_corr, int32_t n, int32_t order,
     *length_per_sample = 0.0;
     return;
   }
-  double log2_mean = std::log2(power) - std::log2((double)n);
+  // SLAUtility_Log2 is log(x) * INV_LOGE2, NOT libm log2 — they differ
+  // in the last ulp for ~19% of inputs and this estimate feeds partition
+  // and raw-fallback decisions (SLAUtility.c:442-446)
+  double log2_mean = sla_ref_log2(power) - sla_ref_log2((double)n);
   double log2_var = 0.0;
   for (int32_t ord = 1; ord <= order; ++ord)
-    log2_var += std::log2(1.0 - parcor[ord] * parcor[ord]);
+    log2_var += sla_ref_log2(1.0 - parcor[ord] * parcor[ord]);
   double len = kBetaLaplace + 0.5 * (log2_mean + log2_var);
   len /= 8.0;
   if (len <= 0) len = 1.0 / 8;
@@ -5926,7 +5938,11 @@ int32_t sla_make_window(int32_t type, int32_t n, double* w) {
     case 3:
       for (int32_t i = 0; i < n; ++i) {
         double x = (double)i / (n - 1);
-        w[i] = 0.42 - 0.5 * std::cos(2.0 * kPi * x) + 0.08 * std::cos(4.0 * kPi * x);
+        // 0.42f / 0.08f: the reference uses FLOAT literals promoted to
+        // double (SLAUtility.c:147) — the double-literal values differ at
+        // ~1e-8 and every window sample with them
+        w[i] = (double)0.42f - 0.5 * std::cos(2.0 * kPi * x) +
+               (double)0.08f * std::cos(4.0 * kPi * x);
       }
       break;
     case 4:

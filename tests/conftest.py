@@ -56,3 +56,23 @@ def a_wav() -> pathlib.Path:
         p.parent.mkdir(parents=True, exist_ok=True)
         p.write_bytes(ref.read_bytes())
     return p
+
+
+@pytest.fixture(scope="session")
+def ref_custom() -> pathlib.Path:
+    """Reference-LIBRARY harness (tools/ref_custom.c): encodes with encode
+    parameters the reference CLI cannot express (Hann/Blackman/Vorbis
+    windows, custom orders) for API-only byte-identity differentials."""
+    bin_path = REF_BIN.parent / "sla_ref_custom"
+    if not bin_path.exists():
+        src = pathlib.Path("/root/reference/src")
+        if not src.exists():
+            pytest.skip("reference sources unavailable")
+        subprocess.run(
+            ["gcc", "-std=c89", "-O3", "-DNDEBUG", "-o", str(bin_path),
+             str(REF_BIN.parent / "ref_custom.c")]
+            + [str(p) for p in sorted(src.glob("*.c")) if p.name != "main.c"]
+            + [f"-I{src}/include/public", f"-I{src}/include/private", "-lm"],
+            check=True,
+        )
+    return bin_path

@@ -192,3 +192,33 @@ def test_no_native_byte_identity(kind, ch, width, mode, n, ref_binary, tmp_path)
     assert r.returncode == 0, r.stderr[-2000:]
     ref_blob = ref_encode(ref_binary, wav_path, tmp_path / "ref.sla", mode)
     assert out.read_bytes() == ref_blob
+
+
+@pytest.mark.parametrize("window", [2, 3, 4])  # HANN, BLACKMAN, VORBIS
+def test_api_only_window_byte_identity(window, ref_custom, tmp_path):
+    """Window types the reference CLI cannot select (library API only) must
+    still produce byte-identical streams. Pins the float-literal window
+    constants (0.42f/0.08f, SLAUtility.c:147) and the SLAUtility_Log2
+    replica — both were op-misaligned until the round-3 review pass."""
+    import subprocess
+
+    rng = np.random.default_rng(window)
+    n = 30000
+    t = np.arange(n) / 44100.0
+    sig = 0.4 * np.sin(2 * np.pi * 420 * t) + rng.normal(0, 0.05, n)
+    pcm = (np.clip(sig * 32767, -32768, 32767).astype(np.int32) << 16)[None]
+    wav_path = tmp_path / "in.wav"
+    wavio.write_wav(str(wav_path), wavio.WavFile(1, 44100, 16, pcm))
+    ref_out = tmp_path / "ref.sla"
+    subprocess.run(
+        [str(ref_custom), str(window), "16", "1", "8", "0", "12288",
+         str(wav_path), str(ref_out)],
+        check=True,
+    )
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(1, 16, 44100))
+    enc.set_encode_parameter(sla.EncodeParameter(
+        16, 1, 8, sla.ChannelProcessMethod.NONE,
+        sla.WindowFunctionType(window), 12288,
+    ))
+    assert enc.encode_whole(pcm) == ref_out.read_bytes()

@@ -314,3 +314,68 @@ def test_zero_channel_header_rejected():
     assert crafted is not None, "could not locate the channel field"
     with pytest.raises(SLAError):
         decode(crafted, crc=True)
+
+
+@pytest.mark.parametrize("pitch,taps", [(1023, 1), (300, 3), (1, 3)])
+def test_py_synth_chunk_degenerate_pitch_matches_native(pitch, taps):
+    """Degenerate long-term parameters from hostile streams (max_delay past
+    the history window, or taps past max_delay) must synthesize the exact
+    same samples on the pure-Python twin as on the native ring (which reads
+    deterministic zeros) — no IndexError, no aliased history reads."""
+    from sla_tpu import native
+    from sla_tpu.hostref import py_synth_chunk
+
+    if not native.available():
+        pytest.skip("needs native for the cross-check")
+    rng = np.random.default_rng(5)
+    n, p, M, L = 200, 8, 8, 258
+    residual = rng.integers(-1000, 1000, n, dtype=np.int32)
+    coef = rng.integers(-20000, 20000, p, dtype=np.int32)
+    ltm = (rng.integers(-30000, 30000, max(taps, 1), dtype=np.int32) << 16)
+
+    def run(fn):
+        lat = np.zeros(p + 1, dtype=np.int32)
+        hist = rng.integers(-99, 99, L).astype(np.int32)  # nonzero history
+        ltp = np.zeros(1, dtype=np.int32)
+        lms = np.zeros(4 * M, dtype=np.int32)
+        lmsp = np.zeros(1, dtype=np.int32)
+        de = np.zeros(1, dtype=np.int32)
+        out = fn(residual.copy(), coef.copy(), lat, pitch, ltm.copy(),
+                 taps, hist, ltp, M, lms, lmsp, de)
+        return out, lat, hist, lms, de
+
+    rng = np.random.default_rng(5)
+    n_out = run(py_synth_chunk)
+    rng = np.random.default_rng(5)
+    v_out = run(native.synth_chunk)
+    for a, b in zip(n_out, v_out):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_span_cost_error_bound_guards():
+    """The derived bound must escalate (inf) across both discontinuities —
+    the FLT_EPSILON Levinson dead-row clamp straddle — while pricing exact
+    digital silence as zero-sensitivity on BOTH ingredient paths."""
+    from sla_tpu.analysis.partition import span_cost_error_bound
+
+    p = 4
+    # span straddling the dead-row clamp: R0 ~ FLT_EPSILON
+    eps = float(np.finfo(np.float32).eps)
+    R = np.zeros((1, 1, p + 1))
+    R[0, 0, 0] = eps
+    R[0, 0, 1] = eps * 0.5
+    b = span_cost_error_bound(R, np.array([4096]), p, 16)
+    assert not np.isfinite(b[0])
+    # silent channel + loud channel: finite on the fallback path...
+    R2 = np.zeros((1, 2, p + 1))
+    R2[0, 0, 0] = 1.0
+    R2[0, 0, 1] = 0.3
+    b_fb = span_cost_error_bound(R2, np.array([4096]), p, 16)
+    assert np.isfinite(b_fb[0])
+    # ...and on the native-sens ingredient path (e_p exported as 0 for the
+    # silent channel used to blow the bound to inf via near_floor)
+    sens = np.array([[1.0, 1e30]])  # silent channel's 1/e_p blowup
+    e_p = np.array([[0.5, 0.0]])
+    b_ns = span_cost_error_bound(R2, np.array([4096]), p, 16,
+                                 sens=sens, e_p=e_p)
+    assert np.isfinite(b_ns[0])
