@@ -393,7 +393,11 @@ def search_optimal_partitions_batch(
         # re-price / fallback paths ever need the array)
         return d() if callable(d) else d
 
-    use_native = native.available()
+    use_native = native.available() and parcor_order >= 1
+    # (order 0 takes the numpy forms below: the native scratch kernels
+    # require order >= 1, and the order-0 estimate reduces to the closed
+    # power/length form _fast_span_cost already computes — the config is a
+    # passthrough-lattice rarity, so the fallback's speed is fine)
     # SLA_TPU_EXACT_PARTITION=1 prices every candidate span with the
     # reference's own per-span analysis arithmetic (native sla_lpc_analyze)
     # instead of the fast prefix estimator. The fast path has matched the

@@ -136,7 +136,11 @@ def parse_arguments(
             if matched is None:
                 print(f'{prog}: Unknown long option - "{arg[2:]}"', file=err)
                 return ParserResult.UNKNOWN_OPTION
-        elif arg.startswith("-") and len(arg) > 1:
+        elif arg.startswith("-"):
+            # a bare "-" enters the short-option branch and its character
+            # loop runs zero times — the reference parser silently consumes
+            # it (command_line_parser.c short-run loop), so it is NOT a
+            # positional argument here either
             i = 1
             while i < len(arg):
                 ch = arg[i]

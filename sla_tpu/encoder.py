@@ -693,9 +693,12 @@ class Encoder:
                         plan.block_type = BlockDataType.SILENT
                 elif not np.any(plan.raw_int32):
                     plan.block_type = BlockDataType.SILENT
-            if native.available():
+            if native.available() and p >= 1:
                 # exact-order analysis: byte-identity needs the reference's
                 # float64 summation order (see native sla_lpc_analyze).
+                # (order 0 — passthrough lattice — takes the exact-twin
+                # branch below: the native scratch kernels need order >= 1
+                # and the order-0 estimate is trivial)
                 # Windowing + double pre-emphasis (SLAEncoder.c:540-543)
                 # fuse into the native interleave fill, which reads the
                 # ORIGINAL int32 rows in place and converts to float64 on

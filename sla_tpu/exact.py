@@ -228,7 +228,11 @@ def _lpc_finish_row(
 ) -> tuple[np.ndarray, float]:
     """Levinson-Durbin + code-length tail (native lpc_finish_row)."""
     parcor = np.zeros(order + 1, dtype=np.float64)
-    if n >= order and abs(ac[0]) >= _FLT_EPS:
+    # order 0: the reference's init step writes into capacity-sized arrays
+    # (parcor_coef[1] with order+1..max capacity allocated) and then uses
+    # none of it — the recursion is a no-op and only the power-based
+    # length estimate below remains
+    if order >= 1 and n >= order and abs(ac[0]) >= _FLT_EPS:
         a = [0.0] * (order + 2)
         u = [0.0] * (order + 2)
         v = [0.0] * (order + 2)

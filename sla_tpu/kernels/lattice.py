@@ -68,6 +68,12 @@ def lattice_predict(
     backward: (B, p+1) int32 state. Returns (residual (B,N), new state).
     """
     c = coef.astype(jnp.int32)
+    if c.shape[1] == 0:
+        # order 0 is a valid stream parameter (the reference runs its stage
+        # loop zero times): passthrough, state slot 0 tracks the last sample
+        if data.shape[1] > 0:
+            return data, data[:, -1:].astype(jnp.int32)
+        return data, backward
     from .. import debug
 
     embed_asserts = debug.asserts_enabled()
@@ -99,6 +105,11 @@ def lattice_synthesize(
     Returns (output (B,N), new state).
     """
     c = coef.astype(jnp.int32)
+    if c.shape[1] == 0:
+        # order-0 passthrough (see lattice_predict)
+        if residual.shape[1] > 0:
+            return residual, residual[:, -1:].astype(jnp.int32)
+        return residual, backward
     from .. import debug
 
     embed_asserts = debug.asserts_enabled()

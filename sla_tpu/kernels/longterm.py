@@ -97,7 +97,7 @@ def longterm_synthesize(
     holds the last samples, newest at index -1; processed (B,) int32.
 
     chunk (static): samples per scan step. The feedback lag of an active
-    row is max_delay - (num_taps - 1) = pitch - num_taps//2 + 1, so any
+    row is max_delay - (num_taps - 1) = pitch - num_taps//2, so any
     chunk <= the batch's minimum active lag reads only carried history —
     the caller certifies that bound (decode_stage computes it host-side).
     Per-sample arithmetic is identical for any chunk (exact int64 sums).

@@ -57,10 +57,6 @@ def _bit_length_u32(x: jnp.ndarray) -> jnp.ndarray:
     return (32 - jax.lax.clz(x32)).astype(jnp.int32)
 
 
-def _param_get(p: jnp.ndarray) -> jnp.ndarray:
-    v = _u32((p + _HALF) >> jnp.uint64(_FRAC))
-    return jnp.maximum(v, jnp.uint64(1))
-
 
 def _param_update(p: jnp.ndarray, code: jnp.ndarray) -> jnp.ndarray:
     """p <- (119 p + 9 * u32(code << 8) + 64) >> 7 with the uint32 wrap of

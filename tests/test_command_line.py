@@ -105,3 +105,15 @@ def test_invalid_specification_duplicate_short():
     specs = [OptionSpec("a", "aaa", False, ""), OptionSpec("a", "bbb", False, "")]
     res = parse_arguments(specs, ["prog", "-a"], [None], err=io.StringIO())
     assert res == ParserResult.INVALID_SPECIFICATION
+
+
+def test_bare_dash_consumed_like_reference():
+    """A bare "-" is an empty short-option run the reference parser
+    silently consumes (its character loop runs zero times) — it must not
+    become a positional argument."""
+    specs = [OptionSpec("e", "encode", False, "")]
+    positional = [None, None]
+    res = parse_arguments(specs, ["prog", "-e", "-", "in.wav", "out.sla"],
+                          positional)
+    assert res == ParserResult.OK
+    assert positional == ["in.wav", "out.sla"]

@@ -222,3 +222,30 @@ def test_api_only_window_byte_identity(window, ref_custom, tmp_path):
         sla.WindowFunctionType(window), 12288,
     ))
     assert enc.encode_whole(pcm) == ref_out.read_bytes()
+
+
+def test_order0_passthrough_byte_identity(ref_custom, tmp_path):
+    """parcor_order=0 is a valid encode parameter (only upper bounds are
+    validated, reference SLAEncoder.c:210-215): the lattice becomes a
+    passthrough. Byte-identity and round-trip must hold on every backend."""
+    import subprocess
+
+    pcm = gen_wave("chirp", 25000, 1, 16, 0, seed=90)
+    wav_path = tmp_path / "in.wav"
+    wavio.write_wav(str(wav_path), wavio.WavFile(1, 44100, 16, pcm))
+    ref_out = tmp_path / "ref.sla"
+    subprocess.run(
+        [str(ref_custom), "1", "0", "1", "8", "0", "12288",
+         str(wav_path), str(ref_out)],
+        check=True,
+    )
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(1, 16, 44100))
+    enc.set_encode_parameter(sla.EncodeParameter(
+        0, 1, 8, sla.ChannelProcessMethod.NONE,
+        sla.WindowFunctionType.SIN, 12288,
+    ))
+    blob = enc.encode_whole(pcm)
+    assert blob == ref_out.read_bytes()
+    _, out = sla.Decoder().decode_whole(blob)
+    assert np.array_equal(out, pcm)

@@ -296,3 +296,27 @@ def test_longterm_synthesize_single_tap_paths_agree():
     assert np.array_equal(
         np.concatenate([np.asarray(out2), np.asarray(out3)], axis=1), out
     )
+
+
+def test_lattice_order0_passthrough():
+    """Order-0 lattice kernels (valid stream parameter): passthrough with
+    the state slot tracking the last sample, like the reference's zero-trip
+    stage loops."""
+    import numpy as np
+
+    from sla_tpu.kernels.lattice import (
+        lattice_init_state,
+        lattice_predict,
+        lattice_synthesize,
+    )
+
+    rng = np.random.default_rng(3)
+    data = rng.integers(-1000, 1000, (2, 64), dtype=np.int32)
+    coef = np.zeros((2, 0), dtype=np.int32)
+    st = lattice_init_state(2, 0)
+    res, st1 = lattice_predict(data, coef, st)
+    assert np.array_equal(np.asarray(res), data)
+    assert np.array_equal(np.asarray(st1)[:, 0], data[:, -1])
+    out, st2 = lattice_synthesize(res, coef, st)
+    assert np.array_equal(np.asarray(out), data)
+    assert np.array_equal(np.asarray(st2)[:, 0], data[:, -1])
