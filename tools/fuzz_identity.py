@@ -26,6 +26,7 @@ from sla_tpu import wavio  # noqa: E402
 from test_encode_decode import gen_wave  # noqa: E402
 
 REF = REPO / "tools" / "sla_ref"
+REF_CUSTOM = REPO / "tools" / "sla_ref_custom"  # library harness (API-only params)
 
 
 def mixed_segments(rng, ch, n, width):
@@ -103,22 +104,45 @@ def main():
             lshift = int(rng.choice([0, 0, 4, 8])) if width >= 16 else 0
             pcm = gen_wave(kind, n, ch, width, lshift, seed=seed * 1000 + i)
         wavio.write_wav(str(tmp / "i.wav"), wavio.WavFile(ch, rate, width, pcm))
-        r = subprocess.run(
-            [str(REF), "-e", "-q", "-m", str(mode), str(tmp / "i.wav"), str(tmp / "r.sla")],
-            capture_output=True,
-        )
+        # 1 in 5 cases: API-only encode parameters through the reference
+        # LIBRARY harness (windows the CLI cannot select, custom orders
+        # incl. the order-0 passthrough lattice)
+        custom = (not near_ties) and REF_CUSTOM.exists() and rng.random() < 0.2
+        if custom:
+            window = int(rng.choice([2, 3, 4]))  # HANN, BLACKMAN, VORBIS
+            parcor = int(rng.choice([0, 4, 12, 16, 24, 48]))
+            longterm = int(rng.choice([0, 1, 3, 5]))
+            lms = int(rng.choice([0, 4, 8, 16]))
+            ms = 1 if (ch == 2 and rng.random() < 0.5) else 0
+            maxblk = int(rng.choice([4096, 12288, 16384]))
+            r = subprocess.run(
+                [str(REF_CUSTOM), str(window), str(parcor), str(longterm),
+                 str(lms), str(ms), str(maxblk),
+                 str(tmp / "i.wav"), str(tmp / "r.sla")],
+                capture_output=True,
+            )
+            ep = sla.EncodeParameter(
+                parcor, longterm, lms,
+                sla.ChannelProcessMethod.STEREO_MS if ms
+                else sla.ChannelProcessMethod.NONE,
+                sla.WindowFunctionType(window), maxblk,
+            )
+        else:
+            r = subprocess.run(
+                [str(REF), "-e", "-q", "-m", str(mode), str(tmp / "i.wav"), str(tmp / "r.sla")],
+                capture_output=True,
+            )
+            p = sla.PRESETS[mode]
+            chm = p.ch_process_method if ch == 2 else sla.ChannelProcessMethod.NONE
+            ep = sla.EncodeParameter(p.parcor_order, p.longterm_order,
+                                     p.lms_order_per_filter, chm,
+                                     p.window_function_type, p.max_num_block_samples)
         if r.returncode != 0:
             continue
         ref_blob = (tmp / "r.sla").read_bytes()
-        p = sla.PRESETS[mode]
-        chm = p.ch_process_method if ch == 2 else sla.ChannelProcessMethod.NONE
         enc = sla.Encoder()
         enc.set_wave_format(sla.WaveFormat(ch, width, rate))
-        enc.set_encode_parameter(
-            sla.EncodeParameter(p.parcor_order, p.longterm_order,
-                                p.lms_order_per_filter, chm,
-                                p.window_function_type, p.max_num_block_samples)
-        )
+        enc.set_encode_parameter(ep)
         blob = enc.encode_whole(pcm)
         dec = sla.Decoder()
         _, out = dec.decode_whole(ref_blob)
