@@ -83,6 +83,27 @@ def time_reference_once(ref: pathlib.Path, wav_path: pathlib.Path) -> float | No
     return time.time() - t0
 
 
+def reference_overhead_floor(ref: pathlib.Path, tmp: pathlib.Path) -> float:
+    """Wall-clock floor of a reference run that does ~no encoding work
+    (process spawn + tiny WAV parse + tiny write): subtracted from the
+    measured encode walls so the ratio compares encode cost against
+    encode cost, not our in-memory call against spawn+IO. The ~10 MB
+    input read is NOT captured here (a residual ~2% bias against us)."""
+    import numpy as _np
+
+    from sla_tpu import wavio as _wavio
+
+    tiny = tmp / "bench_tiny.wav"
+    _wavio.write_wav(str(tiny), _wavio.WavFile(
+        2, RATE, 16, _np.zeros((2, 256), dtype=_np.int32)))
+    floors = []
+    for _ in range(3):
+        t = time_reference_once(ref, tiny)
+        if t is not None:
+            floors.append(t)
+    return min(floors) if floors else 0.0
+
+
 def main() -> None:
     import sla_tpu as sla
     from sla_tpu import wavio
@@ -102,10 +123,11 @@ def main() -> None:
     wavio.write_wav(str(wav_path), wavio.WavFile(2, RATE, 16, data))
     ref = reference_binary()
 
-    # interleaved best-of-3 pairs: this host's timings swing under
+    # interleaved best-of pairs: this host's timings swing under
     # noisy-neighbor load, so sample ours and the reference back to back
     # and take each side's best — load spikes then hit both measurements
     # instead of skewing the ratio
+    spawn_floor = reference_overhead_floor(ref, tmp) if ref is not None else 0.0
     dt = None
     ref_dt = None
     for _ in range(5):  # best-of-5: this host's noisy-neighbor load swings ±20%
@@ -124,6 +146,8 @@ def main() -> None:
     _, out = dec.decode_whole(blob)
     assert np.array_equal(out, data), "round-trip mismatch"
 
+    if ref_dt:
+        ref_dt = max(ref_dt - spawn_floor, 1e-6)
     ref_msps = 2 * n / ref_dt / 1e6 if ref_dt else REF_BASELINE_MSPS
 
     ratio = len(blob) / (4 * n)

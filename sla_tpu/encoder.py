@@ -975,7 +975,7 @@ class Encoder:
             pitch3[:B, 0] = pitches
             ltm3 = np.zeros((NB, 1, max(T, 1)), dtype=np.int32)
             ltm3[:B, 0] = ltm
-            d_pitch = shard_batch(mesh, pitch3[..., None])[0][..., 0]
+            d_pitch = shard_batch(mesh, pitch3)[0]  # 2-D: P(BLOCK, CHANNEL)
             d_ltm = shard_batch(mesh, ltm3)[0]
             res2_full = sharded_encode_stage2(
                 res1_dev, d_pitch, d_ltm, T, ep.lms_order_per_filter, mesh

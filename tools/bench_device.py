@@ -72,17 +72,23 @@ def main() -> int:
 
     import numpy as np
 
+    # decode_stage sizes its VMEM ring from np.asarray(pitch) — hand it a
+    # HOST numpy array so the timed loop never pays a device->host fetch
+    # per iteration (the 'no host transfers in the timed loop' rule)
+    pitch_host = np.asarray(pitch)
+
     # second decode config: lags under 128 dispatch the smaller VMEM ring
-    # (typical music pitch; the per-step masked work is linear in ring depth)
-    pitch_low = jax.random.randint(k3, (B,), 40, 120, dtype=jnp.int32)
+    # (typical music pitch; the per-step masked work is linear in ring
+    # depth); fresh key so the two pitch sets are independent draws
+    k5 = jax.random.split(k4)[0]
+    pitch_low = np.asarray(
+        jax.random.randint(k5, (B,), 40, 120, dtype=jnp.int32)
+    )
 
-    def decode_pipeline_low(d, c, pi, lt):
-        return _sum32(decode_stage(d, c, pitch_low, lt, p, T, M))
-
-    for name, fn, per_call in [
-        ("encode stage1+2", encode_pipeline, K),
-        ("decode cascade ", decode_pipeline, 1),
-        ("decode cascade (pitch<120)", decode_pipeline_low, 1),
+    for name, fn, pi_arg, per_call in [
+        ("encode stage1+2", encode_pipeline, pitch, K),
+        ("decode cascade ", decode_pipeline, pitch_host, 1),
+        ("decode cascade (pitch<120)", decode_pipeline, pitch_low, 1),
     ]:
         # warm the exact chained pattern below: compiles both shapes and
         # absorbs the tunnel's first-dispatch stall. On tunneled runtimes
@@ -90,7 +96,7 @@ def main() -> int:
         # host fetch truly synchronizes, hence np.asarray.
         acc = jnp.int32(0)
         for _ in range(3):
-            acc = fn(data + (acc & 1), coef, pitch, ltm)
+            acc = fn(data + (acc & 1), coef, pi_arg, ltm)
         np.asarray(acc)
         iters = 30
         t0 = time.time()
@@ -98,7 +104,7 @@ def main() -> int:
         for _ in range(iters):
             # chain each step through the previous result so the queue can't
             # be collapsed, then fetch the final scalar to drain it
-            acc = fn(data + (acc & 1), coef, pitch, ltm)
+            acc = fn(data + (acc & 1), coef, pi_arg, ltm)
         np.asarray(acc)
         dt = (time.time() - t0) / (iters * per_call)
         rate = B * L / dt

@@ -24,10 +24,20 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def _probe_backend(timeout_s: int = 180) -> bool:
+def _probe_backend(timeout_s: int | None = None) -> bool:
     """Fail fast when the device tunnel is down: backend init on a dead
     tunnel hangs indefinitely (observed: >40 min), so probe it in a
-    subprocess with a hard timeout before committing to the run."""
+    subprocess with a hard timeout before committing to the run.
+    A HEALTHY tunneled handshake can itself take minutes (CLAUDE.md
+    invariant 3), so the default is generous and SLA_TPU_PROBE_TIMEOUT
+    overrides it."""
+    import os as _os
+
+    if timeout_s is None:
+        try:
+            timeout_s = int(_os.environ.get("SLA_TPU_PROBE_TIMEOUT", 420))
+        except ValueError:
+            timeout_s = 420
     import subprocess
 
     try:
@@ -158,17 +168,19 @@ def main() -> int:
     print(f"device-vs-host encode ({len(blob_host)} bytes): "
           f"{'OK' if match else 'MISMATCH'}", flush=True)
 
-    # 3b. device-entropy path: Rice symbol computation on-chip
-    import os
-
-    os.environ["SLA_TPU_DEVICE_ENTROPY"] = "1"
-    try:
-        blob_dev_ent = encode("device")
-    finally:
-        del os.environ["SLA_TPU_DEVICE_ENTROPY"]
-    match = blob_dev_ent == blob_host
+    # 3b. the CONTRAST case: device backend with HOST entropy. Device
+    # entropy is the device backend's default, so check 3 above already
+    # ran the on-chip Rice path — this one pins the host-entropy pack over
+    # device-computed residuals, the combination nothing else exercises.
+    enc_off = sla.Encoder(sla.EncoderConfig(backend="device",
+                                            device_entropy="off"))
+    enc_off.set_wave_format(sla.WaveFormat(2, 16, 44100))
+    enc_off.set_encode_parameter(sla.PRESETS[2])
+    blob_dev_hostent = enc_off.encode_whole(pcm)
+    match = blob_dev_hostent == blob_host
     ok &= match
-    print(f"device-entropy encode: {'OK' if match else 'MISMATCH'}", flush=True)
+    print(f"device-backend host-entropy encode: "
+          f"{'OK' if match else 'MISMATCH'}", flush=True)
 
     # 4. full decode, device backend vs host backend (exercises the compiled
     # Pallas synthesis + the single-tap long-term select path on hardware)
@@ -187,7 +199,7 @@ def main() -> int:
     print(
         f"BASELINE-RECORD: | {stamp} | {device.device_kind} ({backend}) | "
         f"compiled Pallas lattice+LMS+longterm vs scan, device-vs-host "
-        f"encode+decode, device-entropy encode | {status} |"
+        f"encode+decode, device+host entropy | {status} |"
     )
     print(f"total {time.time() - t0:.1f}s")
     return 0 if ok else 1
