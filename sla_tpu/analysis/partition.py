@@ -179,7 +179,9 @@ def exact_span_costs(
     available, else the pure-Python exact twin (same bits, slower)."""
     from .. import native
 
-    use_native = native.available()
+    # order 0 must take the exact twin: the native scratch kernels require
+    # order >= 1 (same routing as the fast path's use_native gate)
+    use_native = native.available() and order >= 1
     if not use_native:
         from .. import exact
     cost = np.zeros(len(spans), dtype=np.float64)

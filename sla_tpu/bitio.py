@@ -144,6 +144,12 @@ class BitReader:
         self._bitpos = nbits_total + 1
         return run
 
+    def mark_overread(self) -> None:
+        """Force the over-read state (tell past the buffer): callers'
+        end-position checks then surface the corruption (native twin:
+        BitReader::mark_overread)."""
+        self._bitpos = len(self._mem) * 8 + 1
+
     def flush(self) -> None:
         """Advance to the next byte boundary."""
         self._bitpos = (self._bitpos + 7) & ~7

@@ -187,6 +187,11 @@ class Decoder:
             blk.init_rice = init_rice
         r.flush()
         blk.payload_bit_offset = r.tell() * 8
+        # a block whose declared size cannot hold its own header would put
+        # the payload cursor into the next block's bytes (native twin
+        # returns -11 at the same program point)
+        if r.tell() - offset > blk.block_size:
+            raise SLAError(ApiResult.DETECT_DATA_CORRUPTION)
         return blk
 
     def scan_blocks(self, data: bytes, num_samples: int) -> list[_Block]:

@@ -96,6 +96,9 @@ class _ZeroFillReader:
         self._bitpos = total + 1
         return run
 
+    def mark_overread(self) -> None:
+        self._bitpos = self._nbits + 1
+
 
 class _BitPos:
     """Tiny settable holder matching ctypes.c_int64's `.value` interface."""

@@ -782,6 +782,8 @@ def predict_stage1_rows(
     out = np.empty_like(data)
     coef = np.ascontiguousarray(parcor_coef, dtype=np.int32)
     p = coef.shape[1]
+    if p > 64:  # native lattice scratch capacity: don't trust callers
+        raise ValueError(f"predict_stage1_rows: order out of native scratch range ({p})")
     lens = (
         np.asarray(lengths, dtype=np.int64)
         if lengths is not None
@@ -864,6 +866,8 @@ def predict_stage1_rows_at(
     place could cross the array end); exact-length groups — the common
     case — read in place."""
     lib = _load()
+    if parcor_coef.shape[1] > 64:
+        raise ValueError("predict_stage1_rows_at: order out of native scratch range")
     if base.dtype != np.int32 or base.strides[-1] != 4:
         base = np.ascontiguousarray(base, dtype=np.int32)
     offs = np.asarray(row_offs, dtype=np.int64)
@@ -958,6 +962,10 @@ def predict_stage2_rows(
     Equal-length rows run sixteen (AVX-512 lanes) or eight at a time
     through the interleaved SIMD cascade, like synth_rows."""
     lib = _load()
+    if lms_order > 64 or num_taps > 64:  # native scratch capacity bounds
+        raise ValueError(
+            f"predict_stage2_rows: order out of native scratch range "
+            f"(lms={lms_order}, taps={num_taps})")
     residual = np.ascontiguousarray(residual, dtype=np.int32)
     B, L = residual.shape
     # empty, not zeros: every consumed (row, :length) region is written by
@@ -1046,6 +1054,8 @@ def synth_rows(
     Equal-length rows run eight at a time through the interleaved SIMD
     cascade; stragglers use the resumable single-row path."""
     lib = _load()
+    if parcor_coef.shape[1] > 64 or lms_order > 64 or num_taps > 64:
+        raise ValueError("synth_rows: order out of native scratch range")
     residual = np.ascontiguousarray(residual, dtype=np.int32)
     B, L = residual.shape
     p = parcor_coef.shape[1]
@@ -1148,6 +1158,8 @@ def synth_rows_fused(
     via NumPy (a masked fused store past a short row's length would
     clobber the next block's PCM region); requires parcor_order > 0."""
     lib = _load()
+    if parcor_coef.shape[1] > 64 or lms_order > 64 or num_taps > 64:
+        raise ValueError("synth_rows_fused: order out of native scratch range")
     assert residual.dtype == np.int32 and residual.flags.c_contiguous
     B, L = residual.shape
     p = parcor_coef.shape[1]

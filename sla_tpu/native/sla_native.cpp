@@ -175,6 +175,9 @@ struct BitReader {
   }
   inline int64_t pos() const { return next_byte * 8 - ncache; }
   inline int64_t nbits_total() const { return size_bytes * 8; }
+  // force the over-read state (pos() == total + 1): callers' end-position
+  // checks then surface INSUFFICIENT/corruption; reads keep zero-filling
+  inline void mark_overread() { next_byte = size_bytes; ncache = -1; cache = 0; }
   inline uint64_t get(int nbits) {  // nbits 0..33 in all callers
     if (ncache < nbits) {
       refill32();
@@ -286,6 +289,15 @@ static inline void put_gamma(BitWriter& w, uint32_t val) {
 static inline uint32_t get_gamma(BitReader& r) {
   uint32_t ndigit = r.get_zero_run() + 1;
   if (ndigit == 1) return 0;
+  if (ndigit == 0 || ndigit > 32) {
+    // no uint32 gamma code has more than 32 digits (put_gamma emits
+    // bit_length(val+1) <= 32); a longer run is corruption — and
+    // `1u << (ndigit-1)` would be UB. ndigit == 0 is the wrapped
+    // over-read marker (a zero run read entirely past the end).
+    // Poison the reader so the caller's end-position check reports it.
+    r.mark_overread();
+    return 0;
+  }
   uint32_t rest = (uint32_t)r.get((int)ndigit - 1);
   return (1u << (ndigit - 1)) + rest - 1;
 }
@@ -1046,7 +1058,12 @@ static void venc_finish_lane(BitWriter& w, RiceState* st,
 }
 
 // Encode payloads for eight adaptive COMPRESSDATA blocks into the eight
-// lane buffers (each with >= cap bytes plus 8 slack). d[l*CH+ch] are the
+// lane buffers. BUFFER CONTRACT: each lane buffer must hold >= cap + 512
+// bytes — the cap check runs once per 8-sample group (vcapg below), and
+// within a group a lane can emit up to 8*CH symbols of unchecked 8-byte
+// scatter drains (~320 bytes at CH=8) past the check point, plus the
+// 8-byte drain slack. The sole caller (encode_block_run) allocates
+// lane_cap + 1024. d[l*CH+ch] are the
 // residual rows, n[l] the sample counts, init[l*CH+ch] the initial Rice
 // parameters. Payload byte sizes (byte-aligned, flush-padded) land in
 // psize[l]. Returns 0, or -1 if a lane approached its buffer cap (caller
@@ -1633,6 +1650,7 @@ int32_t sla_get_data_array_partial(const uint8_t* in, int64_t in_size,
 void sla_init_param_state(const uint32_t* init_params, int32_t C,
                           uint64_t* param_state, uint32_t* eff_params,
                           int32_t* use_golomb) {
+  if (C <= 0) { *use_golomb = 0; return; }  // no SIGFPE on the division below
   uint64_t eff_sum = 0;
   for (int ch = 0; ch < C; ++ch) {
     eff_params[ch] = param_get(param_set_fixed(init_params[ch]));
@@ -1710,10 +1728,15 @@ void sla_initial_params_rows(const int32_t* base, int64_t stride, int32_t B,
 
 void sla_initial_params(const int32_t* data, int32_t C, int32_t N,
                         uint32_t* out_params) {
-  int64_t lens[64];
-  if (C > 64) return;
-  for (int ch = 0; ch < C; ++ch) lens[ch] = N;
-  sla_initial_params_rows(data, N, C, lens, out_params);
+  // chunked over the stack scratch so ANY C fills out_params (a silent
+  // early return would hand the caller uninitialized Rice parameters)
+  for (int32_t c0 = 0; c0 < C; c0 += 64) {
+    int64_t lens[64];
+    const int32_t nb = (C - c0) < 64 ? (C - c0) : 64;
+    for (int32_t ch = 0; ch < nb; ++ch) lens[ch] = N;
+    sla_initial_params_rows(data + (int64_t)c0 * N, N, nb, lens,
+                            out_params + c0);
+  }
 }
 
 }  // extern "C"
@@ -3781,6 +3804,10 @@ int32_t sla_span_autocorr_multi_onepass_i32(
       spans, S, order, out);
 }
 
+// KEEP IN SYNC with span_autocorr_multi_impl: this single-window entry is
+// the W=1/win_off=0/win_len=N special case of the multi variant and forks
+// the same span-geometry + prefix-product machinery (see the 'must never
+// fork' note there) — any boundary/association change must land in both.
 int32_t sla_span_autocorr(const double* data, int32_t C, int32_t N,
                           const int64_t* positions, int32_t V,
                           const int64_t* spans, int32_t S, int32_t order,
@@ -4133,6 +4160,11 @@ static int64_t encode_block_core(
     std::memcpy(out + w.nbytes, vpayload, (size_t)vpayload_len);
     w.nbytes += vpayload_len;
   } else if (block_type == 0) {
+    // KEEP IN SYNC with sla_put_data_array's payload body above: this is
+    // the same adaptive/golomb emission inlined so the block writer keeps
+    // one BitWriter across header + payload. Any change to the escape,
+    // pair-fusing, or golomb logic must land in BOTH places (a divergence
+    // silently splits the -V self-check path from the normal path).
     uint64_t eff_sum = 0;
     uint32_t eff[64];
     for (int32_t ch = 0; ch < C; ++ch) {
@@ -4373,9 +4405,26 @@ int64_t sla_encode_blocks(int32_t W, int32_t C, int32_t parcor_order,
     std::vector<int64_t> used(T, 0);
     std::atomic<int64_t> err{0};
     std::vector<std::thread> workers;
+    // split by cumulative SAMPLES, not block count: partitioned streams
+    // mix 2048..16384-sample blocks, and an equal block-count split can
+    // hand one thread ~8x the work (same reasoning as the decode split
+    // in sla_get_data_arrays)
+    std::vector<int32_t> tsplit(T + 1, 0);
+    {
+      int64_t total_ns = 0;
+      for (int32_t b = 0; b < W; ++b) total_ns += nsamp[b];
+      int64_t acc_ns = 0;
+      int32_t b = 0;
+      for (int t = 1; t < T; ++t) {
+        const int64_t want = total_ns * t / T;
+        while (b < W && acc_ns < want) acc_ns += nsamp[b++];
+        tsplit[t] = b;
+      }
+      tsplit[T] = W;
+    }
     for (int t = 0; t < T; ++t) {
-      const int32_t b0 = (int32_t)((int64_t)W * t / T);
-      const int32_t b1 = (int32_t)((int64_t)W * (t + 1) / T);
+      const int32_t b0 = tsplit[t];
+      const int32_t b1 = tsplit[t + 1];
       workers.emplace_back([&, t, b0, b1]() {
         try {
           int64_t local_cap = 64;
@@ -5390,6 +5439,9 @@ int64_t sla_parse_block_headers(
       }
     }
     payload_bit_offsets[nb] = (r.pos() + 7) & ~(int64_t)7;  // byte-align
+    // a block whose declared size cannot even hold its own header would
+    // put the payload cursor into the NEXT block's bytes: corruption
+    if (payload_bit_offsets[nb] > (offset + block_size) * 8) return -11;
     ++nb;
     offset += block_size;
     done += nsamp;
@@ -5467,6 +5519,9 @@ int64_t sla_parse_stream_block_header(
   out_meta[1] = nsamp;
   out_meta[2] = btype;
   out_meta[3] = (r.pos() + 7) >> 3;  // byte-aligned header size
+  // header larger than its own declared block: the payload cursor would
+  // start inside the next block (same check as the bulk walk)
+  if (out_meta[3] > block_size) return -11;
   return 0;
 }
 

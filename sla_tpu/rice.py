@@ -112,6 +112,12 @@ def get_gamma(r: BitReader) -> int:
     ndigit = r.get_zero_run() + 1
     if ndigit == 1:
         return 0
+    if ndigit > 32:
+        # no uint32 gamma code has more than 32 digits (put_gamma emits
+        # bit_length(val+1) <= 32): corruption. Poison the reader like the
+        # native twin so the caller's end-position check reports it.
+        r.mark_overread()
+        return 0
     rest = r.get(ndigit - 1)
     return (1 << (ndigit - 1)) + rest - 1
 

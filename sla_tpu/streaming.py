@@ -435,6 +435,9 @@ class StreamingDecoder:
             blk.init_rice = init_rice
         r.flush()
         blk.header_bytes = r.tell()
+        if blk.header_bytes > blk.block_size:
+            # header larger than its own declared block (native twin: -11)
+            raise SLAError(ApiResult.DETECT_DATA_CORRUPTION)
         return blk
 
     def _reset_filter_state(self) -> None:

@@ -254,3 +254,20 @@ def test_span_cost_error_bound_vs_finite_differences():
     stable = (np.abs(R[..., 1] / R[..., 0]) < 0.9).all(axis=1)
     finite = np.isfinite(bound)
     assert np.all(bound[stable & finite] < 0.25), bound[stable & finite].max()
+
+
+def test_exact_span_costs_order0():
+    """The exact re-price path must route order 0 to the pure-Python twin
+    (native scratch kernels require order >= 1) — found by identity fuzz:
+    an order-0 encode whose partition hit a near-tie crashed here."""
+    import numpy as np
+
+    from sla_tpu.analysis.partition import exact_span_costs
+
+    rng = np.random.default_rng(8)
+    data = rng.normal(0, 0.1, (2, 8192))
+    positions = np.array([0, 2048, 4096])
+    spans = np.array([[0, 1], [0, 2], [1, 2]])
+    span_len = np.array([2048, 4096, 2048])
+    cost = exact_span_costs(data, positions, spans, span_len, 8192, 0, 16)
+    assert np.all(np.isfinite(cost)) and np.all(cost > 0)

@@ -80,3 +80,43 @@ def test_data_array_low_param_golomb_path():
     out = rice.get_data_array(r, init, 2, 200)
     for a, b in zip(data, out):
         assert np.array_equal(a, b)
+
+
+def test_gamma_overlong_digits_poisons_reader():
+    """A gamma code claiming >32 digits cannot come from any uint32
+    put_gamma: both twins must flag corruption via the reader's over-read
+    state instead of shifting by >=32 (UB in the native build)."""
+    from sla_tpu.bitio import BitReader, BitWriter
+    from sla_tpu.rice import get_gamma
+
+    w = BitWriter()
+    w.put(0, 40)          # 40-zero run
+    w.put(1, 1)           # terminator -> ndigit = 41
+    w.put(0xFFFF, 16)     # bits the bogus rest-read would consume
+    w.put(0, 7)
+    w.flush()
+    blob = w.getvalue()
+    r = BitReader(blob)
+    assert get_gamma(r) == 0
+    assert r.tell() > len(blob)  # poisoned: end-position checks fire
+    # native twin: a crafted COMPRESSDATA payload whose escape hits the
+    # same pattern must decode to a structured over-read, not UB
+    from sla_tpu import native
+
+    if native.available():
+        # escape marker (16-bit quotient cap) followed by an over-long
+        # gamma: quot unary 16 zeros+1, then the bogus 40-zero gamma
+        w2 = BitWriter()
+        w2.put(0, 16); w2.put(1, 1)   # escape: quot >= threshold
+        w2.put(0, 40); w2.put(1, 1)   # gamma with 41 digits
+        w2.put(0, 64); w2.put(0, 63)  # padding (zeros)
+        w2.flush()
+        payload = w2.getvalue()
+        import numpy as np
+
+        from sla_tpu.errors import SLAError
+
+        cur = native.PayloadCursor([40] * 1, 1, 0)  # adaptive branch
+        cur.read(np.frombuffer(payload, dtype=np.uint8), 8)
+        # over-read marker must be visible to the caller's position check
+        assert int(cur.bit_pos.value) > 8 * len(payload)
