@@ -250,6 +250,16 @@ class Encoder:
         int32_blk, _, dbl = self._convert_views(data, shift, shift)
         self._analyze_blocks(int32_blk, dbl, [plan])
         self._run_filters([plan])
+        if plan.init_rice is not None and any(
+            int(v) >= (1 << wf.bit_per_sample) for v in plan.init_rice
+        ):
+            # same reference-defect gate as _finalize_encode: the field
+            # would truncate and the stream would not decode losslessly
+            raise SLAError(
+                ApiResult.INVALID_ARGUMENT,
+                "block residual magnitude exceeds the initial Rice "
+                "parameter field (the reference silently corrupts here)",
+            )
         return self._encode_block_payload(plan)
 
     # -- whole-file encode ----------------------------------------------------
@@ -452,6 +462,25 @@ class Encoder:
     def _finalize_encode(self, num_samples: int, plans: list["_BlockPlan"]) -> bytes:
         """Entropy-code all blocks and assemble the container."""
         wf, ep = self._wave_format, self._encode_param
+        # reference defect gate (assert compiled out under NDEBUG,
+        # SLACoder.c:402): a block mean zigzag magnitude that does not fit
+        # the bit_per_sample-wide initial-Rice-parameter field writes
+        # TRUNCATED bits, and the reference's own decoder then desyncs and
+        # silently corrupts the block. Like the 32-bit full-scale case
+        # (PARITY.md known deviations), raise a structured error instead of
+        # emitting a stream nothing can decode losslessly. Checked here —
+        # per encoder — so mixed-depth batched jobs each use THEIR field
+        # width.
+        init_limit = 1 << wf.bit_per_sample
+        for pl in plans:
+            if pl.init_rice is not None and any(
+                int(v) >= init_limit for v in pl.init_rice
+            ):
+                raise SLAError(
+                    ApiResult.INVALID_ARGUMENT,
+                    "block residual magnitude exceeds the initial Rice "
+                    "parameter field (the reference silently corrupts here)",
+                )
         if (
             native.available()
             and not os.environ.get("SLA_TPU_DEVICE_ENTROPY")

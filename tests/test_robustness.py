@@ -379,3 +379,32 @@ def test_span_cost_error_bound_guards():
     b_ns = span_cost_error_bound(R2, np.array([4096]), p, 16,
                                  sens=sens, e_p=e_p)
     assert np.isfinite(b_ns[0])
+
+
+def test_init_rice_overflow_rejected_structurally():
+    """Reference defect class: a block residual whose mean zigzag magnitude
+    does not fit the bit_per_sample-wide initial-Rice-parameter field makes
+    the reference write TRUNCATED bits (assert compiled out, SLACoder.c:402)
+    and silently corrupt its own round trip. Our encoder must refuse with a
+    structured error; our decoder reports the reference's defective stream
+    as a structured over-read (found by the extended-parameter identity
+    fuzz, case seed 20260819622)."""
+    pcm = gen_wave("nyquist", 22480, 1, 8, 0, seed=20260819622)
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(1, 8, 192000))
+    enc.set_encode_parameter(sla.EncodeParameter(
+        48, 5, 16, sla.ChannelProcessMethod.NONE,
+        sla.WindowFunctionType.BLACKMAN, 4096,
+    ))
+    with pytest.raises(SLAError) as e:
+        enc.encode_whole(pcm)
+    assert "initial Rice" in str(e.value)
+    # caller-driven single-block flow hits the same gate
+    enc2 = sla.Encoder()
+    enc2.set_wave_format(sla.WaveFormat(1, 8, 192000))
+    enc2.set_encode_parameter(sla.EncodeParameter(
+        48, 5, 16, sla.ChannelProcessMethod.NONE,
+        sla.WindowFunctionType.BLACKMAN, 4096,
+    ))
+    with pytest.raises(SLAError):
+        enc2.encode_block(pcm[:, 20480:22480])
