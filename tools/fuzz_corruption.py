@@ -24,6 +24,7 @@ sys.path.insert(0, str(REPO / "tests"))
 
 import sla_tpu as sla  # noqa: E402
 from sla_tpu.crc16 import crc16  # noqa: E402
+from sla_tpu.constants import SLA_HEADER_SIZE
 from sla_tpu.errors import SLAError  # noqa: E402
 from test_encode_decode import gen_wave  # noqa: E402
 
@@ -75,10 +76,10 @@ def mutate(blob: bytes, rng) -> bytes:
         b = b[:i] + b[i + w :]
     elif kind == 5:  # header-field rewrite with re-stamped CRC: reaches the
         # deeper parsers instead of tripping the header CRC check
-        if len(b) >= 43:
-            off = int(rng.integers(10, 43))
+        if len(b) >= SLA_HEADER_SIZE:
+            off = int(rng.integers(10, SLA_HEADER_SIZE))
             b[off] = int(rng.integers(0, 256))
-            b[8:10] = crc16(bytes(b[10:43])).to_bytes(2, "big")
+            b[8:10] = crc16(bytes(b[10:SLA_HEADER_SIZE])).to_bytes(2, "big")
     else:  # random tail
         b = b + bytes(rng.integers(0, 256, int(rng.integers(1, 512)), dtype=np.uint8))
     return bytes(b)
@@ -113,20 +114,26 @@ def drive(mutant: bytes) -> None:
     try:
         header, _ = decode_header(mutant)
         sd = StreamingDecoder(
-            StreamingDecoderConfig(core=DecoderConfig(), decode_interval_hz=120.0,
-                                   max_bit_per_sample=16)
+            StreamingDecoderConfig(
+                core=DecoderConfig(), decode_interval_hz=120.0,
+                # width-matched: a fixed 16 made every 24-bit base stream
+                # skip streaming coverage via EXCEED_HANDLE_CAPACITY
+                max_bit_per_sample=max(header.wave_format.bit_per_sample, 8),
+            )
         )
         sd.set_wave_format(header.wave_format)
         sd.set_encode_parameter(header.encode_param)
         done = 0
-        for pos in range(43, min(len(mutant), 20000), 997):
+        for pos in range(SLA_HEADER_SIZE, min(len(mutant), 20000), 997):
             sd.append_data_fragment(mutant[pos : pos + 997])
             chunk = sd.decode()
             done += chunk.shape[1]
             sd.collect_data_fragments()
             if done > header.num_samples:
                 break
-    except (SLAError, ValueError, OverflowError, AssertionError):
+    except (SLAError, ValueError, OverflowError):
+        # NOT AssertionError: an internal assert tripping on a mutant is
+        # exactly the crash class this fuzzer exists to surface
         pass
 
 

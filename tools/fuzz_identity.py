@@ -82,8 +82,11 @@ def main():
     count = int(args[0]) if len(args) > 0 else 50
     seed = int(args[1]) if len(args) > 1 else 0
     rng = np.random.default_rng(seed)
-    tmp = pathlib.Path(tempfile.mkdtemp())
+    tmp_ctx = tempfile.TemporaryDirectory()
+    tmp = pathlib.Path(tmp_ctx.name)
     fails = []
+    skipped = 0
+    compared = 0
     for i in range(count):
         ch = int(rng.choice([1, 2, 2, 4, 6, 8]))
         width = int(rng.choice([8, 16, 16, 24]))
@@ -108,6 +111,7 @@ def main():
         # LIBRARY harness (windows the CLI cannot select, custom orders
         # incl. the order-0 passthrough lattice)
         custom = (not near_ties) and REF_CUSTOM.exists() and rng.random() < 0.2
+        params = None
         if custom:
             window = int(rng.choice([2, 3, 4]))  # HANN, BLACKMAN, VORBIS
             parcor = int(rng.choice([0, 4, 12, 16, 24, 48]))
@@ -121,6 +125,7 @@ def main():
                  str(tmp / "i.wav"), str(tmp / "r.sla")],
                 capture_output=True,
             )
+            params = (window, parcor, longterm, lms, ms, maxblk)
             ep = sla.EncodeParameter(
                 parcor, longterm, lms,
                 sla.ChannelProcessMethod.STEREO_MS if ms
@@ -138,8 +143,10 @@ def main():
                                      p.lms_order_per_filter, chm,
                                      p.window_function_type, p.max_num_block_samples)
         if r.returncode != 0:
+            skipped += 1
             continue
         ref_blob = (tmp / "r.sla").read_bytes()
+        compared += 1
         enc = sla.Encoder()
         enc.set_wave_format(sla.WaveFormat(ch, width, rate))
         enc.set_encode_parameter(ep)
@@ -173,9 +180,16 @@ def main():
             lossless = False
         if blob != ref_blob or not lossless:
             fails.append((i, ch, width, mode, rate, pcm.shape[1], lossless))
-            print(f"FAIL case {i}: ch={ch} width={width} mode={mode} rate={rate} "
+            cfg = (f"custom={params}" if custom
+                   else f"mode={mode}")
+            print(f"FAIL case {i}: ch={ch} width={width} {cfg} rate={rate} "
                   f"n={pcm.shape[1]} lossless={lossless}")
-    print(f"{count - len(fails)}/{count} byte-identical + cross-decode lossless")
+    extra = f" ({skipped} configs the reference rejected)" if skipped else ""
+    print(f"{compared - len(fails)}/{compared} byte-identical + "
+          f"cross-decode lossless{extra}")
+    if compared == 0:
+        print("VACUOUS RUN: zero comparisons executed")
+        return 1
     return 1 if fails else 0
 
 

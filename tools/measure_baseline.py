@@ -27,9 +27,9 @@ def best(fn, *args):
 
 
 def min_timer(fn, *args):
-    t0 = time.time()
+    t0 = time.perf_counter()
     fn(*args)
-    return time.time() - t0
+    return time.perf_counter() - t0
 
 
 def measure(name, pcm, width, rate, mode):
@@ -147,22 +147,22 @@ def measure_corpus(rng, num_files: int = 100, seconds: int = 5):
         files.append(p)
         in_bytes += p.stat().st_size
 
-    t0 = time.time()
+    t0 = time.perf_counter()
     for p in files:
         subprocess.run(
-            [str(REF), "-e", "-q", "-m", "2", str(p), f"/tmp/ref_{p.stem}.sla"],
+            [str(REF), "-e", "-q", "-m", "2", str(p), str(base / f"ref_{p.stem}.sla")],
             check=True,
         )
-    ref_t = time.time() - t0
+    ref_t = time.perf_counter() - t0
 
     out_dir = base / "out"
-    t0 = time.time()
+    t0 = time.perf_counter()
     res = encode_corpus(files, out_dir, preset=2, resume=False, filter_batch=16)
-    our_t = time.time() - t0
+    our_t = time.perf_counter() - t0
     assert res.encoded == num_files and res.failed == 0
     ident = all(
         (out_dir / f"{p.stem}.sla").read_bytes()
-        == pathlib.Path(f"/tmp/ref_{p.stem}.sla").read_bytes()
+        == (base / f"ref_{p.stem}.sla").read_bytes()
         for p in files
     )
     s = 2 * n * num_files

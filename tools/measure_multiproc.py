@@ -56,6 +56,12 @@ def make_corpus(root: pathlib.Path, n_files: int) -> list[pathlib.Path]:
 
 def run_procs(files, out_dir, n_procs) -> float:
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # sitecustomize-time plugin registration overrides JAX_PLATFORMS
+    # (CLAUDE.md): pop the pool var so workers never touch the tunnel,
+    # and point them at the repo so `import sla_tpu` works from any cwd
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     t0 = time.perf_counter()
     procs = [
         subprocess.Popen(

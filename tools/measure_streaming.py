@@ -15,6 +15,7 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import sla_tpu as sla  # noqa: E402
+from sla_tpu.constants import SLA_HEADER_SIZE
 from sla_tpu.decoder import DecoderConfig, decode_header  # noqa: E402
 from sla_tpu.streaming import StreamingDecoder, StreamingDecoderConfig  # noqa: E402
 
@@ -53,7 +54,7 @@ def run_once(blob: bytes, pcm: np.ndarray) -> float:
     sd.set_encode_parameter(header.encode_param)
     out = np.zeros((wf.num_channels, header.num_samples), dtype=np.int32)
     total = header.num_samples
-    pos, done = 43, 0
+    pos, done = SLA_HEADER_SIZE, 0
     t0 = time.perf_counter()
     while done < total:
         need = sd.estimate_minimum_necessary_data_size()

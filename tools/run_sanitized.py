@@ -61,8 +61,11 @@ def main() -> int:
     env["UBSAN_OPTIONS"] = "halt_on_error=1:print_stacktrace=1:" + env.get(
         "UBSAN_OPTIONS", ""
     )
-    # fuzzing is a host-only workload; never touch the TPU tunnel under ASan
-    env.setdefault("JAX_PLATFORMS", "cpu")
+    # fuzzing is a host-only workload; never touch the TPU tunnel under
+    # ASan. ASSIGN, don't setdefault: the ambient env pins
+    # JAX_PLATFORMS=axon, and with the axon pool var popped below that
+    # platform would have no registered backend
+    env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)
     cmd = [sys.executable] + sys.argv[1:]
     return subprocess.run(cmd, env=env).returncode
