@@ -85,6 +85,9 @@ PRESETS = (
 DEFAULT_PRESET = 2
 
 
+from .optimize import optimize_encode  # noqa: E402,F401
+
+
 def preset_parameter(preset_no: int, num_channels: int) -> EncodeParameter:
     """Preset's encode parameter for a given channel count: MS only applies
     to actual stereo sources (reference main.c:124-130)."""

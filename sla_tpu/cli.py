@@ -53,6 +53,9 @@ def _make_spec() -> list[OptionSpec]:
                    "Verify after encoding (decode the stream, compare with the input)"),
         OptionSpec("r", "recover", False,
                    "Decode mode: salvage a damaged stream (resync past corrupt blocks)"),
+        OptionSpec("O", "optimize", True,
+                   "Encode mode: search encode parameters for the smallest stream"
+                   "(1:sampled trials, 2:full-file trials)"),
     ]
 
 
@@ -60,23 +63,39 @@ DEFAULT_PRESET = 2
 
 
 def do_encode(in_file: str, out_file: str, preset_no: int, verbose: bool,
-              trace_dir: str | None = None, verify: bool = False) -> int:
+              trace_dir: str | None = None, verify: bool = False,
+              optimize: int | None = None) -> int:
     try:
         wav = wavio.read_wav(in_file)
     except Exception as e:
         print(f"Failed to open {in_file} ({e})", file=sys.stderr)
         return 1
-    enc = Encoder(EncoderConfig(verbose=verbose, verify=verify))
-    enc.set_wave_format(WaveFormat(wav.num_channels, wav.bits_per_sample, wav.sampling_rate))
-    enc.set_encode_parameter(preset_parameter(preset_no, wav.num_channels))
+    wf = WaveFormat(wav.num_channels, wav.bits_per_sample, wav.sampling_rate)
+    config = EncoderConfig(verbose=verbose, verify=verify)
+    param = preset_parameter(preset_no, wav.num_channels)
+
+    def run() -> bytes:
+        if optimize:
+            from .optimize import optimize_encode
+
+            blob, _ = optimize_encode(
+                wav.data, wf, start=param, effort=optimize,
+                encoder_config=config, verbose=verbose,
+            )
+            return blob
+        enc = Encoder(config)
+        enc.set_wave_format(wf)
+        enc.set_encode_parameter(param)
+        return enc.encode_whole(wav.data)
+
     try:
         if trace_dir:
             import jax
 
             with jax.profiler.trace(trace_dir):
-                blob = enc.encode_whole(wav.data)
+                blob = run()
         else:
-            blob = enc.encode_whole(wav.data)
+            blob = run()
     except SLAError as e:
         print(f"Encoding error! {e}", file=sys.stderr)
         return 1
@@ -292,7 +311,20 @@ def main(argv: list[str] | None = None) -> int:
             if not 0 <= preset_no < len(PRESETS):
                 print(f"{prog}: encode preset number is out of range.", file=sys.stderr)
                 return 1
+        optimize = None
+        if get_option_acquired(spec, "optimize"):
+            try:
+                optimize = int(get_argument_string(spec, "optimize"))
+            except ValueError:
+                optimize = -1
+            if optimize not in (1, 2):
+                print(f"{prog}: optimize effort must be 1 or 2.", file=sys.stderr)
+                return 1
         if get_option_acquired(spec, "batch"):
+            if optimize:
+                print(f"{prog}: optimize is not supported in corpus mode.",
+                      file=sys.stderr)
+                return 1
             from .corpus import encode_corpus
 
             in_dir = pathlib.Path(positional[0])
@@ -330,7 +362,8 @@ def main(argv: list[str] | None = None) -> int:
             return 1 if res.failed else 0
         trace_dir = get_argument_string(spec, "trace") if get_option_acquired(spec, "trace") else None
         if do_encode(positional[0], positional[1], preset_no, verbose, trace_dir,
-                     verify=get_option_acquired(spec, "verify")) != 0:
+                     verify=get_option_acquired(spec, "verify"),
+                     optimize=optimize) != 0:
             return 1
     else:
         print(f"{prog}: decode(-d) or encode(-e) option must be specified.", file=sys.stderr)
