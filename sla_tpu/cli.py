@@ -54,7 +54,7 @@ def _make_spec() -> list[OptionSpec]:
         OptionSpec("r", "recover", False,
                    "Decode mode: salvage a damaged stream (resync past corrupt blocks)"),
         OptionSpec("O", "optimize", True,
-                   "Encode mode: search encode parameters for the smallest stream"
+                   "Encode mode: search encode parameters for the smallest stream "
                    "(1:sampled trials, 2:full-file trials)"),
     ]
 
@@ -80,7 +80,7 @@ def do_encode(in_file: str, out_file: str, preset_no: int, verbose: bool,
 
             blob, _ = optimize_encode(
                 wav.data, wf, start=param, effort=optimize,
-                encoder_config=config, verbose=verbose,
+                encoder_config=config,
             )
             return blob
         enc = Encoder(config)

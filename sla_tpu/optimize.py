@@ -111,7 +111,7 @@ def optimize_encode(
     start: EncodeParameter | None = None,
     effort: int = 1,
     encoder_config: EncoderConfig | None = None,
-    verbose: bool = False,
+    verbose: bool | None = None,
 ) -> tuple[bytes, EncodeParameter]:
     """Encode `data` with the smallest-stream parameters found.
 
@@ -127,6 +127,8 @@ def optimize_encode(
     if effort not in (1, 2):
         raise SLAError(ApiResult.INVALID_ARGUMENT, f"optimize effort {effort}")
     final_config = encoder_config or EncoderConfig()
+    if verbose is None:
+        verbose = final_config.verbose
     # trials: same capacity/backend, but quiet and unverified — the single
     # verify pass runs on the winner below
     trial_config = dataclasses.replace(final_config, verbose=False, verify=False)
@@ -147,6 +149,10 @@ def optimize_encode(
         )
     best_size = len(best_blob)
     trials = 1
+    # every candidate already trialed this search — a repeat can never beat
+    # the incumbent (best_size only shrinks after a candidate loses), so
+    # sweep 2 skips sweep-1 losers instead of re-encoding them
+    seen = {dataclasses.astuple(best)}
     for _ in range(_MAX_SWEEPS):
         improved = False
         for field, values in _knobs_for(wave_format.num_channels):
@@ -154,6 +160,10 @@ def optimize_encode(
                 if getattr(best, field) == value:
                     continue
                 cand = dataclasses.replace(best, **{field: value})
+                key = dataclasses.astuple(cand)
+                if key in seen:
+                    continue
+                seen.add(key)
                 blob = _trial(sample, wave_format, cand, trial_config)
                 trials += 1
                 if blob is not None and len(blob) < best_size:
@@ -164,32 +174,30 @@ def optimize_encode(
 
     if sampled:
         # finalists on the full file: the winner, and the seed as the
-        # never-worse guarantee when they differ
+        # never-worse guarantee when they differ. Either finalist may be
+        # rejected by content outside the sampled slice (e.g. a residual
+        # burst overflowing the initial Rice parameter at an extreme
+        # order) — keep whichever full-file encode survives, smaller wins.
         final_blob = _trial(data, wave_format, best, trial_config)
-        if final_blob is None:
-            # content outside the sampled slice rejects the winner's
-            # parameters (e.g. a residual burst overflowing the initial
-            # Rice parameter at an extreme order) — fall back to the seed
-            best, final_blob = dataclasses.replace(start), None
         if best != start:
             seed_blob = _trial(data, wave_format, start, trial_config)
-            if seed_blob is None:
-                raise SLAError(
-                    ApiResult.INVALID_ARGUMENT,
-                    "seed parameter cannot encode this signal",
-                )
-            if final_blob is None or len(seed_blob) <= len(final_blob):
+            if final_blob is None or (
+                seed_blob is not None and len(seed_blob) <= len(final_blob)
+            ):
                 best, final_blob = dataclasses.replace(start), seed_blob
-        elif final_blob is None:
+        if final_blob is None:
             raise SLAError(
                 ApiResult.INVALID_ARGUMENT,
-                "seed parameter cannot encode this signal",
+                "no searched parameter can encode this signal",
             )
         best_blob = final_blob
 
     if final_config.verify:
         # same self-check the plain encode path runs (segment-windowed on
-        # long streams): one pass on the winner, trials skip it
+        # long streams): one pass on the winner, trials skip it. The
+        # set_* calls are load-bearing: _maybe_verify sizes its decode
+        # windows from _segment_samples(), which reads the winner's
+        # max_num_block_samples.
         enc = Encoder(final_config)
         enc.set_wave_format(wave_format)
         enc.set_encode_parameter(best)

@@ -6,6 +6,7 @@ winner must therefore remain an ordinary reference-decodable stream, never
 larger than the seed preset's.
 """
 
+import dataclasses
 import subprocess
 
 import numpy as np
@@ -67,6 +68,106 @@ def test_seed_guarantee_with_custom_start():
     assert len(blob) <= len(enc.encode_whole(pcm))
     _, out = sla.Decoder().decode_whole(blob)
     assert np.array_equal(out, pcm)
+
+
+def _fake_trial(n, seed_param, real_trial, full_file_behavior):
+    """Slice trials are fabricated so the search deterministically picks
+    replace(seed, window=RECTANGULAR) as the winner; full-file finalist
+    calls (recognized by width n) follow `full_file_behavior(param)`."""
+
+    def fake(d, w, p, c):
+        if d.shape[1] == n:
+            return full_file_behavior(d, w, p, c)
+        if p == seed_param:
+            return b"\0" * 100
+        if p.window_function_type == sla.WindowFunctionType.RECTANGULAR:
+            return b"\0" * 50
+        return b"\0" * 200
+
+    return fake
+
+
+def _real_encode(pcm, wf, param):
+    enc = sla.Encoder()
+    enc.set_wave_format(wf)
+    enc.set_encode_parameter(param)
+    return enc.encode_whole(pcm)
+
+
+def test_winner_rejected_on_full_file_falls_back_to_seed(monkeypatch):
+    """A slice-winning parameter the full file rejects must fall back to the
+    seed's full-file stream — not raise (the seed encodes fine)."""
+    from sla_tpu import optimize as opt
+
+    n = _SAMPLE_CHUNKS * _SAMPLE_CHUNK_LEN + 50000
+    pcm = gen_wave("chirp", n, 1, 16, 0, seed=7)
+    wf = sla.WaveFormat(1, 16, 44100)
+    seed = sla.preset_parameter(2, 1)
+    real_trial = opt._trial
+
+    def full(d, w, p, c):
+        return real_trial(d, w, p, c) if p == seed else None
+
+    monkeypatch.setattr(opt, "_trial", _fake_trial(n, seed, real_trial, full))
+    blob, param = optimize_encode(pcm, wf, start=seed, effort=1)
+    assert param == seed
+    assert blob == _real_encode(pcm, wf, seed)
+
+
+def test_seed_rejected_on_full_file_keeps_winner(monkeypatch):
+    """When only the winner's parameters survive the full file, return the
+    winner's stream instead of raising (the size guarantee is vacuous)."""
+    from sla_tpu import optimize as opt
+
+    n = _SAMPLE_CHUNKS * _SAMPLE_CHUNK_LEN + 50000
+    pcm = gen_wave("chirp", n, 1, 16, 0, seed=7)
+    wf = sla.WaveFormat(1, 16, 44100)
+    seed = sla.preset_parameter(2, 1)
+    real_trial = opt._trial
+
+    def full(d, w, p, c):
+        return None if p == seed else real_trial(d, w, p, c)
+
+    monkeypatch.setattr(opt, "_trial", _fake_trial(n, seed, real_trial, full))
+    blob, param = optimize_encode(pcm, wf, start=seed, effort=1)
+    expect = dataclasses.replace(
+        seed, window_function_type=sla.WindowFunctionType.RECTANGULAR
+    )
+    assert param == expect
+    assert blob == _real_encode(pcm, wf, expect)
+
+
+def test_both_finalists_rejected_raises(monkeypatch):
+    from sla_tpu import optimize as opt
+
+    n = _SAMPLE_CHUNKS * _SAMPLE_CHUNK_LEN + 50000
+    pcm = gen_wave("chirp", n, 1, 16, 0, seed=7)
+    wf = sla.WaveFormat(1, 16, 44100)
+    seed = sla.preset_parameter(2, 1)
+
+    def full(d, w, p, c):
+        return None
+
+    monkeypatch.setattr(opt, "_trial", _fake_trial(n, seed, opt._trial, full))
+    with pytest.raises(sla.SLAError):
+        optimize_encode(pcm, wf, start=seed, effort=1)
+
+
+def test_no_duplicate_trials(monkeypatch):
+    """Sweep 2 must not re-encode parameter sets sweep 1 already rejected."""
+    from sla_tpu import optimize as opt
+
+    calls = []
+    real = opt._trial
+
+    def counting(d, w, p, c):
+        calls.append(dataclasses.astuple(p))
+        return real(d, w, p, c)
+
+    monkeypatch.setattr(opt, "_trial", counting)
+    pcm = gen_wave("gauss", 20000, 1, 16, 0, seed=4)
+    optimize_encode(pcm, sla.WaveFormat(1, 16, 44100), effort=2)
+    assert len(calls) == len(set(calls))
 
 
 def test_invalid_effort_rejected():
