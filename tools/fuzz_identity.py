@@ -87,6 +87,7 @@ def main():
     fails = []
     skipped = 0
     compared = 0
+    compared_opt = 0
     for i in range(count):
         ch = int(rng.choice([1, 2, 2, 4, 6, 8]))
         width = int(rng.choice([8, 16, 16, 24]))
@@ -107,6 +108,41 @@ def main():
             lshift = int(rng.choice([0, 0, 4, 8])) if width >= 16 else 0
             pcm = gen_wave(kind, n, ch, width, lshift, seed=seed * 1000 + i)
         wavio.write_wav(str(tmp / "i.wav"), wavio.WavFile(ch, rate, width, pcm))
+        # ~1 in 8 cases: the ratio-optimizing mode (-O). The winner uses
+        # API-only parameters, so there is no byte-identity oracle — the
+        # contract fuzzed here is: reference-binary-decodable, lossless,
+        # and never larger than the seed preset's stream.
+        if (not near_ties) and rng.random() < 0.12:
+            from sla_tpu.errors import SLAError
+            from sla_tpu.optimize import optimize_encode
+
+            wf = sla.WaveFormat(ch, width, rate)
+            try:
+                blob, _ = optimize_encode(pcm, wf, effort=1)
+            except SLAError:
+                skipped += 1  # both finalists reject (init-Rice overflow)
+                continue
+            compared_opt += 1
+            enc = sla.Encoder()
+            enc.set_wave_format(wf)
+            enc.set_encode_parameter(sla.preset_parameter(2, ch))
+            seed_blob = enc.encode_whole(pcm)
+            (tmp / "o.sla").write_bytes(blob)
+            r = subprocess.run(
+                [str(REF), "-d", "-q", str(tmp / "o.sla"), str(tmp / "od.wav")],
+                capture_output=True,
+            )
+            ref_ok = r.returncode == 0 and np.array_equal(
+                wavio.read_wav(str(tmp / "od.wav")).data, pcm)
+            _, out = sla.Decoder().decode_whole(blob)
+            if (not ref_ok or not np.array_equal(out, pcm)
+                    or len(blob) > len(seed_blob)):
+                fails.append((i, ch, width, "optimize", rate, pcm.shape[1],
+                              ref_ok))
+                print(f"FAIL case {i} (optimize): ch={ch} width={width} "
+                      f"rate={rate} n={pcm.shape[1]} ref_decodable={ref_ok} "
+                      f"size {len(blob)} vs seed {len(seed_blob)}")
+            continue
         # 1 in 5 cases: API-only encode parameters through the reference
         # LIBRARY harness (windows the CLI cannot select, custom orders
         # incl. the order-0 passthrough lattice)
@@ -185,8 +221,12 @@ def main():
             print(f"FAIL case {i}: ch={ch} width={width} {cfg} rate={rate} "
                   f"n={pcm.shape[1]} lossless={lossless}")
     extra = f" ({skipped} configs the reference rejected)" if skipped else ""
-    print(f"{compared - len(fails)}/{compared} byte-identical + "
-          f"cross-decode lossless{extra}")
+    opt_fails = sum(1 for f in fails if f[3] == "optimize")
+    id_fails = len(fails) - opt_fails
+    opt = (f" + {compared_opt - opt_fails}/{compared_opt} optimize-mode "
+           f"contracts held" if compared_opt else "")
+    print(f"{compared - id_fails}/{compared} byte-identical + "
+          f"cross-decode lossless{extra}{opt}")
     if compared == 0:
         print("VACUOUS RUN: zero comparisons executed")
         return 1
