@@ -9,7 +9,11 @@ None of these choices change the *format*: the window function is
 analysis-side only (not stored in the container — format.py), and every
 searched field stays within the format/decoder capacity limits
 (SLAInternal.h:14), so each candidate — and the winner — is an ordinary
-SLA stream the reference binary decodes losslessly.
+SLA stream the reference binary decodes losslessly. The grid also stays
+clear of the one in-capacity value the reference decoder cannot survive:
+lms_order_per_filter=0 (see the _KNOBS comment). A caller-supplied
+`start` is searched as given — seeding with lms=0 produces streams only
+this framework decodes.
 
 Search = coordinate descent over one knob at a time, seeded from a preset.
 With `effort=1` the knob trials run on a sampled slice of the file (eight
@@ -53,7 +57,14 @@ _KNOBS: tuple[tuple[str, tuple], ...] = (
         ),
     ),
     ("longterm_order", (0, 1, 3, 5)),
-    ("lms_order_per_filter", (0, 4, 8, 16, 32)),
+    # LMS order stays in {4,8,16,32}: the reference decoder masks its ring
+    # buffers with (num_coef - 1) and its >=4 / power-of-2 asserts are
+    # compiled out under NDEBUG (SLAPredictor.c:1210,1223-1224), so an
+    # lms=0 stream SEGFAULTS the reference binary (found by
+    # tools/fuzz_identity.py's optimize-contract cases). longterm 0 is
+    # fine: the reference decoder synthesizes it correctly even though its
+    # own encoder cannot produce it (SLAEncoder.c pitch analysis fails).
+    ("lms_order_per_filter", (4, 8, 16, 32)),
     ("max_num_block_samples", (4096, 8192, 12288, 16384)),
     # ch_process_method appended per channel count in _knobs_for
 )

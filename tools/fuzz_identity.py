@@ -118,7 +118,7 @@ def main():
 
             wf = sla.WaveFormat(ch, width, rate)
             try:
-                blob, _ = optimize_encode(pcm, wf, effort=1)
+                blob, winner = optimize_encode(pcm, wf, effort=1)
             except SLAError:
                 skipped += 1  # both finalists reject (init-Rice overflow)
                 continue
@@ -139,9 +139,16 @@ def main():
                     or len(blob) > len(seed_blob)):
                 fails.append((i, ch, width, "optimize", rate, pcm.shape[1],
                               ref_ok))
+                keep = pathlib.Path(f"/tmp/fuzz_opt_fail_{i}")
+                keep.mkdir(exist_ok=True)
+                wavio.write_wav(str(keep / "i.wav"),
+                                wavio.WavFile(ch, rate, width, pcm))
+                (keep / "o.sla").write_bytes(blob)
                 print(f"FAIL case {i} (optimize): ch={ch} width={width} "
                       f"rate={rate} n={pcm.shape[1]} ref_decodable={ref_ok} "
-                      f"size {len(blob)} vs seed {len(seed_blob)}")
+                      f"size {len(blob)} vs seed {len(seed_blob)} "
+                      f"winner={winner} ref_stderr={r.stderr[:200]!r} "
+                      f"artifacts={keep}")
             continue
         # 1 in 5 cases: API-only encode parameters through the reference
         # LIBRARY harness (windows the CLI cannot select, custom orders
