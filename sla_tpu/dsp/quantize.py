@@ -45,7 +45,18 @@ def quantize_parcor(
         [0] + [parcor_quantize_bit_width(o) for o in range(1, order + 1)], dtype=np.int32
     )
     scale = (1 << (qbits[1:] - 1)).astype(np.float64)
-    c = c_round(parcor[..., 1 : order + 1] * scale).astype(np.int64)
+    r = c_round(parcor[..., 1 : order + 1] * scale)
+    # The reference casts the rounded double straight to int32 BEFORE its
+    # clip (SLAEncoder.c:578-583). On x86 that cvttsd2si turns NaN, +/-inf
+    # and any out-of-int32-range value into INT32_MIN ("integer
+    # indefinite") — reachable when Levinson degenerates (e_vec -> 0 on a
+    # perfectly predictable block makes gamma inf/NaN; only
+    # |auto_corr[0]| < FLT_EPSILON is guarded, SLAPredictor.c:274,301).
+    # Replicate that exactly so the clipped code stays byte-identical;
+    # an int64 cast would instead clip huge finite values to +max.
+    with np.errstate(invalid="ignore"):
+        in_range = (r >= -2147483648.0) & (r <= 2147483647.0)  # NaN -> False
+    c = np.where(in_range, r, -2147483648.0).astype(np.int64)
     c = np.clip(c, -(1 << (qbits[1:] - 1)), (1 << (qbits[1:] - 1)) - 1).astype(np.int32)
     code[..., 1:] = c
     coef[..., 1:] = (c << (16 - qbits[1:])) >> rs
@@ -63,6 +74,13 @@ def dequantize_parcor(code: np.ndarray, order: int, rshift: np.ndarray) -> np.nd
 
 
 def quantize_longterm(ltm_coef: np.ndarray) -> np.ndarray:
-    """Q15 round then << 16 -> Q31 int32 coefficients."""
-    q15 = c_round(np.asarray(ltm_coef, dtype=np.float64) * float(1 << 15)).astype(np.int32)
+    """Q15 round then << 16 -> Q31 int32 coefficients (no clip — the
+    reference has none, SLAEncoder.c:634-640; same cvttsd2si semantics as
+    quantize_parcor for NaN/out-of-range, though such coefs only exist
+    when the pitch analysis failed and pitch_period=0 keeps them out of
+    the stream)."""
+    r = c_round(np.asarray(ltm_coef, dtype=np.float64) * float(1 << 15))
+    with np.errstate(invalid="ignore"):
+        in_range = (r >= -2147483648.0) & (r <= 2147483647.0)
+    q15 = np.where(in_range, r, -2147483648.0).astype(np.int64).astype(np.int32)
     return q15 << 16

@@ -271,3 +271,31 @@ def test_exact_span_costs_order0():
     span_len = np.array([2048, 4096, 2048])
     cost = exact_span_costs(data, positions, spans, span_len, 8192, 0, 16)
     assert np.all(np.isfinite(cost)) and np.all(cost > 0)
+
+
+def test_quantize_parcor_degenerate_levinson_values():
+    """The reference casts rounded doubles to int32 BEFORE clipping
+    (SLAEncoder.c:578-583): on x86 cvttsd2si sends NaN, +/-inf and any
+    out-of-int32-range value to INT32_MIN, which the clip then pins at the
+    NEGATIVE end of the code range (even for +inf). Reachable when the
+    Levinson recursion degenerates (e_vec -> 0, SLAPredictor.c:301) — only
+    |auto_corr[0]| < FLT_EPSILON is guarded. Pin our quantizer to those
+    exact semantics (found as a NaN-cast RuntimeWarning in the
+    optimize-mode fuzz)."""
+    from sla_tpu.dsp.quantize import quantize_longterm, quantize_parcor
+
+    parcor = np.array(
+        [[0.0, np.nan, np.inf, -np.inf, 1e12, -1e12, 0.5, -0.5]]
+    )
+    code, coef = quantize_parcor(parcor, 7, np.array([0]))
+    # orders 1-3: qbits 16 (clip at +/-2^15); orders >=4: qbits 8
+    assert code[0, 1] == -32768  # NaN
+    assert code[0, 2] == -32768  # +inf clips NEGATIVE via cvttsd2si
+    assert code[0, 3] == -32768  # -inf
+    assert code[0, 4] == -128    # 1e12 overflows int32 -> INT32_MIN
+    assert code[0, 5] == -128
+    assert code[0, 6] == 64      # 0.5 * 2^7
+    assert code[0, 7] == -64
+    # longterm: same cast, no clip; INT32_MIN << 16 wraps to 0 like the C
+    q = quantize_longterm(np.array([np.nan, np.inf, 0.5]))
+    assert q[0] == 0 and q[1] == 0 and q[2] == (16384 << 16)

@@ -3,7 +3,11 @@
 framework and the reference C binary and compare streams byte-for-byte
 (plus cross-decode losslessness). Run from the repo root:
 
-    python tools/fuzz_identity.py [count] [seed]
+    python tools/fuzz_identity.py [count] [seed] [--near-ties] [--optimize]
+
+`--near-ties` generates adversarial partition near-tie signals only;
+`--optimize` routes every case through the ratio-optimizing mode's
+contract check (reference-decodable, lossless, never larger than seed).
 
 Covers waveform kinds (including cancellation-heavy nyquist tones and
 mixed-segment long files that stress the block partitioner), channel
@@ -78,6 +82,7 @@ def near_tie_signal(rng, ch, n, width):
 
 def main():
     near_ties = "--near-ties" in sys.argv
+    opt_only = "--optimize" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     count = int(args[0]) if len(args) > 0 else 50
     seed = int(args[1]) if len(args) > 1 else 0
@@ -108,11 +113,12 @@ def main():
             lshift = int(rng.choice([0, 0, 4, 8])) if width >= 16 else 0
             pcm = gen_wave(kind, n, ch, width, lshift, seed=seed * 1000 + i)
         wavio.write_wav(str(tmp / "i.wav"), wavio.WavFile(ch, rate, width, pcm))
-        # ~1 in 8 cases: the ratio-optimizing mode (-O). The winner uses
-        # API-only parameters, so there is no byte-identity oracle — the
-        # contract fuzzed here is: reference-binary-decodable, lossless,
-        # and never larger than the seed preset's stream.
-        if (not near_ties) and rng.random() < 0.12:
+        # ~1 in 8 cases (all, with --optimize): the ratio-optimizing mode
+        # (-O). The winner uses API-only parameters, so there is no
+        # byte-identity oracle — the contract fuzzed here is:
+        # reference-binary-decodable, lossless, and never larger than the
+        # seed preset's stream.
+        if opt_only or ((not near_ties) and rng.random() < 0.12):
             from sla_tpu.errors import SLAError
             from sla_tpu.optimize import optimize_encode
 
@@ -150,10 +156,13 @@ def main():
                       f"winner={winner} ref_stderr={r.stderr[:200]!r} "
                       f"artifacts={keep}")
             continue
-        # 1 in 5 cases: API-only encode parameters through the reference
-        # LIBRARY harness (windows the CLI cannot select, custom orders
-        # incl. the order-0 passthrough lattice)
-        custom = (not near_ties) and REF_CUSTOM.exists() and rng.random() < 0.2
+        # 1 in 5 cases (1 in 3 under --near-ties): API-only encode
+        # parameters through the reference LIBRARY harness (windows the
+        # CLI cannot select, custom orders incl. the order-0 passthrough
+        # lattice). In near-ties mode this stresses the last-ulp
+        # Hann/Blackman/Vorbis window alignment against partition ties.
+        custom = REF_CUSTOM.exists() and rng.random() < (
+            1 / 3 if near_ties else 0.2)
         params = None
         if custom:
             window = int(rng.choice([2, 3, 4]))  # HANN, BLACKMAN, VORBIS
@@ -234,7 +243,7 @@ def main():
            f"contracts held" if compared_opt else "")
     print(f"{compared - id_fails}/{compared} byte-identical + "
           f"cross-decode lossless{extra}{opt}")
-    if compared == 0:
+    if compared == 0 and compared_opt == 0:
         print("VACUOUS RUN: zero comparisons executed")
         return 1
     return 1 if fails else 0
