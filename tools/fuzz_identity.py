@@ -55,6 +55,35 @@ def mixed_segments(rng, ch, n, width):
     return (np.clip(sig * amp, -amp - 1, amp).astype(np.int32) << (32 - width))
 
 
+def degenerate_signal(rng, ch, n, width):
+    """Signals that collapse the Levinson recursion (e_vec -> 0 at low
+    order makes later reflection coefficients inf/NaN/huge — only
+    |auto_corr[0]| < FLT_EPSILON is guarded, SLAPredictor.c:274,301):
+    perfectly predictable tones at exact integer periods, linear ramps,
+    constants, and two-tap recurrences, at full-scale amplitudes so the
+    quantizer sees the degenerate values rather than raw fallback."""
+    amp = (1 << (width - 1)) - 1
+    t = np.arange(n, dtype=np.float64)
+    kind = int(rng.integers(0, 5))
+    if kind == 0:  # exact-period tone: predictable by order 2
+        period = int(rng.choice([4, 8, 16, 32, 64]))
+        sig = np.sin(2 * np.pi * t / period)
+    elif kind == 1:  # linear ramp (sawtooth): near-perfect order-1 fit
+        period = int(rng.integers(64, 2048))
+        sig = ((t % period) / period) * 2 - 1
+    elif kind == 2:  # constant DC at random level
+        sig = np.full(n, float(rng.uniform(0.1, 1.0)))
+    elif kind == 3:  # sum of two exact tones: rank-4 autocorrelation
+        p1, p2 = rng.choice([4, 8, 16, 32, 64], size=2, replace=False)
+        sig = 0.5 * np.sin(2 * np.pi * t / p1) + 0.5 * np.cos(2 * np.pi * t / p2)
+    else:  # alternating two-level square wave (nyquist-like)
+        period = int(rng.choice([2, 4, 8]))
+        sig = np.where((t // period) % 2 == 0, 1.0, -1.0)
+    scale = float(rng.choice([1.0, 1.0, 0.9, 1.0 / 64]))
+    rows = np.stack([sig * scale * (1 - 0.01 * c) for c in range(ch)])
+    return np.clip(rows * amp, -amp - 1, amp).astype(np.int32) << (32 - width)
+
+
 def near_tie_signal(rng, ch, n, width):
     """Adversarial partition near-ties: tile one node-delta-length pattern so
     the signal is stationary at node granularity — span costs then depend
@@ -83,6 +112,7 @@ def near_tie_signal(rng, ch, n, width):
 def main():
     near_ties = "--near-ties" in sys.argv
     opt_only = "--optimize" in sys.argv
+    degenerate = "--degenerate" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     count = int(args[0]) if len(args) > 0 else 50
     seed = int(args[1]) if len(args) > 1 else 0
@@ -98,7 +128,11 @@ def main():
         width = int(rng.choice([8, 16, 16, 24]))
         mode = int(rng.integers(0, 5))
         rate = int(rng.choice([8000, 22050, 44100, 48000, 96000, 192000]))
-        if near_ties:
+        if degenerate:
+            ch = int(rng.choice([1, 2, 4]))
+            n = int(rng.integers(8192, 40000))
+            pcm = degenerate_signal(rng, ch, n, width)
+        elif near_ties:
             ch = int(rng.choice([1, 2]))
             width = 16
             n = int(rng.integers(4096, 49152))
@@ -162,11 +196,14 @@ def main():
         # lattice). In near-ties mode this stresses the last-ulp
         # Hann/Blackman/Vorbis window alignment against partition ties.
         custom = REF_CUSTOM.exists() and rng.random() < (
-            1 / 3 if near_ties else 0.2)
+            1 / 3 if near_ties else 0.6 if degenerate else 0.2)
         params = None
         if custom:
             window = int(rng.choice([2, 3, 4]))  # HANN, BLACKMAN, VORBIS
-            parcor = int(rng.choice([0, 4, 12, 16, 24, 48]))
+            # degenerate content collapses Levinson at high order — bias
+            # there so the inf/NaN/huge coefficient paths are the ones hit
+            parcor = int(rng.choice([16, 24, 48] if degenerate
+                                    else [0, 4, 12, 16, 24, 48]))
             longterm = int(rng.choice([0, 1, 3, 5]))
             lms = int(rng.choice([0, 4, 8, 16]))
             ms = 1 if (ch == 2 and rng.random() < 0.5) else 0
