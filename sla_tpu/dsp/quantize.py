@@ -21,6 +21,21 @@ def c_round(x: np.ndarray) -> np.ndarray:
     return np.where(x >= 0.0, np.floor(x + 0.5), -np.floor(-x + 0.5))
 
 
+def _cast_int32_x86(r: np.ndarray) -> np.ndarray:
+    """`(int32_t)` of an integral double with x86 cvttsd2si semantics:
+    NaN, +/-inf and anything outside int32 range become INT32_MIN
+    ("integer indefinite"). The reference casts BEFORE clipping
+    (SLAEncoder.c:578-583), so this is load-bearing for byte-identity on
+    degenerate Levinson recursions (e_vec -> 0 makes reflection
+    coefficients inf/NaN/huge; only |auto_corr[0]| < FLT_EPSILON is
+    guarded, SLAPredictor.c:274,301). If the reference were built on a
+    target with different out-of-range cast behavior (e.g. aarch64
+    saturates), this helper is the single place to match it."""
+    with np.errstate(invalid="ignore"):
+        in_range = (r >= -2147483648.0) & (r <= 2147483647.0)  # NaN -> False
+    return np.where(in_range, r, -2147483648.0).astype(np.int64)
+
+
 def rshift_for_sint32(bitwidth: np.ndarray | int) -> np.ndarray | int:
     """SLAUTILITY_CALC_RSHIFT_FOR_SINT32: max(bitwidth - 16, 0)."""
     return np.maximum(np.asarray(bitwidth) - 16, 0)
@@ -45,18 +60,9 @@ def quantize_parcor(
         [0] + [parcor_quantize_bit_width(o) for o in range(1, order + 1)], dtype=np.int32
     )
     scale = (1 << (qbits[1:] - 1)).astype(np.float64)
-    r = c_round(parcor[..., 1 : order + 1] * scale)
-    # The reference casts the rounded double straight to int32 BEFORE its
-    # clip (SLAEncoder.c:578-583). On x86 that cvttsd2si turns NaN, +/-inf
-    # and any out-of-int32-range value into INT32_MIN ("integer
-    # indefinite") — reachable when Levinson degenerates (e_vec -> 0 on a
-    # perfectly predictable block makes gamma inf/NaN; only
-    # |auto_corr[0]| < FLT_EPSILON is guarded, SLAPredictor.c:274,301).
-    # Replicate that exactly so the clipped code stays byte-identical;
-    # an int64 cast would instead clip huge finite values to +max.
-    with np.errstate(invalid="ignore"):
-        in_range = (r >= -2147483648.0) & (r <= 2147483647.0)  # NaN -> False
-    c = np.where(in_range, r, -2147483648.0).astype(np.int64)
+    # cast-then-clip, exactly like the reference (see _cast_int32_x86):
+    # an int64 cast would instead clip huge finite values to +max
+    c = _cast_int32_x86(c_round(parcor[..., 1 : order + 1] * scale))
     c = np.clip(c, -(1 << (qbits[1:] - 1)), (1 << (qbits[1:] - 1)) - 1).astype(np.int32)
     code[..., 1:] = c
     coef[..., 1:] = (c << (16 - qbits[1:])) >> rs
@@ -80,7 +86,5 @@ def quantize_longterm(ltm_coef: np.ndarray) -> np.ndarray:
     when the pitch analysis failed and pitch_period=0 keeps them out of
     the stream)."""
     r = c_round(np.asarray(ltm_coef, dtype=np.float64) * float(1 << 15))
-    with np.errstate(invalid="ignore"):
-        in_range = (r >= -2147483648.0) & (r <= 2147483647.0)
-    q15 = np.where(in_range, r, -2147483648.0).astype(np.int64).astype(np.int32)
+    q15 = _cast_int32_x86(r).astype(np.int32)
     return q15 << 16

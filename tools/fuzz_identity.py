@@ -3,11 +3,14 @@
 framework and the reference C binary and compare streams byte-for-byte
 (plus cross-decode losslessness). Run from the repo root:
 
-    python tools/fuzz_identity.py [count] [seed] [--near-ties] [--optimize]
+    python tools/fuzz_identity.py [count] [seed] [MODE]
 
-`--near-ties` generates adversarial partition near-tie signals only;
-`--optimize` routes every case through the ratio-optimizing mode's
-contract check (reference-decodable, lossless, never larger than seed).
+MODE is at most one of:
+  --near-ties   adversarial partition near-tie signals only
+  --optimize    every case checks the ratio-optimizing mode's contract
+                (reference-decodable, lossless, never larger than seed)
+  --degenerate  Levinson-collapsing signals (exact-period tones, ramps,
+                DC, two-tone, square) with parcor biased to 16/24/48
 
 Covers waveform kinds (including cancellation-heavy nyquist tones and
 mixed-segment long files that stress the block partitioner), channel
@@ -110,9 +113,20 @@ def near_tie_signal(rng, ch, n, width):
 
 
 def main():
-    near_ties = "--near-ties" in sys.argv
-    opt_only = "--optimize" in sys.argv
-    degenerate = "--degenerate" in sys.argv
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    known = {"--near-ties", "--optimize", "--degenerate"}
+    unknown = [f for f in flags if f not in known]
+    if unknown:
+        print(f"unknown flag(s): {' '.join(unknown)} (known: "
+              f"{' '.join(sorted(known))})", file=sys.stderr)
+        return 2
+    if len(flags) > 1:
+        print(f"pick at most one mode flag, got: {' '.join(flags)}",
+              file=sys.stderr)
+        return 2
+    near_ties = "--near-ties" in flags
+    opt_only = "--optimize" in flags
+    degenerate = "--degenerate" in flags
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     count = int(args[0]) if len(args) > 0 else 50
     seed = int(args[1]) if len(args) > 1 else 0
@@ -174,8 +188,12 @@ def main():
             )
             ref_ok = r.returncode == 0 and np.array_equal(
                 wavio.read_wav(str(tmp / "od.wav")).data, pcm)
-            _, out = sla.Decoder().decode_whole(blob)
-            if (not ref_ok or not np.array_equal(out, pcm)
+            try:
+                _, out = sla.Decoder().decode_whole(blob)
+                self_ok = np.array_equal(out, pcm)
+            except SLAError:
+                self_ok = False
+            if (not ref_ok or not self_ok
                     or len(blob) > len(seed_blob)):
                 fails.append((i, ch, width, "optimize", rate, pcm.shape[1],
                               ref_ok))
