@@ -63,6 +63,15 @@ def levinson_durbin(auto_corr: np.ndarray, order: int) -> tuple[np.ndarray, np.n
         gamma = np.einsum(
             "...i,...i->...", a[..., : delay + 1], R[..., delay + 1 : 0 : -1][..., : delay + 1]
         )
+        # DELIBERATE finite substitution when e == 0 exactly, matching the
+        # native fast estimator op-for-op (sla_native.cpp scalar tail:
+        # `gamma /= -(fabs(e) > 0 ? e : 1.0)`). This is NOT the reference's
+        # IEEE division (the exact twins do that, exact.py _c_div): keeping
+        # the fast path finite lets span_cost_error_bound see degeneracy as
+        # a huge-but-finite sensitivity. Safety: every route to e == 0
+        # leaves a <= ~1e-300-clamped factor in the reconstructed
+        # e_p = R0 * prod(max(1-k^2, 1e-300)), so the bound escalates to
+        # inf and the partition re-prices those windows reference-exactly.
         gamma = gamma / (-np.where(np.abs(e) > 0, e, 1.0))
         e = (1.0 - gamma * gamma) * e
         # a_new[i] = u[i] + gamma * v[i]; u = [1, a1..adelay, 0], v = reverse

@@ -41,8 +41,30 @@ _INV_LOGE2 = 1.4426950408889634
 def _ref_log2(x: float) -> float:
     """SLAUtility_Log2 replica: log(x) * (1/ln 2) with the reference's
     exact constant (SLAUtility.c:442-446) — NOT math.log2, which differs
-    in the last ulp for ~19% of inputs."""
-    return math.log(x) * _INV_LOGE2
+    in the last ulp for ~19% of inputs.
+
+    C's log() never raises: log(0) = -inf, log(<0) = log(NaN) = NaN
+    (reachable on degenerate content — e.g. a zero mean residual power
+    before the |x| <= FLT_MIN guard at SLAPredictor.c:439). math.log
+    raises ValueError there instead, so branch explicitly; the native
+    twin (std::log) already matches C."""
+    if x > 0.0:
+        return math.log(x) * _INV_LOGE2
+    if x == 0.0:
+        return float("-inf")
+    return float("nan")
+
+
+def _c_div(a: float, b: float) -> float:
+    """IEEE-754 division like C: never raises. Python float `/` raises
+    ZeroDivisionError on b == 0 where C gives ±inf (sign from both
+    operands, including the sign of a zero divisor) or NaN for 0/0."""
+    if b != 0.0:
+        return a / b
+    if a != a or a == 0.0:
+        return float("nan")
+    sign = (1.0 if a > 0.0 else -1.0) * math.copysign(1.0, b)
+    return sign * float("inf")
 
 
 _FLT_EPS = 1.1920928955078125e-07  # FLT_EPSILON
@@ -248,7 +270,9 @@ def _lpc_finish_row(
             gamma = 0.0
             for i in range(delay + 1):
                 gamma += a[i] * ac[delay + 1 - i]
-            gamma /= -e[delay]
+            # e[delay] reaches exactly 0 on perfectly predictable content:
+            # C divides to ±inf/NaN and keeps going (SLAPredictor.c:301)
+            gamma = _c_div(gamma, -e[delay])
             e[delay + 1] = (1.0 - gamma * gamma) * e[delay]
             for i in range(delay):
                 u[i + 1] = v[delay - i] = a[i + 1]

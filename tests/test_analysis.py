@@ -299,3 +299,39 @@ def test_quantize_parcor_degenerate_levinson_values():
     # longterm: same cast, no clip; INT32_MIN << 16 wraps to 0 like the C
     q = quantize_longterm(np.array([np.nan, np.inf, 0.5]))
     assert q[0] == 0 and q[1] == 0 and q[2] == (16384 << 16)
+
+
+def test_ref_log2_c_semantics_on_degenerate_inputs():
+    """C's log() never raises: log(0) = -inf, log(<0) = log(NaN) = NaN.
+    The pure-Python exact twin must match (math.log raises ValueError
+    instead) — found by the no-native degenerate-Levinson fuzz, where a
+    zero mean residual power reaches SLAUtility_Log2 before the
+    |x| <= FLT_MIN guard (SLAPredictor.c:439)."""
+    import math
+
+    from sla_tpu.exact import _ref_log2
+
+    assert _ref_log2(0.0) == float("-inf")
+    assert _ref_log2(-0.0) == float("-inf")
+    assert math.isnan(_ref_log2(-1.0))
+    assert math.isnan(_ref_log2(float("nan")))
+    assert _ref_log2(float("inf")) == float("inf")
+    assert _ref_log2(0.75) == math.log(0.75) * 1.4426950408889634
+
+
+def test_c_div_ieee_semantics():
+    """Python float `/` raises ZeroDivisionError where C gives ±inf/NaN;
+    the Levinson twin divides by -e[delay] which reaches exactly 0 on
+    perfectly predictable content (SLAPredictor.c:301 keeps going)."""
+    import math
+
+    from sla_tpu.exact import _c_div
+
+    inf = float("inf")
+    assert _c_div(1.0, 0.0) == inf
+    assert _c_div(-1.0, 0.0) == -inf
+    assert _c_div(1.0, -0.0) == -inf
+    assert _c_div(-1.0, -0.0) == inf
+    assert math.isnan(_c_div(0.0, 0.0))
+    assert math.isnan(_c_div(float("nan"), 0.0))
+    assert _c_div(1.0, 4.0) == 0.25

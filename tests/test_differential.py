@@ -249,3 +249,44 @@ def test_order0_passthrough_byte_identity(ref_custom, tmp_path):
     assert blob == ref_out.read_bytes()
     _, out = sla.Decoder().decode_whole(blob)
     assert np.array_equal(out, pcm)
+
+
+@pytest.mark.parametrize("period,order", [(8, 48), (32, 24)])
+def test_degenerate_levinson_byte_identity(period, order, ref_custom, tmp_path):
+    """Perfectly predictable content (exact-period full-scale tone)
+    collapses the Levinson recursion: e_vec -> 0 makes reflection
+    coefficients inf/NaN/huge (only |auto_corr[0]| < FLT_EPSILON is
+    guarded, SLAPredictor.c:274,301) and the quantizer then casts them
+    int32-first like C (SLAEncoder.c:578-583). Byte-identity must survive
+    the whole chain — pins the cast-then-clip alignment and the
+    degenerate-span partition re-pricing."""
+    import subprocess
+
+    n = 30000
+    t = np.arange(n, dtype=np.float64)
+    sig = np.sin(2 * np.pi * t / period)
+    pcm = (np.clip(sig * 32767, -32768, 32767).astype(np.int32) << 16)[None]
+    wav_path = tmp_path / "in.wav"
+    wavio.write_wav(str(wav_path), wavio.WavFile(1, 44100, 16, pcm))
+    ref_out = tmp_path / "ref.sla"
+    r = subprocess.run(
+        [str(ref_custom), "2", str(order), "1", "8", "0", "12288",
+         str(wav_path), str(ref_out)],
+        capture_output=True,
+    )
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(1, 16, 44100))
+    enc.set_encode_parameter(sla.EncodeParameter(
+        order, 1, 8, sla.ChannelProcessMethod.NONE,
+        sla.WindowFunctionType.HANN, 12288,
+    ))
+    if r.returncode != 0:
+        # content the reference itself cannot encode (e.g. init-Rice
+        # overflow) — we must reject it structurally, not diverge
+        with pytest.raises(sla.SLAError):
+            enc.encode_whole(pcm)
+        return
+    blob = enc.encode_whole(pcm)
+    assert blob == ref_out.read_bytes()
+    _, out = sla.Decoder().decode_whole(blob)
+    assert np.array_equal(out, pcm)
