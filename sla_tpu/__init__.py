@@ -56,7 +56,7 @@ from .constants import (  # noqa: E402,F401
     ChannelProcessMethod,
     WindowFunctionType,
 )
-from .decoder import Decoder, DecoderConfig, SalvageSegment  # noqa: E402,F401
+from .decoder import Decoder, DecoderConfig, SalvageSegment, StreamIndex  # noqa: E402,F401
 from .encoder import Encoder, EncoderConfig  # noqa: E402,F401
 from .errors import ApiResult, SLAError  # noqa: E402,F401
 from .streaming import (  # noqa: E402,F401

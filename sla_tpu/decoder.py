@@ -66,6 +66,23 @@ class _Block:
 
 
 @dataclasses.dataclass
+class StreamIndex:
+    """Reusable random-access index over one stream (Decoder.build_index).
+
+    Holds every block's parsed header plus cumulative sample offsets, so a
+    seek costs one binary search instead of re-walking (and re-CRC-verifying)
+    the whole stream. Valid only for the exact byte string it was built
+    from; decode_range checks cheaply (length + stream header bytes) and
+    rejects mismatches."""
+
+    header: HeaderInfo
+    blocks: list[_Block]
+    sample_starts: np.ndarray  # (num_blocks + 1,) int64 cumulative samples
+    stream_size: int
+    header_bytes: bytes  # the 43-byte stream header, for mismatch detection
+
+
+@dataclasses.dataclass
 class SalvageSegment:
     """One contiguous run of intact blocks recovered by decode_salvage."""
 
@@ -326,8 +343,29 @@ class Decoder:
             )
         return header, out
 
+    def build_index(self, data: bytes) -> StreamIndex:
+        """One header walk (sync + CRC verify per block under the config's
+        CRC setting) producing a reusable StreamIndex: repeated
+        decode_range calls over the same stream then seek by binary search
+        instead of re-scanning the whole stream each time."""
+        header = self._open_stream(data)
+        blocks = self.scan_blocks(data, header.num_samples)
+        starts = np.zeros(len(blocks) + 1, dtype=np.int64)
+        np.cumsum([b.num_samples for b in blocks], out=starts[1:])
+        return StreamIndex(
+            header=header,
+            blocks=blocks,
+            sample_starts=starts,
+            stream_size=len(data),
+            header_bytes=bytes(data[:SLA_HEADER_SIZE]),
+        )
+
     def decode_range(
-        self, data: bytes, start_sample: int, num_samples: int
+        self,
+        data: bytes,
+        start_sample: int,
+        num_samples: int,
+        index: StreamIndex | None = None,
     ) -> tuple[HeaderInfo, np.ndarray]:
         """Random-access decode: (header, (C, n) PCM) for the sample window
         [start_sample, start_sample + num_samples), clamped to the stream.
@@ -335,36 +373,49 @@ class Decoder:
         Blocks are independent (every filter/entropy state resets at a
         block start, SLADecoder.c:569-581), so only the blocks overlapping
         the window are entropy-decoded and synthesized — a seek into an
-        hour-long stream costs one header walk plus O(window) work. The
-        reference API has no equivalent (whole-stream or 120 Hz streaming
-        only); bytes produced are identical to the decode_whole slice."""
+        hour-long stream costs one header walk plus O(window) work, and
+        with a prebuilt `index` (build_index) the walk drops to one binary
+        search. The reference API has no equivalent (whole-stream or
+        120 Hz streaming only); bytes produced are identical to the
+        decode_whole slice."""
         if start_sample < 0 or num_samples < 0:
             raise SLAError(ApiResult.INVALID_ARGUMENT, "negative range")
-        header = self._open_stream(data)
 
         import time
 
-        self.stage_times = {}
-        t0 = time.perf_counter()
-        blocks = self.scan_blocks(data, header.num_samples)
-        self.stage_times["headers"] = time.perf_counter() - t0
+        if index is not None:
+            if len(data) != index.stream_size or bytes(
+                data[:SLA_HEADER_SIZE]
+            ) != index.header_bytes:
+                raise SLAError(
+                    ApiResult.INVALID_ARGUMENT, "index does not match this stream"
+                )
+            header = index.header
+            self.set_wave_format(header.wave_format)
+            self.set_encode_parameter(header.encode_param)
+            self._require_params()
+            self.stage_times = {"headers": 0.0}
+            blocks, starts = index.blocks, index.sample_starts
+        else:
+            header = self._open_stream(data)
+            self.stage_times = {}
+            t0 = time.perf_counter()
+            blocks = self.scan_blocks(data, header.num_samples)
+            starts = np.zeros(len(blocks) + 1, dtype=np.int64)
+            np.cumsum([b.num_samples for b in blocks], out=starts[1:])
+            self.stage_times["headers"] = time.perf_counter() - t0
         start = min(start_sample, header.num_samples)
         end = min(start_sample + num_samples, header.num_samples)
-        # select the covering block run
-        sel: list[_Block] = []
-        pos = 0
-        first_pos = 0
-        for b in blocks:
-            if pos + b.num_samples > start and pos < end:
-                if not sel:
-                    first_pos = pos
-                sel.append(b)
-            pos += b.num_samples
-            if pos >= end:
-                break
         C = self._wave_format.num_channels
+        if start >= end:
+            return header, np.empty((C, 0), dtype=np.int32)
+        # covering block run: block i spans [starts[i], starts[i+1])
+        i0 = int(np.searchsorted(starts, start, side="right")) - 1
+        i1 = int(np.searchsorted(starts, end, side="left"))
+        sel = blocks[i0:i1]
         if not sel:
             return header, np.empty((C, 0), dtype=np.int32)
+        first_pos = int(starts[i0])
         covered = sum(b.num_samples for b in sel)
         out = self._decode_blocks(data, sel, covered)
         lo = start - first_pos

@@ -70,6 +70,36 @@ def test_range_rejects_negative(stream):
         Decoder().decode_range(blob, 0, -5)
 
 
+def test_range_with_index_equals_unindexed(stream):
+    pcm, blob = stream
+    dec = Decoder()
+    idx = dec.build_index(blob)
+    assert idx.header.num_samples == pcm.shape[1]
+    assert int(idx.sample_starts[-1]) == pcm.shape[1]
+    for start, count in [(0, 1000), (4096, 4096), (5000, 9000),
+                         (19500, 6000), (49000, 5000), (0, 50000),
+                         (50000, 10), (1, 0)]:
+        _, a = dec.decode_range(blob, start, count, index=idx)
+        _, b = Decoder().decode_range(blob, start, count)
+        assert np.array_equal(a, b)
+        hi = min(start + count, pcm.shape[1])
+        lo = min(start, pcm.shape[1])
+        assert np.array_equal(a, pcm[:, lo:hi])
+
+
+def test_index_rejects_mismatched_stream(stream):
+    pcm, blob = stream
+    idx = Decoder().build_index(blob)
+    # different length
+    with pytest.raises(SLAError):
+        Decoder().decode_range(blob + b"\x00", 0, 10, index=idx)
+    # same length, different header bytes
+    bad = bytearray(blob)
+    bad[10] ^= 0xFF
+    with pytest.raises(SLAError):
+        Decoder().decode_range(bytes(bad), 0, 10, index=idx)
+
+
 def test_range_no_native(stream, monkeypatch):
     from sla_tpu import native
     pcm, blob = stream
