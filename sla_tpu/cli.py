@@ -56,6 +56,9 @@ def _make_spec() -> list[OptionSpec]:
         OptionSpec("O", "optimize", True,
                    "Encode mode: search encode parameters for the smallest stream "
                    "(1:sampled trials, 2:full-file trials)"),
+        OptionSpec("w", "window", True,
+                   "Decode mode: decode only the sample window START:COUNT "
+                   "(random access; only overlapping blocks are read)"),
     ]
 
 
@@ -197,6 +200,42 @@ def do_streaming_decode(in_file: str, out_file: str, enable_crc_check: bool,
     return 0
 
 
+def do_window_decode(in_file: str, out_file: str, window: str,
+                     enable_crc_check: bool, verbose: bool) -> int:
+    """Random-access decode (-d -w START:COUNT): decode only the blocks
+    overlapping the requested sample window (Decoder.decode_range) and
+    write that window as a WAV. The reference CLI can only decode whole
+    streams; this seeks into long files at O(window) cost."""
+    try:
+        start_s, count_s = window.split(":", 1)
+        start, count = int(start_s), int(count_s)
+    except ValueError:
+        print("window must be START:COUNT (sample numbers)", file=sys.stderr)
+        return 1
+    if start < 0 or count < 0:
+        print("window START and COUNT must be non-negative", file=sys.stderr)
+        return 1
+    try:
+        blob = pathlib.Path(in_file).read_bytes()
+    except Exception as e:
+        print(f"Failed to open {in_file} ({e})", file=sys.stderr)
+        return 1
+    dec = Decoder(DecoderConfig(enable_crc_check=enable_crc_check, verbose=verbose))
+    try:
+        header, pcm = dec.decode_range(blob, start, count)
+    except SLAError as e:
+        print(f"Decoding error! {e}", file=sys.stderr)
+        return 1
+    wf = header.wave_format
+    if verbose:
+        print(f"window decode: samples [{start}, {start + pcm.shape[1]}) of "
+              f"{header.num_samples}")
+    wavio.write_wav(
+        out_file, wavio.WavFile(wf.num_channels, wf.sampling_rate, wf.bit_per_sample, pcm)
+    )
+    return 0
+
+
 def do_salvage_decode(in_file: str, out_file: str, enable_crc_check: bool,
                       verbose: bool) -> int:
     """Best-effort decode of a damaged stream (-d -r): recover every intact
@@ -289,7 +328,16 @@ def main(argv: list[str] | None = None) -> int:
             # "no" (main.c:499-503 strcmp ternary) — do not "fix" this to
             # reject typos, it would diverge from the reference CLI
             enable_crc = get_argument_string(spec, "crc-check") == "yes"
-        if get_option_acquired(spec, "recover"):
+        if get_option_acquired(spec, "window"):
+            if get_option_acquired(spec, "recover") or get_option_acquired(spec, "streaming"):
+                print(f"{prog}: -w cannot combine with -r or -s.", file=sys.stderr)
+                return 1
+            if do_window_decode(positional[0], positional[1],
+                                get_argument_string(spec, "window"),
+                                enable_crc, verbose) != 0:
+                print(f"{prog}: failed to decode {positional[0]}.", file=sys.stderr)
+                return 1
+        elif get_option_acquired(spec, "recover"):
             if do_salvage_decode(positional[0], positional[1], enable_crc, verbose) != 0:
                 print(f"{prog}: failed to salvage {positional[0]}.", file=sys.stderr)
                 return 1

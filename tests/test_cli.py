@@ -522,3 +522,27 @@ def test_corpus_cli_honors_verify_flag(tmp_path, monkeypatch):
 
     monkeypatch.setattr(dec_mod.Decoder, "decode_whole", lie)
     assert main(["sla", "-e", "-q", "-b", "-V", str(in_dir), str(out_dir)]) == 1
+
+
+def test_window_decode_cli(tmp_path, a_wav):
+    """-d -w START:COUNT: random-access window decode to a WAV."""
+    import numpy as np
+    from sla_tpu import wavio
+    from sla_tpu.cli import main
+
+    sla_path = tmp_path / "x.sla"
+    assert main(["sla", "-e", "-q", str(a_wav), str(sla_path)]) == 0
+    out_path = tmp_path / "win.wav"
+    assert main(["sla", "-d", "-q", "-w", "5000:3000", str(sla_path), str(out_path)]) == 0
+    orig = wavio.read_wav(str(a_wav)).data
+    win = wavio.read_wav(str(out_path)).data
+    assert np.array_equal(win, orig[:, 5000:8000])
+    # window clamped at the stream tail
+    n = orig.shape[1]
+    assert main(["sla", "-d", "-q", "-w", f"{n - 100}:500", str(sla_path), str(out_path)]) == 0
+    win = wavio.read_wav(str(out_path)).data
+    assert np.array_equal(win, orig[:, n - 100 :])
+    # malformed / negative / combined with -r all rejected
+    assert main(["sla", "-d", "-q", "-w", "oops", str(sla_path), str(out_path)]) == 1
+    assert main(["sla", "-d", "-q", "-w", "-5:10", str(sla_path), str(out_path)]) == 1
+    assert main(["sla", "-d", "-q", "-r", "-w", "0:10", str(sla_path), str(out_path)]) == 1
