@@ -59,6 +59,8 @@ def _make_spec() -> list[OptionSpec]:
         OptionSpec("w", "window", True,
                    "Decode mode: decode only the sample window START:COUNT "
                    "(random access; only overlapping blocks are read)"),
+        OptionSpec("i", "info", False,
+                   "Print stream information (header + block summary) without decoding"),
     ]
 
 
@@ -236,6 +238,52 @@ def do_window_decode(in_file: str, out_file: str, window: str,
     return 0
 
 
+def do_info(in_file: str, enable_crc_check: bool) -> int:
+    """Stream information (-i): header fields + a block summary from one
+    CRC-verified header walk (Decoder.build_index) — no payload is
+    entropy-decoded. The reference CLI has no equivalent (its verbose
+    decode prints header fields, but only while decoding everything)."""
+    from .constants import BlockDataType
+
+    try:
+        blob = pathlib.Path(in_file).read_bytes()
+    except Exception as e:
+        print(f"Failed to open {in_file} ({e})", file=sys.stderr)
+        return 1
+    dec = Decoder(DecoderConfig(enable_crc_check=enable_crc_check))
+    try:
+        idx = dec.build_index(blob)
+    except SLAError as e:
+        print(f"Stream error! {e}", file=sys.stderr)
+        return 1
+    h, wf, ep = idx.header, idx.header.wave_format, idx.header.encode_param
+    dur = h.num_samples / wf.sampling_rate if wf.sampling_rate else 0.0
+    raw = h.num_samples * wf.num_channels * wf.bit_per_sample // 8
+    counts = {t: 0 for t in BlockDataType}
+    bs = [b.num_samples for b in idx.blocks]
+    for b in idx.blocks:
+        counts[b.block_type] += 1
+    print(f"file:            {in_file} ({len(blob)} bytes)")
+    print(f"format:          {wf.num_channels}ch {wf.sampling_rate} Hz "
+          f"{wf.bit_per_sample}-bit (offset_lshift {wf.offset_lshift})")
+    print(f"samples:         {h.num_samples} ({dur:.3f} s)")
+    print(f"parameters:      parcor {ep.parcor_order}, longterm {ep.longterm_order}, "
+          f"lms {ep.lms_order_per_filter}, ch_process {ep.ch_process_method.name}, "
+          f"max_block {ep.max_num_block_samples}")
+    print(f"blocks:          {len(idx.blocks)} "
+          f"(compress {counts[BlockDataType.COMPRESSDATA]}, "
+          f"silent {counts[BlockDataType.SILENT]}, "
+          f"raw {counts[BlockDataType.RAWDATA]}); "
+          f"samples/block min {min(bs)} max {max(bs)}" if bs else "blocks:          0")
+    print(f"declared:        num_blocks {h.num_blocks}, max_block_size {h.max_block_size}, "
+          f"max_bit_per_second {h.max_bit_per_second}")
+    if raw:
+        print(f"compression:     {len(blob)}/{raw} = {len(blob) / raw:.4f}")
+    crc = "verified" if enable_crc_check else "skipped (-c no)"
+    print(f"integrity:       header + {len(idx.blocks)} block CRC16 {crc}")
+    return 0
+
+
 def do_salvage_decode(in_file: str, out_file: str, enable_crc_check: bool,
                       verbose: bool) -> int:
     """Best-effort decode of a damaged stream (-d -r): recover every intact
@@ -309,6 +357,12 @@ def main(argv: list[str] | None = None) -> int:
     if positional[0] is None:
         print(f"{prog}: input file must be specified.", file=sys.stderr)
         return 1
+    if get_option_acquired(spec, "info"):
+        # info mode reads one stream and prints; no output file needed
+        enable_crc = True
+        if get_option_acquired(spec, "crc-check"):
+            enable_crc = get_argument_string(spec, "crc-check") == "yes"
+        return do_info(positional[0], enable_crc)
     if positional[1] is None:
         print(f"{prog}: output file must be specified.", file=sys.stderr)
         return 1

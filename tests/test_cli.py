@@ -546,3 +546,26 @@ def test_window_decode_cli(tmp_path, a_wav):
     assert main(["sla", "-d", "-q", "-w", "oops", str(sla_path), str(out_path)]) == 1
     assert main(["sla", "-d", "-q", "-w", "-5:10", str(sla_path), str(out_path)]) == 1
     assert main(["sla", "-d", "-q", "-r", "-w", "0:10", str(sla_path), str(out_path)]) == 1
+
+
+def test_info_cli(tmp_path, a_wav, capsys):
+    """-i: stream information from one header walk, no output file needed."""
+    from sla_tpu.cli import main
+
+    sla_path = tmp_path / "x.sla"
+    assert main(["sla", "-e", "-q", str(a_wav), str(sla_path)]) == 0
+    assert main(["sla", "-i", str(sla_path)]) == 0
+    out = capsys.readouterr().out
+    assert "240000" in out          # sample count of a.wav
+    assert "1ch 48000 Hz 8-bit" in out
+    assert "compression:" in out
+    assert "CRC16 verified" in out
+    # corrupt a block -> info fails the CRC walk; -c no skips it
+    blob = bytearray(sla_path.read_bytes())
+    blob[120] ^= 0x40
+    bad = tmp_path / "bad.sla"
+    bad.write_bytes(bytes(blob))
+    assert main(["sla", "-i", str(bad)]) == 1
+    assert main(["sla", "-i", "-c", "no", str(bad)]) == 0
+    # not a stream at all
+    assert main(["sla", "-i", str(a_wav)]) == 1
