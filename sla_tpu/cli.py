@@ -229,8 +229,13 @@ def do_window_decode(in_file: str, out_file: str, window: str,
         print(f"Decoding error! {e}", file=sys.stderr)
         return 1
     wf = header.wave_format
+    lo = min(start, header.num_samples)  # decode_range clamps the same way
+    if count > 0 and pcm.shape[1] == 0:
+        print(f"window [{start}:{count}] is past the end of the stream "
+              f"({header.num_samples} samples); writing an empty WAV",
+              file=sys.stderr)
     if verbose:
-        print(f"window decode: samples [{start}, {start + pcm.shape[1]}) of "
+        print(f"window decode: samples [{lo}, {lo + pcm.shape[1]}) of "
               f"{header.num_samples}")
     wavio.write_wav(
         out_file, wavio.WavFile(wf.num_channels, wf.sampling_rate, wf.bit_per_sample, pcm)
@@ -270,11 +275,14 @@ def do_info(in_file: str, enable_crc_check: bool) -> int:
     print(f"parameters:      parcor {ep.parcor_order}, longterm {ep.longterm_order}, "
           f"lms {ep.lms_order_per_filter}, ch_process {ep.ch_process_method.name}, "
           f"max_block {ep.max_num_block_samples}")
-    print(f"blocks:          {len(idx.blocks)} "
-          f"(compress {counts[BlockDataType.COMPRESSDATA]}, "
-          f"silent {counts[BlockDataType.SILENT]}, "
-          f"raw {counts[BlockDataType.RAWDATA]}); "
-          f"samples/block min {min(bs)} max {max(bs)}" if bs else "blocks:          0")
+    if bs:
+        print(f"blocks:          {len(idx.blocks)} "
+              f"(compress {counts[BlockDataType.COMPRESSDATA]}, "
+              f"silent {counts[BlockDataType.SILENT]}, "
+              f"raw {counts[BlockDataType.RAWDATA]}); "
+              f"samples/block min {min(bs)} max {max(bs)}")
+    else:
+        print("blocks:          0")
     print(f"declared:        num_blocks {h.num_blocks}, max_block_size {h.max_block_size}, "
           f"max_bit_per_second {h.max_bit_per_second}")
     if raw:
@@ -358,6 +366,9 @@ def main(argv: list[str] | None = None) -> int:
         print(f"{prog}: input file must be specified.", file=sys.stderr)
         return 1
     if get_option_acquired(spec, "info"):
+        if get_option_acquired(spec, "encode") or get_option_acquired(spec, "decode"):
+            print(f"{prog}: -i cannot combine with -e or -d.", file=sys.stderr)
+            return 1
         # info mode reads one stream and prints; no output file needed
         enable_crc = True
         if get_option_acquired(spec, "crc-check"):

@@ -72,8 +72,10 @@ class StreamIndex:
     Holds every block's parsed header plus cumulative sample offsets, so a
     seek costs one binary search instead of re-walking (and re-CRC-verifying)
     the whole stream. Valid only for the exact byte string it was built
-    from; decode_range checks cheaply (length + stream header bytes) and
-    rejects mismatches."""
+    from: decode_range rejects a different length or stream header, and —
+    with CRC checking enabled — re-verifies the CRCs of just the blocks the
+    window touches (O(window)), so in-body corruption past the cheap
+    identity check still raises DETECT_DATA_CORRUPTION."""
 
     header: HeaderInfo
     blocks: list[_Block]
@@ -383,27 +385,23 @@ class Decoder:
 
         import time
 
-        if index is not None:
+        reused_index = index is not None
+        if reused_index:
             if len(data) != index.stream_size or bytes(
                 data[:SLA_HEADER_SIZE]
             ) != index.header_bytes:
                 raise SLAError(
                     ApiResult.INVALID_ARGUMENT, "index does not match this stream"
                 )
-            header = index.header
-            self.set_wave_format(header.wave_format)
-            self.set_encode_parameter(header.encode_param)
+            self.set_wave_format(index.header.wave_format)
+            self.set_encode_parameter(index.header.encode_param)
             self._require_params()
             self.stage_times = {"headers": 0.0}
-            blocks, starts = index.blocks, index.sample_starts
         else:
-            header = self._open_stream(data)
-            self.stage_times = {}
             t0 = time.perf_counter()
-            blocks = self.scan_blocks(data, header.num_samples)
-            starts = np.zeros(len(blocks) + 1, dtype=np.int64)
-            np.cumsum([b.num_samples for b in blocks], out=starts[1:])
-            self.stage_times["headers"] = time.perf_counter() - t0
+            index = self.build_index(data)
+            self.stage_times = {"headers": time.perf_counter() - t0}
+        header, blocks, starts = index.header, index.blocks, index.sample_starts
         start = min(start_sample, header.num_samples)
         end = min(start_sample + num_samples, header.num_samples)
         C = self._wave_format.num_channels
@@ -415,6 +413,25 @@ class Decoder:
         sel = blocks[i0:i1]
         if not sel:
             return header, np.empty((C, 0), dtype=np.int32)
+        if reused_index and self.config.enable_crc_check:
+            # the cheap identity check above cannot see in-body mutations,
+            # and the index may have been built by a CRC-off decoder —
+            # re-verify the selected blocks under THIS decoder's config
+            # (O(window), the whole point of the index is skipping the
+            # O(stream) walk)
+            for b in sel:
+                stored = int.from_bytes(
+                    bytes(data[b.data_offset + 6 : b.data_offset + 8]), "big"
+                )
+                calc = crc16(
+                    memoryview(data)[
+                        b.data_offset
+                        + SLA_BLOCK_CRC16_CALC_START_OFFSET : b.data_offset
+                        + b.block_size
+                    ]
+                )
+                if calc != stored:
+                    raise SLAError(ApiResult.DETECT_DATA_CORRUPTION)
         first_pos = int(starts[i0])
         covered = sum(b.num_samples for b in sel)
         out = self._decode_blocks(data, sel, covered)

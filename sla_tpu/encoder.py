@@ -328,10 +328,14 @@ class Encoder:
         if (header.num_samples != data.shape[1]
                 or header.wave_format.num_channels != data.shape[0]):
             raise err
+        # one CRC-verified header walk, reused across every window —
+        # without the index each decode_range call re-walks (and re-CRCs)
+        # the whole stream, turning the verify pass O(segments * blocks)
+        idx = dec.build_index(blob)
         pos = 0
         while pos < data.shape[1]:
             take = min(seg, data.shape[1] - pos)
-            _, win = dec.decode_range(blob, pos, take)
+            _, win = dec.decode_range(blob, pos, take, index=idx)
             if (win.shape != (data.shape[0], take)
                     or not np.array_equal(win, data[:, pos : pos + take])):
                 raise err

@@ -569,3 +569,12 @@ def test_info_cli(tmp_path, a_wav, capsys):
     assert main(["sla", "-i", "-c", "no", str(bad)]) == 0
     # not a stream at all
     assert main(["sla", "-i", str(a_wav)]) == 1
+
+
+def test_info_rejects_mode_combination(tmp_path, a_wav):
+    from sla_tpu.cli import main
+
+    sla_path = tmp_path / "x.sla"
+    assert main(["sla", "-e", "-q", str(a_wav), str(sla_path)]) == 0
+    assert main(["sla", "-e", "-i", str(a_wav), str(sla_path)]) == 1
+    assert main(["sla", "-d", "-i", str(sla_path), "out.wav"]) == 1

@@ -100,6 +100,37 @@ def test_index_rejects_mismatched_stream(stream):
         Decoder().decode_range(bytes(bad), 0, 10, index=idx)
 
 
+def test_index_reverifies_window_crcs(stream):
+    """An index must not bypass CRC checking: in-body payload corruption
+    (same length, same stream header) raises on the indexed path when the
+    window touches the damaged block, and decodes cleanly when it doesn't."""
+    pcm, blob = stream
+    dec = Decoder()
+    idx = dec.build_index(blob)
+    blocks = idx.blocks
+    assert len(blocks) >= 3
+    victim = blocks[1]
+    bad = bytearray(blob)
+    bad[victim.data_offset + victim.block_size - 3] ^= 0x11  # payload byte
+    bad = bytes(bad)
+    n0 = int(idx.sample_starts[1])
+    n1 = int(idx.sample_starts[2])
+    # window overlapping the damaged block -> corruption detected
+    with pytest.raises(SLAError):
+        dec.decode_range(bad, n0, 100, index=idx)
+    # window entirely inside block 0 -> decodes, matches the original
+    _, win = dec.decode_range(bad, 0, n0, index=idx)
+    assert np.array_equal(win, pcm[:, :n0])
+    # window after the damage -> also fine (block independence)
+    _, win = dec.decode_range(bad, n1, 500, index=idx)
+    assert np.array_equal(win, pcm[:, n1 : n1 + 500])
+    # a CRC-off decoder skips the re-check (same contract as decode_whole)
+    from sla_tpu.decoder import DecoderConfig
+    dec_off = Decoder(DecoderConfig(enable_crc_check=False))
+    _, win = dec_off.decode_range(bad, n0, 100, index=idx)
+    assert win.shape == (pcm.shape[0], 100)
+
+
 def test_range_no_native(stream, monkeypatch):
     from sla_tpu import native
     pcm, blob = stream
