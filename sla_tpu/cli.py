@@ -155,7 +155,9 @@ def do_streaming_decode(in_file: str, out_file: str, enable_crc_check: bool,
             StreamingDecoderConfig(
                 core=DecoderConfig(enable_crc_check=enable_crc_check, verbose=verbose),
                 decode_interval_hz=120.0,
-                max_bit_per_sample=wf.bit_per_sample,
+                # a crafted header can declare < 8 bits; the config requires
+                # [8, 32] (capacity only — the stream's real depth still rules)
+                max_bit_per_sample=max(8, wf.bit_per_sample),
             )
         )
         sd.set_wave_format(wf)

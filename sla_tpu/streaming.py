@@ -26,6 +26,7 @@ from .constants import (
     LONGTERM_PERIOD_NUM_BITS,
     SLA_BLOCK_CRC16_CALC_START_OFFSET,
     SLA_BLOCK_SYNC_CODE,
+    SLA_MIN_BLOCK_NUM_SAMPLES,
     BlockDataType,
     ChannelProcessMethod,
     parcor_quantize_bit_width,
@@ -59,12 +60,6 @@ def _get_raw(stream, bit_offset, C, N, bits_per_ch):
     return hostref.py_get_raw(stream, bit_offset, C, N, bits_per_ch)
 
 
-def _synth_chunk(*args):
-    if native.available():
-        return native.synth_chunk(*args)
-    return hostref.py_synth_chunk(*args)
-
-
 def _synth_chunk_rows(*args, **kw):
     if native.available():
         return native.synth_chunk_rows(*args, **kw)
@@ -90,13 +85,13 @@ class DataPacketQueue:
 
     def __init__(self, capacity: int = STREAMING_DECODE_MAX_NUM_PACKETS):
         self.capacity = capacity
-        self._packets: list[list] = []  # [data, used, collectable]
+        self._packets: list[list] = []  # [data, used]
         self._remaining = 0  # running sum of unconsumed bytes (O(1) queries)
 
     def enqueue(self, data: bytes) -> None:
         if len(self._packets) >= self.capacity:
             raise SLAError(ApiResult.EXCEED_HANDLE_CAPACITY, "packet queue full")
-        self._packets.append([data, 0, False])
+        self._packets.append([data, 0])
         self._remaining += len(data)
 
     def enqueue_consumed(self, data: bytes) -> None:
@@ -105,12 +100,12 @@ class DataPacketQueue:
         append_data_fragment)."""
         if len(self._packets) >= self.capacity:
             raise SLAError(ApiResult.EXCEED_HANDLE_CAPACITY, "packet queue full")
-        self._packets.append([data, len(data), False])
+        self._packets.append([data, len(data)])
 
     def get_fragment(self, max_size: int) -> bytes | None:
         """Consume up to max_size bytes from the oldest unconsumed packet."""
         for pkt in self._packets:
-            data, used, _ = pkt
+            data, used = pkt
             if used < len(data):
                 take = min(max_size, len(data) - used)
                 if take == 0:
@@ -145,6 +140,12 @@ class StreamingDecoderConfig:
             self.core = DecoderConfig()
         if self.decode_interval_hz <= 0.0:
             raise SLAError(ApiResult.INVALID_ARGUMENT, "bad decode interval")
+        # < 8 makes the bytes/sample estimate 0 (ZeroDivision in
+        # estimate_decodable_num_samples) and a zero-size feed buffer
+        if not 8 <= self.max_bit_per_sample <= 32:
+            raise SLAError(
+                ApiResult.INVALID_ARGUMENT, "max_bit_per_sample must be in [8, 32]"
+            )
 
 
 @dataclasses.dataclass
@@ -157,6 +158,7 @@ class _BlockHeader:
     ltm_coef: np.ndarray | None = None
     init_rice: "list[int] | np.ndarray | None" = None
     header_bytes: int = 0  # bytes consumed by the header incl. alignment
+    coef_body: np.ndarray | None = None  # memoized contiguous coef[:, 1:]
 
 
 class StreamingDecoder:
@@ -223,24 +225,36 @@ class StreamingDecoder:
         self._cursor_obj = None
         self._tick_obj = None
         self.queue = DataPacketQueue()
+        self._drop_out_cache()
+
+    def _drop_out_cache(self) -> None:
+        self._out_cache = None
+        self._out_cache_w = 0
+        self._out_cache_ptr = -1
+        self._out_cache_stride = 0
 
     def _invalidate_stream_objects(self) -> None:
         """Drop every cross-block cached object whose shape/binding depends
-        on the wave format or encode parameters."""
+        on the wave format or encode parameters — including any IN-FLIGHT
+        block: a reconfiguration mid-block cannot resume it (the filter
+        state and cursor bindings are gone), so the block/cursor state must
+        go too or the next decode() would synthesize with None state."""
         self._hdr_parser = None
         self._cursor_obj = None
         self._tick_obj = None
         self._tick_coef = None
         self._filter_state = None
         self._tick = None
+        self._block = None
+        self._block_sample_offset = 0
+        self._consumed_bits = 0
+        self._pending_drop = 0
+        self._payload_cursor = None
         # the decode(out=) memo is format-dependent too: its row-count
         # check (shape[0] == C) ran against the OLD channel count, so a
         # cached buffer must be re-validated before its raw pointer is
         # written through again
-        self._out_cache = None
-        self._out_cache_w = 0
-        self._out_cache_ptr = -1
-        self._out_cache_stride = 0
+        self._drop_out_cache()
 
     # -- parameter setting ---------------------------------------------------
     def set_wave_format(self, wf: WaveFormat) -> None:
@@ -277,10 +291,28 @@ class StreamingDecoder:
             or ep.longterm_order > cc.max_longterm_order
             or ep.lms_order_per_filter > cc.max_lms_order_per_filter
             or ep.max_num_block_samples > cc.max_num_block_samples
+            or ep.max_num_block_samples < SLA_MIN_BLOCK_NUM_SAMPLES
         ):
             raise SLAError(ApiResult.EXCEED_HANDLE_CAPACITY)
+        if ep.longterm_order > 5 or (ep.longterm_order and ep.longterm_order % 2 == 0):
+            # same structural reject as Decoder.set_encode_parameter: the
+            # reference requires odd tap counts <= 5 (SLAPredictor.c:808-810,
+            # main.c:94-98) and the native kernels size their scratch by it
+            raise SLAError(ApiResult.INVALID_ARGUMENT,
+                           "longterm_order must be odd and <= 5")
         self._encode_param = dataclasses.replace(ep)
         self._invalidate_stream_objects()
+
+    def _require_params(self) -> None:
+        if self._wave_format is None or self._encode_param is None:
+            raise SLAError(ApiResult.PARAMETER_NOT_SET)
+        if (
+            self._encode_param.ch_process_method == ChannelProcessMethod.STEREO_MS
+            and self._wave_format.num_channels != 2
+        ):
+            # crafted mono+MS headers must fail structurally, not IndexError
+            # in the RAWDATA bits table / geometry-reject in the native tick
+            raise SLAError(ApiResult.INVALID_CHPROCESSMETHOD)
 
     # -- estimates (SLADecoder.c:863-935) ------------------------------------
     def output_samples_per_decode(self) -> int:
@@ -313,13 +345,33 @@ class StreamingDecoder:
         return self._buf_arr[: self._buf_len]
 
     def _buffer_trim(self, take: int) -> None:
-        """Drop the first `take` buffered bytes (block-end advance)."""
+        """Drop the first `take` buffered bytes (block-end advance), then
+        pull queued backlog into the freed space — without the drain, a
+        burst-fed stream (one huge fragment) livelocks: the caller follows
+        the reference's feed contract (append only while
+        remaining_data_size() < estimate), the queue still holds bytes the
+        contract counts, but nothing ever moves them into the feed buffer
+        (the reference pulls fragments during Decode the same way,
+        SLADecoder.c:1076-1089)."""
         keep = self._buf_len - take
         if keep > 0:
             # same-buffer overlap: route through a bytes copy (slice
             # assignment does not guarantee memmove semantics)
             self._buf_mv[:keep] = bytes(self._buf_mv[take : self._buf_len])
         self._buf_len = keep
+        if self.queue._remaining:
+            self._drain_queue()
+
+    def _drain_queue(self) -> None:
+        """Move queued fragment bytes into the feed buffer's free space."""
+        q = self.queue
+        while True:
+            frag = q.get_fragment(self._buffer_size - self._buf_len)
+            if frag is None:
+                break
+            k = len(frag)
+            self._buf_mv[self._buf_len : self._buf_len + k] = frag
+            self._buf_len += k
 
     # -- data supply ----------------------------------------------------------
     def append_data_fragment(self, data: bytes) -> None:
@@ -335,13 +387,7 @@ class StreamingDecoder:
             self._buf_len = end
             return
         q.enqueue(data)
-        while True:
-            frag = q.get_fragment(self._buffer_size - self._buf_len)
-            if frag is None:
-                break
-            k = len(frag)
-            self._buf_mv[self._buf_len : self._buf_len + k] = frag
-            self._buf_len += k
+        self._drain_queue()
 
     def collect_data_fragments(self) -> list[bytes]:
         out = []
@@ -555,9 +601,8 @@ class StreamingDecoder:
         through *partially buffered* blocks: the caller keeps the buffer fed
         per `estimate_minimum_necessary_data_size`, and an actual underrun
         raises INSUFFICIENT_DATA_SIZE."""
+        self._require_params()
         wf = self._wave_format
-        if wf is None or self._encode_param is None:
-            raise SLAError(ApiResult.PARAMETER_NOT_SET)
         C = wf.num_channels
         goal = self._samples_per_decode
         if max_samples is not None:
@@ -590,7 +635,9 @@ class StreamingDecoder:
                 self._buffer_trim(take)
                 self._pending_drop -= take
                 if self._pending_drop:
-                    break  # still waiting for the tail of the previous block
+                    if self._buf_len == 0:
+                        break  # still waiting for the previous block's tail
+                    continue  # the trim drained more queued bytes: keep going
             if self._block is None:
                 if self._buf_len < SLA_MINIMUM_BLOCK_HEADER_SIZE:
                     break  # not even a block header yet
@@ -706,8 +753,12 @@ class StreamingDecoder:
             raise SLAError(
                 ApiResult.INVALID_ARGUMENT, "out buffer is no longer writeable"
             )
-        if (out.shape != self._out_cache_shape
+        if (out.dtype != np.int32
+                or out.shape != self._out_cache_shape
                 or out.strides != self._out_cache_strides):
+            # dtype included: numpy allows in-place same-itemsize dtype
+            # reassignment on the cached object (out.dtype = np.float32),
+            # which would misinterpret the raw int32 writes
             return self._validate_out(out, C, goal)
         return self._out_cache_w, self._out_cache_ptr, self._out_cache_stride
 
@@ -746,9 +797,10 @@ class StreamingDecoder:
         On the steady mid-block tick this is one native call writing the
         rows at the array's own stride; underrun returns 0 with nothing
         consumed, exactly like decode() returning an empty chunk."""
+        self._require_params()
+        if offset < 0:
+            raise SLAError(ApiResult.INVALID_ARGUMENT, "offset must be non-negative")
         wf = self._wave_format
-        if wf is None or self._encode_param is None:
-            raise SLAError(ApiResult.PARAMETER_NOT_SET)
         C = wf.num_channels
         goal = self._samples_per_decode
         if max_samples is not None:
@@ -821,8 +873,11 @@ class StreamingDecoder:
             return out
 
         if blk.block_type == BlockDataType.SILENT:
-            residual = np.zeros((C, n), dtype=np.int32)
-        elif blk.block_type == BlockDataType.RAWDATA:
+            # the cascade maps zero residual + zero state to zero output and
+            # leaves the state zero (state reset at block start), so silent
+            # ticks short-circuit — bit-identical to running the filters
+            return np.zeros((C, n), dtype=np.int32)
+        if blk.block_type == BlockDataType.RAWDATA:
             bits = [wf.bit_per_sample - wf.offset_lshift] * C
             if ep.ch_process_method == ChannelProcessMethod.STEREO_MS:
                 bits[1] += 1
@@ -852,20 +907,19 @@ class StreamingDecoder:
             raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE, "streaming underrun")
 
         st = self._filter_state
+        # COMPRESSDATA always carries coef/pitch/ltm (parse sets them);
+        # memoize the contiguous coefficient body once per block instead of
+        # re-slicing it every 120 Hz tick
+        if blk.coef_body is None:
+            blk.coef_body = np.ascontiguousarray(blk.parcor_coef[:, 1:])
         # ONE fused call for every channel's cascade + MS inverse + shift:
         # per-channel FFI crossings dominate small 120 Hz tick chunks
         return _synth_chunk_rows(
             residual,
-            np.ascontiguousarray(blk.parcor_coef[:, 1:])
-            if blk.parcor_coef is not None
-            else np.zeros((C, ep.parcor_order), dtype=np.int32),
+            blk.coef_body,
             st["lattice"],
-            blk.pitch
-            if blk.pitch is not None
-            else np.zeros(C, dtype=np.int32),
-            blk.ltm_coef
-            if blk.ltm_coef is not None
-            else np.zeros((C, max(ep.longterm_order, 1)), dtype=np.int32),
+            blk.pitch,
+            blk.ltm_coef,
             ep.longterm_order,
             st["lt_hist"],
             st["lt_processed"],

@@ -697,3 +697,117 @@ def test_out_cache_survives_inplace_shape_mutation():
     second = sd.decode(out=buf)
     assert second.shape[1] > 0
     assert np.array_equal(want, pcm[:, :n1])
+
+
+def _streaming_decoder_for(blob, **cfg_kw):
+    header, _ = decode_header(blob)
+    wf = header.wave_format
+    sd = StreamingDecoder(
+        StreamingDecoderConfig(core=DecoderConfig(),
+                               max_bit_per_sample=wf.bit_per_sample, **cfg_kw)
+    )
+    sd.set_wave_format(wf)
+    sd.set_encode_parameter(header.encode_param)
+    return sd, header
+
+
+def test_burst_fed_stream_drains_queue():
+    """One huge fragment (bigger than the feed buffer) must decode to the
+    end: block-end trims pull queued backlog into the freed space; without
+    the drain the contract-following caller livelocks with data queued."""
+    pcm = gen_wave("gauss", 150000, 2, 16, 0, seed=5)
+    blob = encode(pcm, 2, 16)
+    header, _ = decode_header(blob)
+    sd = StreamingDecoder(StreamingDecoderConfig(
+        core=DecoderConfig(max_num_channels=2, max_num_block_samples=12288),
+        max_bit_per_sample=16,
+    ))
+    sd.set_wave_format(header.wave_format)
+    sd.set_encode_parameter(header.encode_param)
+    assert len(blob) - 43 > sd._buffer_size  # the premise: one oversized burst
+    sd.append_data_fragment(blob[43:])  # everything at once
+    out = np.zeros((2, header.num_samples), dtype=np.int32)
+    done = 0
+    stall = 0
+    while done < header.num_samples and stall < 3:
+        chunk = sd.decode()
+        n = chunk.shape[1]
+        stall = stall + 1 if n == 0 else 0
+        out[:, done : done + n] = chunk
+        done += n
+        sd.collect_data_fragments()
+    assert done == header.num_samples
+    assert np.array_equal(out, pcm)
+
+
+def test_reconfigure_mid_block_is_safe():
+    """set_wave_format/set_encode_parameter mid-block must drop the
+    in-flight block state (no TypeError on None filter state)."""
+    pcm = gen_wave("chirp", 30000, 2, 16, 0, seed=6)
+    blob = encode(pcm, 2, 16)
+    sd, header = _streaming_decoder_for(blob)
+    sd.append_data_fragment(blob[43:])
+    first = sd.decode()
+    assert first.shape[1] > 0
+    sd.set_encode_parameter(header.encode_param)  # mid-block reconfiguration
+    chunk = sd.decode()  # must not raise; the current block restarts
+    assert chunk.dtype == np.int32 and chunk.shape[0] == 2
+
+
+def test_streaming_rejects_mono_ms():
+    """Crafted mono+MS headers fail structurally, not with IndexError."""
+    sd = StreamingDecoder(StreamingDecoderConfig())
+    sd.set_wave_format(sla.WaveFormat(1, 16, 44100))
+    ep = sla.EncodeParameter(8, 1, 8, sla.ChannelProcessMethod.STEREO_MS,
+                             sla.WindowFunctionType.SIN, 4096)
+    sd.set_encode_parameter(ep)
+    with pytest.raises(SLAError) as ei:
+        sd.decode()
+    assert ei.value.result == ApiResult.INVALID_CHPROCESSMETHOD
+
+
+def test_streaming_rejects_even_longterm_and_tiny_blocks():
+    sd = StreamingDecoder(StreamingDecoderConfig())
+    sd.set_wave_format(sla.WaveFormat(2, 16, 44100))
+    with pytest.raises(SLAError):
+        sd.set_encode_parameter(sla.EncodeParameter(
+            8, 2, 8, sla.ChannelProcessMethod.STEREO_MS,
+            sla.WindowFunctionType.SIN, 4096))
+    with pytest.raises(SLAError):
+        sd.set_encode_parameter(sla.EncodeParameter(
+            8, 1, 8, sla.ChannelProcessMethod.STEREO_MS,
+            sla.WindowFunctionType.SIN, 1))
+
+
+def test_streaming_config_rejects_tiny_bit_depth():
+    with pytest.raises(SLAError):
+        StreamingDecoderConfig(max_bit_per_sample=4)
+    with pytest.raises(SLAError):
+        StreamingDecoderConfig(max_bit_per_sample=0)
+
+
+def test_decode_into_rejects_negative_offset():
+    pcm = gen_wave("sine", 20000, 2, 16, 0, seed=7)
+    blob = encode(pcm, 2, 16)
+    sd, header = _streaming_decoder_for(blob)
+    sd.append_data_fragment(blob[43:])
+    out = np.zeros((2, header.num_samples), dtype=np.int32)
+    with pytest.raises(SLAError):
+        sd.decode_into(out, offset=-4)
+    # a valid call still works after the rejection
+    assert sd.decode_into(out, offset=0) > 0
+
+
+def test_decode_out_dtype_mutation_detected():
+    """In-place dtype reassignment on the memoized out buffer must not
+    write raw int32 through a pointer the caller reads as float32."""
+    pcm = gen_wave("sine", 20000, 2, 16, 0, seed=8)
+    blob = encode(pcm, 2, 16)
+    sd, header = _streaming_decoder_for(blob)
+    sd.append_data_fragment(blob[43:])
+    buf = np.zeros((2, sd.output_samples_per_decode()), dtype=np.int32)
+    chunk = sd.decode(out=buf)
+    assert chunk.shape[1] > 0
+    buf.dtype = np.float32  # same itemsize: legal in-place numpy mutation
+    with pytest.raises(SLAError):
+        sd.decode(out=buf)
