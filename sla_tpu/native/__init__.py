@@ -15,7 +15,12 @@ import threading
 
 import numpy as np
 
+from ..constants import LONGTERM_MAX_PERIOD
 from ..errors import ApiResult, SLAError
+
+# single-row synth scratch: long-term ring capacity (any size >= max lag +
+# taps decodes identically; keep one canonical value, streaming.py's twin)
+_LT_HIST_LEN = LONGTERM_MAX_PERIOD + 2
 
 _DIR = pathlib.Path(__file__).resolve().parent
 _SRC = _DIR / "sla_native.cpp"
@@ -348,8 +353,11 @@ def crc16(data: bytes | bytearray | memoryview | np.ndarray) -> int:
     lib = _load()
     if isinstance(data, np.ndarray):
         # reinterpret as bytes: .size on a wider dtype would CRC only the
-        # first 1/itemsize of the buffer through a reinterpreted pointer
+        # first 1/itemsize of the buffer through a reinterpreted pointer;
+        # a non-contiguous view's raw pointer would CRC the skipped bytes
         buf = data.view(np.uint8) if data.dtype != np.uint8 else data
+        if not buf.flags.c_contiguous:
+            buf = np.ascontiguousarray(buf)
     else:
         buf = np.frombuffer(data, dtype=np.uint8)
     return int(lib.sla_crc16(_u8ptr(buf), buf.size))
@@ -403,7 +411,8 @@ def put_raw(data: np.ndarray, bits_per_ch: list[int]) -> bytes:
     cap = (sum(bits_per_ch) * N) // 8 + 64
     out = np.empty(cap, dtype=np.uint8)
     n = int(lib.sla_put_raw(_i32ptr(data), C, N, _i32ptr(bits), _u8ptr(out), cap))
-    assert n >= 0
+    if n < 0:
+        raise ValueError(f"native bit emission failed (rc={n})")
     return out[:n].tobytes()
 
 
@@ -525,7 +534,8 @@ def fft(data: np.ndarray, sign: int) -> None:
     """In-place real FFT with the reference's exact butterfly arithmetic
     (SLAUtility_FFT). data: (n,) float64, n a power of two."""
     lib = _load()
-    assert data.dtype == np.float64 and data.flags.c_contiguous
+    if data.dtype != np.float64 or not data.flags.c_contiguous:
+        raise ValueError("fft: need a C-contiguous float64 array")
     lib.sla_fft(_f64ptr(data), data.size, sign)
 
 
@@ -534,7 +544,8 @@ def lesolve(A: np.ndarray, b: np.ndarray, iterations: int = 2) -> int:
     long-double iterative refinement. Returns 0 ok, -1 singular."""
     lib = _load()
     A = np.ascontiguousarray(A, dtype=np.float64)
-    assert b.dtype == np.float64 and b.flags.c_contiguous
+    if b.dtype != np.float64 or not b.flags.c_contiguous:
+        raise ValueError("lesolve: need a C-contiguous float64 array")
     return int(lib.sla_lesolve(_f64ptr(A), _f64ptr(b), A.shape[0], iterations))
 
 
@@ -588,7 +599,7 @@ def ms_shift_blocks(
     strides = np.empty(W, dtype=np.int64)
     keep = []
     for b, rows in enumerate(sources):
-        if rows.strides[1] != 4 or rows.strides[0] % 4:
+        if rows.dtype != np.int32 or rows.strides[1] != 4 or rows.strides[0] % 4:
             rows = np.ascontiguousarray(rows, dtype=np.int32)
         keep.append(rows)
         ptrs[b] = rows.ctypes.data
@@ -681,12 +692,20 @@ class PayloadCursor:
             else np.frombuffer(stream, dtype=np.uint8)
         )
         out = np.empty((self.C, num_samples), dtype=np.int32)
-        lib.sla_get_data_array_partial(
+        _ck(lib.sla_get_data_array_partial(
             _u8ptr(buf), buf.size, ctypes.byref(self.bit_pos), self.C, num_samples,
             self.param_state.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             _u32ptr(self.eff_params), self.use_golomb, _i32ptr(out),
-        )
+        ), "payload_cursor.read")
         return out
+
+
+def _ck(rc: int, where: str) -> None:
+    """Raise on a nonzero native return code: the kernels reject geometry
+    they lack scratch for (e.g. num_taps > 8, orders > 64) and returning
+    their untouched/partial output as audio would be silent corruption."""
+    if rc:
+        raise ValueError(f"{where}: native kernel rejected the call (rc={rc})")
 
 
 def _threads() -> int:
@@ -868,8 +887,12 @@ def predict_stage1_rows_at(
     lib = _load()
     if parcor_coef.shape[1] > 64:
         raise ValueError("predict_stage1_rows_at: order out of native scratch range")
-    if base.dtype != np.int32 or base.strides[-1] != 4:
-        base = np.ascontiguousarray(base, dtype=np.int32)
+    if base.dtype != np.int32 or not base.flags.c_contiguous:
+        # row_offs embed the buffer's raw element layout: any re-layout or
+        # dtype copy would silently misaddress every row (the mixed-length
+        # gather below also assumes reshape(-1) is a view)
+        raise ValueError(
+            "predict_stage1_rows_at: base must be C-contiguous int32")
     offs = np.asarray(row_offs, dtype=np.int64)
     lens = np.asarray(lengths, dtype=np.int64)
     B = offs.size
@@ -962,7 +985,8 @@ def predict_stage2_rows(
     Equal-length rows run sixteen (AVX-512 lanes) or eight at a time
     through the interleaved SIMD cascade, like synth_rows."""
     lib = _load()
-    if lms_order > 64 or num_taps > 64:  # native scratch capacity bounds
+    if lms_order > 64 or num_taps > 8:  # native scratch bounds: every
+        # stage-2/synth kernel rejects num_taps > 8 (sla_native.cpp:4957)
         raise ValueError(
             f"predict_stage2_rows: order out of native scratch range "
             f"(lms={lms_order}, taps={num_taps})")
@@ -992,20 +1016,20 @@ def predict_stage2_rows(
         if row_lens is None and n == L and idx == list(range(i0, i0 + take)):
 
             def run(fn=fn, i0=i0, n=n, pit8=pit8, ltm8=ltm8):
-                fn(
+                _ck(fn(
                     _i32ptr(residual[i0:]), _i32ptr(out[i0:]), n,
                     _i32ptr(pit8), _i32ptr(ltm8), num_taps, lms_order,
-                )
+                ), "predict_stage2_rows")
 
         elif row_lens is None:
             in8 = np.ascontiguousarray(residual[idx, :n])
 
             def run(fn=fn, idx=idx, n=n, in8=in8, pit8=pit8, ltm8=ltm8):
                 out8 = np.empty_like(in8)
-                fn(
+                _ck(fn(
                     _i32ptr(in8), _i32ptr(out8), n, _i32ptr(pit8),
                     _i32ptr(ltm8), num_taps, lms_order,
-                )
+                ), "predict_stage2_rows")
                 out[idx, :n] = out8
 
         else:
@@ -1016,10 +1040,10 @@ def predict_stage2_rows(
             def run(fn=fn, idx=idx, n=n, in8=in8, pit8=pit8, ltm8=ltm8,
                     row_lens=row_lens):
                 out8 = np.empty_like(in8)
-                fn(
+                _ck(fn(
                     _i32ptr(in8), _i32ptr(out8), n, _i32ptr(pit8),
                     _i32ptr(ltm8), num_taps, lms_order,
-                )
+                ), "predict_stage2_rows")
                 for i, (b, nb) in enumerate(zip(idx, row_lens)):
                     out[b, :nb] = out8[i, :nb]
 
@@ -1028,10 +1052,10 @@ def predict_stage2_rows(
 
         def run(b=b, n=n):
             row = np.empty(n, dtype=np.int32)
-            lib.sla_predict_stage2(
+            _ck(lib.sla_predict_stage2(
                 _i32ptr(residual[b]), _i32ptr(row), n, int(pitch[b]),
                 _i32ptr(ltm[b]), num_taps, lms_order,
-            )
+            ), "predict_stage2")
             out[b, :n] = row
 
         jobs.append(run)
@@ -1054,7 +1078,7 @@ def synth_rows(
     Equal-length rows run eight at a time through the interleaved SIMD
     cascade; stragglers use the resumable single-row path."""
     lib = _load()
-    if parcor_coef.shape[1] > 64 or lms_order > 64 or num_taps > 64:
+    if parcor_coef.shape[1] > 64 or lms_order > 64 or num_taps > 8:
         raise ValueError("synth_rows: order out of native scratch range")
     residual = np.ascontiguousarray(residual, dtype=np.int32)
     B, L = residual.shape
@@ -1084,11 +1108,11 @@ def synth_rows(
             # consecutive full-width group: views straight through
 
             def run(fn=fn, i0=i0, n=n, coef8=coef8, pit8=pit8, ltm8=ltm8):
-                fn(
+                _ck(fn(
                     _i32ptr(residual[i0:]), _i32ptr(out[i0:]), n,
                     _i32ptr(coef8), p, _i32ptr(pit8), _i32ptr(ltm8),
                     num_taps, M,
-                )
+                ), "synth_rows")
 
         elif row_lens is None:
             res8 = np.ascontiguousarray(residual[idx, :n])
@@ -1096,10 +1120,10 @@ def synth_rows(
             def run(fn=fn, idx=idx, n=n, res8=res8, coef8=coef8,
                     pit8=pit8, ltm8=ltm8):
                 out8 = np.empty_like(res8)
-                fn(
+                _ck(fn(
                     _i32ptr(res8), _i32ptr(out8), n, _i32ptr(coef8), p,
                     _i32ptr(pit8), _i32ptr(ltm8), num_taps, M,
-                )
+                ), "synth_rows")
                 out[idx, :n] = out8
 
         else:
@@ -1110,17 +1134,17 @@ def synth_rows(
             def run(fn=fn, idx=idx, n=n, res8=res8, coef8=coef8,
                     pit8=pit8, ltm8=ltm8, row_lens=row_lens):
                 out8 = np.empty_like(res8)
-                fn(
+                _ck(fn(
                     _i32ptr(res8), _i32ptr(out8), n, _i32ptr(coef8), p,
                     _i32ptr(pit8), _i32ptr(ltm8), num_taps, M,
-                )
+                ), "synth_rows")
                 for i, (b, nb) in enumerate(zip(idx, row_lens)):
                     out[b, :nb] = out8[i, :nb]
 
         jobs.append(run)
     for n, b in singles:
         lat = np.zeros(p + 1, np.int32)
-        hist = np.zeros(258, np.int32)
+        hist = np.zeros(_LT_HIST_LEN, np.int32)
         ltp = np.zeros(1, np.int32)
         lms = np.zeros(4 * M, np.int32)
         lmsp = np.zeros(1, np.int32)
@@ -1158,9 +1182,10 @@ def synth_rows_fused(
     via NumPy (a masked fused store past a short row's length would
     clobber the next block's PCM region); requires parcor_order > 0."""
     lib = _load()
-    if parcor_coef.shape[1] > 64 or lms_order > 64 or num_taps > 64:
+    if parcor_coef.shape[1] > 64 or lms_order > 64 or num_taps > 8:
         raise ValueError("synth_rows_fused: order out of native scratch range")
-    assert residual.dtype == np.int32 and residual.flags.c_contiguous
+    if residual.dtype != np.int32 or not residual.flags.c_contiguous:
+        raise ValueError("synth_rows_fused: need C-contiguous int32 residual")
     B, L = residual.shape
     p = parcor_coef.shape[1]
     if p <= 0:
@@ -1197,20 +1222,20 @@ def synth_rows_fused(
 
                 def run(fn=fn, i0=i0, n=n, coef8=coef8, pit8=pit8,
                         ltm8=ltm8, off8=off8):
-                    fn(_i32ptr(residual[i0:]), n, _i32ptr(coef8), p,
-                       _i32ptr(pit8), _i32ptr(ltm8), num_taps, M,
-                       dest_ptr, off8.ctypes.data_as(p_i64),
-                       1 if ms else 0, int(shift))
+                    _ck(fn(_i32ptr(residual[i0:]), n, _i32ptr(coef8), p,
+                           _i32ptr(pit8), _i32ptr(ltm8), num_taps, M,
+                           dest_ptr, off8.ctypes.data_as(p_i64),
+                           1 if ms else 0, int(shift)), "synth_rows_fused")
 
             else:
 
                 def run(fn=fn, idx=idx, n=n, coef8=coef8, pit8=pit8,
                         ltm8=ltm8, off8=off8, take=take):
                     res8 = np.ascontiguousarray(residual[idx, :n])
-                    fn(_i32ptr(res8), n, _i32ptr(coef8), p,
-                       _i32ptr(pit8), _i32ptr(ltm8), num_taps, M,
-                       dest_ptr, off8.ctypes.data_as(p_i64),
-                       1 if ms else 0, int(shift))
+                    _ck(fn(_i32ptr(res8), n, _i32ptr(coef8), p,
+                           _i32ptr(pit8), _i32ptr(ltm8), num_taps, M,
+                           dest_ptr, off8.ctypes.data_as(p_i64),
+                           1 if ms else 0, int(shift)), "synth_rows_fused")
 
             jobs.append(run)
             continue
@@ -1228,8 +1253,8 @@ def synth_rows_fused(
         def run(fn=fn, idx=idx, n=n, res8=res8, coef8=coef8, pit8=pit8,
                 ltm8=ltm8, rl=rl):
             out8 = np.empty_like(res8)
-            fn(_i32ptr(res8), _i32ptr(out8), n, _i32ptr(coef8), p,
-               _i32ptr(pit8), _i32ptr(ltm8), num_taps, M)
+            _ck(fn(_i32ptr(res8), _i32ptr(out8), n, _i32ptr(coef8), p,
+                   _i32ptr(pit8), _i32ptr(ltm8), num_taps, M), "synth_rows_fused")
             for i, (b, nb) in enumerate(zip(idx, rl)):
                 residual[b, :nb] = out8[i, :nb]
 
@@ -1237,7 +1262,7 @@ def synth_rows_fused(
         leftover_rows.extend((b, nb) for b, nb in zip(idx, rl))
     for n, b in singles:
         lat = np.zeros(p + 1, np.int32)
-        hist = np.zeros(1024, np.int32)
+        hist = np.zeros(_LT_HIST_LEN, np.int32)
         ltp = np.zeros(1, np.int32)
         lms = np.zeros(4 * M, np.int32)
         lmsp = np.zeros(1, np.int32)
@@ -1298,14 +1323,14 @@ def synth_chunk(
     lib = _load()
     residual = np.ascontiguousarray(residual, dtype=np.int32)
     out = np.empty_like(residual)
-    lib.sla_synth_chunk(
+    _ck(lib.sla_synth_chunk(
         _i32ptr(residual), _i32ptr(out), residual.size,
         _i32ptr(parcor_coef), parcor_coef.size, _i32ptr(lattice_state),
         pitch, _i32ptr(ltm_coef), num_taps,
         _i32ptr(lt_hist), lt_hist.size, _i32ptr(lt_processed),
         lms_order, _i32ptr(lms_state), _i32ptr(lms_processed),
         _i32ptr(deemph_prev),
-    )
+    ), "synth_chunk")
     return out
 
 
@@ -2006,7 +2031,11 @@ def lpc_analyze_rows_at_i32(
     the two channel rows at sample offset offsets[b]."""
     lib = _load()
     if data_int32.dtype != np.int32 or data_int32.strides[1] != 4:
-        data_int32 = np.ascontiguousarray(data_int32, dtype=np.int32)
+        # mode-0 offsets embed ch * (the ORIGINAL row stride) — a copy here
+        # would recompute cstride but cannot fix those offsets
+        raise ValueError(
+            "lpc_analyze_rows_at_i32: signal must be int32 with unit "
+            "inner stride (offsets embed its raw layout)")
     cstride = data_int32.strides[0] // 4
     offs = np.ascontiguousarray(offsets, dtype=np.int64)
     mds = np.ascontiguousarray(modes, dtype=np.int32)
@@ -2049,7 +2078,8 @@ def pack_parts(values: np.ndarray, lengths: np.ndarray) -> bytes:
     out = np.empty(cap, dtype=np.uint8)
     n = int(lib.sla_pack_parts(_u32ptr(values), _i32ptr(lengths), values.size,
                                _u8ptr(out), cap))
-    assert n >= 0
+    if n < 0:
+        raise ValueError(f"native bit emission failed (rc={n})")
     return out[:n].tobytes()
 
 

@@ -510,3 +510,38 @@ def test_malformed_device_threshold_falls_back(monkeypatch):
 
     monkeypatch.setenv("SLA_TPU_DEVICE_THRESHOLD", "16e6")
     assert select_backend("auto", 1000) in ("host", "device", "mesh")
+
+
+def test_native_wrappers_reject_bad_geometry():
+    """The Python wrappers must reject what the native kernels reject
+    (num_taps > 8) instead of returning partial/uninitialized output, and
+    must surface any nonzero native return code."""
+    import numpy as np
+    import pytest
+    from sla_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    res = np.zeros((2, 64), dtype=np.int32)
+    coef = np.zeros((2, 8), dtype=np.int32)
+    pitch = np.full(2, 50, dtype=np.int32)
+    ltm = np.zeros((2, 9), dtype=np.int32)
+    with pytest.raises(ValueError):
+        native.synth_rows(res, coef, pitch, ltm, num_taps=9, lms_order=8)
+    with pytest.raises(ValueError):
+        native.predict_stage2_rows(res, pitch, ltm, 9, 8)
+
+
+def test_native_crc16_strided_view():
+    """A non-contiguous uint8 view must CRC its logical bytes, not the raw
+    underlying buffer span."""
+    import numpy as np
+    from sla_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 256, 1024, dtype=np.uint8)
+    view = raw[::2]
+    assert native.crc16(view) == native.crc16(np.ascontiguousarray(view))
+    assert native.crc16(view) == native.crc16(view.tobytes())
