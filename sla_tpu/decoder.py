@@ -94,6 +94,37 @@ class SalvageSegment:
     pcm: np.ndarray  # (C, n) canonical int32
 
 
+def _block_crc_ok(data, offset: int, block_size: int) -> bool:
+    """Verify one block's CRC16: stored big-endian at bytes offset+6..8,
+    computed from SLA_BLOCK_CRC16_CALC_START_OFFSET to the block end — the
+    single wire-format CRC layout (SLAEncoder.c:787-795), shared by the
+    header parse and the index-reuse re-verification."""
+    stored = int.from_bytes(bytes(data[offset + 6 : offset + 8]), "big")
+    calc = crc16(
+        memoryview(data)[
+            offset + SLA_BLOCK_CRC16_CALC_START_OFFSET : offset + block_size
+        ]
+    )
+    return calc == stored
+
+
+def _synth_group_rows(C: int, L: int) -> int:
+    """Blocks per bounded synthesis group (~100 MB of (rows, L) int32):
+    shared by the grouped entropy decode and the synthesis batching so the
+    premade zero-copy layout always matches."""
+    return max(1, (100 << 20) // (C * L * 4))
+
+
+def _fill_block_filter_rows(blk, bi: int, C: int, coef, pitch, ltm, lengths):
+    """One block's C rows of the batched synthesis parameters — the single
+    layout both the fused and general decode paths consume (keeping them
+    bit-identical, CLAUDE.md invariant 2)."""
+    coef[bi * C : (bi + 1) * C] = blk.parcor_coef[:, 1:]
+    pitch[bi * C : (bi + 1) * C] = blk.pitch
+    ltm[bi * C : (bi + 1) * C] = blk.ltm_coef
+    lengths[bi * C : (bi + 1) * C] = blk.num_samples
+
+
 class Decoder:
     def __init__(self, config: DecoderConfig | None = None):
         self.config = config or DecoderConfig()
@@ -159,20 +190,21 @@ class Decoder:
             raise SLAError(ApiResult.FAILED_TO_FIND_SYNC_CODE)
         next_offset = r.get(32)
         block_size = next_offset + 6
-        stored_crc = r.get(16)
+        r.get(16)  # stored CRC16 (verified from the raw bytes below)
         if self.config.enable_crc_check and offset + block_size <= len(data):
-            calc = crc16(
-                memoryview(data)[
-                    offset + SLA_BLOCK_CRC16_CALC_START_OFFSET : offset + block_size
-                ]
-            )
-            if calc != stored_crc:
+            if not _block_crc_ok(data, offset, block_size):
                 raise SLAError(ApiResult.DETECT_DATA_CORRUPTION)
         num_samples = r.get(16)
         type_bits = r.get(2)
         if type_bits > 2:  # only COMPRESS/SILENT/RAW exist
             raise SLAError(ApiResult.DETECT_DATA_CORRUPTION)
         if num_samples == 0:  # no real encoder emits empty blocks
+            raise SLAError(ApiResult.DETECT_DATA_CORRUPTION)
+        if num_samples > ep.max_num_block_samples:
+            # a (re-stampable) CRC cannot protect against crafted counts:
+            # an oversized one would overflow the (C, max_block) synthesis
+            # batch fill with a bare ValueError instead of a structured
+            # reject — and crash decode_salvage, which only catches SLAError
             raise SLAError(ApiResult.DETECT_DATA_CORRUPTION)
         btype = BlockDataType(type_bits)
         blk = _Block(offset, block_size, num_samples, btype)
@@ -221,6 +253,7 @@ class Decoder:
                 data, SLA_HEADER_SIZE, num_samples, wf.num_channels,
                 ep.parcor_order, ep.longterm_order, wf.bit_per_sample,
                 self.config.enable_crc_check,
+                max_block_samples=ep.max_num_block_samples,
             )
             err = res["error"]
             if err == -12:
@@ -309,6 +342,12 @@ class Decoder:
         ((C, n) canonical int32 PCM, bytes consumed)."""
         self._require_params()
         blk = self.parse_block_header(data, offset)
+        if blk.block_size > len(data) - offset:
+            # the declared size is NOT covered by the block CRC (it sits in
+            # bytes 2..6, before the CRC's own field): an inflated value
+            # would skip CRC verification above (parse only CRCs when the
+            # range fits) and return a consumed count past the buffer
+            raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE)
         payload = self._decode_payload(data, blk)
         pcm = self.synthesize_blocks([blk], [payload])[0]
         return pcm, blk.block_size
@@ -420,17 +459,7 @@ class Decoder:
             # (O(window), the whole point of the index is skipping the
             # O(stream) walk)
             for b in sel:
-                stored = int.from_bytes(
-                    bytes(data[b.data_offset + 6 : b.data_offset + 8]), "big"
-                )
-                calc = crc16(
-                    memoryview(data)[
-                        b.data_offset
-                        + SLA_BLOCK_CRC16_CALC_START_OFFSET : b.data_offset
-                        + b.block_size
-                    ]
-                )
-                if calc != stored:
+                if not _block_crc_ok(data, b.data_offset, b.block_size):
                     raise SLAError(ApiResult.DETECT_DATA_CORRUPTION)
         first_pos = int(starts[i0])
         covered = sum(b.num_samples for b in sel)
@@ -462,6 +491,10 @@ class Decoder:
         gap_before = 0
         offset = SLA_HEADER_SIZE
         done = 0
+        # undecodable bytes at the TAIL of a flushed run (payload-damaged
+        # blocks with nothing after them in the run): they belong to the
+        # NEXT segment's gap_before_bytes, or are simply trailing damage
+        carry_gap = [0]
 
         def flush() -> None:
             if not run:
@@ -519,6 +552,7 @@ class Decoder:
                     pending_gap += b.block_size
                 pos_b += b.block_size
             emit()
+            carry_gap[0] += pending_gap  # tail damage: next segment's gap
 
         while done < header.num_samples and (
             offset + SLA_MINIMUM_BLOCK_HEADER_SIZE <= len(data)
@@ -552,7 +586,8 @@ class Decoder:
                     pos += 1 if found is None else 0
                 if found is None:
                     break  # no further intact block (or hunt budget spent)
-                gap_before = pos - offset
+                gap_before = carry_gap[0] + (pos - offset)
+                carry_gap[0] = 0
                 run_start = pos
                 offset = pos
                 blk = found
@@ -582,7 +617,7 @@ class Decoder:
             # independent), so bytes/PCM are identical to one-shot decode
             C = wf.num_channels
             L = ep.max_num_block_samples
-            group = max(1, (100 << 20) // (C * L * 4))
+            group = _synth_group_rows(C, L)
             out = np.empty((C, total_samples), dtype=np.int32)
             t_ent = t_syn = 0.0
             off = 0
@@ -745,10 +780,7 @@ class Decoder:
         N = out.shape[-1]
         for bi, i in enumerate(comp):
             blk = grp[i]
-            coef[bi * C : (bi + 1) * C] = blk.parcor_coef[:, 1:]
-            pitch[bi * C : (bi + 1) * C] = blk.pitch
-            ltm[bi * C : (bi + 1) * C] = blk.ltm_coef
-            lengths[bi * C : (bi + 1) * C] = blk.num_samples
+            _fill_block_filter_rows(blk, bi, C, coef, pitch, ltm, lengths)
             for ch in range(C):
                 dest_offs[bi * C + ch] = ch * N + offs[i]
         native.synth_rows_fused(
@@ -793,7 +825,7 @@ class Decoder:
         total_row_samples = sum(blocks[i].num_samples for i in comp_all) * C
         backend = self._select_backend(total_row_samples)
         # bound the synthesis batch buffer (~100 MB) for very long streams
-        max_group = max(1, (100 << 20) // (C * L * 4))
+        max_group = _synth_group_rows(C, L)
         use_premade = (
             premade is not None
             and backend == "host"
@@ -817,10 +849,7 @@ class Decoder:
                 blk = blocks[i]
                 if not use_premade:
                     residual[bi * C : (bi + 1) * C, : blk.num_samples] = payloads[i]
-                coef[bi * C : (bi + 1) * C] = blk.parcor_coef[:, 1:]
-                pitch[bi * C : (bi + 1) * C] = blk.pitch
-                ltm[bi * C : (bi + 1) * C] = blk.ltm_coef
-                lengths[bi * C : (bi + 1) * C] = blk.num_samples
+                _fill_block_filter_rows(blk, bi, C, coef, pitch, ltm, lengths)
             if backend == "mesh":
                 # rows sharded across every device (see Encoder backend='mesh')
                 from .parallel import make_mesh, shard_batch, sharded_decode_step

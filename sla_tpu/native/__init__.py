@@ -210,7 +210,7 @@ def _load_locked() -> ctypes.CDLL | None:
     ]
     lib.sla_parse_block_headers.restype = i64
     lib.sla_parse_block_headers.argtypes = [
-        p_u8, i64, i64, i64, i32, i32, i32, i32, i32, i64,
+        p_u8, i64, i64, i64, i32, i32, i32, i32, i32, i32, i64,
         p_i64, p_i64, p_i32, p_i32, p_i64, p_i32, p_i32, p_i32, p_u32,
     ]
     lib.sla_parse_stream_block_header.restype = i64
@@ -1865,32 +1865,44 @@ def parse_block_headers(
     num_taps: int,
     bits_per_sample: int,
     enable_crc: bool,
+    max_block_samples: int = 0,
 ):
     """Bulk block-header walk. Returns a dict of per-block arrays, or raises
     SLAError-compatible codes via a (code) int in 'error'."""
     lib = _load()
     buf = np.frombuffer(stream, dtype=np.uint8)
-    # generous bound: every block carries at least the minimum header
-    max_blocks = max(total_samples // 2048 + 2, 2)
     C = num_channels
     Tdim = max(num_taps, 1)
-    offs = np.zeros(max_blocks, np.int64)
-    sizes = np.zeros(max_blocks, np.int64)
-    nsamp = np.zeros(max_blocks, np.int32)
-    types = np.zeros(max_blocks, np.int32)
-    payload_bits = np.zeros(max_blocks, np.int64)
-    coef = np.zeros((max_blocks, C, parcor_order + 1), np.int32)
-    pitch = np.zeros((max_blocks, C), np.int32)
-    ltm = np.zeros((max_blocks, C, Tdim), np.int32)
-    init_rice = np.zeros((max_blocks, C), np.uint32)
     p_i64c = ctypes.POINTER(ctypes.c_int64)
-    nb = int(lib.sla_parse_block_headers(
-        _u8ptr(buf), buf.size, offset, total_samples, C, parcor_order,
-        num_taps, bits_per_sample, int(enable_crc), max_blocks,
-        offs.ctypes.data_as(p_i64c), sizes.ctypes.data_as(p_i64c),
-        _i32ptr(nsamp), _i32ptr(types), payload_bits.ctypes.data_as(p_i64c),
-        _i32ptr(coef), _i32ptr(pitch), _i32ptr(ltm), _u32ptr(init_rice),
-    ))
+    # first guess: conformant encoders emit blocks of >= 2048 samples
+    # (SLA_MIN_BLOCK_NUM_SAMPLES), so real streams fit; a crafted-but-valid
+    # stream of many tiny blocks grows the arrays on the native -13 signal
+    # (blocks have >= 1 sample, so total_samples + 1 slots always suffice)
+    max_blocks = max(total_samples // 2048 + 2, 2)
+    while True:
+        offs = np.zeros(max_blocks, np.int64)
+        sizes = np.zeros(max_blocks, np.int64)
+        nsamp = np.zeros(max_blocks, np.int32)
+        types = np.zeros(max_blocks, np.int32)
+        payload_bits = np.zeros(max_blocks, np.int64)
+        coef = np.zeros((max_blocks, C, parcor_order + 1), np.int32)
+        pitch = np.zeros((max_blocks, C), np.int32)
+        ltm = np.zeros((max_blocks, C, Tdim), np.int32)
+        init_rice = np.zeros((max_blocks, C), np.uint32)
+        nb = int(lib.sla_parse_block_headers(
+            _u8ptr(buf), buf.size, offset, total_samples, C, parcor_order,
+            num_taps, bits_per_sample, int(enable_crc),
+            int(max_block_samples), max_blocks,
+            offs.ctypes.data_as(p_i64c), sizes.ctypes.data_as(p_i64c),
+            _i32ptr(nsamp), _i32ptr(types), payload_bits.ctypes.data_as(p_i64c),
+            _i32ptr(coef), _i32ptr(pitch), _i32ptr(ltm), _u32ptr(init_rice),
+        ))
+        if nb == -13 and max_blocks <= total_samples:
+            max_blocks = min(max_blocks * 8, total_samples + 1)
+            continue
+        break
+    if nb == -13:  # slots exhausted even at the hard cap: corrupt counts
+        return {"error": -11}
     if nb < 0:
         return {"error": nb}
     return {

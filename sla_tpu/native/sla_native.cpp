@@ -5376,7 +5376,7 @@ int32_t sla_synth_rows16_out(int32_t* work, int32_t n,
 int64_t sla_parse_block_headers(
     const uint8_t* data, int64_t size, int64_t offset, int64_t total_samples,
     int32_t C, int32_t order, int32_t num_taps, int32_t bits_per_sample,
-    int32_t enable_crc, int64_t max_blocks,
+    int32_t enable_crc, int32_t max_block_samples, int64_t max_blocks,
     int64_t* block_offsets, int64_t* block_sizes, int32_t* num_samples_out,
     int32_t* block_types, int64_t* payload_bit_offsets,
     int32_t* coef_out /* max_blocks * C * (order+1) */,
@@ -5403,6 +5403,11 @@ int64_t sla_parse_block_headers(
     int32_t btype = (int32_t)r.get(2);
     if (btype > 2) return -11;  // only COMPRESS/SILENT/RAW exist: corruption
     if (nsamp == 0) return -11;  // no real encoder emits empty blocks
+    // the caller-side entropy/synthesis batches are sized by the stream's
+    // declared max block samples; a crafted larger count (the CRC is
+    // re-stampable) would overrun those rows — corruption verdict, exactly
+    // like the pure-Python twin (decoder.py parse_block_header)
+    if (max_block_samples > 0 && nsamp > max_block_samples) return -11;
     block_offsets[nb] = offset;
     block_sizes[nb] = block_size;
     num_samples_out[nb] = nsamp;
@@ -5446,7 +5451,11 @@ int64_t sla_parse_block_headers(
     offset += block_size;
     done += nsamp;
   }
-  return (done >= total_samples) ? nb : -9;
+  if (done >= total_samples) return nb;
+  // distinguish "out of output slots" (a valid stream can carry more,
+  // smaller blocks than the caller sized for — retry with more room)
+  // from genuine truncation
+  return (nb >= max_blocks) ? -13 : -9;
 }
 
 // One-shot streaming block-header parse (the streaming decoder's per-block

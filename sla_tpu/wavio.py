@@ -109,10 +109,13 @@ def serialize_wav(wav: WavFile) -> bytes:
     bps = wav.bits_per_sample
     bytes_per = bps // 8
     pcm_size = n * bytes_per * ch
+    # RIFF requires word-aligned chunks: an odd data chunk carries one pad
+    # byte NOT counted in the chunk size but counted in the RIFF size
+    pad = pcm_size & 1
     header = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
         b"RIFF",
-        pcm_size + 36,
+        pcm_size + pad + 36,
         b"WAVE",
         b"fmt ",
         16,
@@ -141,7 +144,7 @@ def serialize_wav(wav: WavFile) -> bytes:
         body = inter.astype("<i4").tobytes()
     else:
         raise SLAError(ApiResult.INVALID_HEADER_FORMAT, f"unsupported bit depth {bps}")
-    return header + body
+    return header + body + (b"\x00" if pad else b"")
 
 
 def write_wav(path: str, wav: WavFile) -> None:

@@ -408,3 +408,92 @@ def test_init_rice_overflow_rejected_structurally():
     ))
     with pytest.raises(SLAError):
         enc2.encode_block(pcm[:, 20480:22480])
+
+
+def _restamp_block_crc(blob: bytearray, off: int, size: int) -> None:
+    from sla_tpu.crc16 import crc16 as _crc
+    c = _crc(bytes(blob[off + 8 : off + size]))
+    blob[off + 6 : off + 8] = c.to_bytes(2, "big")
+
+
+def test_decode_block_inflated_size_rejected(stream):
+    """The next-offset field is NOT CRC-covered: inflating it must raise,
+    not skip CRC verification and return consumed bytes past the buffer."""
+    blob, pcm = stream
+    from sla_tpu.decoder import Decoder
+    from sla_tpu.format import decode_header
+
+    header, _ = decode_header(blob)
+    dec = Decoder()
+    dec.set_wave_format(header.wave_format)
+    dec.set_encode_parameter(header.encode_param)
+    first = dec.parse_block_header(blob, 43)
+    bad = bytearray(blob)
+    huge = len(blob)  # declared size reaching past the buffer end
+    bad[43 + 2 : 43 + 6] = (huge - 6).to_bytes(4, "big")
+    with pytest.raises(SLAError) as ei:
+        dec.decode_block(bytes(bad), 43)
+    assert ei.value.result == ApiResult.INSUFFICIENT_DATA_SIZE
+    # the intact stream still block-decodes fine
+    out, consumed = dec.decode_block(blob, 43)
+    assert consumed == first.block_size
+
+
+def test_oversized_num_samples_rejected(stream):
+    """num_samples > max_num_block_samples with a re-stamped CRC must be a
+    structured corruption verdict on every decode path (it would otherwise
+    overrun the (C, max_block)-sized batches with a bare ValueError)."""
+    blob, pcm = stream
+    from sla_tpu.decoder import Decoder
+    from sla_tpu.format import decode_header
+
+    header, _ = decode_header(blob)
+    dec = Decoder()
+    dec.set_wave_format(header.wave_format)
+    dec.set_encode_parameter(header.encode_param)
+    first = dec.parse_block_header(blob, 43)
+    bad = bytearray(blob)
+    n_big = header.encode_param.max_num_block_samples + 1000
+    bad[43 + 8 : 43 + 10] = n_big.to_bytes(2, "big")
+    _restamp_block_crc(bad, 43, first.block_size)
+    bad = bytes(bad)
+    with pytest.raises(SLAError):
+        dec.decode_block(bad, 43)
+    with pytest.raises(SLAError):
+        sla.Decoder().decode_whole(bad)
+    # salvage must recover the intact tail, not crash with ValueError
+    hdr, segs = sla.Decoder().decode_salvage(bad)
+    assert sum(s.pcm.shape[1] for s in segs) > 0
+
+
+def test_many_tiny_blocks_stream_decodes():
+    """A crafted-but-valid stream of many sub-2048-sample SILENT blocks
+    must decode on the native scan path exactly like the pure-Python twin
+    (the slot bound grows on demand instead of reporting truncation)."""
+    from sla_tpu import native
+    from sla_tpu.crc16 import crc16 as _crc
+    from sla_tpu.format import HeaderInfo, encode_header
+
+    wf = sla.WaveFormat(1, 16, 48000)
+    ep = sla.PRESETS[0]
+    n_blocks, n_per = 40, 100
+    header = HeaderInfo(wf, ep, num_samples=n_blocks * n_per,
+                        num_blocks=n_blocks, max_block_size=64,
+                        max_bit_per_second=1)
+    out = bytearray(encode_header(header))
+    for _ in range(n_blocks):
+        blk = bytearray()
+        blk += b"\xff\xff"                      # sync
+        body = bytearray()
+        body += n_per.to_bytes(2, "big")        # num_samples
+        body.append(0b01000000)                 # type=SILENT (2 bits) + pad
+        size = 2 + 4 + 2 + len(body)            # sync + offset + crc + body
+        blk += (size - 6).to_bytes(4, "big")    # next-block offset
+        crc = _crc(bytes(body))
+        blk += crc.to_bytes(2, "big")
+        blk += body
+        out += blk
+    blob = bytes(out)
+    hdr, pcm = sla.Decoder().decode_whole(blob)
+    assert pcm.shape == (1, n_blocks * n_per)
+    assert not pcm.any()

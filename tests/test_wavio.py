@@ -26,8 +26,26 @@ def test_8bit_offset_binary():
     blob = wavio.serialize_wav(
         wavio.WavFile(1, 8000, 8, np.array([[-128 << 24, 0, 127 << 24]], np.int32))
     )
-    body = blob[-3:]
+    body = blob[44:47]  # data chunk payload (an odd chunk adds a pad byte)
     assert body == bytes([0, 128, 255])
+
+
+def test_odd_data_chunk_padded():
+    """RIFF chunks are word-aligned: an odd data chunk carries a pad byte
+    (excluded from the chunk size, included in the RIFF size)."""
+    import struct
+
+    blob = wavio.serialize_wav(
+        wavio.WavFile(1, 8000, 8, np.array([[0, 0, 0]], np.int32))
+    )
+    assert len(blob) % 2 == 0
+    riff_size = struct.unpack("<I", blob[4:8])[0]
+    assert riff_size == len(blob) - 8
+    data_size = struct.unpack("<I", blob[40:44])[0]
+    assert data_size == 3 and blob[-1] == 0
+    # round-trip through our own parser still works
+    wav = wavio.parse_wav(blob)
+    assert wav.data.shape == (1, 3)
 
 
 def test_unknown_chunks_skipped():
