@@ -244,22 +244,15 @@ class Encoder:
         n = data.shape[1]
         if n > self.config.max_num_block_samples:
             raise SLAError(ApiResult.EXCEED_HANDLE_CAPACITY)
+        if n < 1:  # an empty block has no wire representation
+            raise SLAError(ApiResult.INVALID_ARGUMENT, "empty block")
         data = np.ascontiguousarray(data, dtype=np.int32)
         shift = 32 - wf.bit_per_sample + wf.offset_lshift
         plan = _BlockPlan(0, n)
         int32_blk, _, dbl = self._convert_views(data, shift, shift)
         self._analyze_blocks(int32_blk, dbl, [plan])
         self._run_filters([plan])
-        if plan.init_rice is not None and any(
-            int(v) >= (1 << wf.bit_per_sample) for v in plan.init_rice
-        ):
-            # same reference-defect gate as _finalize_encode: the field
-            # would truncate and the stream would not decode losslessly
-            raise SLAError(
-                ApiResult.INVALID_ARGUMENT,
-                "block residual magnitude exceeds the initial Rice "
-                "parameter field (the reference silently corrupts here)",
-            )
+        self._check_init_rice([plan])
         return self._encode_block_payload(plan)
 
     # -- whole-file encode ----------------------------------------------------
@@ -390,6 +383,7 @@ class Encoder:
             self._run_filters(plans)
             self.stage_times["filters"] += time.perf_counter() - t0
             t0 = time.perf_counter()
+            self._check_init_rice(plans)  # same gate as the one-shot path
             use_native = (
                 native.available()
                 and not os.environ.get("SLA_TPU_DEVICE_ENTROPY")
@@ -463,19 +457,17 @@ class Encoder:
         self.stage_times["analysis"] = time.perf_counter() - t0
         return num_samples, plans
 
-    def _finalize_encode(self, num_samples: int, plans: list["_BlockPlan"]) -> bytes:
-        """Entropy-code all blocks and assemble the container."""
-        wf, ep = self._wave_format, self._encode_param
-        # reference defect gate (assert compiled out under NDEBUG,
-        # SLACoder.c:402): a block mean zigzag magnitude that does not fit
-        # the bit_per_sample-wide initial-Rice-parameter field writes
-        # TRUNCATED bits, and the reference's own decoder then desyncs and
-        # silently corrupts the block. Like the 32-bit full-scale case
-        # (PARITY.md known deviations), raise a structured error instead of
-        # emitting a stream nothing can decode losslessly. Checked here —
-        # per encoder — so mixed-depth batched jobs each use THEIR field
-        # width.
-        init_limit = 1 << wf.bit_per_sample
+    def _check_init_rice(self, plans: list["_BlockPlan"]) -> None:
+        """Reference defect gate (assert compiled out under NDEBUG,
+        SLACoder.c:402): a block mean zigzag magnitude that does not fit
+        the bit_per_sample-wide initial-Rice-parameter field writes
+        TRUNCATED bits, and the reference's own decoder then desyncs and
+        silently corrupts the block. Like the 32-bit full-scale case
+        (PARITY.md known deviations), raise a structured error instead of
+        emitting a stream nothing can decode losslessly. Checked per
+        encoder — mixed-depth batched jobs each use THEIR field width —
+        and on BOTH the one-shot and segmented paths."""
+        init_limit = 1 << self._wave_format.bit_per_sample
         for pl in plans:
             if pl.init_rice is not None and any(
                 int(v) >= init_limit for v in pl.init_rice
@@ -485,6 +477,11 @@ class Encoder:
                     "block residual magnitude exceeds the initial Rice "
                     "parameter field (the reference silently corrupts here)",
                 )
+
+    def _finalize_encode(self, num_samples: int, plans: list["_BlockPlan"]) -> bytes:
+        """Entropy-code all blocks and assemble the container."""
+        wf, ep = self._wave_format, self._encode_param
+        self._check_init_rice(plans)
         if (
             native.available()
             and not os.environ.get("SLA_TPU_DEVICE_ENTROPY")
@@ -706,7 +703,6 @@ class Encoder:
             for i in range(0, len(idxs), max_group)
         ]
         for n, idxs in grouped:
-            window = win.make_window(ep.window_function_type, n)
             stats = None
             if native.available():
                 # one native pass per group: per-channel max/min feed both
@@ -726,6 +722,17 @@ class Encoder:
                         plan.block_type = BlockDataType.SILENT
                 elif not np.any(plan.raw_int32):
                     plan.block_type = BlockDataType.SILENT
+            # the expensive exact-order float64 analysis only runs for rows
+            # that can still become COMPRESSDATA — silent blocks discard it
+            # (the reference skips them the same way, SLAEncoder.c:519-528)
+            live_rows = [
+                row for row, i in enumerate(idxs)
+                if plans[i].block_type != BlockDataType.SILENT
+            ]
+            live = [idxs[r] for r in live_rows]
+            if not live:
+                continue
+            window = win.make_window(ep.window_function_type, n)
             if native.available() and p >= 1:
                 # exact-order analysis: byte-identity needs the reference's
                 # float64 summation order (see native sla_lpc_analyze).
@@ -740,30 +747,30 @@ class Encoder:
                 cstride = dbl_src.data.strides[0] // 4
                 if dbl_src.ms:
                     offs = np.asarray(
-                        [plans[i].offset for i in idxs for _ in range(C)],
+                        [plans[i].offset for i in live for _ in range(C)],
                         dtype=np.int64,
                     )
-                    modes = np.asarray([1, 2] * len(idxs), dtype=np.int32)
+                    modes = np.asarray([1, 2] * len(live), dtype=np.int32)
                 else:
                     offs = np.asarray(
                         [
                             ch * cstride + plans[i].offset
-                            for i in idxs
+                            for i in live
                             for ch in range(C)
                         ],
                         dtype=np.int64,
                     )
-                    modes = np.zeros(len(idxs) * C, dtype=np.int32)
+                    modes = np.zeros(len(live) * C, dtype=np.int32)
                 parcor_r, len_r = native.lpc_analyze_rows_at_i32(
                     dbl_src.data, offs, modes, n, p, wf.bit_per_sample,
                     window=window, emphasis=True,
                 )
-                parcor = parcor_r.reshape((len(idxs), C, p + 1))
-                code_len = len_r.reshape((len(idxs), C))
+                parcor = parcor_r.reshape((len(live), C, p + 1))
+                code_len = len_r.reshape((len(live), C))
             else:
-                batch_dbl = np.empty((len(idxs), C, n), dtype=np.float64)
-                for row, i in enumerate(idxs):
-                    batch_dbl[row] = dbl_src.materialize(
+                batch_dbl = np.empty((len(live), C, n), dtype=np.float64)
+                for k, i in enumerate(live):
+                    batch_dbl[k] = dbl_src.materialize(
                         plans[i].offset, plans[i].offset + n
                     )
                 # toolchain-free exact path: pure-Python twins of the exact
@@ -784,13 +791,11 @@ class Encoder:
             comp_rows: list[int] = []
             comp_plans: list[_BlockPlan] = []
             rshifts: list[np.ndarray] = []
-            for row, i in enumerate(idxs):
+            for k, (row, i) in enumerate(zip(live_rows, live)):
                 plan = plans[i]
-                if plan.block_type == BlockDataType.SILENT:
-                    continue
                 # raw fallback when prediction will not compress
                 # (per-channel check in channel order, SLAEncoder.c:553-565)
-                if np.any(ratio[row] >= SLA_ESTIMATE_CODELENGTH_THRESHOLD):
+                if np.any(ratio[k] >= SLA_ESTIMATE_CODELENGTH_THRESHOLD):
                     plan.block_type = BlockDataType.RAWDATA
                     continue
                 if stats is not None:
@@ -806,7 +811,7 @@ class Encoder:
                 plan.parcor_rshift = np.asarray(
                     rshift_for_sint32(bw), dtype=np.int32
                 )
-                comp_rows.append(row)
+                comp_rows.append(k)
                 comp_plans.append(plan)
                 rshifts.append(plan.parcor_rshift)
             if comp_plans:
@@ -1187,10 +1192,6 @@ class Encoder:
         w.write_bytes_at(2, (size - 6).to_bytes(4, "big"))
         w.write_bytes_at(6, crc.to_bytes(2, "big"))
         return w.getvalue()
-
-
-def sufficient_output_size(num_channels: int, num_samples: int, bit_per_sample: int) -> int:
-    return SLA_HEADER_SIZE + 2 * num_channels * num_samples * (bit_per_sample // 8) + 1024
 
 
 def encode_whole_batch(

@@ -497,3 +497,28 @@ def test_many_tiny_blocks_stream_decodes():
     hdr, pcm = sla.Decoder().decode_whole(blob)
     assert pcm.shape == (1, n_blocks * n_per)
     assert not pcm.any()
+
+
+def test_init_rice_overflow_rejected_on_segmented_path(monkeypatch):
+    """The segmented long-stream encode must enforce the same initial-Rice
+    overflow gate as the one-shot path (it used to silently emit a stream
+    that desyncs at decode)."""
+    monkeypatch.setenv("SLA_TPU_SEGMENT_SAMPLES", "8192")
+    pcm = gen_wave("nyquist", 22480, 1, 8, 0, seed=20260819622)
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(1, 8, 192000))
+    enc.set_encode_parameter(sla.EncodeParameter(
+        48, 5, 16, sla.ChannelProcessMethod.NONE,
+        sla.WindowFunctionType.BLACKMAN, 4096,
+    ))
+    with pytest.raises(SLAError) as e:
+        enc.encode_whole(pcm)
+    assert "initial Rice" in str(e.value)
+
+
+def test_encode_block_rejects_empty():
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(1, 16, 44100))
+    enc.set_encode_parameter(sla.PRESETS[0])
+    with pytest.raises(SLAError):
+        enc.encode_block(np.zeros((1, 0), dtype=np.int32))
