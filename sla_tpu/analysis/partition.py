@@ -67,25 +67,34 @@ def span_autocorrelations(
     ends = node_positions[spans[:, 1]]
     out = np.empty((len(spans), C, lags), dtype=np.float64)
     for k in range(lags):
-        e = np.maximum(ends - k, starts)
+        lim = N - k
+        if lim <= 0:
+            # lag reaches past the whole signal: every span sum is empty
+            # (the native twin clamps the same way, sla_native.cpp span
+            # query positions q = min(qpos, limit))
+            out[:, :, k] = 0.0
+            continue
+        # clamp query positions to the valid product range [0, lim]: a span
+        # shorter than the lag (tiny tail windows) sums zero products
+        s = np.minimum(starts, lim)
+        e = np.minimum(np.maximum(ends - k, starts), lim)
         # all query positions for this lag, deduplicated and sorted
-        qpos = np.unique(np.concatenate([starts, e]))
-        qpos = qpos[qpos <= N - k]
-        prod = data[:, : N - k] * data[:, k:]
+        qpos = np.unique(np.concatenate([s, e]))
+        prod = data[:, :lim] * data[:, k:]
         # segment sums between consecutive query positions -> prefix at qpos
-        bounds = qpos[:-1] if qpos.size and qpos[-1] == N - k else qpos
+        bounds = qpos[:-1] if qpos.size and qpos[-1] == lim else qpos
         if bounds.size == 0 or bounds[0] != 0:
             bounds = np.concatenate([[0], bounds])
-        # every bound is < N-k by construction (the == N-k entry was
+        # every bound is < lim by construction (the == lim entry was
         # stripped above), so reduceat never sees an out-of-range index
         seg = np.add.reduceat(prod, bounds, axis=-1)
         prefix_at = np.concatenate(
             [np.zeros((C, 1)), np.cumsum(seg, axis=-1)], axis=-1
         )  # prefix value after each boundary
         # map positions -> prefix values (all queries are exact members)
-        pos_all = np.concatenate([bounds, [N - k]])
+        pos_all = np.concatenate([bounds, [lim]])
         e_idx = np.searchsorted(pos_all, e)
-        s_idx = np.searchsorted(pos_all, starts)
+        s_idx = np.searchsorted(pos_all, s)
         out[:, :, k] = (prefix_at[:, e_idx] - prefix_at[:, s_idx]).T
     return out
 

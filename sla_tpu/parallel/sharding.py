@@ -58,6 +58,13 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(BLOCK_AXIS, CHANNEL_AXIS, None))
 
 
+def _vary(x):
+    """Mark a scan carry as varying over BOTH manual mesh axes (shard_map
+    bodies trace with replicated-by-default leaves; the per-row filter
+    state is per-shard)."""
+    return jax.lax.pcast(x, (BLOCK_AXIS, CHANNEL_AXIS), to="varying")
+
+
 def _reject_assert_mode() -> None:
     """checkify.check calls embedded by SLA_TPU_DEBUG_ASSERTS=1 cannot be
     functionalized through shard_map; fail with a clear message (at trace
@@ -96,9 +103,12 @@ def sharded_encode_step(
     Returns (residual (NB, NC, L), abs_sum (NB, NC), global_max_bitlen ()):
     the final residual, the per-row zigzag magnitude sum (the initial Rice
     parameter numerator, SLACoder.c:361-385), and the globally reduced
-    maximum estimated payload bit length — the `max_block_size` header
-    statistic (SLAEncoder.c:890-898) computed as a mesh collective rather
-    than serial loop state.
+    maximum estimated payload bit length: a crude 2+log2(mean) finiteness
+    statistic over the PADDED row length (demonstrating the cross-shard
+    pmax collective; zero padding dilutes the mean) — NOT the exact
+    `max_block_size` header field, which the host computes from the real
+    encoded block sizes (SLAEncoder.c:890-898). Callers use it only as a
+    sharded-reduction smoke value.
     """
     _reject_assert_mode()
 
@@ -110,9 +120,7 @@ def sharded_encode_step(
         pit = pitch.reshape(B)
         ltm = ltm_coef.reshape(B, -1)
 
-        # scan carries must be marked varying over the manual mesh axes
-        def vary(x):
-            return jax.lax.pcast(x, (BLOCK_AXIS, CHANNEL_AXIS), to="varying")
+        vary = _vary
 
         emphasized, _ = pre_emphasis(rows, vary(jnp.zeros((B,), jnp.int32)))
         residual, _ = lattice_predict(
@@ -168,8 +176,7 @@ def sharded_encode_stage1(
         nb, nc, L = data.shape
         B = nb * nc
 
-        def vary(x):
-            return jax.lax.pcast(x, (BLOCK_AXIS, CHANNEL_AXIS), to="varying")
+        vary = _vary
 
         emphasized, _ = pre_emphasis(data.reshape(B, L), vary(jnp.zeros((B,), jnp.int32)))
         residual, _ = lattice_predict(
@@ -203,8 +210,7 @@ def sharded_encode_stage2(
         rows = residual.reshape(B, L)
         pit = pitch.reshape(B)
 
-        def vary(x):
-            return jax.lax.pcast(x, (BLOCK_AXIS, CHANNEL_AXIS), to="varying")
+        vary = _vary
 
         if num_taps > 0:
             lt_res, _ = longterm_predict(
@@ -265,8 +271,7 @@ def sharded_decode_step(
         pit = pitch.reshape(B)
         ltm = ltm_coef.reshape(B, -1)
 
-        def vary(x):
-            return jax.lax.pcast(x, (BLOCK_AXIS, CHANNEL_AXIS), to="varying")
+        vary = _vary
 
         out, _ = lms_synthesize(
             rows, jax.tree.map(vary, lms_init_state(B, lms_order)), lms_order

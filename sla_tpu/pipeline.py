@@ -131,6 +131,20 @@ def encode_stage1(data: jnp.ndarray, parcor_coef: jnp.ndarray, parcor_order: int
     return _encode_stage1_scan(data, parcor_coef, parcor_order)
 
 
+def _longterm_predict_gated(residual, pitch, ltm_coef, num_taps):
+    """Shared long-term predict prelude of every encode stage-2 variant:
+    rows with pitch == 0 pass through unchanged (the single gating pattern
+    all backends must share bit-identically — CLAUDE.md invariant 2; the
+    mesh twin in parallel/sharding.py repeats it with pcast-marked state)."""
+    if num_taps <= 0:
+        return residual
+    B = residual.shape[0]
+    lt_res, _ = longterm_predict(
+        residual, pitch, ltm_coef, num_taps, jnp.zeros((B,), jnp.int32)
+    )
+    return jnp.where((pitch > 0)[:, None], lt_res, residual)
+
+
 @functools.partial(jax.jit, static_argnames=("num_taps", "lms_order"))
 def _encode_stage2_scan(
     residual: jnp.ndarray,
@@ -140,12 +154,7 @@ def _encode_stage2_scan(
     lms_order: int,
 ):
     B = residual.shape[0]
-    if num_taps > 0:
-        lt_res, _ = longterm_predict(
-            residual, pitch, ltm_coef, num_taps, jnp.zeros((B,), jnp.int32)
-        )
-        # rows with pitch < minimum threshold skip the long-term stage
-        residual = jnp.where((pitch > 0)[:, None], lt_res, residual)
+    residual = _longterm_predict_gated(residual, pitch, ltm_coef, num_taps)
     out, _ = lms_predict(residual, lms_init_state(B, lms_order), lms_order)
     return out
 
@@ -161,11 +170,7 @@ def _encode_stage2_pallas(
     from .kernels.pallas_filters import TILE_B, lms_filter_tl
 
     B = residual.shape[0]
-    if num_taps > 0:
-        lt_res, _ = longterm_predict(
-            residual, pitch, ltm_coef, num_taps, jnp.zeros((B,), jnp.int32)
-        )
-        residual = jnp.where((pitch > 0)[:, None], lt_res, residual)
+    residual = _longterm_predict_gated(residual, pitch, ltm_coef, num_taps)
     res_p = _pad_rows(residual, TILE_B)
     out_t = lms_filter_tl(res_p.T, lms_order)
     return out_t.T[:B]
@@ -221,11 +226,7 @@ def encode_filters(
     residual, _ = lattice_predict(
         emphasized, parcor_coef, lattice_init_state(B, parcor_order)
     )
-    if num_taps > 0:
-        lt_res, _ = longterm_predict(
-            residual, pitch, ltm_coef, num_taps, jnp.zeros((B,), jnp.int32)
-        )
-        residual = jnp.where((pitch > 0)[:, None], lt_res, residual)
+    residual = _longterm_predict_gated(residual, pitch, ltm_coef, num_taps)
     out, _ = lms_predict(residual, lms_init_state(B, lms_order), lms_order)
     return out
 
@@ -381,7 +382,9 @@ def select_backend(configured: str, row_samples: int) -> str:
 
     ndev = len(jax.devices())
     plat = jax.default_backend()
-    if plat == "tpu":
+    if plat in ("tpu", "axon"):  # axon = tunneled TPU plugin (TPU-class,
+        # same gate as _use_pallas); the link probe below still sends slow
+        # tunnels (~5-30 MB/s on this host) to the native host cascade
         if measured_link_bandwidth() < 200e6:
             return "host"
         return "mesh" if ndev > 1 else "device"
