@@ -84,6 +84,14 @@ class BitWriter:
 
     def write_bytes_at(self, pos: int, data: bytes) -> None:
         """Back-patch already-emitted bytes (offset/CRC fields)."""
+        if pos < 0 or pos + len(data) > len(self._buf):
+            # bytearray slice assignment would silently APPEND at the end
+            # for an out-of-range pos — a stale back-patch offset must be
+            # loud, not a corrupted stream
+            raise ValueError(
+                f"back-patch [{pos}, {pos + len(data)}) outside the "
+                f"{len(self._buf)}-byte buffer"
+            )
         self._buf[pos : pos + len(data)] = data
 
     def put_bytes(self, data: bytes) -> None:

@@ -38,8 +38,20 @@ def crc16(data: bytes | bytearray | memoryview | np.ndarray, init: int = 0x0000)
         from . import native
 
         if native.available():
-            return native.crc16(bytes(data) if isinstance(data, memoryview) else data)
-    buf = np.frombuffer(bytes(data), dtype=np.uint8) if not isinstance(data, np.ndarray) else data.astype(np.uint8, copy=False)
+            # memoryviews pass through zero-copy (native.crc16 wraps them
+            # with np.frombuffer); only non-contiguous views need a copy
+            if isinstance(data, memoryview) and not data.contiguous:
+                data = bytes(data)
+            return native.crc16(data)
+    if isinstance(data, np.ndarray):
+        # reinterpret the raw bytes (like the native path) — astype would
+        # keep only each element's low byte and silently diverge from the
+        # native backend on any wider dtype
+        if not data.flags.c_contiguous:  # .view needs contiguity first
+            data = np.ascontiguousarray(data)
+        buf = data.view(np.uint8) if data.dtype != np.uint8 else data
+    else:
+        buf = np.frombuffer(bytes(data), dtype=np.uint8)
     crc = init
     n = buf.size
     i = 0

@@ -122,7 +122,12 @@ def decode_header(data: bytes) -> tuple[HeaderInfo, ApiResult]:
     try:
         ch_method = ChannelProcessMethod(ch_method)
     except ValueError:
-        # corrupt enum field: structured verdict, not a ValueError leak
+        # corrupt enum field: structured verdict, not a ValueError leak —
+        # and when the CRC already flagged the header, report CORRUPTION
+        # (the right diagnosis) rather than "malformed format"
+        if status == ApiResult.DETECT_DATA_CORRUPTION:
+            raise SLAError(ApiResult.DETECT_DATA_CORRUPTION,
+                           "header CRC mismatch") from None
         raise SLAError(ApiResult.INVALID_HEADER_FORMAT,
                        f"ch_process_method {ch_method}") from None
     header = HeaderInfo(

@@ -376,6 +376,12 @@ def put_data_array(data: np.ndarray, init_params: list[int]) -> bytes:
         n = int(lib.sla_put_data_array(_i32ptr(data), C, N, _u32ptr(params), _u8ptr(out), cap))
         if n >= 0:
             return out[:n].tobytes()
+        if n == -3:
+            raise SLAError(
+                ApiResult.INVALID_ARGUMENT,
+                "pathological static-Golomb run (the reference would emit "
+                "a multi-gigabit unary string here)",
+            )
         if n == -2:
             raise ValueError(f"put_data_array: too many channels for native scratch ({C})")
         cap *= 2
@@ -1756,6 +1762,12 @@ def encode_blocks(
             if prefix_reserve:
                 return out[: prefix_reserve + n], sizes
             return pay[:n].tobytes(), sizes
+        if n == -3:
+            raise SLAError(
+                ApiResult.INVALID_ARGUMENT,
+                "pathological static-Golomb run (the reference would emit "
+                "a multi-gigabit unary string here)",
+            )
         if n == -2:
             raise ValueError(f"encode_blocks: too many channels for native scratch ({C})")
         cap *= 2
@@ -1816,6 +1828,12 @@ def encode_block(
         )
         if n >= 0:
             return out[:n].tobytes()
+        if n == -3:
+            raise SLAError(
+                ApiResult.INVALID_ARGUMENT,
+                "pathological static-Golomb run (the reference would emit "
+                "a multi-gigabit unary string here)",
+            )
         if n == -2:
             raise ValueError(f"encode_block: too many channels for native scratch ({C})")
         cap *= 2

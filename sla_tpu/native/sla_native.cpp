@@ -81,9 +81,11 @@ struct BitWriter {
   uint64_t acc;    // pending bits, right-aligned
   int nacc;        // number of pending bits (< 8 after drain)
   bool overflow;
+  bool fatal;  // pathological emission (unbounded Golomb run): abort encode
 
   void init(uint8_t* b, int64_t c) {
     buf = b; cap = c; nbytes = 0; acc = 0; nacc = 0; overflow = false;
+    fatal = false;
   }
   inline void drain() {
     const int out = nacc >> 3;  // whole bytes pending
@@ -305,6 +307,11 @@ static inline uint32_t get_gamma(BitReader& r) {
 // -------------------------------------------------------------- golomb code
 static inline void put_golomb(BitWriter& w, uint32_t m, uint32_t val) {
   uint32_t quot = val / m, rest = val % m;
+  // static Golomb has no gamma escape: a channel whose u32 parameter store
+  // wrapped to a tiny m would make one symbol a multi-gigabit unary run
+  // (the Python twin raises the same structured error; valid content never
+  // comes near this bound)
+  if (quot > (1u << 26)) { w.fatal = true; return; }
   w.put_unary(quot);
   if ((m & (m - 1)) == 0) {  // Rice fast path
     if (m > 1) w.put(rest, log2_pow2(m));
@@ -683,6 +690,7 @@ int64_t sla_put_data_array(const int32_t* data, int32_t C, int32_t N,
         put_golomb(w, eff[ch], zigzag(data[(int64_t)ch * N + s]));
   }
   w.flush();
+  if (w.fatal) return -3;  // pathological static-Golomb run
   return w.overflow ? -1 : w.nbytes;
 }
 
@@ -4204,6 +4212,7 @@ static int64_t encode_block_core(
         w.put(zigzag(residual[(int64_t)ch * row_stride + s]), raw_bits[ch]);
   }
   w.flush();
+  if (w.fatal) return -3;  // pathological static-Golomb run
   if (w.overflow) return -1;
   int64_t size = w.nbytes;
   // back-patch next-block offset (bytes 2..5) and CRC16 (bytes 6..7)

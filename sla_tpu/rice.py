@@ -51,7 +51,9 @@ def param_set_fixed(v: int) -> int:
 
 
 def fixed_to_uint(p: int) -> int:
-    """FIXED_FLOAT_TO_UINT32: truncating uint32 cast (SLACoder.c:16)."""
+    """FIXED_FLOAT_TO_UINT32: ROUNDING uint32 conversion — the macro adds
+    half before the shift, (x + 128) >> 8 (SLACoder.c:16); removing the
+    + _HALF would change every derived Rice parameter (invariant 1)."""
     return ((p + _HALF) >> _FRAC) & _M32
 
 
@@ -69,7 +71,7 @@ def param_update(p: int, code: int) -> int:
 
 def rice_param(p: int) -> int:
     """Power-of-two Rice parameter derived from the running mean."""
-    return _roundup_pow2(max(((p >> 1) + _HALF >> _FRAC) & _M32, 1))
+    return _roundup_pow2(param_get(p >> 1))
 
 
 def effective_init_param(init: int) -> int:
@@ -122,8 +124,26 @@ def get_gamma(r: BitReader) -> int:
     return (1 << (ndigit - 1)) + rest - 1
 
 
+# static-Golomb DoS guard: unlike the adaptive recursive-Rice path (which
+# gamma-escapes quotients >= 16, SLACoder.c:258-264), static Golomb has NO
+# escape — a symbol's unary run is val/m bits. A pathological channel whose
+# zigzag mean wraps the u32 parameter store to a tiny m (e.g. mean 2^31+1
+# -> m=1) would make the reference emit a multi-GIGABIT run for one symbol.
+# No real content comes near this bound (~8 MB for ONE symbol); refuse with
+# a structured error like the other reference-defect gates.
+_GOLOMB_MAX_QUOT = 1 << 26
+
+
 def put_golomb(w: BitWriter, m: int, val: int) -> None:
     quot, rest = divmod(val, m)
+    if quot > _GOLOMB_MAX_QUOT:
+        from .errors import ApiResult, SLAError
+
+        raise SLAError(
+            ApiResult.INVALID_ARGUMENT,
+            "pathological static-Golomb run (the reference would emit a "
+            "multi-gigabit unary string here)",
+        )
     w.put_unary(quot)
     if m & (m - 1) == 0:  # power of two: Rice fast path
         if m > 1:
@@ -138,17 +158,19 @@ def put_golomb(w: BitWriter, m: int, val: int) -> None:
 
 
 def get_golomb(r: BitReader, m: int) -> int:
+    # returns wrap to uint32 like the C (corrupt payloads can overflow the
+    # quot*m product; valid streams never reach the mask)
     quot = r.get_zero_run()
     if m & (m - 1) == 0:
         rest = r.get(m.bit_length() - 1) if m > 1 else 0
-        return quot * m + rest
+        return (quot * m + rest) & _M32
     b = (m - 1).bit_length()
     two_b = 1 << b
     rest = r.get(b - 1)
     if rest < two_b - m:
-        return quot * m + rest
+        return (quot * m + rest) & _M32
     rest = (rest << 1) + r.get(1)
-    return quot * m + rest - (two_b - m)
+    return (quot * m + rest - (two_b - m)) & _M32
 
 
 def put_recursive_rice(w: BitWriter, state: RiceState, val: int) -> None:
@@ -196,6 +218,10 @@ def get_recursive_rice(r: BitReader, state: RiceState) -> int:
             quot += get_gamma(r)
         rest = r.get(k.bit_length() - 1) if k != 1 else 0
         val += k * (quot - (nump - 1)) + rest
+    # corrupt payloads can produce quot/k products past 2^32: the C
+    # reference computes in uint32 and wraps (the native backend matches);
+    # without the mask the int32 store below raises a bare OverflowError
+    val &= _M32
     tmp = val
     for i in range(min(quot + 1, nump)):
         k = rice_param(params[i])

@@ -81,3 +81,20 @@ def test_zero_run_overread_marker():
     assert r.tell() > 2  # ceil((16+1)/8) = 3: overshoot visible
     with pytest.raises(IndexError):
         r.get(1)
+
+
+def test_write_bytes_at_rejects_out_of_range():
+    """bytearray slice assignment silently APPENDS for an out-of-range pos;
+    a stale back-patch offset must be loud instead."""
+    import pytest
+
+    from sla_tpu.bitio import BitWriter
+
+    w = BitWriter()
+    w.put_bytes(b"\x00" * 4)
+    with pytest.raises(ValueError):
+        w.write_bytes_at(100, b"AB")
+    with pytest.raises(ValueError):
+        w.write_bytes_at(3, b"AB")  # tail crosses the end
+    w.write_bytes_at(2, b"AB")  # in-range patch still works
+    assert w.getvalue() == b"\x00\x00AB"

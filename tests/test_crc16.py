@@ -26,3 +26,28 @@ def test_slice_by_8_matches_bytewise():
 def test_a_wav_golden(a_wav):
     # golden value from the reference test suite (test_SLAUtility.c:71)
     assert crc16(a_wav.read_bytes()) == 0xA611
+
+
+def test_crc16_ndarray_backend_identity():
+    """Both crc16 backends must reinterpret an ndarray's raw BYTES (astype
+    would keep only each int32's low byte and silently diverge)."""
+    import numpy as np
+
+    from sla_tpu import native
+    from sla_tpu.crc16 import crc16
+
+    arr = np.arange(7, dtype=np.int32)
+    expect = crc16(arr.tobytes())
+    assert crc16(arr) == expect
+    if native.available():
+        assert native.crc16(arr) == expect
+    # pure-Python path agrees too
+    import sla_tpu.crc16 as m
+    import sla_tpu.native as nat
+    orig = nat.available
+    try:
+        nat.available = lambda: False
+        assert m.crc16(arr) == expect
+        assert m.crc16(memoryview(arr.tobytes())) == expect
+    finally:
+        nat.available = orig

@@ -120,3 +120,46 @@ def test_gamma_overlong_digits_poisons_reader():
         cur.read(np.frombuffer(payload, dtype=np.uint8), 8)
         # over-read marker must be visible to the caller's position check
         assert int(cur.bit_pos.value) > 8 * len(payload)
+
+
+def test_corrupt_payload_decode_wraps_uint32():
+    """Corrupt payloads can drive quot*k past 2^32: the decode must wrap in
+    uint32 like the C reference (the native backend does), never raise a
+    bare OverflowError from the int32 store."""
+    from sla_tpu.bitio import BitReader
+    from sla_tpu.rice import RiceState, get_golomb, get_recursive_rice
+
+    # a long in-buffer zero run against a huge adaptive parameter
+    st = RiceState(1 << 30)
+    r = BitReader(b"\x00" * 400 + b"\xff" * 16)
+    v = get_recursive_rice(r, st)
+    assert 0 <= v < (1 << 32)
+    # static Golomb with a huge m and a long run
+    r = BitReader(b"\x00" * 400 + b"\xff" * 16)
+    v = get_golomb(r, 1 << 22)
+    assert 0 <= v < (1 << 32)
+
+
+def test_pathological_golomb_put_rejected():
+    """A symbol whose static-Golomb unary run would be multi-gigabit must
+    raise a structured error on BOTH entropy backends (the reference would
+    emit it; see the u32 parameter-wrap defect class)."""
+    import numpy as np
+    import pytest
+
+    from sla_tpu import native, rice
+    from sla_tpu.bitio import BitWriter
+    from sla_tpu.errors import SLAError
+
+    w = BitWriter()
+    with pytest.raises(SLAError):
+        rice.put_golomb(w, 1, 1 << 31)
+    with pytest.raises(SLAError):
+        rice.put_data_array(
+            BitWriter(), [1], [np.array([-(1 << 31)], dtype=np.int32)], 1
+        )
+    if native.available():
+        with pytest.raises(SLAError):
+            native.put_data_array(
+                np.array([[-(1 << 31)]], dtype=np.int32), [1]
+            )

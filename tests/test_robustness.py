@@ -522,3 +522,16 @@ def test_encode_block_rejects_empty():
     enc.set_encode_parameter(sla.PRESETS[0])
     with pytest.raises(SLAError):
         enc.encode_block(np.zeros((1, 0), dtype=np.int32))
+
+
+def test_corrupt_ch_method_reports_corruption(stream):
+    """A flipped ch_process_method byte (CRC already mismatching) must be
+    diagnosed as DATA CORRUPTION, not 'invalid header format'."""
+    from sla_tpu.format import decode_header
+
+    blob, _ = stream
+    bad = bytearray(blob)
+    bad[28] = 0x77  # invalid enum value; header CRC now mismatches
+    with pytest.raises(SLAError) as ei:
+        decode_header(bytes(bad))
+    assert ei.value.result == ApiResult.DETECT_DATA_CORRUPTION
