@@ -58,6 +58,12 @@ def _step_mag(res: jnp.ndarray) -> jnp.ndarray:
 
 def _lms_scan(data: jnp.ndarray, state: LmsState, num_coef: int, synthesize: bool):
     M = num_coef
+    if M == 0:
+        # order 0 is a valid stream parameter OF THIS FRAMEWORK (the
+        # reference decoder segfaults on it — PARITY.md known deviations;
+        # tests/test_optimize.py pins the round trip): the filter is a
+        # passthrough, like lattice_predict's order-0 gate
+        return data, state
 
     from .. import debug
 

@@ -49,7 +49,12 @@ def longterm_predict(
 
     data: (B, N) int32; pitch: (B,) int32 (0 = passthrough);
     coef: (B, T) int32 Q31; processed: (B,) int32 count of samples already
-    seen (for warmup across streaming calls). Returns (residual, new count).
+    seen — ONLY the warmup gate (samples before max_delay pass through);
+    the tap history is read from THIS chunk alone (zero-filled before
+    position 0), so a resumed call with processed > 0 does NOT see the
+    previous chunk's samples. Whole-block calls (every current caller
+    passes zeros) are exact; chunked resumption would need carried
+    history like the native resumable cascade. Returns (residual, count).
     """
     B, N = data.shape
     q = _q15(coef)  # (B, T)

@@ -78,7 +78,7 @@ def _lattice_kernel(data_ref, coef_ref, out_ref, b_state, x_prev, *, parcor_orde
                             p=p, tile_l=tile_l, pre_emphasis=pre_emphasis)
         return
 
-    c = coef_ref[:]  # (p, TB)
+    c = coef_ref[:p, :]  # (p, TB); the block is sublane-padded to 8 rows
 
     def body(s, _unused=None):
         # s is the carried int32 sample counter (the fori index is int64
@@ -371,8 +371,13 @@ def fused_synth_tl(data_t, coef_t, prm_t, parcor_order, num_taps, lms_order,
         hist_d=hist_d,
     )
     nl = data_t.shape[0] // TILE_L
+    pp = -(-p // 8) * 8  # Mosaic sublane rule (see lattice_filter_tl)
+    if pp != p:
+        coef_t = jnp.concatenate(
+            [coef_t, jnp.zeros((pp - p, coef_t.shape[1]), coef_t.dtype)], axis=0
+        )
     coef_tiled = jnp.tile(coef_t, (nl, 1))
-    coef_spec = pl.BlockSpec((p, TILE_B), lambda b, l: (l, b), memory_space=pltpu.VMEM)
+    coef_spec = pl.BlockSpec((pp, TILE_B), lambda b, l: (l, b), memory_space=pltpu.VMEM)
     if prm_t.shape[0] < 8:
         prm_t = jnp.concatenate(
             [prm_t, jnp.zeros((8 - prm_t.shape[0], prm_t.shape[1]), prm_t.dtype)],
@@ -442,8 +447,16 @@ def lattice_filter_tl(data_t, coef_t, parcor_order, pre_emphasis=True,
     # L-step so every grid step maps to a fresh block. nl * p * B int32 is
     # a few hundred KB at most.
     nl = data_t.shape[0] // TILE_L
+    # pad the coefficient block's sublane dim to a multiple of 8 (Mosaic
+    # block-shape rule, CLAUDE.md invariant 6 — the long-term prm block is
+    # padded the same way); the kernel reads rows 0..p-1 only
+    pp = -(-p // 8) * 8
+    if pp != p:
+        coef_t = jnp.concatenate(
+            [coef_t, jnp.zeros((pp - p, coef_t.shape[1]), coef_t.dtype)], axis=0
+        )
     coef_tiled = jnp.tile(coef_t, (nl, 1))
-    coef_spec = pl.BlockSpec((p, TILE_B), lambda b, l: (l, b), memory_space=pltpu.VMEM)
+    coef_spec = pl.BlockSpec((pp, TILE_B), lambda b, l: (l, b), memory_space=pltpu.VMEM)
     scratch = [
         pltpu.VMEM((p + 1, TILE_B), jnp.int32),
         pltpu.VMEM((1, TILE_B), jnp.int32),
@@ -455,6 +468,8 @@ def lattice_filter_tl(data_t, coef_t, parcor_order, pre_emphasis=True,
 def lms_filter_tl(data_t, lms_order, synthesize=False, interpret=False):
     """data_t: (L, B) int32. Returns (L, B)."""
     M = lms_order
+    if M == 0:  # valid stream parameter: passthrough (see kernels/lms.py)
+        return data_t
 
     def kernel(data_ref, out_ref, state):
         _lms_kernel(

@@ -126,7 +126,9 @@ def encode_stage1(data: jnp.ndarray, parcor_coef: jnp.ndarray, parcor_order: int
         return debug.run_checked(
             _encode_stage1_scan, data, parcor_coef, parcor_order=parcor_order
         )
-    if _use_pallas() and data.shape[1] % 2048 == 0:
+    if _use_pallas() and data.shape[1] % 2048 == 0 and parcor_order >= 1:
+        # order 0 (passthrough lattice) runs the scan twin — the Pallas
+        # kernel's stage recursion cannot express an empty coef block
         return _encode_stage1_pallas(data, parcor_coef, parcor_order)
     return _encode_stage1_scan(data, parcor_coef, parcor_order)
 
@@ -325,7 +327,10 @@ def decode_stage(
     # the ring sizing below needs concrete pitches; under an outer jit
     # (traced pitch) the scan path handles it (_longterm_chunk returns 1)
     pitch_concrete = not isinstance(pitch, jax.core.Tracer)
-    if _use_pallas() and residual.shape[1] % 2048 == 0 and pitch_concrete:
+    if (_use_pallas() and residual.shape[1] % 2048 == 0 and pitch_concrete
+            and parcor_order >= 1 and lms_order >= 1):
+        # order-0 lattice/LMS streams (valid here, PARITY.md) take the scan
+        # twin — the fused Pallas kernel cannot size empty state blocks
         # smallest sufficient ring for the Pallas long-term kernel (the
         # per-step masked work is linear in the ring depth)
         from .kernels.pallas_filters import longterm_ring_depth

@@ -320,3 +320,43 @@ def test_lattice_order0_passthrough():
     out, st2 = lattice_synthesize(res, coef, st)
     assert np.array_equal(np.asarray(out), data)
     assert np.array_equal(np.asarray(st2)[:, 0], data[:, -1])
+
+
+def test_lms_order_zero_passthrough():
+    """LMS order 0 is a valid stream parameter of this framework
+    (PARITY.md): the scan kernel must pass through, not crash lax.scan
+    with a zero-width carry."""
+    import numpy as np
+
+    from sla_tpu.kernels.lms import lms_init_state, lms_predict, lms_synthesize
+
+    data = jnp.asarray(np.arange(-16, 16, dtype=np.int32).reshape(2, 16))
+    st = lms_init_state(2, 0)
+    out, _ = lms_predict(data, st, 0)
+    assert np.array_equal(np.asarray(out), np.asarray(data))
+    out, _ = lms_synthesize(data, st, 0)
+    assert np.array_equal(np.asarray(out), np.asarray(data))
+
+
+def test_scan_backend_decodes_order0_streams(monkeypatch):
+    """A stream with parcor 0 / lms 0 (ours-only parameter points) must
+    decode through the JAX scan backend, not just the native cascade."""
+    import numpy as np
+
+    import sla_tpu as sla
+    from .test_encode_decode import gen_wave
+
+    pcm = gen_wave("chirp", 9000, 2, 16, 0, seed=3)
+    wf = sla.WaveFormat(2, 16, 44100)
+    param = sla.EncodeParameter(
+        0, 1, 0, sla.ChannelProcessMethod.STEREO_MS,
+        sla.WindowFunctionType.SIN, 4096,
+    )
+    enc = sla.Encoder()
+    enc.set_wave_format(wf)
+    enc.set_encode_parameter(param)
+    blob = enc.encode_whole(pcm)
+    from sla_tpu import native
+    monkeypatch.setattr(native, "available", lambda: False)
+    _, out = sla.Decoder().decode_whole(blob)
+    assert np.array_equal(out, pcm)
