@@ -46,7 +46,8 @@ def _make_spec() -> list[OptionSpec]:
         OptionSpec("t", "trace", True,
                    "Write a TPU profiler trace to the given directory"),
         OptionSpec("b", "batch", False,
-                   "Corpus mode: INPUT is a directory of WAVs, OUTPUT a directory"),
+                   "Corpus mode: INPUT is a directory of WAVs (-e) or SLAs (-d), "
+                   "OUTPUT a directory"),
         OptionSpec("f", "filter-batch", True,
                    "Corpus mode: fuse N files' blocks per filter dispatch default:1"),
         OptionSpec("V", "verify", False,
@@ -395,6 +396,33 @@ def main(argv: list[str] | None = None) -> int:
             # "no" (main.c:499-503 strcmp ternary) — do not "fix" this to
             # reject typos, it would diverge from the reference CLI
             enable_crc = get_argument_string(spec, "crc-check") == "yes"
+        if get_option_acquired(spec, "batch"):
+            if (get_option_acquired(spec, "window")
+                    or get_option_acquired(spec, "recover")
+                    or get_option_acquired(spec, "streaming")):
+                print(f"{prog}: -b cannot combine with -w, -r or -s.",
+                      file=sys.stderr)
+                return 1
+            from .corpus import decode_corpus
+
+            in_dir = pathlib.Path(positional[0])
+            files = sorted(
+                p for p in in_dir.iterdir()
+                if p.is_file() and p.suffix.lower() == ".sla"
+            )
+            if not files:
+                print(f"{prog}: no SLA files in {in_dir}.", file=sys.stderr)
+                return 1
+            res = decode_corpus(
+                files, positional[1], verbose=verbose,
+                decoder_config=DecoderConfig(enable_crc_check=enable_crc),
+            )
+            if verbose:
+                print(
+                    f"corpus: {res.encoded} decoded, {res.skipped} resumed, "
+                    f"{res.failed} failed, {res.seconds:.1f}s"
+                )
+            return 1 if res.failed else 0
         if get_option_acquired(spec, "window"):
             if get_option_acquired(spec, "recover") or get_option_acquired(spec, "streaming"):
                 print(f"{prog}: -w cannot combine with -r or -s.", file=sys.stderr)

@@ -29,6 +29,7 @@ import pathlib
 import time
 
 from . import preset_parameter, wavio
+from .decoder import Decoder, DecoderConfig
 from .encoder import Encoder, EncoderConfig, encode_whole_batch
 from .errors import SLAError
 from .format import WaveFormat
@@ -265,9 +266,141 @@ def encode_corpus(
     return result
 
 
-def merge_manifests(out_dir: str | pathlib.Path) -> dict:
-    """Merge every per-process ``manifest_<i>.json`` in out_dir into one
-    ``manifest.json`` covering the whole corpus.
+def decode_corpus(
+    files: list[str | pathlib.Path],
+    out_dir: str | pathlib.Path,
+    resume: bool = True,
+    process_index: int | None = None,
+    process_count: int | None = None,
+    decoder_config: DecoderConfig | None = None,
+    verbose: bool = False,
+) -> CorpusResult:
+    """Decode a .sla corpus into out_dir, one .wav per input — the decode
+    twin of :func:`encode_corpus` (the reference decodes one file per
+    invocation, /root/reference/src/main.c:172-275; this is its bulk mode).
+
+    Same machinery as the encode side: round-robin process sharding, atomic
+    ``<name>.wav.done`` resume markers (suffix-distinct from encode's
+    ``.done`` so the two directions can share a directory), pid-suffixed
+    temps swept on restart, per-process ``decode_manifest_<i>.json``.
+    Verification is the decoder's own CRC gates (stream header + per-block,
+    on by default in :class:`DecoderConfig`); a corrupt file is recorded in
+    the manifest with its error and does not abort the run."""
+    out_dir = pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if process_index is None or process_count is None:
+        process_index, process_count = 0, 1
+        try:  # CLAUDE.md invariant 3: never initialize a backend from here
+            from jax._src import xla_bridge
+
+            if xla_bridge._backends:
+                import jax
+
+                process_index = jax.process_index()
+                process_count = jax.process_count()
+        except Exception:
+            pass
+
+    all_paths = [pathlib.Path(f) for f in files]
+    mine = shard_files(all_paths, process_index, process_count)
+    t0 = time.time()
+    decoded = skipped = failed = 0
+    in_bytes = out_bytes = 0
+    manifest: dict = {}
+
+    dec = Decoder(decoder_config or DecoderConfig())
+    names = output_names(all_paths)
+
+    for path in mine:
+        for stale in out_dir.glob(_glob.escape(names[path] + ".wav.tmp") + "*"):
+            try:
+                stale.unlink()
+            except OSError:
+                pass
+    for stale in out_dir.glob(f"decode_manifest_{process_index}.json.tmp*"):
+        try:
+            stale.unlink()
+        except OSError:
+            pass
+
+    todo: list[pathlib.Path] = []
+    for path in mine:
+        done = out_dir / (names[path] + ".wav.done")
+        if resume and done.exists():
+            skipped += 1
+            out_path = out_dir / (names[path] + ".wav")
+            entry: dict = {"out": out_path.name, "skipped": True}
+            try:
+                entry["bytes"] = out_path.stat().st_size
+            except OSError:
+                pass
+            manifest[str(path)] = entry
+        else:
+            todo.append(path)
+
+    for path in todo:
+        try:
+            blob = path.read_bytes()
+            header, pcm = dec.decode_whole(blob)
+            wf = header.wave_format
+            body = wavio.serialize_wav(
+                wavio.WavFile(wf.num_channels, wf.sampling_rate,
+                              wf.bit_per_sample, pcm)
+            )
+        except (SLAError, ValueError, OSError) as e:
+            failed += 1
+            manifest[str(path)] = {"error": str(e)}
+            if verbose:
+                print(f"{path.name}: FAILED ({e})")
+            continue
+        out_path = out_dir / (names[path] + ".wav")
+        try:
+            tmp = out_path.parent / (out_path.name + f".tmp{os.getpid()}")
+            tmp.write_bytes(body)
+            os.replace(tmp, out_path)  # atomic publish
+            (out_dir / (names[path] + ".wav.done")).touch()
+        except OSError as e:
+            failed += 1
+            manifest[str(path)] = {"error": str(e)}
+            continue
+        decoded += 1
+        in_bytes += len(blob)
+        out_bytes += len(body)
+        entry = {
+            "out": out_path.name,
+            "bytes": len(body),
+            "num_samples": int(header.num_samples),
+        }
+        if getattr(dec, "stage_times", None):
+            entry["stage_seconds"] = {
+                k: round(v, 6) for k, v in dec.stage_times.items()
+            }
+        manifest[str(path)] = entry
+        if verbose:
+            print(f"{path.name}: {len(blob)} -> {len(body)}")
+
+    result = CorpusResult(
+        total_files=len(mine),
+        encoded=decoded,
+        skipped=skipped,
+        failed=failed,
+        in_bytes=in_bytes,
+        out_bytes=out_bytes,
+        seconds=time.time() - t0,
+    )
+    manifest_path = out_dir / f"decode_manifest_{process_index}.json"
+    tmp = out_dir / f"decode_manifest_{process_index}.json.tmp{os.getpid()}"
+    tmp.write_text(
+        json.dumps({"result": dataclasses.asdict(result), "files": manifest}, indent=1)
+    )
+    os.replace(tmp, manifest_path)
+    return result
+
+
+def merge_manifests(out_dir: str | pathlib.Path, prefix: str = "manifest") -> dict:
+    """Merge every per-process ``<prefix>_<i>.json`` in out_dir into one
+    ``<prefix>.json`` covering the whole corpus (``prefix="decode_manifest"``
+    merges the :func:`decode_corpus` side).
 
     Each process's shard is disjoint (``shard_files``), so file entries
     cannot conflict except when a killed worker's resumed run re-reports a
@@ -278,8 +411,8 @@ def merge_manifests(out_dir: str | pathlib.Path) -> dict:
     out_dir = pathlib.Path(out_dir)
     files: dict = {}
     processes = []
-    for part in sorted(out_dir.glob("manifest_*.json")):
-        if part.name == "manifest.json":
+    for part in sorted(out_dir.glob(f"{prefix}_*.json")):
+        if part.name == f"{prefix}.json":
             continue
         data = json.loads(part.read_text())
         processes.append({"manifest": part.name, "result": data.get("result", {})})
@@ -295,5 +428,5 @@ def merge_manifests(out_dir: str | pathlib.Path) -> dict:
         "processes": processes,
         "files": files,
     }
-    (out_dir / "manifest.json").write_text(json.dumps(merged, indent=1))
+    (out_dir / f"{prefix}.json").write_text(json.dumps(merged, indent=1))
     return merged
