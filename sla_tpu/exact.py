@@ -32,10 +32,55 @@ byte-identity guarantee.
 from __future__ import annotations
 
 import math
+import warnings
 
 import numpy as np
 
 _INV_LOGE2 = 1.4426950408889634
+
+
+class LongDoubleParityWarning(UserWarning):
+    """np.longdouble on this platform is not x86 80-bit extended precision.
+
+    The reference's iterative refinement accumulates in C ``long double``
+    (SLAUtility.c:654-656), which is 80-bit extended on the x86 platforms
+    the reference targets. Where np.longdouble is something else (IEEE quad
+    on aarch64, plain float64 on MSVC), the refinement error terms round
+    differently in the last ulps, so the *pure-Python fallback's*
+    byte-identity guarantee weakens to "almost always identical" on
+    degenerate near-singular systems. The native library (and any x86
+    host) is unaffected."""
+
+
+# the reference's `long double`: x86 80-bit extended = 63 mantissa bits
+_REF_LONGDOUBLE_NMANT = 63
+
+
+def _longdouble_matches_reference() -> bool:
+    """Capability probe: does this platform's np.longdouble reproduce the
+    reference's 80-bit extended accumulate bit for bit?"""
+    return np.finfo(np.longdouble).nmant == _REF_LONGDOUBLE_NMANT
+
+
+_longdouble_checked = False
+
+
+def _check_longdouble() -> None:
+    global _longdouble_checked
+    if _longdouble_checked:
+        return
+    _longdouble_checked = True
+    if not _longdouble_matches_reference():
+        warnings.warn(
+            "np.longdouble carries "
+            f"{np.finfo(np.longdouble).nmant} mantissa bits on this platform "
+            f"(reference long double: {_REF_LONGDOUBLE_NMANT}); the "
+            "pure-Python lesolve refinement may differ from the reference "
+            "in the last ulp on near-singular systems — use the native "
+            "library for the strict byte-identity guarantee",
+            LongDoubleParityWarning,
+            stacklevel=3,
+        )
 
 
 def _ref_log2(x: float) -> float:
@@ -409,6 +454,7 @@ def lesolve(A: np.ndarray, b: np.ndarray, iteration_count: int = 2) -> np.ndarra
     """sla_lesolve: LU solve + long-double iterative refinement. Returns the
     solution, or None when singular (the caller's disable path)."""
     dim = len(b)
+    _check_longdouble()
     lu = _lu_decompose(np.asarray(A, dtype=np.float64), dim)
     if lu is None:
         return None

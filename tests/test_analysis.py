@@ -335,3 +335,48 @@ def test_c_div_ieee_semantics():
     assert math.isnan(_c_div(0.0, 0.0))
     assert math.isnan(_c_div(float("nan"), 0.0))
     assert _c_div(1.0, 4.0) == 0.25
+
+
+class TestLongDoubleGuard:
+    """VERDICT r3 #8: exact.py's refinement assumes np.longdouble is x86
+    80-bit extended; the runtime probe must warn (once) where it is not."""
+
+    def _fresh(self, monkeypatch):
+        from sla_tpu import exact
+
+        monkeypatch.setattr(exact, "_longdouble_checked", False)
+        return exact
+
+    def test_probe_matches_on_x86(self):
+        import platform
+
+        from sla_tpu import exact
+
+        if platform.machine() not in ("x86_64", "i686", "AMD64"):
+            pytest.skip("probe outcome is platform-defined off x86")
+        assert exact._longdouble_matches_reference()
+
+    def test_no_warning_when_extended(self, monkeypatch):
+        import warnings as _w
+
+        exact = self._fresh(monkeypatch)
+        monkeypatch.setattr(exact, "_longdouble_matches_reference", lambda: True)
+        A = np.array([[4.0, 1.0], [1.0, 3.0]])
+        with _w.catch_warnings():
+            _w.simplefilter("error", exact.LongDoubleParityWarning)
+            x = exact.lesolve(A, np.array([1.0, 2.0]), 2)
+        assert np.allclose(A @ x, [1.0, 2.0])
+
+    def test_warns_once_when_degraded(self, monkeypatch):
+        exact = self._fresh(monkeypatch)
+        monkeypatch.setattr(exact, "_longdouble_matches_reference", lambda: False)
+        A = np.array([[4.0, 1.0], [1.0, 3.0]])
+        with pytest.warns(exact.LongDoubleParityWarning, match="mantissa bits"):
+            x = exact.lesolve(A, np.array([1.0, 2.0]), 2)
+        assert np.allclose(A @ x, [1.0, 2.0])  # degraded != broken
+        # second call: checked flag latched, no repeat warning
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("error", exact.LongDoubleParityWarning)
+            exact.lesolve(A, np.array([2.0, 1.0]), 2)
