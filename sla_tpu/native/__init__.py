@@ -276,6 +276,22 @@ def _load_locked() -> ctypes.CDLL | None:
     lib.sla_synth_rows8_out.argtypes = _synth_out_args
     lib.sla_synth_rows16_out.restype = i32
     lib.sla_synth_rows16_out.argtypes = _synth_out_args
+    # row-pointer (_at) forms: rows at base + offs, no pack/scatter copies
+    _synth_at_args = [
+        p_i32, p_i64, p_i32, p_i64, i32, p_i32, i32, p_i32, p_i32, i32, i32,
+    ]
+    lib.sla_synth_rows8_at.restype = i32
+    lib.sla_synth_rows8_at.argtypes = _synth_at_args
+    lib.sla_synth_rows16_at.restype = i32
+    lib.sla_synth_rows16_at.argtypes = _synth_at_args
+    _synth_out_at_args = [
+        p_i32, p_i64, i32, p_i32, i32, p_i32, p_i32, i32, i32,
+        p_i32, p_i64, i32, i32,
+    ]
+    lib.sla_synth_rows8_out_at.restype = i32
+    lib.sla_synth_rows8_out_at.argtypes = _synth_out_at_args
+    lib.sla_synth_rows16_out_at.restype = i32
+    lib.sla_synth_rows16_out_at.argtypes = _synth_out_at_args
     lib.sla_predict_stage2_rows8.restype = i32
     lib.sla_predict_stage2_rows8.argtypes = [p_i32, p_i32, i32, p_i32, p_i32, i32, i32]
     lib.sla_predict_stage2_rows16.restype = i32
@@ -1103,6 +1119,7 @@ def synth_rows(
 
     groups, singles = _row_groups(lens)
     jobs = []
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
     for n, idx, row_lens in groups:
         take = len(idx)
         fn = lib.sla_synth_rows16 if take == 16 else lib.sla_synth_rows8
@@ -1116,6 +1133,23 @@ def synth_rows(
             def run(fn=fn, i0=i0, n=n, coef8=coef8, pit8=pit8, ltm8=ltm8):
                 _ck(fn(
                     _i32ptr(residual[i0:]), _i32ptr(out[i0:]), n,
+                    _i32ptr(coef8), p, _i32ptr(pit8), _i32ptr(ltm8),
+                    num_taps, M,
+                ), "synth_rows")
+
+        elif row_lens is None and p > 0 and len(set(idx)) == take:
+            # non-consecutive exact group: row-pointer kernel reads the
+            # batch rows in place and writes the out rows in place — no
+            # pack/scatter copies (duplicated padded lanes and p == 0
+            # keep the copy path: see synth_rows_fused)
+            fa = lib.sla_synth_rows16_at if take == 16 else lib.sla_synth_rows8_at
+            roffs = np.asarray(idx, dtype=np.int64) * L
+
+            def run(fa=fa, n=n, coef8=coef8, pit8=pit8, ltm8=ltm8,
+                    roffs=roffs):
+                rp = roffs.ctypes.data_as(p_i64)
+                _ck(fa(
+                    _i32ptr(residual), rp, _i32ptr(out), rp, n,
                     _i32ptr(coef8), p, _i32ptr(pit8), _i32ptr(ltm8),
                     num_taps, M,
                 ), "synth_rows")
@@ -1218,51 +1252,70 @@ def synth_rows_fused(
             idx[k] % 2 == 0 and idx[k + 1] == idx[k] + 1
             for k in range(0, take, 2)
         )
-        if row_lens is None and pair_ok:
-            fn = lib.sla_synth_rows16_out if take == 16 else lib.sla_synth_rows8_out
+        # duplicate row indices (the padded tail group) cannot run in
+        # place: the per-row long-term pass would filter the shared row
+        # once per lane — those keep the pack+copy path below
+        uniq = len(set(idx)) == take
+        if row_lens is None and pair_ok and uniq:
+            # row-pointer kernel straight over the (B, L) batch rows: no
+            # pack/scatter copies for non-consecutive groups (the common
+            # case once the optimal partition mixes block sizes)
+            fn = (lib.sla_synth_rows16_out_at if take == 16
+                  else lib.sla_synth_rows8_out_at)
             coef8 = np.ascontiguousarray(coef[idx])
             pit8 = np.ascontiguousarray(pitch[idx].astype(np.int32))
             ltm8 = np.ascontiguousarray(ltm[idx])
             off8 = np.ascontiguousarray(doffs[idx])
-            if n == L and idx == list(range(i0, i0 + take)):
+            roffs = np.asarray(idx, dtype=np.int64) * L
 
-                def run(fn=fn, i0=i0, n=n, coef8=coef8, pit8=pit8,
-                        ltm8=ltm8, off8=off8):
-                    _ck(fn(_i32ptr(residual[i0:]), n, _i32ptr(coef8), p,
-                           _i32ptr(pit8), _i32ptr(ltm8), num_taps, M,
-                           dest_ptr, off8.ctypes.data_as(p_i64),
-                           1 if ms else 0, int(shift)), "synth_rows_fused")
-
-            else:
-
-                def run(fn=fn, idx=idx, n=n, coef8=coef8, pit8=pit8,
-                        ltm8=ltm8, off8=off8, take=take):
-                    res8 = np.ascontiguousarray(residual[idx, :n])
-                    _ck(fn(_i32ptr(res8), n, _i32ptr(coef8), p,
-                           _i32ptr(pit8), _i32ptr(ltm8), num_taps, M,
-                           dest_ptr, off8.ctypes.data_as(p_i64),
-                           1 if ms else 0, int(shift)), "synth_rows_fused")
+            def run(fn=fn, n=n, coef8=coef8, pit8=pit8, ltm8=ltm8,
+                    off8=off8, roffs=roffs):
+                _ck(fn(_i32ptr(residual), roffs.ctypes.data_as(p_i64), n,
+                       _i32ptr(coef8), p, _i32ptr(pit8), _i32ptr(ltm8),
+                       num_taps, M, dest_ptr, off8.ctypes.data_as(p_i64),
+                       1 if ms else 0, int(shift)), "synth_rows_fused")
 
             jobs.append(run)
             continue
-        # mixed-length group: synthesize in place (original kernel), then
-        # scatter below with per-row true lengths
-        fn = lib.sla_synth_rows16 if take == 16 else lib.sla_synth_rows8
         coef8 = np.ascontiguousarray(coef[idx])
         pit8 = np.ascontiguousarray(pitch[idx].astype(np.int32))
         ltm8 = np.ascontiguousarray(ltm[idx])
         rl = row_lens if row_lens is not None else [n] * take
-        res8 = np.zeros((take, n), dtype=np.int32)
-        for i, (b, nb) in enumerate(zip(idx, rl)):
-            res8[i, :nb] = residual[b, :nb]
+        if uniq:
+            # mixed-length (or unpairable) group: in-place row-pointer
+            # synthesis to the group max, then the NumPy leftover scatter
+            # below lands each row's true length. Short rows' tail columns
+            # zero-fill first (the kernel reads to n; columns past a row's
+            # length are np.empty garbage otherwise — outputs there are
+            # discarded, but keep the reads defined)
+            fn = lib.sla_synth_rows16_at if take == 16 else lib.sla_synth_rows8_at
+            for b, nb in zip(idx, rl):
+                if nb < n:
+                    residual[b, nb:n] = 0
+            roffs = np.asarray(idx, dtype=np.int64) * L
 
-        def run(fn=fn, idx=idx, n=n, res8=res8, coef8=coef8, pit8=pit8,
-                ltm8=ltm8, rl=rl):
-            out8 = np.empty_like(res8)
-            _ck(fn(_i32ptr(res8), _i32ptr(out8), n, _i32ptr(coef8), p,
-                   _i32ptr(pit8), _i32ptr(ltm8), num_taps, M), "synth_rows_fused")
+            def run(fn=fn, n=n, coef8=coef8, pit8=pit8, ltm8=ltm8,
+                    roffs=roffs):
+                rp = roffs.ctypes.data_as(p_i64)
+                _ck(fn(_i32ptr(residual), rp, _i32ptr(residual), rp, n,
+                       _i32ptr(coef8), p, _i32ptr(pit8), _i32ptr(ltm8),
+                       num_taps, M), "synth_rows_fused")
+
+        else:
+            # duplicated lanes: pack copies (each lane gets its own row)
+            fn = lib.sla_synth_rows16 if take == 16 else lib.sla_synth_rows8
+            res8 = np.zeros((take, n), dtype=np.int32)
             for i, (b, nb) in enumerate(zip(idx, rl)):
-                residual[b, :nb] = out8[i, :nb]
+                res8[i, :nb] = residual[b, :nb]
+
+            def run(fn=fn, idx=idx, n=n, res8=res8, coef8=coef8, pit8=pit8,
+                    ltm8=ltm8, rl=rl):
+                out8 = np.empty_like(res8)
+                _ck(fn(_i32ptr(res8), _i32ptr(out8), n, _i32ptr(coef8), p,
+                       _i32ptr(pit8), _i32ptr(ltm8), num_taps, M),
+                    "synth_rows_fused")
+                for i, (b, nb) in enumerate(zip(idx, rl)):
+                    residual[b, :nb] = out8[i, :nb]
 
         jobs.append(run)
         leftover_rows.extend((b, nb) for b, nb in zip(idx, rl))

@@ -4736,6 +4736,37 @@ static inline void tile_load(const int32_t* base, int64_t stride, int32_t s0,
   tile_load_scalar<R>(base, stride, s0, t);
 }
 
+// Per-row-pointer tile store (mirror of tile_load_ptrs): the in-place
+// synthesis kernels read AND write rows that live anywhere (e.g. stride-L
+// rows of the decoder's entropy batch), so non-consecutive lane groups
+// need no pack/scatter copies.
+template <int R>
+static inline void tile_store_ptrs(int32_t* const* rows, int32_t s0,
+                                   const typename VI<R>::v t[R]) {
+#if defined(__AVX512F__)
+  if constexpr (R == 16) {
+    __m512i m[16];
+    for (int k = 0; k < 16; ++k) m[k] = _mm512_loadu_si512((const void*)&t[k]);
+    tile_transpose16(m);
+    for (int r = 0; r < 16; ++r)
+      _mm512_storeu_si512((void*)(rows[r] + s0), m[r]);
+    return;
+  }
+#endif
+#if defined(__AVX2__)
+  if constexpr (R == 8) {
+    __m256i m[8];
+    for (int k = 0; k < 8; ++k) m[k] = _mm256_loadu_si256((const __m256i*)&t[k]);
+    tile_transpose8(m);
+    for (int r = 0; r < 8; ++r)
+      _mm256_storeu_si256((__m256i*)(rows[r] + s0), m[r]);
+    return;
+  }
+#endif
+  for (int k = 0; k < R; ++k)
+    for (int r = 0; r < R; ++r) rows[r][s0 + k] = t[k][r];
+}
+
 template <int R>
 static inline void tile_store(int32_t* base, int64_t stride, int32_t s0,
                               typename VI<R>::v t[R]) {
@@ -4767,9 +4798,16 @@ static inline void tile_store(int32_t* base, int64_t stride, int32_t s0,
 // derives res = x - pred; reference src/SLAPredictor.c:1202-1463).
 // Identical per-row arithmetic to the scalar kernel (vector lanes are
 // rows). in_rows/out_rows are R x n row-major and may be the same buffer.
-template <int R, bool SYNTH, int MF>
-static void lms_rowsT(const int32_t* in_rows, int32_t* out_rows, int32_t n,
-                      int32_t M_rt) {
+// Generic LMS core: ONE implementation of the per-sample arithmetic with
+// the tile/column I/O passed as inlined lambdas, so the packed and
+// row-pointer (_at) kernels share it without changing the state layout
+// (the state arrays must stay function locals — routing them through a
+// struct measurably pessimizes GCC's codegen for the hot loop).
+template <int R, bool SYNTH, int MF, class LoadT, class StoreT, class LoadC,
+          class StoreC>
+static void lms_rows_genT(int32_t n, int32_t M_rt, LoadT load_tile,
+                          StoreT store_tile, LoadC load_col,
+                          StoreC store_col) {
   // MF > 0 pins the LMS order at compile time (presets use 4/8): unrolled
   // tap loops keep fc/ic and the ring windows in registers
   const int32_t M = MF > 0 ? MF : M_rt;
@@ -4832,21 +4870,57 @@ static void lms_rowsT(const int32_t* in_rows, int32_t* out_rows, int32_t n,
     ps[xpos] = (pnew < vzero) - (pnew > vzero);
     return warm ? in_v : (SYNTH ? x : res);
   };
-  // R-sample tiles transposed in registers (the full tile is read before
-  // its region is written, so in_rows == out_rows stays safe)
+  // R-sample tiles transposed in registers (each tile is fully read
+  // before its region is written, so in-place operation stays safe)
   int32_t s = 0;
   for (; s + R <= n; s += R) {
     vsi t[R];
-    tile_load<R>(in_rows, n, s, t);
+    load_tile(s, t);
     for (int32_t k = 0; k < R; ++k) t[k] = sample_step(s + k, t[k]);
-    tile_store<R>(out_rows, n, s, t);
+    store_tile(s, t);
   }
   for (; s < n; ++s) {  // tail columns
-    vsi in_v;
-    for (int32_t r = 0; r < R; ++r) in_v[r] = in_rows[(int64_t)r * n + s];
-    const vsi emit = sample_step(s, in_v);
-    for (int32_t r = 0; r < R; ++r) out_rows[(int64_t)r * n + s] = emit[r];
+    const vsi emit = sample_step(s, load_col(s));
+    store_col(s, emit);
   }
+}
+
+template <int R, bool SYNTH, int MF>
+static void lms_rowsT(const int32_t* in_rows, int32_t* out_rows, int32_t n,
+                      int32_t M_rt) {
+  typedef typename VI<R>::v vsi;
+  lms_rows_genT<R, SYNTH, MF>(
+      n, M_rt,
+      [&](int32_t s, vsi t[R]) { tile_load<R>(in_rows, n, s, t); },
+      [&](int32_t s, vsi t[R]) { tile_store<R>(out_rows, n, s, t); },
+      [&](int32_t s) -> vsi {
+        vsi v;
+        for (int32_t r = 0; r < R; ++r) v[r] = in_rows[(int64_t)r * n + s];
+        return v;
+      },
+      [&](int32_t s, vsi v) {
+        for (int32_t r = 0; r < R; ++r) out_rows[(int64_t)r * n + s] = v[r];
+      });
+}
+
+// Row-pointer LMS (in-place or separate rows anywhere): bit-identical per
+// row to lms_rowsT, without requiring a packed (R, n) batch.
+template <int R, bool SYNTH, int MF>
+static void lms_rowsT_at(const int32_t* const* in_rows,
+                         int32_t* const* out_rows, int32_t n, int32_t M_rt) {
+  typedef typename VI<R>::v vsi;
+  lms_rows_genT<R, SYNTH, MF>(
+      n, M_rt,
+      [&](int32_t s, vsi t[R]) { tile_load_ptrs<R>(in_rows, s, t); },
+      [&](int32_t s, vsi t[R]) { tile_store_ptrs<R>(out_rows, s, t); },
+      [&](int32_t s) -> vsi {
+        vsi v;
+        for (int32_t r = 0; r < R; ++r) v[r] = in_rows[r][s];
+        return v;
+      },
+      [&](int32_t s, vsi v) {
+        for (int32_t r = 0; r < R; ++r) out_rows[r][s] = v[r];
+      });
 }
 
 // Row-interleaved encode stage 1: pre-emphasis + lattice predict, R rows
@@ -4988,12 +5062,18 @@ static int32_t predict_stage2_rowsT(const int32_t* in, int32_t* out,
   return 0;
 }
 
-// Lattice synthesis + de-emphasis core (pass C of synth_rowsT), in place
-// over `out`. P > 0 pins the order at compile time (see predict core).
-template <int R, int P>
-static void lattice_synth_coreT(int32_t* out, int32_t n,
-                                const int32_t* parcor_coef /* R x p */,
-                                int32_t p_rt) {
+// Generic lattice synthesis + de-emphasis core (pass C of synth_rowsT):
+// ONE implementation of the per-sample arithmetic with tile/column I/O
+// passed as inlined lambdas (see lms_rows_genT for why the state must
+// stay function-local). P > 0 pins the order at compile time (see predict
+// core). The four concrete kernels (packed / row-pointer x in-place /
+// fused-output store) are thin wrappers.
+template <int R, int P, class LoadT, class StoreT, class LoadC, class StoreC>
+static void lattice_synth_genT(int32_t n,
+                               const int32_t* parcor_coef /* R x p */,
+                               int32_t p_rt, LoadT load_tile,
+                               StoreT store_tile, LoadC load_col,
+                               StoreC store_col) {
   const int32_t p = P > 0 ? P : p_rt;
   typedef typename VI<R>::v vsi;
   const vsi vzero = {};
@@ -5028,18 +5108,54 @@ static void lattice_synth_coreT(int32_t* out, int32_t n,
     return v;
   };
   int32_t s = 0;
-  for (; s + R <= n; s += R) {  // transposed register tiles, in place
+  for (; s + R <= n; s += R) {  // transposed register tiles
     vsi t[R];
-    tile_load<R>(out, n, s, t);
+    load_tile(s, t);
     for (int32_t k = 0; k < R; ++k) t[k] = sample_step(t[k]);
-    tile_store<R>(out, n, s, t);
+    store_tile(s, t);
   }
-  for (; s < n; ++s) {
-    vsi y;
-    for (int32_t r = 0; r < R; ++r) y[r] = out[(int64_t)r * n + s];
-    const vsi v = sample_step(y);
-    for (int32_t r = 0; r < R; ++r) out[(int64_t)r * n + s] = v[r];
-  }
+  for (; s < n; ++s) store_col(s, sample_step(load_col(s)));
+}
+
+template <int R, int P>
+static void lattice_synth_coreT(int32_t* out, int32_t n,
+                                const int32_t* parcor_coef /* R x p */,
+                                int32_t p_rt) {
+  typedef typename VI<R>::v vsi;
+  lattice_synth_genT<R, P>(
+      n, parcor_coef, p_rt,
+      [&](int32_t s, vsi t[R]) { tile_load<R>(out, n, s, t); },
+      [&](int32_t s, vsi t[R]) { tile_store<R>(out, n, s, t); },
+      [&](int32_t s) -> vsi {
+        vsi y;
+        for (int32_t r = 0; r < R; ++r) y[r] = out[(int64_t)r * n + s];
+        return y;
+      },
+      [&](int32_t s, vsi v) {
+        for (int32_t r = 0; r < R; ++r) out[(int64_t)r * n + s] = v[r];
+      });
+}
+
+// Row-pointer in-place lattice synthesis (see lattice_synth_coreT).
+template <int R, int P>
+static void lattice_synth_coreT_at(int32_t* const* rows, int32_t n,
+                                   const int32_t* parcor_coef /* R x p */,
+                                   int32_t p_rt) {
+  typedef typename VI<R>::v vsi;
+  lattice_synth_genT<R, P>(
+      n, parcor_coef, p_rt,
+      [&](int32_t s, vsi t[R]) {
+        tile_load_ptrs<R>(const_cast<const int32_t* const*>(rows), s, t);
+      },
+      [&](int32_t s, vsi t[R]) { tile_store_ptrs<R>(rows, s, t); },
+      [&](int32_t s) -> vsi {
+        vsi y;
+        for (int32_t r = 0; r < R; ++r) y[r] = rows[r][s];
+        return y;
+      },
+      [&](int32_t s, vsi v) {
+        for (int32_t r = 0; r < R; ++r) rows[r][s] = v[r];
+      });
 }
 
 // Fused-output lattice pass: like lattice_synth_coreT, but instead of
@@ -5051,37 +5167,15 @@ static void lattice_synth_coreT(int32_t* out, int32_t n,
 // write. Arithmetic per row is identical to lattice_synth_coreT followed
 // by the reference's MStoLR + shift (SLADecoder.c:540-556, wrapping
 // int32); only WHERE values land changes.
-template <int R, int P>
-static void lattice_synth_out_coreT(const int32_t* work, int32_t n,
-                                    const int32_t* parcor_coef /* R x p */,
-                                    int32_t p_rt,
+// Row-major tile store with fused MS inverse + left shift: transposes an
+// R-sample tile back to row-major and lands it at dest[r] + s0 with the
+// reference's MStoLR + shift applied in registers (SLADecoder.c:540-556
+// semantics; wrapping int32).
+template <int R>
+static inline void synth_store_tile(typename VI<R>::v t[R], int32_t s0,
                                     int32_t* const* dest /* R row ptrs */,
                                     int32_t ms, int32_t shift) {
-  const int32_t p = P > 0 ? P : p_rt;
-  typedef typename VI<R>::v vsi;
-  const vsi vzero = {};
-  const vsi half = vzero + (1 << 14);
-  vsi c[64];
-  for (int32_t k = 0; k < p; ++k)
-    for (int32_t r = 0; r < R; ++r) c[k][r] = parcor_coef[r * p + k];
-  vsi lat[65];
-  for (int32_t k = 0; k <= p; ++k) lat[k] = vzero;
-  vsi deemph = vzero;
-  vsi m[64], fpart[64];
-  auto sample_step = [&](vsi y) -> vsi {
-    for (int32_t k = 0; k < p; ++k) m[k] = (c[k] * lat[k] + half) >> 15;
-    fpart[p - 1] = y + m[p - 1];
-    for (int32_t k = p - 2; k >= 0; --k) fpart[k] = fpart[k + 1] + m[k];
-    for (int32_t k = p - 1; k >= 0; --k)
-      lat[k + 1] = lat[k] - ((c[k] * fpart[k] + half) >> 15);
-    vsi v = fpart[0];
-    lat[0] = v;
-    v += (deemph * 31) >> 5;
-    deemph = v;
-    return v;
-  };
-  // row-major tile store with fused MS inverse + shift
-  auto store_tile = [&](vsi t[R], int32_t s0) {
+  {
 #if defined(__AVX512F__)
     if constexpr (R == 16) {
       __m512i mm[16];
@@ -5151,29 +5245,64 @@ static void lattice_synth_out_coreT(const int32_t* work, int32_t n,
         for (int r = 0; r < R; ++r) dest[r][s0 + k] = t[k][r] << shift;
       }
     }
-  };
-  int32_t s = 0;
-  for (; s + R <= n; s += R) {
-    vsi t[R];
-    tile_load<R>(work, n, s, t);
-    for (int32_t k = 0; k < R; ++k) t[k] = sample_step(t[k]);
-    store_tile(t, s);
   }
-  for (; s < n; ++s) {
-    vsi y;
-    for (int32_t r = 0; r < R; ++r) y[r] = work[(int64_t)r * n + s];
-    const vsi v = sample_step(y);
-    if (ms) {
-      for (int32_t r = 0; r < R; r += 2) {
-        const int32_t mid = v[r], sd = v[r + 1];
-        const int32_t full = (mid << 1) | (sd & 1);
-        dest[r][s] = ((full + sd) >> 1) << shift;
-        dest[r + 1][s] = ((full - sd) >> 1) << shift;
-      }
-    } else {
-      for (int32_t r = 0; r < R; ++r) dest[r][s] = v[r] << shift;
+}
+
+// Single-column fused store for the tail samples.
+template <int R>
+static inline void synth_store_col(typename VI<R>::v v, int32_t s,
+                                   int32_t* const* dest, int32_t ms,
+                                   int32_t shift) {
+  if (ms) {
+    for (int32_t r = 0; r < R; r += 2) {
+      const int32_t mid = v[r], sd = v[r + 1];
+      const int32_t full = (mid << 1) | (sd & 1);
+      dest[r][s] = ((full + sd) >> 1) << shift;
+      dest[r + 1][s] = ((full - sd) >> 1) << shift;
     }
+  } else {
+    for (int32_t r = 0; r < R; ++r) dest[r][s] = v[r] << shift;
   }
+}
+
+template <int R, int P>
+static void lattice_synth_out_coreT(const int32_t* work, int32_t n,
+                                    const int32_t* parcor_coef /* R x p */,
+                                    int32_t p_rt,
+                                    int32_t* const* dest /* R row ptrs */,
+                                    int32_t ms, int32_t shift) {
+  typedef typename VI<R>::v vsi;
+  lattice_synth_genT<R, P>(
+      n, parcor_coef, p_rt,
+      [&](int32_t s, vsi t[R]) { tile_load<R>(work, n, s, t); },
+      [&](int32_t s, vsi t[R]) { synth_store_tile<R>(t, s, dest, ms, shift); },
+      [&](int32_t s) -> vsi {
+        vsi y;
+        for (int32_t r = 0; r < R; ++r) y[r] = work[(int64_t)r * n + s];
+        return y;
+      },
+      [&](int32_t s, vsi v) { synth_store_col<R>(v, s, dest, ms, shift); });
+}
+
+// Row-pointer fused-output lattice pass (see lattice_synth_out_coreT).
+template <int R, int P>
+static void lattice_synth_out_coreT_at(const int32_t* const* work_rows,
+                                       int32_t n,
+                                       const int32_t* parcor_coef /* R x p */,
+                                       int32_t p_rt,
+                                       int32_t* const* dest /* R row ptrs */,
+                                       int32_t ms, int32_t shift) {
+  typedef typename VI<R>::v vsi;
+  lattice_synth_genT<R, P>(
+      n, parcor_coef, p_rt,
+      [&](int32_t s, vsi t[R]) { tile_load_ptrs<R>(work_rows, s, t); },
+      [&](int32_t s, vsi t[R]) { synth_store_tile<R>(t, s, dest, ms, shift); },
+      [&](int32_t s) -> vsi {
+        vsi y;
+        for (int32_t r = 0; r < R; ++r) y[r] = work_rows[r][s];
+        return y;
+      },
+      [&](int32_t s, vsi v) { synth_store_col<R>(v, s, dest, ms, shift); });
 }
 
 // Fused-output synthesis: passes A/B run IN PLACE over `work` (clobbered),
@@ -5222,6 +5351,114 @@ static int32_t synth_rowsT_out(int32_t* work, int32_t n,
     case 16: lattice_synth_out_coreT<R, 16>(work, n, parcor_coef, p, dest, ms, shift); break;
     case 32: lattice_synth_out_coreT<R, 32>(work, n, parcor_coef, p, dest, ms, shift); break;
     default: lattice_synth_out_coreT<R, 0>(work, n, parcor_coef, p, dest, ms, shift); break;
+  }
+  return 0;
+}
+
+// Shared long-term pass over row pointers (pass B of the _at forms): per
+// row, chunked over samples (see synth_rowsT pass B for the chunking
+// argument); in place.
+template <int R>
+static int32_t synth_longterm_rows_at(int32_t* const* rows, int32_t n,
+                                      const int32_t* pitchR /* R */,
+                                      const int32_t* ltm /* R x T */,
+                                      int32_t num_taps) {
+  for (int32_t r = 0; r < R; ++r) {
+    if (pitchR[r] <= 0) continue;
+    const int32_t max_delay = pitchR[r] + num_taps / 2;
+    int32_t q15c[8];
+    if (num_taps > 8) return -1;
+    for (int32_t j = 0; j < num_taps; ++j) q15c[j] = ltm[r * num_taps + j] >> 16;
+    int32_t* x = rows[r];
+    const int32_t min_lag = max_delay - (num_taps - 1);
+    for (int32_t s0 = max_delay; s0 < n; s0 += min_lag) {
+      int32_t e = s0 + min_lag < n ? s0 + min_lag : n;
+#pragma GCC ivdep
+      for (int32_t s = s0; s < e; ++s) {
+        int64_t acc = 0;
+        for (int32_t j = 0; j < num_taps; ++j)
+          acc += (int64_t)q15c[j] * x[s - (max_delay - j)];
+        x[s] += (int32_t)((acc + (1 << 14)) >> 15);
+      }
+    }
+  }
+  return 0;
+}
+
+// Row-pointer synthesis: input rows at in_base + in_offs[r], output rows
+// at out_base + out_offs[r] (either may alias for in-place operation; the
+// LMS tile loop reads each tile fully before writing it, rows may live at
+// stride L of the decoder's entropy batch in any order), so
+// non-consecutive and mixed-length lane groups need no pack/scatter
+// copies. Requires p > 0 (no degenerate-order lattice form); bit-identical
+// per row to synth_rowsT.
+template <int R>
+static int32_t synth_rowsT_at(const int32_t* in_base,
+                              const int64_t* in_offs, int32_t* out_base,
+                              const int64_t* out_offs, int32_t n,
+                              const int32_t* parcor_coef /* R x p */,
+                              int32_t p, const int32_t* pitchR /* R */,
+                              const int32_t* ltm /* R x T */,
+                              int32_t num_taps, int32_t lms_order) {
+  if (p <= 0) return -1;
+  const int32_t* irows[R];
+  int32_t* rows[R];
+  for (int32_t r = 0; r < R; ++r) {
+    irows[r] = in_base + in_offs[r];
+    rows[r] = out_base + out_offs[r];
+  }
+  const int32_t M = lms_order;
+  switch (M) {
+    case 4: lms_rowsT_at<R, true, 4>(irows, rows, n, M); break;
+    case 8: lms_rowsT_at<R, true, 8>(irows, rows, n, M); break;
+    default: lms_rowsT_at<R, true, 0>(irows, rows, n, M); break;
+  }
+  if (synth_longterm_rows_at<R>(rows, n, pitchR, ltm, num_taps) != 0)
+    return -1;
+  switch (p) {
+    case 8:  lattice_synth_coreT_at<R, 8>(rows, n, parcor_coef, p); break;
+    case 16: lattice_synth_coreT_at<R, 16>(rows, n, parcor_coef, p); break;
+    case 32: lattice_synth_coreT_at<R, 32>(rows, n, parcor_coef, p); break;
+    default: lattice_synth_coreT_at<R, 0>(rows, n, parcor_coef, p); break;
+  }
+  return 0;
+}
+
+// Row-pointer fused-output synthesis: passes A/B in place over the rows at
+// base + row_offs (clobbered), pass C stores straight into the PCM buffer
+// with MS inverse + left shift fused. Bit-identical to synth_rowsT_out.
+template <int R>
+static int32_t synth_rowsT_out_at(int32_t* base, const int64_t* row_offs,
+                                  int32_t n,
+                                  const int32_t* parcor_coef /* R x p */,
+                                  int32_t p, const int32_t* pitchR /* R */,
+                                  const int32_t* ltm /* R x T */,
+                                  int32_t num_taps, int32_t lms_order,
+                                  int32_t* dest_base,
+                                  const int64_t* dest_offs /* R */,
+                                  int32_t ms, int32_t shift) {
+  if (p <= 0 || (ms && (R & 1))) return -1;
+  int32_t* rows[R];
+  const int32_t* crows[R];
+  for (int32_t r = 0; r < R; ++r) {
+    rows[r] = base + row_offs[r];
+    crows[r] = rows[r];
+  }
+  const int32_t M = lms_order;
+  switch (M) {
+    case 4: lms_rowsT_at<R, true, 4>(crows, rows, n, M); break;
+    case 8: lms_rowsT_at<R, true, 8>(crows, rows, n, M); break;
+    default: lms_rowsT_at<R, true, 0>(crows, rows, n, M); break;
+  }
+  if (synth_longterm_rows_at<R>(rows, n, pitchR, ltm, num_taps) != 0)
+    return -1;
+  int32_t* dest[R];
+  for (int32_t r = 0; r < R; ++r) dest[r] = dest_base + dest_offs[r];
+  switch (p) {
+    case 8:  lattice_synth_out_coreT_at<R, 8>(crows, n, parcor_coef, p, dest, ms, shift); break;
+    case 16: lattice_synth_out_coreT_at<R, 16>(crows, n, parcor_coef, p, dest, ms, shift); break;
+    case 32: lattice_synth_out_coreT_at<R, 32>(crows, n, parcor_coef, p, dest, ms, shift); break;
+    default: lattice_synth_out_coreT_at<R, 0>(crows, n, parcor_coef, p, dest, ms, shift); break;
   }
   return 0;
 }
@@ -5371,6 +5608,47 @@ int32_t sla_synth_rows16_out(int32_t* work, int32_t n,
                              int32_t ms, int32_t shift) {
   return synth_rowsT_out<16>(work, n, parcor_coef, p, pitch8, ltm, num_taps,
                              lms_order, dest_base, dest_offs, ms, shift);
+}
+// Row-pointer (_at) forms: rows live at base + row_offs[r] (stride-L rows
+// of the decoder's entropy batch, any order); synthesis runs IN PLACE so
+// non-consecutive / mixed-length lane groups need no pack+scatter copies.
+int32_t sla_synth_rows8_at(const int32_t* in_base, const int64_t* in_offs,
+                           int32_t* out_base, const int64_t* out_offs,
+                           int32_t n, const int32_t* parcor_coef, int32_t p,
+                           const int32_t* pitch8, const int32_t* ltm,
+                           int32_t num_taps, int32_t lms_order) {
+  return synth_rowsT_at<8>(in_base, in_offs, out_base, out_offs, n,
+                           parcor_coef, p, pitch8, ltm, num_taps, lms_order);
+}
+int32_t sla_synth_rows16_at(const int32_t* in_base, const int64_t* in_offs,
+                            int32_t* out_base, const int64_t* out_offs,
+                            int32_t n, const int32_t* parcor_coef, int32_t p,
+                            const int32_t* pitch8, const int32_t* ltm,
+                            int32_t num_taps, int32_t lms_order) {
+  return synth_rowsT_at<16>(in_base, in_offs, out_base, out_offs, n,
+                            parcor_coef, p, pitch8, ltm, num_taps, lms_order);
+}
+int32_t sla_synth_rows8_out_at(int32_t* base, const int64_t* row_offs,
+                               int32_t n, const int32_t* parcor_coef,
+                               int32_t p, const int32_t* pitch8,
+                               const int32_t* ltm, int32_t num_taps,
+                               int32_t lms_order, int32_t* dest_base,
+                               const int64_t* dest_offs, int32_t ms,
+                               int32_t shift) {
+  return synth_rowsT_out_at<8>(base, row_offs, n, parcor_coef, p, pitch8,
+                               ltm, num_taps, lms_order, dest_base,
+                               dest_offs, ms, shift);
+}
+int32_t sla_synth_rows16_out_at(int32_t* base, const int64_t* row_offs,
+                                int32_t n, const int32_t* parcor_coef,
+                                int32_t p, const int32_t* pitch8,
+                                const int32_t* ltm, int32_t num_taps,
+                                int32_t lms_order, int32_t* dest_base,
+                                const int64_t* dest_offs, int32_t ms,
+                                int32_t shift) {
+  return synth_rowsT_out_at<16>(base, row_offs, n, parcor_coef, p, pitch8,
+                                ltm, num_taps, lms_order, dest_base,
+                                dest_offs, ms, shift);
 }
 
 // Bulk block-header parse for the batch decoder (SLADecoder.c:309-420):
