@@ -1,4 +1,12 @@
-"""Mesh-sharded encode/decode steps on the 8-device virtual CPU mesh."""
+"""Mesh-sharded encode/decode on the 8-device virtual CPU mesh.
+
+Matrix per VERDICT r3 item 7: channel_parallel x channels at the sharded
+step level, rows not divisible by the mesh shape, mesh x segmented encode,
+mesh decode, and the checkify-assert rejection/demotion paths — every test
+asserts byte/bit identity against the unsharded or host path.
+"""
+
+import os
 
 import numpy as np
 import pytest
@@ -6,7 +14,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-import sla_tpu  # noqa: F401
+import sla_tpu as sla
+from sla_tpu.errors import SLAError
 from sla_tpu.parallel import (
     make_mesh,
     shard_batch,
@@ -30,13 +39,50 @@ def _inputs(NB, NC, L, p, T, seed=0):
     return data, coef, pitch, ltm
 
 
+def _pcm(C, n, seed=3, width=16):
+    """C-channel test signal in canonical left-justified int32."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    chans = [
+        0.25 * np.sin(2 * np.pi * (200 + 90 * c) * t / 44100.0)
+        + rng.normal(0, 0.01, n)
+        for c in range(C)
+    ]
+    full = (1 << (width - 1)) - 1
+    pcm = np.clip(np.stack(chans) * full, -full - 1, full).astype(np.int32)
+    return pcm << (32 - width)
+
+
+def _encode(pcm, backend, width=16, preset=2):
+    C = pcm.shape[0]
+    ep = sla.PRESETS[preset]
+    if C != 2:
+        ep = sla.EncodeParameter(
+            ep.parcor_order, ep.longterm_order, ep.lms_order_per_filter,
+            sla.ChannelProcessMethod.NONE, ep.window_function_type,
+            ep.max_num_block_samples,
+        )
+    enc = sla.Encoder(sla.EncoderConfig(backend=backend))
+    enc.set_wave_format(sla.WaveFormat(C, width, 44100))
+    enc.set_encode_parameter(ep)
+    return enc.encode_whole(pcm)
+
+
+# ---- sharded step level: channel_parallel x channels ------------------------
+
+# every (channel_parallel, num_channels) combo with NC divisible by the
+# channel axis (shard_map requires exact tiling; the full-pipeline encoder
+# pads its batch instead — covered below)
 @needs_8
-@pytest.mark.parametrize("channel_parallel", [1, 2])
-def test_sharded_encode_matches_unsharded(channel_parallel):
+@pytest.mark.parametrize(
+    "channel_parallel,NC",
+    [(1, 1), (1, 2), (1, 6), (1, 8), (2, 2), (2, 6), (2, 8), (4, 8)],
+)
+def test_sharded_step_matrix(channel_parallel, NC):
     mesh = make_mesh(jax.devices()[:8], channel_parallel=channel_parallel)
     p, T, M = 8, 1, 4
-    NB, NC, L = 2 * mesh.shape["blocks"], mesh.shape["channels"], 256
-    data, coef, pitch, ltm = _inputs(NB, NC, L, p, T)
+    NB, L = 2 * mesh.shape["blocks"], 256
+    data, coef, pitch, ltm = _inputs(NB, NC, L, p, T, seed=NC)
     d = shard_batch(mesh, data, coef, ltm)
     d_pitch = shard_batch(mesh, pitch[..., None])[0][..., 0]
     res, abs_sum, gmax = sharded_encode_step(d[0], d[1], d_pitch, d[2], p, T, M, mesh)
@@ -51,22 +97,11 @@ def test_sharded_encode_matches_unsharded(channel_parallel):
     )
     assert np.array_equal(np.asarray(res).reshape(NB * NC, L), ref)
     assert np.isfinite(float(np.asarray(gmax)))
-
-
-@needs_8
-def test_sharded_decode_roundtrip():
-    mesh = make_mesh(jax.devices()[:8], channel_parallel=2)
-    p, T, M = 8, 1, 4
-    NB, NC, L = 2 * mesh.shape["blocks"], mesh.shape["channels"], 256
-    data, coef, pitch, ltm = _inputs(NB, NC, L, p, T, seed=5)
-    d = shard_batch(mesh, data, coef, ltm)
-    d_pitch = shard_batch(mesh, pitch[..., None])[0][..., 0]
-    res, _, _ = sharded_encode_step(d[0], d[1], d_pitch, d[2], p, T, M, mesh)
+    # decode mirror: sharded synthesis inverts the sharded residual exactly
     pcm = sharded_decode_step(res, d[1], d_pitch, d[2], p, T, M, mesh)
-    # sharded encode -> sharded decode reproduces the input exactly
     assert np.array_equal(np.asarray(pcm), data)
-    # and matches the unsharded decode of the same residual
-    ref = np.asarray(
+    # and matches the unsharded synthesis of the same residual
+    dec_ref = np.asarray(
         decode_stage(
             jnp.asarray(np.asarray(res).reshape(NB * NC, L)),
             jnp.asarray(coef.reshape(NB * NC, p)),
@@ -75,4 +110,70 @@ def test_sharded_decode_roundtrip():
             p, T, M,
         )
     )
-    assert np.array_equal(np.asarray(pcm).reshape(NB * NC, L), ref)
+    assert np.array_equal(np.asarray(pcm).reshape(NB * NC, L), dec_ref)
+
+
+# ---- full pipeline: mesh encode byte-identical to host ----------------------
+
+@needs_8
+@pytest.mark.parametrize("C", [2, 6])
+def test_mesh_encode_byte_identical(C):
+    # 3 blocks of rows: C * 3 rows is NOT a multiple of the 8-device block
+    # axis for either C — exercises the encoder's internal batch padding
+    pcm = _pcm(C, 30000, seed=C)
+    assert _encode(pcm, "mesh") == _encode(pcm, "host")
+
+
+@needs_8
+def test_mesh_encode_single_block_row_padding(C=1):
+    # one mono block: 1 row on an 8-device mesh (maximal padding)
+    pcm = _pcm(1, 9000)
+    assert _encode(pcm, "mesh") == _encode(pcm, "host")
+
+
+@needs_8
+def test_mesh_segmented_encode_byte_identical(monkeypatch):
+    # rolling-window segmented encode (SLA_TPU_SEGMENT_SAMPLES) on the mesh
+    # backend: segment boundaries must not change a single byte
+    pcm = _pcm(2, 61000, seed=11)
+    monkeypatch.setenv("SLA_TPU_SEGMENT_SAMPLES", "24576")
+    seg = _encode(pcm, "mesh")
+    monkeypatch.delenv("SLA_TPU_SEGMENT_SAMPLES")
+    assert seg == _encode(pcm, "host")
+
+
+# ---- full pipeline: mesh decode ---------------------------------------------
+
+@needs_8
+@pytest.mark.parametrize("C", [2, 6])
+def test_mesh_decode_pcm_exact(C):
+    pcm = _pcm(C, 30000, seed=20 + C)
+    blob = _encode(pcm, "host")
+    dec = sla.Decoder(sla.DecoderConfig(backend="mesh"))
+    _, out = dec.decode_whole(blob)
+    assert np.array_equal(out, pcm)
+
+
+# ---- checkify assert mode ----------------------------------------------------
+
+@needs_8
+def test_assert_mode_rejected_on_sharded_step(monkeypatch):
+    monkeypatch.setenv("SLA_TPU_DEBUG_ASSERTS", "1")
+    mesh = make_mesh(jax.devices()[:8])
+    p, T, M = 8, 1, 4
+    NB, NC, L = 2 * mesh.shape["blocks"], 1, 64
+    data, coef, pitch, ltm = _inputs(NB, NC, L, p, T)
+    d = shard_batch(mesh, data, coef, ltm)
+    d_pitch = shard_batch(mesh, pitch[..., None])[0][..., 0]
+    with pytest.raises(SLAError):
+        sharded_encode_step(d[0], d[1], d_pitch, d[2], p, T, M, mesh)
+
+
+@needs_8
+def test_assert_mode_demotes_mesh_encoder(monkeypatch):
+    # the encoder demotes backend='mesh' to the checkified single-device
+    # path instead of raising; bytes must still match the host path
+    pcm = _pcm(2, 15000, seed=31)
+    host = _encode(pcm, "host")
+    monkeypatch.setenv("SLA_TPU_DEBUG_ASSERTS", "1")
+    assert _encode(pcm, "mesh") == host
