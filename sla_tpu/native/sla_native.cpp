@@ -5084,7 +5084,6 @@ static void lattice_synth_genT(int32_t n,
   vsi lat[65];
   for (int32_t k = 0; k <= p; ++k) lat[k] = vzero;
   vsi deemph = vzero;
-  vsi m[64], fpart[64];
   auto sample_step = [&](vsi y) -> vsi {
 #ifdef SLA_TPU_DEBUG
     for (int32_t k = 0; k < p; ++k)
@@ -5094,14 +5093,21 @@ static void lattice_synth_genT(int32_t n,
                        "lattice synth stage product overflows int32");
       }
 #endif
-    // suffix-sum formulation: stage terms use previous state only, so
-    // k and r both vectorize
-    for (int32_t k = 0; k < p; ++k) m[k] = (c[k] * lat[k] + half) >> 15;
-    fpart[p - 1] = y + m[p - 1];
-    for (int32_t k = p - 2; k >= 0; --k) fpart[k] = fpart[k + 1] + m[k];
-    for (int32_t k = p - 1; k >= 0; --k)
-      lat[k + 1] = lat[k] - ((c[k] * fpart[k] + half) >> 15);
-    vsi v = fpart[0];
+    // fused downward pass: the running suffix sum (fpart) rides ONE
+    // register and each stage touches memory exactly thrice (load c[k],
+    // load lat[k], store lat[k+1]) — the split m[]/fpart[] array form
+    // round-tripped the stack ~6x per stage at p = 32, where the arrays
+    // cannot live in registers. Value-for-value the same arithmetic in
+    // the same order (m[k] from OLD lat[k]: writes this sample are to
+    // lat[k+2..p], so the k-th read is untouched; fpart adds descend;
+    // lat updates use the same operands), so streams are byte-identical.
+    vsi f = y + ((c[p - 1] * lat[p - 1] + half) >> 15);
+    lat[p] = lat[p - 1] - ((c[p - 1] * f + half) >> 15);
+    for (int32_t k = p - 2; k >= 0; --k) {
+      f += (c[k] * lat[k] + half) >> 15;
+      lat[k + 1] = lat[k] - ((c[k] * f + half) >> 15);
+    }
+    vsi v = f;
     lat[0] = v;
     v += (deemph * 31) >> 5;
     deemph = v;
