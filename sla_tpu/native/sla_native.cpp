@@ -4945,7 +4945,7 @@ static int32_t predict_stage1_coreT(const int32_t* const* in_rows,
   vsi b[65];
   for (int32_t k = 0; k <= p; ++k) b[k] = vzero;
   vsi x_prev = vzero;
-  vsi m[64], fp[64];
+  vsi fp[64];
   auto sample_step = [&](vsi raw) -> vsi {
     vsi x = raw - ((x_prev * 31) >> 5);
     x_prev = raw;
@@ -4958,17 +4958,21 @@ static int32_t predict_stage1_coreT(const int32_t* const* in_rows,
       }
 #endif
     // every stage term uses PREVIOUS state only (the JAX kernel's
-    // formulation): m[k] = q(c[k+1], b_prev[k]) — fully parallel over k, r
-    for (int32_t k = 0; k < p; ++k) m[k] = (c[k] * b[k] + half) >> 15;
+    // formulation): m[k] = q(c[k+1], b_prev[k]) — fully parallel over k, r.
+    // The m[] array is folded into the fp prefix loop (the value is used
+    // exactly once there); same operations in the same order, ~2p fewer
+    // stack round trips per sample.
     // fp[k] = f before stage k+1 = x - prefix_sum(m)[k-1]
     fp[0] = x;
-    for (int32_t k = 1; k < p; ++k) fp[k] = fp[k - 1] - m[k - 1];
+    for (int32_t k = 1; k < p; ++k)
+      fp[k] = fp[k - 1] - ((c[k - 1] * b[k - 1] + half) >> 15);
+    const vsi out = fp[p - 1] - ((c[p - 1] * b[p - 1] + half) >> 15);
     // b update: b_new[k+1] = b_prev[k] - q(c[k+1], fp[k]), top-down so
     // b_prev reads stay untouched
     for (int32_t k = p - 1; k >= 0; --k)
       b[k + 1] = b[k] - ((c[k] * fp[k] + half) >> 15);
     b[0] = x;
-    return fp[p - 1] - m[p - 1];
+    return out;
   };
   int32_t s = 0;
   for (; s + R <= n; s += R) {  // transposed register tiles (see tile_load)
@@ -5311,6 +5315,10 @@ static void lattice_synth_out_coreT_at(const int32_t* const* work_rows,
       [&](int32_t s, vsi v) { synth_store_col<R>(v, s, dest, ms, shift); });
 }
 
+static inline void longterm_synth_row(int32_t* x, int32_t n, int32_t pitch,
+                                      const int32_t* ltm_row,
+                                      int32_t num_taps);
+
 // Fused-output synthesis: passes A/B run IN PLACE over `work` (clobbered),
 // pass C stores straight into the PCM destinations with MS inverse + left
 // shift fused (see lattice_synth_out_coreT). Requires p > 0 (the preset
@@ -5331,24 +5339,11 @@ static int32_t synth_rowsT_out(int32_t* work, int32_t n,
     case 8: lms_rowsT<R, true, 8>(work, work, n, M); break;
     default: lms_rowsT<R, true, 0>(work, work, n, M); break;
   }
+  if (num_taps > 8) return -1;
   for (int32_t r = 0; r < R; ++r) {
     if (pitch8[r] <= 0) continue;
-    const int32_t max_delay = pitch8[r] + num_taps / 2;
-    int32_t q15c[8];
-    if (num_taps > 8) return -1;
-    for (int32_t j = 0; j < num_taps; ++j) q15c[j] = ltm[r * num_taps + j] >> 16;
-    int32_t* x = work + (int64_t)r * n;
-    const int32_t min_lag = max_delay - (num_taps - 1);
-    for (int32_t s0 = max_delay; s0 < n; s0 += min_lag) {
-      int32_t e = s0 + min_lag < n ? s0 + min_lag : n;
-#pragma GCC ivdep
-      for (int32_t s = s0; s < e; ++s) {
-        int64_t acc = 0;
-        for (int32_t j = 0; j < num_taps; ++j)
-          acc += (int64_t)q15c[j] * x[s - (max_delay - j)];
-        x[s] += (int32_t)((acc + (1 << 14)) >> 15);
-      }
-    }
+    longterm_synth_row(work + (int64_t)r * n, n, pitch8[r],
+                       ltm + r * num_taps, num_taps);
   }
   int32_t* dest[R];
   for (int32_t r = 0; r < R; ++r) dest[r] = dest_base + dest_offs[r];
@@ -5361,32 +5356,66 @@ static int32_t synth_rowsT_out(int32_t* work, int32_t n,
   return 0;
 }
 
+// One row of long-term synthesis, in place, chunked over samples: the
+// feedback lag is >= min_lag = max_delay - (num_taps - 1), so every read
+// inside a min_lag-sized chunk is before the chunk start and the chunk
+// body is dependency-free despite writing x in place. The AVX-512 body
+// processes 8 samples per step with the exact scalar semantics: int64
+// products accumulated in ascending-j order (vpmuldq sign-extends the low
+// 32 bits of both operands), + (1<<14), arithmetic >> 15, truncating
+// int32 cast, wrapping int32 add — byte-identical to the scalar loop.
+static inline void longterm_synth_row(int32_t* x, int32_t n, int32_t pitch,
+                                      const int32_t* ltm_row,
+                                      int32_t num_taps) {
+  const int32_t max_delay = pitch + num_taps / 2;
+  int32_t q15c[8];
+  for (int32_t j = 0; j < num_taps; ++j) q15c[j] = ltm_row[j] >> 16;
+  const int32_t min_lag = max_delay - (num_taps - 1);
+  for (int32_t s0 = max_delay; s0 < n; s0 += min_lag) {
+    const int32_t e = s0 + min_lag < n ? s0 + min_lag : n;
+    int32_t s = s0;
+#if defined(__AVX512F__) && !defined(SLA_TPU_DEBUG)
+    const __m512i vhalf = _mm512_set1_epi64(1 << 14);
+    for (; s + 8 <= e; s += 8) {
+      __m512i acc = _mm512_setzero_si512();
+      for (int32_t j = 0; j < num_taps; ++j) {
+        const __m256i xi =
+            _mm256_loadu_si256((const __m256i*)(x + s - (max_delay - j)));
+        acc = _mm512_add_epi64(
+            acc, _mm512_mul_epi32(_mm512_cvtepi32_epi64(xi),
+                                  _mm512_set1_epi64((int64_t)q15c[j])));
+      }
+      acc = _mm512_srai_epi64(_mm512_add_epi64(acc, vhalf), 15);
+      const __m256i xv = _mm256_loadu_si256((const __m256i*)(x + s));
+      _mm256_storeu_si256(
+          (__m256i*)(x + s),
+          _mm256_add_epi32(xv, _mm512_cvtepi64_epi32(acc)));
+    }
+#endif
+#pragma GCC ivdep
+    for (; s < e; ++s) {
+      int64_t acc = 0;
+      for (int32_t j = 0; j < num_taps; ++j)
+        acc += (int64_t)q15c[j] * x[s - (max_delay - j)];
+      SLA_DBG_ASSERT(((acc + (1 << 14)) >> 15) <= INT32_MAX &&
+                         ((acc + (1 << 14)) >> 15) >= INT32_MIN,
+                     "long-term prediction overflows int32");
+      x[s] += (int32_t)((acc + (1 << 14)) >> 15);
+    }
+  }
+}
+
 // Shared long-term pass over row pointers (pass B of the _at forms): per
-// row, chunked over samples (see synth_rowsT pass B for the chunking
-// argument); in place.
+// row, chunked over samples (see longterm_synth_row); in place.
 template <int R>
 static int32_t synth_longterm_rows_at(int32_t* const* rows, int32_t n,
                                       const int32_t* pitchR /* R */,
                                       const int32_t* ltm /* R x T */,
                                       int32_t num_taps) {
+  if (num_taps > 8) return -1;
   for (int32_t r = 0; r < R; ++r) {
     if (pitchR[r] <= 0) continue;
-    const int32_t max_delay = pitchR[r] + num_taps / 2;
-    int32_t q15c[8];
-    if (num_taps > 8) return -1;
-    for (int32_t j = 0; j < num_taps; ++j) q15c[j] = ltm[r * num_taps + j] >> 16;
-    int32_t* x = rows[r];
-    const int32_t min_lag = max_delay - (num_taps - 1);
-    for (int32_t s0 = max_delay; s0 < n; s0 += min_lag) {
-      int32_t e = s0 + min_lag < n ? s0 + min_lag : n;
-#pragma GCC ivdep
-      for (int32_t s = s0; s < e; ++s) {
-        int64_t acc = 0;
-        for (int32_t j = 0; j < num_taps; ++j)
-          acc += (int64_t)q15c[j] * x[s - (max_delay - j)];
-        x[s] += (int32_t)((acc + (1 << 14)) >> 15);
-      }
-    }
+    longterm_synth_row(rows[r], n, pitchR[r], ltm + r * num_taps, num_taps);
   }
   return 0;
 }
@@ -5494,29 +5523,11 @@ static int32_t synth_rowsT(const int32_t* residual, int32_t* out, int32_t n,
   }
 
   // ---- pass B: long-term synthesis, per row, chunked over samples
+  if (num_taps > 8) return -1;
   for (int32_t r = 0; r < R; ++r) {
     if (pitch8[r] <= 0) continue;
-    const int32_t max_delay = pitch8[r] + num_taps / 2;
-    int32_t q15c[8];
-    if (num_taps > 8) return -1;
-    for (int32_t j = 0; j < num_taps; ++j) q15c[j] = ltm[r * num_taps + j] >> 16;
-    int32_t* x = out + (int64_t)r * n;
-    const int32_t min_lag = max_delay - (num_taps - 1);  // shallowest lag
-    for (int32_t s0 = max_delay; s0 < n; s0 += min_lag) {
-      int32_t e = s0 + min_lag < n ? s0 + min_lag : n;
-      // within the chunk every read is before s0 (lag >= min_lag), so
-      // the loop is dependency-free despite writing x in place
-#pragma GCC ivdep
-      for (int32_t s = s0; s < e; ++s) {
-        int64_t acc = 0;
-        for (int32_t j = 0; j < num_taps; ++j)
-          acc += (int64_t)q15c[j] * x[s - (max_delay - j)];
-        SLA_DBG_ASSERT(((acc + (1 << 14)) >> 15) <= INT32_MAX &&
-                           ((acc + (1 << 14)) >> 15) >= INT32_MIN,
-                       "long-term prediction overflows int32");
-        x[s] += (int32_t)((acc + (1 << 14)) >> 15);
-      }
-    }
+    longterm_synth_row(out + (int64_t)r * n, n, pitch8[r],
+                       ltm + r * num_taps, num_taps);
   }
 
   // ---- pass C: PARCOR lattice synthesis + de-emphasis, rows interleaved
