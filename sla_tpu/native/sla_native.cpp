@@ -855,6 +855,35 @@ static int64_t decode_blocks_v8(const uint8_t* in, int64_t in_size,
   };
 
   alignas(64) uint32_t tile[CH][8][8];  // [ch][sample-in-tile][lane]
+  // Pipelined refill: vraw always holds the 8 bytes at in + vnb for every
+  // lane still inside the 8-byte margin (vnb <= size - 8). Each refill
+  // consumes vraw with register ops only and immediately re-issues the
+  // gather for the new vnb, so the gather's ~25-cycle latency overlaps the
+  // following symbol decodes instead of blocking the refill. Identical
+  // bytes reach the cache in the identical order (in[] is immutable and
+  // vnb is unchanged between the gather and its use), so outputs are
+  // byte-identical to the on-demand form.
+  __m512i vraw = _mm512_mask_i64gather_epi64(
+      v0, _mm512_cmple_epi64_mask(vnb, vsz8), vnb, in, 1);
+  // refill32 bulk path: nb = (63 - ncache) >> 3, only for lanes below 40
+  // cached bits AND inside the margin (their vraw is valid) — a 64-bit
+  // cache feeds ~2 stereo samples per refill, and refill cadence cannot
+  // change the bits any symbol consumes (a genuinely cache-short symbol
+  // fails validation and re-decodes byte-exactly from untouched state)
+  auto vrefill = [&](__mmask8 lowm) {
+    const __m512i nb = _mm512_srli_epi64(_mm512_sub_epi64(v63, vnc), 3);
+    const __mmask8 dorf = lowm & _mm512_cmpgt_epi64_mask(nb, v0);
+    const __m512i raw = vdec_bswap64(vraw);
+    const __m512i sh8 = _mm512_slli_epi64(nb, 3);
+    const __m512i newc = _mm512_or_si512(
+        _mm512_sllv_epi64(vcache, sh8),
+        _mm512_srlv_epi64(raw, _mm512_sub_epi64(v64, sh8)));
+    vcache = _mm512_mask_mov_epi64(vcache, dorf, newc);
+    vnb = _mm512_mask_add_epi64(vnb, dorf, vnb, nb);
+    vnc = _mm512_mask_add_epi64(vnc, dorf, vnc, sh8);
+    const __mmask8 mg = dorf & _mm512_cmple_epi64_mask(vnb, vsz8);
+    vraw = _mm512_mask_i64gather_epi64(vraw, mg, vnb, in, 1);
+  };
   int32_t s = 0;
   for (; s < nmin;) {
     // margin (scalar loop gate): every lane has next_byte + 8 <= size
@@ -863,28 +892,10 @@ static int64_t decode_blocks_v8(const uint8_t* in, int64_t in_size,
     int32_t ti = 0;
     for (; ti < tlim; ++ti) {
       if (_mm512_cmpgt_epi64_mask(vnb, vsz8) != 0) break;
-      // refill32 bulk path, all lanes in margin: nb = (63 - ncache) >> 3.
-      // LAZY: the gather (vpgatherqq, the loop's most expensive op) only
-      // runs when some lane is below 40 cached bits — a 64-bit cache feeds
-      // ~2 stereo samples per refill, and refill cadence cannot change the
-      // bits any symbol consumes (a genuinely cache-short symbol fails
-      // validation and re-decodes byte-exactly from untouched state)
       {
         const __mmask8 lowm =
             _mm512_cmple_epi64_mask(vnc, _mm512_set1_epi64(40));
-        if (lowm) {
-          const __m512i nb = _mm512_srli_epi64(_mm512_sub_epi64(v63, vnc), 3);
-          const __mmask8 dorf = lowm & _mm512_cmpgt_epi64_mask(nb, v0);
-          __m512i raw = _mm512_mask_i64gather_epi64(v0, dorf, vnb, in, 1);
-          raw = vdec_bswap64(raw);
-          const __m512i sh8 = _mm512_slli_epi64(nb, 3);
-          const __m512i newc = _mm512_or_si512(
-              _mm512_sllv_epi64(vcache, sh8),
-              _mm512_srlv_epi64(raw, _mm512_sub_epi64(v64, sh8)));
-          vcache = _mm512_mask_mov_epi64(vcache, dorf, newc);
-          vnb = _mm512_mask_add_epi64(vnb, dorf, vnb, nb);
-          vnc = _mm512_mask_add_epi64(vnc, dorf, vnc, sh8);
-        }
+        if (lowm) vrefill(lowm);
       }
       for (int ch = 0; ch < CH; ++ch) {
         if (CH >= 3 && ch > 0) {
@@ -894,19 +905,7 @@ static int64_t decode_blocks_v8(const uint8_t* in, int64_t in_size,
           const __mmask8 low =
               _mm512_cmple_epi64_mask(vnc, _mm512_set1_epi64(40)) &
               _mm512_cmple_epi64_mask(vnb, vsz8);  // keep the 8-byte margin
-          if (low) {
-            const __m512i nb = _mm512_srli_epi64(_mm512_sub_epi64(v63, vnc), 3);
-            const __mmask8 dorf = low & _mm512_cmpgt_epi64_mask(nb, v0);
-            __m512i raw = _mm512_mask_i64gather_epi64(v0, dorf, vnb, in, 1);
-            raw = vdec_bswap64(raw);
-            const __m512i sh8 = _mm512_slli_epi64(nb, 3);
-            const __m512i newc = _mm512_or_si512(
-                _mm512_sllv_epi64(vcache, sh8),
-                _mm512_srlv_epi64(raw, _mm512_sub_epi64(v64, sh8)));
-            vcache = _mm512_mask_mov_epi64(vcache, dorf, newc);
-            vnb = _mm512_mask_add_epi64(vnb, dorf, vnb, nb);
-            vnc = _mm512_mask_add_epi64(vnc, dorf, vnc, sh8);
-          }
+          if (low) vrefill(low);
         }
         __m512i p0 = vp[ch][0], p1 = vp[ch][1];
         // k parameters and their log2 (rice_param + log2_pow2):
@@ -1000,6 +999,10 @@ static int64_t decode_blocks_v8(const uint8_t* in, int64_t in_size,
             a_p[ch][1][l] = st.params[1];
           }
           reload();
+          // the scalar redo advanced vnb for the failed lanes: re-establish
+          // the pipelined-gather invariant for every lane still in margin
+          vraw = _mm512_mask_i64gather_epi64(
+              vraw, _mm512_cmple_epi64_mask(vnb, vsz8), vnb, in, 1);
         }
       }
     }
