@@ -22,6 +22,7 @@ import numpy as np
 from . import native, rice
 from .bitio import BitReader, uint32_to_sint32
 from .constants import (
+    CODER_LOW_THRESHOLD_PARAMETER,
     LONGTERM_PERIOD_NUM_BITS,
     SLA_BLOCK_CRC16_CALC_START_OFFSET,
     SLA_MINIMUM_BLOCK_HEADER_SIZE,
@@ -50,6 +51,12 @@ class DecoderConfig:
     enable_crc_check: bool = True
     verbose: bool = False
     backend: str = "auto"  # 'auto' | 'device' | 'host' (see EncoderConfig)
+    # on-chip entropy decode (mirror of EncoderConfig.device_entropy): when
+    # the synthesis batch runs on the device/mesh backend, the recursive-
+    # Rice payloads decode there too (rice_device.rice_decode_blocks), so
+    # the device decode path is not host-entropy-bound. 'off' disables;
+    # SLA_TPU_DEVICE_ENTROPY forces it on any backend.
+    device_entropy: str = "auto"
 
 
 @dataclasses.dataclass
@@ -331,6 +338,56 @@ class Decoder:
         from .pipeline import select_backend
 
         return select_backend(self.config.backend, row_samples)
+
+    def _device_entropy_on(self, backend: str) -> bool:
+        """Decode twin of Encoder._device_entropy_on: on-chip symbol decode
+        whenever the synthesis batch runs on the device or mesh backend;
+        SLA_TPU_DEVICE_ENTROPY forces it regardless."""
+        import os
+
+        if os.environ.get("SLA_TPU_DEVICE_ENTROPY"):
+            return True
+        if getattr(self.config, "device_entropy", "auto") == "off":
+            return False
+        return backend in ("device", "mesh")
+
+    def _device_entropy_group(self, data: bytes, grp: list, comp: list[int], L: int):
+        """On-chip entropy decode of one synthesis group's COMPRESSDATA
+        payloads (rice_device.rice_decode_blocks): returns the (rows, L)
+        residual batch as a device array in the synthesis layout, or None
+        when the group must use the host coder — a block on the static
+        Golomb branch (cross-channel mean effective parameter <= 8, the
+        same split the encoder uses), or any block whose payload tripped
+        the device decoder's validity flags (only corrupt streams do)."""
+        from . import rice
+        from .rice_device import decode_blocks_payload_device
+
+        wf = self._wave_format
+        C = wf.num_channels
+        inits = np.zeros((len(comp), C), dtype=np.uint32)
+        for j, i in enumerate(comp):
+            blk = grp[i]
+            eff = [rice.effective_init_param(int(p)) for p in blk.init_rice]
+            if sum(eff) // C <= CODER_LOW_THRESHOLD_PARAMETER:
+                return None  # static-Golomb block: host path
+            inits[j] = np.asarray(blk.init_rice, dtype=np.uint32)
+        offs = np.asarray([grp[i].payload_bit_offset for i in comp], dtype=np.int64)
+        bits = np.asarray(
+            [
+                (grp[i].data_offset + grp[i].block_size) * 8
+                - grp[i].payload_bit_offset
+                for i in comp
+            ],
+            dtype=np.int64,
+        )
+        counts = np.asarray([grp[i].num_samples for i in comp], dtype=np.int32)
+        res, bad = decode_blocks_payload_device(
+            data, offs, bits, counts, inits, C, L
+        )
+        if bad.any():
+            return None  # corrupt payload: the host path reproduces the
+            # reference's deterministic behavior for it
+        return res.reshape(len(comp) * C, L)
 
     # -- whole-stream decode -----------------------------------------------------
     def decode_block(self, data: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
@@ -630,21 +687,34 @@ class Decoder:
                 ]
                 payloads: list[np.ndarray | None] = [None] * len(grp)
                 premade = None
+                dev_premade = None
                 if comp:
-                    # decode straight into the (rows, L) synthesis batch
-                    # layout: the synthesis stage consumes it zero-copy
-                    batch, decoded = native.get_data_arrays_strided(
-                        data,
-                        np.asarray([grp[i].payload_bit_offset for i in comp]),
-                        np.asarray([grp[i].num_samples for i in comp]),
-                        np.asarray([grp[i].init_rice for i in comp]),
-                        L,
-                    )
-                    for i, rows in zip(comp, decoded):
-                        payloads[i] = rows
-                    premade = batch
+                    rs = sum(grp[i].num_samples for i in comp) * C
+                    if self._device_entropy_on(self._select_backend(rs)):
+                        # on-chip symbol decode straight into the (rows, L)
+                        # synthesis layout; the batch stays device-resident
+                        # for the synthesis stage (no host round trip)
+                        dev_premade = self._device_entropy_group(
+                            data, grp, comp, L
+                        )
+                    if dev_premade is None:
+                        # decode straight into the (rows, L) synthesis batch
+                        # layout: the synthesis stage consumes it zero-copy
+                        batch, decoded = native.get_data_arrays_strided(
+                            data,
+                            np.asarray([grp[i].payload_bit_offset for i in comp]),
+                            np.asarray([grp[i].num_samples for i in comp]),
+                            np.asarray([grp[i].init_rice for i in comp]),
+                            L,
+                        )
+                        for i, rows in zip(comp, decoded):
+                            payloads[i] = rows
+                        premade = batch
                 for i, b in enumerate(grp):
-                    if payloads[i] is None:
+                    if payloads[i] is None and (
+                        dev_premade is None
+                        or b.block_type != BlockDataType.COMPRESSDATA
+                    ):
                         payloads[i] = self._decode_payload(data, b)
                 t_ent += time.perf_counter() - t0
                 t0 = time.perf_counter()
@@ -675,7 +745,10 @@ class Decoder:
                             flush=True,
                         )
                     continue
-                outputs = self._synth_outputs(grp, payloads, premade=premade)
+                outputs = self._synth_outputs(
+                    grp, payloads,
+                    premade=premade if dev_premade is None else dev_premade,
+                )
                 srcs: list[np.ndarray] = []
                 for i, b in enumerate(grp):
                     src = outputs.get(i)
@@ -826,11 +899,23 @@ class Decoder:
         backend = self._select_backend(total_row_samples)
         # bound the synthesis batch buffer (~100 MB) for very long streams
         max_group = _synth_group_rows(C, L)
+        is_np = isinstance(premade, np.ndarray)
         use_premade = (
             premade is not None
+            and is_np
             and backend == "host"
             and len(comp_all) <= max_group
             and premade.shape == (len(comp_all) * C, L)
+        )
+        # device-resident premade (the on-chip entropy decode's output):
+        # consumed directly by the device synthesis stage, no host round
+        # trip; the mesh branch converts once for its host-side resharding
+        use_dev = (
+            premade is not None
+            and not is_np
+            and backend != "host"
+            and len(comp_all) <= max_group
+            and tuple(premade.shape) == (len(comp_all) * C, L)
         )
         for g in range(0, len(comp_all), max_group):
             comp_idx = comp_all[g : g + max_group]
@@ -843,11 +928,21 @@ class Decoder:
             lengths = np.zeros((B,), dtype=np.int64)
             if use_premade:
                 residual = premade  # decoded straight into batch layout
+            elif use_dev:
+                import jax.numpy as jnp_  # local: pad rows on device
+
+                residual = premade
+                if B > residual.shape[0]:
+                    residual = jnp_.pad(
+                        residual, ((0, B - residual.shape[0]), (0, 0))
+                    )
+                if backend == "mesh":
+                    residual = np.asarray(residual)
             else:
                 residual = np.zeros((B, L), dtype=np.int32)
             for bi, i in enumerate(comp_idx):
                 blk = blocks[i]
-                if not use_premade:
+                if not (use_premade or use_dev):
                     residual[bi * C : (bi + 1) * C, : blk.num_samples] = payloads[i]
                 _fill_block_filter_rows(blk, bi, C, coef, pitch, ltm, lengths)
             if backend == "mesh":

@@ -137,6 +137,178 @@ def rice_encode_parts(residual: jnp.ndarray, init_params: jnp.ndarray):
     return values, lengths  # (L, B, 4)
 
 
+_M32J = jnp.uint64(0xFFFFFFFF)
+_QUOT_T = CODER_QUOTPART_THRESHOLD  # 16
+
+
+@functools.partial(jax.jit, static_argnames=("C", "n_max"))
+def rice_decode_blocks(words, start_bits, counts, init_params, C, n_max):
+    """Decode B independent recursive-Rice block payloads on device.
+
+    The decode half of the BASELINE.json entropy split (mirror of
+    SLACoder.c:470-506 semantics via rice.py get_recursive_rice): blocks
+    are independent bitstreams, so B bit cursors advance in lanes of one
+    batched `lax.scan` over the sample axis; within a sample the C
+    channel symbols decode sequentially (channel-interleaved stream
+    order), exactly like the host loop.
+
+    words: (B, W) uint32 — per-block windows of the stream, each word the
+        big-endian 32-bit group it occupies in the byte stream.
+    start_bits: (B,) int32 bit offset of each payload within its window.
+    counts: (B,) int32 sample count per block (rows shorter than n_max
+        freeze their cursor/params once exhausted).
+    init_params: (B, C) uint32 initial Rice parameters.
+    Returns (residual (B, C, n_max) int32, bad (B,) bool). A `bad` block
+    saw something no valid stream produces (unary run past the escape
+    threshold, gamma with > 32 digits, or a cursor past the window): its
+    lanes are garbage and the caller must re-decode it on host. Valid
+    streams never set it, and every consumed bit / parameter update is
+    value-identical to the host coder.
+    """
+    assert CODER_NUM_RECURSIVE_RICE_PARAMETER == 2
+    B, W = words.shape
+    wbits = jnp.int32(W * 32)
+
+    def window(bp):
+        """64-bit big-endian window starting at bit bp, zero-padded wish:
+        out-of-range word indexes clamp (the garbage is never consumed —
+        symbols end at the block boundary; clamping only keeps the gather
+        in bounds)."""
+        wi = bp >> 5
+        off = bp & 31
+        idx = jnp.clip(
+            jnp.stack([wi, wi + 1, wi + 2], axis=1), 0, W - 1
+        )
+        g = jnp.take_along_axis(words, idx, axis=1).astype(jnp.uint64)
+        hi = (g[:, 0] << jnp.uint64(32)) | g[:, 1]
+        sh = off.astype(jnp.uint64)
+        lo = g[:, 2] >> (jnp.uint64(32) - jnp.minimum(sh, jnp.uint64(32)))
+        return (hi << sh) | jnp.where(off > 0, lo, jnp.uint64(0))
+
+    def sym(bp, p0, p1):
+        """One get_recursive_rice symbol per lane from bit cursor bp.
+        Returns (bp', p0', p1', value uint64 (<= 2^32-1), bad)."""
+        k0 = _rice_param(p0)
+        k1 = _rice_param(p1)
+        k0b = _bit_length_u32(k0.astype(jnp.uint32)) - 1  # log2 (pow2)
+        k1b = _bit_length_u32(k1.astype(jnp.uint32)) - 1
+        w1 = window(bp)
+        quot = jax.lax.clz(w1).astype(jnp.int32)  # zero run (w1==0 -> 64)
+        bp1 = bp + quot + 1
+        stage1 = quot >= 1
+        esc = quot >= _QUOT_T
+        # gamma (rice.py get_gamma): run gz zeros, a 1, then gz value bits;
+        # (1 << gz) + rest - 1 covers the gz == 0 -> 0 case too
+        w2 = window(bp1)
+        gz = jnp.minimum(jax.lax.clz(w2).astype(jnp.int32), 63)
+        gzu = gz.astype(jnp.uint64)
+        grest = jnp.where(
+            gz > 0,
+            (w2 >> (jnp.uint64(63) -
+                    2 * jnp.minimum(gzu, jnp.uint64(31)))) &
+            ((jnp.uint64(1) << gzu) - jnp.uint64(1)),
+            jnp.uint64(0),
+        )
+        gamma = (jnp.uint64(1) << gzu) + grest - jnp.uint64(1)
+        quot_u = quot.astype(jnp.uint64) + jnp.where(esc, gamma, jnp.uint64(0))
+        bp2 = bp1 + jnp.where(esc, 2 * gz + 1, 0)
+        # remainder bits of the landing stage
+        kb_land = jnp.where(stage1, k1b, k0b)
+        w3 = window(bp2)
+        rest = jnp.where(
+            kb_land > 0,
+            w3 >> (jnp.uint64(64) -
+                   jnp.maximum(kb_land, 1).astype(jnp.uint64)),
+            jnp.uint64(0),
+        )
+        bp3 = bp2 + kb_land
+        # val = k0 + k1*(quot-1) + rest on stage 1, rest on stage 0; the
+        # uint64 intermediates are exact (< 2^63), the mask replicates the
+        # host's uint32 wrap
+        val = jnp.where(
+            stage1, k0 + k1 * (quot_u - jnp.uint64(1)) + rest, rest
+        ) & _M32J
+        # adaptation (get_recursive_rice tail): stage 0 updates p0 with
+        # val; stage 1 updates p0 with val and p1 with val - k0 (uint64
+        # wrap of a corrupt negative matches the host's python semantics
+        # mod 2^32; valid streams have val >= k0 here)
+        p0n = _u32(_param_update(p0, val))
+        p1n = jnp.where(stage1, _u32(_param_update(p1, val - k0)), p1)
+        bad = (quot > _QUOT_T) | (esc & (gz > 31)) | (bp3 > wbits)
+        return bp3, p0n, p1n, val, bad
+
+    p0fix = _u32(init_params.astype(jnp.uint64) << jnp.uint64(_FRAC))
+    params0 = jnp.stack([p0fix, p0fix], axis=-1)  # (B, C, 2)
+    init = (
+        start_bits.astype(jnp.int32),
+        params0,
+        jnp.zeros((B,), dtype=bool),
+    )
+
+    def step(carry, si):
+        bp, params, bad = carry
+        alive = si < counts
+        outs = []
+        for ch in range(C):  # channel-interleaved stream order
+            p0 = params[:, ch, 0]
+            p1 = params[:, ch, 1]
+            bp_n, p0n, p1n, val, bd = sym(bp, p0, p1)
+            bp = jnp.where(alive, bp_n, bp)
+            params = params.at[:, ch, 0].set(jnp.where(alive, p0n, p0))
+            params = params.at[:, ch, 1].set(jnp.where(alive, p1n, p1))
+            bad = bad | (alive & bd)
+            u = val.astype(jnp.uint32)  # unzigzag
+            res = (
+                (u >> jnp.uint32(1)) ^ (jnp.uint32(0) - (u & jnp.uint32(1)))
+            ).astype(jnp.int32)
+            outs.append(jnp.where(alive, res, 0))
+        return (bp, params, bad), jnp.stack(outs, axis=-1)
+
+    (_, _, bad), ys = jax.lax.scan(step, init, jnp.arange(n_max))
+    return jnp.transpose(ys, (1, 2, 0)), bad  # (B, C, n_max), (B,)
+
+
+def decode_blocks_payload_device(
+    data: bytes,
+    bit_offsets: np.ndarray,
+    block_bits: np.ndarray,
+    counts: np.ndarray,
+    init_params: np.ndarray,
+    C: int,
+    n_max: int,
+):
+    """Host wrapper: window packing + device decode + host fallback.
+
+    data: the whole stream; bit_offsets: (B,) payload bit offsets;
+    block_bits: (B,) payload-region sizes in bits (to the block end);
+    counts: (B,) samples; init_params: (B, C) uint32 (raw header values).
+    Returns (residual (B, C, n_max) int32 np, bad (B,) bool np) — `bad`
+    blocks contain garbage and must be host-decoded by the caller (the
+    decoder does, via native.get_data_array)."""
+    B = len(bit_offsets)
+    word_start = (np.asarray(bit_offsets, dtype=np.int64) // 32).astype(np.int64)
+    start_bits = (np.asarray(bit_offsets, dtype=np.int64) - 32 * word_start).astype(np.int32)
+    end_word = -(-(np.asarray(bit_offsets, dtype=np.int64) +
+                   np.asarray(block_bits, dtype=np.int64)) // 32)
+    W = int(np.max(end_word - word_start)) + 2  # window slack for reads past end
+    pad = (-len(data)) % 4
+    arr = np.frombuffer(bytes(data) + b"\x00" * (4 + pad), dtype=">u4")
+    words = np.zeros((B, W), dtype=np.uint32)
+    for i in range(B):
+        w0 = int(word_start[i])
+        take = min(W, len(arr) - w0)
+        words[i, :take] = arr[w0 : w0 + take]
+    res, bad = rice_decode_blocks(
+        jnp.asarray(words),
+        jnp.asarray(start_bits),
+        jnp.asarray(np.asarray(counts, dtype=np.int32)),
+        jnp.asarray(np.asarray(init_params, dtype=np.uint32)),
+        C,
+        n_max,
+    )
+    return res, np.asarray(bad)
+
+
 def encode_block_payload_device(
     residual: np.ndarray,
     init_params: list[int],

@@ -74,3 +74,152 @@ def test_device_entropy_default_on_mesh_backend():
         sla.EncoderConfig(backend="mesh", device_entropy="off"))
     assert off_blob == host_blob
     assert not getattr(enc_off, "_device_entropy_active", False)
+
+
+# ---- decode half (VERDICT r3 #3): on-chip recursive-Rice payload decode ----
+
+
+def _host_payload_stream(rng, B, C, n_max, scale):
+    """B recursive-Rice block payloads in one bitstream via the host coder
+    (rice.put_recursive_rice), misaligned like real block payloads.
+    Returns (data, offs, block_bits, counts, inits, expected)."""
+    from sla_tpu.bitio import BitWriter
+    from sla_tpu.rice import RiceState
+
+    counts = rng.integers(1, n_max + 1, size=B).astype(np.int32)
+    inits = np.zeros((B, C), dtype=np.uint32)
+    w = BitWriter()
+    w.put(0xAB, 8)
+    w.put(3, 3)  # misalign: payload offsets are rarely byte-aligned
+    offs, expected = [], []
+    for b in range(B):
+        n = int(counts[b])
+        res = (
+            rng.normal(0, scale, size=(C, n))
+            .astype(np.int64)
+            .clip(-(2**30), 2**30)
+            .astype(np.int32)
+        )
+        ip = rice.calculate_initial_params([res[c] for c in range(C)])
+        eff = [rice.effective_init_param(int(p)) for p in ip]
+        if sum(eff) // C <= 8:  # force the recursive-Rice branch
+            ip = [max(int(p), 40) for p in ip]
+        inits[b] = ip
+        offs.append(len(w._buf) * 8 + w._nacc)
+        states = [RiceState(int(p)) for p in ip]
+        for s in range(n):
+            for ch in range(C):
+                x = int(res[ch, s])
+                rice.put_recursive_rice(
+                    w, states[ch], (2 * x) if x >= 0 else (-2 * x - 1)
+                )
+        expected.append(res)
+    w.flush()
+    data = w.getvalue()
+    bits = np.array(
+        [(offs[b + 1] if b + 1 < B else len(data) * 8) - offs[b] for b in range(B)],
+        dtype=np.int64,
+    )
+    return data, np.array(offs, dtype=np.int64), bits, counts, inits, expected
+
+
+@pytest.mark.parametrize("channels,scale", [(1, 60), (2, 4000), (6, 200000), (8, 1 << 27)])
+def test_device_decode_matches_host(channels, scale):
+    """Batched on-chip decode == host get_recursive_rice, incl. the gamma
+    escape (large scales), variable block lengths (frozen padded lanes),
+    and channel-interleaved order (SLACoder.c:470-506 semantics)."""
+    from sla_tpu.rice_device import decode_blocks_payload_device
+
+    rng = np.random.default_rng(channels * 1000 + 17)
+    n_max = 257
+    data, offs, bits, counts, inits, expected = _host_payload_stream(
+        rng, 7, channels, n_max, scale
+    )
+    res, bad = decode_blocks_payload_device(
+        data, offs, bits, counts, inits, channels, n_max
+    )
+    res = np.asarray(res)
+    assert not bad.any()
+    for b in range(7):
+        n = int(counts[b])
+        assert np.array_equal(res[b, :, :n], expected[b]), b
+
+
+def test_device_decode_flags_corrupt_payload():
+    """A unary run past the escape threshold is impossible in a valid
+    stream: the device decoder must flag the block (the decoder then
+    re-decodes it on host for reference-identical corrupt behavior)."""
+    from sla_tpu.rice_device import decode_blocks_payload_device
+
+    rng = np.random.default_rng(5)
+    data, offs, bits, counts, inits, _ = _host_payload_stream(rng, 2, 2, 64, 50)
+    # zero a payload region: long zero runs read as quot > threshold
+    data = bytearray(data)
+    start = (int(offs[0]) >> 3) + 1
+    data[start : start + 24] = b"\x00" * 24
+    _, bad = decode_blocks_payload_device(
+        bytes(data), offs, bits, counts, inits, 2, 64
+    )
+    assert bad[0]
+
+
+def test_decoder_device_entropy_matches_host(monkeypatch):
+    """Full decode with forced on-chip entropy (SLA_TPU_DEVICE_ENTROPY=1 +
+    device synthesis backend) produces the exact host-path PCM."""
+    pcm = gen_wave("chirp", 30000, 2, 16, 0, seed=21)
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
+    enc.set_encode_parameter(sla.PRESETS[2])
+    blob = enc.encode_whole(pcm)
+    _, host_pcm = sla.Decoder().decode_whole(blob)
+    monkeypatch.setenv("SLA_TPU_DEVICE_ENTROPY", "1")
+    dec = sla.Decoder(sla.DecoderConfig(backend="device"))
+    _, dev_pcm = dec.decode_whole(blob)
+    assert np.array_equal(host_pcm, dev_pcm)
+    assert np.array_equal(host_pcm, pcm)
+
+
+def test_decoder_device_entropy_corrupt_falls_back_to_host(monkeypatch):
+    """With CRC checking off, a corrupt payload must decode to the same
+    deterministic garbage as the host path (the flagged block re-decodes
+    on host), not device-lane garbage."""
+    pcm = gen_wave("noise", 20000, 2, 16, 0, seed=22)
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
+    enc.set_encode_parameter(sla.PRESETS[2])
+    blob = bytearray(enc.encode_whole(pcm))
+    blob[len(blob) // 2] ^= 0xFF  # flip a payload byte mid-stream
+    blob = bytes(blob)
+
+    def decode(dev):
+        cfg = sla.DecoderConfig(
+            enable_crc_check=False, backend="device" if dev else "auto"
+        )
+        try:
+            return sla.Decoder(cfg).decode_whole(blob)[1]
+        except sla.SLAError as e:
+            return repr(e)
+
+    host = decode(False)
+    monkeypatch.setenv("SLA_TPU_DEVICE_ENTROPY", "1")
+    dev = decode(True)
+    if isinstance(host, str):
+        assert host == dev
+    else:
+        assert np.array_equal(host, dev)
+
+
+def test_decoder_device_entropy_golomb_branch_falls_back(monkeypatch):
+    """Quiet content selects the static-Golomb branch, which the device
+    decoder does not implement: the group must fall back to the host coder
+    and still decode exactly."""
+    rng = np.random.default_rng(9)
+    pcm = rng.integers(-2, 3, size=(2, 20000)).astype(np.int32) << 16
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
+    enc.set_encode_parameter(sla.PRESETS[2])
+    blob = enc.encode_whole(pcm)
+    monkeypatch.setenv("SLA_TPU_DEVICE_ENTROPY", "1")
+    dec = sla.Decoder(sla.DecoderConfig(backend="device"))
+    _, out = dec.decode_whole(blob)
+    assert np.array_equal(out, pcm)
