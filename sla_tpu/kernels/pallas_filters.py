@@ -80,10 +80,8 @@ def _lattice_kernel(data_ref, coef_ref, out_ref, b_state, x_prev, *, parcor_orde
 
     c = coef_ref[:p, :]  # (p, TB); the block is sublane-padded to 8 rows
 
-    def body(s, _unused=None):
-        # s is the carried int32 sample counter (the fori index is int64
-        # under jax_enable_x64 and Mosaic rejects arithmetic on it)
-        x = data_ref[s, :][None, :]  # (1, TB)
+    def body(x, _unused=None):
+        # x: (1, TB) current input sample row (from the aligned block read)
         b_prev = b_state[:]  # (p+1, TB)
         # pre-emphasis folded in: y = x - ((x[-1] * 31) >> 5)
         if pre_emphasis:
@@ -96,13 +94,18 @@ def _lattice_kernel(data_ref, coef_ref, out_ref, b_state, x_prev, *, parcor_orde
         f_prev = y - (incl - m)  # f[0..p-1]
         b_hi = b_prev[:p, :] - ((c * f_prev + _HALF) >> 15)
         b_state[:] = jnp.concatenate([y, b_hi], axis=0)
-        out_ref[s, :] = (y - incl[p - 1 : p, :])[0]
-        return s + jnp.int32(1)
+        return y - incl[p - 1 : p, :]
 
     def body_u(i, s32):
-        for _ in range(_UNROLL):
-            s32 = body(s32)
-        return s32
+        # one ALIGNED (_UNROLL, TB) block read/write per group instead of
+        # per-sample single-row dynamic slices (each of those costs a
+        # sublane relayout); s32 is the carried int32 counter (the fori
+        # index is int64 under jax_enable_x64, unusable in Mosaic)
+        s0 = pl.multiple_of(s32, _UNROLL)
+        blk = data_ref[pl.ds(s0, _UNROLL), :]
+        outs = [body(blk[k : k + 1, :]) for k in range(_UNROLL)]
+        out_ref[pl.ds(s0, _UNROLL), :] = jnp.concatenate(outs, axis=0)
+        return s32 + jnp.int32(_UNROLL)
 
     jax.lax.fori_loop(0, tile_l // _UNROLL, body_u, jnp.int32(0))
 
@@ -114,9 +117,8 @@ def _lattice_synth_body(data_ref, coef_ref, out_ref, b_state, x_prev, *, p,
     belong to the caller)."""
     c = coef_ref[:p, :]  # (p, TB)
 
-    def body(s, _unused=None):
-        # s: carried int32 sample counter (see predict body note)
-        r = data_ref[s, :][None, :]  # (1, TB)
+    def body(r, _unused=None):
+        # r: (1, TB) current residual row (from the aligned block read)
         b_prev = b_state[:]  # (p+1, TB)
         # synthesis: f_partial_k = r + suffix_sum(m)[k]; out = f_partial_1
         m = (c * b_prev[:p, :] + _HALF) >> 15
@@ -128,15 +130,16 @@ def _lattice_synth_body(data_ref, coef_ref, out_ref, b_state, x_prev, *, p,
         if pre_emphasis:  # de-emphasis folded in on the synthesis side
             y = out + ((x_prev[:] * 31) >> 5)
             x_prev[:] = y
-            out_ref[s, :] = y[0]
-        else:
-            out_ref[s, :] = out[0]
-        return s + jnp.int32(1)
+            return y
+        return out
 
     def body_u(i, s32):
-        for _ in range(_UNROLL):
-            s32 = body(s32)
-        return s32
+        # aligned (_UNROLL, TB) block I/O per group (see predict body)
+        s0 = pl.multiple_of(s32, _UNROLL)
+        blk = data_ref[pl.ds(s0, _UNROLL), :]
+        outs = [body(blk[k : k + 1, :]) for k in range(_UNROLL)]
+        out_ref[pl.ds(s0, _UNROLL), :] = jnp.concatenate(outs, axis=0)
+        return s32 + jnp.int32(_UNROLL)
 
     jax.lax.fori_loop(0, tile_l // _UNROLL, body_u, jnp.int32(0))
 
@@ -158,10 +161,9 @@ def _lms_kernel_body(data_ref, out_ref, state, *, lms_order, tile_l,
                      synthesize, l):
     M = lms_order
 
-    def body(s32):
-        # the carried int32 counter doubles as the ref index (the fori
-        # index is int64 under jax_enable_x64; Mosaic rejects it)
-        x = data_ref[s32, :][None, :]  # (1, TB)
+    def body(x, s32):
+        # x: (1, TB) current sample row; s32: int32 sample counter (the
+        # fori index is int64 under jax_enable_x64; Mosaic rejects it)
         fc = state[0:M, :]
         ic = state[M : 2 * M, :]
         xb = state[2 * M : 3 * M, :]
@@ -199,13 +201,17 @@ def _lms_kernel_body(data_ref, out_ref, state, *, lms_order, tile_l,
         state[M : 2 * M, :] = ic
         state[2 * M : 3 * M, :] = xb
         state[3 * M : 4 * M, :] = pb
-        out_ref[s32, :] = jnp.where(warm, x, out)[0]
-        return s32 + jnp.int32(1)
+        return jnp.where(warm, x, out)
 
     def body_u(i, s32):
-        for _ in range(_UNROLL):
-            s32 = body(s32)
-        return s32
+        # aligned (_UNROLL, TB) block I/O per group (see lattice predict)
+        s0 = pl.multiple_of(s32, _UNROLL)
+        blk = data_ref[pl.ds(s0, _UNROLL), :]
+        outs = [
+            body(blk[k : k + 1, :], s32 + jnp.int32(k)) for k in range(_UNROLL)
+        ]
+        out_ref[pl.ds(s0, _UNROLL), :] = jnp.concatenate(outs, axis=0)
+        return s32 + jnp.int32(_UNROLL)
 
     jax.lax.fori_loop(0, tile_l // _UNROLL, body_u, jnp.int32(0))
 
@@ -223,6 +229,21 @@ def _longterm_synth_kernel(res_ref, prm_ref, out_ref, hist, *, num_taps,
 
     _longterm_body(res_ref, prm_ref, out_ref, hist, num_taps=num_taps,
                    tile_l=tile_l, hist_d=hist_d, l=l)
+
+
+def _longterm_synth_kernel_win(hi8_ref, res_ref, prm_ref, out_ref, hist, *,
+                               num_taps, tile_l, hist_d, win):
+    # hi8_ref: scalar-prefetch (nb,) per-tile max lag rounded up to 8
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _():
+        hist[:] = jnp.zeros_like(hist)
+
+    _longterm_body_win(res_ref, prm_ref, out_ref, hist,
+                       hi8_ref[pl.program_id(0)],
+                       num_taps=num_taps, tile_l=tile_l, hist_d=hist_d,
+                       win=win, l=l)
 
 
 def _longterm_body(res_ref, prm_ref, out_ref, hist, *, num_taps, tile_l,
@@ -250,12 +271,16 @@ def _longterm_body(res_ref, prm_ref, out_ref, hist, *, num_taps, tile_l,
     max_delay = prm_ref[0, :][None, :]  # (1, TB)
     d_iota = jax.lax.broadcasted_iota(jnp.int32, (D, TB), 0)
 
-    def body(carry):
-        s32, wp = carry  # int32 sample counter (also the ref index) and
-        # ring write slot; the int64 fori index is unusable in Mosaic
+    def pred_from_sel(r, sel_limbs, pos):
+        S0, S1, S2 = sel_limbs
+        u_h = (S0 + _HALF) >> 12
+        pred = (S2 << 9) + ((S1 + u_h) >> 3)
+        use = jnp.logical_and(max_delay > 0, pos >= max_delay)
+        return jnp.where(use, r + pred, r)
+
+    def body(r, s32, wp, h):
+        # r: (1, TB) residual row; h: the (D, TB) ring contents
         pos = l * tile_l + s32
-        r = res_ref[s32, :][None, :]
-        h = hist[:]
         S0 = jnp.zeros_like(r)
         S1 = jnp.zeros_like(r)
         S2 = jnp.zeros_like(r)
@@ -270,20 +295,21 @@ def _longterm_body(res_ref, prm_ref, out_ref, hist, *, num_taps, tile_l,
             S0 = S0 + q * (sel & 0xFFF)
             S1 = S1 + q * ((sel >> 12) & 0xFFF)
             S2 = S2 + q * (sel >> 24)
-        u_h = (S0 + _HALF) >> 12
-        pred = (S2 << 9) + ((S1 + u_h) >> 3)
-        use = jnp.logical_and(max_delay > 0, pos >= max_delay)
-        out = jnp.where(use, r + pred, r)
-        hist[:] = jnp.where(d_iota == wp, out, h)
-        out_ref[s32, :] = out[0]
-        wp = wp + 1
-        wp = jnp.where(wp == D, jnp.int32(0), wp)
-        return (s32 + jnp.int32(1), wp)
+        return pred_from_sel(r, (S0, S1, S2), pos)
 
     def body_u(i, carry):
-        for _ in range(_UNROLL):
-            carry = body(carry)
-        return carry
+        s32, wp = carry
+        s0 = pl.multiple_of(s32, _UNROLL)
+        blk = res_ref[pl.ds(s0, _UNROLL), :]
+        outs = []
+        for k in range(_UNROLL):
+            o = body(blk[k : k + 1, :], s32 + jnp.int32(k), wp, hist[:])
+            outs.append(o)
+            hist[:] = jnp.where(d_iota == wp, o, hist[:])
+            wp = wp + 1
+            wp = jnp.where(wp == D, jnp.int32(0), wp)
+        out_ref[pl.ds(s0, _UNROLL), :] = jnp.concatenate(outs, axis=0)
+        return (s32 + jnp.int32(_UNROLL), wp)
 
     jax.lax.fori_loop(
         0, tile_l // _UNROLL, body_u,
@@ -291,23 +317,99 @@ def _longterm_body(res_ref, prm_ref, out_ref, hist, *, num_taps, tile_l,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_taps", "interpret", "hist_d"))
+def _longterm_body_win(res_ref, prm_ref, out_ref, hist, hi8, *, num_taps,
+                       tile_l, hist_d, win, l):
+    """Windowed long-term synthesis: O(win) selection work per sample
+    instead of O(D). The ring is stored DOUBLED — every output lands at
+    slots wp and wp + D of a (2D + win + 8, TB) buffer — so each group's
+    reads are ONE aligned dynamic slice [wp + D - hi8, +win+8) regardless
+    of per-lane wrap, and the per-lane tap select is a one-hot over just
+    the window rows. hi8: the tile's max lag rounded up to 8 (scalar, from
+    SMEM); win (static) >= roundup8(hi8 - min_active_lag + T) for every
+    tile, and every active lag's shallowest feedback (max_delay - (T-1))
+    must be >= _UNROLL — the caller guards both (pipeline falls back to the
+    one-hot path otherwise). Arithmetic per sample (limb products, rounding,
+    warmup mask) is identical to the one-hot body, so outputs are
+    byte-identical."""
+    T = num_taps
+    D = hist_d
+    TB = res_ref.shape[1]
+    max_delay = prm_ref[0, :][None, :]  # (1, TB)
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (win + _UNROLL, TB), 0)
+    # per-lane window row of tap j for the group's FIRST sample; sample k
+    # inside the group reads row base_j + k (all constants per l-step)
+    base = [w_iota - (hi8 - max_delay + j) for j in range(T)]
+
+    def body_u(i, carry):
+        s32, wp = carry
+        s0 = pl.multiple_of(s32, _UNROLL)
+        blk = res_ref[pl.ds(s0, _UNROLL), :]
+        st0 = pl.multiple_of(wp + D - hi8, 8)
+        w = hist[pl.ds(st0, win + _UNROLL), :]
+        outs = []
+        for k in range(_UNROLL):
+            r = blk[k : k + 1, :]
+            pos = l * tile_l + s32 + jnp.int32(k)
+            S0 = jnp.zeros_like(r)
+            S1 = jnp.zeros_like(r)
+            S2 = jnp.zeros_like(r)
+            for j in range(T):
+                mask = (base[j] == k).astype(jnp.int32)
+                sel = jnp.sum(mask * w, axis=0, keepdims=True, dtype=jnp.int32)
+                q = prm_ref[1 + j, :][None, :]
+                S0 = S0 + q * (sel & 0xFFF)
+                S1 = S1 + q * ((sel >> 12) & 0xFFF)
+                S2 = S2 + q * (sel >> 24)
+            u_h = (S0 + _HALF) >> 12
+            pred = (S2 << 9) + ((S1 + u_h) >> 3)
+            use = jnp.logical_and(max_delay > 0, pos >= max_delay)
+            outs.append(jnp.where(use, r + pred, r))
+        ob = jnp.concatenate(outs, axis=0)
+        out_ref[pl.ds(s0, _UNROLL), :] = ob
+        hist[pl.ds(wp, _UNROLL), :] = ob
+        hist[pl.ds(wp + D, _UNROLL), :] = ob
+        wp = wp + jnp.int32(_UNROLL)
+        wp = jnp.where(wp == D, jnp.int32(0), wp)
+        return (s32 + jnp.int32(_UNROLL), wp)
+
+    jax.lax.fori_loop(
+        0, tile_l // _UNROLL, body_u,
+        (jnp.int32(0), jnp.mod(l * jnp.int32(tile_l), jnp.int32(D))),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_taps", "interpret", "hist_d", "lt_win")
+)
 def longterm_synth_tl(data_t, prm_t, num_taps, interpret=False,
-                      hist_d=_LT_HIST_D):
+                      hist_d=_LT_HIST_D, lt_win=0, hi8s=None):
     """data_t: (L, B) int32 residual after LMS synthesis; prm_t: (1+T, B)
     packed per-row parameters (see kernel). Returns (L, B).
 
     hist_d (static): ring depth — must exceed the batch's maximum lag
     (max_delay). The per-step masked select/insert work is linear in the
     ring depth, so callers dispatch the smallest sufficient size
-    (longterm_ring_depth); most audio sits under pitch 128."""
-    kernel = functools.partial(
-        _longterm_synth_kernel,
-        num_taps=num_taps,
-        tile_l=TILE_L,
-        hist_d=hist_d,
-    )
+    (longterm_ring_depth); most audio sits under pitch 128. lt_win > 0
+    selects the windowed pass (see fused_synth_tl for the preconditions
+    and the hi8s layout) — per-step work becomes linear in the lag spread
+    instead of the ring depth."""
     D = hist_d
+    win_on = lt_win > 0
+    if win_on:
+        kernel = functools.partial(
+            _longterm_synth_kernel_win,
+            num_taps=num_taps,
+            tile_l=TILE_L,
+            hist_d=hist_d,
+            win=lt_win,
+        )
+    else:
+        kernel = functools.partial(
+            _longterm_synth_kernel,
+            num_taps=num_taps,
+            tile_l=TILE_L,
+            hist_d=hist_d,
+        )
     nl = data_t.shape[0] // TILE_L
     if prm_t.shape[0] < 8:  # pad sublanes to 8 (Mosaic block-shape rule)
         prm_t = jnp.concatenate(
@@ -316,8 +418,126 @@ def longterm_synth_tl(data_t, prm_t, num_taps, interpret=False,
         )
     prm_tiled = jnp.tile(prm_t, (nl, 1))  # fresh block per L-step (Mosaic)
     prm_spec = pl.BlockSpec((8, TILE_B), lambda b, l: (l, b), memory_space=pltpu.VMEM)
-    scratch = [pltpu.VMEM((D, TILE_B), jnp.int32)]
+    rows = 2 * D + lt_win + _UNROLL if win_on else D
+    scratch = [pltpu.VMEM((rows, TILE_B), jnp.int32)]
+    if win_on:
+        return _filter_call_scalar(
+            kernel, jnp.asarray(hi8s, dtype=jnp.int32).reshape(-1), data_t,
+            [prm_tiled], [prm_spec], scratch, interpret,
+        )
     return _filter_call(kernel, data_t, [prm_tiled], [prm_spec], scratch, interpret)
+
+
+def _fused_synth_kernel_win(hi8_ref, res_ref, coef_ref, prm_ref, out_ref,
+                            lms_state, hist, b_state, x_prev, *, parcor_order,
+                            num_taps, tile_l, hist_d, win):
+    """Fully-merged decode cascade for the windowed long-term form: ONE
+    sample loop runs LMS synth -> windowed long-term -> lattice synth +
+    de-emphasis back to back, so each 8-sample group costs one aligned
+    block read, one window slice, and one block write — the three-loop
+    form paid that machinery (and an out_ref VMEM round trip) per stage.
+    Per-sample arithmetic and ordering are identical to the standalone
+    bodies, so outputs are byte-identical. hi8_ref: scalar-prefetch (nb,)
+    per-tile max lag rounded to 8 (see _longterm_body_win for the ring
+    discipline and preconditions)."""
+    p = parcor_order
+    T = num_taps
+    D = hist_d
+    M = lms_state.shape[0] // 4
+    l = pl.program_id(1)
+    hi8 = hi8_ref[pl.program_id(0)]
+
+    @pl.when(l == 0)
+    def _():
+        lms_state[:] = jnp.zeros_like(lms_state)
+        b_state[:] = jnp.zeros_like(b_state)
+        x_prev[:] = jnp.zeros_like(x_prev)
+        hist[:] = jnp.zeros_like(hist)
+
+    c = coef_ref[:p, :]  # (p, TB)
+    max_delay = prm_ref[0, :][None, :]
+    TB = res_ref.shape[1]
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (win + _UNROLL, TB), 0)
+    base = [w_iota - (hi8 - max_delay + j) for j in range(T)]
+
+    def lms_step(x, s32):
+        fc = lms_state[0:M, :]
+        ic = lms_state[M : 2 * M, :]
+        xb = lms_state[2 * M : 3 * M, :]
+        pb = lms_state[3 * M : 4 * M, :]
+        acc = jnp.full_like(x, 512)
+        acc = acc + jnp.sum(fc * xb, axis=0, keepdims=True, dtype=jnp.int32)
+        acc = acc + jnp.sum(ic * pb, axis=0, keepdims=True, dtype=jnp.int32)
+        pred = acc >> 10
+        warm = jnp.logical_and(l == 0, s32 < M)
+        out = x + pred
+        mag = jnp.abs(x)
+        bl = jnp.int32(32) - jax.lax.clz(mag)
+        step = jnp.sign(x) * (bl >> 1)
+        step = jnp.where(warm, jnp.int32(0), step)
+        lms_state[0:M, :] = fc + step * jnp.sign(xb)
+        lms_state[M : 2 * M, :] = ic + step * jnp.sign(pb)
+        lms_state[2 * M : 3 * M, :] = jnp.concatenate(
+            [out, xb[: M - 1, :]], axis=0
+        )
+        lms_state[3 * M : 4 * M, :] = jnp.concatenate(
+            [jnp.where(warm, out, pred), pb[: M - 1, :]], axis=0
+        )
+        return jnp.where(warm, x, out)
+
+    def longterm_step(r, pos, w, k):
+        S0 = jnp.zeros_like(r)
+        S1 = jnp.zeros_like(r)
+        S2 = jnp.zeros_like(r)
+        for j in range(T):
+            mask = (base[j] == k).astype(jnp.int32)
+            sel = jnp.sum(mask * w, axis=0, keepdims=True, dtype=jnp.int32)
+            q = prm_ref[1 + j, :][None, :]
+            S0 = S0 + q * (sel & 0xFFF)
+            S1 = S1 + q * ((sel >> 12) & 0xFFF)
+            S2 = S2 + q * (sel >> 24)
+        u_h = (S0 + _HALF) >> 12
+        pred = (S2 << 9) + ((S1 + u_h) >> 3)
+        use = jnp.logical_and(max_delay > 0, pos >= max_delay)
+        return jnp.where(use, r + pred, r)
+
+    def lattice_step(r):
+        b_prev = b_state[:]
+        m = (c * b_prev[:p, :] + _HALF) >> 15
+        suf = _suffix_sum_sublanes(m, p)
+        f_partial = r + suf
+        b_hi = b_prev[:p, :] - ((c * f_partial + _HALF) >> 15)
+        out = f_partial[0:1, :]
+        b_state[:] = jnp.concatenate([out, b_hi], axis=0)
+        y = out + ((x_prev[:] * 31) >> 5)
+        x_prev[:] = y
+        return y
+
+    def body_u(i, carry):
+        s32, wp = carry
+        s0 = pl.multiple_of(s32, _UNROLL)
+        blk = res_ref[pl.ds(s0, _UNROLL), :]
+        st0 = pl.multiple_of(wp + D - hi8, 8)
+        w = hist[pl.ds(st0, win + _UNROLL), :]
+        lt_outs = []
+        outs = []
+        for k in range(_UNROLL):
+            o1 = lms_step(blk[k : k + 1, :], s32 + jnp.int32(k))
+            o2 = longterm_step(o1, l * tile_l + s32 + jnp.int32(k), w, k)
+            lt_outs.append(o2)
+            outs.append(lattice_step(o2))
+        lt = jnp.concatenate(lt_outs, axis=0)
+        hist[pl.ds(wp, _UNROLL), :] = lt
+        hist[pl.ds(wp + D, _UNROLL), :] = lt
+        out_ref[pl.ds(s0, _UNROLL), :] = jnp.concatenate(outs, axis=0)
+        wp = wp + jnp.int32(_UNROLL)
+        wp = jnp.where(wp == D, jnp.int32(0), wp)
+        return (s32 + jnp.int32(_UNROLL), wp)
+
+    jax.lax.fori_loop(
+        0, tile_l // _UNROLL, body_u,
+        (jnp.int32(0), jnp.mod(l * jnp.int32(tile_l), jnp.int32(D))),
+    )
 
 
 def _fused_synth_kernel(res_ref, coef_ref, prm_ref, out_ref, lms_state, hist,
@@ -355,21 +575,40 @@ def _fused_synth_kernel(res_ref, coef_ref, prm_ref, out_ref, lms_state, hist,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("parcor_order", "num_taps", "lms_order", "hist_d", "interpret"),
+    static_argnames=(
+        "parcor_order", "num_taps", "lms_order", "hist_d", "lt_win", "interpret",
+    ),
 )
 def fused_synth_tl(data_t, coef_t, prm_t, parcor_order, num_taps, lms_order,
-                   hist_d=_LT_HIST_D, interpret=False):
+                   hist_d=_LT_HIST_D, lt_win=0, hi8s=None, interpret=False):
     """Fused decode cascade. data_t: (L, B) residual; coef_t: (p, B);
     prm_t: (1+T, B) long-term params (ignored when num_taps == 0).
-    Returns (L, B) PCM rows (pre MS-inverse / left shift)."""
+    Returns (L, B) PCM rows (pre MS-inverse / left shift).
+
+    lt_win > 0 selects the windowed long-term pass: hi8s must be the
+    (B/TILE_B, 1) int32 per-tile max lag rounded up to 8, lt_win (static,
+    multiple of 8) must cover every tile's lag spread + num_taps, and every
+    active lag's shallowest feedback must be >= 8 samples — the pipeline
+    computes all three and falls back to lt_win=0 otherwise."""
     p = parcor_order
-    kernel = functools.partial(
-        _fused_synth_kernel,
-        parcor_order=p,
-        num_taps=num_taps,
-        tile_l=TILE_L,
-        hist_d=hist_d,
-    )
+    win_on = lt_win > 0 and num_taps > 0
+    if win_on:
+        kernel = functools.partial(
+            _fused_synth_kernel_win,
+            parcor_order=p,
+            num_taps=num_taps,
+            tile_l=TILE_L,
+            hist_d=hist_d,
+            win=lt_win,
+        )
+    else:
+        kernel = functools.partial(
+            _fused_synth_kernel,
+            parcor_order=p,
+            num_taps=num_taps,
+            tile_l=TILE_L,
+            hist_d=hist_d,
+        )
     nl = data_t.shape[0] // TILE_L
     pp = -(-p // 8) * 8  # Mosaic sublane rule (see lattice_filter_tl)
     if pp != p:
@@ -385,12 +624,18 @@ def fused_synth_tl(data_t, coef_t, prm_t, parcor_order, num_taps, lms_order,
         )
     prm_tiled = jnp.tile(prm_t, (nl, 1))
     prm_spec = pl.BlockSpec((8, TILE_B), lambda b, l: (l, b), memory_space=pltpu.VMEM)
+    hist_rows = 2 * hist_d + lt_win + _UNROLL if win_on else hist_d
     scratch = [
         pltpu.VMEM((4 * lms_order, TILE_B), jnp.int32),
-        pltpu.VMEM((hist_d, TILE_B), jnp.int32),
+        pltpu.VMEM((hist_rows, TILE_B), jnp.int32),
         pltpu.VMEM((p + 1, TILE_B), jnp.int32),
         pltpu.VMEM((1, TILE_B), jnp.int32),
     ]
+    if win_on:
+        return _filter_call_scalar(
+            kernel, jnp.asarray(hi8s, dtype=jnp.int32).reshape(-1), data_t,
+            [coef_tiled, prm_tiled], [coef_spec, prm_spec], scratch, interpret,
+        )
     return _filter_call(
         kernel, data_t, [coef_tiled, prm_tiled], [coef_spec, prm_spec],
         scratch, interpret,
@@ -425,6 +670,36 @@ def _filter_call(kernel, data_t, extra_inputs, extra_specs, scratch, interpret=F
         scratch_shapes=scratch,
         interpret=interpret,
     )(data_t, *extra_inputs)
+
+
+def _filter_call_scalar(kernel, scalars, data_t, extra_inputs, extra_specs,
+                        scratch, interpret=False):
+    """_filter_call with ONE scalar-prefetch input (per-B-tile values in
+    SMEM, available before the body runs — the supported way to hand Mosaic
+    small per-tile scalars; a constant-index-map SMEM block is rejected).
+    The kernel receives the scalar ref FIRST; index maps gain a trailing
+    scalar-ref argument they ignore."""
+    L, B = data_t.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // TILE_B, L // TILE_L),
+        in_specs=[
+            pl.BlockSpec((TILE_L, TILE_B), lambda b, l, s: (l, b)),
+            *[
+                pl.BlockSpec(sp.block_shape, functools.partial(
+                    lambda im, b, l, s: im(b, l), sp.index_map))
+                for sp in extra_specs
+            ],
+        ],
+        out_specs=pl.BlockSpec((TILE_L, TILE_B), lambda b, l, s: (l, b)),
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((L, B), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scalars, data_t, *extra_inputs)
 
 
 @functools.partial(

@@ -258,9 +258,63 @@ def _decode_stage_scan(
     return out
 
 
+def _longterm_window_plan(pitch_np, num_taps: int, B: int):
+    """Host-side plan for the windowed long-term pass: rows sorted by lag
+    (descending) pack each TILE_B tile into a narrow lag band, so the
+    kernel's per-sample tap select is one-hot over the band (O(win))
+    instead of the whole ring (O(D)) — the dominant decode-cascade cost at
+    real pitch ranges. Returns (lt_win, hi8s (nb,) int32, order or None)
+    with lt_win = 0 when the preconditions fail: every active feedback
+    depth must be >= the kernel's 8-sample write batch, and the worst tile
+    band must stay <= 160."""
+    import numpy as np
+
+    from .kernels.pallas_filters import TILE_B
+
+    md_np = np.where(pitch_np > 0, pitch_np + (num_taps // 2), 0).astype(np.int64)
+    act = md_np > 0
+    if num_taps <= 0 or not act.any():
+        return 0, None, None
+    min_fb = int(md_np[act].min()) - (num_taps - 1)
+    order_np = np.argsort(-md_np, kind="stable").astype(np.int32)
+    padded = np.zeros(-(-B // TILE_B) * TILE_B, dtype=np.int64)
+    padded[:B] = md_np[order_np]
+    tiles = padded.reshape(-1, TILE_B)
+    hi_t = tiles.max(axis=1)
+    hi8_t = ((hi_t + 7) // 8 * 8).astype(np.int32)
+    # smallest ACTIVE lag per tile (inactive rows are 0; a tile with no
+    # active rows contributes spread num_taps only)
+    lo_t = np.where(tiles > 0, tiles, np.int64(1) << 40).min(axis=1)
+    lo_t = np.where(hi_t > 0, lo_t, 0)
+    spread = int((hi8_t - lo_t + num_taps).max()) if len(tiles) else 0
+    win = -(-max(spread, 8) // 8) * 8
+    if min_fb < 8 or win > 160:
+        return 0, None, None
+    order = None if np.array_equal(order_np, np.arange(B)) else order_np
+    return win, hi8_t, order
+
+
+@functools.lru_cache(maxsize=64)
+def _window_plan_dev(pitch_bytes: bytes, num_taps: int, B: int):
+    """_longterm_window_plan with the hi8s/order arrays already ON DEVICE,
+    memoized by the pitch content: repeated decode calls over the same
+    batch (benches, steady pipelines) must not re-upload the tiny plan
+    arrays every dispatch — on a tunneled link each transfer costs
+    milliseconds."""
+    import numpy as np
+
+    p_np = np.frombuffer(pitch_bytes, dtype=np.int32)
+    lt_win, hi8s, order = _longterm_window_plan(p_np, num_taps, B)
+    return (
+        lt_win,
+        None if hi8s is None else jnp.asarray(hi8s),
+        None if order is None else jnp.asarray(order),
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("parcor_order", "num_taps", "lms_order", "lt_ring"),
+    static_argnames=("parcor_order", "num_taps", "lms_order", "lt_ring", "lt_win"),
 )
 def _decode_stage_pallas(
     residual: jnp.ndarray,
@@ -271,6 +325,9 @@ def _decode_stage_pallas(
     num_taps: int,
     lms_order: int,
     lt_ring: int = 264,
+    lt_win: int = 0,
+    hi8s=None,
+    order=None,
 ):
     from .kernels.pallas_filters import TILE_B, fused_synth_tl
 
@@ -280,10 +337,17 @@ def _decode_stage_pallas(
     # round trip instead of three, and the batch is transposed into the
     # kernels' (L, B) layout exactly once each way. The long-term ring is
     # size-dispatched on the batch's max lag (lt_ring); per-lane variable
-    # lags run as one-hot selects over the VMEM output ring (was the
-    # 0.18 G row-samples/s decode bound as an XLA scan).
+    # lags run as one-hot selects over the VMEM output ring, or — when the
+    # caller supplies a window plan (_longterm_window_plan; lt_win > 0) —
+    # over just the tile's lag band, with rows lag-sorted and unsorted
+    # around the kernel.
     md = jnp.where(pitch > 0, pitch + (num_taps // 2), 0).astype(jnp.int32)
     q15 = (ltm_coef >> 16).astype(jnp.int32)  # (B, max(T,1))
+    if order is not None:
+        residual = jnp.take(residual, order, axis=0)
+        parcor_coef = jnp.take(parcor_coef, order, axis=0)
+        md = jnp.take(md, order, axis=0)
+        q15 = jnp.take(q15, order, axis=0)
     prm_p = _pad_rows(jnp.concatenate([md[:, None], q15], axis=1), TILE_B)
     out_t = fused_synth_tl(
         _pad_rows(residual, TILE_B).T,
@@ -293,8 +357,16 @@ def _decode_stage_pallas(
         num_taps,
         lms_order,
         hist_d=lt_ring,
+        lt_win=lt_win,
+        hi8s=hi8s,
     )
-    return out_t.T[:B]
+    out = out_t.T[:B]
+    if order is not None:
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(B, dtype=order.dtype)
+        )
+        out = jnp.take(out, inv, axis=0)
+    return out
 
 
 def decode_stage(
@@ -336,15 +408,25 @@ def decode_stage(
         from .kernels.pallas_filters import longterm_ring_depth
 
         max_lag = 0
+        p_np = None
         if num_taps > 0:
             import numpy as np
 
             p_np = np.asarray(pitch)
             if p_np.size and (p_np > 0).any():
                 max_lag = int(p_np[p_np > 0].max()) + num_taps // 2
+        lt_win, hi8s, order = (
+            _window_plan_dev(
+                np.ascontiguousarray(p_np, dtype=np.int32).tobytes(),
+                num_taps, residual.shape[0],
+            )
+            if p_np is not None
+            else (0, None, None)
+        )
         return _decode_stage_pallas(
             residual, parcor_coef, pitch, ltm_coef, parcor_order, num_taps,
             lms_order, lt_ring=longterm_ring_depth(max_lag),
+            lt_win=lt_win, hi8s=hi8s, order=order,
         )
     lt_chunk = _longterm_chunk(pitch, num_taps, residual.shape[1], platform=plat)
     return _decode_stage_scan(

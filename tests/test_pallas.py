@@ -154,3 +154,95 @@ def test_fused_synth_interpret(num_taps):
                        jnp.asarray(prm.T), p, num_taps, M, interpret=True)
     ).T
     assert np.array_equal(out, ref)
+
+
+@pytest.mark.parametrize("num_taps", [1, 3, 5])
+def test_fused_synth_windowed_interpret(num_taps):
+    """The merged windowed long-term form (lt_win > 0: one sample loop,
+    doubled ring, per-tile scalar base) must match the one-hot fused kernel
+    bit for bit — including multi-tile batches whose tiles carry different
+    hi8 bases, inactive rows, and warmup."""
+    from sla_tpu.kernels.pallas_filters import fused_synth_tl
+
+    rng = np.random.default_rng(31)
+    p, M = 16, 8
+    BB = 2 * TILE_B  # two tiles with different lag bands
+    res = rng.integers(-(1 << 20), 1 << 20, (BB, TILE_L), dtype=np.int32)
+    coef = rng.integers(-25000, 25000, (BB, p), dtype=np.int32)
+    # lag-sorted rows (the pipeline sorts): tile 0 high lags, tile 1 low
+    pitch = np.sort(
+        rng.integers(16, 250, (BB,), dtype=np.int32)
+    )[::-1].copy()
+    pitch[5::37] = 0  # sprinkle inactive rows
+    ltc = rng.integers(-32768, 32768, (BB, num_taps), dtype=np.int32) << 16
+    md = np.where(pitch > 0, pitch + num_taps // 2, 0).astype(np.int32)
+    prm = np.concatenate([md[:, None], ltc >> 16], axis=1).astype(np.int32)
+
+    ref = np.asarray(
+        fused_synth_tl(jnp.asarray(res.T), jnp.asarray(coef.T),
+                       jnp.asarray(prm.T), p, num_taps, M, interpret=True)
+    ).T
+
+    tiles = md.reshape(-1, TILE_B).astype(np.int64)
+    hi8 = ((tiles.max(1) + 7) // 8 * 8).astype(np.int32)
+    lo = np.where(tiles > 0, tiles, 1 << 30).min(1)
+    lo = np.where(tiles.max(1) > 0, lo, 0)
+    win = int(-(-max(int((hi8 - lo + num_taps).max()), 8) // 8) * 8)
+    assert (md[md > 0] - (num_taps - 1)).min() >= 8  # kernel precondition
+    out = np.asarray(
+        fused_synth_tl(jnp.asarray(res.T), jnp.asarray(coef.T),
+                       jnp.asarray(prm.T), p, num_taps, M,
+                       lt_win=win, hi8s=jnp.asarray(hi8), interpret=True)
+    ).T
+    assert np.array_equal(out, ref)
+
+
+def test_decode_stage_pallas_sorts_and_windows(monkeypatch):
+    """The window plan (_longterm_window_plan) + _decode_stage_pallas with
+    unsorted pitches must engage the windowed path (sort rows, per-tile
+    hi8, unsort the output) and still match the scan twin exactly."""
+    from sla_tpu.pipeline import (
+        _decode_stage_pallas,
+        _decode_stage_scan,
+        _longterm_window_plan,
+    )
+
+    rng = np.random.default_rng(41)
+    p, T, M = 16, 3, 8
+    # enough rows that the lag sort packs tiles into narrow bands (a small
+    # batch whose single tile spans the whole pitch range correctly falls
+    # back to the one-hot path — _longterm_window_plan returns 0);
+    # non-multiple rows exercise padding after the sort
+    BB = 4 * TILE_B + 24
+    res = rng.integers(-(1 << 18), 1 << 18, (BB, TILE_L), dtype=np.int32)
+    coef = rng.integers(-25000, 25000, (BB, p), dtype=np.int32)
+    pitch = rng.integers(16, 250, (BB,), dtype=np.int32)
+    pitch[::6] = 0
+    ltc = rng.integers(-32768, 32768, (BB, T), dtype=np.int32) << 16
+
+    lt_win, hi8s, order = _longterm_window_plan(pitch, T, BB)
+    assert lt_win > 0 and order is not None, "windowed plan did not engage"
+
+    # interpret-mode kernels so the windowed kernel runs on CPU
+    import sla_tpu.kernels.pallas_filters as pf
+    orig = pf.fused_synth_tl
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pf, "fused_synth_tl", interp)
+    out = np.asarray(
+        _decode_stage_pallas(
+            jnp.asarray(res), jnp.asarray(coef), jnp.asarray(pitch),
+            jnp.asarray(ltc), p, T, M, lt_win=lt_win,
+            hi8s=jnp.asarray(hi8s), order=jnp.asarray(order),
+        )
+    )
+    ref = np.asarray(
+        _decode_stage_scan(
+            jnp.asarray(res), jnp.asarray(coef), jnp.asarray(pitch),
+            jnp.asarray(ltc), p, T, M,
+        )
+    )
+    assert np.array_equal(out, ref)
