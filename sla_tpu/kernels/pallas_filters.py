@@ -540,6 +540,132 @@ def _fused_synth_kernel_win(hi8_ref, res_ref, coef_ref, prm_ref, out_ref,
     )
 
 
+def _fused_stage2_kernel_win(hi8_ref, res_ref, prm_ref, out_ref, lms_state,
+                             hist, *, num_taps, tile_l, hist_d, win):
+    """Merged encode stage 2: windowed long-term FIR + sign-sign LMS
+    predict in ONE sample loop (the two-dispatch form paid an XLA gated
+    FIR pass plus a separate LMS kernel, each a full HBM round trip). The
+    FIR history is the stage-1 residual itself (prediction reads the
+    INPUT, kernels/longterm.py), kept as the same doubled ring the decode
+    cascade uses — every 8-sample group reads one aligned window slice and
+    writes the raw input rows twice, batched. Per-sample arithmetic is
+    value-identical to longterm_predict (int64 accumulate reproduced in
+    exact 12-bit limbs) followed by the LMS predict body, so residuals are
+    byte-identical. Same preconditions as the decode window (caller plans
+    and falls back)."""
+    T = num_taps
+    D = hist_d
+    M = lms_state.shape[0] // 4
+    l = pl.program_id(1)
+    hi8 = hi8_ref[pl.program_id(0)]
+
+    @pl.when(l == 0)
+    def _():
+        lms_state[:] = jnp.zeros_like(lms_state)
+        hist[:] = jnp.zeros_like(hist)
+
+    max_delay = prm_ref[0, :][None, :]
+    TB = res_ref.shape[1]
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (win + _UNROLL, TB), 0)
+    base = [w_iota - (hi8 - max_delay + j) for j in range(T)]
+
+    def lms_step(x, s32):
+        fc = lms_state[0:M, :]
+        ic = lms_state[M : 2 * M, :]
+        xb = lms_state[2 * M : 3 * M, :]
+        pb = lms_state[3 * M : 4 * M, :]
+        acc = jnp.full_like(x, 512)
+        acc = acc + jnp.sum(fc * xb, axis=0, keepdims=True, dtype=jnp.int32)
+        acc = acc + jnp.sum(ic * pb, axis=0, keepdims=True, dtype=jnp.int32)
+        pred = acc >> 10
+        warm = jnp.logical_and(l == 0, s32 < M)
+        out = x - pred
+        mag = jnp.abs(out)
+        bl = jnp.int32(32) - jax.lax.clz(mag)
+        step = jnp.sign(out) * (bl >> 1)
+        step = jnp.where(warm, jnp.int32(0), step)
+        lms_state[0:M, :] = fc + step * jnp.sign(xb)
+        lms_state[M : 2 * M, :] = ic + step * jnp.sign(pb)
+        lms_state[2 * M : 3 * M, :] = jnp.concatenate(
+            [x, xb[: M - 1, :]], axis=0
+        )
+        lms_state[3 * M : 4 * M, :] = jnp.concatenate(
+            [jnp.where(warm, x, pred), pb[: M - 1, :]], axis=0
+        )
+        return jnp.where(warm, x, out)
+
+    def body_u(i, carry):
+        s32, wp = carry
+        s0 = pl.multiple_of(s32, _UNROLL)
+        blk = res_ref[pl.ds(s0, _UNROLL), :]
+        st0 = pl.multiple_of(wp + D - hi8, 8)
+        w = hist[pl.ds(st0, win + _UNROLL), :]
+        outs = []
+        for k in range(_UNROLL):
+            x = blk[k : k + 1, :]
+            pos = l * tile_l + s32 + jnp.int32(k)
+            S0 = jnp.zeros_like(x)
+            S1 = jnp.zeros_like(x)
+            S2 = jnp.zeros_like(x)
+            for j in range(T):
+                mask = (base[j] == k).astype(jnp.int32)
+                sel = jnp.sum(mask * w, axis=0, keepdims=True, dtype=jnp.int32)
+                q = prm_ref[1 + j, :][None, :]
+                S0 = S0 + q * (sel & 0xFFF)
+                S1 = S1 + q * ((sel >> 12) & 0xFFF)
+                S2 = S2 + q * (sel >> 24)
+            u_h = (S0 + _HALF) >> 12
+            pred = (S2 << 9) + ((S1 + u_h) >> 3)
+            use = jnp.logical_and(max_delay > 0, pos >= max_delay)
+            r2 = jnp.where(use, x - pred, x)
+            outs.append(lms_step(r2, s32 + jnp.int32(k)))
+        hist[pl.ds(wp, _UNROLL), :] = blk
+        hist[pl.ds(wp + D, _UNROLL), :] = blk
+        out_ref[pl.ds(s0, _UNROLL), :] = jnp.concatenate(outs, axis=0)
+        wp = wp + jnp.int32(_UNROLL)
+        wp = jnp.where(wp == D, jnp.int32(0), wp)
+        return (s32 + jnp.int32(_UNROLL), wp)
+
+    jax.lax.fori_loop(
+        0, tile_l // _UNROLL, body_u,
+        (jnp.int32(0), jnp.mod(l * jnp.int32(tile_l), jnp.int32(D))),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_taps", "lms_order", "hist_d", "lt_win", "interpret")
+)
+def fused_stage2_tl(data_t, prm_t, num_taps, lms_order, hist_d=_LT_HIST_D,
+                    lt_win=0, hi8s=None, interpret=False):
+    """Merged encode stage 2 (see _fused_stage2_kernel_win). data_t: (L, B)
+    stage-1 residual; prm_t: (1+T, B). Requires lt_win > 0 and num_taps > 0
+    (the caller plans the window and falls back to the two-dispatch form
+    otherwise). Returns the (L, B) final residual."""
+    kernel = functools.partial(
+        _fused_stage2_kernel_win,
+        num_taps=num_taps,
+        tile_l=TILE_L,
+        hist_d=hist_d,
+        win=lt_win,
+    )
+    nl = data_t.shape[0] // TILE_L
+    if prm_t.shape[0] < 8:
+        prm_t = jnp.concatenate(
+            [prm_t, jnp.zeros((8 - prm_t.shape[0], prm_t.shape[1]), prm_t.dtype)],
+            axis=0,
+        )
+    prm_tiled = jnp.tile(prm_t, (nl, 1))
+    prm_spec = pl.BlockSpec((8, TILE_B), lambda b, l: (l, b), memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((4 * lms_order, TILE_B), jnp.int32),
+        pltpu.VMEM((2 * hist_d + lt_win + _UNROLL, TILE_B), jnp.int32),
+    ]
+    return _filter_call_scalar(
+        kernel, jnp.asarray(hi8s, dtype=jnp.int32).reshape(-1), data_t,
+        [prm_tiled], [prm_spec], scratch, interpret,
+    )
+
+
 def _fused_synth_kernel(res_ref, coef_ref, prm_ref, out_ref, lms_state, hist,
                         b_state, x_prev, *, parcor_order, num_taps, tile_l,
                         hist_d):

@@ -178,6 +178,47 @@ def _encode_stage2_pallas(
     return out_t.T[:B]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_taps", "lms_order", "lt_ring", "lt_win"),
+)
+def _encode_stage2_pallas_win(
+    residual: jnp.ndarray,
+    pitch: jnp.ndarray,
+    ltm_coef: jnp.ndarray,
+    num_taps: int,
+    lms_order: int,
+    lt_ring: int,
+    lt_win: int,
+    hi8s,
+    order,
+):
+    """Merged windowed stage 2 (ONE kernel: long-term FIR + LMS predict)
+    with the decode path's lag sort/unsort around it; bit-identical to the
+    gated-FIR + LMS form."""
+    from .kernels.pallas_filters import TILE_B, fused_stage2_tl
+
+    B = residual.shape[0]
+    md = jnp.where(pitch > 0, pitch + (num_taps // 2), 0).astype(jnp.int32)
+    q15 = (ltm_coef >> 16).astype(jnp.int32)
+    if order is not None:
+        residual = jnp.take(residual, order, axis=0)
+        md = jnp.take(md, order, axis=0)
+        q15 = jnp.take(q15, order, axis=0)
+    prm_p = _pad_rows(jnp.concatenate([md[:, None], q15], axis=1), TILE_B)
+    out_t = fused_stage2_tl(
+        _pad_rows(residual, TILE_B).T, prm_p.T, num_taps, lms_order,
+        hist_d=lt_ring, lt_win=lt_win, hi8s=hi8s,
+    )
+    out = out_t.T[:B]
+    if order is not None:
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(B, dtype=order.dtype)
+        )
+        out = jnp.take(out, inv, axis=0)
+    return out
+
+
 def encode_stage2(
     residual: jnp.ndarray,
     pitch: jnp.ndarray,
@@ -199,6 +240,29 @@ def encode_stage2(
             num_taps=num_taps, lms_order=lms_order,
         )
     if _use_pallas() and residual.shape[1] % 2048 == 0:
+        if (
+            num_taps > 0
+            and lms_order >= 1
+            and not isinstance(pitch, jax.core.Tracer)
+        ):
+            import numpy as np
+
+            from .kernels.pallas_filters import longterm_ring_depth
+
+            p_np = np.asarray(pitch)
+            if p_np.size and (p_np > 0).any():
+                lt_win, hi8s, order = _window_plan_dev(
+                    np.ascontiguousarray(p_np, dtype=np.int32).tobytes(),
+                    num_taps, residual.shape[0],
+                )
+                if lt_win > 0:
+                    ring = longterm_ring_depth(
+                        int(p_np[p_np > 0].max()) + num_taps // 2
+                    )
+                    return _encode_stage2_pallas_win(
+                        residual, pitch, ltm_coef, num_taps, lms_order,
+                        lt_ring=ring, lt_win=lt_win, hi8s=hi8s, order=order,
+                    )
         return _encode_stage2_pallas(residual, pitch, ltm_coef, num_taps, lms_order)
     return _encode_stage2_scan(residual, pitch, ltm_coef, num_taps, lms_order)
 

@@ -246,3 +246,82 @@ def test_decode_stage_pallas_sorts_and_windows(monkeypatch):
         )
     )
     assert np.array_equal(out, ref)
+
+
+@pytest.mark.parametrize("num_taps", [1, 3, 5])
+def test_fused_stage2_windowed_interpret(num_taps):
+    """The merged encode stage 2 (windowed long-term FIR + LMS predict in
+    one kernel) must match the gated-FIR + LMS scan chain bit for bit."""
+    from sla_tpu.pipeline import _encode_stage2_scan
+    from sla_tpu.kernels.pallas_filters import (
+        fused_stage2_tl, longterm_ring_depth,
+    )
+
+    rng = np.random.default_rng(53)
+    M = 8
+    BB = 2 * TILE_B
+    res = rng.integers(-(1 << 20), 1 << 20, (BB, TILE_L), dtype=np.int32)
+    pitch = np.sort(rng.integers(16, 250, (BB,), dtype=np.int32))[::-1].copy()
+    pitch[5::31] = 0
+    ltc = rng.integers(-32768, 32768, (BB, num_taps), dtype=np.int32) << 16
+
+    ref = np.asarray(
+        _encode_stage2_scan(
+            jnp.asarray(res), jnp.asarray(pitch), jnp.asarray(ltc),
+            num_taps, M,
+        )
+    )
+    md = np.where(pitch > 0, pitch + num_taps // 2, 0).astype(np.int64)
+    tiles = md.reshape(-1, TILE_B)
+    hi8s = ((tiles.max(1) + 7) // 8 * 8).astype(np.int32)
+    lo = np.where(tiles > 0, tiles, 1 << 30).min(1)
+    lo = np.where(tiles.max(1) > 0, lo, 0)
+    lt_win = int(-(-max(int((hi8s - lo + num_taps).max()), 8) // 8) * 8)
+    assert (md[md > 0] - (num_taps - 1)).min() >= 8  # kernel precondition
+    prm = np.concatenate(
+        [md[:, None].astype(np.int32), ltc >> 16], axis=1
+    ).astype(np.int32)
+    ring = longterm_ring_depth(int(md.max()))
+    out = np.asarray(
+        fused_stage2_tl(jnp.asarray(res.T), jnp.asarray(prm.T), num_taps, M,
+                        hist_d=ring, lt_win=lt_win,
+                        hi8s=jnp.asarray(hi8s), interpret=True)
+    ).T
+    assert np.array_equal(out, ref)
+
+
+def test_encode_stage2_dispatches_windowed(monkeypatch):
+    """encode_stage2 with concrete pitches on the Pallas path must engage
+    the merged windowed kernel and match the scan twin exactly."""
+    import sla_tpu.pipeline as pipeline
+    from sla_tpu.pipeline import encode_stage2, _encode_stage2_scan
+
+    rng = np.random.default_rng(59)
+    T, M = 3, 8
+    BB = 4 * TILE_B
+    res = rng.integers(-(1 << 18), 1 << 18, (BB, TILE_L), dtype=np.int32)
+    pitch = rng.integers(16, 250, (BB,), dtype=np.int32)
+    pitch[::5] = 0
+    ltc = rng.integers(-32768, 32768, (BB, T), dtype=np.int32) << 16
+
+    monkeypatch.setattr(pipeline, "_use_pallas", lambda: True)
+    import sla_tpu.kernels.pallas_filters as pf
+    orig = pf.fused_stage2_tl
+    hits = {}
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        hits["win"] = k.get("lt_win", 0)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pf, "fused_stage2_tl", interp)
+    out = np.asarray(
+        encode_stage2(jnp.asarray(res), np.asarray(pitch), jnp.asarray(ltc), T, M)
+    )
+    assert hits.get("win", 0) > 0, "merged stage-2 kernel did not engage"
+    ref = np.asarray(
+        _encode_stage2_scan(
+            jnp.asarray(res), jnp.asarray(pitch), jnp.asarray(ltc), T, M
+        )
+    )
+    assert np.array_equal(out, ref)

@@ -50,14 +50,42 @@ def main() -> int:
     # paid once per K, so this measures on-chip throughput, not dispatch.
     K = 16
 
-    @jax.jit
-    def encode_pipeline(d, c, pi, lt):
-        def body(i, acc):
-            r1 = encode_stage1(d + (acc & 1), c, p)
-            r2 = encode_stage2(r1, pi, lt, T, M)
-            return jnp.sum(r2, dtype=jnp.int32)
+    def make_encode(pitch_np_fn):
+        # mirror the production encode dispatch with a CONCRETE pitch (the
+        # encoder calls encode_stage2 eagerly with host pitches, engaging
+        # the merged windowed stage-2 kernel); under this bench's outer jit
+        # a traced pitch would silently fall back to the two-dispatch form
+        import numpy as np
 
-        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+        from sla_tpu.kernels.pallas_filters import longterm_ring_depth
+        from sla_tpu.pipeline import (
+            _encode_stage2_pallas_win,
+            _window_plan_dev,
+        )
+
+        pitch_np = pitch_np_fn
+        ring = longterm_ring_depth(int(pitch_np[pitch_np > 0].max()) + T // 2)
+        lt_win, hi8s, order = _window_plan_dev(
+            np.ascontiguousarray(pitch_np, dtype=np.int32).tobytes(), T, B
+        )
+        pitch_dev = jnp.asarray(pitch_np)
+
+        @jax.jit
+        def chained(d, c, _pi, lt):
+            def body(i, acc):
+                r1 = encode_stage1(d + (acc & 1), c, p)
+                if lt_win > 0:
+                    r2 = _encode_stage2_pallas_win(
+                        r1, pitch_dev, lt, T, M,
+                        lt_ring=ring, lt_win=lt_win, hi8s=hi8s, order=order,
+                    )
+                else:
+                    r2 = encode_stage2(r1, pitch_dev, lt, T, M)
+                return jnp.sum(r2, dtype=jnp.int32)
+
+            return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+
+        return chained
 
     import numpy as np
 
@@ -102,7 +130,7 @@ def main() -> int:
 
     results: dict[str, float] = {}
     for name, fn, pi_arg, per_call in [
-        ("encode stage1+2", encode_pipeline, pitch, K),
+        ("encode stage1+2", make_encode(np.asarray(pitch)), pitch, K),
         ("decode cascade ", make_decode(pitch_host), pitch_host, K),
         ("decode cascade (pitch<120)", make_decode(pitch_low), pitch_low, K),
     ]:
