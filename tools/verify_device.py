@@ -194,6 +194,59 @@ def main() -> int:
     ok &= match
     print(f"device-vs-host decode: {'OK' if match else 'MISMATCH'}", flush=True)
 
+    # 4b. device-entropy DECODE (rice_device.rice_decode_blocks on chip):
+    # the device backend defaults to it, but pin the contrast explicitly —
+    # forced on-chip entropy vs forced host entropy, byte-equal PCM
+    import os
+
+    os.environ["SLA_TPU_DEVICE_ENTROPY"] = "1"
+    try:
+        pcm_dev_ent = decode("device")
+    finally:
+        del os.environ["SLA_TPU_DEVICE_ENTROPY"]
+    dec_off = sla.Decoder(sla.DecoderConfig(backend="device",
+                                            device_entropy="off"))
+    pcm_dev_hostent = dec_off.decode_whole(blob_host)[1]
+    match = (np.array_equal(pcm_dev_ent, pcm_host)
+             and np.array_equal(pcm_dev_hostent, pcm_host))
+    ok &= match
+    print(f"device-entropy decode (on-chip Rice scan): "
+          f"{'OK' if match else 'MISMATCH'}", flush=True)
+
+    # 5. merged windowed decode cascade vs the one-hot form ON HARDWARE
+    # (interpret mode cannot check Mosaic rules — CLAUDE.md invariant 6)
+    import jax
+    import jax.numpy as jnp
+
+    from sla_tpu.kernels.pallas_filters import TILE_B, fused_synth_tl
+
+    key = jax.random.PRNGKey(5)
+    k1, k2, k3 = jax.random.split(key, 3)
+    Bk, Lk, pk, Tk, Mk = 2 * TILE_B, 4096, 16, 3, 8
+    data_t = jax.random.randint(k1, (Lk, Bk), -(1 << 20), 1 << 20, jnp.int32)
+    coef_t = jax.random.randint(k2, (pk, Bk), -25000, 25000, jnp.int32)
+    pitch_w = np.sort(
+        rng.integers(16, 250, Bk).astype(np.int32))[::-1].copy()
+    pitch_w[5::37] = 0
+    mdw = np.where(pitch_w > 0, pitch_w + Tk // 2, 0).astype(np.int64)
+    q15w = jax.random.randint(k3, (Tk, Bk), -32768, 32768, jnp.int32)
+    prm_w = jnp.concatenate(
+        [jnp.asarray(mdw.astype(np.int32))[None, :], q15w], axis=0)
+    tiles = mdw.reshape(-1, TILE_B)
+    hi8 = ((tiles.max(1) + 7) // 8 * 8).astype(np.int32)
+    low = np.where(tiles > 0, tiles, 1 << 30).min(1)
+    low = np.where(tiles.max(1) > 0, low, 0)
+    winv = int(-(-max(int((hi8 - low + Tk).max()), 8) // 8) * 8)
+    a = np.asarray(fused_synth_tl(data_t, coef_t, prm_w, pk, Tk, Mk,
+                                  hist_d=264))
+    b = np.asarray(fused_synth_tl(data_t, coef_t, prm_w, pk, Tk, Mk,
+                                  hist_d=264, lt_win=winv,
+                                  hi8s=jnp.asarray(hi8)))
+    match = np.array_equal(a, b)
+    ok &= match
+    print(f"windowed vs one-hot fused decode (compiled, win={winv}): "
+          f"{'OK' if match else 'MISMATCH'}", flush=True)
+
     stamp = time.strftime("%Y-%m-%d")
     status = "all bit-identical" if ok else "MISMATCH DETECTED"
     print(
