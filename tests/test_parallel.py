@@ -177,3 +177,20 @@ def test_assert_mode_demotes_mesh_encoder(monkeypatch):
     host = _encode(pcm, "host")
     monkeypatch.setenv("SLA_TPU_DEBUG_ASSERTS", "1")
     assert _encode(pcm, "mesh") == host
+
+
+@needs_8
+@pytest.mark.parametrize("C", [2, 6])
+def test_mesh_decode_device_entropy_contrast(C):
+    """backend='mesh' decodes the recursive-Rice payloads ON the mesh by
+    default (DecoderConfig.device_entropy='auto'); pin both sides of the
+    contrast — on-mesh entropy and forced host entropy must produce the
+    exact PCM."""
+    pcm = _pcm(C, 30000, seed=40 + C)
+    blob = _encode(pcm, "host")
+    _, on = sla.Decoder(sla.DecoderConfig(backend="mesh")).decode_whole(blob)
+    _, off = sla.Decoder(
+        sla.DecoderConfig(backend="mesh", device_entropy="off")
+    ).decode_whole(blob)
+    assert np.array_equal(on, pcm)
+    assert np.array_equal(off, pcm)
