@@ -342,35 +342,51 @@ class Decoder:
     def _device_entropy_on(self, backend: str) -> bool:
         """Decode twin of Encoder._device_entropy_on: on-chip symbol decode
         whenever the synthesis batch runs on the device or mesh backend;
-        SLA_TPU_DEVICE_ENTROPY forces it regardless."""
-        import os
+        SLA_TPU_DEVICE_ENTROPY forces it regardless (the batch then lands
+        on host once for the host synthesis cascade — see _decode_blocks).
+        One shared definition with the encoder: pipeline.device_entropy_on."""
+        from .pipeline import device_entropy_on
 
-        if os.environ.get("SLA_TPU_DEVICE_ENTROPY"):
-            return True
-        if getattr(self.config, "device_entropy", "auto") == "off":
-            return False
-        return backend in ("device", "mesh")
+        return device_entropy_on(self.config, backend)
 
-    def _device_entropy_group(self, data: bytes, grp: list, comp: list[int], L: int):
+    def _device_entropy_group(
+        self,
+        data: bytes,
+        grp: list,
+        comp: list[int],
+        L: int,
+        words_arr: np.ndarray | None = None,
+    ):
         """On-chip entropy decode of one synthesis group's COMPRESSDATA
         payloads (rice_device.rice_decode_blocks): returns the (rows, L)
         residual batch as a device array in the synthesis layout, or None
-        when the group must use the host coder — a block on the static
-        Golomb branch (cross-channel mean effective parameter <= 8, the
-        same split the encoder uses), or any block whose payload tripped
-        the device decoder's validity flags (only corrupt streams do)."""
+        when the host coder should take the whole group (most of its
+        blocks sit on the static Golomb branch — cross-channel mean
+        effective parameter <= 8, the same split the encoder uses).
+        Straggler blocks — a minority of Golomb blocks, or any payload
+        that tripped the device decoder's validity flags (only corrupt
+        streams do) — re-decode individually on host and scatter into the
+        device batch, so one quiet passage does not knock the whole
+        group (~minutes of audio) off the on-chip path.
+
+        words_arr: optional rice_device.stream_words(data), shared across
+        groups by _decode_blocks so the stream is not re-copied per group."""
         from . import rice
         from .rice_device import decode_blocks_payload_device
 
         wf = self._wave_format
         C = wf.num_channels
-        inits = np.zeros((len(comp), C), dtype=np.uint32)
+        nb = len(comp)
+        inits = np.zeros((nb, C), dtype=np.uint32)
+        golomb = np.zeros(nb, dtype=bool)
         for j, i in enumerate(comp):
             blk = grp[i]
             eff = [rice.effective_init_param(int(p)) for p in blk.init_rice]
-            if sum(eff) // C <= CODER_LOW_THRESHOLD_PARAMETER:
-                return None  # static-Golomb block: host path
+            golomb[j] = sum(eff) // C <= CODER_LOW_THRESHOLD_PARAMETER
             inits[j] = np.asarray(blk.init_rice, dtype=np.uint32)
+        rice_j = np.flatnonzero(~golomb)
+        if 2 * len(rice_j) < nb:
+            return None  # mostly static-Golomb content: host coder wins
         offs = np.asarray([grp[i].payload_bit_offset for i in comp], dtype=np.int64)
         bits = np.asarray(
             [
@@ -382,12 +398,25 @@ class Decoder:
         )
         counts = np.asarray([grp[i].num_samples for i in comp], dtype=np.int32)
         res, bad = decode_blocks_payload_device(
-            data, offs, bits, counts, inits, C, L
+            data, offs[rice_j], bits[rice_j], counts[rice_j],
+            inits[rice_j], C, L, words_arr=words_arr,
         )
-        if bad.any():
-            return None  # corrupt payload: the host path reproduces the
-            # reference's deterministic behavior for it
-        return res.reshape(len(comp) * C, L)
+        host_j = np.concatenate([np.flatnonzero(golomb), rice_j[bad]])
+        if host_j.size == 0:
+            return res.reshape(nb * C, L)
+        import jax.numpy as jnp
+
+        full = jnp.zeros((nb, C, L), dtype=jnp.int32)
+        full = full.at[jnp.asarray(rice_j)].set(res)
+        # host-decode the stragglers and land them in one scatter (the bad
+        # rows overwrite device garbage with the host coder's deterministic
+        # output, matching the reference's behavior for corrupt payloads)
+        hb = np.zeros((host_j.size, C, L), dtype=np.int32)
+        for k, j in enumerate(host_j):
+            blk = grp[comp[int(j)]]
+            hb[k, :, : blk.num_samples] = self._decode_payload(data, blk)
+        full = full.at[jnp.asarray(host_j)].set(jnp.asarray(hb))
+        return full.reshape(nb * C, L)
 
     # -- whole-stream decode -----------------------------------------------------
     def decode_block(self, data: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
@@ -678,6 +707,7 @@ class Decoder:
             out = np.empty((C, total_samples), dtype=np.int32)
             t_ent = t_syn = 0.0
             off = 0
+            ent_words = None  # stream_words(data), built once on first use
             for g0 in range(0, len(blocks), group):
                 grp = blocks[g0 : g0 + group]
                 t0 = time.perf_counter()
@@ -690,13 +720,27 @@ class Decoder:
                 dev_premade = None
                 if comp:
                     rs = sum(grp[i].num_samples for i in comp) * C
-                    if self._device_entropy_on(self._select_backend(rs)):
+                    backend = self._select_backend(rs)
+                    if self._device_entropy_on(backend):
                         # on-chip symbol decode straight into the (rows, L)
                         # synthesis layout; the batch stays device-resident
                         # for the synthesis stage (no host round trip)
+                        if ent_words is None:
+                            from .rice_device import stream_words
+
+                            ent_words = stream_words(data)
                         dev_premade = self._device_entropy_group(
-                            data, grp, comp, L
+                            data, grp, comp, L, ent_words
                         )
+                    if dev_premade is not None and backend == "host":
+                        # forced device entropy (SLA_TPU_DEVICE_ENTROPY)
+                        # with host synthesis: land the batch once and take
+                        # the host premade fast paths (fused store below);
+                        # dev_premade stays set so the payload loop skips
+                        # the COMPRESSDATA blocks (rows live in `premade`).
+                        # np.array (not asarray): the host cascades
+                        # synthesize IN PLACE, a jax-array view is read-only
+                        premade = np.array(dev_premade)
                     if dev_premade is None:
                         # decode straight into the (rows, L) synthesis batch
                         # layout: the synthesis stage consumes it zero-copy
@@ -747,7 +791,7 @@ class Decoder:
                     continue
                 outputs = self._synth_outputs(
                     grp, payloads,
-                    premade=premade if dev_premade is None else dev_premade,
+                    premade=dev_premade if premade is None else premade,
                 )
                 srcs: list[np.ndarray] = []
                 for i, b in enumerate(grp):

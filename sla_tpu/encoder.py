@@ -1065,12 +1065,11 @@ class Encoder:
         """Device entropy policy (VERDICT r2 #7): on-chip symbol coding is
         the default whenever the filter batch already ran on the device or
         mesh backend (the residual is on-chip and the host keeps only the
-        branch-free pack); SLA_TPU_DEVICE_ENTROPY forces it regardless."""
-        if os.environ.get("SLA_TPU_DEVICE_ENTROPY"):
-            return True
-        if getattr(self.config, "device_entropy", "auto") == "off":
-            return False
-        return backend in ("device", "mesh")
+        branch-free pack); SLA_TPU_DEVICE_ENTROPY forces it regardless.
+        One shared definition with the decoder: pipeline.device_entropy_on."""
+        from .pipeline import device_entropy_on
+
+        return device_entropy_on(self.config, backend)
 
     def _attach_device_parts(self, rows_meta, residual2, init_all) -> None:
         """ONE batched on-device Rice symbol pass for the whole filter

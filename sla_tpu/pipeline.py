@@ -546,6 +546,23 @@ def select_backend(configured: str, row_samples: int) -> str:
     return "host"
 
 
+def device_entropy_on(config, backend: str) -> bool:
+    """Shared device-entropy policy for the Encoder and Decoder handles
+    (one definition so the two sides cannot drift): on-chip symbol coding
+    is the default whenever the filter/synthesis batch already runs on the
+    device or mesh backend; SLA_TPU_DEVICE_ENTROPY forces it regardless of
+    backend (both directions must then land/lift the batch across the
+    host/device boundary themselves); config.device_entropy='off' disables
+    the default."""
+    import os
+
+    if os.environ.get("SLA_TPU_DEVICE_ENTROPY"):
+        return True
+    if getattr(config, "device_entropy", "auto") == "off":
+        return False
+    return backend in ("device", "mesh")
+
+
 def _longterm_chunk(pitch, num_taps: int, length: int, platform: str | None = None) -> int:
     """Largest power-of-two scan chunk (<= 64) that every active row's
     feedback lag permits: the shallowest read is max_delay - (num_taps-1)

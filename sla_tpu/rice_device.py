@@ -268,6 +268,19 @@ def rice_decode_blocks(words, start_bits, counts, init_params, C, n_max):
     return jnp.transpose(ys, (1, 2, 0)), bad  # (B, C, n_max), (B,)
 
 
+def stream_words(data: bytes) -> np.ndarray:
+    """Big-endian uint32 view of a whole stream, zero-padded so the final
+    word is all-zero. Group-invariant: build it ONCE per decode call and
+    pass it to decode_blocks_payload_device for every synthesis group —
+    rebuilding it per group copies the entire stream each time (CLAUDE.md
+    invariant 5: large per-call numpy temps page-fault at ~5µs/4KB)."""
+    pad = (-len(data)) % 4
+    arr = np.frombuffer(bytes(data) + b"\x00" * (4 + pad), dtype=">u4")
+    # native-endian uint32 (values preserved): the per-group gather result
+    # feeds jnp.asarray, which rejects non-native byte orders
+    return arr.astype(np.uint32)
+
+
 def decode_blocks_payload_device(
     data: bytes,
     bit_offsets: np.ndarray,
@@ -276,12 +289,14 @@ def decode_blocks_payload_device(
     init_params: np.ndarray,
     C: int,
     n_max: int,
+    words_arr: np.ndarray | None = None,
 ):
     """Host wrapper: window packing + device decode + host fallback.
 
     data: the whole stream; bit_offsets: (B,) payload bit offsets;
     block_bits: (B,) payload-region sizes in bits (to the block end);
-    counts: (B,) samples; init_params: (B, C) uint32 (raw header values).
+    counts: (B,) samples; init_params: (B, C) uint32 (raw header values);
+    words_arr: optional stream_words(data) result, reused across groups.
     Returns (residual (B, C, n_max) int32 np, bad (B,) bool np) — `bad`
     blocks contain garbage and must be host-decoded by the caller (the
     decoder does, via native.get_data_array)."""
@@ -291,13 +306,15 @@ def decode_blocks_payload_device(
     end_word = -(-(np.asarray(bit_offsets, dtype=np.int64) +
                    np.asarray(block_bits, dtype=np.int64)) // 32)
     W = int(np.max(end_word - word_start)) + 2  # window slack for reads past end
-    pad = (-len(data)) % 4
-    arr = np.frombuffer(bytes(data) + b"\x00" * (4 + pad), dtype=">u4")
-    words = np.zeros((B, W), dtype=np.uint32)
-    for i in range(B):
-        w0 = int(word_start[i])
-        take = min(W, len(arr) - w0)
-        words[i, :take] = arr[w0 : w0 + take]
+    W = -(-W // 512) * 512  # bucket the window width (2 KB granularity) so
+    # successive groups with slightly different largest blocks share one
+    # shape-specialized rice_decode_blocks compilation
+    arr = stream_words(data) if words_arr is None else words_arr
+    # one vectorized gather; mode='clip' lands out-of-range indexes on the
+    # final word, which stream_words guarantees is all-zero padding
+    dt = np.int32 if len(arr) + W < 2**31 else np.int64
+    idx = word_start.astype(dt)[:, None] + np.arange(W, dtype=dt)
+    words = np.take(arr, idx, mode="clip")
     res, bad = rice_decode_blocks(
         jnp.asarray(words),
         jnp.asarray(start_bits),

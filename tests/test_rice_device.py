@@ -209,6 +209,56 @@ def test_decoder_device_entropy_corrupt_falls_back_to_host(monkeypatch):
         assert np.array_equal(host, dev)
 
 
+def test_decoder_device_entropy_forced_on_host_backend(monkeypatch):
+    """SLA_TPU_DEVICE_ENTROPY=1 with the DEFAULT decoder (backend='auto'
+    resolves to 'host' for small streams) is the documented force
+    combination: the on-chip entropy batch must land once on host and feed
+    the host synthesis cascade — regression for a crash where the device
+    batch was dropped and the residuals stayed None."""
+    pcm = gen_wave("chirp", 30000, 2, 16, 0, seed=23)
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
+    enc.set_encode_parameter(sla.PRESETS[2])
+    blob = enc.encode_whole(pcm)
+    monkeypatch.setenv("SLA_TPU_DEVICE_ENTROPY", "1")
+    _, out = sla.Decoder().decode_whole(blob)
+    assert np.array_equal(out, pcm)
+
+
+def test_decoder_device_entropy_mixed_golomb_group(monkeypatch):
+    """A minority of static-Golomb blocks inside an otherwise loud stream
+    must NOT knock the whole synthesis group off the on-chip entropy path:
+    the stragglers re-decode on host and scatter into the device batch,
+    and the PCM stays exact."""
+    loud = gen_wave("noise", 50000, 2, 16, 0, seed=24)
+    quiet = (np.random.default_rng(25).integers(-2, 3, size=(2, 12288))
+             .astype(np.int32) << 16)
+    pcm = np.concatenate([loud[:, :24576], quiet, loud[:, 24576:]], axis=1)
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
+    enc.set_encode_parameter(sla.PRESETS[2])
+    blob = enc.encode_whole(pcm)
+    monkeypatch.setenv("SLA_TPU_DEVICE_ENTROPY", "1")
+    dec = sla.Decoder(sla.DecoderConfig(backend="device"))
+    header = dec._open_stream(blob)
+    blocks = dec.scan_blocks(blob, header.num_samples)
+    comp = [i for i, b in enumerate(blocks)
+            if b.block_type == sla.BlockDataType.COMPRESSDATA]
+    ep = header.encode_param
+    grp_res = dec._device_entropy_group(
+        blob, blocks, comp, ep.max_num_block_samples
+    )
+    from sla_tpu.rice import effective_init_param
+
+    eff = [sum(effective_init_param(int(p)) for p in blocks[i].init_rice) // 2
+           for i in comp]
+    assert any(e <= 8 for e in eff), "fixture must contain a Golomb block"
+    assert any(e > 8 for e in eff), "fixture must contain Rice blocks"
+    assert grp_res is not None, "mixed group must stay on the device path"
+    _, out = dec.decode_whole(blob)
+    assert np.array_equal(out, pcm)
+
+
 def test_decoder_device_entropy_golomb_branch_falls_back(monkeypatch):
     """Quiet content selects the static-Golomb branch, which the device
     decoder does not implement: the group must fall back to the host coder
