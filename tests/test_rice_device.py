@@ -259,6 +259,22 @@ def test_decoder_device_entropy_mixed_golomb_group(monkeypatch):
     assert np.array_equal(out, pcm)
 
 
+def test_decode_range_and_salvage_under_forced_device_entropy(monkeypatch):
+    """decode_range and decode_salvage share _decode_blocks, so the forced
+    on-chip entropy combination must leave their outputs sample-exact."""
+    pcm = gen_wave("chirp", 60000, 2, 16, 0, seed=26)
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
+    enc.set_encode_parameter(sla.PRESETS[2])
+    blob = enc.encode_whole(pcm)
+    monkeypatch.setenv("SLA_TPU_DEVICE_ENTROPY", "1")
+    _, win = sla.Decoder().decode_range(blob, 15000, 20000)
+    assert np.array_equal(win, pcm[:, 15000:35000])
+    _, segs = sla.Decoder().decode_salvage(blob)
+    assert len(segs) == 1 and segs[0].sample_offset == 0
+    assert np.array_equal(segs[0].pcm, pcm)
+
+
 def test_decoder_device_entropy_golomb_branch_falls_back(monkeypatch):
     """Quiet content selects the static-Golomb branch, which the device
     decoder does not implement: the group must fall back to the host coder
