@@ -397,25 +397,28 @@ class Decoder:
             dtype=np.int64,
         )
         counts = np.asarray([grp[i].num_samples for i in comp], dtype=np.int32)
+        # ALL nb blocks ride the device lanes — including the Golomb ones,
+        # whose lanes decode garbage that the straggler scatter overwrites
+        # below. Filtering them out would make the batch dimension B
+        # content-dependent and recompile rice_decode_blocks per distinct
+        # straggler count; keeping B = group size costs only wasted lanes.
         res, bad = decode_blocks_payload_device(
-            data, offs[rice_j], bits[rice_j], counts[rice_j],
-            inits[rice_j], C, L, words_arr=words_arr,
+            data, offs, bits, counts, inits, C, L, words_arr=words_arr,
         )
-        host_j = np.concatenate([np.flatnonzero(golomb), rice_j[bad]])
+        host_j = np.concatenate([np.flatnonzero(golomb), rice_j[bad[rice_j]]])
         if host_j.size == 0:
             return res.reshape(nb * C, L)
         import jax.numpy as jnp
 
-        full = jnp.zeros((nb, C, L), dtype=jnp.int32)
-        full = full.at[jnp.asarray(rice_j)].set(res)
-        # host-decode the stragglers and land them in one scatter (the bad
+        # host-decode the stragglers (Golomb-branch blocks, plus any payload
+        # the device decoder flagged) and land them in one scatter — the bad
         # rows overwrite device garbage with the host coder's deterministic
-        # output, matching the reference's behavior for corrupt payloads)
+        # output, matching the reference's behavior for corrupt payloads
         hb = np.zeros((host_j.size, C, L), dtype=np.int32)
         for k, j in enumerate(host_j):
             blk = grp[comp[int(j)]]
             hb[k, :, : blk.num_samples] = self._decode_payload(data, blk)
-        full = full.at[jnp.asarray(host_j)].set(jnp.asarray(hb))
+        full = res.at[jnp.asarray(host_j)].set(jnp.asarray(hb))
         return full.reshape(nb * C, L)
 
     # -- whole-stream decode -----------------------------------------------------

@@ -553,11 +553,14 @@ def device_entropy_on(config, backend: str) -> bool:
     device or mesh backend; SLA_TPU_DEVICE_ENTROPY forces it regardless of
     backend (both directions must then land/lift the batch across the
     host/device boundary themselves); config.device_entropy='off' disables
-    the default."""
+    the default. The env value is parsed: '0'/'off'/'false'/'no' force it
+    OFF (a user exporting =0 means disable, not force-on), anything else
+    non-empty forces it ON, unset/empty defers to the config."""
     import os
 
-    if os.environ.get("SLA_TPU_DEVICE_ENTROPY"):
-        return True
+    v = os.environ.get("SLA_TPU_DEVICE_ENTROPY", "").strip().lower()
+    if v:
+        return v not in ("0", "off", "false", "no")
     if getattr(config, "device_entropy", "auto") == "off":
         return False
     return backend in ("device", "mesh")

@@ -259,6 +259,27 @@ def test_decoder_device_entropy_mixed_golomb_group(monkeypatch):
     assert np.array_equal(out, pcm)
 
 
+def test_device_entropy_env_value_parsing(monkeypatch):
+    """SLA_TPU_DEVICE_ENTROPY=0 (or off/false/no) must force the path OFF —
+    not force it on because the string '0' is truthy; unset/empty defers to
+    the config."""
+    from sla_tpu.pipeline import device_entropy_on
+
+    cfg_auto = sla.DecoderConfig()
+    cfg_off = sla.DecoderConfig(device_entropy="off")
+    for v in ("0", "off", "FALSE", "no"):
+        monkeypatch.setenv("SLA_TPU_DEVICE_ENTROPY", v)
+        assert not device_entropy_on(cfg_auto, "device")
+    for v in ("1", "on", "anything"):
+        monkeypatch.setenv("SLA_TPU_DEVICE_ENTROPY", v)
+        assert device_entropy_on(cfg_off, "host")
+    for v in ("", "  "):
+        monkeypatch.setenv("SLA_TPU_DEVICE_ENTROPY", v)
+        assert device_entropy_on(cfg_auto, "device")
+        assert not device_entropy_on(cfg_auto, "host")
+        assert not device_entropy_on(cfg_off, "mesh")
+
+
 def test_decode_range_and_salvage_under_forced_device_entropy(monkeypatch):
     """decode_range and decode_salvage share _decode_blocks, so the forced
     on-chip entropy combination must leave their outputs sample-exact."""

@@ -29,7 +29,6 @@ sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 
 import sla_tpu as sla  # noqa: E402
-from sla_tpu.constants import SLA_HEADER_SIZE  # noqa: E402
 from sla_tpu.errors import SLAError  # noqa: E402
 from test_encode_decode import gen_wave  # noqa: E402
 
@@ -86,10 +85,23 @@ def main() -> int:
         blob = enc.encode_whole(pcm)
         corrupt = i % 2 == 1
         if corrupt:
+            # payload bytes only (flipping a block HEADER makes scan_blocks
+            # raise on both sides before the device-entropy path runs, so
+            # the case would test nothing): scan the intact stream and pick
+            # byte offsets inside COMPRESSDATA payload regions
+            dec0 = sla.Decoder()
+            header = dec0._open_stream(blob)
+            blocks = dec0.scan_blocks(blob, header.num_samples)
+            spans = [
+                (b_.payload_bit_offset // 8 + 1, b_.data_offset + b_.block_size)
+                for b_ in blocks
+                if b_.block_type == sla.BlockDataType.COMPRESSDATA
+                and b_.data_offset + b_.block_size > b_.payload_bit_offset // 8 + 2
+            ]
             b = bytearray(blob)
             for _ in range(int(rng.integers(1, 4))):
-                # payload region only: past the header and first block head
-                j = int(rng.integers(SLA_HEADER_SIZE + 16, len(b)))
+                lo, hi = spans[int(rng.integers(0, len(spans)))]
+                j = int(rng.integers(lo, hi))
                 b[j] ^= 1 << int(rng.integers(0, 8))
             blob = bytes(b)
         drive(blob, corrupt)
