@@ -453,9 +453,30 @@ class Decoder:
         self._require_params()
         return header
 
-    def decode_whole(self, data: bytes) -> tuple[HeaderInfo, np.ndarray]:
-        """Returns (header, (C, num_samples) canonical int32 PCM)."""
+    def decode_whole(
+        self, data: bytes, out: np.ndarray | None = None
+    ) -> tuple[HeaderInfo, np.ndarray]:
+        """Returns (header, (C, num_samples) canonical int32 PCM).
+
+        out: optional preallocated (C, num_samples) C-contiguous writable
+        int32 buffer the PCM lands in directly — the bulk twin of
+        StreamingDecoder.decode_into for servers that decode into a reused
+        arena instead of allocating hundreds of MB per call. The returned
+        PCM array IS `out` when given."""
         header = self._open_stream(data)
+        if out is not None:
+            expect = (self._wave_format.num_channels, header.num_samples)
+            if (
+                not isinstance(out, np.ndarray)
+                or out.dtype != np.int32
+                or out.shape != expect
+                or not out.flags.c_contiguous
+                or not out.flags.writeable
+            ):
+                raise SLAError(
+                    ApiResult.INVALID_ARGUMENT,
+                    f"out must be a writable C-contiguous int32 {expect} array",
+                )
 
         import time
 
@@ -463,7 +484,7 @@ class Decoder:
         t0 = time.perf_counter()
         blocks = self.scan_blocks(data, header.num_samples)
         self.stage_times["headers"] = time.perf_counter() - t0
-        out = self._decode_blocks(data, blocks, header.num_samples)
+        out = self._decode_blocks(data, blocks, header.num_samples, out)
         if self.config.verbose:
             st = self.stage_times
             print(
@@ -687,11 +708,13 @@ class Decoder:
         return header, segments
 
     def _decode_blocks(
-        self, data: bytes, blocks: list, total: int
+        self, data: bytes, blocks: list, total: int,
+        out: np.ndarray | None = None,
     ) -> np.ndarray:
-        """Entropy-decode + synthesize a run of blocks into a fresh
-        (C, total) canonical int32 PCM array (total = sum of their sample
-        counts); the grouped native pipeline when available."""
+        """Entropy-decode + synthesize a run of blocks into a (C, total)
+        canonical int32 PCM array (total = sum of their sample counts) —
+        a fresh allocation, or the caller's pre-validated `out` buffer;
+        the grouped native pipeline when available."""
         import time
 
         wf, ep = self._wave_format, self._encode_param
@@ -707,7 +730,8 @@ class Decoder:
             C = wf.num_channels
             L = ep.max_num_block_samples
             group = _synth_group_rows(C, L)
-            out = np.empty((C, total_samples), dtype=np.int32)
+            if out is None:
+                out = np.empty((C, total_samples), dtype=np.int32)
             t_ent = t_syn = 0.0
             off = 0
             ent_words = None  # stream_words(data), built once on first use
@@ -837,8 +861,11 @@ class Decoder:
                 )
             pcm = self.synthesize_blocks(blocks, payloads)
             if pcm:
-                out = np.concatenate(pcm, axis=1)
-            else:  # zero-block stream: native path returns (C, 0) too
+                if out is not None:
+                    np.concatenate(pcm, axis=1, out=out)
+                else:
+                    out = np.concatenate(pcm, axis=1)
+            elif out is None:  # zero-block stream: native path returns (C, 0)
                 out = np.empty((wf.num_channels, 0), dtype=np.int32)
             self.stage_times["synthesis"] = time.perf_counter() - t0
         return out

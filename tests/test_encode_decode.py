@@ -390,3 +390,43 @@ def test_pure_python_decode_matches_native(monkeypatch):
     dec = sla.Decoder()
     _, out = dec.decode_whole(blob)
     assert np.array_equal(out, pcm)
+
+
+def test_decode_whole_into_preallocated(monkeypatch):
+    """decode_whole(out=...) lands the PCM in the caller's buffer (the
+    bulk twin of StreamingDecoder.decode_into): native and pure-Python
+    paths, exactness, identity of the returned array, and argument
+    validation."""
+    pcm = gen_wave("chirp", 30000, 2, 16, 0, seed=45)
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
+    enc.set_encode_parameter(sla.PRESETS[2])
+    blob = enc.encode_whole(pcm)
+    dec = sla.Decoder()
+
+    buf = np.zeros_like(pcm)
+    _, out = dec.decode_whole(blob, out=buf)
+    assert out is buf and np.array_equal(buf, pcm)
+
+    # pure-Python branch writes through the same buffer
+    import sla_tpu.decoder as dmod
+
+    buf2 = np.zeros_like(pcm)
+    monkeypatch.setattr(dmod.native, "available", lambda: False)
+    _, out2 = dec.decode_whole(blob, out=buf2)
+    monkeypatch.undo()
+    assert out2 is buf2 and np.array_equal(buf2, pcm)
+
+    from sla_tpu.errors import SLAError
+
+    for bad in (
+        np.zeros((2, 29999), dtype=np.int32),  # wrong shape
+        np.zeros(pcm.shape, dtype=np.int64),  # wrong dtype
+        np.zeros((30000, 2), dtype=np.int32).T,  # not C-contiguous
+    ):
+        with pytest.raises(SLAError):
+            dec.decode_whole(blob, out=bad)
+    ro = np.zeros_like(pcm)
+    ro.flags.writeable = False
+    with pytest.raises(SLAError):
+        dec.decode_whole(blob, out=ro)
