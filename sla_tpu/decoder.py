@@ -82,13 +82,100 @@ class StreamIndex:
     from: decode_range rejects a different length or stream header, and —
     with CRC checking enabled — re-verifies the CRCs of just the blocks the
     window touches (O(window)), so in-body corruption past the cheap
-    identity check still raises DETECT_DATA_CORRUPTION."""
+    identity check still raises DETECT_DATA_CORRUPTION.
+
+    An index persists across processes via to_bytes()/from_bytes(): the
+    sidecar stores only each block's byte extent and sample count, and a
+    loaded index carries `blocks=None` — decode_range then re-parses JUST
+    the window's block headers from the stream (O(window)), so a seek
+    server skips the whole-stream walk entirely at startup."""
 
     header: HeaderInfo
-    blocks: list[_Block]
+    blocks: list[_Block] | None  # None for an index loaded via from_bytes
     sample_starts: np.ndarray  # (num_blocks + 1,) int64 cumulative samples
     stream_size: int
     header_bytes: bytes  # the 43-byte stream header, for mismatch detection
+    block_offsets: np.ndarray | None = None  # (n,) int64 byte offsets (lazy)
+    block_sizes: np.ndarray | None = None  # (n,) int64 byte sizes (lazy)
+
+    _MAGIC = b"SLIX"
+    _VERSION = 1
+
+    def to_bytes(self) -> bytes:
+        """Compact sidecar serialization (big-endian like the codec):
+        magic, version, stream size, the 43-byte stream header, and per
+        block (byte offset u64, byte size u32, sample count u32), closed
+        by the format's CRC16 over everything before it."""
+        if self.blocks is not None:
+            offs = [b.data_offset for b in self.blocks]
+            sizes = [b.block_size for b in self.blocks]
+        else:
+            offs = [int(v) for v in self.block_offsets]
+            sizes = [int(v) for v in self.block_sizes]
+        ns = np.diff(self.sample_starts)
+        parts = [
+            self._MAGIC,
+            bytes([self._VERSION]),
+            int(self.stream_size).to_bytes(8, "big"),
+            self.header_bytes,
+            len(offs).to_bytes(4, "big"),
+            np.asarray(offs, dtype=">u8").tobytes(),
+            np.asarray(sizes, dtype=">u4").tobytes(),
+            ns.astype(">u4").tobytes(),
+        ]
+        body = b"".join(parts)
+        return body + crc16(body).to_bytes(2, "big")
+
+    @classmethod
+    def from_bytes(cls, blob: bytes, data: bytes) -> "StreamIndex":
+        """Load a to_bytes() sidecar for the stream `data`, validating the
+        sidecar CRC, the stream identity (length + 43-byte header), and
+        the block extents (monotone, in-bounds, sample counts summing to
+        the header total). The returned index is lazy (`blocks=None`)."""
+        h = SLA_HEADER_SIZE
+        if len(blob) < 4 + 1 + 8 + h + 4 + 2:
+            raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE, "index too short")
+        if blob[:4] != cls._MAGIC or blob[4] != cls._VERSION:
+            raise SLAError(ApiResult.INVALID_ARGUMENT, "not a stream index")
+        if crc16(blob[:-2]) != int.from_bytes(blob[-2:], "big"):
+            raise SLAError(ApiResult.DETECT_DATA_CORRUPTION, "index CRC mismatch")
+        stream_size = int.from_bytes(blob[5:13], "big")
+        header_bytes = blob[13 : 13 + h]
+        n = int.from_bytes(blob[13 + h : 17 + h], "big")
+        need = 17 + h + 16 * n + 2
+        if len(blob) != need:
+            raise SLAError(ApiResult.INVALID_ARGUMENT, "index length mismatch")
+        p = 17 + h
+        offs = np.frombuffer(blob, dtype=">u8", count=n, offset=p).astype(np.int64)
+        sizes = np.frombuffer(blob, dtype=">u4", count=n, offset=p + 8 * n).astype(np.int64)
+        ns = np.frombuffer(blob, dtype=">u4", count=n, offset=p + 12 * n).astype(np.int64)
+        if stream_size != len(data) or bytes(data[:h]) != header_bytes:
+            raise SLAError(
+                ApiResult.INVALID_ARGUMENT, "index does not match this stream"
+            )
+        header, status = decode_header(data)
+        if status == ApiResult.DETECT_DATA_CORRUPTION:
+            raise SLAError(ApiResult.DETECT_DATA_CORRUPTION, "header CRC mismatch")
+        ends = offs + sizes
+        if n and (
+            offs[0] < h
+            or np.any(offs[1:] < ends[:-1])
+            or np.any(ends > stream_size)
+            or np.any(sizes <= 0)
+            or int(ns.sum()) != header.num_samples
+        ):
+            raise SLAError(ApiResult.INVALID_ARGUMENT, "index extents invalid")
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(ns, out=starts[1:])
+        return cls(
+            header=header,
+            blocks=None,
+            sample_starts=starts,
+            stream_size=stream_size,
+            header_bytes=bytes(header_bytes),
+            block_offsets=offs,
+            block_sizes=sizes,
+        )
 
 
 @dataclasses.dataclass
@@ -559,10 +646,27 @@ class Decoder:
         # covering block run: block i spans [starts[i], starts[i+1])
         i0 = int(np.searchsorted(starts, start, side="right")) - 1
         i1 = int(np.searchsorted(starts, end, side="left"))
-        sel = blocks[i0:i1]
+        if blocks is not None:
+            sel = blocks[i0:i1]
+        else:
+            # lazy index (StreamIndex.from_bytes): parse JUST the window's
+            # block headers from the stream (sync + CRC verified under this
+            # decoder's config by parse_block_header), cross-checking each
+            # against the sidecar's recorded extent/sample count
+            sel = []
+            for k in range(i0, i1):
+                blk = self.parse_block_header(data, int(index.block_offsets[k]))
+                if blk.block_size != int(index.block_sizes[k]) or (
+                    blk.num_samples != int(starts[k + 1] - starts[k])
+                ):
+                    raise SLAError(
+                        ApiResult.DETECT_DATA_CORRUPTION,
+                        "stream disagrees with the loaded index",
+                    )
+                sel.append(blk)
         if not sel:
             return header, np.empty((C, 0), dtype=np.int32)
-        if reused_index and self.config.enable_crc_check:
+        if blocks is not None and reused_index and self.config.enable_crc_check:
             # the cheap identity check above cannot see in-body mutations,
             # and the index may have been built by a CRC-off decoder —
             # re-verify the selected blocks under THIS decoder's config

@@ -137,3 +137,53 @@ def test_range_no_native(stream, monkeypatch):
     monkeypatch.setattr(native, "available", lambda: False)
     _, win = Decoder().decode_range(blob, 7000, 3000)
     assert np.array_equal(win, pcm[:, 7000:10000])
+
+
+def test_index_serialization_roundtrip(stream):
+    """to_bytes()/from_bytes(): a persisted sidecar index drives
+    decode_range to the exact same windows, parsing only the window's
+    block headers (blocks=None on the loaded index)."""
+    pcm, blob = stream
+    dec = Decoder()
+    idx = dec.build_index(blob)
+    side = idx.to_bytes()
+    # a lazily-built index round-trips to identical bytes too
+    loaded = sla.StreamIndex.from_bytes(side, blob)
+    assert loaded.blocks is None
+    assert loaded.to_bytes() == side
+    assert np.array_equal(loaded.sample_starts, idx.sample_starts)
+    for start, count in ((0, 1000), (5000, 9000), (19500, 6000), (0, 50000)):
+        _, want = dec.decode_range(blob, start, count, index=idx)
+        _, got = Decoder().decode_range(blob, start, count, index=loaded)
+        assert np.array_equal(got, want)
+
+
+def test_index_from_bytes_rejections(stream):
+    pcm, blob = stream
+    side = Decoder().build_index(blob).to_bytes()
+    with pytest.raises(SLAError):  # sidecar corruption: CRC mismatch
+        bad = bytearray(side); bad[20] ^= 0x40
+        sla.StreamIndex.from_bytes(bytes(bad), blob)
+    with pytest.raises(SLAError):  # truncated sidecar
+        sla.StreamIndex.from_bytes(side[:-3], blob)
+    with pytest.raises(SLAError):  # not an index at all
+        sla.StreamIndex.from_bytes(b"RIFF" + side[4:], blob)
+    with pytest.raises(SLAError):  # different stream
+        other = _encode(gen_wave("noise", 50000, 2, 16, 0, seed=5))
+        sla.StreamIndex.from_bytes(side, other)
+
+
+def test_loaded_index_detects_stream_corruption(stream):
+    """A block corrupted after the sidecar was built must raise when the
+    window touches it (parse_block_header CRC under the default config)."""
+    pcm, blob = stream
+    side = Decoder().build_index(blob).to_bytes()
+    loaded = sla.StreamIndex.from_bytes(side, blob)
+    b = bytearray(blob)
+    b[len(b) // 2] ^= 0xFF  # mid-stream payload/header byte
+    # same length + intact stream header: from_bytes' cheap identity check
+    # passes, the per-window parse must catch it
+    corrupt = bytes(b)
+    loaded2 = sla.StreamIndex.from_bytes(side, corrupt)
+    with pytest.raises(SLAError):
+        Decoder().decode_range(corrupt, 20000, 15000, index=loaded2)
