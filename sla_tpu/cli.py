@@ -62,6 +62,9 @@ def _make_spec() -> list[OptionSpec]:
                    "(random access; only overlapping blocks are read)"),
         OptionSpec("i", "info", False,
                    "Print stream information (header + block summary) without decoding"),
+        OptionSpec("x", "index", True,
+                   "Window decode: sidecar seek-index file (loaded if it "
+                   "exists, else built once and saved)"),
     ]
 
 
@@ -206,11 +209,15 @@ def do_streaming_decode(in_file: str, out_file: str, enable_crc_check: bool,
 
 
 def do_window_decode(in_file: str, out_file: str, window: str,
-                     enable_crc_check: bool, verbose: bool) -> int:
+                     enable_crc_check: bool, verbose: bool,
+                     index_file: str | None = None) -> int:
     """Random-access decode (-d -w START:COUNT): decode only the blocks
     overlapping the requested sample window (Decoder.decode_range) and
     write that window as a WAV. The reference CLI can only decode whole
-    streams; this seeks into long files at O(window) cost."""
+    streams; this seeks into long files at O(window) cost. With -x FILE
+    the seek index persists as a sidecar: loaded when the file exists
+    (the whole-stream header walk is skipped entirely), built once and
+    saved atomically otherwise."""
     try:
         start_s, count_s = window.split(":", 1)
         start, count = int(start_s), int(count_s)
@@ -226,8 +233,24 @@ def do_window_decode(in_file: str, out_file: str, window: str,
         print(f"Failed to open {in_file} ({e})", file=sys.stderr)
         return 1
     dec = Decoder(DecoderConfig(enable_crc_check=enable_crc_check, verbose=verbose))
+    idx = None
     try:
-        header, pcm = dec.decode_range(blob, start, count)
+        if index_file:
+            from .decoder import StreamIndex
+
+            ip = pathlib.Path(index_file)
+            if ip.exists():
+                idx = StreamIndex.from_bytes(ip.read_bytes(), blob)
+            else:
+                import os
+
+                idx = dec.build_index(blob)
+                tmp = ip.with_name(ip.name + f".tmp{os.getpid()}")
+                tmp.write_bytes(idx.to_bytes())
+                tmp.replace(ip)  # atomic, like the corpus .done markers
+                if verbose:
+                    print(f"index: built and saved to {ip}")
+        header, pcm = dec.decode_range(blob, start, count, index=idx)
     except SLAError as e:
         print(f"Decoding error! {e}", file=sys.stderr)
         return 1
@@ -427,9 +450,11 @@ def main(argv: list[str] | None = None) -> int:
             if get_option_acquired(spec, "recover") or get_option_acquired(spec, "streaming"):
                 print(f"{prog}: -w cannot combine with -r or -s.", file=sys.stderr)
                 return 1
+            index_file = (get_argument_string(spec, "index")
+                          if get_option_acquired(spec, "index") else None)
             if do_window_decode(positional[0], positional[1],
                                 get_argument_string(spec, "window"),
-                                enable_crc, verbose) != 0:
+                                enable_crc, verbose, index_file) != 0:
                 print(f"{prog}: failed to decode {positional[0]}.", file=sys.stderr)
                 return 1
         elif get_option_acquired(spec, "recover"):

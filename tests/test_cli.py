@@ -578,3 +578,33 @@ def test_info_rejects_mode_combination(tmp_path, a_wav):
     assert main(["sla", "-e", "-q", str(a_wav), str(sla_path)]) == 0
     assert main(["sla", "-e", "-i", str(a_wav), str(sla_path)]) == 1
     assert main(["sla", "-d", "-i", str(sla_path), "out.wav"]) == 1
+
+
+def test_window_decode_cli_sidecar_index(tmp_path, a_wav):
+    """-d -w ... -x FILE: first call builds and saves the sidecar index,
+    the second loads it; both produce the exact window. A corrupt sidecar
+    fails structurally."""
+    import numpy as np
+    from sla_tpu import wavio
+    from sla_tpu.cli import main
+
+    sla_path = tmp_path / "x.sla"
+    assert main(["sla", "-e", "-q", str(a_wav), str(sla_path)]) == 0
+    orig = wavio.read_wav(str(a_wav)).data
+    idx_path = tmp_path / "x.slix"
+    out_path = tmp_path / "win.wav"
+    assert main(["sla", "-d", "-q", "-w", "5000:3000", "-x", str(idx_path),
+                 str(sla_path), str(out_path)]) == 0
+    assert idx_path.exists()
+    assert np.array_equal(wavio.read_wav(str(out_path)).data, orig[:, 5000:8000])
+    # second run loads the sidecar (delete the output to prove it re-wrote)
+    out_path.unlink()
+    assert main(["sla", "-d", "-q", "-w", "9000:100", "-x", str(idx_path),
+                 str(sla_path), str(out_path)]) == 0
+    assert np.array_equal(wavio.read_wav(str(out_path)).data, orig[:, 9000:9100])
+    # corrupt sidecar: structured failure, no crash
+    blob = bytearray(idx_path.read_bytes())
+    blob[10] ^= 0x80
+    idx_path.write_bytes(bytes(blob))
+    assert main(["sla", "-d", "-q", "-w", "0:10", "-x", str(idx_path),
+                 str(sla_path), str(out_path)]) == 1
