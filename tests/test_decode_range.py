@@ -187,3 +187,25 @@ def test_loaded_index_detects_stream_corruption(stream):
     loaded2 = sla.StreamIndex.from_bytes(side, corrupt)
     with pytest.raises(SLAError):
         Decoder().decode_range(corrupt, 20000, 15000, index=loaded2)
+
+
+def test_index_sidecar_corruption_sweep(stream):
+    """Randomized single-byte corruptions of the sidecar: every mutant
+    must either raise a structured SLAError (CRC/extent/identity checks)
+    or — in the astronomically unlikely CRC-collision case — still decode
+    the exact window (the per-window parse cross-checks extents)."""
+    pcm, blob = stream
+    dec = Decoder()
+    side = dec.build_index(blob).to_bytes()
+    _, want = dec.decode_range(blob, 19500, 6000)
+    rng = np.random.default_rng(11)
+    for _ in range(60):
+        bad = bytearray(side)
+        j = int(rng.integers(0, len(bad)))
+        bad[j] ^= 1 << int(rng.integers(0, 8))
+        try:
+            idx = sla.StreamIndex.from_bytes(bytes(bad), blob)
+            _, got = Decoder().decode_range(blob, 19500, 6000, index=idx)
+        except SLAError:
+            continue
+        assert np.array_equal(got, want)
