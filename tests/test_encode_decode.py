@@ -430,3 +430,24 @@ def test_decode_whole_into_preallocated(monkeypatch):
     ro.flags.writeable = False
     with pytest.raises(SLAError):
         dec.decode_whole(blob, out=ro)
+
+
+def test_decode_whole_accepts_mmap_and_memoryview(tmp_path):
+    """Streams opened as mmap/memoryview decode exactly (servers mapping
+    large files avoid loading them up front); streaming/range paths take
+    bytes-like objects the same way."""
+    import mmap
+
+    pcm = gen_wave("chirp", 30000, 2, 16, 0, seed=46)
+    enc = sla.Encoder()
+    enc.set_wave_format(sla.WaveFormat(2, 16, 44100))
+    enc.set_encode_parameter(sla.PRESETS[2])
+    blob = enc.encode_whole(pcm)
+    p = tmp_path / "m.sla"
+    p.write_bytes(blob)
+    with open(p, "rb") as f:
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        _, out = sla.Decoder().decode_whole(mm)
+        assert np.array_equal(out, pcm)
+        _, win = sla.Decoder().decode_range(memoryview(mm), 5000, 2000)
+        assert np.array_equal(win, pcm[:, 5000:7000])
