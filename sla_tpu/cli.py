@@ -234,22 +234,45 @@ def do_window_decode(in_file: str, out_file: str, window: str,
         return 1
     dec = Decoder(DecoderConfig(enable_crc_check=enable_crc_check, verbose=verbose))
     idx = None
-    try:
-        if index_file:
-            from .decoder import StreamIndex
+    if index_file:
+        from .decoder import StreamIndex
 
-            ip = pathlib.Path(index_file)
-            if ip.exists():
-                idx = StreamIndex.from_bytes(ip.read_bytes(), blob)
-            else:
-                import os
+        def save(ix) -> None:
+            import os
 
-                idx = dec.build_index(blob)
-                tmp = ip.with_name(ip.name + f".tmp{os.getpid()}")
-                tmp.write_bytes(idx.to_bytes())
+            tmp = ip.with_name(ip.name + f".tmp{os.getpid()}")
+            try:
+                tmp.write_bytes(ix.to_bytes())
                 tmp.replace(ip)  # atomic, like the corpus .done markers
+            except Exception:
+                tmp.unlink(missing_ok=True)
+                raise
+
+        ip = pathlib.Path(index_file)
+        try:
+            if ip.exists():
+                try:
+                    idx = StreamIndex.from_bytes(
+                        ip.read_bytes(), blob, enable_crc_check=enable_crc_check
+                    )
+                except SLAError as e:
+                    # the sidecar is a CACHE: stale (stream re-encoded) or
+                    # corrupt entries rebuild and overwrite, never dead-end
+                    print(f"index: rebuilding {ip} ({e})", file=sys.stderr)
+                    idx = dec.build_index(blob)
+                    save(idx)
+            else:
+                idx = dec.build_index(blob)
+                save(idx)
                 if verbose:
                     print(f"index: built and saved to {ip}")
+        except SLAError as e:
+            print(f"Decoding error! {e}", file=sys.stderr)
+            return 1
+        except Exception as e:
+            print(f"Failed to use index {index_file} ({e})", file=sys.stderr)
+            return 1
+    try:
         header, pcm = dec.decode_range(blob, start, count, index=idx)
     except SLAError as e:
         print(f"Decoding error! {e}", file=sys.stderr)
@@ -405,6 +428,13 @@ def main(argv: list[str] | None = None) -> int:
         return 1
     if get_option_acquired(spec, "decode") and get_option_acquired(spec, "encode"):
         print(f"{prog}: encode and decode mode cannot specify simultaneously.", file=sys.stderr)
+        return 1
+    if get_option_acquired(spec, "index") and not (
+        get_option_acquired(spec, "decode") and get_option_acquired(spec, "window")
+    ):
+        # silently ignoring -x would let a user believe a sidecar was
+        # written; reject like the other invalid mode combinations
+        print(f"{prog}: -x requires -d -w.", file=sys.stderr)
         return 1
     verbose = True
     if get_option_acquired(spec, "verpose"):

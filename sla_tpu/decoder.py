@@ -127,11 +127,24 @@ class StreamIndex:
         return body + crc16(body).to_bytes(2, "big")
 
     @classmethod
-    def from_bytes(cls, blob: bytes, data: bytes) -> "StreamIndex":
+    def from_bytes(
+        cls, blob: bytes, data: bytes, enable_crc_check: bool = True
+    ) -> "StreamIndex":
         """Load a to_bytes() sidecar for the stream `data`, validating the
         sidecar CRC, the stream identity (length + 43-byte header), and
-        the block extents (monotone, in-bounds, sample counts summing to
-        the header total). The returned index is lazy (`blocks=None`)."""
+        the block extents (contiguous from the stream header, in-bounds,
+        sample counts summing to the header total). The returned index is
+        lazy (`blocks=None`). enable_crc_check=False tolerates a damaged
+        stream-header CRC, matching DecoderConfig.enable_crc_check.
+
+        Trust model: the CRC frame catches accidental corruption (storage
+        rot, truncation), and decode_range cross-checks every parsed
+        block against the recorded extents — a bad sidecar cannot crash,
+        read out of bounds, or return PCM from the wrong bytes. It CANNOT
+        authenticate a deliberately forged sidecar: per-block sample
+        counts are only verifiable for blocks a window actually parses,
+        so treat sidecar files with exactly the same trust as the stream
+        bytes they index."""
         h = SLA_HEADER_SIZE
         if len(blob) < 4 + 1 + 8 + h + 4 + 2:
             raise SLAError(ApiResult.INSUFFICIENT_DATA_SIZE, "index too short")
@@ -154,15 +167,20 @@ class StreamIndex:
                 ApiResult.INVALID_ARGUMENT, "index does not match this stream"
             )
         header, status = decode_header(data)
-        if status == ApiResult.DETECT_DATA_CORRUPTION:
+        if status == ApiResult.DETECT_DATA_CORRUPTION and enable_crc_check:
             raise SLAError(ApiResult.DETECT_DATA_CORRUPTION, "header CRC mismatch")
         ends = offs + sizes
+        # the sum check runs even for n == 0 (a zero-block sidecar for a
+        # non-empty stream must be rejected, not crash decode_range later);
+        # extents must be CONTIGUOUS from the stream header — gaps would
+        # let a corrupt sidecar silently omit blocks
+        if int(ns.sum()) != header.num_samples:
+            raise SLAError(ApiResult.INVALID_ARGUMENT, "index extents invalid")
         if n and (
-            offs[0] < h
-            or np.any(offs[1:] < ends[:-1])
+            offs[0] != h
+            or np.any(offs[1:] != ends[:-1])
             or np.any(ends > stream_size)
             or np.any(sizes <= 0)
-            or int(ns.sum()) != header.num_samples
         ):
             raise SLAError(ApiResult.INVALID_ARGUMENT, "index extents invalid")
         starts = np.zeros(n + 1, dtype=np.int64)

@@ -602,9 +602,24 @@ def test_window_decode_cli_sidecar_index(tmp_path, a_wav):
     assert main(["sla", "-d", "-q", "-w", "9000:100", "-x", str(idx_path),
                  str(sla_path), str(out_path)]) == 0
     assert np.array_equal(wavio.read_wav(str(out_path)).data, orig[:, 9000:9100])
-    # corrupt sidecar: structured failure, no crash
-    blob = bytearray(idx_path.read_bytes())
+    # corrupt/stale sidecar: the cache self-heals (rebuild + overwrite),
+    # and the repaired file loads cleanly afterwards
+    good = idx_path.read_bytes()
+    blob = bytearray(good)
     blob[10] ^= 0x80
     idx_path.write_bytes(bytes(blob))
     assert main(["sla", "-d", "-q", "-w", "0:10", "-x", str(idx_path),
+                 str(sla_path), str(out_path)]) == 0
+    assert idx_path.read_bytes() == good
+    assert np.array_equal(wavio.read_wav(str(out_path)).data, orig[:, 0:10])
+    # unusable index path: structured failure, no crash, no tmp litter
+    bad_dir = tmp_path / "isadir"
+    bad_dir.mkdir()
+    assert main(["sla", "-d", "-q", "-w", "0:10", "-x", str(bad_dir),
                  str(sla_path), str(out_path)]) == 1
+    assert not list(tmp_path.glob("*.tmp*"))
+    # -x outside -d -w is rejected, not silently ignored
+    assert main(["sla", "-d", "-q", "-x", str(idx_path),
+                 str(sla_path), str(out_path)]) == 1
+    assert main(["sla", "-e", "-q", "-x", str(idx_path),
+                 str(a_wav), str(sla_path)]) == 1

@@ -192,8 +192,9 @@ def test_loaded_index_detects_stream_corruption(stream):
 def test_index_sidecar_corruption_sweep(stream):
     """Randomized single-byte corruptions of the sidecar: every mutant
     must either raise a structured SLAError (CRC/extent/identity checks)
-    or — in the astronomically unlikely CRC-collision case — still decode
-    the exact window (the per-window parse cross-checks extents)."""
+    or still decode the exact window. (The CRC frame is the accidental-
+    corruption defense; see StreamIndex.from_bytes' trust-model note for
+    what a deliberately forged sidecar could and could not do.)"""
     pcm, blob = stream
     dec = Decoder()
     side = dec.build_index(blob).to_bytes()
@@ -209,3 +210,38 @@ def test_index_sidecar_corruption_sweep(stream):
         except SLAError:
             continue
         assert np.array_equal(got, want)
+
+
+def test_index_from_bytes_rejects_crafted_sidecars(stream):
+    """CRC-valid but semantically wrong sidecars must be rejected: a
+    zero-block index for a non-empty stream (would IndexError later), and
+    an index that omits a block (gap in the extents — could silently
+    shift windows)."""
+    from sla_tpu.constants import SLA_HEADER_SIZE
+    from sla_tpu.crc16 import crc16
+
+    pcm, blob = stream
+    side = Decoder().build_index(blob).to_bytes()
+    h = SLA_HEADER_SIZE
+
+    def reseal(body: bytes) -> bytes:
+        return body + crc16(body).to_bytes(2, "big")
+
+    # zero-block sidecar: header + n=0, CRC re-stamped
+    empty = reseal(side[: 13 + h] + (0).to_bytes(4, "big"))
+    with pytest.raises(SLAError):
+        sla.StreamIndex.from_bytes(empty, blob)
+
+    # omit the first block but keep the sample-count sum: extents now
+    # start past the stream header (gap) -> rejected
+    n = int.from_bytes(side[13 + h : 17 + h], "big")
+    assert n >= 2
+    p = 17 + h
+    offs = np.frombuffer(side, dtype=">u8", count=n, offset=p)
+    sizes = np.frombuffer(side, dtype=">u4", count=n, offset=p + 8 * n)
+    ns = np.frombuffer(side, dtype=">u4", count=n, offset=p + 12 * n).copy()
+    ns[1] += ns[0]  # preserve the total
+    body = (side[:13 + h] + (n - 1).to_bytes(4, "big")
+            + offs[1:].tobytes() + sizes[1:].tobytes() + ns[1:].tobytes())
+    with pytest.raises(SLAError):
+        sla.StreamIndex.from_bytes(reseal(body), blob)
