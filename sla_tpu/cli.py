@@ -63,8 +63,8 @@ def _make_spec() -> list[OptionSpec]:
         OptionSpec("i", "info", False,
                    "Print stream information (header + block summary) without decoding"),
         OptionSpec("x", "index", True,
-                   "Window decode: sidecar seek-index file (loaded if it "
-                   "exists, else built once and saved)"),
+                   "Sidecar seek-index file: with -d -w, loaded if it exists "
+                   "(else built and saved); with -e, emitted after encoding"),
     ]
 
 
@@ -73,7 +73,8 @@ DEFAULT_PRESET = 2
 
 def do_encode(in_file: str, out_file: str, preset_no: int, verbose: bool,
               trace_dir: str | None = None, verify: bool = False,
-              optimize: int | None = None) -> int:
+              optimize: int | None = None,
+              index_file: str | None = None) -> int:
     try:
         wav = wavio.read_wav(in_file)
     except Exception as e:
@@ -109,6 +110,23 @@ def do_encode(in_file: str, out_file: str, preset_no: int, verbose: bool,
         print(f"Encoding error! {e}", file=sys.stderr)
         return 1
     pathlib.Path(out_file).write_bytes(blob)
+    if index_file:
+        # emit the seek-index sidecar at encode time (-e -x FILE): later
+        # -d -w ... -x seeks skip even their first whole-stream walk
+        import os
+
+        ip = pathlib.Path(index_file)
+        tmp = ip.with_name(ip.name + f".tmp{os.getpid()}")
+        try:
+            side = Decoder().build_index(blob).to_bytes()
+            tmp.write_bytes(side)
+            tmp.replace(ip)
+        except Exception as e:
+            tmp.unlink(missing_ok=True)
+            print(f"Failed to write index {index_file} ({e})", file=sys.stderr)
+            return 1
+        if verbose:
+            print(f"index: saved to {ip}")
     if verbose:
         in_size = pathlib.Path(in_file).stat().st_size
         print(f"Encode succuess! size:{in_size} -> {len(blob)}")
@@ -430,11 +448,12 @@ def main(argv: list[str] | None = None) -> int:
         print(f"{prog}: encode and decode mode cannot specify simultaneously.", file=sys.stderr)
         return 1
     if get_option_acquired(spec, "index") and not (
-        get_option_acquired(spec, "decode") and get_option_acquired(spec, "window")
+        get_option_acquired(spec, "encode")
+        or (get_option_acquired(spec, "decode") and get_option_acquired(spec, "window"))
     ):
         # silently ignoring -x would let a user believe a sidecar was
         # written; reject like the other invalid mode combinations
-        print(f"{prog}: -x requires -d -w.", file=sys.stderr)
+        print(f"{prog}: -x requires -e (emit) or -d -w (use).", file=sys.stderr)
         return 1
     verbose = True
     if get_option_acquired(spec, "verpose"):
@@ -523,6 +542,11 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{prog}: optimize is not supported in corpus mode.",
                       file=sys.stderr)
                 return 1
+            if get_option_acquired(spec, "index"):
+                # the sidecar names ONE stream; corpus outputs are many
+                print(f"{prog}: -x is not supported in corpus mode.",
+                      file=sys.stderr)
+                return 1
             from .corpus import encode_corpus
 
             in_dir = pathlib.Path(positional[0])
@@ -559,9 +583,11 @@ def main(argv: list[str] | None = None) -> int:
                 )
             return 1 if res.failed else 0
         trace_dir = get_argument_string(spec, "trace") if get_option_acquired(spec, "trace") else None
+        index_file = (get_argument_string(spec, "index")
+                      if get_option_acquired(spec, "index") else None)
         if do_encode(positional[0], positional[1], preset_no, verbose, trace_dir,
                      verify=get_option_acquired(spec, "verify"),
-                     optimize=optimize) != 0:
+                     optimize=optimize, index_file=index_file) != 0:
             return 1
     else:
         print(f"{prog}: decode(-d) or encode(-e) option must be specified.", file=sys.stderr)

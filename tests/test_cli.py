@@ -618,8 +618,31 @@ def test_window_decode_cli_sidecar_index(tmp_path, a_wav):
     assert main(["sla", "-d", "-q", "-w", "0:10", "-x", str(bad_dir),
                  str(sla_path), str(out_path)]) == 1
     assert not list(tmp_path.glob("*.tmp*"))
-    # -x outside -d -w is rejected, not silently ignored
+    # -x outside -e / -d -w is rejected, not silently ignored
     assert main(["sla", "-d", "-q", "-x", str(idx_path),
                  str(sla_path), str(out_path)]) == 1
+
+
+def test_encode_emits_sidecar_index(tmp_path, a_wav):
+    """-e -x FILE writes the seek-index sidecar at encode time; a later
+    -d -w -x loads it unchanged."""
+    import numpy as np
+    from sla_tpu import wavio
+    from sla_tpu.cli import main
+
+    sla_path = tmp_path / "x.sla"
+    idx_path = tmp_path / "x.slix"
     assert main(["sla", "-e", "-q", "-x", str(idx_path),
-                 str(a_wav), str(sla_path)]) == 1
+                 str(a_wav), str(sla_path)]) == 0
+    assert idx_path.exists()
+    before = idx_path.read_bytes()
+    out_path = tmp_path / "win.wav"
+    assert main(["sla", "-d", "-q", "-w", "5000:3000", "-x", str(idx_path),
+                 str(sla_path), str(out_path)]) == 0
+    assert idx_path.read_bytes() == before  # loaded, not rebuilt
+    orig = wavio.read_wav(str(a_wav)).data
+    assert np.array_equal(wavio.read_wav(str(out_path)).data, orig[:, 5000:8000])
+    # corpus mode rejects -x
+    in_dir = tmp_path / "corp"; in_dir.mkdir()
+    assert main(["sla", "-e", "-q", "-b", "-x", str(idx_path),
+                 str(in_dir), str(tmp_path / "outd")]) == 1
