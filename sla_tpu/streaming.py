@@ -211,6 +211,33 @@ class StreamingDecoder:
         self._out_cache_shape: tuple = ()
         self._out_cache_strides: tuple = ()
 
+    def seek(self, index, sample: int) -> tuple[int, int]:
+        """Position streaming playback at `sample` using a StreamIndex
+        (Decoder.build_index or StreamIndex.from_bytes — beyond the
+        reference, which can only play a stream from the top).
+
+        Adopts the index's wave format / encode parameters, resets the
+        decoder (queued packets drop), and returns (byte_offset,
+        samples_to_skip): feed the stream's bytes from `byte_offset` — a
+        block boundary, since every filter/entropy state resets there
+        (SLADecoder.c:569-581) — and discard the first `samples_to_skip`
+        decoded samples to land exactly on `sample`. A seek at/past the
+        stream end returns (stream_size, 0) with nothing to decode."""
+        self.set_wave_format(index.header.wave_format)
+        self.set_encode_parameter(index.header.encode_param)
+        self.reset()
+        starts = index.sample_starts
+        total = int(starts[-1])
+        sample = max(0, min(int(sample), total))
+        if sample >= total:
+            return index.stream_size, 0
+        i = int(np.searchsorted(starts, sample, side="right")) - 1
+        if index.blocks is not None:
+            off = int(index.blocks[i].data_offset)
+        else:
+            off = int(index.block_offsets[i])
+        return off, sample - int(starts[i])
+
     def reset(self) -> None:
         """Reset stream position and buffers (SLAStreamingDecoder_Reset,
         SLADecoder.c:735-749). Queued packets are dropped."""

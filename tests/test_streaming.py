@@ -811,3 +811,37 @@ def test_decode_out_dtype_mutation_detected():
     buf.dtype = np.float32  # same itemsize: legal in-place numpy mutation
     with pytest.raises(SLAError):
         sd.decode(out=buf)
+
+
+@pytest.mark.parametrize("target", [0, 1, 12288, 12289, 30000, 59999, 60000, 70000])
+def test_streaming_seek(target):
+    """seek(index, sample): feed from the returned block boundary, discard
+    the skip count, and the playback is sample-exact from `target` on —
+    with both an in-memory index and a sidecar-loaded (lazy) one."""
+    pcm = gen_wave("chirp", 60000, 2, 16, 0, seed=51)
+    blob = encode(pcm, 2, 16, mode=2)
+    idx = Decoder().build_index(blob)
+    lazy = sla.StreamIndex.from_bytes(idx.to_bytes(), blob)
+    for index in (idx, lazy):
+        sd = StreamingDecoder(
+            StreamingDecoderConfig(core=DecoderConfig(), decode_interval_hz=120.0,
+                                   max_bit_per_sample=16)
+        )
+        off, skip = sd.seek(index, target)
+        if target >= 60000:
+            assert (off, skip) == (len(blob), 0)
+            continue
+        assert skip >= 0
+        got = []
+        pos = off
+        while pos < len(blob) and sum(c.shape[1] for c in got) < skip + (60000 - target):
+            sd.append_data_fragment(blob[pos : pos + 1499])
+            pos += 1499
+            while True:
+                chunk = sd.decode()
+                if chunk.shape[1] == 0:
+                    break
+                got.append(chunk.copy())
+            sd.collect_data_fragments()
+        out = np.concatenate(got, axis=1)[:, skip:]
+        assert np.array_equal(out[:, : 60000 - target], pcm[:, target:])
