@@ -256,15 +256,19 @@ def do_window_decode(in_file: str, out_file: str, window: str,
         from .decoder import StreamIndex
 
         def save(ix) -> None:
+            # the sidecar is an optimization: a failure to persist it
+            # (read-only dir, disk full, ...) must not abort the decode —
+            # the freshly built index is already in memory and usable
             import os
 
             tmp = ip.with_name(ip.name + f".tmp{os.getpid()}")
             try:
                 tmp.write_bytes(ix.to_bytes())
                 tmp.replace(ip)  # atomic, like the corpus .done markers
-            except Exception:
+            except Exception as e:
                 tmp.unlink(missing_ok=True)
-                raise
+                print(f"index: could not save sidecar {ip} ({e}); "
+                      "continuing with the in-memory index", file=sys.stderr)
 
         ip = pathlib.Path(index_file)
         try:

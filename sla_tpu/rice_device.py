@@ -297,9 +297,12 @@ def decode_blocks_payload_device(
     block_bits: (B,) payload-region sizes in bits (to the block end);
     counts: (B,) samples; init_params: (B, C) uint32 (raw header values);
     words_arr: optional stream_words(data) result, reused across groups.
-    Returns (residual (B, C, n_max) int32 np, bad (B,) bool np) — `bad`
-    blocks contain garbage and must be host-decoded by the caller (the
-    decoder does, via native.get_data_array)."""
+    Returns (residual (B, C, n_max) int32 JAX device array, bad (B,) bool
+    np) — the residual stays device-resident on purpose so the synthesis
+    batch never round-trips through host memory (callers np.asarray it if
+    they need host access); only `bad` is converted. `bad` blocks contain
+    garbage and must be host-decoded by the caller (the decoder does, via
+    native.get_data_array)."""
     B = len(bit_offsets)
     word_start = (np.asarray(bit_offsets, dtype=np.int64) // 32).astype(np.int64)
     start_bits = (np.asarray(bit_offsets, dtype=np.int64) - 32 * word_start).astype(np.int32)

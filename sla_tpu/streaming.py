@@ -211,7 +211,7 @@ class StreamingDecoder:
         self._out_cache_shape: tuple = ()
         self._out_cache_strides: tuple = ()
 
-    def seek(self, index, sample: int) -> tuple[int, int]:
+    def seek(self, index, sample: int, *, data=None) -> tuple[int, int]:
         """Position streaming playback at `sample` using a StreamIndex
         (Decoder.build_index or StreamIndex.from_bytes — beyond the
         reference, which can only play a stream from the top).
@@ -222,7 +222,27 @@ class StreamingDecoder:
         block boundary, since every filter/entropy state resets there
         (SLADecoder.c:569-581) — and discard the first `samples_to_skip`
         decoded samples to land exactly on `sample`. A seek at/past the
-        stream end returns (stream_size, 0) with nothing to decode."""
+        stream end returns (stream_size, 0) with nothing to decode.
+
+        `data` (optional): the stream bytes (or any >=43-byte prefix of
+        them) the caller will feed from. When given, the index's recorded
+        stream size and 43-byte header must match or
+        SLAError(INVALID_ARGUMENT) is raised — the same identity check Decoder.decode_range performs.
+        Without it the caller is responsible for pairing the index with its
+        own stream: a mismatched pair yields a byte offset into the wrong
+        file (block sync/CRC on feed catches most, but not all with
+        enable_crc_check=False)."""
+        if data is not None:
+            h = len(index.header_bytes)
+            mv = memoryview(data)
+            full = len(mv) >= index.stream_size
+            if (len(mv) < h
+                    or bytes(mv[:h]) != index.header_bytes
+                    or (full and len(mv) != index.stream_size)):
+                raise SLAError(
+                    ApiResult.INVALID_ARGUMENT,
+                    "seek: StreamIndex does not match this stream "
+                    "(header/size mismatch)")
         self.set_wave_format(index.header.wave_format)
         self.set_encode_parameter(index.header.encode_param)
         self.reset()

@@ -845,3 +845,42 @@ def test_streaming_seek(target):
             sd.collect_data_fragments()
         out = np.concatenate(got, axis=1)[:, skip:]
         assert np.array_equal(out[:, : 60000 - target], pcm[:, target:])
+
+
+def test_streaming_seek_data_identity_check():
+    """seek(index, sample, data=...) validates the index against the stream
+    it will feed from: matching stream (or any >=43-byte prefix) passes,
+    a different stream or a truncated/extended full buffer raises."""
+    pcm = gen_wave("chirp", 30000, 2, 16, 0, seed=52)
+    blob = encode(pcm, 2, 16, mode=2)
+    other = encode(gen_wave("sine", 30000, 2, 16, 0, seed=53), 2, 16, mode=2)
+    idx = Decoder().build_index(blob)
+    sd = StreamingDecoder(
+        StreamingDecoderConfig(core=DecoderConfig(), decode_interval_hz=120.0,
+                               max_bit_per_sample=16)
+    )
+    # matching full stream, header-only prefix, and no data all succeed
+    off, skip = sd.seek(idx, 1000, data=blob)
+    assert sd.seek(idx, 1000, data=blob[:43]) == (off, skip)
+    assert sd.seek(idx, 1000) == (off, skip)
+    # wrong stream entirely
+    with pytest.raises(SLAError):
+        sd.seek(idx, 1000, data=other)
+    # right header but wrong total size (truncated full buffer is fed as
+    # "the whole stream" -> size mismatch must be caught)
+    with pytest.raises(SLAError):
+        sd.seek(idx, 1000, data=blob + b"\x00")
+    # too short to even hold the header
+    with pytest.raises(SLAError):
+        sd.seek(idx, 1000, data=blob[:20])
+    # a passing check leaves the decoder usable
+    off, skip = sd.seek(idx, 12288, data=blob)
+    sd.append_data_fragment(blob[off:])
+    chunks = []
+    while True:
+        c = sd.decode()
+        if c.shape[1] == 0:
+            break
+        chunks.append(c.copy())
+    out = np.concatenate(chunks, axis=1)[:, skip:]
+    assert np.array_equal(out[:, : 30000 - 12288], pcm[:, 12288:])
