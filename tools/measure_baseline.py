@@ -1,11 +1,25 @@
 #!/usr/bin/env python
-"""Reproducible BASELINE.md measurements: best-of-N timings of the reference
-C binary vs sla_tpu on the BASELINE.json configs. Run from the repo root:
+"""Reproducible BASELINE.md measurements: INTERLEAVED PAIRED A/B of the
+reference C binary vs sla_tpu on the BASELINE.json configs.
 
-    python tools/measure_baseline.py [repeats]
+Method (round 5): each cell runs `pairs` back-to-back (reference, ours)
+pairs within one session and reports the MEDIAN of the per-pair ratios
+ref_t/our_t plus the ratio spread. On this 1-core box ambient load swings
+absolute timings ±50% on minute scales; pairing puts both implementations
+inside the same load window so the ratio is stable even when the absolute
+Msps are not (the method that settled BASELINE.md footnote 3's 5-min row).
+Every cell is appended to a machine-readable profile, written to
+$SLA_TPU_PROFILE_OUT (default PROFILE_r05.json at the repo root).
+
+Run from the repo root:
+
+    python tools/measure_baseline.py [pairs]
 """
 
+import json
+import os
 import pathlib
+import statistics
 import subprocess
 import sys
 import time
@@ -17,35 +31,72 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import sla_tpu as sla  # noqa: E402
 from sla_tpu import wavio  # noqa: E402
 
-REPEATS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+PAIRS = int(sys.argv[1]) if len(sys.argv) > 1 else 5
 REF = pathlib.Path(__file__).parent / "sla_ref"
+OUT = pathlib.Path(
+    os.environ.get(
+        "SLA_TPU_PROFILE_OUT",
+        pathlib.Path(__file__).resolve().parent.parent / "PROFILE_r05.json",
+    )
+)
+
+PROFILE = {
+    "method": (
+        "interleaved paired A/B: per cell, `pairs` back-to-back "
+        "(reference, ours) runs in one session; ratio = median of "
+        "per-pair ref_s/our_s; spread = [min, max] of per-pair ratios. "
+        "reference = tools/sla_ref (gcc -std=c89 -O3 -DNDEBUG) timed as a "
+        "subprocess incl. its WAV file I/O (its only interface); ours = "
+        "in-process API (Encoder.encode_whole / Decoder.decode_whole) on "
+        "in-memory PCM. Samples = frames x channels."
+    ),
+    "pairs": PAIRS,
+    "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+    "cells": [],
+}
 
 
-def best(fn, *args):
-    t = min(min_timer(fn, *args) for _ in range(REPEATS))
-    return t
-
-
-def min_timer(fn, *args):
+def timed(fn):
     t0 = time.perf_counter()
-    fn(*args)
+    fn()
     return time.perf_counter() - t0
+
+
+def paired_cell(name, op, samples, ref_fn, our_fn, pairs=PAIRS, extra=None):
+    """Run `pairs` interleaved (ref, ours) pairs; record + print the cell."""
+    ref_fn()
+    our_fn()  # warm both (page cache, JIT caches, malloc pools)
+    recs = [(timed(ref_fn), timed(our_fn)) for _ in range(pairs)]
+    ratios = sorted(rt / ot for rt, ot in recs)
+    med = statistics.median(ratios)
+    ref_med = statistics.median(rt for rt, _ in recs)
+    our_med = statistics.median(ot for _, ot in recs)
+    cell = {
+        "name": name,
+        "op": op,
+        "samples": samples,
+        "pairs": [[round(rt, 6), round(ot, 6)] for rt, ot in recs],
+        "ratio_median": round(med, 3),
+        "ratio_spread": [round(ratios[0], 3), round(ratios[-1], 3)],
+        "ref_msps_median": round(samples / ref_med / 1e6, 2),
+        "our_msps_median": round(samples / our_med / 1e6, 2),
+    }
+    if extra:
+        cell.update(extra)
+    PROFILE["cells"].append(cell)
+    print(
+        f"{name} {op}: ref {cell['ref_msps_median']:.2f} ours "
+        f"{cell['our_msps_median']:.2f} Msps | paired ratio "
+        f"{med:.2f}x [{ratios[0]:.2f}, {ratios[-1]:.2f}]"
+        + (f" | {' '.join(f'{k}={v}' for k, v in extra.items())}" if extra else "")
+    )
+    return cell
 
 
 def measure(name, pcm, width, rate, mode):
     ch, n = pcm.shape
     wav_path = "/tmp/mb.wav"
     wavio.write_wav(wav_path, wavio.WavFile(ch, rate, width, pcm))
-    ref_enc = best(
-        lambda: subprocess.run(
-            [str(REF), "-e", "-q", "-m", str(mode), wav_path, "/tmp/mb.sla"], check=True
-        )
-    )
-    ref_dec = best(
-        lambda: subprocess.run(
-            [str(REF), "-d", "-q", "/tmp/mb.sla", "/tmp/mbd.wav"], check=True
-        )
-    )
     ep = sla.PRESETS[mode]
     if ch != 2:
         ep = sla.EncodeParameter(
@@ -58,20 +109,30 @@ def measure(name, pcm, width, rate, mode):
     enc.set_encode_parameter(ep)
     enc.encode_whole(np.ascontiguousarray(pcm[:, : min(n, 4 * 12288)]))  # warm
     blob = enc.encode_whole(pcm)
-    our_enc = best(lambda: enc.encode_whole(pcm))
+    s = ch * n
+
+    def ref_enc():
+        subprocess.run(
+            [str(REF), "-e", "-q", "-m", str(mode), wav_path, "/tmp/mb.sla"],
+            check=True,
+        )
+
+    def ref_dec():
+        subprocess.run(
+            [str(REF), "-d", "-q", "/tmp/mb.sla", "/tmp/mbd.wav"], check=True
+        )
+
+    ref_enc()  # produce /tmp/mb.sla before identity check / ref_dec
+    ident = blob == open("/tmp/mb.sla", "rb").read()
+    ratio = len(blob) / (s * width // 8)
+    paired_cell(
+        name, "encode", s, ref_enc, lambda: enc.encode_whole(pcm),
+        extra={"compression_ratio": round(ratio, 4), "byte_identical": ident},
+    )
     dec = sla.Decoder()
-    dec.decode_whole(blob)
-    our_dec = best(lambda: dec.decode_whole(blob))
     _, out = dec.decode_whole(blob)
     assert np.array_equal(out, pcm), "round-trip failure"
-    ident = blob == open("/tmp/mb.sla", "rb").read()
-    s = ch * n
-    print(
-        f"{name}: enc ref {s/ref_enc/1e6:.2f} ours {s/our_enc/1e6:.2f} Msps "
-        f"({ref_enc/our_enc:.2f}x) | dec ref {s/ref_dec/1e6:.2f} ours "
-        f"{s/our_dec/1e6:.2f} ({ref_dec/our_dec:.2f}x) | "
-        f"ratio {len(blob)/(s*width//8):.4f} | byte-identical {ident}"
-    )
+    paired_cell(name, "decode", s, ref_dec, lambda: dec.decode_whole(blob))
 
 
 def main():
@@ -123,20 +184,24 @@ def main():
 
     measure_corpus(rng)
 
+    OUT.write_text(json.dumps(PROFILE, indent=1) + "\n")
+    print(f"profile written to {OUT}")
+
 
 def measure_corpus(rng, num_files: int = 100, seconds: int = 5):
     """Bulk-corpus config (BASELINE.json config 5): many small files. Ours
     runs the fused filter_batch mode (the multi-chip batch axis); the
-    reference encodes file by file (its only mode)."""
+    reference encodes file by file (its only mode). Corpus cells pair at
+    min(PAIRS, 3) — one reference pass over 100 files costs ~25 s."""
     import shutil
     import tempfile
 
-    from sla_tpu.corpus import encode_corpus
+    from sla_tpu.corpus import decode_corpus, encode_corpus
 
+    pairs = min(PAIRS, 3)
     base = pathlib.Path(tempfile.mkdtemp())
     files = []
     n = 44100 * seconds
-    in_bytes = 0
     for i in range(num_files):
         tone = 0.3 * np.sin(2 * np.pi * (220 + 13 * i) * np.arange(n) / 44100.0)
         noise = np.convolve(rng.normal(0, 0.02, n), np.ones(8) / 8, "same")
@@ -145,61 +210,59 @@ def measure_corpus(rng, num_files: int = 100, seconds: int = 5):
         p = base / f"f{i:03d}.wav"
         wavio.write_wav(str(p), wavio.WavFile(2, 44100, 16, pcm))
         files.append(p)
-        in_bytes += p.stat().st_size
-
-    t0 = time.perf_counter()
-    for p in files:
-        subprocess.run(
-            [str(REF), "-e", "-q", "-m", "2", str(p), str(base / f"ref_{p.stem}.sla")],
-            check=True,
-        )
-    ref_t = time.perf_counter() - t0
-
+    s = 2 * n * num_files
     out_dir = base / "out"
-    t0 = time.perf_counter()
-    res = encode_corpus(files, out_dir, preset=2, resume=False, filter_batch=16)
-    our_t = time.perf_counter() - t0
+
+    def ref_enc():
+        for p in files:
+            subprocess.run(
+                [str(REF), "-e", "-q", "-m", "2", str(p),
+                 str(base / f"ref_{p.stem}.sla")],
+                check=True,
+            )
+
+    def our_enc():
+        return encode_corpus(files, out_dir, preset=2, resume=False,
+                             filter_batch=16)
+
+    res = our_enc()  # also produces out_dir for the decode cells
     assert res.encoded == num_files and res.failed == 0
+    ref_enc()
     ident = all(
         (out_dir / f"{p.stem}.sla").read_bytes()
         == (base / f"ref_{p.stem}.sla").read_bytes()
         for p in files
     )
-    s = 2 * n * num_files
-    print(
-        f"Bulk corpus {num_files}x{seconds}s CD (filter_batch=16): "
-        f"enc ref {s/ref_t/1e6:.2f} ours {s/our_t/1e6:.2f} Msps "
-        f"({ref_t/our_t:.2f}x) | ratio {res.ratio:.4f} | byte-identical {ident}"
+    paired_cell(
+        f"Bulk corpus {num_files}x{seconds}s CD (filter_batch=16)", "encode",
+        s, ref_enc, our_enc, pairs=pairs,
+        extra={"compression_ratio": round(res.ratio, 4), "byte_identical": ident},
     )
 
-    # bulk DECODE: reference decodes file by file; ours runs decode_corpus
-    # over the same directory (VERDICT r3 item 2's missing cell)
-    from sla_tpu.corpus import decode_corpus
-
-    t0 = time.perf_counter()
-    for p in files:
-        subprocess.run(
-            [str(REF), "-d", "-q", str(out_dir / f"{p.stem}.sla"),
-             str(base / f"refdec_{p.stem}.wav")],
-            check=True,
-        )
-    ref_dt = time.perf_counter() - t0
+    sla_files = sorted(out_dir.glob("*.sla"))
     dec_dir = base / "dec"
-    t0 = time.perf_counter()
-    dres = decode_corpus(
-        sorted(out_dir.glob("*.sla")), dec_dir, resume=False
-    )
-    our_dt = time.perf_counter() - t0
+
+    def ref_dec():
+        for p in files:
+            subprocess.run(
+                [str(REF), "-d", "-q", str(out_dir / f"{p.stem}.sla"),
+                 str(base / f"refdec_{p.stem}.wav")],
+                check=True,
+            )
+
+    def our_dec():
+        return decode_corpus(sla_files, dec_dir, resume=False)
+
+    dres = our_dec()
     assert dres.encoded == num_files and dres.failed == 0
     dident = all(
         wavio.read_wav(str(dec_dir / f"{p.stem}.wav")).data.tobytes()
         == wavio.read_wav(str(p)).data.tobytes()
         for p in files
     )
-    print(
-        f"Bulk corpus decode {num_files}x{seconds}s: "
-        f"dec ref {s/ref_dt/1e6:.2f} ours {s/our_dt/1e6:.2f} Msps "
-        f"({ref_dt/our_dt:.2f}x) | lossless {dident}"
+    paired_cell(
+        f"Bulk corpus decode {num_files}x{seconds}s", "decode", s,
+        ref_dec, our_dec, pairs=pairs, extra={"lossless": dident},
     )
     shutil.rmtree(base)
 
