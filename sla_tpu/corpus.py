@@ -44,6 +44,11 @@ class CorpusResult:
     in_bytes: int
     out_bytes: int
     seconds: float
+    # decode-side wall split (BASELINE.md footnote 4 made machine-checkable):
+    # compute = read + decode, write = WAV serialize + publish. With the
+    # writer thread the two overlap, so compute + write may exceed `seconds`.
+    compute_seconds: float = 0.0
+    write_seconds: float = 0.0
 
     @property
     def ratio(self) -> float:
@@ -274,6 +279,8 @@ def decode_corpus(
     process_count: int | None = None,
     decoder_config: DecoderConfig | None = None,
     verbose: bool = False,
+    verify_only: bool = False,
+    overlap_writes: bool = True,
 ) -> CorpusResult:
     """Decode a .sla corpus into out_dir, one .wav per input — the decode
     twin of :func:`encode_corpus` (the reference decodes one file per
@@ -285,7 +292,17 @@ def decode_corpus(
     temps swept on restart, per-process ``decode_manifest_<i>.json``.
     Verification is the decoder's own CRC gates (stream header + per-block,
     on by default in :class:`DecoderConfig`); a corrupt file is recorded in
-    the manifest with its error and does not abort the run."""
+    the manifest with its error and does not abort the run.
+
+    ``verify_only=True`` decodes (full CRC + synthesis) without writing any
+    WAV or resume marker — the pure-compute integrity sweep; ``resume`` is
+    ignored. ``overlap_writes=True`` (default) runs WAV serialization +
+    publish on a background writer thread so file I/O overlaps the next
+    file's decode — outputs are byte-identical, completion order is
+    irrelevant (each file publishes atomically under its own name). Every
+    manifest entry records ``compute_seconds`` (read + decode) and, when
+    written, ``write_seconds``; the result totals both so a compute
+    regression can't hide inside I/O noise (BASELINE.md footnote 4)."""
     out_dir = pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     if process_index is None or process_count is None:
@@ -326,7 +343,7 @@ def decode_corpus(
     todo: list[pathlib.Path] = []
     for path in mine:
         done = out_dir / (names[path] + ".wav.done")
-        if resume and done.exists():
+        if resume and not verify_only and done.exists():
             skipped += 1
             out_path = out_dir / (names[path] + ".wav")
             entry: dict = {"out": out_path.name, "skipped": True}
@@ -338,46 +355,105 @@ def decode_corpus(
         else:
             todo.append(path)
 
-    for path in todo:
+    compute_s = 0.0
+    write_s = 0.0
+
+    def write_one(path: pathlib.Path, header, pcm) -> dict:
+        """WAV serialize + atomic publish + resume marker; returns the
+        fields to merge into the file's manifest entry (or its error).
+        Runs inline or on the writer thread — it touches only its own
+        temp/output names, so decode of the NEXT file can proceed."""
+        w0 = time.perf_counter()
+        out_path = out_dir / (names[path] + ".wav")
         try:
-            blob = path.read_bytes()
-            header, pcm = dec.decode_whole(blob)
             wf = header.wave_format
             body = wavio.serialize_wav(
                 wavio.WavFile(wf.num_channels, wf.sampling_rate,
                               wf.bit_per_sample, pcm)
             )
+            tmp = out_path.parent / (out_path.name + f".tmp{os.getpid()}")
+            tmp.write_bytes(body)
+            os.replace(tmp, out_path)  # atomic publish
+            (out_dir / (names[path] + ".wav.done")).touch()
+            return {"out": out_path.name, "bytes": len(body),
+                    "write_seconds": round(time.perf_counter() - w0, 6)}
+        except (OSError, ValueError) as e:
+            return {"error": str(e),
+                    "write_seconds": round(time.perf_counter() - w0, 6)}
+
+    # single background writer: decode(file k+1) overlaps serialize+write of
+    # file k. A bounded queue caps in-flight PCM buffers (each can be
+    # hundreds of MB); results merge after join, so `manifest` and the
+    # counters stay single-threaded.
+    writer_results: dict[str, dict] = {}
+    wq: "_queue.Queue | None" = None
+    wthread = None
+    if overlap_writes and not verify_only:
+        import queue as _queue
+        import threading
+
+        wq = _queue.Queue(maxsize=2)
+
+        def _writer() -> None:
+            while True:
+                job = wq.get()
+                if job is None:
+                    return
+                key, path, header, pcm = job
+                writer_results[key] = write_one(path, header, pcm)
+
+        wthread = threading.Thread(target=_writer, name="sla-corpus-writer")
+        wthread.start()
+
+    for path in todo:
+        c0 = time.perf_counter()
+        try:
+            blob = path.read_bytes()
+            header, pcm = dec.decode_whole(blob)
         except (SLAError, ValueError, OSError) as e:
             failed += 1
             manifest[str(path)] = {"error": str(e)}
             if verbose:
                 print(f"{path.name}: FAILED ({e})")
             continue
-        out_path = out_dir / (names[path] + ".wav")
-        try:
-            tmp = out_path.parent / (out_path.name + f".tmp{os.getpid()}")
-            tmp.write_bytes(body)
-            os.replace(tmp, out_path)  # atomic publish
-            (out_dir / (names[path] + ".wav.done")).touch()
-        except OSError as e:
-            failed += 1
-            manifest[str(path)] = {"error": str(e)}
-            continue
-        decoded += 1
+        dt = time.perf_counter() - c0
+        compute_s += dt
         in_bytes += len(blob)
-        out_bytes += len(body)
         entry = {
-            "out": out_path.name,
-            "bytes": len(body),
             "num_samples": int(header.num_samples),
+            "compute_seconds": round(dt, 6),
         }
         if getattr(dec, "stage_times", None):
             entry["stage_seconds"] = {
                 k: round(v, 6) for k, v in dec.stage_times.items()
             }
         manifest[str(path)] = entry
-        if verbose:
-            print(f"{path.name}: {len(blob)} -> {len(body)}")
+        if verify_only:
+            decoded += 1
+            entry["verified"] = True
+            if verbose:
+                print(f"{path.name}: verified ({len(blob)} bytes)")
+            continue
+        if wq is not None:
+            wq.put((str(path), path, header, pcm))
+        else:
+            writer_results[str(path)] = write_one(path, header, pcm)
+
+    if wq is not None:
+        wq.put(None)
+        wthread.join()
+
+    for key, wres in writer_results.items():
+        entry = manifest[key]
+        entry.update(wres)
+        write_s += wres.get("write_seconds", 0.0)
+        if "error" in wres:
+            failed += 1
+        else:
+            decoded += 1
+            out_bytes += wres["bytes"]
+            if verbose:
+                print(f"{key}: -> {wres['bytes']}")
 
     result = CorpusResult(
         total_files=len(mine),
@@ -387,6 +463,8 @@ def decode_corpus(
         in_bytes=in_bytes,
         out_bytes=out_bytes,
         seconds=time.time() - t0,
+        compute_seconds=round(compute_s, 6),
+        write_seconds=round(write_s, 6),
     )
     manifest_path = out_dir / f"decode_manifest_{process_index}.json"
     tmp = out_dir / f"decode_manifest_{process_index}.json.tmp{os.getpid()}"

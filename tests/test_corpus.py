@@ -550,3 +550,68 @@ def test_encode_whole_batch_honors_verify(monkeypatch):
     monkeypatch.setattr(dec_mod.Decoder, "decode_whole", lie)
     with pytest.raises(SLAError):
         encode_whole_batch(jobs, sla.EncoderConfig(verify=True))
+
+
+def test_decode_corpus_verify_only(sla_corpus, tmp_path):
+    """verify_only decodes (full CRC gates) with NO WAVs, markers, or temps;
+    compute_seconds is recorded per file and in the result."""
+    import json as _json
+
+    sla_files, _ = sla_corpus
+    out_dir = tmp_path / "verify"
+    res = decode_corpus(sla_files, out_dir, verify_only=True)
+    assert res.encoded == 4 and res.failed == 0
+    assert res.compute_seconds > 0 and res.write_seconds == 0
+    assert not list(out_dir.glob("*.wav"))
+    assert not list(out_dir.glob("*.done"))
+    data = _json.loads((out_dir / "decode_manifest_0.json").read_text())
+    for entry in data["files"].values():
+        assert entry["verified"] is True
+        assert entry["compute_seconds"] >= 0
+    # a corrupt member is still isolated and reported
+    blob = bytearray(sla_files[0].read_bytes())
+    blob[len(blob) // 2] ^= 0xFF
+    bad = tmp_path / "bad.sla"
+    bad.write_bytes(bytes(blob))
+    res2 = decode_corpus([bad] + sla_files[1:], out_dir, verify_only=True)
+    assert res2.failed == 1 and res2.encoded == 3
+
+
+def test_decode_corpus_overlap_writes_identical(sla_corpus, tmp_path):
+    """The writer-thread overlap produces byte-identical WAVs, markers, and
+    counts to the inline path, and records the compute/write wall split."""
+    import json as _json
+
+    sla_files, _ = sla_corpus
+    a = tmp_path / "overlap"
+    b = tmp_path / "inline"
+    ra = decode_corpus(sla_files, a, overlap_writes=True)
+    rb = decode_corpus(sla_files, b, overlap_writes=False)
+    assert ra.encoded == rb.encoded == 4
+    assert ra.out_bytes == rb.out_bytes
+    assert ra.compute_seconds > 0 and ra.write_seconds > 0
+    assert rb.compute_seconds > 0 and rb.write_seconds > 0
+    for f in sla_files:
+        assert (a / (f.stem + ".wav")).read_bytes() == (
+            b / (f.stem + ".wav")).read_bytes()
+        assert (a / (f.stem + ".wav.done")).exists()
+    for d in (a, b):
+        data = _json.loads((d / "decode_manifest_0.json").read_text())
+        for entry in data["files"].values():
+            assert entry["compute_seconds"] >= 0
+            assert entry["write_seconds"] >= 0
+            assert entry["bytes"] > 0
+    assert not list(a.glob("*.tmp*")) and not list(b.glob("*.tmp*"))
+
+
+def test_decode_corpus_write_failure_isolated_with_overlap(sla_corpus, tmp_path):
+    """A write failure on the writer thread is recorded per file and does
+    not abort the run or mis-count batchmates."""
+    sla_files, _ = sla_corpus
+    out_dir = tmp_path / "dec"
+    out_dir.mkdir()
+    # pre-create a DIRECTORY where one output wav must land: os.replace fails
+    (out_dir / (sla_files[1].stem + ".wav")).mkdir()
+    res = decode_corpus(sla_files, out_dir, overlap_writes=True)
+    assert res.failed == 1 and res.encoded == 3
+    assert not (out_dir / (sla_files[1].stem + ".wav.done")).exists()
