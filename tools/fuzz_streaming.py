@@ -4,7 +4,13 @@ rates x channels (1..8) x consumption modes (decode alloc / caller buffer /
 zero-copy strided decode_into), each case checked sample-exact against the
 bulk decoder. Run from the repo root:
 
-    python tools/fuzz_streaming.py [count] [seed]
+    python tools/fuzz_streaming.py [count] [seed] [--seek]
+
+--seek switches to the seek-hop fuzzer (run_seek_case): random
+(index, sample) targets including block boundaries and past-the-end,
+repeated seeks on one decoder, seek-then-underrun-then-resume, and seeks
+from sidecar-loaded lazy indexes, each hop checked sample-exact against
+Decoder.decode_range over the same window.
 
 The contract under test (streaming.py decode/decode_into/append_data_fragment,
 reference SLADecoder.c:752-1123): any feed pattern — byte-dribbles, bursts,
@@ -171,20 +177,130 @@ def run_case(rng, i, seed):
     )
 
 
+def _seek_targets(rng, starts, total):
+    """Seek-target generator biased toward the interesting boundaries:
+    block starts, block starts +/- 1, 0, the stream end, past-the-end."""
+    kind = rng.random()
+    if kind < 0.35:  # uniform interior
+        return int(rng.integers(0, total))
+    if kind < 0.65:  # a block boundary or its neighbors
+        b = int(starts[int(rng.integers(0, len(starts)))])
+        return max(0, min(b + int(rng.integers(-1, 2)), total))
+    if kind < 0.8:
+        return 0
+    if kind < 0.9:
+        return total - 1
+    return total + int(rng.integers(0, 5000))  # at/past the end
+
+
+def run_seek_case(rng, i, seed):
+    """StreamingDecoder.seek fuzz (VERDICT r4 #4): random seek hops x
+    fragment policies x in-memory/sidecar indexes x underrun-then-resume,
+    each hop's playback checked sample-exact against Decoder.decode_range
+    over the same window. Contract pinned: seek returns a BLOCK-START byte
+    offset + skip count (reset-at-block-start resumability,
+    SLADecoder.c:637-639, 1031-1049), repeated seeks on one decoder
+    instance are independent, and a seek at/past the end returns
+    (stream_size, 0)."""
+    ch = int(rng.choice([1, 2, 2, 4, 6]))
+    width = int(rng.choice([8, 16, 24]))
+    mode = int(rng.integers(0, 5))
+    kind = str(rng.choice(["sine", "noise", "chirp", "gauss"]))
+    policy = str(rng.choice(["dribble", "odd", "burst", "exact", "jitter"]))
+    n = int(rng.integers(9000, 50000))
+
+    pcm = gen_wave(kind, n, ch, width, 0, seed=seed * 99991 + i)
+    blob = _encode(pcm, ch, width, 44100, mode)
+    dec = Decoder()
+    idx_mem = dec.build_index(blob)
+    # half the cases exercise the sidecar round trip (lazy window parsing)
+    if rng.random() < 0.5:
+        index = sla.StreamIndex.from_bytes(idx_mem.to_bytes(), blob)
+    else:
+        index = idx_mem
+    starts = idx_mem.sample_starts
+    total = int(starts[-1])
+
+    sd = StreamingDecoder(
+        StreamingDecoderConfig(
+            core=DecoderConfig(),
+            decode_interval_hz=float(rng.choice([30.0, 60.0, 120.0, 240.0])),
+            max_bit_per_sample=width,
+        )
+    )
+
+    hops = int(rng.integers(1, 5))
+    for _ in range(hops):
+        target = _seek_targets(rng, starts, total)
+        give_data = rng.random() < 0.3
+        off, skip = sd.seek(index, target,
+                            data=blob if give_data else None)
+        eff = max(0, min(target, total))
+        if eff >= total:
+            assert (off, skip) == (len(blob), 0), "past-end seek contract"
+            continue
+        assert skip >= 0
+        assert int(starts[np.searchsorted(starts, eff, side="right") - 1]) \
+            == eff - skip, "offset is not the covering block's start"
+        # play a window from the hop; sometimes stop early (next hop then
+        # abandons a mid-block decode — the repeated-seek reset contract)
+        want = int(rng.integers(1, min(total - eff, 3 * 12288) + 1))
+        _, oracle = dec.decode_range(blob, eff, want, index=idx_mem)
+        got = np.zeros((ch, skip + want), dtype=np.int32)
+        done = 0
+        pos = off
+        underruns = 0
+        for _ in range(4 * (skip + want + len(blob)) + 64):
+            if done >= skip + want:
+                break
+            need = sd.estimate_minimum_necessary_data_size()
+            if pos < len(blob) and (
+                sd.remaining_data_size() < need or rng.random() < 0.2
+            ):
+                take = _next_fragment(rng, policy, need, len(blob) - pos)
+                try:
+                    sd.append_data_fragment(blob[pos : pos + take])
+                    pos += take
+                except SLAError as e:
+                    if e.result != ApiResult.EXCEED_HANDLE_CAPACITY:
+                        raise
+            chunk = sd.decode()
+            got_n = min(chunk.shape[1], skip + want - done)
+            if got_n:
+                got[:, done : done + got_n] = chunk[:, :got_n]
+                done += got_n
+            else:
+                underruns += 1
+                if pos >= len(blob) and sd.remaining_data_size() == 0 \
+                        and underruns > 4:
+                    break
+            if rng.random() < 0.9:
+                sd.collect_data_fragments()
+        else:
+            raise AssertionError("seek playback loop did not terminate")
+        assert done == skip + want, f"played {done} of {skip + want}"
+        assert np.array_equal(got[:, skip:], oracle), (
+            f"seek({target}) playback != decode_range window"
+        )
+
+
 def main() -> int:
-    count = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    seek_mode = "--seek" in sys.argv
+    count = int(args[0]) if len(args) > 0 else 100
+    seed = int(args[1]) if len(args) > 1 else 0
     rng = np.random.default_rng(seed)
+    case = run_seek_case if seek_mode else run_case
     fails = 0
     for i in range(count):
         try:
-            run_case(rng, i, seed)
+            case(rng, i, seed)
         except Exception as e:  # noqa: BLE001 — fuzzer: record and continue
             fails += 1
             print(f"[{i}] FAIL: {type(e).__name__}: {e}")
         if (i + 1) % 50 == 0:
             print(f"{i + 1}/{count} cases, {fails} failures", flush=True)
-    print(f"done: {count} cases, {fails} failures")
+    print(f"done: {count} {'seek ' if seek_mode else ''}cases, {fails} failures")
     return 1 if fails else 0
 
 
