@@ -632,6 +632,170 @@ def _fused_stage2_kernel_win(hi8_ref, res_ref, prm_ref, out_ref, lms_state,
     )
 
 
+def _fused_encode_kernel_win(hi8_ref, data_ref, coef_ref, prm_ref, out_ref,
+                             lms_state, hist, b_state, x_prev, *,
+                             parcor_order, num_taps, tile_l, hist_d, win):
+    """Fully-merged ENCODE cascade (VERDICT r4 #2): pre-emphasis -> lattice
+    predict -> windowed long-term FIR -> sign-sign LMS predict in ONE
+    sample loop, so the tile makes a single HBM round trip — the
+    stage1+stage2 form paid two kernel dispatches plus a full (L, B)
+    intermediate write+read (and its transposes). The FIR history is the
+    stage-1 residual, computed in-loop and landed in the same doubled ring
+    the decode cascade uses; the window slice is read once per 8-sample
+    group BEFORE the group computes, which is safe because the plan
+    guarantees every active lag's shallowest feedback >= _UNROLL (the
+    group's own residuals are never referenced). Per-sample arithmetic is
+    identical to _lattice_kernel (predict) -> _fused_stage2_kernel_win, so
+    residuals are byte-identical. Reference hot loop being batched:
+    SLAEncoder.c:598-672."""
+    p = parcor_order
+    T = num_taps
+    D = hist_d
+    M = lms_state.shape[0] // 4
+    l = pl.program_id(1)
+    hi8 = hi8_ref[pl.program_id(0)]
+
+    @pl.when(l == 0)
+    def _():
+        lms_state[:] = jnp.zeros_like(lms_state)
+        b_state[:] = jnp.zeros_like(b_state)
+        x_prev[:] = jnp.zeros_like(x_prev)
+        hist[:] = jnp.zeros_like(hist)
+
+    c = coef_ref[:p, :]  # (p, TB)
+    max_delay = prm_ref[0, :][None, :]
+    TB = data_ref.shape[1]
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (win + _UNROLL, TB), 0)
+    base = [w_iota - (hi8 - max_delay + j) for j in range(T)]
+
+    def lattice_step(x):
+        # pre-emphasis + lattice predict (_lattice_kernel predict body)
+        b_prev = b_state[:]
+        y = x - ((x_prev[:] * 31) >> 5)
+        x_prev[:] = x
+        m = (c * b_prev[:p, :] + _HALF) >> 15
+        incl = _cumsum_sublanes(m, p)
+        f_prev = y - (incl - m)
+        b_hi = b_prev[:p, :] - ((c * f_prev + _HALF) >> 15)
+        b_state[:] = jnp.concatenate([y, b_hi], axis=0)
+        return y - incl[p - 1 : p, :]
+
+    def lms_step(x, s32):
+        # sign-sign LMS predict (_fused_stage2_kernel_win body)
+        fc = lms_state[0:M, :]
+        ic = lms_state[M : 2 * M, :]
+        xb = lms_state[2 * M : 3 * M, :]
+        pb = lms_state[3 * M : 4 * M, :]
+        acc = jnp.full_like(x, 512)
+        acc = acc + jnp.sum(fc * xb, axis=0, keepdims=True, dtype=jnp.int32)
+        acc = acc + jnp.sum(ic * pb, axis=0, keepdims=True, dtype=jnp.int32)
+        pred = acc >> 10
+        warm = jnp.logical_and(l == 0, s32 < M)
+        out = x - pred
+        mag = jnp.abs(out)
+        bl = jnp.int32(32) - jax.lax.clz(mag)
+        step = jnp.sign(out) * (bl >> 1)
+        step = jnp.where(warm, jnp.int32(0), step)
+        lms_state[0:M, :] = fc + step * jnp.sign(xb)
+        lms_state[M : 2 * M, :] = ic + step * jnp.sign(pb)
+        lms_state[2 * M : 3 * M, :] = jnp.concatenate(
+            [x, xb[: M - 1, :]], axis=0
+        )
+        lms_state[3 * M : 4 * M, :] = jnp.concatenate(
+            [jnp.where(warm, x, pred), pb[: M - 1, :]], axis=0
+        )
+        return jnp.where(warm, x, out)
+
+    def body_u(i, carry):
+        s32, wp = carry
+        s0 = pl.multiple_of(s32, _UNROLL)
+        blk = data_ref[pl.ds(s0, _UNROLL), :]
+        st0 = pl.multiple_of(wp + D - hi8, 8)
+        w = hist[pl.ds(st0, win + _UNROLL), :]
+        r1s = []
+        outs = []
+        for k in range(_UNROLL):
+            r1 = lattice_step(blk[k : k + 1, :])
+            r1s.append(r1)
+            pos = l * tile_l + s32 + jnp.int32(k)
+            S0 = jnp.zeros_like(r1)
+            S1 = jnp.zeros_like(r1)
+            S2 = jnp.zeros_like(r1)
+            for j in range(T):
+                mask = (base[j] == k).astype(jnp.int32)
+                sel = jnp.sum(mask * w, axis=0, keepdims=True, dtype=jnp.int32)
+                q = prm_ref[1 + j, :][None, :]
+                S0 = S0 + q * (sel & 0xFFF)
+                S1 = S1 + q * ((sel >> 12) & 0xFFF)
+                S2 = S2 + q * (sel >> 24)
+            u_h = (S0 + _HALF) >> 12
+            pred = (S2 << 9) + ((S1 + u_h) >> 3)
+            use = jnp.logical_and(max_delay > 0, pos >= max_delay)
+            r2 = jnp.where(use, r1 - pred, r1)
+            outs.append(lms_step(r2, s32 + jnp.int32(k)))
+        r1b = jnp.concatenate(r1s, axis=0)
+        hist[pl.ds(wp, _UNROLL), :] = r1b
+        hist[pl.ds(wp + D, _UNROLL), :] = r1b
+        out_ref[pl.ds(s0, _UNROLL), :] = jnp.concatenate(outs, axis=0)
+        wp = wp + jnp.int32(_UNROLL)
+        wp = jnp.where(wp == D, jnp.int32(0), wp)
+        return (s32 + jnp.int32(_UNROLL), wp)
+
+    jax.lax.fori_loop(
+        0, tile_l // _UNROLL, body_u,
+        (jnp.int32(0), jnp.mod(l * jnp.int32(tile_l), jnp.int32(D))),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "parcor_order", "num_taps", "lms_order", "hist_d", "lt_win", "interpret",
+    ),
+)
+def fused_encode_tl(data_t, coef_t, prm_t, parcor_order, num_taps, lms_order,
+                    hist_d=_LT_HIST_D, lt_win=0, hi8s=None, interpret=False):
+    """Fully-merged encode cascade (see _fused_encode_kernel_win). data_t:
+    (L, B) int32 input samples; coef_t: (p, B); prm_t: (1+T, B). Requires
+    lt_win > 0, num_taps > 0, parcor_order >= 1, lms_order >= 1 — the
+    caller plans the window and falls back to encode_stage1 +
+    fused_stage2_tl otherwise. Returns the (L, B) final residual."""
+    p = parcor_order
+    kernel = functools.partial(
+        _fused_encode_kernel_win,
+        parcor_order=p,
+        num_taps=num_taps,
+        tile_l=TILE_L,
+        hist_d=hist_d,
+        win=lt_win,
+    )
+    nl = data_t.shape[0] // TILE_L
+    pp = -(-p // 8) * 8  # Mosaic sublane rule (see lattice_filter_tl)
+    if pp != p:
+        coef_t = jnp.concatenate(
+            [coef_t, jnp.zeros((pp - p, coef_t.shape[1]), coef_t.dtype)], axis=0
+        )
+    coef_tiled = jnp.tile(coef_t, (nl, 1))
+    coef_spec = pl.BlockSpec((pp, TILE_B), lambda b, l: (l, b), memory_space=pltpu.VMEM)
+    if prm_t.shape[0] < 8:
+        prm_t = jnp.concatenate(
+            [prm_t, jnp.zeros((8 - prm_t.shape[0], prm_t.shape[1]), prm_t.dtype)],
+            axis=0,
+        )
+    prm_tiled = jnp.tile(prm_t, (nl, 1))
+    prm_spec = pl.BlockSpec((8, TILE_B), lambda b, l: (l, b), memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((4 * lms_order, TILE_B), jnp.int32),
+        pltpu.VMEM((2 * hist_d + lt_win + _UNROLL, TILE_B), jnp.int32),
+        pltpu.VMEM((p + 1, TILE_B), jnp.int32),
+        pltpu.VMEM((1, TILE_B), jnp.int32),
+    ]
+    return _filter_call_scalar(
+        kernel, jnp.asarray(hi8s, dtype=jnp.int32).reshape(-1), data_t,
+        [coef_tiled, prm_tiled], [coef_spec, prm_spec], scratch, interpret,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_taps", "lms_order", "hist_d", "lt_win", "interpret")
 )

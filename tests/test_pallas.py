@@ -325,3 +325,118 @@ def test_encode_stage2_dispatches_windowed(monkeypatch):
         )
     )
     assert np.array_equal(out, ref)
+
+
+@pytest.mark.parametrize("num_taps", [1, 3, 5])
+def test_fused_encode_windowed_interpret(num_taps):
+    """The fully-merged encode cascade (pre-emphasis -> lattice predict ->
+    windowed long-term FIR -> LMS predict, ONE kernel) must match
+    encode_filters (the scan chain) bit for bit."""
+    from sla_tpu.pipeline import encode_filters
+    from sla_tpu.kernels.pallas_filters import (
+        fused_encode_tl, longterm_ring_depth,
+    )
+
+    rng = np.random.default_rng(61)
+    p, M = 16, 8
+    BB = 2 * TILE_B
+    data = rng.integers(-30000, 30000, (BB, TILE_L), dtype=np.int32)
+    coef = rng.integers(-25000, 25000, (BB, p), dtype=np.int32)
+    pitch = np.sort(rng.integers(16, 250, (BB,), dtype=np.int32))[::-1].copy()
+    pitch[5::31] = 0
+    ltc = rng.integers(-32768, 32768, (BB, num_taps), dtype=np.int32) << 16
+
+    ref = np.asarray(
+        encode_filters(
+            jnp.asarray(data), jnp.asarray(coef), jnp.asarray(pitch),
+            jnp.asarray(ltc), p, num_taps, M,
+        )
+    )
+    md = np.where(pitch > 0, pitch + num_taps // 2, 0).astype(np.int64)
+    tiles = md.reshape(-1, TILE_B)
+    hi8s = ((tiles.max(1) + 7) // 8 * 8).astype(np.int32)
+    lo = np.where(tiles > 0, tiles, 1 << 30).min(1)
+    lo = np.where(tiles.max(1) > 0, lo, 0)
+    lt_win = int(-(-max(int((hi8s - lo + num_taps).max()), 8) // 8) * 8)
+    assert (md[md > 0] - (num_taps - 1)).min() >= 8  # kernel precondition
+    prm = np.concatenate(
+        [md[:, None].astype(np.int32), ltc >> 16], axis=1
+    ).astype(np.int32)
+    ring = longterm_ring_depth(int(md.max()))
+    out = np.asarray(
+        fused_encode_tl(jnp.asarray(data.T), jnp.asarray(coef.T),
+                        jnp.asarray(prm.T), p, num_taps, M,
+                        hist_d=ring, lt_win=lt_win,
+                        hi8s=jnp.asarray(hi8s), interpret=True)
+    ).T
+    assert np.array_equal(out, ref)
+
+
+def test_encode_filters_fused_dispatches_and_sorts(monkeypatch):
+    """encode_filters_fused with concrete UNSORTED pitches must engage the
+    fully-merged kernel (lag sort/unsort around it) and match the scan
+    chain exactly; rows not a multiple of TILE_B exercise the padding."""
+    import sla_tpu.pipeline as pipeline
+    from sla_tpu.pipeline import encode_filters, encode_filters_fused
+
+    rng = np.random.default_rng(67)
+    p, T, M = 8, 3, 8
+    BB = 3 * TILE_B + TILE_B // 2  # 448 rows: pad to 4 tiles
+    data = rng.integers(-30000, 30000, (BB, TILE_L), dtype=np.int32)
+    coef = rng.integers(-25000, 25000, (BB, p), dtype=np.int32)
+    pitch = rng.integers(16, 250, (BB,), dtype=np.int32)
+    pitch[::5] = 0
+    ltc = rng.integers(-32768, 32768, (BB, T), dtype=np.int32) << 16
+
+    monkeypatch.setattr(pipeline, "_use_pallas", lambda: True)
+    import sla_tpu.kernels.pallas_filters as pf
+    orig = pf.fused_encode_tl
+    hits = {}
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        hits["win"] = k.get("lt_win", 0)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pf, "fused_encode_tl", interp)
+    out = np.asarray(
+        encode_filters_fused(
+            jnp.asarray(data), jnp.asarray(coef), np.asarray(pitch),
+            jnp.asarray(ltc), p, T, M,
+        )
+    )
+    assert hits.get("win", 0) > 0, "merged encode kernel did not engage"
+    ref = np.asarray(
+        encode_filters(
+            jnp.asarray(data), jnp.asarray(coef), jnp.asarray(pitch),
+            jnp.asarray(ltc), p, T, M,
+        )
+    )
+    assert np.array_equal(out, ref)
+
+
+def test_encode_filters_fused_fallback_no_pitch():
+    """All-zero pitches (no long-term rows anywhere) must fall back to the
+    stage1+stage2 path and still match encode_filters."""
+    from sla_tpu.pipeline import encode_filters, encode_filters_fused
+
+    rng = np.random.default_rng(71)
+    p, T, M = 8, 1, 4
+    BB = 16
+    data = rng.integers(-30000, 30000, (BB, 2048), dtype=np.int32)
+    coef = rng.integers(-25000, 25000, (BB, p), dtype=np.int32)
+    pitch = np.zeros(BB, dtype=np.int32)
+    ltc = np.zeros((BB, T), dtype=np.int32)
+    out = np.asarray(
+        encode_filters_fused(
+            jnp.asarray(data), jnp.asarray(coef), pitch,
+            jnp.asarray(ltc), p, T, M,
+        )
+    )
+    ref = np.asarray(
+        encode_filters(
+            jnp.asarray(data), jnp.asarray(coef), jnp.asarray(pitch),
+            jnp.asarray(ltc), p, T, M,
+        )
+    )
+    assert np.array_equal(out, ref)

@@ -247,12 +247,38 @@ def main() -> int:
     print(f"windowed vs one-hot fused decode (compiled, win={winv}): "
           f"{'OK' if match else 'MISMATCH'}", flush=True)
 
+    # 6. fully-merged encode cascade (round 5) vs the scan chain ON HARDWARE
+    from sla_tpu.pipeline import encode_filters, encode_filters_fused
+
+    pitch_e = np.sort(rng.integers(16, 250, Bk).astype(np.int32))[::-1].copy()
+    pitch_e[7::29] = 0
+    ltc_e = (np.asarray(
+        jax.random.randint(k3, (Bk, Tk), -32768, 32768, jnp.int32)
+    ) << 16).astype(np.int32)
+    data_e = np.asarray(
+        jax.random.randint(k1, (Bk, Lk), -30000, 30000, jnp.int32))
+    coef_e = np.asarray(jax.random.randint(k2, (Bk, pk), -25000, 25000,
+                                           jnp.int32))
+    fused_e = np.asarray(encode_filters_fused(
+        jnp.asarray(data_e), jnp.asarray(coef_e), pitch_e,
+        jnp.asarray(ltc_e), pk, Tk, Mk,
+    ))
+    ref_e = np.asarray(encode_filters(
+        jnp.asarray(data_e), jnp.asarray(coef_e), jnp.asarray(pitch_e),
+        jnp.asarray(ltc_e), pk, Tk, Mk,
+    ))
+    match = np.array_equal(fused_e, ref_e)
+    ok &= match
+    print(f"fused encode cascade vs scan chain (compiled): "
+          f"{'OK' if match else 'MISMATCH'}", flush=True)
+
     stamp = time.strftime("%Y-%m-%d")
     status = "all bit-identical" if ok else "MISMATCH DETECTED"
     print(
         f"BASELINE-RECORD: | {stamp} | {device.device_kind} ({backend}) | "
-        f"compiled Pallas lattice+LMS+longterm vs scan, device-vs-host "
-        f"encode+decode, device+host entropy | {status} |"
+        f"compiled Pallas lattice+LMS+longterm vs scan, fused encode+decode "
+        f"cascades, device-vs-host encode+decode, device+host entropy | "
+        f"{status} |"
     )
     print(f"total {time.time() - t0:.1f}s")
     return 0 if ok else 1
