@@ -1146,16 +1146,24 @@ class Decoder:
                 from .parallel import make_mesh, shard_batch, sharded_decode_step
 
                 mesh = make_mesh()
+                ncp = mesh.shape["channels"]
+                if ncp > 1 and not (C > 1 and C % ncp == 0):
+                    # channel count does not divide the channel axis: fall
+                    # back to pure block parallelism (see Encoder)
+                    mesh = make_mesh(channel_parallel=1)
+                    ncp = 1
                 nd = mesh.shape["blocks"]
-                NB = -(-B // nd) * nd
-                res3 = np.zeros((NB, 1, L), dtype=np.int32)
-                res3[:B, 0] = residual
-                coef3 = np.zeros((NB, 1, p), dtype=np.int32)
-                coef3[:B, 0] = coef
-                pitch3 = np.zeros((NB, 1), dtype=np.int32)
-                pitch3[:B, 0] = pitch
-                ltm3 = np.zeros((NB, 1, max(T, 1)), dtype=np.int32)
-                ltm3[:B, 0] = ltm
+                NC = C if ncp > 1 else 1
+                nrows = len(comp_idx) * C if ncp > 1 else B
+                NBb = -(-(nrows // NC) // nd) * nd
+                res3 = np.zeros((NBb, NC, L), dtype=np.int32)
+                res3.reshape(-1, L)[:nrows] = residual[:nrows]
+                coef3 = np.zeros((NBb, NC, p), dtype=np.int32)
+                coef3.reshape(-1, p)[:nrows] = coef[:nrows]
+                pitch3 = np.zeros((NBb, NC), dtype=np.int32)
+                pitch3.reshape(-1)[:nrows] = pitch[:nrows]
+                ltm3 = np.zeros((NBb, NC, max(T, 1)), dtype=np.int32)
+                ltm3.reshape(-1, max(T, 1))[:nrows] = ltm[:nrows]
                 d_res, d_coef, d_ltm = shard_batch(mesh, res3, coef3, ltm3)
                 d_pitch = shard_batch(mesh, pitch3[..., None])[0][..., 0]
                 from .pipeline import _longterm_chunk
@@ -1168,7 +1176,7 @@ class Decoder:
                             pitch, T, L, platform=mesh.devices.flat[0].platform
                         ),
                     )
-                )[:B, 0]
+                ).reshape(-1, L)[: len(comp_idx) * C]
             elif backend == "host":
                 synth = native.synth_rows(
                     residual, coef, pitch, ltm, T, ep.lms_order_per_filter, lengths

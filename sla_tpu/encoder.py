@@ -937,15 +937,33 @@ class Encoder:
             )
 
             mesh = make_mesh()
+            ncp = mesh.shape["channels"]
+            ch_counts = {c for _, c, _ in rows_meta}
+            C0 = ch_counts.pop() if len(ch_counts) == 1 else 0
+            if ncp > 1 and not (C0 > 1 and C0 % ncp == 0):
+                # the batch's channel structure cannot split over the mesh's
+                # channel axis (mixed counts, or C not divisible): fall back
+                # to pure block parallelism rather than wrong sharding
+                mesh = make_mesh(channel_parallel=1)
+                ncp = 1
             nd = mesh.shape["blocks"]
-            NB = -(-B // nd) * nd
-            batch3 = np.zeros((NB, 1, L), dtype=np.int32)
-            batch3[:B, 0] = batch
-            coefs3 = np.zeros((NB, 1, p), dtype=np.int32)
-            coefs3[:B, 0] = coefs
+            NC = C0 if ncp > 1 else 1
+            # channel-split batches use exact rows (rows % C0 == 0 by
+            # construction); block-only keeps the pow2-padded B
+            nrows = rows if ncp > 1 else B
+            NBb = -(-(nrows // NC) // nd) * nd
+            batch3 = np.zeros((NBb, NC, L), dtype=np.int32)
+            batch3.reshape(-1, L)[:nrows] = batch[:nrows]
+            coefs3 = np.zeros((NBb, NC, p), dtype=np.int32)
+            coefs3.reshape(-1, p)[:nrows] = coefs[:nrows]
             d_batch, d_coefs = shard_batch(mesh, batch3, coefs3)
             res1_dev = sharded_encode_stage1(d_batch, d_coefs, p, mesh)
-            residual1 = np.asarray(res1_dev)[:B, 0]
+            res1_flat = np.asarray(res1_dev).reshape(-1, L)
+            if res1_flat.shape[0] >= B:
+                residual1 = res1_flat[:B]
+            else:  # channel-split batch is smaller than the pow2-padded B
+                residual1 = np.zeros((B, L), dtype=np.int32)
+                residual1[:nrows] = res1_flat[:nrows]
         elif backend == "host":
             if in_place:
                 cstride = base0.strides[0] // 4
@@ -1008,18 +1026,24 @@ class Encoder:
 
             from .parallel import shard_batch, sharded_encode_stage2
 
-            NB = res1_dev.shape[0]
-            pitch3 = np.zeros((NB, 1), dtype=np.int32)
-            pitch3[:B, 0] = pitches
-            ltm3 = np.zeros((NB, 1, max(T, 1)), dtype=np.int32)
-            ltm3[:B, 0] = ltm
+            NBb, NC = int(res1_dev.shape[0]), int(res1_dev.shape[1])
+            nrows = min(NBb * NC, B)
+            pitch3 = np.zeros((NBb, NC), dtype=np.int32)
+            pitch3.reshape(-1)[:nrows] = pitches[:nrows]
+            ltm3 = np.zeros((NBb, NC, max(T, 1)), dtype=np.int32)
+            ltm3.reshape(-1, max(T, 1))[:nrows] = ltm[:nrows]
             d_pitch = shard_batch(mesh, pitch3)[0]  # 2-D: P(BLOCK, CHANNEL)
             d_ltm = shard_batch(mesh, ltm3)[0]
             res2_full = sharded_encode_stage2(
                 res1_dev, d_pitch, d_ltm, T, ep.lms_order_per_filter, mesh
             )
-            res2_dev = res2_full[:, 0]  # (NB, L) device-side view
-            residual2 = np.asarray(res2_full)[:B, 0]
+            res2_dev = res2_full.reshape(NBb * NC, -1)  # device-side rows
+            res2_flat = np.asarray(res2_full).reshape(-1, L)
+            if res2_flat.shape[0] >= B:
+                residual2 = res2_flat[:B]
+            else:  # channel-split batch smaller than the pow2-padded B
+                residual2 = np.zeros((B, L), dtype=np.int32)
+                residual2[:nrows] = res2_flat[:nrows]
         elif backend == "host":
             residual2 = native.predict_stage2_rows(
                 residual1, pitches, ltm, T, ep.lms_order_per_filter, lengths
@@ -1084,7 +1108,11 @@ class Encoder:
         # the mesh batch carries padding rows beyond the init-param count;
         # pad the params to match (padded rows' parts are never read)
         ip = np.zeros((int(res.shape[0]),), dtype=np.uint32)
-        ip[: len(init_all)] = np.asarray(init_all, dtype=np.uint32)
+        # init_all covers the (possibly pow2-padded) host batch; a channel-
+        # split mesh batch can be SMALLER than that — clamp both ways (the
+        # excess on either side is padding whose parts are never read)
+        n_ip = min(len(init_all), len(ip))
+        ip[:n_ip] = np.asarray(init_all[:n_ip], dtype=np.uint32)
         values, lengths = rice_encode_parts(res, jnp.asarray(ip))
         v = np.asarray(values)  # (L, B, 4) sample-major
         l = np.asarray(lengths)

@@ -37,12 +37,18 @@ BLOCK_AXIS = "blocks"
 CHANNEL_AXIS = "channels"
 
 
-def make_mesh(devices=None, channel_parallel: int = 1) -> Mesh:
+def make_mesh(devices=None, channel_parallel: int | None = None) -> Mesh:
     """Build a ('blocks', 'channels') mesh over the given devices.
 
     `channel_parallel` devices are assigned to the channel axis; the rest go
-    to the (always larger) block axis. Defaults to pure block parallelism.
+    to the (always larger) block axis. None reads SLA_TPU_MESH_CHANNELS
+    (default 1, pure block parallelism) — the knob the full-pipeline
+    backend='mesh' paths honor when the stream's channel count divides it.
     """
+    if channel_parallel is None:
+        import os
+
+        channel_parallel = max(int(os.environ.get("SLA_TPU_MESH_CHANNELS", "1")), 1)
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if n % channel_parallel != 0:

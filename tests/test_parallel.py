@@ -194,3 +194,86 @@ def test_mesh_decode_device_entropy_contrast(C):
     ).decode_whole(blob)
     assert np.array_equal(on, pcm)
     assert np.array_equal(off, pcm)
+
+
+# ---- channel-parallel meshes at the full-pipeline level ----------------------
+
+@needs_8
+def test_mesh_encode_channel_parallel_byte_identical(monkeypatch):
+    """C=6 stream on a ('blocks'=4, 'channels'=2) mesh: each block's six
+    channel rows split 3+3 over the channel axis; bytes must equal host."""
+    pcm = _pcm(6, 30000, seed=61)
+    host = _encode(pcm, "host")
+    monkeypatch.setenv("SLA_TPU_MESH_CHANNELS", "2")
+    assert _encode(pcm, "mesh") == host
+
+
+@needs_8
+def test_mesh_decode_channel_parallel_pcm_exact(monkeypatch):
+    pcm = _pcm(6, 30000, seed=62)
+    blob = _encode(pcm, "host")
+    monkeypatch.setenv("SLA_TPU_MESH_CHANNELS", "2")
+    dec = sla.Decoder(sla.DecoderConfig(backend="mesh"))
+    _, out = dec.decode_whole(blob)
+    assert np.array_equal(out, pcm)
+
+
+@needs_8
+def test_mesh_channel_parallel_indivisible_falls_back(monkeypatch):
+    """C=3 cannot split over a 2-wide channel axis: the pipeline must fall
+    back to pure block parallelism and stay byte/PCM-exact."""
+    pcm = _pcm(3, 24000, seed=63)
+    host = _encode(pcm, "host")
+    monkeypatch.setenv("SLA_TPU_MESH_CHANNELS", "2")
+    assert _encode(pcm, "mesh") == host
+    dec = sla.Decoder(sla.DecoderConfig(backend="mesh"))
+    _, out = dec.decode_whole(host)
+    assert np.array_equal(out, pcm)
+
+
+# ---- mesh x random access / salvage / long-stream grouping -------------------
+
+@needs_8
+def test_mesh_decode_range_exact():
+    """decode_range on the mesh backend: indexed window == host window ==
+    the decode_whole slice."""
+    pcm = _pcm(2, 50000, seed=64)
+    blob = _encode(pcm, "host")
+    dm = sla.Decoder(sla.DecoderConfig(backend="mesh"))
+    idx = dm.build_index(blob)
+    for start, count in [(0, 5000), (12288, 12288), (20000, 25000), (49990, 100)]:
+        _, win = dm.decode_range(blob, start, count, index=idx)
+        want = pcm[:, start : min(start + count, 50000)]
+        assert np.array_equal(win, want), (start, count)
+
+
+@needs_8
+def test_mesh_decode_salvage_matches_host():
+    """decode_salvage on the mesh backend recovers the same segments as the
+    host backend (same resync points, bit-exact PCM)."""
+    pcm = _pcm(2, 60000, seed=65)
+    blob = bytearray(_encode(pcm, "host"))
+    blob[len(blob) // 2] ^= 0xFF  # corrupt one mid-stream block
+    blob = bytes(blob)
+    _, segs_host = sla.Decoder(sla.DecoderConfig(backend="host")).decode_salvage(blob)
+    _, segs_mesh = sla.Decoder(sla.DecoderConfig(backend="mesh")).decode_salvage(blob)
+    assert len(segs_host) == len(segs_mesh) >= 1
+    for a, b in zip(segs_host, segs_mesh):
+        assert a.byte_offset == b.byte_offset
+        assert a.gap_before_bytes == b.gap_before_bytes
+        assert a.sample_offset == b.sample_offset
+        assert np.array_equal(a.pcm, b.pcm)
+
+
+@needs_8
+def test_mesh_segmented_long_stream_decode(monkeypatch):
+    """Mesh decode over bounded synthesis groups (the long-stream path):
+    force tiny groups so one stream spans several mesh dispatches."""
+    import sla_tpu.decoder as dmod
+
+    pcm = _pcm(2, 8 * 12288, seed=66)
+    blob = _encode(pcm, "host")
+    monkeypatch.setattr(dmod, "_synth_group_rows", lambda C, L: 2 * C)
+    dec = sla.Decoder(sla.DecoderConfig(backend="mesh"))
+    _, out = dec.decode_whole(blob)
+    assert np.array_equal(out, pcm)
