@@ -4796,6 +4796,149 @@ static inline void tile_store(int32_t* base, int64_t stride, int32_t s0,
   tile_store_scalar<R>(base, stride, s0, t);
 }
 
+#if defined(__AVX512F__) && defined(__AVX512VL__)
+// k-mask helpers for the register-window LMS form: the sign-sign update
+// fc += step * sign(hist) collapses to a masked add (hist > 0) plus a
+// masked sub (hist < 0) — exactly mult-by-{-1,0,+1} under wrapping int32,
+// with the sign captured once at window insert as two k-masks instead of
+// a sign-value vector. The loadu/storeu round trips fold away on register
+// values (see lms_bitlen); vsi is only 4-aligned so direct casts are UB.
+template <int R>
+struct LmsMask;
+template <>
+struct LmsMask<16> {
+  typedef __mmask16 t;
+  static inline t pos(VI<16>::v x) {
+    return _mm512_cmpgt_epi32_mask(_mm512_loadu_si512((const void*)&x),
+                                   _mm512_setzero_si512());
+  }
+  static inline t neg(VI<16>::v x) {
+    return _mm512_cmplt_epi32_mask(_mm512_loadu_si512((const void*)&x),
+                                   _mm512_setzero_si512());
+  }
+  static inline VI<16>::v update(VI<16>::v c, t mp, t mn, VI<16>::v step) {
+    __m512i cc = _mm512_loadu_si512((const void*)&c);
+    const __m512i st = _mm512_loadu_si512((const void*)&step);
+    cc = _mm512_mask_add_epi32(cc, mp, cc, st);
+    cc = _mm512_mask_sub_epi32(cc, mn, cc, st);
+    VI<16>::v out;
+    _mm512_storeu_si512((void*)&out, cc);
+    return out;
+  }
+};
+template <>
+struct LmsMask<8> {
+  typedef __mmask8 t;
+  static inline t pos(VI<8>::v x) {
+    return _mm256_cmpgt_epi32_mask(_mm256_loadu_si256((const __m256i*)&x),
+                                   _mm256_setzero_si256());
+  }
+  static inline t neg(VI<8>::v x) {
+    return _mm256_cmplt_epi32_mask(_mm256_loadu_si256((const __m256i*)&x),
+                                   _mm256_setzero_si256());
+  }
+  static inline VI<8>::v update(VI<8>::v c, t mp, t mn, VI<8>::v step) {
+    __m256i cc = _mm256_loadu_si256((const __m256i*)&c);
+    const __m256i st = _mm256_loadu_si256((const __m256i*)&step);
+    cc = _mm256_mask_add_epi32(cc, mp, cc, st);
+    cc = _mm256_mask_sub_epi32(cc, mn, cc, st);
+    VI<8>::v out;
+    _mm256_storeu_si256((__m256i*)&out, cc);
+    return out;
+  }
+};
+
+// Register-window LMS core (MF pinned at compile time): the M-deep x/p
+// history windows and the filter coefficients all live in registers and
+// shift explicitly per sample; signs ride k-mask registers captured at
+// insert. Value-for-value the same arithmetic as the doubled-ring form
+// below (the window IS the ring's newest M entries; masked add/sub IS the
+// sign multiply; wrapping int32 everywhere), so outputs are byte-identical
+// — only where the state lives changes. Removes the ring's per-sample
+// memory traffic (2M history loads + 4 stores) and its refill-headroom
+// copies, which dominated the pass at M = 8.
+template <int R, bool SYNTH, int MF, class LoadT, class StoreT, class LoadC,
+          class StoreC>
+static void lms_rows_regwinT(int32_t n, LoadT load_tile, StoreT store_tile,
+                             LoadC load_col, StoreC store_col) {
+  typedef typename VI<R>::v vsi;
+  typedef typename LmsMask<R>::t kmask;
+  const vsi vzero = {};
+  vsi fc[MF], ic[MF], xw[MF], pw[MF];
+  kmask xp[MF], xn[MF], pp[MF], pn[MF];
+  for (int32_t i = 0; i < MF; ++i) {
+    fc[i] = vzero;
+    ic[i] = vzero;
+    xw[i] = vzero;
+    pw[i] = vzero;
+    xp[i] = 0;
+    xn[i] = 0;
+    pp[i] = 0;
+    pn[i] = 0;
+  }
+  auto sample_step = [&](int32_t s, vsi in_v) -> vsi {
+#ifdef SLA_TPU_DEBUG
+    for (int32_t i = 0; i < MF; ++i)
+      for (int32_t r = 0; r < R; ++r) {
+        const int64_t fir = ((int64_t)fc[i][r] * xw[i][r]) >> 10;
+        const int64_t iir = ((int64_t)ic[i][r] * pw[i][r]) >> 10;
+        SLA_DBG_ASSERT(fir <= INT32_MAX && fir >= INT32_MIN,
+                       "LMS fir tap product overflows int32");
+        SLA_DBG_ASSERT(iir <= INT32_MAX && iir >= INT32_MIN,
+                       "LMS iir tap product overflows int32");
+      }
+#endif
+    vsi acc = vzero + 512;
+    for (int32_t i = 0; i < MF; ++i) acc += fc[i] * xw[i] + ic[i] * pw[i];
+    const vsi pred = acc >> 10;
+    const bool warm = s < MF;
+    vsi x, res;
+    if (SYNTH) {
+      res = in_v;
+      x = in_v + pred;
+    } else {
+      x = in_v;
+      res = in_v - pred;
+    }
+    if (!warm) {
+      const vsi step =
+          ((res < vzero) - (res > vzero)) * (lms_bitlen<R>(res) >> 1);
+      for (int32_t i = 0; i < MF; ++i) {
+        fc[i] = LmsMask<R>::update(fc[i], xp[i], xn[i], step);
+        ic[i] = LmsMask<R>::update(ic[i], pp[i], pn[i], step);
+      }
+    }
+    const vsi pnew = warm ? x : pred;
+    for (int32_t i = MF - 1; i > 0; --i) {
+      xw[i] = xw[i - 1];
+      pw[i] = pw[i - 1];
+      xp[i] = xp[i - 1];
+      xn[i] = xn[i - 1];
+      pp[i] = pp[i - 1];
+      pn[i] = pn[i - 1];
+    }
+    xw[0] = x;
+    pw[0] = pnew;
+    xp[0] = LmsMask<R>::pos(x);
+    xn[0] = LmsMask<R>::neg(x);
+    pp[0] = LmsMask<R>::pos(pnew);
+    pn[0] = LmsMask<R>::neg(pnew);
+    return warm ? in_v : (SYNTH ? x : res);
+  };
+  int32_t s = 0;
+  for (; s + R <= n; s += R) {
+    vsi t[R];
+    load_tile(s, t);
+    for (int32_t k = 0; k < R; ++k) t[k] = sample_step(s + k, t[k]);
+    store_tile(s, t);
+  }
+  for (; s < n; ++s) {
+    const vsi emit = sample_step(s, load_col(s));
+    store_col(s, emit);
+  }
+}
+#endif  // __AVX512F__ && __AVX512VL__
+
 // Hand-vectorized sign-sign LMS core over R interleaved rows: one code
 // path for both directions (SYNTH reconstructs x = res + pred, predict
 // derives res = x - pred; reference src/SLAPredictor.c:1202-1463).
@@ -4811,6 +4954,15 @@ template <int R, bool SYNTH, int MF, class LoadT, class StoreT, class LoadC,
 static void lms_rows_genT(int32_t n, int32_t M_rt, LoadT load_tile,
                           StoreT store_tile, LoadC load_col,
                           StoreC store_col) {
+#if defined(__AVX512F__) && defined(__AVX512VL__) && defined(__AVX512CD__)
+  // compile-pinned orders (the preset paths) take the register-window
+  // form: byte-identical outputs, state in registers instead of the ring
+  if constexpr (MF > 0 && (R == 16 || R == 8)) {
+    lms_rows_regwinT<R, SYNTH, MF>(n, load_tile, store_tile, load_col,
+                                   store_col);
+    return;
+  }
+#endif
   // MF > 0 pins the LMS order at compile time (presets use 4/8): unrolled
   // tap loops keep fc/ic and the ring windows in registers
   const int32_t M = MF > 0 ? MF : M_rt;

@@ -52,17 +52,17 @@ def main():
     lib = native._load()
     lib.sla_synth_rows16.restype = ctypes.c_int32
     full2 = run(lib, 16, 8, 256, 1)     # preset-2 shape
-    full4 = run(lib, 32, 16, 256, 3)    # preset-4 shape
+    full4 = run(lib, 32, 8, 256, 3)     # preset-4 shape (LMS order 8 too)
     lat16 = run(lib, 16, 0, 0, 1)       # lattice16 + tile I/O only
     lat32 = run(lib, 32, 0, 0, 1)
     lms8 = run(lib, 16, 8, 0, 1) - lat16
-    lms16 = run(lib, 16, 16, 0, 1) - lat16
+    lms8rt = run(lib, 16, 16, 0, 1) - lat16  # runtime-M ring path (M=16)
     lt1 = run(lib, 16, 0, 256, 1) - lat16
     lt3 = run(lib, 16, 0, 256, 3) - lat16
     print(f"preset2(p16,M8,lt1)  total {full2:6.2f} ns/rs")
-    print(f"preset4(p32,M16,lt3) total {full4:6.2f} ns/rs")
+    print(f"preset4(p32,M8,lt3)  total {full4:6.2f} ns/rs")
     print(f"  lattice16+IO {lat16:6.2f}   lattice32+IO {lat32:6.2f}")
-    print(f"  lms8 {lms8:6.2f}   lms16 {lms16:6.2f}")
+    print(f"  lms8(regwin) {lms8:6.2f}   lms16(ring,runtime-M) {lms8rt:6.2f}")
     print(f"  longterm t1 {lt1:6.2f}   t3 {lt3:6.2f}")
 
 
