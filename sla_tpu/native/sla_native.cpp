@@ -4939,6 +4939,11 @@ static void lms_rows_regwinT(int32_t n, LoadT load_tile, StoreT store_tile,
 }
 #endif  // __AVX512F__ && __AVX512VL__
 
+// Perf note: two structural decode experiments were measured and
+// rejected in round 5 — folding the long-term FIR into the lattice
+// sample loop as masked gathers, and interleaving two independent
+// 8-block entropy groups; see BASELINE.md "Round 5 host-path".
+//
 // Hand-vectorized sign-sign LMS core over R interleaved rows: one code
 // path for both directions (SYNTH reconstructs x = res + pred, predict
 // derives res = x - pred; reference src/SLAPredictor.c:1202-1463).
