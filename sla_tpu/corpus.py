@@ -44,9 +44,11 @@ class CorpusResult:
     in_bytes: int
     out_bytes: int
     seconds: float
-    # decode-side wall split (BASELINE.md footnote 4 made machine-checkable):
-    # compute = read + decode, write = WAV serialize + publish. With the
-    # writer thread the two overlap, so compute + write may exceed `seconds`.
+    # wall split (BASELINE.md footnote 4 made machine-checkable). Decode:
+    # compute = read + decode, write = WAV serialize + publish. Encode:
+    # compute = filter+entropy encode (reads live on the reader thread,
+    # per-entry `read_seconds`), write = .sla publish. With the overlap
+    # threads the parts overlap, so their sum may exceed `seconds`.
     compute_seconds: float = 0.0
     write_seconds: float = 0.0
 
@@ -93,6 +95,7 @@ def encode_corpus(
     encoder_config: EncoderConfig | None = None,
     verbose: bool = False,
     filter_batch: int = 1,
+    overlap_io: bool = True,
 ) -> CorpusResult:
     """Encode a WAV corpus into out_dir, one .sla per input.
 
@@ -104,8 +107,18 @@ def encode_corpus(
     batch (encoder.encode_whole_batch) — the multi-chip showcase: on a
     device mesh the fused (rows, L) batch shards across every chip instead
     of dispatching per small file. Streams are byte-identical to
-    filter_batch=1. A failed batch falls back to per-file encoding so
-    failure isolation is preserved."""
+    filter_batch=1. A failed batch falls over to per-file encoding so
+    failure isolation is preserved.
+
+    ``overlap_io=True`` (default) runs the NEXT chunk's WAV reads on a
+    background reader thread and .sla publishes on a background writer
+    thread, so file I/O overlaps the filter/entropy compute (the encode
+    twin of decode_corpus's ``overlap_writes``). Streams are byte-identical
+    either way; manifest counters stay single-threaded (read results and
+    publish results merge on the main thread). Each manifest entry records
+    ``read_seconds`` / ``compute_seconds`` (batch chunks: the chunk wall
+    split evenly) / ``write_seconds``, and the result totals compute vs
+    write so a compute regression can't hide inside I/O noise."""
     out_dir = pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     if process_index is None or process_count is None:
@@ -154,9 +167,14 @@ def encode_corpus(
         except OSError:
             pass
 
-    def publish(path: pathlib.Path, blob: bytes,
-                stage_times: dict | None = None) -> None:
-        nonlocal encoded, in_bytes, out_bytes
+    def publish_one(path: pathlib.Path, blob: bytes,
+                    stage_times: dict | None, read_sec: float | None,
+                    compute_sec: float | None) -> dict:
+        """stat + temp write + atomic publish + resume marker; returns the
+        manifest entry (with ``error`` on failure). Runs inline or on the
+        writer thread — it touches only its own temp/output names, so the
+        next chunk's encode can proceed; counters merge after join."""
+        w0 = time.perf_counter()
         out_path = out_dir / (names[path] + ".sla")
         # stat the input BEFORE the .done marker exists: a late OSError
         # (input deleted mid-run) must not leave a published+marked file
@@ -165,21 +183,29 @@ def encode_corpus(
             in_size = path.stat().st_size
         except OSError:
             in_size = 0
-        # pid-suffixed temp: concurrent workers (or a resumed incarnation
-        # racing a straggler) never clobber each other's in-flight writes
-        tmp = out_path.parent / (out_path.name + f".tmp{os.getpid()}")
-        tmp.write_bytes(blob)
-        os.replace(tmp, out_path)  # atomic publish
-        (out_dir / (names[path] + ".done")).touch()
-        encoded += 1
-        in_bytes += in_size
-        out_bytes += len(blob)
-        entry: dict = {"out": out_path.name, "bytes": len(blob)}
+        entry: dict = {}
+        if read_sec is not None:
+            entry["read_seconds"] = round(read_sec, 6)
+        if compute_sec is not None:
+            entry["compute_seconds"] = round(compute_sec, 6)
         if stage_times:
             entry["stage_seconds"] = {k: round(v, 6) for k, v in stage_times.items()}
-        manifest[str(path)] = entry
-        if verbose:
-            print(f"{path.name}: {in_size} -> {len(blob)}")
+        try:
+            # pid-suffixed temp: concurrent workers (or a resumed incarnation
+            # racing a straggler) never clobber each other's in-flight writes
+            tmp = out_path.parent / (out_path.name + f".tmp{os.getpid()}")
+            tmp.write_bytes(blob)
+            os.replace(tmp, out_path)  # atomic publish
+            (out_dir / (names[path] + ".done")).touch()
+        except OSError as e:
+            entry["error"] = str(e)
+            entry["write_seconds"] = round(time.perf_counter() - w0, 6)
+            return entry
+        entry["out"] = out_path.name
+        entry["bytes"] = len(blob)
+        entry["in_bytes"] = in_size
+        entry["write_seconds"] = round(time.perf_counter() - w0, 6)
+        return entry
 
     def record_failure(path: pathlib.Path, e: Exception) -> None:
         nonlocal failed
@@ -188,16 +214,29 @@ def encode_corpus(
         if verbose:
             print(f"{path.name}: FAILED ({e})")
 
-    def encode_one(path: pathlib.Path) -> None:
+    def read_one(path: pathlib.Path):
+        """WAV read + parse; returns (path, wav|None, error|None, seconds).
+        Runs inline or on the reader thread (no shared state touched)."""
+        r0 = time.perf_counter()
         try:
             wav = wavio.read_wav(str(path))
+            err = None
+        except (SLAError, ValueError, OSError) as e:
+            wav, err = None, e
+        return (path, wav, err, time.perf_counter() - r0)
+
+    def encode_pre_read(path: pathlib.Path, wav):
+        """Single-file encode of an already-read WAV; returns (blob,
+        stage_times) or (None, None) after recording the failure."""
+        try:
             enc.set_wave_format(
                 WaveFormat(wav.num_channels, wav.bits_per_sample, wav.sampling_rate)
             )
             enc.set_encode_parameter(preset_parameter(preset, wav.num_channels))
-            publish(path, enc.encode_whole(wav.data), enc.stage_times)
+            return enc.encode_whole(wav.data), enc.stage_times
         except (SLAError, ValueError, OSError) as e:
             record_failure(path, e)
+            return None, None
 
     todo: list[pathlib.Path] = []
     for path in mine:
@@ -217,41 +256,117 @@ def encode_corpus(
             todo.append(path)
 
     step = max(int(filter_batch), 1)
-    for start in range(0, len(todo), step):
-        chunk = todo[start : start + step]
-        if len(chunk) == 1 or step == 1:
-            for path in chunk:
-                encode_one(path)
+    chunks = [todo[i : i + step] for i in range(0, len(todo), step)]
+    compute_s = 0.0
+    write_s = 0.0
+
+    # overlap_io: reader thread prefetches chunk k+1's WAVs and a writer
+    # thread publishes chunk k-1's blobs while chunk k encodes. Bounded
+    # queues cap in-flight PCM/blob memory; `writer_results` is written
+    # only by the writer thread and read only after join.
+    writer_results: dict[str, dict] = {}
+    wq = rq = None
+    wthread = rthread = None
+    if overlap_io and chunks:
+        import queue as _queue
+        import threading
+
+        wq = _queue.Queue(maxsize=2)
+
+        def _writer() -> None:
+            while True:
+                job = wq.get()
+                if job is None:
+                    return
+                key, path, blob, st, rs, cs = job
+                writer_results[key] = publish_one(path, blob, st, rs, cs)
+
+        wthread = threading.Thread(target=_writer, name="sla-corpus-writer")
+        wthread.start()
+
+        rq = _queue.Queue(maxsize=1)
+
+        def _reader() -> None:
+            for chunk in chunks:
+                rq.put([read_one(p) for p in chunk])
+            rq.put(None)
+
+        rthread = threading.Thread(target=_reader, name="sla-corpus-reader")
+        rthread.start()
+
+    def chunk_reads():
+        if rq is not None:
+            while True:
+                got = rq.get()
+                if got is None:
+                    return
+                yield got
+        else:
+            for chunk in chunks:
+                yield [read_one(p) for p in chunk]
+
+    for results in chunk_reads():
+        for path, _wav, err, _rs in results:
+            if err is not None:
+                record_failure(path, err)
+        good = [(p, w, rs) for (p, w, e, rs) in results if e is None]
+        if not good:
             continue
-        jobs = []
-        job_paths = []
-        for path in chunk:
-            try:
-                wav = wavio.read_wav(str(path))
-                jobs.append(
-                    (
-                        WaveFormat(wav.num_channels, wav.bits_per_sample, wav.sampling_rate),
-                        preset_parameter(preset, wav.num_channels),
-                        wav.data,
-                    )
+        c0 = time.perf_counter()
+        emit: list[tuple] = []  # (path, blob, stage_times, read_seconds)
+        if len(good) == 1 or step == 1:
+            for path, wav, rs in good:
+                blob, st = encode_pre_read(path, wav)
+                if blob is not None:
+                    emit.append((path, blob, st, rs))
+        else:
+            jobs = [
+                (
+                    WaveFormat(w.num_channels, w.bits_per_sample, w.sampling_rate),
+                    preset_parameter(preset, w.num_channels),
+                    w.data,
                 )
-                job_paths.append(path)
-            except (SLAError, ValueError, OSError) as e:
-                record_failure(path, e)
-        if not jobs:
-            continue
-        try:
-            blobs = encode_whole_batch(jobs, config)
-        except (SLAError, ValueError, OSError):
-            # isolate the failing file: batch fell over, redo one by one
-            for path in job_paths:
-                encode_one(path)
-            continue
-        for path, blob in zip(job_paths, blobs):
+                for _p, w, _rs in good
+            ]
             try:
-                publish(path, blob)
-            except OSError as e:  # same failure isolation as the per-file path
-                record_failure(path, e)
+                blobs = encode_whole_batch(jobs, config)
+                emit = [(p, blob, None, rs)
+                        for (p, w, rs), blob in zip(good, blobs)]
+            except (SLAError, ValueError, OSError):
+                # isolate the failing file: batch fell over, redo one by one
+                for path, wav, rs in good:
+                    blob, st = encode_pre_read(path, wav)
+                    if blob is not None:
+                        emit.append((path, blob, st, rs))
+        chunk_compute = time.perf_counter() - c0
+        compute_s += chunk_compute
+        per_file = chunk_compute / max(len(emit), 1)
+        for path, blob, st, rs in emit:
+            if wq is not None:
+                wq.put((str(path), path, blob, st, rs, per_file))
+            else:
+                writer_results[str(path)] = publish_one(
+                    path, blob, st, rs, per_file
+                )
+
+    if rthread is not None:
+        rthread.join()
+    if wq is not None:
+        wq.put(None)
+        wthread.join()
+
+    for key, entry in writer_results.items():
+        manifest[key] = entry
+        write_s += entry.get("write_seconds", 0.0)
+        if "error" in entry:
+            failed += 1
+        else:
+            encoded += 1
+            in_bytes += entry.get("in_bytes", 0)
+            out_bytes += entry["bytes"]
+            if verbose:
+                print(f"{pathlib.Path(key).name}: "
+                      f"{entry.get('in_bytes', 0)} -> {entry['bytes']}")
 
     result = CorpusResult(
         total_files=len(mine),
@@ -261,6 +376,8 @@ def encode_corpus(
         in_bytes=in_bytes,
         out_bytes=out_bytes,
         seconds=time.time() - t0,
+        compute_seconds=compute_s,
+        write_seconds=write_s,
     )
     manifest_path = out_dir / f"manifest_{process_index}.json"
     tmp = out_dir / f"manifest_{process_index}.json.tmp{os.getpid()}"

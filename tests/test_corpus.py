@@ -615,3 +615,64 @@ def test_decode_corpus_write_failure_isolated_with_overlap(sla_corpus, tmp_path)
     res = decode_corpus(sla_files, out_dir, overlap_writes=True)
     assert res.failed == 1 and res.encoded == 3
     assert not (out_dir / (sla_files[1].stem + ".wav.done")).exists()
+
+
+def test_encode_corpus_overlap_identical(corpus, tmp_path):
+    """Reader/writer-thread overlap produces byte-identical .sla files,
+    markers, and counts to the inline path — at filter_batch 1 AND >1 —
+    and records the read/compute/write wall split."""
+    import json as _json
+
+    files, _ = corpus
+    for fb in (1, 2):
+        a = tmp_path / f"overlap{fb}"
+        b = tmp_path / f"inline{fb}"
+        ra = encode_corpus(files, a, preset=1, filter_batch=fb,
+                           overlap_io=True)
+        rb = encode_corpus(files, b, preset=1, filter_batch=fb,
+                           overlap_io=False)
+        assert ra.encoded == rb.encoded == 4
+        assert ra.failed == rb.failed == 0
+        assert ra.out_bytes == rb.out_bytes and ra.in_bytes == rb.in_bytes
+        assert ra.compute_seconds > 0 and ra.write_seconds > 0
+        assert rb.compute_seconds > 0 and rb.write_seconds > 0
+        for f in files:
+            assert (a / (f.stem + ".sla")).read_bytes() == (
+                b / (f.stem + ".sla")).read_bytes()
+            assert (a / (f.stem + ".done")).exists()
+        for d in (a, b):
+            data = _json.loads((d / "manifest_0.json").read_text())
+            assert len(data["files"]) == 4
+            for entry in data["files"].values():
+                assert entry["read_seconds"] >= 0
+                assert entry["compute_seconds"] >= 0
+                assert entry["write_seconds"] >= 0
+                assert entry["bytes"] > 0 and entry["in_bytes"] > 0
+        assert not list(a.glob("*.tmp*")) and not list(b.glob("*.tmp*"))
+
+
+def test_encode_corpus_publish_failure_isolated_with_overlap(corpus):
+    """A publish failure on the writer thread is recorded per file and does
+    not abort the run, mis-count batchmates, or leave a resume marker."""
+    files, out_dir = corpus
+    out_dir.mkdir()
+    # pre-create a DIRECTORY where one output .sla must land: os.replace fails
+    (out_dir / (files[1].stem + ".sla")).mkdir()
+    res = encode_corpus(files, out_dir, preset=0, overlap_io=True)
+    assert res.failed == 1 and res.encoded == 3
+    assert not (out_dir / (files[1].stem + ".done")).exists()
+    # the failed file is re-encodable once the obstruction is gone
+    (out_dir / (files[1].stem + ".sla")).rmdir()
+    res2 = encode_corpus(files, out_dir, preset=0, overlap_io=True)
+    assert res2.encoded == 1 and res2.skipped == 3
+
+
+def test_encode_corpus_read_failure_with_overlap_batch(corpus, tmp_path):
+    """A bad WAV inside a prefetched batch chunk is isolated on the main
+    thread; its batchmates still encode through the fused path."""
+    files, out_dir = corpus
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"RIFFgarbage")
+    res = encode_corpus(files[:3] + [bad], out_dir, preset=0,
+                        filter_batch=2, overlap_io=True)
+    assert res.failed == 1 and res.encoded == 3
