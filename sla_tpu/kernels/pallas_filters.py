@@ -58,6 +58,33 @@ def _suffix_sum_sublanes(m: jnp.ndarray, p: int) -> jnp.ndarray:
     return m
 
 
+def _align_window(w: jnp.ndarray, d: jnp.ndarray, need: int) -> jnp.ndarray:
+    """Per-lane barrel shift along sublanes: returns a (need, TB) array `a`
+    with a[t] = w[d + t] when d + t < rows(w), else 0 — exactly the value
+    the one-hot select `sum((iota == d + t) * w)` produces, so swapping the
+    two is byte-identity-preserving.
+
+    d: (1, TB) non-negative per-lane shift. log2(rows) truncating select
+    passes (Mosaic has no per-lane sublane gather): processing bits high ->
+    low, after consuming bit b the remaining shift is < 2^b, so each pass
+    keeps only `need + 2^b - 1` rows — the total work is O(rows) per CALL,
+    amortized over the group, instead of O(rows) per selected value."""
+    nbits = max(1, (w.shape[0] - 1).bit_length())
+    for b in reversed(range(nbits)):
+        s = 1 << b
+        rows = w.shape[0]
+        keep = min(rows, need + s - 1) if b else need
+        hi_rows = max(0, min(keep, rows - s))
+        hi = w[s : s + hi_rows, :]
+        if hi_rows < keep:
+            hi = jnp.concatenate(
+                [hi, jnp.zeros((keep - hi_rows, w.shape[1]), w.dtype)], axis=0
+            )
+        take = ((d >> b) & 1) != 0  # (1, TB), broadcasts over sublanes
+        w = jnp.where(take, hi, w[:keep, :])
+    return w
+
+
 def _lattice_kernel(data_ref, coef_ref, out_ref, b_state, x_prev, *, parcor_order,
                     tile_l, pre_emphasis, synthesize):
     """One (TILE_L, TILE_B) block of lattice analysis/synthesis.
@@ -333,12 +360,11 @@ def _longterm_body_win(res_ref, prm_ref, out_ref, hist, hi8, *, num_taps,
     byte-identical."""
     T = num_taps
     D = hist_d
-    TB = res_ref.shape[1]
     max_delay = prm_ref[0, :][None, :]  # (1, TB)
-    w_iota = jax.lax.broadcasted_iota(jnp.int32, (win + _UNROLL, TB), 0)
-    # per-lane window row of tap j for the group's FIRST sample; sample k
-    # inside the group reads row base_j + k (all constants per l-step)
-    base = [w_iota - (hi8 - max_delay + j) for j in range(T)]
+    # per-lane window row of tap 0 for the group's FIRST sample; tap j of
+    # sample k reads row d + j + k — constant shift d, so ONE barrel
+    # alignment per group turns every select into a static slice
+    d = hi8 - max_delay
 
     def body_u(i, carry):
         s32, wp = carry
@@ -346,6 +372,7 @@ def _longterm_body_win(res_ref, prm_ref, out_ref, hist, hi8, *, num_taps,
         blk = res_ref[pl.ds(s0, _UNROLL), :]
         st0 = pl.multiple_of(wp + D - hi8, 8)
         w = hist[pl.ds(st0, win + _UNROLL), :]
+        a = _align_window(w, d, T + _UNROLL - 1)
         outs = []
         for k in range(_UNROLL):
             r = blk[k : k + 1, :]
@@ -354,8 +381,7 @@ def _longterm_body_win(res_ref, prm_ref, out_ref, hist, hi8, *, num_taps,
             S1 = jnp.zeros_like(r)
             S2 = jnp.zeros_like(r)
             for j in range(T):
-                mask = (base[j] == k).astype(jnp.int32)
-                sel = jnp.sum(mask * w, axis=0, keepdims=True, dtype=jnp.int32)
+                sel = a[j + k : j + k + 1, :]
                 q = prm_ref[1 + j, :][None, :]
                 S0 = S0 + q * (sel & 0xFFF)
                 S1 = S1 + q * ((sel >> 12) & 0xFFF)
@@ -456,9 +482,7 @@ def _fused_synth_kernel_win(hi8_ref, res_ref, coef_ref, prm_ref, out_ref,
 
     c = coef_ref[:p, :]  # (p, TB)
     max_delay = prm_ref[0, :][None, :]
-    TB = res_ref.shape[1]
-    w_iota = jax.lax.broadcasted_iota(jnp.int32, (win + _UNROLL, TB), 0)
-    base = [w_iota - (hi8 - max_delay + j) for j in range(T)]
+    d = hi8 - max_delay  # constant per-lane window shift (see _align_window)
 
     def lms_step(x, s32):
         fc = lms_state[0:M, :]
@@ -485,13 +509,12 @@ def _fused_synth_kernel_win(hi8_ref, res_ref, coef_ref, prm_ref, out_ref,
         )
         return jnp.where(warm, x, out)
 
-    def longterm_step(r, pos, w, k):
+    def longterm_step(r, pos, a, k):
         S0 = jnp.zeros_like(r)
         S1 = jnp.zeros_like(r)
         S2 = jnp.zeros_like(r)
         for j in range(T):
-            mask = (base[j] == k).astype(jnp.int32)
-            sel = jnp.sum(mask * w, axis=0, keepdims=True, dtype=jnp.int32)
+            sel = a[j + k : j + k + 1, :]
             q = prm_ref[1 + j, :][None, :]
             S0 = S0 + q * (sel & 0xFFF)
             S1 = S1 + q * ((sel >> 12) & 0xFFF)
@@ -519,11 +542,12 @@ def _fused_synth_kernel_win(hi8_ref, res_ref, coef_ref, prm_ref, out_ref,
         blk = res_ref[pl.ds(s0, _UNROLL), :]
         st0 = pl.multiple_of(wp + D - hi8, 8)
         w = hist[pl.ds(st0, win + _UNROLL), :]
+        a = _align_window(w, d, T + _UNROLL - 1)
         lt_outs = []
         outs = []
         for k in range(_UNROLL):
             o1 = lms_step(blk[k : k + 1, :], s32 + jnp.int32(k))
-            o2 = longterm_step(o1, l * tile_l + s32 + jnp.int32(k), w, k)
+            o2 = longterm_step(o1, l * tile_l + s32 + jnp.int32(k), a, k)
             lt_outs.append(o2)
             outs.append(lattice_step(o2))
         lt = jnp.concatenate(lt_outs, axis=0)
@@ -565,9 +589,7 @@ def _fused_stage2_kernel_win(hi8_ref, res_ref, prm_ref, out_ref, lms_state,
         hist[:] = jnp.zeros_like(hist)
 
     max_delay = prm_ref[0, :][None, :]
-    TB = res_ref.shape[1]
-    w_iota = jax.lax.broadcasted_iota(jnp.int32, (win + _UNROLL, TB), 0)
-    base = [w_iota - (hi8 - max_delay + j) for j in range(T)]
+    d = hi8 - max_delay  # constant per-lane window shift (see _align_window)
 
     def lms_step(x, s32):
         fc = lms_state[0:M, :]
@@ -600,6 +622,7 @@ def _fused_stage2_kernel_win(hi8_ref, res_ref, prm_ref, out_ref, lms_state,
         blk = res_ref[pl.ds(s0, _UNROLL), :]
         st0 = pl.multiple_of(wp + D - hi8, 8)
         w = hist[pl.ds(st0, win + _UNROLL), :]
+        a = _align_window(w, d, T + _UNROLL - 1)
         outs = []
         for k in range(_UNROLL):
             x = blk[k : k + 1, :]
@@ -608,8 +631,7 @@ def _fused_stage2_kernel_win(hi8_ref, res_ref, prm_ref, out_ref, lms_state,
             S1 = jnp.zeros_like(x)
             S2 = jnp.zeros_like(x)
             for j in range(T):
-                mask = (base[j] == k).astype(jnp.int32)
-                sel = jnp.sum(mask * w, axis=0, keepdims=True, dtype=jnp.int32)
+                sel = a[j + k : j + k + 1, :]
                 q = prm_ref[1 + j, :][None, :]
                 S0 = S0 + q * (sel & 0xFFF)
                 S1 = S1 + q * ((sel >> 12) & 0xFFF)
@@ -664,9 +686,7 @@ def _fused_encode_kernel_win(hi8_ref, data_ref, coef_ref, prm_ref, out_ref,
 
     c = coef_ref[:p, :]  # (p, TB)
     max_delay = prm_ref[0, :][None, :]
-    TB = data_ref.shape[1]
-    w_iota = jax.lax.broadcasted_iota(jnp.int32, (win + _UNROLL, TB), 0)
-    base = [w_iota - (hi8 - max_delay + j) for j in range(T)]
+    d = hi8 - max_delay  # constant per-lane window shift (see _align_window)
 
     def lattice_step(x):
         # pre-emphasis + lattice predict (_lattice_kernel predict body)
@@ -712,6 +732,7 @@ def _fused_encode_kernel_win(hi8_ref, data_ref, coef_ref, prm_ref, out_ref,
         blk = data_ref[pl.ds(s0, _UNROLL), :]
         st0 = pl.multiple_of(wp + D - hi8, 8)
         w = hist[pl.ds(st0, win + _UNROLL), :]
+        a = _align_window(w, d, T + _UNROLL - 1)
         r1s = []
         outs = []
         for k in range(_UNROLL):
@@ -722,8 +743,7 @@ def _fused_encode_kernel_win(hi8_ref, data_ref, coef_ref, prm_ref, out_ref,
             S1 = jnp.zeros_like(r1)
             S2 = jnp.zeros_like(r1)
             for j in range(T):
-                mask = (base[j] == k).astype(jnp.int32)
-                sel = jnp.sum(mask * w, axis=0, keepdims=True, dtype=jnp.int32)
+                sel = a[j + k : j + k + 1, :]
                 q = prm_ref[1 + j, :][None, :]
                 S0 = S0 + q * (sel & 0xFFF)
                 S1 = S1 + q * ((sel >> 12) & 0xFFF)
