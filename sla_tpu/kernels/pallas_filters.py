@@ -366,6 +366,8 @@ def _longterm_body_win(res_ref, prm_ref, out_ref, hist, hi8, *, num_taps,
     # alignment per group turns every select into a static slice
     d = hi8 - max_delay
 
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (_UNROLL, res_ref.shape[1]), 0)
+
     def body_u(i, carry):
         s32, wp = carry
         s0 = pl.multiple_of(s32, _UNROLL)
@@ -373,24 +375,24 @@ def _longterm_body_win(res_ref, prm_ref, out_ref, hist, hi8, *, num_taps,
         st0 = pl.multiple_of(wp + D - hi8, 8)
         w = hist[pl.ds(st0, win + _UNROLL), :]
         a = _align_window(w, d, T + _UNROLL - 1)
-        outs = []
-        for k in range(_UNROLL):
-            r = blk[k : k + 1, :]
-            pos = l * tile_l + s32 + jnp.int32(k)
-            S0 = jnp.zeros_like(r)
-            S1 = jnp.zeros_like(r)
-            S2 = jnp.zeros_like(r)
-            for j in range(T):
-                sel = a[j + k : j + k + 1, :]
-                q = prm_ref[1 + j, :][None, :]
-                S0 = S0 + q * (sel & 0xFFF)
-                S1 = S1 + q * ((sel >> 12) & 0xFFF)
-                S2 = S2 + q * (sel >> 24)
-            u_h = (S0 + _HALF) >> 12
-            pred = (S2 << 9) + ((S1 + u_h) >> 3)
-            use = jnp.logical_and(max_delay > 0, pos >= max_delay)
-            outs.append(jnp.where(use, r + pred, r))
-        ob = jnp.concatenate(outs, axis=0)
+        # the group's predictions depend only on PRIOR groups' history (the
+        # feedback-depth precondition), so the whole tap/limb arithmetic
+        # runs once on (_UNROLL, TB) tiles — full-sublane vregs — instead
+        # of per-sample row ops
+        S0 = jnp.zeros_like(blk)
+        S1 = jnp.zeros_like(blk)
+        S2 = jnp.zeros_like(blk)
+        for j in range(T):
+            sel = a[j : j + _UNROLL, :]
+            q = prm_ref[1 + j, :][None, :]
+            S0 = S0 + q * (sel & 0xFFF)
+            S1 = S1 + q * ((sel >> 12) & 0xFFF)
+            S2 = S2 + q * (sel >> 24)
+        u_h = (S0 + _HALF) >> 12
+        pred = (S2 << 9) + ((S1 + u_h) >> 3)
+        pos_g = k_iota + (l * tile_l + s32)
+        use = jnp.logical_and(max_delay > 0, pos_g >= max_delay)
+        ob = jnp.where(use, blk + pred, blk)
         out_ref[pl.ds(s0, _UNROLL), :] = ob
         hist[pl.ds(wp, _UNROLL), :] = ob
         hist[pl.ds(wp + D, _UNROLL), :] = ob
@@ -483,8 +485,12 @@ def _fused_synth_kernel_win(hi8_ref, res_ref, coef_ref, prm_ref, out_ref,
     c = coef_ref[:p, :]  # (p, TB)
     max_delay = prm_ref[0, :][None, :]
     d = hi8 - max_delay  # constant per-lane window shift (see _align_window)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (_UNROLL, res_ref.shape[1]), 0)
 
-    def lms_step(x, s32):
+    def lms_step(x, s32, step_in):
+        # step_in: the sign-sign adaptation step for this sample, computed
+        # group-wide from the INPUT residual (decode adapts on x, which is
+        # known upfront — only the warmup zeroing stays per-sample)
         fc = lms_state[0:M, :]
         ic = lms_state[M : 2 * M, :]
         xb = lms_state[2 * M : 3 * M, :]
@@ -495,10 +501,7 @@ def _fused_synth_kernel_win(hi8_ref, res_ref, coef_ref, prm_ref, out_ref,
         pred = acc >> 10
         warm = jnp.logical_and(l == 0, s32 < M)
         out = x + pred
-        mag = jnp.abs(x)
-        bl = jnp.int32(32) - jax.lax.clz(mag)
-        step = jnp.sign(x) * (bl >> 1)
-        step = jnp.where(warm, jnp.int32(0), step)
+        step = jnp.where(warm, jnp.int32(0), step_in)
         lms_state[0:M, :] = fc + step * jnp.sign(xb)
         lms_state[M : 2 * M, :] = ic + step * jnp.sign(pb)
         lms_state[2 * M : 3 * M, :] = jnp.concatenate(
@@ -508,21 +511,6 @@ def _fused_synth_kernel_win(hi8_ref, res_ref, coef_ref, prm_ref, out_ref,
             [jnp.where(warm, out, pred), pb[: M - 1, :]], axis=0
         )
         return jnp.where(warm, x, out)
-
-    def longterm_step(r, pos, a, k):
-        S0 = jnp.zeros_like(r)
-        S1 = jnp.zeros_like(r)
-        S2 = jnp.zeros_like(r)
-        for j in range(T):
-            sel = a[j + k : j + k + 1, :]
-            q = prm_ref[1 + j, :][None, :]
-            S0 = S0 + q * (sel & 0xFFF)
-            S1 = S1 + q * ((sel >> 12) & 0xFFF)
-            S2 = S2 + q * (sel >> 24)
-        u_h = (S0 + _HALF) >> 12
-        pred = (S2 << 9) + ((S1 + u_h) >> 3)
-        use = jnp.logical_and(max_delay > 0, pos >= max_delay)
-        return jnp.where(use, r + pred, r)
 
     def lattice_step(r):
         b_prev = b_state[:]
@@ -543,11 +531,32 @@ def _fused_synth_kernel_win(hi8_ref, res_ref, coef_ref, prm_ref, out_ref,
         st0 = pl.multiple_of(wp + D - hi8, 8)
         w = hist[pl.ds(st0, win + _UNROLL), :]
         a = _align_window(w, d, T + _UNROLL - 1)
+        # group-wide long-term prediction + LMS adaptation step: both
+        # depend only on prior groups' history / the input residual, so
+        # they run on full-sublane (_UNROLL, TB) tiles (the feedback-depth
+        # precondition guarantees the group's own outputs aren't read)
+        S0 = jnp.zeros_like(blk)
+        S1 = jnp.zeros_like(blk)
+        S2 = jnp.zeros_like(blk)
+        for j in range(T):
+            sel = a[j : j + _UNROLL, :]
+            q = prm_ref[1 + j, :][None, :]
+            S0 = S0 + q * (sel & 0xFFF)
+            S1 = S1 + q * ((sel >> 12) & 0xFFF)
+            S2 = S2 + q * (sel >> 24)
+        u_h = (S0 + _HALF) >> 12
+        lt_pred = (S2 << 9) + ((S1 + u_h) >> 3)
+        use = jnp.logical_and(
+            max_delay > 0, k_iota + (l * tile_l + s32) >= max_delay
+        )
+        bl_g = jnp.int32(32) - jax.lax.clz(jnp.abs(blk))
+        step_g = jnp.sign(blk) * (bl_g >> 1)
         lt_outs = []
         outs = []
         for k in range(_UNROLL):
-            o1 = lms_step(blk[k : k + 1, :], s32 + jnp.int32(k))
-            o2 = longterm_step(o1, l * tile_l + s32 + jnp.int32(k), a, k)
+            o1 = lms_step(blk[k : k + 1, :], s32 + jnp.int32(k),
+                          step_g[k : k + 1, :])
+            o2 = jnp.where(use[k : k + 1, :], o1 + lt_pred[k : k + 1, :], o1)
             lt_outs.append(o2)
             outs.append(lattice_step(o2))
         lt = jnp.concatenate(lt_outs, axis=0)
@@ -590,6 +599,7 @@ def _fused_stage2_kernel_win(hi8_ref, res_ref, prm_ref, out_ref, lms_state,
 
     max_delay = prm_ref[0, :][None, :]
     d = hi8 - max_delay  # constant per-lane window shift (see _align_window)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (_UNROLL, res_ref.shape[1]), 0)
 
     def lms_step(x, s32):
         fc = lms_state[0:M, :]
@@ -623,24 +633,26 @@ def _fused_stage2_kernel_win(hi8_ref, res_ref, prm_ref, out_ref, lms_state,
         st0 = pl.multiple_of(wp + D - hi8, 8)
         w = hist[pl.ds(st0, win + _UNROLL), :]
         a = _align_window(w, d, T + _UNROLL - 1)
+        # group-wide FIR prediction (the history is the INPUT residual,
+        # never this group's outputs): full-sublane (_UNROLL, TB) tiles
+        S0 = jnp.zeros_like(blk)
+        S1 = jnp.zeros_like(blk)
+        S2 = jnp.zeros_like(blk)
+        for j in range(T):
+            sel = a[j : j + _UNROLL, :]
+            q = prm_ref[1 + j, :][None, :]
+            S0 = S0 + q * (sel & 0xFFF)
+            S1 = S1 + q * ((sel >> 12) & 0xFFF)
+            S2 = S2 + q * (sel >> 24)
+        u_h = (S0 + _HALF) >> 12
+        lt_pred = (S2 << 9) + ((S1 + u_h) >> 3)
+        use = jnp.logical_and(
+            max_delay > 0, k_iota + (l * tile_l + s32) >= max_delay
+        )
+        r2_g = jnp.where(use, blk - lt_pred, blk)
         outs = []
         for k in range(_UNROLL):
-            x = blk[k : k + 1, :]
-            pos = l * tile_l + s32 + jnp.int32(k)
-            S0 = jnp.zeros_like(x)
-            S1 = jnp.zeros_like(x)
-            S2 = jnp.zeros_like(x)
-            for j in range(T):
-                sel = a[j + k : j + k + 1, :]
-                q = prm_ref[1 + j, :][None, :]
-                S0 = S0 + q * (sel & 0xFFF)
-                S1 = S1 + q * ((sel >> 12) & 0xFFF)
-                S2 = S2 + q * (sel >> 24)
-            u_h = (S0 + _HALF) >> 12
-            pred = (S2 << 9) + ((S1 + u_h) >> 3)
-            use = jnp.logical_and(max_delay > 0, pos >= max_delay)
-            r2 = jnp.where(use, x - pred, x)
-            outs.append(lms_step(r2, s32 + jnp.int32(k)))
+            outs.append(lms_step(r2_g[k : k + 1, :], s32 + jnp.int32(k)))
         hist[pl.ds(wp, _UNROLL), :] = blk
         hist[pl.ds(wp + D, _UNROLL), :] = blk
         out_ref[pl.ds(s0, _UNROLL), :] = jnp.concatenate(outs, axis=0)
@@ -687,6 +699,7 @@ def _fused_encode_kernel_win(hi8_ref, data_ref, coef_ref, prm_ref, out_ref,
     c = coef_ref[:p, :]  # (p, TB)
     max_delay = prm_ref[0, :][None, :]
     d = hi8 - max_delay  # constant per-lane window shift (see _align_window)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (_UNROLL, data_ref.shape[1]), 0)
 
     def lattice_step(x):
         # pre-emphasis + lattice predict (_lattice_kernel predict body)
@@ -733,25 +746,29 @@ def _fused_encode_kernel_win(hi8_ref, data_ref, coef_ref, prm_ref, out_ref,
         st0 = pl.multiple_of(wp + D - hi8, 8)
         w = hist[pl.ds(st0, win + _UNROLL), :]
         a = _align_window(w, d, T + _UNROLL - 1)
+        # group-wide FIR prediction: the window predates this group (the
+        # feedback-depth precondition), so the tap/limb arithmetic runs on
+        # full-sublane (_UNROLL, TB) tiles before the sample loop
+        S0 = jnp.zeros_like(blk)
+        S1 = jnp.zeros_like(blk)
+        S2 = jnp.zeros_like(blk)
+        for j in range(T):
+            sel = a[j : j + _UNROLL, :]
+            q = prm_ref[1 + j, :][None, :]
+            S0 = S0 + q * (sel & 0xFFF)
+            S1 = S1 + q * ((sel >> 12) & 0xFFF)
+            S2 = S2 + q * (sel >> 24)
+        u_h = (S0 + _HALF) >> 12
+        lt_pred = (S2 << 9) + ((S1 + u_h) >> 3)
+        use = jnp.logical_and(
+            max_delay > 0, k_iota + (l * tile_l + s32) >= max_delay
+        )
         r1s = []
         outs = []
         for k in range(_UNROLL):
             r1 = lattice_step(blk[k : k + 1, :])
             r1s.append(r1)
-            pos = l * tile_l + s32 + jnp.int32(k)
-            S0 = jnp.zeros_like(r1)
-            S1 = jnp.zeros_like(r1)
-            S2 = jnp.zeros_like(r1)
-            for j in range(T):
-                sel = a[j + k : j + k + 1, :]
-                q = prm_ref[1 + j, :][None, :]
-                S0 = S0 + q * (sel & 0xFFF)
-                S1 = S1 + q * ((sel >> 12) & 0xFFF)
-                S2 = S2 + q * (sel >> 24)
-            u_h = (S0 + _HALF) >> 12
-            pred = (S2 << 9) + ((S1 + u_h) >> 3)
-            use = jnp.logical_and(max_delay > 0, pos >= max_delay)
-            r2 = jnp.where(use, r1 - pred, r1)
+            r2 = jnp.where(use[k : k + 1, :], r1 - lt_pred[k : k + 1, :], r1)
             outs.append(lms_step(r2, s32 + jnp.int32(k)))
         r1b = jnp.concatenate(r1s, axis=0)
         hist[pl.ds(wp, _UNROLL), :] = r1b
