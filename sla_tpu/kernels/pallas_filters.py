@@ -867,6 +867,433 @@ def fused_stage2_tl(data_t, prm_t, num_taps, lms_order, hist_d=_LT_HIST_D,
     )
 
 
+# ---------------------------------------------------------------------------
+# Wide (sublane-batched) fused cascades.
+#
+# The narrow kernels spend most per-sample arithmetic on (1, TB) row values
+# (acc, pred, out, mag, step, the lattice out row ...) — each occupies a
+# full 8-sublane vector register at 1/8 utilization. The wide layout packs
+# _WG = 8 INDEPENDENT row-groups onto the sublane axis instead: packed row
+# _WG*slot + g holds slot `slot` of row-group g, so every former (1, TB)
+# value becomes a full (_WG, TB) register and every state scan runs over
+# slots at stride _WG (all shifts stay 8-row aligned). One kernel
+# invocation advances 8 * TILE_B = 1024 rows; the host plans 1024-row lag
+# bands (pipeline._longterm_window_plan on the wide tile size) and falls
+# back to the narrow kernels for small batches. Per-sample arithmetic is
+# identical op-for-op, so outputs are byte-identical over the same rows.
+# ---------------------------------------------------------------------------
+
+_WG = 8  # row-groups per sublane batch (the vreg sublane count)
+_WTILE_L = 512  # L tile: wide blocks are 8x taller, so 1/4 the narrow tile
+
+
+def _slot_suffix_sum(m: jnp.ndarray, p: int) -> jnp.ndarray:
+    """_suffix_sum_sublanes over slots at stride _WG (wide layout)."""
+    shift = 1
+    while shift < p:
+        z = jnp.zeros((_WG * shift, m.shape[1]), m.dtype)
+        m = m + jnp.concatenate([m[_WG * shift :, :], z], axis=0)
+        shift <<= 1
+    return m
+
+
+def _slot_cumsum(m: jnp.ndarray, p: int) -> jnp.ndarray:
+    """_cumsum_sublanes over slots at stride _WG (wide layout)."""
+    shift = 1
+    while shift < p:
+        z = jnp.zeros((_WG * shift, m.shape[1]), m.dtype)
+        m = m + jnp.concatenate([z, m[: _WG * (p - shift), :]], axis=0)
+        shift <<= 1
+    return m
+
+
+def _slot_total(v: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Per-row-group total over n slots: (_WG*n, TB) -> (_WG, TB).
+    Wrapping int32 adds are associative, so the shifted-add tree produces
+    the same value as the narrow kernels' jnp.sum."""
+    s = 1
+    while s < n:
+        z = jnp.zeros((_WG * s, v.shape[1]), v.dtype)
+        v = v + jnp.concatenate([v[_WG * s :, :], z], axis=0)
+        s <<= 1
+    return v[:_WG, :]
+
+
+def _rep(v: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Repeat a (_WG, TB) tile n times along sublanes (2-D concat — Mosaic
+    has no 3-D broadcast path for jnp.tile)."""
+    return v if n == 1 else jnp.concatenate([v] * n, axis=0)
+
+
+def _wide_takes(d: jnp.ndarray, win: int, need: int) -> list:
+    """Pre-tiled barrel-select masks for _align_window_wide: one (rows_b,
+    TB) bool per bit of the per-row window shift d (_WG, TB). Hoisted out
+    of the sample loop — d is constant for the whole kernel."""
+    nbits = max(1, (win + _UNROLL - 1).bit_length())
+    takes = []
+    for b in range(nbits):
+        keep = min(win + _UNROLL, need + (1 << b) - 1) if b else need
+        takes.append(_rep(((d >> b) & 1) != 0, keep))
+    return takes
+
+
+def _align_window_wide(w: jnp.ndarray, takes: list, need: int) -> jnp.ndarray:
+    """_align_window in the wide layout: shifts move whole slots (_WG rows
+    at a time, all aligned); takes comes from _wide_takes."""
+    for b in reversed(range(len(takes))):
+        s = _WG * (1 << b)
+        keep = takes[b].shape[0]
+        rows = w.shape[0]
+        hi_rows = max(0, min(keep, rows - s))
+        hi = w[s : s + hi_rows, :]
+        if hi_rows < keep:
+            hi = jnp.concatenate(
+                [hi, jnp.zeros((keep - hi_rows, w.shape[1]), w.dtype)], axis=0
+            )
+        w = jnp.where(takes[b], hi, w[:keep, :])
+    return w
+
+
+def _fused_synth_kernel_wide(hi8_ref, res_ref, coef_ref, prm_ref, out_ref,
+                             lms_state, hist, b_state, x_prev, *,
+                             parcor_order, num_taps, tile_l, hist_d, win):
+    """_fused_synth_kernel_win in the wide layout (see the section comment).
+    State refs are the narrow shapes scaled by _WG rows; the ring is
+    addressed in slots (row = _WG*slot + g)."""
+    G = _WG
+    p = parcor_order
+    T = num_taps
+    D = hist_d
+    M = lms_state.shape[0] // (4 * G)
+    l = pl.program_id(1)
+    hi8 = hi8_ref[pl.program_id(0)]
+
+    @pl.when(l == 0)
+    def _():
+        lms_state[:] = jnp.zeros_like(lms_state)
+        b_state[:] = jnp.zeros_like(b_state)
+        x_prev[:] = jnp.zeros_like(x_prev)
+        hist[:] = jnp.zeros_like(hist)
+
+    c = coef_ref[: G * p, :]  # (G*p, TB), order o of group g at row G*o+g
+    max_delay = prm_ref[0:G, :]  # (G, TB)
+    d = hi8 - max_delay
+    TB = res_ref.shape[1]
+    need = T + _UNROLL - 1
+    takes = _wide_takes(d, win, need)
+    qs = [_rep(prm_ref[G * (1 + j) : G * (2 + j), :], _UNROLL)
+          for j in range(T)]
+    md_t = _rep(max_delay, _UNROLL)
+    # packed row -> sample index inside the group (row // _WG)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (G * _UNROLL, TB), 0) >> 3
+
+    def lms_step(x, s32, step_in):
+        fc = lms_state[0 : G * M, :]
+        ic = lms_state[G * M : 2 * G * M, :]
+        xb = lms_state[2 * G * M : 3 * G * M, :]
+        pb = lms_state[3 * G * M : 4 * G * M, :]
+        acc = jnp.full((G, TB), 512, jnp.int32)
+        acc = acc + _slot_total(fc * xb, M)
+        acc = acc + _slot_total(ic * pb, M)
+        pred = acc >> 10
+        warm = jnp.logical_and(l == 0, s32 < M)
+        out = x + pred
+        step = jnp.where(warm, jnp.int32(0), step_in)
+        step_t = _rep(step, M)
+        lms_state[0 : G * M, :] = fc + step_t * jnp.sign(xb)
+        lms_state[G * M : 2 * G * M, :] = ic + step_t * jnp.sign(pb)
+        lms_state[2 * G * M : 3 * G * M, :] = jnp.concatenate(
+            [out, xb[: G * (M - 1), :]], axis=0
+        )
+        lms_state[3 * G * M : 4 * G * M, :] = jnp.concatenate(
+            [jnp.where(warm, out, pred), pb[: G * (M - 1), :]], axis=0
+        )
+        return jnp.where(warm, x, out)
+
+    def lattice_step(r):
+        b_prev = b_state[:]
+        m = (c * b_prev[: G * p, :] + _HALF) >> 15
+        suf = _slot_suffix_sum(m, p)
+        f_partial = _rep(r, p) + suf
+        b_hi = b_prev[: G * p, :] - ((c * f_partial + _HALF) >> 15)
+        out = f_partial[0:G, :]
+        b_state[:] = jnp.concatenate([out, b_hi], axis=0)
+        y = out + ((x_prev[:] * 31) >> 5)
+        x_prev[:] = y
+        return y
+
+    def body_u(i, carry):
+        s32, wp = carry
+        s0 = pl.multiple_of(s32, _UNROLL)
+        blk = res_ref[pl.ds(G * s0, G * _UNROLL), :]
+        st0 = pl.multiple_of(wp + D - hi8, 8)
+        w = hist[pl.ds(G * st0, G * (win + _UNROLL)), :]
+        a = _align_window_wide(w, takes, need)
+        S0 = jnp.zeros_like(blk)
+        S1 = jnp.zeros_like(blk)
+        S2 = jnp.zeros_like(blk)
+        for j in range(T):
+            sel = a[G * j : G * (j + _UNROLL), :]
+            S0 = S0 + qs[j] * (sel & 0xFFF)
+            S1 = S1 + qs[j] * ((sel >> 12) & 0xFFF)
+            S2 = S2 + qs[j] * (sel >> 24)
+        u_h = (S0 + _HALF) >> 12
+        lt_pred = (S2 << 9) + ((S1 + u_h) >> 3)
+        use = jnp.logical_and(md_t > 0, k_iota + (l * tile_l + s32) >= md_t)
+        bl_g = jnp.int32(32) - jax.lax.clz(jnp.abs(blk))
+        step_g = jnp.sign(blk) * (bl_g >> 1)
+        lt_outs = []
+        outs = []
+        for k in range(_UNROLL):
+            o1 = lms_step(blk[G * k : G * (k + 1), :], s32 + jnp.int32(k),
+                          step_g[G * k : G * (k + 1), :])
+            o2 = jnp.where(use[G * k : G * (k + 1), :],
+                           o1 + lt_pred[G * k : G * (k + 1), :], o1)
+            lt_outs.append(o2)
+            outs.append(lattice_step(o2))
+        lt = jnp.concatenate(lt_outs, axis=0)
+        hist[pl.ds(G * wp, G * _UNROLL), :] = lt
+        hist[pl.ds(G * (wp + D), G * _UNROLL), :] = lt
+        out_ref[pl.ds(G * s0, G * _UNROLL), :] = jnp.concatenate(outs, axis=0)
+        wp = wp + jnp.int32(_UNROLL)
+        wp = jnp.where(wp == D, jnp.int32(0), wp)
+        return (s32 + jnp.int32(_UNROLL), wp)
+
+    jax.lax.fori_loop(
+        0, tile_l // _UNROLL, body_u,
+        (jnp.int32(0), jnp.mod(l * jnp.int32(tile_l), jnp.int32(D))),
+    )
+
+
+def _fused_encode_kernel_wide(hi8_ref, data_ref, coef_ref, prm_ref, out_ref,
+                              lms_state, hist, b_state, x_prev, *,
+                              parcor_order, num_taps, tile_l, hist_d, win):
+    """_fused_encode_kernel_win in the wide layout (see the section
+    comment): pre-emphasis -> lattice predict -> windowed long-term FIR ->
+    sign-sign LMS predict over 8 sublane-batched row-groups."""
+    G = _WG
+    p = parcor_order
+    T = num_taps
+    D = hist_d
+    M = lms_state.shape[0] // (4 * G)
+    l = pl.program_id(1)
+    hi8 = hi8_ref[pl.program_id(0)]
+
+    @pl.when(l == 0)
+    def _():
+        lms_state[:] = jnp.zeros_like(lms_state)
+        b_state[:] = jnp.zeros_like(b_state)
+        x_prev[:] = jnp.zeros_like(x_prev)
+        hist[:] = jnp.zeros_like(hist)
+
+    c = coef_ref[: G * p, :]
+    max_delay = prm_ref[0:G, :]
+    d = hi8 - max_delay
+    TB = data_ref.shape[1]
+    need = T + _UNROLL - 1
+    takes = _wide_takes(d, win, need)
+    qs = [_rep(prm_ref[G * (1 + j) : G * (2 + j), :], _UNROLL)
+          for j in range(T)]
+    md_t = _rep(max_delay, _UNROLL)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (G * _UNROLL, TB), 0) >> 3
+
+    def lattice_step(x):
+        b_prev = b_state[:]
+        y = x - ((x_prev[:] * 31) >> 5)
+        x_prev[:] = x
+        m = (c * b_prev[: G * p, :] + _HALF) >> 15
+        incl = _slot_cumsum(m, p)
+        f_prev = _rep(y, p) - (incl - m)
+        b_hi = b_prev[: G * p, :] - ((c * f_prev + _HALF) >> 15)
+        b_state[:] = jnp.concatenate([y, b_hi], axis=0)
+        return y - incl[G * (p - 1) : G * p, :]
+
+    def lms_step(x, s32):
+        fc = lms_state[0 : G * M, :]
+        ic = lms_state[G * M : 2 * G * M, :]
+        xb = lms_state[2 * G * M : 3 * G * M, :]
+        pb = lms_state[3 * G * M : 4 * G * M, :]
+        acc = jnp.full((G, TB), 512, jnp.int32)
+        acc = acc + _slot_total(fc * xb, M)
+        acc = acc + _slot_total(ic * pb, M)
+        pred = acc >> 10
+        warm = jnp.logical_and(l == 0, s32 < M)
+        out = x - pred
+        mag = jnp.abs(out)
+        bl = jnp.int32(32) - jax.lax.clz(mag)
+        step = jnp.sign(out) * (bl >> 1)
+        step = jnp.where(warm, jnp.int32(0), step)
+        step_t = _rep(step, M)
+        lms_state[0 : G * M, :] = fc + step_t * jnp.sign(xb)
+        lms_state[G * M : 2 * G * M, :] = ic + step_t * jnp.sign(pb)
+        lms_state[2 * G * M : 3 * G * M, :] = jnp.concatenate(
+            [x, xb[: G * (M - 1), :]], axis=0
+        )
+        lms_state[3 * G * M : 4 * G * M, :] = jnp.concatenate(
+            [jnp.where(warm, x, pred), pb[: G * (M - 1), :]], axis=0
+        )
+        return jnp.where(warm, x, out)
+
+    def body_u(i, carry):
+        s32, wp = carry
+        s0 = pl.multiple_of(s32, _UNROLL)
+        blk = data_ref[pl.ds(G * s0, G * _UNROLL), :]
+        st0 = pl.multiple_of(wp + D - hi8, 8)
+        w = hist[pl.ds(G * st0, G * (win + _UNROLL)), :]
+        a = _align_window_wide(w, takes, need)
+        S0 = jnp.zeros_like(blk)
+        S1 = jnp.zeros_like(blk)
+        S2 = jnp.zeros_like(blk)
+        for j in range(T):
+            sel = a[G * j : G * (j + _UNROLL), :]
+            S0 = S0 + qs[j] * (sel & 0xFFF)
+            S1 = S1 + qs[j] * ((sel >> 12) & 0xFFF)
+            S2 = S2 + qs[j] * (sel >> 24)
+        u_h = (S0 + _HALF) >> 12
+        lt_pred = (S2 << 9) + ((S1 + u_h) >> 3)
+        use = jnp.logical_and(md_t > 0, k_iota + (l * tile_l + s32) >= md_t)
+        r1s = []
+        outs = []
+        for k in range(_UNROLL):
+            r1 = lattice_step(blk[G * k : G * (k + 1), :])
+            r1s.append(r1)
+            r2 = jnp.where(use[G * k : G * (k + 1), :],
+                           r1 - lt_pred[G * k : G * (k + 1), :], r1)
+            outs.append(lms_step(r2, s32 + jnp.int32(k)))
+        r1b = jnp.concatenate(r1s, axis=0)
+        hist[pl.ds(G * wp, G * _UNROLL), :] = r1b
+        hist[pl.ds(G * (wp + D), G * _UNROLL), :] = r1b
+        out_ref[pl.ds(G * s0, G * _UNROLL), :] = jnp.concatenate(outs, axis=0)
+        wp = wp + jnp.int32(_UNROLL)
+        wp = jnp.where(wp == D, jnp.int32(0), wp)
+        return (s32 + jnp.int32(_UNROLL), wp)
+
+    jax.lax.fori_loop(
+        0, tile_l // _UNROLL, body_u,
+        (jnp.int32(0), jnp.mod(l * jnp.int32(tile_l), jnp.int32(D))),
+    )
+
+
+def _pack_wide(x: jnp.ndarray) -> jnp.ndarray:
+    """(R, B) -> (_WG*R, B/_WG): element (r, bi*1024 + g*128 + lane) lands
+    at packed row _WG*r + g, packed column bi*128 + lane — the wide
+    kernels' sublane-batched layout. B must be a multiple of _WG*TILE_B."""
+    R, B = x.shape
+    nb = B // (_WG * TILE_B)
+    return (
+        x.reshape(R, nb, _WG, TILE_B)
+        .transpose(0, 2, 1, 3)
+        .reshape(_WG * R, nb * TILE_B)
+    )
+
+
+def _unpack_wide(y: jnp.ndarray, B: int) -> jnp.ndarray:
+    """Inverse of _pack_wide."""
+    rows, C = y.shape
+    R = rows // _WG
+    nb = C // TILE_B
+    return (
+        y.reshape(R, _WG, nb, TILE_B)
+        .transpose(0, 2, 1, 3)
+        .reshape(R, B)
+    )
+
+
+def _wide_call(kernel, data_t, coef_t, prm_t, p, lms_order, hist_rows, hi8s,
+               interpret):
+    """Shared wiring for the wide fused cascades: pack the (L, B) operands
+    into the sublane-batched layout, tile the parameter blocks per L-step,
+    and unpack the result. B must be a multiple of _WG*TILE_B and L a
+    multiple of _WTILE_L (callers pad; TILE_L is a multiple of _WTILE_L)."""
+    G = _WG
+    L, B = data_t.shape
+    if prm_t.shape[0] < 8:
+        prm_t = jnp.concatenate(
+            [prm_t, jnp.zeros((8 - prm_t.shape[0], prm_t.shape[1]), prm_t.dtype)],
+            axis=0,
+        )
+    data_p = _pack_wide(data_t)
+    coef_p = _pack_wide(coef_t)
+    prm_p = _pack_wide(prm_t)
+    nl = L // _WTILE_L
+    coef_tiled = jnp.tile(coef_p, (nl, 1))
+    prm_tiled = jnp.tile(prm_p, (nl, 1))
+    C = data_p.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(C // TILE_B, nl),
+        in_specs=[
+            pl.BlockSpec((G * _WTILE_L, TILE_B), lambda b, l, s: (l, b)),
+            pl.BlockSpec((G * p, TILE_B), lambda b, l, s: (l, b)),
+            pl.BlockSpec((G * 8, TILE_B), lambda b, l, s: (l, b)),
+        ],
+        out_specs=pl.BlockSpec((G * _WTILE_L, TILE_B), lambda b, l, s: (l, b)),
+        scratch_shapes=[
+            pltpu.VMEM((4 * lms_order * G, TILE_B), jnp.int32),
+            pltpu.VMEM((G * hist_rows, TILE_B), jnp.int32),
+            pltpu.VMEM((G * (p + 1), TILE_B), jnp.int32),
+            pltpu.VMEM((G, TILE_B), jnp.int32),
+        ],
+    )
+    out_p = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((G * L, C), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(hi8s, dtype=jnp.int32).reshape(-1), data_p, coef_tiled,
+      prm_tiled)
+    return _unpack_wide(out_p, B)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "parcor_order", "num_taps", "lms_order", "hist_d", "lt_win", "interpret",
+    ),
+)
+def fused_synth_wide_tl(data_t, coef_t, prm_t, parcor_order, num_taps,
+                        lms_order, hist_d=_LT_HIST_D, lt_win=0, hi8s=None,
+                        interpret=False):
+    """Wide fused decode cascade. Same contract as fused_synth_tl's
+    windowed form, but B % (_WG*TILE_B) == 0, hi8s is per 1024-row tile,
+    and the window plan must hold over those wider tiles (the pipeline
+    plans with tile_rows=_WG*TILE_B and falls back to the narrow kernel).
+    Requires lt_win > 0 and num_taps > 0."""
+    kernel = functools.partial(
+        _fused_synth_kernel_wide,
+        parcor_order=parcor_order,
+        num_taps=num_taps,
+        tile_l=_WTILE_L,
+        hist_d=hist_d,
+        win=lt_win,
+    )
+    return _wide_call(kernel, data_t, coef_t, prm_t, parcor_order, lms_order,
+                      2 * hist_d + lt_win + _UNROLL, hi8s, interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "parcor_order", "num_taps", "lms_order", "hist_d", "lt_win", "interpret",
+    ),
+)
+def fused_encode_wide_tl(data_t, coef_t, prm_t, parcor_order, num_taps,
+                         lms_order, hist_d=_LT_HIST_D, lt_win=0, hi8s=None,
+                         interpret=False):
+    """Wide fully-merged encode cascade (fused_encode_tl's contract over
+    the sublane-batched layout; see fused_synth_wide_tl)."""
+    kernel = functools.partial(
+        _fused_encode_kernel_wide,
+        parcor_order=parcor_order,
+        num_taps=num_taps,
+        tile_l=_WTILE_L,
+        hist_d=hist_d,
+        win=lt_win,
+    )
+    return _wide_call(kernel, data_t, coef_t, prm_t, parcor_order, lms_order,
+                      2 * hist_d + lt_win + _UNROLL, hi8s, interpret)
+
+
 def _fused_synth_kernel(res_ref, coef_ref, prm_ref, out_ref, lms_state, hist,
                         b_state, x_prev, *, parcor_order, num_taps, tile_l,
                         hist_d):

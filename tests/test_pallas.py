@@ -440,3 +440,135 @@ def test_encode_filters_fused_fallback_no_pitch():
         )
     )
     assert np.array_equal(out, ref)
+
+
+@pytest.mark.parametrize("num_taps", [1, 3])
+def test_fused_wide_interpret(num_taps):
+    """The WIDE (sublane-batched) fused cascades — 8 independent row-groups
+    packed onto the sublane axis — must match the scan chains bit for bit:
+    encode (pre-emphasis -> lattice predict -> windowed long-term ->
+    LMS predict) and decode (LMS synth -> long-term -> lattice synth),
+    over two 1024-row groups with different lag bands, inactive rows, and
+    warmup."""
+    from sla_tpu.pipeline import _decode_stage_scan, encode_filters
+    from sla_tpu.kernels.pallas_filters import (
+        _WG, fused_encode_wide_tl, fused_synth_wide_tl, longterm_ring_depth,
+    )
+
+    rng = np.random.default_rng(83)
+    p, M = 16, 8
+    BB = 2 * _WG * TILE_B  # two wide groups
+    LL = 512
+    data = rng.integers(-30000, 30000, (BB, LL), dtype=np.int32)
+    coef = rng.integers(-25000, 25000, (BB, p), dtype=np.int32)
+    pitch = np.sort(rng.integers(150, 250, (BB,), dtype=np.int32))[::-1].copy()
+    pitch[5::31] = 0
+    ltc = rng.integers(-32768, 32768, (BB, num_taps), dtype=np.int32) << 16
+
+    md = np.where(pitch > 0, pitch + num_taps // 2, 0).astype(np.int64)
+    groups = md.reshape(-1, _WG * TILE_B)
+    hi8s = ((groups.max(1) + 7) // 8 * 8).astype(np.int32)
+    lo = np.where(groups > 0, groups, 1 << 30).min(1)
+    lo = np.where(groups.max(1) > 0, lo, 0)
+    lt_win = int(-(-max(int((hi8s - lo + num_taps).max()), 8) // 8) * 8)
+    assert (md[md > 0] - (num_taps - 1)).min() >= 8
+    assert lt_win <= 160
+    prm = np.concatenate(
+        [md[:, None].astype(np.int32), ltc >> 16], axis=1
+    ).astype(np.int32)
+    ring = longterm_ring_depth(int(md.max()))
+
+    ref = np.asarray(
+        encode_filters(
+            jnp.asarray(data), jnp.asarray(coef), jnp.asarray(pitch),
+            jnp.asarray(ltc), p, num_taps, M,
+        )
+    )
+    out = np.asarray(
+        fused_encode_wide_tl(
+            jnp.asarray(data.T), jnp.asarray(coef.T), jnp.asarray(prm.T),
+            p, num_taps, M, hist_d=ring, lt_win=lt_win,
+            hi8s=jnp.asarray(hi8s), interpret=True,
+        )
+    ).T
+    assert np.array_equal(out, ref)
+
+    res = rng.integers(-(1 << 20), 1 << 20, (BB, LL), dtype=np.int32)
+    refd = np.asarray(
+        _decode_stage_scan(
+            jnp.asarray(res), jnp.asarray(coef), jnp.asarray(pitch),
+            jnp.asarray(ltc), p, num_taps, M,
+        )
+    )
+    outd = np.asarray(
+        fused_synth_wide_tl(
+            jnp.asarray(res.T), jnp.asarray(coef.T), jnp.asarray(prm.T),
+            p, num_taps, M, hist_d=ring, lt_win=lt_win,
+            hi8s=jnp.asarray(hi8s), interpret=True,
+        )
+    ).T
+    assert np.array_equal(outd, refd)
+
+
+def test_window_plan_auto_prefers_wide():
+    """_window_plan_auto must return the wide plan (1024-row groups) when
+    B % 1024 == 0 and L % 512 == 0, the narrow plan otherwise, and the
+    wide hi8s must be per-group."""
+    from sla_tpu.kernels.pallas_filters import _WG
+    from sla_tpu.pipeline import _window_plan_auto
+
+    rng = np.random.default_rng(89)
+    BB = 2 * _WG * TILE_B
+    pitch = np.sort(rng.integers(150, 250, (BB,), dtype=np.int32))[::-1].copy()
+
+    wide, lt_win, hi8s, order = _window_plan_auto(pitch, 1, BB, 2048)
+    assert wide and lt_win > 0 and hi8s.shape == (2,)
+
+    # odd row count: narrow plan, per-TILE_B hi8s
+    wide, lt_win, hi8s, order = _window_plan_auto(pitch[:-128], 1, BB - 128, 2048)
+    assert not wide and lt_win > 0 and hi8s.shape == ((BB - 128) // TILE_B,)
+
+    # L not a multiple of the wide L-tile: narrow plan
+    wide, lt_win, hi8s, order = _window_plan_auto(pitch, 1, BB, 2048 + 256)
+    assert not wide
+
+
+def test_decode_stage_dispatches_wide(monkeypatch):
+    """decode_stage over a 1024-row batch must dispatch the WIDE fused
+    kernel (asserted via monkeypatch) and match the scan twin exactly."""
+    import sla_tpu.kernels.pallas_filters as pf
+    from sla_tpu.pipeline import _decode_stage_scan, decode_stage
+
+    rng = np.random.default_rng(97)
+    p, T, M = 16, 3, 8
+    BB = pf._WG * TILE_B
+    res = rng.integers(-(1 << 18), 1 << 18, (BB, TILE_L), dtype=np.int32)
+    coef = rng.integers(-25000, 25000, (BB, p), dtype=np.int32)
+    pitch = rng.integers(150, 250, (BB,), dtype=np.int32)
+    pitch[::6] = 0
+    ltc = rng.integers(-32768, 32768, (BB, T), dtype=np.int32) << 16
+
+    calls = []
+    orig = pf.fused_synth_wide_tl
+
+    def interp(*a, **k):
+        calls.append(1)
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pf, "fused_synth_wide_tl", interp)
+    monkeypatch.setattr("sla_tpu.pipeline._use_pallas", lambda: True)
+    out = np.asarray(
+        decode_stage(
+            jnp.asarray(res), jnp.asarray(coef), jnp.asarray(pitch),
+            jnp.asarray(ltc), p, T, M,
+        )
+    )
+    assert calls, "wide kernel did not dispatch"
+    ref = np.asarray(
+        _decode_stage_scan(
+            jnp.asarray(res), jnp.asarray(coef), jnp.asarray(pitch),
+            jnp.asarray(ltc), p, T, M,
+        )
+    )
+    assert np.array_equal(out, ref)
