@@ -1294,6 +1294,244 @@ def fused_encode_wide_tl(data_t, coef_t, prm_t, parcor_order, num_taps,
                       2 * hist_d + lt_win + _UNROLL, hi8s, interpret)
 
 
+def _fused_stage2_kernel_wide(hi8_ref, res_ref, prm_ref, out_ref, lms_state,
+                              hist, *, num_taps, tile_l, hist_d, win):
+    """_fused_stage2_kernel_win in the wide layout (see the section
+    comment): windowed long-term FIR + sign-sign LMS predict over 8
+    sublane-batched row-groups. The FIR history is the stage-1 residual
+    itself (prediction reads the INPUT)."""
+    G = _WG
+    T = num_taps
+    D = hist_d
+    M = lms_state.shape[0] // (4 * G)
+    l = pl.program_id(1)
+    hi8 = hi8_ref[pl.program_id(0)]
+
+    @pl.when(l == 0)
+    def _():
+        lms_state[:] = jnp.zeros_like(lms_state)
+        hist[:] = jnp.zeros_like(hist)
+
+    max_delay = prm_ref[0:G, :]
+    d = hi8 - max_delay
+    TB = res_ref.shape[1]
+    need = T + _UNROLL - 1
+    takes = _wide_takes(d, win, need)
+    qs = [_rep(prm_ref[G * (1 + j) : G * (2 + j), :], _UNROLL)
+          for j in range(T)]
+    md_t = _rep(max_delay, _UNROLL)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (G * _UNROLL, TB), 0) >> 3
+
+    def lms_step(x, s32):
+        fc = lms_state[0 : G * M, :]
+        ic = lms_state[G * M : 2 * G * M, :]
+        xb = lms_state[2 * G * M : 3 * G * M, :]
+        pb = lms_state[3 * G * M : 4 * G * M, :]
+        acc = jnp.full((G, TB), 512, jnp.int32)
+        acc = acc + _slot_total(fc * xb, M)
+        acc = acc + _slot_total(ic * pb, M)
+        pred = acc >> 10
+        warm = jnp.logical_and(l == 0, s32 < M)
+        out = x - pred
+        mag = jnp.abs(out)
+        bl = jnp.int32(32) - jax.lax.clz(mag)
+        step = jnp.sign(out) * (bl >> 1)
+        step = jnp.where(warm, jnp.int32(0), step)
+        step_t = _rep(step, M)
+        lms_state[0 : G * M, :] = fc + step_t * jnp.sign(xb)
+        lms_state[G * M : 2 * G * M, :] = ic + step_t * jnp.sign(pb)
+        lms_state[2 * G * M : 3 * G * M, :] = jnp.concatenate(
+            [x, xb[: G * (M - 1), :]], axis=0
+        )
+        lms_state[3 * G * M : 4 * G * M, :] = jnp.concatenate(
+            [jnp.where(warm, x, pred), pb[: G * (M - 1), :]], axis=0
+        )
+        return jnp.where(warm, x, out)
+
+    def body_u(i, carry):
+        s32, wp = carry
+        s0 = pl.multiple_of(s32, _UNROLL)
+        blk = res_ref[pl.ds(G * s0, G * _UNROLL), :]
+        st0 = pl.multiple_of(wp + D - hi8, 8)
+        w = hist[pl.ds(G * st0, G * (win + _UNROLL)), :]
+        a = _align_window_wide(w, takes, need)
+        S0 = jnp.zeros_like(blk)
+        S1 = jnp.zeros_like(blk)
+        S2 = jnp.zeros_like(blk)
+        for j in range(T):
+            sel = a[G * j : G * (j + _UNROLL), :]
+            S0 = S0 + qs[j] * (sel & 0xFFF)
+            S1 = S1 + qs[j] * ((sel >> 12) & 0xFFF)
+            S2 = S2 + qs[j] * (sel >> 24)
+        u_h = (S0 + _HALF) >> 12
+        lt_pred = (S2 << 9) + ((S1 + u_h) >> 3)
+        use = jnp.logical_and(md_t > 0, k_iota + (l * tile_l + s32) >= md_t)
+        r2_g = jnp.where(use, blk - lt_pred, blk)
+        outs = []
+        for k in range(_UNROLL):
+            outs.append(lms_step(r2_g[G * k : G * (k + 1), :],
+                                 s32 + jnp.int32(k)))
+        hist[pl.ds(G * wp, G * _UNROLL), :] = blk
+        hist[pl.ds(G * (wp + D), G * _UNROLL), :] = blk
+        out_ref[pl.ds(G * s0, G * _UNROLL), :] = jnp.concatenate(outs, axis=0)
+        wp = wp + jnp.int32(_UNROLL)
+        wp = jnp.where(wp == D, jnp.int32(0), wp)
+        return (s32 + jnp.int32(_UNROLL), wp)
+
+    jax.lax.fori_loop(
+        0, tile_l // _UNROLL, body_u,
+        (jnp.int32(0), jnp.mod(l * jnp.int32(tile_l), jnp.int32(D))),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_taps", "lms_order", "hist_d", "lt_win", "interpret")
+)
+def fused_stage2_wide_tl(data_t, prm_t, num_taps, lms_order,
+                         hist_d=_LT_HIST_D, lt_win=0, hi8s=None,
+                         interpret=False):
+    """Merged encode stage 2 in the wide layout (fused_stage2_tl's
+    contract over sublane-batched row-groups; see fused_synth_wide_tl for
+    the shape preconditions)."""
+    G = _WG
+    L, B = data_t.shape
+    if prm_t.shape[0] < 8:
+        prm_t = jnp.concatenate(
+            [prm_t, jnp.zeros((8 - prm_t.shape[0], prm_t.shape[1]), prm_t.dtype)],
+            axis=0,
+        )
+    data_p = _pack_wide(data_t)
+    prm_p = _pack_wide(prm_t)
+    nl = L // _WTILE_L
+    prm_tiled = jnp.tile(prm_p, (nl, 1))
+    C = data_p.shape[1]
+    kernel = functools.partial(
+        _fused_stage2_kernel_wide,
+        num_taps=num_taps,
+        tile_l=_WTILE_L,
+        hist_d=hist_d,
+        win=lt_win,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(C // TILE_B, nl),
+        in_specs=[
+            pl.BlockSpec((G * _WTILE_L, TILE_B), lambda b, l, s: (l, b)),
+            pl.BlockSpec((G * 8, TILE_B), lambda b, l, s: (l, b)),
+        ],
+        out_specs=pl.BlockSpec((G * _WTILE_L, TILE_B), lambda b, l, s: (l, b)),
+        scratch_shapes=[
+            pltpu.VMEM((4 * lms_order * G, TILE_B), jnp.int32),
+            pltpu.VMEM((G * (2 * hist_d + lt_win + _UNROLL), TILE_B), jnp.int32),
+        ],
+    )
+    out_p = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((G * L, C), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(hi8s, dtype=jnp.int32).reshape(-1), data_p, prm_tiled)
+    return _unpack_wide(out_p, B)
+
+
+def _lattice_kernel_wide(data_ref, coef_ref, out_ref, b_state, x_prev, *,
+                         parcor_order, tile_l, pre_emphasis, synthesize):
+    """_lattice_kernel in the wide layout: lattice analysis/synthesis (+
+    pre/de-emphasis) over 8 sublane-batched row-groups; the stage
+    recursion runs over slots at stride _WG (see the section comment)."""
+    G = _WG
+    p = parcor_order
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _():
+        b_state[:] = jnp.zeros_like(b_state)
+        x_prev[:] = jnp.zeros_like(x_prev)
+
+    c = coef_ref[: G * p, :]
+
+    if synthesize:
+        def body(r):
+            b_prev = b_state[:]
+            m = (c * b_prev[: G * p, :] + _HALF) >> 15
+            suf = _slot_suffix_sum(m, p)
+            f_partial = _rep(r, p) + suf
+            b_hi = b_prev[: G * p, :] - ((c * f_partial + _HALF) >> 15)
+            out = f_partial[0:G, :]
+            b_state[:] = jnp.concatenate([out, b_hi], axis=0)
+            if pre_emphasis:  # de-emphasis on the synthesis side
+                y = out + ((x_prev[:] * 31) >> 5)
+                x_prev[:] = y
+                return y
+            return out
+    else:
+        def body(x):
+            b_prev = b_state[:]
+            if pre_emphasis:
+                y = x - ((x_prev[:] * 31) >> 5)
+                x_prev[:] = x
+            else:
+                y = x
+            m = (c * b_prev[: G * p, :] + _HALF) >> 15
+            incl = _slot_cumsum(m, p)
+            f_prev = _rep(y, p) - (incl - m)
+            b_hi = b_prev[: G * p, :] - ((c * f_prev + _HALF) >> 15)
+            b_state[:] = jnp.concatenate([y, b_hi], axis=0)
+            return y - incl[G * (p - 1) : G * p, :]
+
+    def body_u(i, s32):
+        s0 = pl.multiple_of(s32, _UNROLL)
+        blk = data_ref[pl.ds(G * s0, G * _UNROLL), :]
+        outs = [body(blk[G * k : G * (k + 1), :]) for k in range(_UNROLL)]
+        out_ref[pl.ds(G * s0, G * _UNROLL), :] = jnp.concatenate(outs, axis=0)
+        return s32 + jnp.int32(_UNROLL)
+
+    jax.lax.fori_loop(0, tile_l // _UNROLL, body_u, jnp.int32(0))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("parcor_order", "pre_emphasis", "synthesize", "interpret")
+)
+def lattice_filter_wide_tl(data_t, coef_t, parcor_order, pre_emphasis=True,
+                           synthesize=False, interpret=False):
+    """lattice_filter_tl in the wide layout: B % (_WG*TILE_B) == 0,
+    L % _WTILE_L == 0. No window plan needed — eligibility is shape-only."""
+    G = _WG
+    p = parcor_order
+    L, B = data_t.shape
+    data_p = _pack_wide(data_t)
+    coef_p = _pack_wide(coef_t)
+    nl = L // _WTILE_L
+    coef_tiled = jnp.tile(coef_p, (nl, 1))
+    C = data_p.shape[1]
+    kernel = functools.partial(
+        _lattice_kernel_wide,
+        parcor_order=p,
+        tile_l=_WTILE_L,
+        pre_emphasis=pre_emphasis,
+        synthesize=synthesize,
+    )
+    out_p = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((G * L, C), jnp.int32),
+        grid=(C // TILE_B, nl),
+        in_specs=[
+            pl.BlockSpec((G * _WTILE_L, TILE_B), lambda b, l: (l, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * p, TILE_B), lambda b, l: (l, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G * _WTILE_L, TILE_B), lambda b, l: (l, b),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((G * (p + 1), TILE_B), jnp.int32),
+            pltpu.VMEM((G, TILE_B), jnp.int32),
+        ],
+        interpret=interpret,
+    )(data_p, coef_tiled)
+    return _unpack_wide(out_p, B)
+
+
 def _fused_synth_kernel(res_ref, coef_ref, prm_ref, out_ref, lms_state, hist,
                         b_state, x_prev, *, parcor_order, num_taps, tile_l,
                         hist_d):

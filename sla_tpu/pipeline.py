@@ -104,12 +104,24 @@ def _encode_stage1_scan(data: jnp.ndarray, parcor_coef: jnp.ndarray, parcor_orde
 
 @functools.partial(jax.jit, static_argnames=("parcor_order",))
 def _encode_stage1_pallas(data: jnp.ndarray, parcor_coef: jnp.ndarray, parcor_order: int):
-    from .kernels.pallas_filters import TILE_B, lattice_filter_tl
+    from .kernels.pallas_filters import (
+        _WG, _WTILE_L, TILE_B, lattice_filter_tl, lattice_filter_wide_tl,
+    )
 
-    B = data.shape[0]
+    B, L = data.shape
     data_p = _pad_rows(data, TILE_B)
     coef_p = _pad_rows(parcor_coef, TILE_B)
-    out_t = lattice_filter_tl(data_p.T, coef_p.T, parcor_order, pre_emphasis=True)
+    # the wide (sublane-batched) lattice needs no window plan — shape-only
+    # eligibility (the encoder pads device batches to pow2 rows, so any
+    # batch >= 1024 rows qualifies)
+    if data_p.shape[0] % (_WG * TILE_B) == 0 and L % _WTILE_L == 0:
+        out_t = lattice_filter_wide_tl(
+            data_p.T, coef_p.T, parcor_order, pre_emphasis=True
+        )
+    else:
+        out_t = lattice_filter_tl(
+            data_p.T, coef_p.T, parcor_order, pre_emphasis=True
+        )
     return out_t.T[:B]
 
 
@@ -180,7 +192,7 @@ def _encode_stage2_pallas(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_taps", "lms_order", "lt_ring", "lt_win"),
+    static_argnames=("num_taps", "lms_order", "lt_ring", "lt_win", "wide"),
 )
 def _encode_stage2_pallas_win(
     residual: jnp.ndarray,
@@ -192,11 +204,15 @@ def _encode_stage2_pallas_win(
     lt_win: int,
     hi8s,
     order,
+    wide: bool = False,
 ):
     """Merged windowed stage 2 (ONE kernel: long-term FIR + LMS predict)
     with the decode path's lag sort/unsort around it; bit-identical to the
-    gated-FIR + LMS form."""
-    from .kernels.pallas_filters import TILE_B, fused_stage2_tl
+    gated-FIR + LMS form. wide=True dispatches the sublane-batched form
+    (see _window_plan_auto)."""
+    from .kernels.pallas_filters import (
+        TILE_B, fused_stage2_tl, fused_stage2_wide_tl,
+    )
 
     B = residual.shape[0]
     md = jnp.where(pitch > 0, pitch + (num_taps // 2), 0).astype(jnp.int32)
@@ -206,7 +222,8 @@ def _encode_stage2_pallas_win(
         md = jnp.take(md, order, axis=0)
         q15 = jnp.take(q15, order, axis=0)
     prm_p = _pad_rows(jnp.concatenate([md[:, None], q15], axis=1), TILE_B)
-    out_t = fused_stage2_tl(
+    kern = fused_stage2_wide_tl if wide else fused_stage2_tl
+    out_t = kern(
         _pad_rows(residual, TILE_B).T, prm_p.T, num_taps, lms_order,
         hist_d=lt_ring, lt_win=lt_win, hi8s=hi8s,
     )
@@ -359,9 +376,8 @@ def encode_stage2(
 
             p_np = np.asarray(pitch)
             if p_np.size and (p_np > 0).any():
-                lt_win, hi8s, order = _window_plan_dev(
-                    np.ascontiguousarray(p_np, dtype=np.int32).tobytes(),
-                    num_taps, residual.shape[0],
+                wide, lt_win, hi8s, order = _window_plan_auto(
+                    p_np, num_taps, residual.shape[0], residual.shape[1],
                 )
                 if lt_win > 0:
                     ring = longterm_ring_depth(
@@ -370,6 +386,7 @@ def encode_stage2(
                     return _encode_stage2_pallas_win(
                         residual, pitch, ltm_coef, num_taps, lms_order,
                         lt_ring=ring, lt_win=lt_win, hi8s=hi8s, order=order,
+                        wide=wide,
                     )
         return _encode_stage2_pallas(residual, pitch, ltm_coef, num_taps, lms_order)
     return _encode_stage2_scan(residual, pitch, ltm_coef, num_taps, lms_order)

@@ -572,3 +572,86 @@ def test_decode_stage_dispatches_wide(monkeypatch):
         )
     )
     assert np.array_equal(out, ref)
+
+
+@pytest.mark.parametrize("num_taps", [1, 3])
+def test_fused_stage2_wide_interpret(num_taps):
+    """The wide merged stage 2 (windowed long-term FIR + LMS predict over
+    sublane-batched row-groups) must match the gated-FIR + LMS scan chain
+    bit for bit."""
+    from sla_tpu.kernels.lms import lms_init_state, lms_predict
+    from sla_tpu.kernels.longterm import longterm_predict
+    from sla_tpu.kernels.pallas_filters import (
+        _WG, fused_stage2_wide_tl, longterm_ring_depth,
+    )
+
+    rng = np.random.default_rng(101)
+    M = 8
+    BB = 2 * _WG * TILE_B
+    LL = 512
+    res = rng.integers(-(1 << 18), 1 << 18, (BB, LL), dtype=np.int32)
+    pitch = np.sort(rng.integers(150, 250, (BB,), dtype=np.int32))[::-1].copy()
+    pitch[5::31] = 0
+    ltc = rng.integers(-32768, 32768, (BB, num_taps), dtype=np.int32) << 16
+
+    md = np.where(pitch > 0, pitch + num_taps // 2, 0).astype(np.int64)
+    groups = md.reshape(-1, _WG * TILE_B)
+    hi8s = ((groups.max(1) + 7) // 8 * 8).astype(np.int32)
+    lo = np.where(groups > 0, groups, 1 << 30).min(1)
+    lo = np.where(groups.max(1) > 0, lo, 0)
+    lt_win = int(-(-max(int((hi8s - lo + num_taps).max()), 8) // 8) * 8)
+    assert lt_win <= 160
+    prm = np.concatenate(
+        [md[:, None].astype(np.int32), ltc >> 16], axis=1
+    ).astype(np.int32)
+    ring = longterm_ring_depth(int(md.max()))
+
+    lt_res, _ = longterm_predict(
+        jnp.asarray(res), jnp.asarray(pitch), jnp.asarray(ltc), num_taps,
+        jnp.zeros((BB,), jnp.int32),
+    )
+    gated = jnp.where((pitch > 0)[:, None], lt_res, jnp.asarray(res))
+    ref, _ = lms_predict(gated, lms_init_state(BB, M), M)
+    ref = np.asarray(ref)
+
+    out = np.asarray(
+        fused_stage2_wide_tl(
+            jnp.asarray(res.T), jnp.asarray(prm.T), num_taps, M,
+            hist_d=ring, lt_win=lt_win, hi8s=jnp.asarray(hi8s),
+            interpret=True,
+        )
+    ).T
+    assert np.array_equal(out, ref)
+
+
+@pytest.mark.parametrize("synthesize", [False, True])
+def test_lattice_wide_interpret(synthesize):
+    """The wide lattice kernel (both directions, with pre/de-emphasis)
+    must match the scan twins bit for bit."""
+    from sla_tpu.kernels.pallas_filters import _WG, lattice_filter_wide_tl
+
+    rng = np.random.default_rng(103)
+    p = 16
+    BB = _WG * TILE_B
+    LL = 512
+    data = rng.integers(-30000, 30000, (BB, LL), dtype=np.int32)
+    coef = rng.integers(-25000, 25000, (BB, p), dtype=np.int32)
+    if synthesize:
+        ref, _ = lattice_synthesize(
+            jnp.asarray(data), jnp.asarray(coef),
+            lattice_init_state(BB, p),
+        )
+        ref, _ = de_emphasis(ref, jnp.zeros((BB,), jnp.int32))
+    else:
+        emp, _ = pre_emphasis(jnp.asarray(data), jnp.zeros((BB,), jnp.int32))
+        ref, _ = lattice_predict(
+            emp, jnp.asarray(coef), lattice_init_state(BB, p)
+        )
+    ref = np.asarray(ref)
+    out = np.asarray(
+        lattice_filter_wide_tl(
+            jnp.asarray(data.T), jnp.asarray(coef.T), p,
+            synthesize=synthesize, interpret=True,
+        )
+    ).T
+    assert np.array_equal(out, ref)

@@ -148,6 +148,87 @@ def main() -> int:
         print(f"longterm synth T={T} (compiled): {'OK' if match else 'MISMATCH'}",
               flush=True)
 
+    # 2c. WIDE (sublane-batched) kernels vs their narrow twins, compiled at
+    # a 1024-row batch: lattice (both directions), merged stage 2, and the
+    # fully-merged encode/decode cascades (round 5: 8 row-groups per
+    # sublane vector, ~2.5x the narrow throughput)
+    from sla_tpu.kernels.pallas_filters import (
+        _WG,
+        fused_encode_tl,
+        fused_encode_wide_tl,
+        fused_stage2_tl,
+        fused_stage2_wide_tl,
+        fused_synth_tl,
+        fused_synth_wide_tl,
+        lattice_filter_wide_tl,
+        longterm_ring_depth,
+    )
+
+    BW, LW = _WG * TILE_B, TILE_L
+    dataw = rng.integers(-30000, 30000, (BW, LW), dtype=np.int32)
+    coefw = rng.integers(-25000, 25000, (BW, p), dtype=np.int32)
+    for synth in (False, True):
+        ref_w = np.asarray(
+            lattice_filter_tl(jnp.asarray(dataw.T), jnp.asarray(coefw.T), p,
+                              synthesize=synth)
+        )
+        got_w = np.asarray(
+            lattice_filter_wide_tl(jnp.asarray(dataw.T), jnp.asarray(coefw.T),
+                                   p, synthesize=synth)
+        )
+        match = np.array_equal(got_w, ref_w)
+        ok &= match
+        print(f"wide lattice {'synth' if synth else 'predict'} (compiled): "
+              f"{'OK' if match else 'MISMATCH'}", flush=True)
+
+    # 150..250 keeps the single 1024-row group's lag band under the
+    # plan's 160 cap (the production plan would fall back narrow above it)
+    pitchw = np.sort(rng.integers(150, 250, (BW,), dtype=np.int32))[::-1].copy()
+    pitchw[7::41] = 0
+    ltcw = rng.integers(-32768, 32768, (BW, 1), dtype=np.int32) << 16
+    mdw = np.where(pitchw > 0, pitchw + 0, 0).astype(np.int64)
+    prmw = np.concatenate(
+        [mdw[:, None].astype(np.int32), ltcw >> 16], axis=1
+    ).astype(np.int32)
+    ringw = longterm_ring_depth(int(mdw.max()))
+
+    def _plan_w(tile_rows):
+        g = mdw.reshape(-1, tile_rows)
+        hi8 = ((g.max(1) + 7) // 8 * 8).astype(np.int32)
+        lo = np.where(g > 0, g, 1 << 30).min(1)
+        lo = np.where(g.max(1) > 0, lo, 0)
+        return int(-(-max(int((hi8 - lo + 1).max()), 8) // 8) * 8), hi8
+
+    win_n, hi8_n = _plan_w(TILE_B)
+    win_w, hi8_w = _plan_w(_WG * TILE_B)
+    for name, narrow, wide_fn in [
+        ("stage2", fused_stage2_tl, fused_stage2_wide_tl),
+    ]:
+        ref_w = np.asarray(narrow(
+            jnp.asarray(dataw.T), jnp.asarray(prmw.T), 1, M,
+            hist_d=ringw, lt_win=win_n, hi8s=jnp.asarray(hi8_n)))
+        got_w = np.asarray(wide_fn(
+            jnp.asarray(dataw.T), jnp.asarray(prmw.T), 1, M,
+            hist_d=ringw, lt_win=win_w, hi8s=jnp.asarray(hi8_w)))
+        match = np.array_equal(got_w, ref_w)
+        ok &= match
+        print(f"wide {name}        (compiled): {'OK' if match else 'MISMATCH'}",
+              flush=True)
+    for name, narrow, wide_fn in [
+        ("encode cascade", fused_encode_tl, fused_encode_wide_tl),
+        ("decode cascade", fused_synth_tl, fused_synth_wide_tl),
+    ]:
+        ref_w = np.asarray(narrow(
+            jnp.asarray(dataw.T), jnp.asarray(coefw.T), jnp.asarray(prmw.T),
+            p, 1, M, hist_d=ringw, lt_win=win_n, hi8s=jnp.asarray(hi8_n)))
+        got_w = np.asarray(wide_fn(
+            jnp.asarray(dataw.T), jnp.asarray(coefw.T), jnp.asarray(prmw.T),
+            p, 1, M, hist_d=ringw, lt_win=win_w, hi8s=jnp.asarray(hi8_w)))
+        match = np.array_equal(got_w, ref_w)
+        ok &= match
+        print(f"wide {name} (compiled): {'OK' if match else 'MISMATCH'}",
+              flush=True)
+
     # 3. full encode, device backend vs host backend, byte equality
     n = 6 * 12288
     t = np.arange(n) / 44100.0
