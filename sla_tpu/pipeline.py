@@ -109,18 +109,18 @@ def _encode_stage1_pallas(data: jnp.ndarray, parcor_coef: jnp.ndarray, parcor_or
     )
 
     B, L = data.shape
-    data_p = _pad_rows(data, TILE_B)
-    coef_p = _pad_rows(parcor_coef, TILE_B)
     # the wide (sublane-batched) lattice needs no window plan — shape-only
-    # eligibility (the encoder pads device batches to pow2 rows, so any
-    # batch >= 1024 rows qualifies)
-    if data_p.shape[0] % (_WG * TILE_B) == 0 and L % _WTILE_L == 0:
+    # eligibility, same <=2x row-padding rule as _window_plan_auto
+    wt = _WG * TILE_B
+    if -(-B // wt) * wt <= 2 * B and L % _WTILE_L == 0:
         out_t = lattice_filter_wide_tl(
-            data_p.T, coef_p.T, parcor_order, pre_emphasis=True
+            _pad_rows(data, wt).T, _pad_rows(parcor_coef, wt).T,
+            parcor_order, pre_emphasis=True,
         )
     else:
         out_t = lattice_filter_tl(
-            data_p.T, coef_p.T, parcor_order, pre_emphasis=True
+            _pad_rows(data, TILE_B).T, _pad_rows(parcor_coef, TILE_B).T,
+            parcor_order, pre_emphasis=True,
         )
     return out_t.T[:B]
 
@@ -211,8 +211,10 @@ def _encode_stage2_pallas_win(
     gated-FIR + LMS form. wide=True dispatches the sublane-batched form
     (see _window_plan_auto)."""
     from .kernels.pallas_filters import (
-        TILE_B, fused_stage2_tl, fused_stage2_wide_tl,
+        _WG, TILE_B, fused_stage2_tl, fused_stage2_wide_tl,
     )
+
+    bt = _WG * TILE_B if wide else TILE_B
 
     B = residual.shape[0]
     md = jnp.where(pitch > 0, pitch + (num_taps // 2), 0).astype(jnp.int32)
@@ -221,10 +223,10 @@ def _encode_stage2_pallas_win(
         residual = jnp.take(residual, order, axis=0)
         md = jnp.take(md, order, axis=0)
         q15 = jnp.take(q15, order, axis=0)
-    prm_p = _pad_rows(jnp.concatenate([md[:, None], q15], axis=1), TILE_B)
+    prm_p = _pad_rows(jnp.concatenate([md[:, None], q15], axis=1), bt)
     kern = fused_stage2_wide_tl if wide else fused_stage2_tl
     out_t = kern(
-        _pad_rows(residual, TILE_B).T, prm_p.T, num_taps, lms_order,
+        _pad_rows(residual, bt).T, prm_p.T, num_taps, lms_order,
         hist_d=lt_ring, lt_win=lt_win, hi8s=hi8s,
     )
     out = out_t.T[:B]
@@ -263,8 +265,10 @@ def _encode_filters_pallas_win(
     each way instead of two (VERDICT r4 #2). wide=True dispatches the
     sublane-batched form (see _window_plan_auto)."""
     from .kernels.pallas_filters import (
-        TILE_B, fused_encode_tl, fused_encode_wide_tl,
+        _WG, TILE_B, fused_encode_tl, fused_encode_wide_tl,
     )
+
+    bt = _WG * TILE_B if wide else TILE_B
 
     B = data.shape[0]
     md = jnp.where(pitch > 0, pitch + (num_taps // 2), 0).astype(jnp.int32)
@@ -274,11 +278,11 @@ def _encode_filters_pallas_win(
         parcor_coef = jnp.take(parcor_coef, order, axis=0)
         md = jnp.take(md, order, axis=0)
         q15 = jnp.take(q15, order, axis=0)
-    prm_p = _pad_rows(jnp.concatenate([md[:, None], q15], axis=1), TILE_B)
+    prm_p = _pad_rows(jnp.concatenate([md[:, None], q15], axis=1), bt)
     kern = fused_encode_wide_tl if wide else fused_encode_tl
     out_t = kern(
-        _pad_rows(data, TILE_B).T,
-        _pad_rows(parcor_coef, TILE_B).T,
+        _pad_rows(data, bt).T,
+        _pad_rows(parcor_coef, bt).T,
         prm_p.T,
         parcor_order,
         num_taps,
@@ -507,19 +511,22 @@ def _window_plan_dev(pitch_bytes: bytes, num_taps: int, B: int,
 
 def _window_plan_auto(p_np, num_taps: int, B: int, L: int):
     """Pick the WIDE (sublane-batched) window plan when the batch admits it
-    — B a multiple of _WG*TILE_B (the decoder/encoder device paths pad row
-    counts to powers of two, so any batch >= 1024 rows qualifies) and L a
-    multiple of _WTILE_L — else the narrow per-TILE_B plan. The wide
-    kernels run ~2.5x the narrow throughput on TPU (8 row-groups share
-    each sublane vector), which dominates their wider per-1024-row lag
-    bands at real pitch spreads. Returns (wide, lt_win, hi8s, order)."""
+    — rows pad up to a _WG*TILE_B multiple with at most 2x waste (B >=
+    512; the wide kernels run ~2.7x the narrow throughput on TPU, so even
+    a fully padded second half nets ~1.35x) and L is a multiple of
+    _WTILE_L — else the narrow per-TILE_B plan. The wide kernels' wider
+    per-1024-row lag bands are dominated by the sublane win at real pitch
+    spreads. Returns (wide, lt_win, hi8s, order); the *_pallas wrappers
+    pad rows to _WG*TILE_B when wide (the plan's tiles already cover the
+    padded, all-inactive tail)."""
     import numpy as np
 
     from .kernels.pallas_filters import _WG, _WTILE_L, TILE_B
 
     pb = np.ascontiguousarray(p_np, dtype=np.int32).tobytes()
-    if B % (_WG * TILE_B) == 0 and L % _WTILE_L == 0:
-        lt_win, hi8s, order = _window_plan_dev(pb, num_taps, B, _WG * TILE_B)
+    wt = _WG * TILE_B
+    if -(-B // wt) * wt <= 2 * B and L % _WTILE_L == 0:
+        lt_win, hi8s, order = _window_plan_dev(pb, num_taps, B, wt)
         if lt_win > 0:
             return True, lt_win, hi8s, order
     lt_win, hi8s, order = _window_plan_dev(pb, num_taps, B)
@@ -547,8 +554,10 @@ def _decode_stage_pallas(
     wide: bool = False,
 ):
     from .kernels.pallas_filters import (
-        TILE_B, fused_synth_tl, fused_synth_wide_tl,
+        _WG, TILE_B, fused_synth_tl, fused_synth_wide_tl,
     )
+
+    bt = _WG * TILE_B if wide else TILE_B
 
     B = residual.shape[0]
     # ONE fused kernel for the whole cascade (LMS synth -> long-term ring
@@ -567,11 +576,11 @@ def _decode_stage_pallas(
         parcor_coef = jnp.take(parcor_coef, order, axis=0)
         md = jnp.take(md, order, axis=0)
         q15 = jnp.take(q15, order, axis=0)
-    prm_p = _pad_rows(jnp.concatenate([md[:, None], q15], axis=1), TILE_B)
+    prm_p = _pad_rows(jnp.concatenate([md[:, None], q15], axis=1), bt)
     kern = fused_synth_wide_tl if wide else fused_synth_tl
     out_t = kern(
-        _pad_rows(residual, TILE_B).T,
-        _pad_rows(parcor_coef, TILE_B).T,
+        _pad_rows(residual, bt).T,
+        _pad_rows(parcor_coef, bt).T,
         prm_p.T,
         parcor_order,
         num_taps,

@@ -524,9 +524,14 @@ def test_window_plan_auto_prefers_wide():
     wide, lt_win, hi8s, order = _window_plan_auto(pitch, 1, BB, 2048)
     assert wide and lt_win > 0 and hi8s.shape == (2,)
 
-    # odd row count: narrow plan, per-TILE_B hi8s
+    # non-multiple row count within the <=2x padding rule: still wide,
+    # hi8s covers the padded groups
     wide, lt_win, hi8s, order = _window_plan_auto(pitch[:-128], 1, BB - 128, 2048)
-    assert not wide and lt_win > 0 and hi8s.shape == ((BB - 128) // TILE_B,)
+    assert wide and lt_win > 0 and hi8s.shape == (2,)
+
+    # small batch (256 -> pad 1024 is 4x waste): narrow plan, per-TILE_B hi8s
+    wide, lt_win, hi8s, order = _window_plan_auto(pitch[:256], 1, 256, 2048)
+    assert not wide and lt_win > 0 and hi8s.shape == (2,)
 
     # L not a multiple of the wide L-tile: narrow plan
     wide, lt_win, hi8s, order = _window_plan_auto(pitch, 1, BB, 2048 + 256)
@@ -654,4 +659,46 @@ def test_lattice_wide_interpret(synthesize):
             synthesize=synthesize, interpret=True,
         )
     ).T
+    assert np.array_equal(out, ref)
+
+
+def test_decode_stage_dispatches_wide_padded(monkeypatch):
+    """A 640-row batch (not a 1024 multiple, but within the <=2x padding
+    rule) must still dispatch the wide kernel — rows padded to 1024 with
+    an inactive tail — and match the scan twin exactly."""
+    import sla_tpu.kernels.pallas_filters as pf
+    from sla_tpu.pipeline import _decode_stage_scan, decode_stage
+
+    rng = np.random.default_rng(107)
+    p, T, M = 16, 1, 8
+    BB = 5 * TILE_B  # 640 -> padded to 1024
+    res = rng.integers(-(1 << 18), 1 << 18, (BB, TILE_L), dtype=np.int32)
+    coef = rng.integers(-25000, 25000, (BB, p), dtype=np.int32)
+    pitch = rng.integers(150, 250, (BB,), dtype=np.int32)
+    pitch[::7] = 0
+    ltc = rng.integers(-32768, 32768, (BB, T), dtype=np.int32) << 16
+
+    calls = []
+    orig = pf.fused_synth_wide_tl
+
+    def interp(*a, **k):
+        calls.append(1)
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pf, "fused_synth_wide_tl", interp)
+    monkeypatch.setattr("sla_tpu.pipeline._use_pallas", lambda: True)
+    out = np.asarray(
+        decode_stage(
+            jnp.asarray(res), jnp.asarray(coef), jnp.asarray(pitch),
+            jnp.asarray(ltc), p, T, M,
+        )
+    )
+    assert calls, "padded wide kernel did not dispatch"
+    ref = np.asarray(
+        _decode_stage_scan(
+            jnp.asarray(res), jnp.asarray(coef), jnp.asarray(pitch),
+            jnp.asarray(ltc), p, T, M,
+        )
+    )
     assert np.array_equal(out, ref)

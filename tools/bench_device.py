@@ -32,7 +32,11 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 HBM_BW = 819e9  # v5e bytes/s
-VPU_OPS = 3.85e12  # v5e int32 lane-ops/s (8x128 x 4 ALUs x 0.94 GHz)
+# v5e int32 lane-ops/s: 8x128 lanes x 4 ALUs x ~1.5 GHz. The clock falls
+# out of the published chip peak (197 bf16 TFLOPs / (4 MXUs x 128x128 x 2
+# flops) = 1.50 GHz); the previous 0.94 GHz figure made the measured wide
+# cascades exceed "attainable", which is how it was caught.
+VPU_OPS = 6.14e12
 
 
 def _roofline(name, ops_per_rs, bytes_per_rs, measured_g):
@@ -51,23 +55,33 @@ def _roofline(name, ops_per_rs, bytes_per_rs, measured_g):
     }
 
 
-def _ops_lms(M):
-    # acc: 2M mul + 2M add; pred shift; step: ~8 (abs, clz, sign, mul, shift,
-    # select); update: 2M mul + 2M add + 2 sign(3 ops) ~ 4M + 6; history
-    # concat: register moves ~2M; warmup selects ~4
-    return 4 * M + 1 + 8 + 4 * M + 6 + 2 * M + 4
-
-
-def _ops_longterm_win(T, win):
-    # per tap: (win+8) cmp + (win+8) mul + (win+8) add (masked sum) + 3
-    # limb muls + 3 adds + 2 masks/shifts; reassembly ~6; gate select ~3
-    return T * (3 * (win + 8) + 8) + 9
-
-
-def _ops_lattice(p, synth):
-    # m: p mul + p add + p shift; suffix/prefix scan: log2(p) shifted adds
-    # over p rows; f/b updates: p mul + 3p add/shift; de/pre-emphasis ~4
-    return 3 * p + int(math.ceil(math.log2(max(p, 2)))) * p + 4 * p + 4
+def _ops_cascade(p, T, M, win, wide, stages=("lattice", "longterm", "lms")):
+    """Static VPU lane-ops per row-sample, derived from the kernel
+    structure (pallas_filters.py). Ops on (R, TB) tiles cost their row
+    count; the NARROW kernels run row-vector (1, TB) state ops (LMS
+    acc/pred/out/step, lattice out, emphasis) at 1/8 sublane utilization
+    — cost 8 lane-rows each — while the WIDE kernels pack 8 row-groups
+    per vector register and amortize the same ops to cost 1. The p-row
+    and M-row tiles are fully utilized in both forms. The window align
+    runs once per 8-sample group in both forms (barrel-shift passes over
+    ~2*(win+8) + nbits*(T+8) rows, ~2 ops/row)."""
+    row = 1 if wide else 8
+    ops = 0.0
+    if "longterm" in stages:
+        nbits = max(1, (win + 8 - 1).bit_length())
+        ops += (2.0 * (win + 8) + 2.0 * nbits * (T + 8)) / 8.0  # align
+        ops += 9 * T + 7 * row  # limb extract+mul+add per tap; reassembly
+    if "lms" in stages:
+        lg = max(1, int(math.ceil(math.log2(max(M, 2)))))
+        ops += (4 * M          # two dot-product multiplies
+                + 2 * M * lg   # slot/tree reduces
+                + 8 * M        # coef updates + signs + history shifts
+                + 12 * row)    # acc/pred/out/mag/step row-vector ops
+    if "lattice" in stages:
+        lg = max(1, int(math.ceil(math.log2(max(p, 2)))))
+        ops += (9 * p + p * lg  # m, f, b_hi updates + cumsum/suffix scan
+                + 6 * row)      # out row + pre/de-emphasis
+    return ops + 4 * row  # loop/ring bookkeeping
 
 
 def main() -> int:
@@ -84,13 +98,8 @@ def main() -> int:
         print("FAIL: run on TPU hardware")
         return 1
 
-    B, L, p, T, M = 256, 12288, 16, 1, 8
-    key = jax.random.PRNGKey(0)
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    data = jax.random.randint(k1, (B, L), -30000, 30000, dtype=jnp.int32)
-    coef = jax.random.randint(k2, (B, p), -25000, 25000, dtype=jnp.int32)
-    pitch = jax.random.randint(k3, (B,), 40, 200, dtype=jnp.int32)
-    ltm = jax.random.randint(k4, (B, T), -20000, 20000, dtype=jnp.int32) << 16
+    L, p, T, M = 12288, 16, 1, 8
+    BN, BW = 256, 2048  # narrow-cell batch (r04 continuity) / wide-cell batch
 
     # K pipeline iterations inside ONE jit (lax.fori_loop, each chained on
     # the previous scalar): the tunnel's per-dispatch latency (~2-4 ms) is
@@ -104,50 +113,60 @@ def main() -> int:
         _decode_stage_pallas,
         _encode_filters_pallas_win,
         _encode_stage2_pallas_win,
-        _window_plan_dev,
+        _window_plan_auto,
     )
 
-    def plan(pitch_np):
-        ring = longterm_ring_depth(int(pitch_np[pitch_np > 0].max()) + T // 2)
-        lt_win, hi8s, order = _window_plan_dev(
-            np.ascontiguousarray(pitch_np, dtype=np.int32).tobytes(), T, B
-        )
-        return ring, lt_win, hi8s, order
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
 
-    def make_encode_fused(pitch_np):
-        # the round-5 fully-merged encode kernel (one HBM round trip),
-        # chained K deep inside ONE jit
-        ring, lt_win, hi8s, order = plan(pitch_np)
+    def batch_for(B):
+        data = jax.random.randint(k1, (B, L), -30000, 30000, dtype=jnp.int32)
+        coef = jax.random.randint(k2, (B, p), -25000, 25000, dtype=jnp.int32)
+        ltm = jax.random.randint(k4, (B, T), -20000, 20000, dtype=jnp.int32) << 16
+        return data, coef, ltm
+
+    def plan(pitch_np, B):
+        ring = longterm_ring_depth(int(pitch_np[pitch_np > 0].max()) + T // 2)
+        wide, lt_win, hi8s, order = _window_plan_auto(pitch_np, T, B, L)
+        return ring, wide, lt_win, hi8s, order
+
+    def make_encode_fused(pitch_np, B):
+        # the fully-merged encode kernel (one HBM round trip); the plan
+        # picks the wide sublane-batched form for 1024-row-aligned batches
+        ring, wide, lt_win, hi8s, order = plan(pitch_np, B)
         assert lt_win > 0, "bench pitches must admit the window plan"
         pitch_dev = jnp.asarray(pitch_np)
 
         @jax.jit
-        def chained(d, c, _pi, lt):
+        def chained(d, c, lt):
             def body(i, acc):
                 r = _encode_filters_pallas_win(
                     d + (acc & 1), c, pitch_dev, lt, p, T, M,
                     lt_ring=ring, lt_win=lt_win, hi8s=hi8s, order=order,
+                    wide=wide,
                 )
                 return jnp.sum(r, dtype=jnp.int32)
 
             return jax.lax.fori_loop(0, K, body, jnp.int32(0))
 
-        return chained, lt_win
+        return chained, wide, lt_win
 
-    def make_encode_two(pitch_np):
-        # the prior two-dispatch form (stage1 kernel + merged stage2),
-        # mirroring the production encoder's concrete-pitch dispatch
-        ring, lt_win, hi8s, order = plan(pitch_np)
+    def make_encode_two(pitch_np, B):
+        # the production encoder's two-dispatch form (stage1 lattice kernel
+        # + merged stage2 — pitch analysis sits between them in the real
+        # pipeline); both stages pick their wide forms by shape/plan
+        ring, wide, lt_win, hi8s, order = plan(pitch_np, B)
         pitch_dev = jnp.asarray(pitch_np)
 
         @jax.jit
-        def chained(d, c, _pi, lt):
+        def chained(d, c, lt):
             def body(i, acc):
                 r1 = encode_stage1(d + (acc & 1), c, p)
                 if lt_win > 0:
                     r2 = _encode_stage2_pallas_win(
                         r1, pitch_dev, lt, T, M,
                         lt_ring=ring, lt_win=lt_win, hi8s=hi8s, order=order,
+                        wide=wide,
                     )
                 else:
                     r2 = encode_stage2(r1, pitch_dev, lt, T, M)
@@ -155,54 +174,61 @@ def main() -> int:
 
             return jax.lax.fori_loop(0, K, body, jnp.int32(0))
 
-        return chained
+        return chained, wide, lt_win
 
-    def make_decode(pitch_np):
+    def make_decode(pitch_np, B):
         # the production decode step (_decode_stage_pallas: lag sort +
         # fused windowed cascade + unsort), chained K deep inside ONE jit
-        ring, lt_win, hi8s, order = plan(pitch_np)
+        ring, wide, lt_win, hi8s, order = plan(pitch_np, B)
         pitch_dev = jnp.asarray(pitch_np)
 
         @jax.jit
-        def chained(d, c, _pi, lt):
+        def chained(d, c, lt):
             def body(i, acc):
                 r = _decode_stage_pallas(
                     d + (acc & 1), c, pitch_dev, lt, p, T, M,
                     lt_ring=ring, lt_win=lt_win, hi8s=hi8s, order=order,
+                    wide=wide,
                 )
                 return jnp.sum(r, dtype=jnp.int32)
 
             return jax.lax.fori_loop(0, K, body, jnp.int32(0))
 
-        return chained, lt_win
+        return chained, wide, lt_win
 
-    pitch_host = np.asarray(pitch)
+    def pitches_for(B, lo=40, hi=200, key=k3):
+        return np.asarray(jax.random.randint(key, (B,), lo, hi, dtype=jnp.int32))
+
     # second decode config: lags under 128 dispatch the smaller VMEM ring
     # (typical music pitch); fresh key so the two pitch sets are
     # independent draws
     k5 = jax.random.split(k4)[0]
-    pitch_low = np.asarray(
-        jax.random.randint(k5, (B,), 40, 120, dtype=jnp.int32)
-    )
 
-    enc_fused, enc_win = make_encode_fused(pitch_host)
-    dec_fused, dec_win = make_decode(pitch_host)
-    dec_low, dec_low_win = make_decode(pitch_low)
+    cells = []  # (cell_name, B, maker, pitch)
+    for B, tag in ((BN, ""), (BW, "_wide")):
+        ph = pitches_for(B)
+        cells.append((f"encode_fused{tag}", B, make_encode_fused, ph))
+        cells.append((f"encode_stage12{tag}", B, make_encode_two, ph))
+        cells.append((f"decode_fused{tag}", B, make_decode, ph))
+        if tag == "":
+            cells.append((
+                "decode_fused_low_pitch", B, make_decode,
+                pitches_for(B, 40, 120, k5),
+            ))
 
     results: dict[str, float] = {}
-    for name, fn, pi_arg, per_call in [
-        ("encode fused", enc_fused, pitch, K),
-        ("encode stage1+2", make_encode_two(pitch_host), pitch, K),
-        ("decode cascade ", dec_fused, pitch_host, K),
-        ("decode cascade (pitch<120)", dec_low, pitch_low, K),
-    ]:
+    wins: dict[str, tuple[bool, int]] = {}
+    for name, B, maker, ph in cells:
+        data, coef, ltm = batch_for(B)
+        fn, wide, lt_win = maker(ph, B)
+        wins[name] = (wide, lt_win)
         # warm the exact chained pattern below: compiles both shapes and
         # absorbs the tunnel's first-dispatch stall. On tunneled runtimes
         # block_until_ready can return before the device finishes — only a
         # host fetch truly synchronizes, hence np.asarray.
         acc = jnp.int32(0)
         for _ in range(3):
-            acc = fn(data + (acc & 1), coef, pi_arg, ltm)
+            acc = fn(data + (acc & 1), coef, ltm)
         np.asarray(acc)
         iters = 30
         t0 = time.time()
@@ -210,49 +236,37 @@ def main() -> int:
         for _ in range(iters):
             # chain each step through the previous result so the queue can't
             # be collapsed, then fetch the final scalar to drain it
-            acc = fn(data + (acc & 1), coef, pi_arg, ltm)
+            acc = fn(data + (acc & 1), coef, ltm)
         np.asarray(acc)
-        dt = (time.time() - t0) / (iters * per_call)
+        dt = (time.time() - t0) / (iters * K)
         rate = B * L / dt
-        results[name.strip()] = round(rate / 1e9, 3)
-        print(f"{name}: {dt * 1e3:.2f} ms / ({B}x{L}) batch -> "
-              f"{rate / 1e9:.2f} G row-samples/s", flush=True)
+        results[name] = round(rate / 1e9, 3)
+        print(f"{name} (B={B}, wide={wide}, win={lt_win}): "
+              f"{dt * 1e3:.2f} ms -> {rate / 1e9:.2f} G row-samples/s",
+              flush=True)
 
     # ---- roofline records (VERDICT r4 #3) ----------------------------------
     # HBM bytes/row-sample: data in + residual out (4 B each) + the tiled
-    # coef/prm blocks (pp or 8 rows per TILE_L samples) + the (B,L)<->(L,B)
+    # coef/prm blocks (pp or 8 rows per L-tile) + the (B,L)<->(L,B)
     # transposes XLA materializes around the kernel (one extra read+write
-    # each way = 16 B). The two-dispatch encode pays the transposes AND the
-    # (L,B) intermediate twice.
+    # each way = 16 B; the wide pack/unpack relayout adds another copy
+    # each way). The two-dispatch encode pays the intermediate twice.
     pp = -(-p // 8) * 8
     small = 4.0 * (pp + 8) / 2048
-    xpose = 16.0
-    rl = [
-        _roofline(
-            "encode_fused",
-            _ops_lattice(p, False) + _ops_longterm_win(T, enc_win) + _ops_lms(M),
-            8.0 + small + xpose,
-            results.get("encode fused"),
-        ),
-        _roofline(
-            "encode_two_dispatch",
-            _ops_lattice(p, False) + _ops_longterm_win(T, enc_win) + _ops_lms(M),
-            16.0 + 2 * small + 2 * xpose,
-            results.get("encode stage1+2"),
-        ),
-        _roofline(
-            "decode_fused",
-            _ops_lms(M) + _ops_longterm_win(T, dec_win) + _ops_lattice(p, True),
-            8.0 + small + xpose,
-            results.get("decode cascade"),
-        ),
-        _roofline(
-            "decode_fused_low_pitch",
-            _ops_lms(M) + _ops_longterm_win(T, dec_low_win) + _ops_lattice(p, True),
-            8.0 + small + xpose,
-            results.get("decode cascade (pitch<120)"),
-        ),
-    ]
+    rl = []
+    for name, g in results.items():
+        wide, lt_win = wins[name]
+        stages = (
+            ("longterm", "lms") if "stage2_only" in name
+            else ("lattice", "longterm", "lms")
+        )
+        ops = _ops_cascade(p, T, M, lt_win, wide, stages)
+        xpose = 32.0 if wide else 16.0
+        bytes_rs = 8.0 + small + xpose
+        if "stage12" in name:  # two dispatches: intermediate + layout twice
+            ops += _ops_cascade(p, 0, M, 0, wide, ())  # extra loop overhead
+            bytes_rs = 16.0 + 2 * small + 2 * xpose
+        rl.append(_roofline(name, ops, bytes_rs, g))
     for r in rl:
         print(f"roofline {r['kernel']}: {r['vpu_ops_per_row_sample']} VPU "
               f"ops/rs, {r['hbm_bytes_per_row_sample']} B/rs -> "
@@ -267,20 +281,20 @@ def main() -> int:
 
     print(json.dumps({
         "device": device.device_kind,
-        "batch": [B, L],
+        "batch_narrow": [BN, L],
+        "batch_wide": [BW, L],
         "unit": "G row-samples/s",
-        "encode_fused": results.get("encode fused"),
-        "encode_two_dispatch": results.get("encode stage1+2"),
-        "decode_fused": results.get("decode cascade"),
-        "decode_fused_low_pitch": results.get("decode cascade (pitch<120)"),
+        **results,
         "roofline": rl,
         "roofline_model": {
             "hbm_bytes_per_s": HBM_BW,
             "vpu_int32_ops_per_s": VPU_OPS,
             "note": ("v5e: 8x128 VPU lanes x 4 ALUs x ~0.94 GHz; ops are "
-                     "static per-sample counts from the kernel formulas, "
-                     "bytes include the layout transposes around the "
-                     "kernel"),
+                     "static per-row-sample counts from the kernel "
+                     "structure — row-vector (1,TB) ops cost 8 lane-rows "
+                     "in the narrow kernels, 1 in the wide (sublane-"
+                     "batched) ones; bytes include the layout transposes "
+                     "around the kernel"),
         },
     }), flush=True)
     return 0
