@@ -289,7 +289,8 @@ def main() -> int:
         "roofline_model": {
             "hbm_bytes_per_s": HBM_BW,
             "vpu_int32_ops_per_s": VPU_OPS,
-            "note": ("v5e: 8x128 VPU lanes x 4 ALUs x ~0.94 GHz; ops are "
+            "note": ("v5e: 8x128 VPU lanes x 4 ALUs x ~1.5 GHz (clock from "
+                     "197 bf16 TFLOPs / 4 MXUs); ops are "
                      "static per-row-sample counts from the kernel "
                      "structure — row-vector (1,TB) ops cost 8 lane-rows "
                      "in the narrow kernels, 1 in the wide (sublane-"
