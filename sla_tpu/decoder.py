@@ -1166,17 +1166,45 @@ class Decoder:
                 ltm3.reshape(-1, max(T, 1))[:nrows] = ltm[:nrows]
                 d_res, d_coef, d_ltm = shard_batch(mesh, res3, coef3, ltm3)
                 d_pitch = shard_batch(mesh, pitch3[..., None])[0][..., 0]
+                from .parallel import (
+                    mesh_window_plans,
+                    sharded_decode_step_pallas,
+                )
+                from .parallel.sharding import _mesh_use_pallas
                 from .pipeline import _longterm_chunk
 
-                synth = np.asarray(
-                    sharded_decode_step(
-                        d_res, d_coef, d_pitch, d_ltm, p, T,
-                        ep.lms_order_per_filter, mesh,
-                        lt_chunk=_longterm_chunk(
-                            pitch, T, L, platform=mesh.devices.flat[0].platform
-                        ),
-                    )
-                ).reshape(-1, L)[: len(comp_idx) * C]
+                # TPU mesh: run the fused Pallas cascade per shard (the
+                # same windowed/wide kernels as the one-chip path) when
+                # every shard's lag band admits the window plan
+                plans = (
+                    mesh_window_plans(pitch3, T, mesh, L)
+                    if (_mesh_use_pallas(mesh) and L % 2048 == 0
+                        and p >= 1 and ep.lms_order_per_filter >= 1)
+                    else None
+                )
+                if plans is not None:
+                    d_hi8s, = shard_batch(mesh, plans["hi8s"])
+                    d_order = shard_batch(mesh, plans["order"])[0]
+                    synth = np.asarray(
+                        sharded_decode_step_pallas(
+                            d_res, d_coef, d_pitch, d_ltm, d_hi8s, d_order,
+                            p, T, ep.lms_order_per_filter, mesh,
+                            lt_ring=plans["lt_ring"],
+                            lt_win=plans["lt_win"],
+                            wide=plans["wide"],
+                        )
+                    ).reshape(-1, L)[: len(comp_idx) * C]
+                else:
+                    synth = np.asarray(
+                        sharded_decode_step(
+                            d_res, d_coef, d_pitch, d_ltm, p, T,
+                            ep.lms_order_per_filter, mesh,
+                            lt_chunk=_longterm_chunk(
+                                pitch, T, L,
+                                platform=mesh.devices.flat[0].platform,
+                            ),
+                        )
+                    ).reshape(-1, L)[: len(comp_idx) * C]
             elif backend == "host":
                 synth = native.synth_rows(
                     residual, coef, pitch, ltm, T, ep.lms_order_per_filter, lengths

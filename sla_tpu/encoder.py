@@ -957,7 +957,17 @@ class Encoder:
             coefs3 = np.zeros((NBb, NC, p), dtype=np.int32)
             coefs3.reshape(-1, p)[:nrows] = coefs[:nrows]
             d_batch, d_coefs = shard_batch(mesh, batch3, coefs3)
-            res1_dev = sharded_encode_stage1(d_batch, d_coefs, p, mesh)
+            from .parallel import sharded_encode_stage1_pallas
+            from .parallel.sharding import _mesh_use_pallas
+
+            if _mesh_use_pallas(mesh) and L % 2048 == 0 and p >= 1:
+                # TPU mesh: per-shard Pallas lattice (wide when the local
+                # row count admits it); bit-identical to the scan body
+                res1_dev = sharded_encode_stage1_pallas(
+                    d_batch, d_coefs, p, mesh
+                )
+            else:
+                res1_dev = sharded_encode_stage1(d_batch, d_coefs, p, mesh)
             res1_flat = np.asarray(res1_dev).reshape(-1, L)
             if res1_flat.shape[0] >= B:
                 residual1 = res1_flat[:B]
@@ -1034,9 +1044,33 @@ class Encoder:
             ltm3.reshape(-1, max(T, 1))[:nrows] = ltm[:nrows]
             d_pitch = shard_batch(mesh, pitch3)[0]  # 2-D: P(BLOCK, CHANNEL)
             d_ltm = shard_batch(mesh, ltm3)[0]
-            res2_full = sharded_encode_stage2(
-                res1_dev, d_pitch, d_ltm, T, ep.lms_order_per_filter, mesh
+            from .parallel import (
+                mesh_window_plans,
+                sharded_encode_stage2_pallas,
             )
+            from .parallel.sharding import _mesh_use_pallas
+
+            plans = (
+                mesh_window_plans(pitch3, T, mesh, L)
+                if (_mesh_use_pallas(mesh) and L % 2048 == 0
+                    and ep.lms_order_per_filter >= 1)
+                else None
+            )
+            if plans is not None:
+                # TPU mesh: merged windowed stage 2 per shard
+                d_hi8s, = shard_batch(mesh, plans["hi8s"])
+                d_order = shard_batch(mesh, plans["order"])[0]
+                res2_full = sharded_encode_stage2_pallas(
+                    res1_dev, d_pitch, d_ltm, d_hi8s, d_order, T,
+                    ep.lms_order_per_filter, mesh,
+                    lt_ring=plans["lt_ring"],
+                    lt_win=plans["lt_win"],
+                    wide=plans["wide"],
+                )
+            else:
+                res2_full = sharded_encode_stage2(
+                    res1_dev, d_pitch, d_ltm, T, ep.lms_order_per_filter, mesh
+                )
             res2_dev = res2_full.reshape(NBb * NC, -1)  # device-side rows
             res2_flat = np.asarray(res2_full).reshape(-1, L)
             if res2_flat.shape[0] >= B:

@@ -307,6 +307,249 @@ def sharded_decode_step(
     )(residual, parcor_coef, pitch, ltm_coef)
 
 
+def _mesh_use_pallas(mesh: Mesh) -> bool:
+    """Gate for the Pallas shard_map bodies: TPU-class mesh devices only
+    (the scan bodies remain the CPU/dryrun path; tests monkeypatch this
+    with interpret-mode kernels). Honors SLA_TPU_NO_PALLAS."""
+    import os
+
+    if os.environ.get("SLA_TPU_NO_PALLAS"):
+        return False
+    return mesh.devices.flat[0].platform in ("tpu", "axon")
+
+
+def mesh_window_plans(pitch_np, num_taps: int, mesh: Mesh, L: int):
+    """Host-side per-shard window plans for the Pallas mesh bodies.
+
+    pitch_np: (NB, NC) concrete host pitches laid out like the sharded
+    batch. Each shard lag-sorts ITS OWN rows (no cross-shard resharding),
+    so the plan arrays ride the same (blocks, channels) sharding as the
+    batch: hi8s (ndb, ndc, ntiles) int32 per-tile window bases and order
+    (NB, NC) int32 per-shard LOCAL sort orders. The window length and
+    ring depth are static (the max over shards — a larger-than-needed
+    window is safe: selected taps always index the row's true lag band,
+    extra rows only cost align work). Returns None when any shard's lag
+    band rejects the windowed kernel or no row is active (callers fall
+    back to the scan bodies), else a dict of sharded-array + static
+    kwargs for the *_pallas mesh steps."""
+    from ..kernels.pallas_filters import (
+        _WG, _WTILE_L, TILE_B, longterm_ring_depth,
+    )
+    from ..pipeline import _longterm_window_plan
+
+    if num_taps <= 0:
+        return None
+    NB, NC = pitch_np.shape
+    ndb, ndc = mesh.shape[BLOCK_AXIS], mesh.shape[CHANNEL_AXIS]
+    if NB % ndb or NC % ndc:
+        return None
+    nb, nc = NB // ndb, NC // ndc
+    B_loc = nb * nc
+    md = np.where(pitch_np > 0, pitch_np.astype(np.int64) + num_taps // 2, 0)
+    if not (md > 0).any():
+        return None
+    ring = longterm_ring_depth(int(md.max()))
+    wt = _WG * TILE_B
+    wide = (-(-B_loc // wt) * wt <= 2 * B_loc) and L % _WTILE_L == 0
+
+    def plan_all(tile_rows):
+        wins, his, orders = [], [], []
+        for i in range(ndb):
+            for j in range(ndc):
+                loc = np.ascontiguousarray(
+                    pitch_np[i * nb : (i + 1) * nb, j * nc : (j + 1) * nc]
+                ).reshape(-1)
+                win, hi8, order = _longterm_window_plan(
+                    loc, num_taps, B_loc, tile_rows
+                )
+                if win == 0:
+                    return None
+                if order is None:
+                    order = np.arange(B_loc, dtype=np.int32)
+                wins.append(win)
+                his.append(hi8)
+                orders.append(order.reshape(nb, nc))
+        ntiles = his[0].shape[0]
+        hi8s = np.stack(his).reshape(ndb, ndc, ntiles).astype(np.int32)
+        order = (
+            np.stack(orders)
+            .reshape(ndb, ndc, nb, nc)
+            .transpose(0, 2, 1, 3)
+            .reshape(NB, NC)
+            .astype(np.int32)
+        )
+        return max(wins), hi8s, order
+
+    for tile_rows, w in ((wt, True), (TILE_B, False)) if wide else ((TILE_B, False),):
+        got = plan_all(tile_rows)
+        if got is not None:
+            lt_win, hi8s, order = got
+            return {
+                "lt_ring": ring,
+                "lt_win": lt_win,
+                "wide": w,
+                "hi8s": hi8s,
+                "order": order,
+            }
+    return None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "parcor_order", "num_taps", "lms_order", "mesh", "lt_ring", "lt_win",
+        "wide",
+    ),
+)
+def sharded_decode_step_pallas(
+    residual: jnp.ndarray,
+    parcor_coef: jnp.ndarray,
+    pitch: jnp.ndarray,
+    ltm_coef: jnp.ndarray,
+    hi8s: jnp.ndarray,
+    order: jnp.ndarray,
+    parcor_order: int,
+    num_taps: int,
+    lms_order: int,
+    mesh: Mesh,
+    lt_ring: int,
+    lt_win: int,
+    wide: bool,
+):
+    """sharded_decode_step with the fused Pallas cascade per shard: every
+    device runs the SAME single-kernel windowed (optionally wide
+    sublane-batched) synthesis the one-chip path uses — lag sort, pad,
+    kernel, unsort all LOCAL to the shard, zero cross-shard traffic.
+    Plan arrays come from mesh_window_plans (host, concrete pitches).
+    Bit-identical to the scan body."""
+    _reject_assert_mode()
+    from ..pipeline import _decode_stage_pallas
+
+    def local(residual, parcor_coef, pitch, ltm_coef, hi8s, order):
+        nb, nc, L = residual.shape
+        B = nb * nc
+        out = _decode_stage_pallas(
+            residual.reshape(B, L),
+            parcor_coef.reshape(B, -1),
+            pitch.reshape(B),
+            ltm_coef.reshape(B, -1),
+            parcor_order,
+            num_taps,
+            lms_order,
+            lt_ring=lt_ring,
+            lt_win=lt_win,
+            hi8s=hi8s.reshape(-1),
+            order=order.reshape(B),
+            wide=wide,
+        )
+        return out.reshape(nb, nc, L)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        check_vma=False,  # pallas_call outputs carry no vma annotation
+
+        in_specs=(
+            P(BLOCK_AXIS, CHANNEL_AXIS, None),
+            P(BLOCK_AXIS, CHANNEL_AXIS, None),
+            P(BLOCK_AXIS, CHANNEL_AXIS),
+            P(BLOCK_AXIS, CHANNEL_AXIS, None),
+            P(BLOCK_AXIS, CHANNEL_AXIS, None),
+            P(BLOCK_AXIS, CHANNEL_AXIS),
+        ),
+        out_specs=P(BLOCK_AXIS, CHANNEL_AXIS, None),
+    )(residual, parcor_coef, pitch, ltm_coef, hi8s, order)
+
+
+@functools.partial(jax.jit, static_argnames=("parcor_order", "mesh"))
+def sharded_encode_stage1_pallas(
+    data: jnp.ndarray, parcor_coef: jnp.ndarray, parcor_order: int, mesh: Mesh
+):
+    """sharded_encode_stage1 with the Pallas lattice kernel per shard
+    (wide sublane-batched when the local row count admits it — shape-only
+    eligibility, no plan needed). Bit-identical to the scan body."""
+    _reject_assert_mode()
+    from ..pipeline import _encode_stage1_pallas
+
+    def local(data, parcor_coef):
+        nb, nc, L = data.shape
+        B = nb * nc
+        out = _encode_stage1_pallas(
+            data.reshape(B, L), parcor_coef.reshape(B, -1), parcor_order
+        )
+        return out.reshape(nb, nc, L)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        check_vma=False,  # pallas_call outputs carry no vma annotation
+
+        in_specs=(
+            P(BLOCK_AXIS, CHANNEL_AXIS, None),
+            P(BLOCK_AXIS, CHANNEL_AXIS, None),
+        ),
+        out_specs=P(BLOCK_AXIS, CHANNEL_AXIS, None),
+    )(data, parcor_coef)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_taps", "lms_order", "mesh", "lt_ring", "lt_win", "wide",
+    ),
+)
+def sharded_encode_stage2_pallas(
+    residual: jnp.ndarray,
+    pitch: jnp.ndarray,
+    ltm_coef: jnp.ndarray,
+    hi8s: jnp.ndarray,
+    order: jnp.ndarray,
+    num_taps: int,
+    lms_order: int,
+    mesh: Mesh,
+    lt_ring: int,
+    lt_win: int,
+    wide: bool,
+):
+    """sharded_encode_stage2 with the merged windowed stage-2 Pallas
+    kernel per shard (see sharded_decode_step_pallas for the plan-array
+    contract). Bit-identical to the scan body."""
+    _reject_assert_mode()
+    from ..pipeline import _encode_stage2_pallas_win
+
+    def local(residual, pitch, ltm_coef, hi8s, order):
+        nb, nc, L = residual.shape
+        B = nb * nc
+        out = _encode_stage2_pallas_win(
+            residual.reshape(B, L),
+            pitch.reshape(B),
+            ltm_coef.reshape(B, -1),
+            num_taps,
+            lms_order,
+            lt_ring=lt_ring,
+            lt_win=lt_win,
+            hi8s=hi8s.reshape(-1),
+            order=order.reshape(B),
+            wide=wide,
+        )
+        return out.reshape(nb, nc, L)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        check_vma=False,  # pallas_call outputs carry no vma annotation
+
+        in_specs=(
+            P(BLOCK_AXIS, CHANNEL_AXIS, None),
+            P(BLOCK_AXIS, CHANNEL_AXIS),
+            P(BLOCK_AXIS, CHANNEL_AXIS, None),
+            P(BLOCK_AXIS, CHANNEL_AXIS, None),
+            P(BLOCK_AXIS, CHANNEL_AXIS),
+        ),
+        out_specs=P(BLOCK_AXIS, CHANNEL_AXIS, None),
+    )(residual, pitch, ltm_coef, hi8s, order)
+
+
 def shard_batch(mesh: Mesh, *arrays):
     """Device-put each (NB, NC, ...) array with the mesh batch sharding."""
     out = []
